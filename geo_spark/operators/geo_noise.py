@@ -1,0 +1,96 @@
+"""Deterministic synthetic geo coordinates for oracle-checked queries.
+
+The driver's testdata tables carry no coordinates (FIXTURES.md §5), so
+spatial queries derive (lat, lng) from an integer id with *integer* hash
+arithmetic — exact in both Spark SQL and DuckDB — followed by only
+IEEE-deterministic float ops (multiply/divide/asin), so both engines compute
+bit-identical coordinates and the DuckDB oracle can re-derive tile
+assignments independently of the Hilbert kernel.
+
+The oracle side (``DUCKDB_FACE_IJ``) re-implements the S2 quadratic
+projection chain (s2/stuv.go:186-229, :205-256) in plain SQL: lat/lng ->
+xyz -> face (largest |component|) -> (u,v) -> quadratic (s,t) -> (i,j).
+Grouping by (face, i>>k, j>>k) is mathematically identical to grouping by
+``Parent(cell_id, level)`` — Hilbert numbering permutes cells within a level
+but never regroups the quadtree — which is what lets plain SQL verify the
+Spark engine's encode->decode->Parent pipeline end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# u1/u2 streams: 32-bit LCG-style integer mixes (fit in int64, no overflow).
+_U1 = "((({id} * 2654435761 + 12345) % 4294967296) / 4294967296.0)"
+_U2 = "((({id} * 2246822519 + 54321) % 4294967296) / 4294967296.0)"
+
+LAT_SQL = f"degrees(asin(2.0 * {_U1} - 1.0))"
+LNG_SQL = f"(360.0 * {_U2} - 180.0)"
+
+
+def with_geo_noise(df: DataFrame, id_col: str) -> DataFrame:
+    """Adds deterministic lat/lng columns derived from an integer id."""
+    return df.withColumn(
+        "lat", F.expr(LAT_SQL.format(id=id_col))
+    ).withColumn("lng", F.expr(LNG_SQL.format(id=id_col)))
+
+
+def duckdb_geo_noise(id_col: str) -> tuple[str, str]:
+    """(lat_sql, lng_sql) for the DuckDB oracle — same formulas verbatim."""
+    return LAT_SQL.format(id=id_col), LNG_SQL.format(id=id_col)
+
+
+# DuckDB CTE re-deriving (face, i, j) from lat/lng via the S2 projection
+# chain.  {src} must provide columns lat, lng.  i/j are leaf-level in
+# [0, 2^30); shift right to the desired tile level.
+DUCKDB_FACE_IJ = """
+    SELECT *,
+           axis + CASE WHEN comp < 0 THEN 3 ELSE 0 END AS face
+    FROM (
+        SELECT *,
+               CASE WHEN ax > ay AND ax > az THEN 0
+                    WHEN ay > az THEN 1 ELSE 2 END AS axis,
+               CASE WHEN ax > ay AND ax > az THEN x
+                    WHEN ay > az THEN y ELSE z END AS comp
+        FROM (
+            SELECT *, abs(x) AS ax, abs(y) AS ay, abs(z) AS az
+            FROM (
+                SELECT *,
+                       cos(radians(lng)) * cos(radians(lat)) AS x,
+                       sin(radians(lng)) * cos(radians(lat)) AS y,
+                       sin(radians(lat)) AS z
+                FROM ({src})
+            )
+        )
+    )
+"""
+
+DUCKDB_IJ = """
+    SELECT *,
+           CAST(least(greatest(floor(1073741824.0 * s), 0), 1073741823) AS BIGINT) AS i,
+           CAST(least(greatest(floor(1073741824.0 * t), 0), 1073741823) AS BIGINT) AS j
+    FROM (
+        SELECT *,
+               CASE WHEN u >= 0 THEN 0.5 * sqrt(1 + 3 * u)
+                    ELSE 1 - 0.5 * sqrt(1 - 3 * u) END AS s,
+               CASE WHEN v >= 0 THEN 0.5 * sqrt(1 + 3 * v)
+                    ELSE 1 - 0.5 * sqrt(1 - 3 * v) END AS t
+        FROM (
+            SELECT *,
+                   CASE face WHEN 0 THEN y / x WHEN 1 THEN -x / y
+                             WHEN 2 THEN -x / z WHEN 3 THEN z / x
+                             WHEN 4 THEN z / y ELSE -y / z END AS u,
+                   CASE face WHEN 0 THEN z / x WHEN 1 THEN z / y
+                             WHEN 2 THEN -y / z WHEN 3 THEN y / x
+                             WHEN 4 THEN -x / y ELSE -x / z END AS v
+            FROM ({src})
+        )
+    )
+"""
+
+
+def duckdb_face_ij_query(src_with_latlng: str) -> str:
+    """Full oracle pipeline: src (with lat,lng) -> face,i,j columns."""
+    inner = DUCKDB_FACE_IJ.format(src=src_with_latlng)
+    return DUCKDB_IJ.format(src=inner)

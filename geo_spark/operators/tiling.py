@@ -1,0 +1,46 @@
+"""Tile assignment: leaf cell encode (vectorized UDF) + native-SQL parents.
+
+The flagship P1 pipeline (SURVEY.md §7 P1): pages -> geotags -> level-30 leaf
+cell (one pandas-UDF pass) -> tile columns Parent(cell, l) as pure JVM bit
+math -> per-tile aggregates.  Parent() is s2/cellid.go:177-180; grouping by
+the level-l parent is *identical* to grouping by the (face, i>>k, j>>k)
+quadtree prefix, which is what the DuckDB oracles verify independently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geo_spark.functions import sql as s2sql
+from geo_spark.functions.s2 import s2_cellid
+
+
+def with_cell_id(
+    df: DataFrame, lat_col: str = "lat", lng_col: str = "lng", out: str = "cell_id"
+) -> DataFrame:
+    """Adds the biased-int64 level-30 leaf cell id."""
+    return df.withColumn(out, s2_cellid(F.col(lat_col), F.col(lng_col)))
+
+
+def with_tiles(df: DataFrame, levels: tuple[int, ...] = (10, 16), cell_col: str = "cell_id") -> DataFrame:
+    """Adds tile_l{level} columns — native bit math, whole-stage codegen."""
+    for lvl in levels:
+        df = df.withColumn(f"tile_l{lvl}", s2sql.parent(F.col(cell_col), lvl))
+    return df
+
+
+def tile_counts(df: DataFrame, level: int, cell_col: str = "cell_id") -> DataFrame:
+    """Pages per tile at a level.  Map-side partial aggregation is free
+    (hash agg); output is sorted by tile id = Hilbert order, which is also
+    the locality-preserving write order for downstream consumers."""
+    # Null cells are filtered AFTER the aggregation (one group) — a
+    # pre-agg filter on the UDF output gets pushed below the projection and
+    # duplicates the ArrowEvalPython node, running the UDF twice per row.
+    tile = s2sql.parent(F.col(cell_col), level).alias("tile")
+    return (
+        df.groupBy(tile)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("tile").isNotNull())
+        .orderBy("tile")
+    )
