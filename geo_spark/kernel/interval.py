@@ -1,0 +1,274 @@
+"""1-D intervals and lat/lng rectangles (layer-prep plumbing, not hot path).
+
+S1Interval: interval on the circle [-pi, pi] with wrap semantics
+(reference: s1/interval.go).  R1Interval: plain real interval
+(r1/interval.go).  Rect: lat x lng rectangle (s2/rect.go).  Used for
+polygon bounds (RectBounder), coverer seeding, and cheap prefilters; the
+join hot path uses only the resulting numeric columns.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+PI = math.pi
+DBL_EPSILON = 2.220446049250313e-16
+
+
+@dataclass(frozen=True)
+class R1Interval:
+    lo: float
+    hi: float
+
+    @staticmethod
+    def empty() -> "R1Interval":
+        return R1Interval(1.0, 0.0)
+
+    @staticmethod
+    def from_point(p: float) -> "R1Interval":
+        return R1Interval(p, p)
+
+    def is_empty(self) -> bool:
+        return self.lo > self.hi
+
+    def length(self) -> float:
+        return self.hi - self.lo
+
+    def add_point(self, p: float) -> "R1Interval":
+        if self.is_empty():
+            return R1Interval(p, p)
+        return R1Interval(min(self.lo, p), max(self.hi, p))
+
+    def union(self, o: "R1Interval") -> "R1Interval":
+        if self.is_empty():
+            return o
+        if o.is_empty():
+            return self
+        return R1Interval(min(self.lo, o.lo), max(self.hi, o.hi))
+
+    def intersection(self, o: "R1Interval") -> "R1Interval":
+        return R1Interval(max(self.lo, o.lo), min(self.hi, o.hi))
+
+    def contains(self, p: float) -> bool:
+        return self.lo <= p <= self.hi
+
+    def contains_interval(self, o: "R1Interval") -> bool:
+        if o.is_empty():
+            return True
+        return self.lo <= o.lo and o.hi <= self.hi
+
+    def intersects(self, o: "R1Interval") -> bool:
+        if self.lo <= o.lo:
+            return o.lo <= self.hi and o.lo <= o.hi
+        return self.lo <= o.hi and self.lo <= self.hi
+
+    def expanded(self, margin: float) -> "R1Interval":
+        if self.is_empty():
+            return self
+        return R1Interval(self.lo - margin, self.hi + margin)
+
+
+def _positive_distance(a: float, b: float) -> float:
+    d = b - a
+    if d >= 0:
+        return d
+    return (b + PI) - (a - PI)
+
+
+@dataclass(frozen=True)
+class S1Interval:
+    """Longitude interval with wrap; inverted (lo > hi) means it wraps
+    through +-pi.  Semantics per s1/interval.go:50-304."""
+
+    lo: float
+    hi: float
+
+    @staticmethod
+    def empty() -> "S1Interval":
+        return S1Interval(PI, -PI)
+
+    @staticmethod
+    def full() -> "S1Interval":
+        return S1Interval(-PI, PI)
+
+    def is_empty(self) -> bool:
+        return self.lo == PI and self.hi == -PI
+
+    def is_full(self) -> bool:
+        return self.lo == -PI and self.hi == PI
+
+    def is_inverted(self) -> bool:
+        return self.lo > self.hi
+
+    def length(self) -> float:
+        l = self.hi - self.lo
+        if l >= 0:
+            return l
+        l += 2 * PI
+        return l if l > 0 else -1.0
+
+    def _fast_contains(self, p: float) -> bool:
+        if self.is_inverted():
+            return (p >= self.lo or p <= self.hi) and not self.is_empty()
+        return self.lo <= p <= self.hi
+
+    def contains(self, p: float) -> bool:
+        if p == -PI:
+            p = PI
+        return self._fast_contains(p)
+
+    def interior_contains(self, p: float) -> bool:
+        if p == -PI:
+            p = PI
+        if self.is_inverted():
+            return p > self.lo or p < self.hi
+        return (self.lo < p < self.hi) or self.is_full()
+
+    def contains_interval(self, o: "S1Interval") -> bool:
+        if self.is_inverted():
+            if o.is_inverted():
+                return o.lo >= self.lo and o.hi <= self.hi
+            return (o.lo >= self.lo or o.hi <= self.hi) and not self.is_empty()
+        if o.is_inverted():
+            return self.is_full() or o.is_empty()
+        return o.lo >= self.lo and o.hi <= self.hi
+
+    def intersects(self, o: "S1Interval") -> bool:
+        if self.is_empty() or o.is_empty():
+            return False
+        if self.is_inverted():
+            return o.is_inverted() or o.lo <= self.hi or o.hi >= self.lo
+        if o.is_inverted():
+            return o.lo <= self.hi or o.hi >= self.lo
+        return o.lo <= self.hi and o.hi >= self.lo
+
+    def add_point(self, p: float) -> "S1Interval":
+        if abs(p) > PI:
+            return self
+        if p == -PI:
+            p = PI
+        if self._fast_contains(p):
+            return self
+        if self.is_empty():
+            return S1Interval(p, p)
+        if _positive_distance(p, self.lo) < _positive_distance(self.hi, p):
+            return S1Interval(p, self.hi)
+        return S1Interval(self.lo, p)
+
+    def union(self, o: "S1Interval") -> "S1Interval":
+        if o.is_empty():
+            return self
+        if self._fast_contains(o.lo):
+            if self._fast_contains(o.hi):
+                if self.contains_interval(o):
+                    return self
+                return S1Interval.full()
+            return S1Interval(self.lo, o.hi)
+        if self._fast_contains(o.hi):
+            return S1Interval(o.lo, self.hi)
+        if self.is_empty() or o._fast_contains(self.lo):
+            return o
+        if _positive_distance(o.hi, self.lo) < _positive_distance(self.hi, o.lo):
+            return S1Interval(o.lo, self.hi)
+        return S1Interval(self.lo, o.hi)
+
+    def intersection(self, o: "S1Interval") -> "S1Interval":
+        if o.is_empty():
+            return S1Interval.empty()
+        if self._fast_contains(o.lo):
+            if self._fast_contains(o.hi):
+                if o.length() < self.length():
+                    return o
+                return self
+            return S1Interval(o.lo, self.hi)
+        if self._fast_contains(o.hi):
+            return S1Interval(self.lo, o.hi)
+        if o._fast_contains(self.lo):
+            return self
+        return S1Interval.empty()
+
+    def expanded(self, margin: float) -> "S1Interval":
+        if margin >= 0:
+            if self.is_empty():
+                return self
+            if self.length() + 2 * margin + 2 * DBL_EPSILON >= 2 * PI:
+                return S1Interval.full()
+        else:
+            if self.is_full():
+                return self
+            if self.length() + 2 * margin - 2 * DBL_EPSILON <= 0:
+                return S1Interval.empty()
+        lo = math.remainder(self.lo - margin, 2 * PI)
+        hi = math.remainder(self.hi + margin, 2 * PI)
+        if lo <= -PI:
+            lo = PI
+        return S1Interval(lo, hi)
+
+
+@dataclass(frozen=True)
+class Rect:
+    """Latitude x longitude rectangle; s2/rect.go."""
+
+    lat: R1Interval
+    lng: S1Interval
+
+    @staticmethod
+    def empty() -> "Rect":
+        return Rect(R1Interval.empty(), S1Interval.empty())
+
+    @staticmethod
+    def full() -> "Rect":
+        return Rect(R1Interval(-PI / 2, PI / 2), S1Interval.full())
+
+    @staticmethod
+    def from_latlng(lat: float, lng: float) -> "Rect":
+        return Rect(R1Interval(lat, lat), S1Interval(lng, lng))
+
+    def is_empty(self) -> bool:
+        return self.lat.is_empty()
+
+    def is_full(self) -> bool:
+        return (
+            self.lat.lo == -PI / 2 and self.lat.hi == PI / 2 and self.lng.is_full()
+        )
+
+    def add_point(self, lat: float, lng: float) -> "Rect":
+        if not (abs(lat) <= PI / 2 and abs(lng) <= PI):
+            return self
+        return Rect(self.lat.add_point(lat), self.lng.add_point(lng))
+
+    def union(self, o: "Rect") -> "Rect":
+        return Rect(self.lat.union(o.lat), self.lng.union(o.lng))
+
+    def intersection(self, o: "Rect") -> "Rect":
+        lat = self.lat.intersection(o.lat)
+        lng = self.lng.intersection(o.lng)
+        if lat.is_empty() or lng.is_empty():
+            return Rect.empty()
+        return Rect(lat, lng)
+
+    def intersects(self, o: "Rect") -> bool:
+        return self.lat.intersects(o.lat) and self.lng.intersects(o.lng)
+
+    def contains_latlng(self, lat: float, lng: float) -> bool:
+        if not (abs(lat) <= PI / 2 and abs(lng) <= PI):
+            return False
+        return self.lat.contains(lat) and self.lng.contains(lng)
+
+    def contains_rect(self, o: "Rect") -> bool:
+        return self.lat.contains_interval(o.lat) and self.lng.contains_interval(
+            o.lng
+        )
+
+    def expanded(self, lat_margin: float, lng_margin: float) -> "Rect":
+        lat = self.lat.expanded(lat_margin)
+        lng = self.lng.expanded(lng_margin)
+        if lat.is_empty() or lng.is_empty():
+            return Rect.empty()
+        return Rect(lat.intersection(R1Interval(-PI / 2, PI / 2)), lng)
+
+    def polar_closure(self) -> "Rect":
+        if self.lat.lo == -PI / 2 or self.lat.hi == PI / 2:
+            return Rect(self.lat, S1Interval.full())
+        return self
