@@ -1,0 +1,210 @@
+"""Cell geometry derived on the fly from a cell id (never stored).
+
+Re-derivation of the reference's ``Cell`` value type (s2/cell.go:50-258):
+uv bounds via ijLevelToBoundUV (s2/cellid.go:654-671), vertices/edge
+normals via the face (u,v,w) frames (s2/stuv.go:369-450), point
+containment with the epsilon margin of s2/cell.go:466-495, and the exact
+RectBound of s2/cell.go:114-149 (vertex-pair extrema + face-cell
+specials) — needed so region predicates stay *conservative* (bound always
+a superset of the cell).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+from geo_spark.kernel import cellid as ck
+from geo_spark.kernel.interval import PI, DBL_EPSILON, R1Interval, Rect, S1Interval
+
+PI_2 = PI / 2
+PI_4 = PI / 4
+# Face cells 2/5 extend past the pole-adjacent latitude; s2/cell.go:40.
+POLE_MIN_LAT = math.asin(math.sqrt(1.0 / 3.0)) - 0.5 * DBL_EPSILON
+
+# Face (u,v,w) axes, s2/stuv.go:417-450: AXES[face] = (uAxis, vAxis, wAxis).
+_FACE_UVW_AXES = np.array(
+    [
+        [[0, 1, 0], [0, 0, 1], [1, 0, 0]],
+        [[-1, 0, 0], [0, 0, 1], [0, 1, 0]],
+        [[-1, 0, 0], [0, -1, 0], [0, 0, 1]],
+        [[0, 0, -1], [0, -1, 0], [-1, 0, 0]],
+        [[0, 0, -1], [1, 0, 0], [0, -1, 0]],
+        [[0, 1, 0], [1, 0, 0], [0, 0, -1]],
+    ],
+    dtype=np.float64,
+)
+
+
+def u_axis(face: int) -> np.ndarray:
+    return _FACE_UVW_AXES[face][0]
+
+
+def v_axis(face: int) -> np.ndarray:
+    return _FACE_UVW_AXES[face][1]
+
+
+def u_norm(face: int, u: float) -> np.ndarray:
+    """Outward normal of the plane through the u-line; s2/stuv.go:369-387."""
+    return (
+        np.array([u, -1.0, 0.0]),
+        np.array([1.0, u, 0.0]),
+        np.array([1.0, 0.0, u]),
+        np.array([-u, 0.0, 1.0]),
+        np.array([0.0, -u, 1.0]),
+        np.array([0.0, -1.0, -u]),
+    )[face]
+
+
+def v_norm(face: int, v: float) -> np.ndarray:
+    """Outward normal of the plane through the v-line; s2/stuv.go:393-411."""
+    return (
+        np.array([-v, 0.0, 1.0]),
+        np.array([0.0, -v, 1.0]),
+        np.array([0.0, -1.0, -v]),
+        np.array([v, -1.0, 0.0]),
+        np.array([1.0, v, 0.0]),
+        np.array([1.0, 0.0, v]),
+    )[face]
+
+
+def _face_uv_to_xyz(face: int, u: float, v: float) -> np.ndarray:
+    x, y, z = ck.face_uv_to_xyz(np.int64(face), u, v)
+    return np.array([float(x), float(y), float(z)])
+
+
+def _normalize(p: np.ndarray) -> np.ndarray:
+    return p / math.sqrt(p @ p)
+
+
+def ij_level_to_bound_uv(i: int, j: int, level: int) -> tuple[float, float, float, float]:
+    """(u_lo, u_hi, v_lo, v_hi) of the cell; s2/cellid.go:654-671."""
+    cell_size = 1 << (ck.MAX_LEVEL - level)
+    x_lo = i & -cell_size
+    y_lo = j & -cell_size
+    scale = 1.0 / ck.MAX_SIZE
+    return (
+        float(ck.st_to_uv(scale * x_lo)),
+        float(ck.st_to_uv(scale * (x_lo + cell_size))),
+        float(ck.st_to_uv(scale * y_lo)),
+        float(ck.st_to_uv(scale * (y_lo + cell_size))),
+    )
+
+
+@dataclass(frozen=True)
+class Cell:
+    """Scalar cell for the per-geometry region/coverer path (the bulk
+    PIP/tiling path never materializes Cells — it stays in numpy)."""
+
+    id: int  # uint64 value held in a Python int
+    face: int
+    level: int
+    u_lo: float
+    u_hi: float
+    v_lo: float
+    v_hi: float
+
+    @staticmethod
+    def from_id(cid: int) -> "Cell":
+        arr = np.array([cid], dtype=np.uint64)
+        f, i, j, _ = ck.face_ij_orientation(arr)
+        lvl = int(ck.level(arr)[0])
+        u_lo, u_hi, v_lo, v_hi = ij_level_to_bound_uv(int(i[0]), int(j[0]), lvl)
+        return Cell(int(cid), int(f[0]), lvl, u_lo, u_hi, v_lo, v_hi)
+
+    def vertex(self, k: int) -> np.ndarray:
+        """Normalized k-th vertex, CCW from lower-left in (u,v); s2/cell.go:117-126."""
+        u = self.u_lo if k in (0, 3) else self.u_hi
+        v = self.v_lo if k in (0, 1) else self.v_hi
+        return _normalize(_face_uv_to_xyz(self.face, u, v))
+
+    def vertices(self) -> np.ndarray:
+        return np.stack([self.vertex(k) for k in range(4)])
+
+    def edge(self, k: int) -> np.ndarray:
+        """Inward-facing normal of edge k->k+1; s2/cell.go:128-141."""
+        if k == 0:
+            return _normalize(v_norm(self.face, self.v_lo))  # bottom
+        if k == 1:
+            return _normalize(u_norm(self.face, self.u_hi))  # right
+        if k == 2:
+            return -_normalize(v_norm(self.face, self.v_hi))  # top
+        return -_normalize(u_norm(self.face, self.u_lo))  # left
+
+    def center(self) -> np.ndarray:
+        x, y, z = ck.cellid_to_xyz(np.array([self.id], dtype=np.uint64))
+        return _normalize(np.array([float(x[0]), float(y[0]), float(z[0])]))
+
+    def contains_point(self, p: np.ndarray) -> bool:
+        """uv-bounds test with the dblEpsilon/2 margin; s2/cell.go:466-495."""
+        f = int(ck.face_from_xyz(p[0:1], p[1:2], p[2:3])[0])
+        if f != self.face:
+            return False
+        _, u, v = ck.face_uv_from_xyz(p[0:1], p[1:2], p[2:3])
+        u, v = float(u[0]), float(v[0])
+        m = DBL_EPSILON / 2
+        return (
+            self.u_lo - m <= u <= self.u_hi + m
+            and self.v_lo - m <= v <= self.v_hi + m
+        )
+
+    def _latitude(self, i: int, j: int) -> float:
+        p = _face_uv_to_xyz(
+            self.face, self.u_lo if i == 0 else self.u_hi, self.v_lo if j == 0 else self.v_hi
+        )
+        return math.atan2(p[2], math.sqrt(p[0] * p[0] + p[1] * p[1]))
+
+    def _longitude(self, i: int, j: int) -> float:
+        p = _face_uv_to_xyz(
+            self.face, self.u_lo if i == 0 else self.u_hi, self.v_lo if j == 0 else self.v_hi
+        )
+        return math.atan2(p[1], p[0])
+
+    def rect_bound(self) -> Rect:
+        """Conservative lat/lng bound; s2/cell.go:114-149."""
+        if self.level > 0:
+            # Latitude range from one diagonal pair of vertices, longitude
+            # from the other; which diagonal depends on the face orientation.
+            u = self.u_lo + self.u_hi
+            v = self.v_lo + self.v_hi
+            i = 0
+            j = 0
+            if u_axis(self.face)[2] == 0.0:
+                if u < 0:
+                    i = 1
+            elif u > 0:
+                i = 1
+            if v_axis(self.face)[2] == 0.0:
+                if v < 0:
+                    j = 1
+            elif v > 0:
+                j = 1
+            lat = R1Interval.from_point(self._latitude(i, j)).add_point(
+                self._latitude(1 - i, 1 - j)
+            )
+            lng = (
+                S1Interval.empty()
+                .add_point(self._longitude(i, 1 - j))
+                .add_point(self._longitude(1 - i, j))
+            )
+            return (
+                Rect(lat, lng).expanded(2 * DBL_EPSILON, 2 * DBL_EPSILON).polar_closure()
+            )
+        bounds = {
+            0: Rect(R1Interval(-PI_4, PI_4), S1Interval(-PI_4, PI_4)),
+            1: Rect(R1Interval(-PI_4, PI_4), S1Interval(PI_4, 3 * PI_4)),
+            2: Rect(R1Interval(POLE_MIN_LAT, PI_2), S1Interval.full()),
+            3: Rect(R1Interval(-PI_4, PI_4), S1Interval(3 * PI_4, -3 * PI_4)),
+            4: Rect(R1Interval(-PI_4, PI_4), S1Interval(-3 * PI_4, -PI_4)),
+            5: Rect(R1Interval(-PI_2, -POLE_MIN_LAT), S1Interval.full()),
+        }[self.face]
+        return bounds.expanded(0.0, DBL_EPSILON)
+
+    def children(self) -> list["Cell"]:
+        u = np.uint64(self.id)
+        lvl = self.level + 1
+        first = ck.child_begin_at_level(np.array([u]), lvl)[0]
+        step = np.uint64(2) * ck.lsb_for_level(np.int64(lvl))
+        return [Cell.from_id(int(first + np.uint64(k) * step)) for k in range(4)]

@@ -1,0 +1,204 @@
+"""Covering invariants per s2/regioncoverer_test.go:25-117 (property-based,
+seeded): level bounds & mod, tightness (every covering cell may intersect
+the region), completeness (sampled region points are covered), interior
+containment, and covering-of-a-cell == the cell itself."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from geo_spark.kernel import cellid as ck
+from geo_spark.kernel import cellunion as cu
+from geo_spark.kernel.cell import Cell
+from geo_spark.kernel.coverer import RegionCoverer
+from geo_spark.kernel.pip import latlng_text_to_xyz
+from geo_spark.kernel.regions import (
+    Cap,
+    CellUnionRegion,
+    LoopRegion,
+    RectRegion,
+    chord2_between,
+)
+
+RNG = np.random.default_rng(42)
+
+
+def random_point():
+    v = RNG.normal(size=3)
+    return v / math.sqrt(v @ v)
+
+
+def random_cap(max_radius=0.5):
+    return Cap(random_point(), float(RNG.uniform(1e-6, max_radius)))
+
+
+def sample_in_cap(cap: Cap, n=64):
+    """Rejection-sample points inside the cap."""
+    pts = []
+    # tangent-plane gaussian scatter scaled to the radius
+    r = cap.radius()
+    while len(pts) < n:
+        d = RNG.normal(size=3) * max(r, 1e-4)
+        p = cap.center + d
+        p = p / math.sqrt(p @ p)
+        if cap.contains_point(p):
+            pts.append(p)
+    return np.stack(pts)
+
+
+def check_covering(coverer: RegionCoverer, region, covering, interior: bool):
+    # Level bounds and mod discipline.
+    for c in covering:
+        lvl = cu._level(c)
+        assert coverer.min_level <= lvl <= coverer.max_level
+        assert (lvl - coverer.min_level) % coverer.level_mod == 0
+    if len(covering) > coverer.max_cells:
+        # Only allowed when min_level forces it: then no two cells may have
+        # a common ancestor at min_level.
+        parents = {cu._parent(c, coverer.min_level) for c in covering}
+        assert len(parents) == len(covering)
+    if interior:
+        for c in covering:
+            assert region.contains_cell(Cell.from_id(c))
+    else:
+        # Tightness: every covering cell may intersect the region.
+        for c in covering:
+            assert region.may_intersect_cell(Cell.from_id(c))
+
+
+@pytest.mark.parametrize("max_cells", [1, 4, 8])
+def test_covering_of_cell_is_itself(max_cells):
+    # s2/regioncoverer_test.go:25-41 (random cells at random levels).
+    for _ in range(50):
+        p = random_point()
+        lvl = int(RNG.integers(0, 31))
+        leaf = ck.cellid_from_xyz(p[0:1], p[1:2], p[2:3])[0]
+        cid = int(ck.parent(np.array([leaf]), lvl)[0])
+        region = CellUnionRegion((cid,))
+        cov = RegionCoverer(max_cells=max_cells).covering(region)
+        assert cov == [cid]
+
+
+@pytest.mark.parametrize("max_cells", [1, 8])
+@pytest.mark.parametrize("level_mod", [1, 2, 3])
+def test_cap_covering_invariants(max_cells, level_mod):
+    for _ in range(12):
+        cap = random_cap()
+        cov_params = RegionCoverer(
+            min_level=0, max_level=30, level_mod=level_mod, max_cells=max_cells
+        )
+        cov = cov_params.covering(cap)
+        assert cov, "cap covering must be non-empty"
+        check_covering(cov_params, cap, cov, interior=False)
+        # Completeness: all sampled cap points fall in the covering.
+        for p in sample_in_cap(cap, 32):
+            leaf = int(ck.cellid_from_xyz(p[0:1], p[1:2], p[2:3])[0])
+            assert cu.contains_cellid(sorted(cov), leaf)
+
+
+def test_cap_interior_covering_contained():
+    for _ in range(10):
+        cap = random_cap(0.3)
+        coverer = RegionCoverer(max_cells=8)
+        interior = coverer.interior_covering(cap)
+        check_covering(coverer, cap, interior, interior=True)
+
+
+def test_min_level_forces_subdivision():
+    cap = Cap.from_center_angle(40.7, -74.0, 1e-5)
+    coverer = RegionCoverer(min_level=12, max_level=20, max_cells=8)
+    cov = coverer.covering(cap)
+    for c in cov:
+        assert 12 <= cu._level(c) <= 20
+
+
+def test_rect_region_covering():
+    region = RectRegion.from_degrees(40.0, -75.0, 41.5, -73.0)
+    coverer = RegionCoverer(max_cells=8)
+    cov = coverer.covering(region)
+    assert 0 < len(cov) <= 8
+    check_covering(coverer, region, cov, interior=False)
+    # All sampled points of the rect are covered.
+    for _ in range(100):
+        lat = float(RNG.uniform(40.0, 41.5))
+        lng = float(RNG.uniform(-75.0, -73.0))
+        leaf = int(ck.cellid_from_latlng(np.array([lat]), np.array([lng]))[0])
+        assert cu.contains_cellid(sorted(cov), leaf)
+
+
+def test_loop_region_covering():
+    # candyCane from s2/loop_test.go fixtures: a narrow spiral-ish band.
+    verts = latlng_text_to_xyz(
+        "-20:150, -20:-70, 0:70, 10:-150, 10:70, -10:-70"
+    )
+    region = LoopRegion.from_vertices(verts)
+    coverer = RegionCoverer(max_cells=16)
+    cov = coverer.covering(region)
+    assert 0 < len(cov) <= 16
+    check_covering(coverer, region, cov, interior=False)
+    # Interior covering cells must be contained.
+    interior = coverer.interior_covering(region)
+    for c in interior:
+        assert region.contains_cell(Cell.from_id(c))
+    # Points known inside the loop are covered.
+    inside = latlng_text_to_xyz("-5:0")  # equator-ish point inside the band?
+    if region.contains_point(inside[0]):
+        leaf = int(
+            ck.cellid_from_xyz(inside[0][0:1], inside[0][1:2], inside[0][2:3])[0]
+        )
+        assert cu.contains_cellid(sorted(cov), leaf)
+
+
+def test_small_loop_covering_complete():
+    # Small diamond loop around NYC; sampled interior points must be covered.
+    verts = latlng_text_to_xyz("40.5:-74.0, 40.7:-73.7, 40.9:-74.0, 40.7:-74.3")
+    region = LoopRegion.from_vertices(verts)
+    coverer = RegionCoverer(max_cells=8)
+    cov = coverer.covering(region)
+    check_covering(coverer, region, cov, interior=False)
+    hits = 0
+    for _ in range(200):
+        lat = float(RNG.uniform(40.5, 40.9))
+        lng = float(RNG.uniform(-74.3, -73.7))
+        x, y, z = ck.latlng_to_xyz(np.array([lat]), np.array([lng]))
+        p = np.array([float(x[0]), float(y[0]), float(z[0])])
+        if region.contains_point(p):
+            hits += 1
+            leaf = int(ck.cellid_from_xyz(p[0:1], p[1:2], p[2:3])[0])
+            assert cu.contains_cellid(sorted(cov), leaf)
+    assert hits > 20  # the sample box actually overlaps the loop
+
+
+def test_cellunion_normalize_merges_siblings():
+    # 4 siblings collapse to the parent.
+    p = random_point()
+    leaf = int(ck.cellid_from_xyz(p[0:1], p[1:2], p[2:3])[0])
+    parent = int(ck.parent(np.array([leaf], dtype=np.uint64), 10)[0])
+    kids = [int(c.id) for c in Cell.from_id(parent).children()]
+    assert cu.normalize(kids) == [parent]
+    # Contained cells dropped.
+    assert cu.normalize([parent, kids[2]]) == [parent]
+
+
+def test_cellunion_set_ops():
+    p = random_point()
+    leaf = int(ck.cellid_from_xyz(p[0:1], p[1:2], p[2:3])[0])
+    a_cell = int(ck.parent(np.array([leaf], dtype=np.uint64), 8)[0])
+    kids = [c.id for c in Cell.from_id(a_cell).children()]
+    assert cu.union([kids[0]], [kids[1], kids[2], kids[3]]) == [a_cell]
+    assert cu.intersection([a_cell], [kids[1]]) == [kids[1]]
+    diff = cu.difference([a_cell], [kids[1]])
+    assert kids[1] not in diff
+    assert cu.union(diff, [kids[1]]) == [a_cell]
+    assert cu.leaf_cells_covered([a_cell]) == 1 << (2 * (30 - 8))
+
+
+def test_expand_at_level_superset():
+    cap = Cap.from_center_angle(48.85, 2.35, 0.001)
+    cov = RegionCoverer(max_cells=8).covering(cap)
+    expanded = cu.expand_at_level(cov, max(cu._level(c) for c in cov))
+    for c in cov:
+        assert cu.contains_cellid(expanded, c) or c in expanded
