@@ -42,8 +42,10 @@ def parent(cid: Column, lvl: int) -> Column:
 
 
 def parent_dyn(cid: Column, lvl: Column) -> Column:
-    """Parent at a per-row level column."""
-    l = F.shiftleft(F.lit(1).cast("long"), 2 * (F.lit(MAX_LEVEL) - lvl))
+    """Parent at a per-row level column.  pow(2,k) is exact for k <= 60
+    (powers of two are representable doubles), so the cast back to long
+    reproduces the uint64 mask bit-exactly."""
+    l = F.pow(F.lit(2.0), (2 * (F.lit(MAX_LEVEL) - lvl)).cast("double")).cast("long")
     return cid.bitwiseAND(-l).bitwiseOR(l)
 
 

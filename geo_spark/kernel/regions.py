@@ -74,6 +74,11 @@ class Region:
     def contains_point(self, p: np.ndarray) -> bool:
         raise NotImplementedError
 
+    def contains_points(self, pts: np.ndarray) -> np.ndarray:
+        """Vectorized containment over an (N,3) batch — the join's refine
+        kernel.  Default: scalar fallback."""
+        return np.array([self.contains_point(p) for p in np.atleast_2d(pts)])
+
 
 @dataclass(frozen=True)
 class Cap(Region):
@@ -101,6 +106,12 @@ class Cap(Region):
 
     def contains_point(self, p: np.ndarray) -> bool:
         return chord2_between(self.center, p) <= self.radius2
+
+    def contains_points(self, pts: np.ndarray) -> np.ndarray:
+        d = np.atleast_2d(pts) - self.center
+        return np.minimum(
+            (d * d).sum(axis=1), MAX_CHORD2
+        ) <= self.radius2
 
     def complement(self) -> "Cap":
         if self.is_full():
@@ -213,6 +224,18 @@ class RectRegion(Region):
         lat = math.atan2(p[2], math.sqrt(p[0] ** 2 + p[1] ** 2))
         lng = math.atan2(p[1], p[0])
         return self.rect.contains_latlng(lat, lng)
+
+    def contains_points(self, pts: np.ndarray) -> np.ndarray:
+        pts = np.atleast_2d(pts)
+        lat = np.arctan2(pts[:, 2], np.sqrt(pts[:, 0] ** 2 + pts[:, 1] ** 2))
+        lng = np.arctan2(pts[:, 1], pts[:, 0])
+        lat_ok = (lat >= self.rect.lat.lo) & (lat <= self.rect.lat.hi)
+        lo, hi = self.rect.lng.lo, self.rect.lng.hi
+        if lo <= hi:
+            lng_ok = (lng >= lo) & (lng <= hi)
+        else:  # wraps the antimeridian
+            lng_ok = (lng >= lo) | (lng <= hi)
+        return lat_ok & lng_ok
 
     def cap_bound(self) -> Cap:
         """s2/rect.go:447-473: the better of a mid-point cap and a pole cap."""
@@ -352,6 +375,9 @@ class LoopRegion(Region):
             pip.loop_contains_points(self.verts, self.origin_inside, p[None, :])[0]
         )
 
+    def contains_points(self, pts: np.ndarray) -> np.ndarray:
+        return pip.loop_contains_points(self.verts, self.origin_inside, pts)
+
     def cap_bound(self) -> Cap:
         return RectRegion(self.bound).cap_bound()
 
@@ -392,6 +418,13 @@ class PolygonRegion(Region):
         inside = False
         for lp in self.loops:
             inside ^= lp.contains_point(p)
+        return inside
+
+    def contains_points(self, pts: np.ndarray) -> np.ndarray:
+        pts = np.atleast_2d(pts)
+        inside = np.zeros(len(pts), dtype=bool)
+        for lp in self.loops:
+            inside ^= lp.contains_points(pts)
         return inside
 
     def bound(self) -> Rect:

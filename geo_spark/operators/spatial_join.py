@@ -1,0 +1,301 @@
+"""Covering-term spatial join: points x regions at cluster scale.
+
+The join blueprint follows the reference's RegionTermIndexer semantics
+(s2/region_term_indexer.go:118-261): the region side emits its covering
+cells (exterior, flagged interior where fully contained); the point side
+emits ancestor keys ``Parent(point_cell, level)`` for each covering
+level.  ``point matches region`` <=> ``some ancestor of the point's leaf
+equals a covering cell`` (candidate) AND the exact containment test
+passes (refine).  Interior covering cells skip the refine — the analog of
+ShapeIndex ``containsCenter`` fast paths (s2/shapeindex.go:65-117).
+
+Scale design (the part the reference, being single-node, doesn't have):
+- layer prep is an ``applyInPandas`` fan-out — one row per geometry,
+  coverings computed executor-side in parallel;
+- the candidate join is a plain **equi-join** on ``(level, cell)`` —
+  hash-partitioned, AQE-optimizable, broadcastable when the layer is
+  small (the common case: polygon layers are dimension tables);
+- hot covering cells (dense urban tiles) are split into their 4^s
+  children (``split_hot_cells``) — a *semantic* salt: the children are
+  still valid covering cells, so results are invariant to the split
+  while the join keys fan out;
+- the refine is grouped per geometry (``applyInPandas``) so each group
+  runs one vectorized batch predicate, never per-row Python.
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from geo_spark.functions import sql as s2sql
+from geo_spark.kernel import cellid as ck
+from geo_spark.kernel import cellunion as cu
+from geo_spark.kernel.coverer import RegionCoverer
+from geo_spark.kernel.regions import Region
+
+COVER_SCHEMA = T.StructType(
+    [
+        T.StructField("geom_id", T.LongType(), False),
+        T.StructField("cell", T.LongType(), False),  # biased int64
+        T.StructField("level", T.IntegerType(), False),
+        T.StructField("is_interior", T.BooleanType(), False),
+    ]
+)
+
+GEOM_SCHEMA = T.StructType(
+    [
+        T.StructField("geom_id", T.LongType(), False),
+        T.StructField("blob", T.BinaryType(), False),
+    ]
+)
+
+
+class Layer:
+    """A prepared join target: geometry blobs + exploded covering table."""
+
+    def __init__(self, geoms: DataFrame, covering: DataFrame, levels: list[int]):
+        self.geoms = geoms
+        self.covering = covering
+        self.levels = levels
+
+
+def build_layer(
+    spark: SparkSession,
+    regions: Iterable[tuple[int, Region]],
+    min_level: int = 0,
+    max_level: int = 30,
+    max_cells: int = 8,
+    interior: bool = True,
+    num_partitions: int | None = None,
+) -> Layer:
+    """Covering layer prep — per-geometry parallel (SURVEY.md §3.2).
+
+    ``interior=True`` also computes the interior covering and marks
+    covering cells that are fully inside (refine-skip fast path).
+    """
+    rows = [(int(gid), pickle.dumps(region)) for gid, region in regions]
+    geoms = spark.createDataFrame(rows, GEOM_SCHEMA)
+    if num_partitions:
+        geoms = geoms.repartition(num_partitions, "geom_id")
+
+    coverer = RegionCoverer(
+        min_level=min_level, max_level=max_level, max_cells=max_cells
+    )
+    want_interior = interior
+
+    def cover_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_gid, out_cell, out_lvl, out_int = [], [], [], []
+        for gid, blob in zip(pdf["geom_id"], pdf["blob"]):
+            region = pickle.loads(blob)
+            cover = coverer.covering(region)
+            interior_cells = (
+                coverer.interior_covering(region) if want_interior else []
+            )
+            for c in cover:
+                out_gid.append(gid)
+                out_cell.append(int(ck.to_signed(np.uint64(c))))
+                out_lvl.append(cu._level(c))
+                out_int.append(
+                    bool(interior_cells) and cu.contains_cellid(interior_cells, c)
+                )
+        return pd.DataFrame(
+            {
+                "geom_id": pd.Series(out_gid, dtype="int64"),
+                "cell": pd.Series(out_cell, dtype="int64"),
+                "level": pd.Series(out_lvl, dtype="int32"),
+                "is_interior": pd.Series(out_int, dtype="bool"),
+            }
+        )
+
+    covering = geoms.groupBy("geom_id").applyInPandas(cover_one, COVER_SCHEMA)
+    levels = [r["level"] for r in covering.select("level").distinct().collect()]
+    return Layer(geoms, covering, sorted(levels))
+
+
+def split_hot_cells(
+    layer: Layer, hot_cells: list[int], split_levels: int = 1
+) -> Layer:
+    """Semantic salting: replace listed covering cells by their 4^s
+    children.  Children of a covering cell cover exactly the same leaves
+    (s2/cellid.go:177-205 range nesting), so join output is invariant —
+    only the key-space fans out, defeating single-key skew.  ``hot_cells``
+    is typically the top of a page-count histogram (see
+    ``hot_cell_histogram``)."""
+    if not hot_cells:
+        return layer
+    spark = layer.covering.sparkSession
+    hot = {int(c) for c in hot_cells}
+
+    s = split_levels
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def children_of(cell: pd.Series, level: pd.Series) -> pd.Series:
+        out = []
+        for c, lv in zip(cell.to_numpy(np.int64), level.to_numpy()):
+            if int(c) not in hot or lv + s > 30:
+                out.append([int(c)])
+                continue
+            u = int(ck.from_signed(np.array([c], dtype=np.int64))[0])
+            out.append(
+                [
+                    int(ck.to_signed(np.uint64(k)))
+                    for k in cu.denormalize([u], cu._level(u) + s, 1)
+                ]
+            )
+        return pd.Series(out)
+
+    cov = (
+        layer.covering.withColumn(
+            "cell", F.explode(children_of(F.col("cell"), F.col("level")))
+        )
+        .withColumn("level", s2sql.level(F.col("cell")).cast("int"))
+    )
+    levels = [r["level"] for r in cov.select("level").distinct().collect()]
+    return Layer(layer.geoms, cov, sorted(levels))
+
+
+def hot_cell_histogram(
+    points: DataFrame, layer: Layer, cell_col: str = "cell_id", top: int = 20
+) -> list[tuple[int, int]]:
+    """(covering_cell, point_count) for the heaviest covering cells —
+    the skew diagnostic that feeds split_hot_cells."""
+    cand = _candidates(points.select(F.col(cell_col).alias("_pt_cell")), layer, "_pt_cell")
+    rows = (
+        cand.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"))
+        .limit(top)
+        .collect()
+    )
+    return [(r["cell"], r["cnt"]) for r in rows]
+
+
+def _candidates(points: DataFrame, layer: Layer, cell_col: str) -> DataFrame:
+    """points x covering equi-join on (level, Parent(point_cell, level)).
+
+    The explode emits one row per covering *level* (bounded by the level
+    window, typically <= 8 — s2/region_term_indexer.go:140-143 ancestor
+    terms), not per covering cell."""
+    # One struct per covering level with a *literal* parent mask — the
+    # whole key computation stays inside whole-stage codegen.
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(l).cast("int").alias("_lvl"),
+                s2sql.parent(F.col(cell_col), l).alias("_key"),
+            )
+            for l in layer.levels
+        ]
+    )
+    pts = points.withColumn("_lk", F.explode(pairs)).select(
+        "*", F.col("_lk._lvl").alias("_lvl"), F.col("_lk._key").alias("_key")
+    ).drop("_lk")
+    cov = layer.covering
+    return pts.join(
+        cov.hint("broadcast") if _is_small(cov) else cov,
+        (pts["_lvl"] == cov["level"]) & (pts["_key"] == cov["cell"]),
+    ).drop("_lvl", "_key")
+
+
+def _is_small(df: DataFrame) -> bool:
+    # Covering tables are (geoms x <= max_cells) rows — broadcast unless
+    # caller disabled it; Spark AQE would figure this out too, the hint
+    # just removes the first-run shuffle.
+    return True
+
+
+def spatial_join(
+    points: DataFrame,
+    layer: Layer,
+    point_key: str,
+    cell_col: str = "cell_id",
+    how: str = "inner",
+    carry: tuple[str, ...] = (),
+    latlng: tuple[str, str] | None = None,
+) -> DataFrame:
+    """Join points to layer geometries.
+
+    Returns (point_key, carry..., geom_id) for ``how='inner'``; for
+    ``'left_semi'``/``'left_anti'`` returns the matching/non-matching
+    point rows.  Exactness: candidate rows from non-interior covering
+    cells are re-tested with the geometry's exact batch predicate
+    (cap chord / rect range / loop crossing-parity cascade) — on the
+    original (lat,lng) when ``latlng`` names those columns, else on the
+    leaf-cell center (~1 cm quantization at level 30).
+    """
+    cols = [point_key, cell_col, *carry]
+    if latlng:
+        cols += list(latlng)
+    pts = points.select(*dict.fromkeys(cols))
+    cand = _candidates(pts, layer, cell_col)
+
+    # A point hitting k covering cells of one geometry must produce ONE
+    # row (s2/cellunion.go:27-34 non-redundancy analog): aggregate to
+    # (point, geom) keeping the strongest evidence.
+    extra = list(dict.fromkeys([cell_col, *carry, *(latlng or ())]))
+    agg_cols = [F.max("is_interior").alias("_sure")] + [
+        F.first(c).alias(c) for c in extra
+    ]
+    cand = cand.groupBy(point_key, "geom_id").agg(*agg_cols)
+
+    sure = cand.where(F.col("_sure")).select(point_key, "geom_id", *carry)
+    unsure = cand.where(~F.col("_sure"))
+
+    refined = _refine(unsure, layer, point_key, cell_col, carry, latlng)
+    matches = sure.unionByName(refined)
+
+    if how == "inner":
+        return matches
+    if how in ("left_semi", "left_anti"):
+        keys = matches.select(point_key).distinct()
+        return points.join(keys, on=point_key, how=how)
+    raise ValueError(f"unsupported how={how!r}")
+
+
+def _refine(
+    unsure: DataFrame,
+    layer: Layer,
+    point_key: str,
+    cell_col: str,
+    carry: tuple[str, ...],
+    latlng: tuple[str, str] | None,
+) -> DataFrame:
+    """Exact containment per candidate group — one vectorized predicate
+    batch per geometry (applyInPandas), geometry blob joined in (the
+    layer is a broadcastable dim table)."""
+    joined = unsure.join(F.broadcast(layer.geoms), "geom_id")
+
+    out_fields = [T.StructField("geom_id", T.LongType())]
+    key_field = next(f for f in unsure.schema.fields if f.name == point_key)
+    out_fields.append(key_field)
+    for c in carry:
+        out_fields.append(next(f for f in unsure.schema.fields if f.name == c))
+    schema = T.StructType(out_fields)
+
+    def refine_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        region = pickle.loads(pdf["blob"].iloc[0])
+        if latlng:
+            x, y, z = ck.latlng_to_xyz(
+                pdf[latlng[0]].to_numpy(np.float64),
+                pdf[latlng[1]].to_numpy(np.float64),
+            )
+            pts = np.stack([x, y, z], axis=1)
+        else:
+            cells = ck.from_signed(pdf[cell_col].to_numpy(np.int64))
+            x, y, z = ck.cellid_to_xyz(cells)
+            pts = np.stack([x, y, z], axis=1)
+            pts /= np.sqrt((pts * pts).sum(axis=1))[:, None]
+        ok = region.contains_points(pts)
+        cols = {"geom_id": pdf["geom_id"][ok], point_key: pdf[point_key][ok]}
+        for c in carry:
+            cols[c] = pdf[c][ok]
+        return pd.DataFrame(cols)
+
+    return joined.groupBy("geom_id").applyInPandas(refine_group, schema)
