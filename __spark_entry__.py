@@ -175,6 +175,170 @@ def _oracle_orders_join_agg() -> str:
 
 
 # ---------------------------------------------------------------------------
+# spatial joins (covering-term equi-join + exact refine)
+# ---------------------------------------------------------------------------
+
+# Cap layer: (geom_id, lat, lng, radius_rad) — uniform-sphere geo noise means
+# a radius-r cap catches ~N*r^2/4 events.
+_CAPS = [
+    (1, 40.7128, -74.0060, 0.30),
+    (2, -33.8688, 151.2093, 0.25),
+    (3, 35.6762, 139.6503, 0.35),
+    (4, -89.0, 0.0, 0.20),  # south-pole cap: faces 4/5, biased-id ordering
+]
+
+# Rect layer: (geom_id, lat_lo, lng_lo, lat_hi, lng_hi); 13 wraps the
+# antimeridian (S1Interval inverted-interval semantics).
+_RECTS = [
+    (11, 30.0, -90.0, 50.0, -60.0),
+    (12, -20.0, 10.0, 20.0, 60.0),
+    (13, -10.0, 170.0, 10.0, -170.0),
+]
+
+
+def _cap_layer(spark: SparkSession):
+    from geo_spark.kernel.regions import Cap
+    from geo_spark.operators.spatial_join import build_layer
+
+    return build_layer(
+        spark,
+        [(g, Cap.from_center_angle(la, ln, r)) for g, la, ln, r in _CAPS],
+        max_cells=8,
+    )
+
+
+def _rect_layer(spark: SparkSession):
+    from geo_spark.kernel.regions import RectRegion
+    from geo_spark.operators.spatial_join import build_layer
+
+    return build_layer(
+        spark,
+        [
+            (g, RectRegion.from_degrees(la0, ln0, la1, ln1))
+            for g, la0, ln0, la1, ln1 in _RECTS
+        ],
+        max_cells=8,
+    )
+
+
+def _events_with_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geo_spark.functions.s2 import s2_cellid
+    from geo_spark.operators.geo_noise import with_geo_noise
+
+    ev = with_geo_noise(_t(spark, sf_dir, "events"), "event_id")
+    return ev.withColumn("cell_id", s2_cellid(F.col("lat"), F.col("lng")))
+
+
+def _q_cap_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events x spherical caps via the covering-term join; per-cap counts."""
+    from geo_spark.operators.spatial_join import spatial_join
+
+    ev = _events_with_cells(spark, sf_dir)
+    joined = spatial_join(
+        ev, _cap_layer(spark), point_key="event_id", latlng=("lat", "lng")
+    )
+    return (
+        joined.groupBy("geom_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("geom_id")
+    )
+
+
+def _oracle_cap_join_counts() -> str:
+    from geo_spark.kernel.regions import chord2_from_angle
+    from geo_spark.operators.geo_noise import LAT_SQL, LNG_SQL
+
+    lat = LAT_SQL.format(id="event_id")
+    lng = LNG_SQL.format(id="event_id")
+    caps = ", ".join(
+        "({g}, cos(radians({ln!r}))*cos(radians({la!r})), "
+        "sin(radians({ln!r}))*cos(radians({la!r})), sin(radians({la!r})), {r2!r})".format(
+            g=g, la=la, ln=ln, r2=chord2_from_angle(r)
+        )
+        for g, la, ln, r in _CAPS
+    )
+    return f"""
+        WITH pts AS (SELECT event_id, {lat} AS lat, {lng} AS lng FROM events),
+        xyz AS (SELECT event_id,
+                       cos(radians(lng))*cos(radians(lat)) AS x,
+                       sin(radians(lng))*cos(radians(lat)) AS y,
+                       sin(radians(lat)) AS z
+                FROM pts),
+        caps(geom_id, cx, cy, cz, r2) AS (VALUES {caps})
+        SELECT geom_id, COUNT(*) AS cnt
+        FROM xyz, caps
+        WHERE least((x-cx)*(x-cx) + (y-cy)*(y-cy) + (z-cz)*(z-cz), 4.0) <= r2
+        GROUP BY geom_id ORDER BY geom_id
+    """
+
+
+def _q_rect_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events x lat/lng rectangles (incl. an antimeridian-wrapping one)."""
+    from geo_spark.operators.spatial_join import spatial_join
+
+    ev = _events_with_cells(spark, sf_dir)
+    joined = spatial_join(
+        ev, _rect_layer(spark), point_key="event_id", latlng=("lat", "lng")
+    )
+    return (
+        joined.groupBy("geom_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("geom_id")
+    )
+
+
+def _oracle_rect_join_counts() -> str:
+    from geo_spark.operators.geo_noise import LAT_SQL, LNG_SQL
+
+    lat = LAT_SQL.format(id="event_id")
+    lng = LNG_SQL.format(id="event_id")
+    conds = []
+    for g, la0, ln0, la1, ln1 in _RECTS:
+        lng_cond = (
+            f"(lng >= {ln0!r} AND lng <= {ln1!r})"
+            if ln0 <= ln1
+            else f"(lng >= {ln0!r} OR lng <= {ln1!r})"
+        )
+        conds.append(
+            f"SELECT {g} AS geom_id, COUNT(*) AS cnt FROM pts "
+            f"WHERE lat >= {la0!r} AND lat <= {la1!r} AND {lng_cond}"
+        )
+    union = " UNION ALL ".join(conds)
+    return f"""
+        WITH pts AS (SELECT event_id, {lat} AS lat, {lng} AS lng FROM events)
+        SELECT geom_id, cnt FROM ({union}) WHERE cnt > 0 ORDER BY geom_id
+    """
+
+
+def _q_loop_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events x polygon loops — the flagship PIP join (crossing-parity
+    refine).  No SQL oracle (spherical winding isn't SQL-expressible);
+    the driver records a rows-only check, and tests/test_spatial_join.py
+    pins the semantics against brute force."""
+    from geo_spark.kernel.pip import latlng_text_to_xyz
+    from geo_spark.kernel.regions import LoopRegion
+    from geo_spark.operators.spatial_join import build_layer, spatial_join
+
+    loops = [
+        (21, "30:-90, 30:-60, 50:-60, 50:-90"),
+        (22, "-20:10, -20:60, 20:60, 20:10"),
+        (23, "-15:140, -15:175, 15:175, 15:140"),
+    ]
+    layer = build_layer(
+        spark,
+        [(g, LoopRegion.from_vertices(latlng_text_to_xyz(t))) for g, t in loops],
+        max_cells=12,
+    )
+    ev = _events_with_cells(spark, sf_dir)
+    joined = spatial_join(ev, layer, point_key="event_id", latlng=("lat", "lng"))
+    return (
+        joined.groupBy("geom_id")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min("event_id").alias("min_event"))
+        .orderBy("geom_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 
@@ -190,6 +354,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q1": _q_tpch_q1,
         "q_doc_stats_by_lang": _q_doc_stats_by_lang,
         "q_orders_join_agg": _q_orders_join_agg,
+        "q_cap_join_counts": _q_cap_join_counts,
+        "q_rect_join_counts": _q_rect_join_counts,
+        "q_loop_pip_join": _q_loop_pip_join,
     }
 
 
@@ -199,4 +366,6 @@ def oracle_sql() -> dict[str, str]:
         "q_tpch_q1": _oracle_tpch_q1(),
         "q_doc_stats_by_lang": _oracle_doc_stats_by_lang(),
         "q_orders_join_agg": _oracle_orders_join_agg(),
+        "q_cap_join_counts": _oracle_cap_join_counts(),
+        "q_rect_join_counts": _oracle_rect_join_counts(),
     }
