@@ -339,6 +339,61 @@ def _q_loop_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# kNN (brute broadcast path; ring expansion differential-tested in pytest)
+# ---------------------------------------------------------------------------
+
+
+def _q_knn_cities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 nearest hot cities per event by squared chord distance."""
+    from geo_spark.operators.geo_noise import with_geo_noise
+    from geo_spark.operators.knn import knn_join
+    from geo_spark.sources.pages import HOT_CITIES
+
+    ev = with_geo_noise(_t(spark, sf_dir, "events"), "event_id")
+    cities = spark.createDataFrame(
+        [(int(i), float(la), float(ln)) for i, (la, ln) in enumerate(HOT_CITIES)],
+        "tid long, lat double, lng double",
+    )
+    return knn_join(
+        ev, cities, k=3, point_key="event_id", target_key="tid"
+    ).orderBy("event_id", "rank")
+
+
+def _oracle_knn_cities() -> str:
+    from geo_spark.operators.geo_noise import LAT_SQL, LNG_SQL
+    from geo_spark.sources.pages import HOT_CITIES
+
+    lat = LAT_SQL.format(id="event_id")
+    lng = LNG_SQL.format(id="event_id")
+    cities = ", ".join(
+        "({i}, cos(radians({ln!r}))*cos(radians({la!r})), "
+        "sin(radians({ln!r}))*cos(radians({la!r})), sin(radians({la!r})))".format(
+            i=i, la=float(la), ln=float(ln)
+        )
+        for i, (la, ln) in enumerate(HOT_CITIES)
+    )
+    return f"""
+        WITH pts AS (SELECT event_id, {lat} AS lat, {lng} AS lng FROM events),
+        xyz AS (SELECT event_id,
+                       cos(radians(lng))*cos(radians(lat)) AS x,
+                       sin(radians(lng))*cos(radians(lat)) AS y,
+                       sin(radians(lat)) AS z
+                FROM pts),
+        tg(tid, tx, ty, tz) AS (VALUES {cities}),
+        d AS (SELECT event_id, tid,
+                     least((x-tx)*(x-tx) + (y-ty)*(y-ty) + (z-tz)*(z-tz), 4.0)
+                         AS chord2
+              FROM xyz, tg),
+        r AS (SELECT event_id, tid,
+                     row_number() OVER (PARTITION BY event_id
+                                        ORDER BY chord2, tid) AS rk
+              FROM d)
+        SELECT event_id, tid, CAST(rk AS INT) AS rank
+        FROM r WHERE rk <= 3 ORDER BY event_id, rank
+    """
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 
@@ -357,6 +412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cap_join_counts": _q_cap_join_counts,
         "q_rect_join_counts": _q_rect_join_counts,
         "q_loop_pip_join": _q_loop_pip_join,
+        "q_knn_cities": _q_knn_cities,
     }
 
 
@@ -368,4 +424,5 @@ def oracle_sql() -> dict[str, str]:
         "q_orders_join_agg": _oracle_orders_join_agg(),
         "q_cap_join_counts": _oracle_cap_join_counts(),
         "q_rect_join_counts": _oracle_rect_join_counts(),
+        "q_knn_cities": _oracle_knn_cities(),
     }

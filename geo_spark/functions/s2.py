@@ -109,3 +109,22 @@ def s2_all_neighbors_udf(lvl: int):
         return pd.Series(out)
 
     return _all_neighbors
+
+
+@pandas_udf(
+    T.StructType(
+        [
+            T.StructField("x", T.DoubleType()),
+            T.StructField("y", T.DoubleType()),
+            T.StructField("z", T.DoubleType()),
+        ]
+    )
+)
+def s2_xyz(lat: pd.Series, lng: pd.Series) -> pd.DataFrame:
+    """Unit xyz from degrees lat/lng (PointFromLatLng, s2/latlng.go:85-90);
+    feeds native-SQL chord-distance expressions downstream."""
+    x, y, z = ck.latlng_to_xyz(
+        lat.to_numpy(dtype=np.float64, na_value=np.nan),
+        lng.to_numpy(dtype=np.float64, na_value=np.nan),
+    )
+    return pd.DataFrame({"x": x, "y": y, "z": z})

@@ -1,0 +1,242 @@
+"""kNN join: nearest targets per point, distributed.
+
+Mirrors the reference's adaptive strategy (s2/edge_query.go:414-489):
+
+- **Brute path** for small target sets (the analog of
+  ``maxBruteForceIndexSize``, s2/min_distance_targets.go:99): targets are
+  collected and shipped in the task closure; each Arrow batch computes the
+  full (batch x targets) squared-chord matrix in numpy and argpartitions
+  top-k.  No shuffle at all — the 1000-executor plan is pure map.
+
+- **Ring path** for large target sets (the north star's "kNN via
+  cell-ring expansion", replacing the reference's best-first priority
+  queue, s2/edge_query.go:527-568): targets are bucketed by their
+  level-L cell; per round r the points' candidate set grows by the cells
+  at hop-distance exactly r (connectivity rings via AllNeighbors,
+  s2/cellid.go:274-321 — face-wrap correct); a point finishes once its
+  k-th best distance is within the proven lower bound for unseen rings
+  (r * MinWidth(L), s2/metric.go:45-106) — every distance comparison is
+  exact, so results equal the brute path (differential-tested).
+
+Distances are squared chord lengths (s2/point.go:141-146) computed as
+native Spark SQL float arithmetic after the joins — JVM codegen, not UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+import numpy as np
+import pandas as pd
+
+from geo_spark.functions import sql as s2sql
+from geo_spark.functions.s2 import s2_cellid, s2_xyz
+from geo_spark.kernel import cellid as ck
+from geo_spark.kernel import cellunion as cu
+from geo_spark.kernel import metric
+from geo_spark.kernel.regions import chord2_from_angle
+
+BRUTE_FORCE_MAX_TARGETS = 4096
+
+
+def _with_xyz(df: DataFrame, lat: str, lng: str, prefix: str) -> DataFrame:
+    p = F.col("_p3")
+    return (
+        df.withColumn("_p3", s2_xyz(F.col(lat), F.col(lng)))
+        .withColumns(
+            {f"{prefix}x": p["x"], f"{prefix}y": p["y"], f"{prefix}z": p["z"]}
+        )
+        .drop("_p3")
+    )
+
+
+def knn_join(
+    points: DataFrame,
+    targets: DataFrame,
+    k: int,
+    point_key: str = "pid",
+    target_key: str = "tid",
+    latlng: tuple[str, str] = ("lat", "lng"),
+    target_latlng: tuple[str, str] | None = None,
+    level: int | None = None,
+    max_rounds: int = 24,
+) -> DataFrame:
+    """Returns (point_key, target_key, rank) with rank 1..k by ascending
+    squared chord distance, ties broken by target key (the analog of the
+    reference's result ordering, s2/edge_query.go:149)."""
+    t_latlng = target_latlng or latlng
+    n_targets = targets.count()
+    if n_targets <= BRUTE_FORCE_MAX_TARGETS:
+        return _knn_brute(points, targets, k, point_key, target_key, latlng, t_latlng)
+    return _knn_ring(
+        points, targets, k, point_key, target_key, latlng, t_latlng, level, max_rounds
+    )
+
+
+def _knn_brute(
+    points: DataFrame,
+    targets: DataFrame,
+    k: int,
+    point_key: str,
+    target_key: str,
+    latlng: tuple[str, str],
+    t_latlng: tuple[str, str],
+) -> DataFrame:
+    """Closure-shipped targets, one numpy GEMM-ish pass per Arrow batch."""
+    rows = targets.select(target_key, *t_latlng).collect()
+    tids = np.array([r[0] for r in rows], dtype=np.int64)
+    tx, ty, tz = ck.latlng_to_xyz(
+        np.array([r[1] for r in rows], dtype=np.float64),
+        np.array([r[2] for r in rows], dtype=np.float64),
+    )
+    tmat = np.stack([tx, ty, tz], axis=1)  # (T,3)
+    kk = min(k, len(tids))
+
+    src = points.select(point_key, *latlng)
+    key_type = src.schema[point_key].dataType.simpleString()
+    schema = f"{point_key} {key_type}, {target_key} long, rank int"
+
+    def fn(batches):
+        for pdf in batches:
+            x, y, z = ck.latlng_to_xyz(
+                pdf[latlng[0]].to_numpy(np.float64),
+                pdf[latlng[1]].to_numpy(np.float64),
+            )
+            pts = np.stack([x, y, z], axis=1)  # (B,3)
+            # chord2 = |p|^2 + |t|^2 - 2 p.t == 2 - 2 p.t for unit vectors,
+            # but match the subtraction form used everywhere else exactly.
+            d = pts[:, None, :] - tmat[None, :, :]
+            chord2 = np.minimum((d * d).sum(axis=2), 4.0)  # (B,T)
+            # top-k ascending with (chord2, tid) tie order
+            order = np.lexsort((np.broadcast_to(tids, chord2.shape), chord2), axis=1)
+            topk = order[:, :kk]
+            b = len(pdf)
+            out = pd.DataFrame(
+                {
+                    point_key: np.repeat(pdf[point_key].to_numpy(), kk),
+                    target_key: tids[topk].ravel(),
+                    "rank": np.tile(np.arange(1, kk + 1, dtype=np.int32), b),
+                }
+            )
+            yield out
+
+    return src.mapInPandas(fn, schema)
+
+
+def _ring_cells_udf(level: int, r: int):
+    """array<long> of cells at hop-distance exactly r from the cell
+    (biased ids); hop connectivity = AllNeighbors at the same level."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def ring(cid: pd.Series) -> pd.Series:
+        out = []
+        cache: dict[int, list[int]] = {}
+        for v in cid.to_numpy(np.int64):
+            key = int(v)
+            if key in cache:
+                out.append(cache[key])
+                continue
+            c = int(ck.from_signed(np.array([v], dtype=np.int64))[0])
+            ring_set = {c}
+            for _ in range(r):
+                grown = set(ring_set)
+                for x in ring_set:
+                    grown.update(int(n) for n in ck.all_neighbors(x, level))
+                prev = ring_set
+                ring_set = grown
+            exact = ring_set - prev if r > 0 else ring_set
+            vals = [int(ck.to_signed(np.uint64(x))) for x in sorted(exact)]
+            cache[key] = vals
+            out.append(vals)
+        return pd.Series(out)
+
+    return ring
+
+
+def _knn_ring(
+    points: DataFrame,
+    targets: DataFrame,
+    k: int,
+    point_key: str,
+    target_key: str,
+    latlng: tuple[str, str],
+    t_latlng: tuple[str, str],
+    level: int | None,
+    max_rounds: int,
+) -> DataFrame:
+    spark = points.sparkSession
+    n_targets = targets.count()
+    if level is None:
+        # Aim for O(k) targets per cell: pick the level where the target
+        # density per cell is ~max(k, 4).
+        cells_wanted = max(6, n_targets // max(k, 4))
+        level = max(0, min(30, int(np.ceil(np.log2(max(cells_wanted / 6, 1)) / 2))))
+
+    tg = _with_xyz(targets.select(target_key, *t_latlng), *t_latlng, "t")
+    tg = tg.withColumn(
+        "tcell", s2sql.parent(s2_cellid(F.col(t_latlng[0]), F.col(t_latlng[1])), level)
+    ).select(target_key, "tx", "ty", "tz", "tcell")
+    tg.cache().count()
+
+    pts = _with_xyz(points.select(point_key, *latlng), *latlng, "p")
+    pts = pts.withColumn(
+        "pcell", s2sql.parent(s2_cellid(F.col(latlng[0]), F.col(latlng[1])), level)
+    ).select(point_key, "px", "py", "pz", "pcell")
+    pts = pts.persist()
+    pts.count()
+
+    chord2_expr = F.least(
+        (F.col("px") - F.col("tx")) * (F.col("px") - F.col("tx"))
+        + (F.col("py") - F.col("ty")) * (F.col("py") - F.col("ty"))
+        + (F.col("pz") - F.col("tz")) * (F.col("pz") - F.col("tz")),
+        F.lit(4.0),
+    )
+
+    frontier = pts
+    best: DataFrame | None = None
+    w = Window.partitionBy(point_key).orderBy("chord2", target_key)
+    min_width = metric.MIN_WIDTH.value(level)
+
+    for r in range(max_rounds):
+        ring = _ring_cells_udf(level, r)
+        cand = (
+            frontier.withColumn("rcell", F.explode(ring(F.col("pcell"))))
+            .join(tg, F.col("rcell") == F.col("tcell"))
+            .withColumn("chord2", chord2_expr)
+            .select(point_key, target_key, "chord2")
+        )
+        best = cand if best is None else best.unionByName(cand)
+        best = (
+            best.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .drop("rank")
+            .persist()
+        )
+        best.count()
+
+        # Termination: a point is done once it has k results and the k-th
+        # distance is within the unseen-ring lower bound r*MinWidth(level).
+        bound2 = chord2_from_angle(r * min_width) if r > 0 else -1.0
+        stats = best.groupBy(point_key).agg(
+            F.count(F.lit(1)).alias("_n"), F.max("chord2").alias("_kth")
+        )
+        done = stats.where((F.col("_n") >= k) & (F.col("_kth") <= F.lit(bound2)))
+        frontier = frontier.join(done.select(point_key), on=point_key, how="left_anti")
+        frontier = frontier.persist()
+        if frontier.count() == 0:
+            break
+    else:
+        # Safety net: brute-force the stragglers against all targets.
+        leftover = frontier.crossJoin(F.broadcast(tg)).withColumn(
+            "chord2", chord2_expr
+        ).select(point_key, target_key, "chord2")
+        best = best.unionByName(leftover)
+
+    out = (
+        best.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(point_key, target_key, F.col("rank").cast("int").alias("rank"))
+    )
+    return out
