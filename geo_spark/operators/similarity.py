@@ -1,0 +1,153 @@
+"""Similarity search over embedding columns (array<float>).
+
+- :func:`cosine_topk_brute` — exact top-k for every query vector.  For a
+  broadcastable corpus the plan is shuffle-free: the corpus matrix ships
+  in the task closure and each Arrow batch is one numpy GEMM.  This is
+  the ground truth the approximate path is measured against.
+- :func:`cosine_topk_lsh` — random-hyperplane (sign) LSH: b band
+  signatures per vector, candidates = band-bucket equi-join, exact
+  cosine rerank on candidates only.  The scale path for corpus sizes
+  where all-pairs is impossible; recall tested in pytest.
+
+Hyperplanes are seeded splitmix64 gaussians — deterministic across
+executors, no RNG state shipped.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from geo_spark.operators.dedup import _splitmix64
+
+
+def _normalize_rows(m: np.ndarray) -> np.ndarray:
+    norm = np.sqrt((m * m).sum(axis=1))
+    norm[norm == 0] = 1.0
+    return m / norm[:, None]
+
+
+def cosine_topk_brute(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_key: str = "vec_id",
+    corpus_key: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """(query_key, nb_id, rank): rank 1..k by descending cosine, ties by
+    ascending corpus key."""
+    rows = corpus.select(corpus_key, vec_col).collect()
+    cids = np.array([r[0] for r in rows], dtype=np.int64)
+    cmat = _normalize_rows(np.array([r[1] for r in rows], dtype=np.float64))
+
+    src = queries.select(query_key, vec_col)
+    key_type = src.schema[query_key].dataType.simpleString()
+    schema = f"{query_key} {key_type}, nb_id long, rank int"
+
+    def fn(batches):
+        for pdf in batches:
+            q = _normalize_rows(
+                np.array(list(pdf[vec_col]), dtype=np.float64)
+            )  # (B,D)
+            sims = q @ cmat.T  # (B,C)
+            qids = pdf[query_key].to_numpy()
+            if exclude_self:
+                mask = qids[:, None] == cids[None, :]
+                sims = np.where(mask, -np.inf, sims)
+            order = np.lexsort((np.broadcast_to(cids, sims.shape), -sims), axis=1)
+            kk = min(k, sims.shape[1] - (1 if exclude_self else 0))
+            topk = order[:, :kk]
+            yield pd.DataFrame(
+                {
+                    query_key: np.repeat(qids, kk),
+                    "nb_id": cids[topk].ravel(),
+                    "rank": np.tile(np.arange(1, kk + 1, dtype=np.int32), len(pdf)),
+                }
+            )
+
+    return src.mapInPandas(fn, schema)
+
+
+def _hyperplanes(dim: int, bits: int, seed: int) -> np.ndarray:
+    """Deterministic (bits, dim) gaussian hyperplanes via Box-Muller over
+    splitmix64 counter streams."""
+    n = bits * dim
+    idx = np.arange(n, dtype=np.uint64) + np.uint64(seed) * np.uint64(0x51E2C1A1)
+    u1 = (_splitmix64(idx).astype(np.float64) + 1.0) / 2.0**64
+    u2 = (_splitmix64(idx ^ np.uint64(0xDEADBEEF)).astype(np.float64) + 1.0) / 2.0**64
+    g = np.sqrt(-2.0 * np.log(u1)) * np.cos(2 * np.pi * u2)
+    return g.reshape(bits, dim)
+
+
+def lsh_signatures(
+    df: DataFrame,
+    dim: int,
+    bands: int = 8,
+    bits_per_band: int = 12,
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """(key, band, sig): one sign-pattern integer per band."""
+    planes = _hyperplanes(dim, bands * bits_per_band, seed)  # (bands*bits, dim)
+    weights = (1 << np.arange(bits_per_band, dtype=np.int64))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sigs(vecs: pd.Series) -> pd.Series:
+        m = np.array(list(vecs), dtype=np.float64)  # (B,D)
+        proj = m @ planes.T  # (B, bands*bits)
+        bits = (proj > 0).astype(np.int64).reshape(len(m), bands, bits_per_band)
+        return pd.Series(list((bits * weights).sum(axis=2)))
+
+    out = df.select(F.col(key), sigs(F.col(vec_col)).alias("_sigs"))
+    return out.select(
+        key, F.posexplode(F.col("_sigs")).alias("band", "sig")
+    )
+
+
+def cosine_topk_lsh(
+    df: DataFrame,
+    k: int,
+    dim: int,
+    bands: int = 8,
+    bits_per_band: int = 12,
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate self-join top-k: band-bucket candidates + exact
+    rerank.  Candidates are symmetric; rank by descending cosine then
+    ascending neighbor id."""
+    sigs = lsh_signatures(df, dim, bands, bits_per_band, key, vec_col, seed)
+    a = sigs.select(F.col(key).alias("qa"), "band", "sig")
+    b = sigs.select(F.col(key).alias("qb"), "band", "sig")
+    cands = (
+        a.join(b, ["band", "sig"])
+        .where(F.col("qa") != F.col("qb"))
+        .select("qa", "qb")
+        .distinct()
+    )
+    vecs = df.select(F.col(key).alias("_vid"), F.col(vec_col).alias("_v"))
+    cands = (
+        cands.join(vecs.withColumnRenamed("_vid", "qa").withColumnRenamed("_v", "_va"), "qa")
+        .join(vecs.withColumnRenamed("_vid", "qb").withColumnRenamed("_v", "_vb"), "qb")
+    )
+
+    @F.pandas_udf(T.DoubleType())
+    def cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        ma = _normalize_rows(np.array(list(va), dtype=np.float64))
+        mb = _normalize_rows(np.array(list(vb), dtype=np.float64))
+        return pd.Series((ma * mb).sum(axis=1))
+
+    scored = cands.withColumn("sim", cos(F.col("_va"), F.col("_vb"))).drop("_va", "_vb")
+    w = Window.partitionBy("qa").orderBy(F.desc("sim"), F.asc("qb"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col("qa").alias(key), F.col("qb").alias("nb_id"), F.col("rank").cast("int").alias("rank"))
+    )

@@ -1,0 +1,148 @@
+"""Text analysis for training-data curation — all native Spark SQL.
+
+Every metric here is built from portable string primitives (length,
+replace, substr, regexp) that behave identically in the DuckDB oracle,
+so the whole module is hash-verifiable end to end.  No UDFs: these run
+inside whole-stage codegen at full scan speed — at 100 TB the text pass
+is I/O-bound, exactly as it should be.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword markers for the n-gram language heuristic.
+# Counting ' the ' occurrences via the length/replace trick is exact and
+# portable; real language-ID would use a trained model — the *operator
+# shape* (argmax over per-language evidence columns) is what matters.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of "],
+    "de": [" der ", " und ", " die "],
+    "es": [" el ", " los ", " que "],
+    "fr": [" le ", " les ", " des "],
+    "pt": [" os ", " das ", " uma "],
+}
+
+
+def occurrences(col: Column, needle: str) -> Column:
+    """Occurrence count of a literal substring:
+    (len(s) - len(replace(s, needle))) / len(needle) — exact integer."""
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("long")
+
+
+def occurrences_sql(col: str, needle: str) -> str:
+    """The same expression as ANSI SQL text (for oracle twins)."""
+    lit = needle.replace("'", "''")
+    return (
+        f"CAST((length({col}) - length(replace({col}, '{lit}', '')))"
+        f" / {len(needle)} AS BIGINT)"
+    )
+
+
+def with_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring columns: char/token counts, mean token length
+    (x1000 fixed-point for portability), uppercase & digit & space
+    counts.  Token = whitespace-separated run (text is single-spaced in
+    the fixture; the formula is the classic len-diff trick)."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_spaces = n_chars - F.length(F.replace(t, F.lit(" "), F.lit("")))
+    n_tokens = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(n_spaces + 1)
+    return docs.withColumns(
+        {
+            "n_chars_m": n_chars.cast("long"),
+            "n_tokens": n_tokens.cast("long"),
+            "n_digits": (
+                n_chars - F.length(F.regexp_replace(t, "[0-9]", ""))
+            ).cast("long"),
+            "n_upper": (
+                n_chars - F.length(F.regexp_replace(t, "[A-Z]", ""))
+            ).cast("long"),
+            "mean_token_len_x1000": F.when(
+                n_tokens > 0,
+                ((n_chars - n_spaces) * F.lit(1000)).cast("long") / n_tokens.cast("long"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        }
+    )
+
+
+def with_lang_guess(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Argmax over per-language marker counts; ties -> lexicographically
+    smallest language; zero evidence -> 'und'."""
+    t = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
+    scores = [
+        F.struct(
+            sum(occurrences(t, m) for m in markers).alias("score"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, markers in sorted(LANG_MARKERS.items())
+    ]
+    # array_max on struct(score desc, lang asc): invert lang ordering by
+    # taking max of (score, negated-lang) is messy — instead sort_array
+    # descending puts (highest score, lexicographically LAST lang) first,
+    # so flip: pick via aggregate with an explicit comparator.
+    best = F.aggregate(
+        F.array(*scores),
+        F.struct(F.lit(-1).cast("long").alias("score"), F.lit("zzz").alias("lang")),
+        lambda acc, x: F.when(
+            (x["score"] > acc["score"])
+            | ((x["score"] == acc["score"]) & (x["lang"] < acc["lang"])),
+            x,
+        ).otherwise(acc),
+    )
+    return docs.withColumn("_b", best).withColumns(
+        {
+            "lang_guess": F.when(F.col("_b.score") > 0, F.col("_b.lang")).otherwise(
+                F.lit("und")
+            ),
+            "lang_score": F.greatest(F.col("_b.score"), F.lit(0)).cast("long"),
+        }
+    ).drop("_b")
+
+
+def lang_guess_sql(text_col: str = "text") -> tuple[str, str]:
+    """(lang_guess_expr, lang_score_expr) oracle twins in plain SQL —
+    a greatest-score CASE cascade with the same tie rule."""
+    padded = f"(' ' || {text_col} || ' ')"
+    score_exprs = {
+        lang: "(" + " + ".join(occurrences_sql(padded, m) for m in markers) + ")"
+        for lang, markers in sorted(LANG_MARKERS.items())
+    }
+    greatest = "greatest(" + ", ".join(score_exprs.values()) + ")"
+    case = "CASE "
+    for lang in sorted(score_exprs):  # ascending => first match is the tie-winner
+        case += f"WHEN {score_exprs[lang]} = {greatest} THEN '{lang}' "
+    case += "END"
+    guess = f"CASE WHEN {greatest} > 0 THEN {case} ELSE 'und' END"
+    score = f"CAST(greatest({greatest}, 0) AS BIGINT)"
+    return guess, score
+
+
+def with_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Normalized-content fingerprint: lower + whitespace-collapse + trim
+    -> md5.  Survives reflow/casing edits; the join key for cross-crawl
+    dedup."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " "))
+    return docs.withColumn("fingerprint", F.md5(norm))
+
+
+FINGERPRINT_SQL = "md5(trim(regexp_replace(lower({col}), '\\s+', ' ', 'g')))"
+
+
+def token_count_bpe_ish(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Sub-word-ish token count: alpha runs + digit runs + isolated
+    punctuation (the pre-tokenization pass of BPE tokenizers)."""
+    return docs.withColumn(
+        "n_bpe_tokens",
+        F.size(
+            F.regexp_extract_all(
+                F.col(text_col), F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), 0
+            )
+        ).cast("long"),
+    )

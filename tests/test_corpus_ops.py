@@ -1,0 +1,182 @@
+"""Training-data corpus operators: dedup tiers, text metrics, similarity
+search — differential-tested against scalar python oracles, and the
+approximate tiers (MinHash-LSH, SimHash, cosine-LSH) measured for recall
+against their exact counterparts."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geo_spark.operators.dedup import (
+    _shingle_hashes,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from geo_spark.operators.similarity import cosine_topk_brute, cosine_topk_lsh
+from geo_spark.operators.text import (
+    token_count_bpe_ish,
+    with_fingerprint,
+    with_lang_guess,
+    with_quality,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    df.cache().count()
+    return df
+
+
+def _py_shingles(t, n=8):
+    if len(t) < n:
+        return {t}
+    return {t[i : i + n] for i in range(len(t) - n + 1)}
+
+
+def test_exact_dedup(spark):
+    rows = [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "ccc"), (5, "aaa")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["keep_id"], r["dup_cnt"]) for r in exact_dedup(df).collect()
+    }
+    assert got == {(1, 3), (2, 1), (4, 1)}
+
+
+def test_ngram_jaccard_matches_python(spark, docs):
+    pdf = docs.limit(60).toPandas()
+    expected = set()
+    sh = {int(r.doc_id): _py_shingles(r.text) for r in pdf.itertuples()}
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sh[a] & sh[b])
+            if inter == 0:
+                continue
+            j = inter / (len(sh[a]) + len(sh[b]) - inter)
+            if j >= 0.2:
+                expected.add((a, b, inter))
+    sub = spark.createDataFrame(pdf[["doc_id", "text"]])
+    got = {
+        (r["da"], r["db"], r["shared"])
+        for r in ngram_jaccard_pairs(sub, n=8, threshold=0.2).collect()
+    }
+    assert got == expected
+
+
+def test_minhash_lsh_recall(spark, docs):
+    exact = {
+        (r["da"], r["db"])
+        for r in ngram_jaccard_pairs(docs, n=8, threshold=0.3).collect()
+    }
+    approx = {
+        (r["da"], r["db"])
+        for r in minhash_lsh_pairs(docs, n=8, threshold=0.3).collect()
+    }
+    # The rerank keeps only true pairs, so approx ⊆ exact; LSH at
+    # b=16,r=4 catches J>=0.3 with prob ~1-(1-0.3^4)^16 ≈ 0.12 per pair
+    # at the threshold but ->1 fast for higher J; fixture dupes are
+    # J ~ 0.9+, so expect full recall there.
+    assert approx <= exact
+    high = {
+        (r["da"], r["db"])
+        for r in ngram_jaccard_pairs(docs, n=8, threshold=0.7).collect()
+    }
+    assert high <= approx, "near-exact dupes must survive LSH"
+
+
+def test_simhash_identical_and_disjoint(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "completely unrelated words about spark shuffles everywhere"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["da"], r["db"], r["hamming"]) for r in simhash_pairs(df, 3).collect()}
+    assert (1, 2, 0) in got
+    assert not any(d == 3 or a == 3 for a, d, _ in got)
+
+
+def test_shingle_hash_deterministic():
+    a = _shingle_hashes("hello world hello", 8)
+    b = _shingle_hashes("hello world hello", 8)
+    assert np.array_equal(a, b)
+    assert len(_shingle_hashes("ab", 8)) == 1  # short-text fallback
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df.cache().count()
+    return df
+
+
+def test_cosine_brute_matches_numpy(spark, emb):
+    pdf = emb.toPandas()
+    ids = pdf.vec_id.to_numpy()
+    m = np.array(list(pdf.embedding), dtype=np.float64)
+    m = m / np.sqrt((m * m).sum(1))[:, None]
+    sims = m @ m.T
+    np.fill_diagonal(sims, -np.inf)
+    order = np.lexsort((np.broadcast_to(ids, sims.shape), -sims), axis=1)
+    expected = {
+        (int(ids[i]), int(ids[order[i, r]]), r + 1)
+        for i in range(len(ids))
+        for r in range(5)
+    }
+    got = {
+        (r["vec_id"], r["nb_id"], r["rank"])
+        for r in cosine_topk_brute(emb, emb, 5).collect()
+    }
+    assert got == expected
+
+
+def test_cosine_lsh_recall(spark, emb):
+    dim = len(emb.select("embedding").first()[0])
+    brute1 = {
+        (r["vec_id"], r["nb_id"])
+        for r in cosine_topk_brute(emb, emb, 1).collect()
+    }
+    # Random fixture vectors have rank-1 cosine ~0.36 (≈69°): short band
+    # signatures are the right operating point (recall/candidate-count
+    # knob; measured 0.99 at 32x4 on this fixture).
+    lsh = {
+        (r["vec_id"], r["nb_id"])
+        for r in cosine_topk_lsh(emb, 1, dim, bands=32, bits_per_band=4).collect()
+    }
+    recall = len(brute1 & lsh) / len(brute1)
+    assert recall >= 0.9, f"rank-1 recall {recall}"
+
+
+def test_text_metrics_match_python(spark):
+    rows = [
+        (1, "The quick brown Fox 42 jumps!"),
+        (2, "  "),
+        (3, "der und die der hund"),
+        (4, "one-token"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in token_count_bpe_ish(
+            with_fingerprint(with_lang_guess(with_quality(df)))
+        ).collect()
+    }
+    assert out[1]["n_tokens"] == 5
+    assert out[1]["n_digits"] == 2
+    assert out[1]["n_upper"] == 2
+    assert out[1]["n_bpe_tokens"] == 7  # The quick brown Fox 42 jumps !
+    assert out[2]["n_tokens"] == 0
+    assert out[3]["lang_guess"] == "de"
+    assert out[1]["lang_guess"] == "und"  # "The" capitalized, no ' the '
+    assert out[4]["n_bpe_tokens"] == 3  # one - token
+    import hashlib, re
+
+    norm = re.sub(r"\s+", " ", rows[0][1].lower()).strip()
+    assert out[1]["fingerprint"] == hashlib.md5(norm.encode()).hexdigest()
