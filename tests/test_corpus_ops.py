@@ -168,7 +168,7 @@ def test_text_metrics_match_python(spark):
             with_fingerprint(with_lang_guess(with_quality(df)))
         ).collect()
     }
-    assert out[1]["n_tokens"] == 5
+    assert out[1]["n_tokens"] == 6
     assert out[1]["n_digits"] == 2
     assert out[1]["n_upper"] == 2
     assert out[1]["n_bpe_tokens"] == 7  # The quick brown Fox 42 jumps !
