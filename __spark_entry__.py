@@ -339,6 +339,179 @@ def _q_loop_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# training-data corpus ops (dedup / text analysis / similarity)
+# ---------------------------------------------------------------------------
+
+
+def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geo_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents")).orderBy("text_md5")
+
+
+def _oracle_exact_dedup() -> str:
+    return """
+        SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_id,
+               COUNT(*) AS dup_cnt
+        FROM documents GROUP BY 1 ORDER BY 1
+    """
+
+
+def _q_ngram_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geo_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=8, threshold=0.3
+    ).orderBy("da", "db")
+
+
+def _oracle_ngram_dedup_pairs() -> str:
+    return """
+        WITH sh AS (
+          SELECT DISTINCT doc_id, s
+          FROM documents,
+               UNNEST(list_transform(range(1, greatest(length(text)-7, 1)+1),
+                                     i -> substr(text, i, 8))) AS t(s)
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT da, db, shared, sa.n AS na, sb.n AS nb,
+               CAST(shared AS DOUBLE)/(sa.n + sb.n - shared) AS jaccard
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = da
+        JOIN sizes sb ON sb.doc_id = db
+        WHERE CAST(shared AS DOUBLE)/(sa.n + sb.n - shared) >= 0.3
+        ORDER BY da, db
+    """
+
+
+def _q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geo_spark.operators.text import (
+        token_count_bpe_ish,
+        with_fingerprint,
+        with_quality,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = token_count_bpe_ish(with_fingerprint(with_quality(docs)))
+    return out.select(
+        "doc_id",
+        "n_chars_m",
+        "n_tokens",
+        "n_digits",
+        "n_upper",
+        "mean_token_len_x1000",
+        "n_bpe_tokens",
+        "fingerprint",
+    ).orderBy("doc_id")
+
+
+def _oracle_doc_quality() -> str:
+    return r"""
+        WITH q AS (
+          SELECT doc_id,
+                 length(text) AS nc,
+                 length(text) - length(replace(text, ' ', '')) AS ns,
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE length(text) - length(replace(text, ' ', '')) + 1
+                 END AS nt
+          FROM documents
+        )
+        SELECT q.doc_id,
+               CAST(nc AS BIGINT) AS n_chars_m,
+               CAST(nt AS BIGINT) AS n_tokens,
+               CAST(nc - length(regexp_replace(d.text, '[0-9]', '', 'g')) AS BIGINT)
+                   AS n_digits,
+               CAST(nc - length(regexp_replace(d.text, '[A-Z]', '', 'g')) AS BIGINT)
+                   AS n_upper,
+               CAST(CASE WHEN nt > 0
+                         THEN floor(CAST((nc - ns) * 1000 AS BIGINT) / nt)
+                         ELSE 0 END AS BIGINT) AS mean_token_len_x1000,
+               CAST(len(regexp_extract_all(d.text,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+                   AS n_bpe_tokens,
+               md5(trim(regexp_replace(lower(d.text), '\s+', ' ', 'g')))
+                   AS fingerprint
+        FROM q JOIN documents d USING (doc_id)
+        ORDER BY doc_id
+    """
+
+
+def _q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geo_spark.operators.text import with_lang_guess
+
+    docs = with_lang_guess(_t(spark, sf_dir, "documents"))
+    return (
+        docs.groupBy("lang_guess")
+        .agg(
+            F.count(F.lit(1)).alias("doc_cnt"),
+            F.sum("lang_score").alias("total_score"),
+        )
+        .orderBy("lang_guess")
+    )
+
+
+def _oracle_lang_guess() -> str:
+    from geo_spark.operators.text import lang_guess_sql
+
+    guess, score = lang_guess_sql("text")
+    return f"""
+        SELECT lang_guess, COUNT(*) AS doc_cnt, SUM(lang_score) AS total_score
+        FROM (SELECT {guess} AS lang_guess, {score} AS lang_score FROM documents)
+        GROUP BY 1 ORDER BY 1
+    """
+
+
+def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geo_spark.operators.similarity import cosine_topk_brute
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_brute(emb, emb, 5).orderBy("vec_id", "rank")
+
+
+def _oracle_cosine_topk() -> str:
+    return """
+        WITH d AS (
+          SELECT a.vec_id AS qa, b.vec_id AS qb,
+                 list_dot_product(a.embedding, b.embedding) /
+                 (sqrt(list_dot_product(a.embedding, a.embedding)) *
+                  sqrt(list_dot_product(b.embedding, b.embedding))) AS sim
+          FROM embeddings a, embeddings b
+          WHERE a.vec_id <> b.vec_id
+        ),
+        r AS (SELECT qa, qb,
+                     row_number() OVER (PARTITION BY qa ORDER BY sim DESC, qb) rk
+              FROM d)
+        SELECT qa AS vec_id, qb AS nb_id, CAST(rk AS INT) AS rank
+        FROM r WHERE rk <= 5 ORDER BY vec_id, rank
+    """
+
+
+def _q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates + exact rerank — rows-only check
+    (signature hashing isn't portably SQL-expressible); recall vs exact
+    Jaccard pinned in tests/test_corpus_ops.py."""
+    from geo_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), n=8, threshold=0.3
+    ).orderBy("da", "db")
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming<=3 pairs — rows-only check (same reason)."""
+    from geo_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3).orderBy(
+        "da", "db"
+    )
+
+
+# ---------------------------------------------------------------------------
 # kNN (brute broadcast path; ring expansion differential-tested in pytest)
 # ---------------------------------------------------------------------------
 
@@ -413,6 +586,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rect_join_counts": _q_rect_join_counts,
         "q_loop_pip_join": _q_loop_pip_join,
         "q_knn_cities": _q_knn_cities,
+        "q_exact_dedup": _q_exact_dedup,
+        "q_ngram_dedup_pairs": _q_ngram_dedup_pairs,
+        "q_doc_quality": _q_doc_quality,
+        "q_lang_guess": _q_lang_guess,
+        "q_cosine_topk": _q_cosine_topk,
+        "q_minhash_lsh_pairs": _q_minhash_lsh_pairs,
+        "q_simhash_pairs": _q_simhash_pairs,
     }
 
 
@@ -425,4 +605,9 @@ def oracle_sql() -> dict[str, str]:
         "q_cap_join_counts": _oracle_cap_join_counts(),
         "q_rect_join_counts": _oracle_rect_join_counts(),
         "q_knn_cities": _oracle_knn_cities(),
+        "q_exact_dedup": _oracle_exact_dedup(),
+        "q_ngram_dedup_pairs": _oracle_ngram_dedup_pairs(),
+        "q_doc_quality": _oracle_doc_quality(),
+        "q_lang_guess": _oracle_lang_guess(),
+        "q_cosine_topk": _oracle_cosine_topk(),
     }

@@ -62,9 +62,14 @@ def with_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
             "n_upper": (
                 n_chars - F.length(F.regexp_replace(t, "[A-Z]", ""))
             ).cast("long"),
+            # floor() explicitly: Spark's double->long cast truncates but
+            # DuckDB's rounds, so the oracle twin must share the floor.
             "mean_token_len_x1000": F.when(
                 n_tokens > 0,
-                ((n_chars - n_spaces) * F.lit(1000)).cast("long") / n_tokens.cast("long"),
+                F.floor(
+                    ((n_chars - n_spaces) * F.lit(1000)).cast("long")
+                    / n_tokens.cast("long")
+                ),
             )
             .otherwise(F.lit(0))
             .cast("long"),
