@@ -1,0 +1,178 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing is real — schemas, Arrow batch shapes,
+``mapInPandas`` fan-out, partition sizing — while the actual codec calls
+are stubbed behind :data:`HAVE_CODECS` (PIL/ffmpeg are not in this
+container).  With ``deterministic_fake=True`` the decode produces a
+seeded synthetic raster/waveform from the payload bytes, so the full
+pipeline (decode -> feature-extract -> resize / frame-sample ->
+aggregate) runs end-to-end and is testable; swapping in a real codec
+changes one function.
+
+Batch discipline: media rows are fat (MBs), so operators re-partition by
+byte budget, not row count — ``partitions_for_bytes`` — and every UDF
+streams record batches (constant memory per task).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+try:  # pragma: no cover - not present in this container
+    import PIL.Image  # noqa: F401
+
+    HAVE_CODECS = True
+except Exception:  # pragma: no cover
+    HAVE_CODECS = False
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, payload binary, width int, height int, "
+    "sample_rate int, n_frames int"
+)
+
+
+def synth_media(spark, n: int, partitions: int = 8) -> DataFrame:
+    """Deterministic fixture media table (payload = seeded bytes)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            kinds = np.where(ids % 3 == 0, "image", np.where(ids % 3 == 1, "audio", "video"))
+            rows = []
+            for i, kind in zip(ids, kinds):
+                rng = np.random.default_rng(int(i) + 1000)
+                payload = rng.integers(0, 256, 256, dtype=np.uint8).tobytes()
+                rows.append(
+                    (
+                        int(i),
+                        str(kind),
+                        payload,
+                        32 if kind == "image" else 0,
+                        24 if kind == "image" else 0,
+                        16000 if kind == "audio" else 0,
+                        12 if kind == "video" else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "kind",
+                    "payload",
+                    "width",
+                    "height",
+                    "sample_rate",
+                    "n_frames",
+                ],
+            )
+
+    return spark.range(n).repartition(partitions).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def partitions_for_bytes(total_bytes: int, target_mb: int = 128) -> int:
+    """Partition count sized by payload bytes (fat-row discipline)."""
+    return max(1, int(np.ceil(total_bytes / (target_mb * 1024 * 1024))))
+
+
+def _decode_fake(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Deterministic stand-in for an image decode: bytes -> (H,W) uint8."""
+    raw = np.frombuffer(payload, dtype=np.uint8)
+    need = max(width * height, 1)
+    reps = int(np.ceil(need / len(raw)))
+    return np.tile(raw, reps)[:need].reshape(max(height, 1), max(width, 1))
+
+
+def decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
+    if HAVE_CODECS:  # pragma: no cover
+        raise NotImplementedError("real codec path not wired in this container")
+    return _decode_fake(payload, width, height)
+
+
+def image_features(media: DataFrame, resize_to: int = 8) -> DataFrame:
+    """image rows -> (media_id, mean_px, std_px_x1000, thumb array<int>).
+
+    One mapInPandas stage: decode, global stats, area-resample to a
+    resize_to x resize_to thumbnail.  Column-pruned at the scan (only
+    payload + dims read)."""
+    src = media.where(F.col("kind") == "image").select(
+        "media_id", "payload", "width", "height"
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                img = decode_image(r.payload, r.width, r.height)
+                h, w = img.shape
+                bh, bw = max(h // resize_to, 1), max(w // resize_to, 1)
+                thumb = (
+                    img[: bh * resize_to, : bw * resize_to]
+                    .reshape(resize_to, bh, resize_to, bw)
+                    .mean(axis=(1, 3))
+                    .astype(np.int64)
+                )
+                out.append(
+                    (
+                        r.media_id,
+                        float(img.mean()),
+                        int(img.std() * 1000),
+                        thumb.ravel().tolist(),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["media_id", "mean_px", "std_px_x1000", "thumb"]
+            )
+
+    return src.mapInPandas(
+        fn, "media_id long, mean_px double, std_px_x1000 long, thumb array<bigint>"
+    )
+
+
+def audio_features(media: DataFrame, n_bands: int = 4) -> DataFrame:
+    """audio rows -> coarse band energies of the (fake) waveform."""
+    src = media.where(F.col("kind") == "audio").select(
+        "media_id", "payload", "sample_rate"
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                wave = (
+                    np.frombuffer(r.payload, dtype=np.uint8).astype(np.float64) - 128.0
+                )
+                spec = np.abs(np.fft.rfft(wave))
+                bands = np.array_split(spec, n_bands)
+                out.append(
+                    (r.media_id, [float(b.mean()) for b in bands], len(wave))
+                )
+            yield pd.DataFrame(out, columns=["media_id", "band_energy", "n_samples"])
+
+    return src.mapInPandas(
+        fn, "media_id long, band_energy array<double>, n_samples long"
+    )
+
+
+def video_frame_sample(media: DataFrame, every: int = 4) -> DataFrame:
+    """video rows -> one exploded row per sampled frame index (the shape a
+    real frame extractor produces; frame payloads stubbed to stats)."""
+    src = media.where(F.col("kind") == "video").select(
+        "media_id", "payload", "n_frames"
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                raw = np.frombuffer(r.payload, dtype=np.uint8)
+                for fi in range(0, int(r.n_frames), every):
+                    chunk = raw[fi::every]
+                    out.append((r.media_id, fi, float(chunk.mean())))
+            yield pd.DataFrame(out, columns=["media_id", "frame_idx", "frame_mean"])
+
+    return src.mapInPandas(fn, "media_id long, frame_idx int, frame_mean double")
