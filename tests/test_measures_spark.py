@@ -18,9 +18,9 @@ def _loops_df(spark):
     hole = latlng_text_to_xyz("40:-74, 40:-73, 41:-73, 41:-74")
     hemi = latlng_text_to_xyz("0:-180, 0:-90, 0:0, 0:90")
     rows = [
-        (1, 0, 0, [list(v) for v in outer]),
-        (1, 1, 1, [list(v) for v in hole]),
-        (2, 0, 0, [list(v) for v in hemi]),
+        (1, 0, 0, [[float(c) for c in v] for v in outer]),
+        (1, 1, 1, [[float(c) for c in v] for v in hole]),
+        (2, 0, 0, [[float(c) for c in v] for v in hemi]),
     ]
     return spark.createDataFrame(
         rows, "polygon_id long, loop_id int, depth int, verts array<array<double>>"
@@ -40,7 +40,7 @@ def test_polygon_areas(spark):
 def test_polyline_length_udf(spark):
     pl = latlng_text_to_xyz("0:0, 0:45, 0:90, 45:90")
     df = spark.createDataFrame(
-        [(1, [list(v) for v in pl])], "pl_id long, verts array<array<double>>"
+        [(1, [[float(c) for c in v] for v in pl])], "pl_id long, verts array<array<double>>"
     )
     got = df.select(polyline_length_udf(F.col("verts")).alias("len")).first()["len"]
     assert got == pytest.approx(3 * math.pi / 4, rel=1e-12)
