@@ -1,0 +1,77 @@
+"""Streaming tile counts == batch tile counts; manifest write is
+idempotent and resumes exactly the missing buckets."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from geo_spark.functions import sql as s2sql
+from geo_spark.operators.geo_noise import with_geo_noise
+from geo_spark.plans.manifest import load_manifest, verify_manifest, write_with_manifest
+from geo_spark.sources.extract import extract_encode
+from geo_spark.sources.pages import synth_pages
+from geo_spark.streaming.tiles import (
+    read_pages_stream,
+    run_available_now,
+    stream_tile_counts,
+)
+
+
+def test_stream_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "pages")
+    synth_pages(spark, 2000, partitions=4).write.parquet(src)
+
+    batch = (
+        extract_encode(spark.read.parquet(src), keep=("url", "warc_ts"))
+        .withColumn("tile", s2sql.parent(F.col("cell_id"), 10))
+        .groupBy(F.window("warc_ts", "1 hour").alias("win"), "tile")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("win.start").alias("window_start"), "tile", "cnt")
+    )
+    expected = {(r["window_start"], r["tile"], r["cnt"]) for r in batch.collect()}
+
+    stream = stream_tile_counts(read_pages_stream(spark, src), level=10)
+    q = run_available_now(stream, "tiles_test", str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["tile"], r["cnt"])
+        for r in spark.sql("select * from tiles_test").collect()
+    }
+    q.stop()
+    assert got == expected
+    assert len(got) > 10
+
+
+def test_manifest_idempotent_resume(spark, tmp_path):
+    out = str(tmp_path / "out")
+    manifest = str(tmp_path / "manifest.jsonl")
+    ev = with_geo_noise(spark.range(0, 3000).withColumnRenamed("id", "event_id"), "event_id")
+    df = ev.withColumn("bucket", (F.col("event_id") % 8).cast("int"))
+
+    m1 = write_with_manifest(df, out, "bucket", manifest)
+    assert len(m1) == 8
+    assert sum(e["rows"] for e in m1.values()) == 3000
+    assert verify_manifest(spark, out, "bucket", manifest) == []
+
+    # Simulate a mid-run crash: drop two buckets from disk AND manifest.
+    for b in ("2", "5"):
+        shutil.rmtree(f"{out}/bucket={b}")
+    kept = {k: v for k, v in m1.items() if k not in ("2", "5")}
+    with open(manifest, "w") as f:
+        import json
+
+        for e in kept.values():
+            f.write(json.dumps(e) + "\n")
+
+    # Resume writes exactly the missing buckets; totals restored.
+    m2 = write_with_manifest(df, out, "bucket", manifest)
+    assert set(m2) == {str(i) for i in range(8)}
+    assert verify_manifest(spark, out, "bucket", manifest) == []
+    assert spark.read.parquet(out).count() == 3000
+
+    # A third run is a no-op (manifest complete).
+    before = load_manifest(manifest)
+    m3 = write_with_manifest(df, out, "bucket", manifest)
+    assert m3 == before
