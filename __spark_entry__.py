@@ -338,6 +338,24 @@ def _q_loop_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hex_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events -> H3-compatible aperture-7 hex tiles (res 3) -> counts.
+    Rows-only check: the icosahedral projection isn't SQL-expressible;
+    partition/refinement/round-trip invariants pinned in
+    tests/test_hexgrid.py."""
+    from geo_spark.functions.hex import hex_cell_udf
+    from geo_spark.operators.geo_noise import with_geo_noise
+
+    ev = with_geo_noise(_t(spark, sf_dir, "events"), "event_id")
+    hexed = ev.withColumn("hex3", hex_cell_udf(3)(F.col("lat"), F.col("lng")))
+    return (
+        hexed.groupBy("hex3")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("hex3").isNotNull())
+        .orderBy("hex3")
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data corpus ops (dedup / text analysis / similarity)
 # ---------------------------------------------------------------------------
@@ -593,6 +611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cosine_topk": _q_cosine_topk,
         "q_minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "q_simhash_pairs": _q_simhash_pairs,
+        "q_hex_tile_counts": _q_hex_tile_counts,
     }
 
 
