@@ -1,12 +1,15 @@
-"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+"""Benchmark harness: headline pipelines at $SPARK_GRAFT_SF_DIR on
 local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
   {"metric": ..., "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": ..., "pages_per_sec": ...}
 
-The flagship spatial pipeline (pages -> geotag extract -> S2 leaf encode ->
-tile assignment -> per-tile counts) is timed over a deterministic synthetic
-pages table sized to the scale factor, giving the BASELINE.json
-pages/sec throughput number.
+Headline work (the north-star surface):
+  pages_pipeline   read -> geotag extract -> S2 encode -> tile counts
+  pages_pip_join   pages x 50 city loops (covering join + parity refine)
+  + a representative subset of the driver-contract queries.
+
+The deterministic pages table is materialized once per size under /tmp
+(input prep, not engine work — the target cluster reads Iceberg).
 """
 
 from __future__ import annotations
@@ -18,6 +21,49 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+HEADLINE_QUERIES = [
+    "q_s2_tile_faceij_l8",
+    "q_tpch_q1",
+    "q_cap_join_counts",
+    "q_loop_pip_join",
+    "q_knn_cities",
+    "q_ngram_dedup_pairs",
+    "q_cosine_topk",
+    "q_hex_tile_counts",
+]
+
+
+def materialize_pages(spark, n_pages: int, cpus: int) -> str:
+    from geo_spark.sources.pages import synth_pages
+
+    path = f"/tmp/geo_spark_bench/pages_{n_pages}"
+    if not os.path.exists(path + "/_SUCCESS"):
+        synth_pages(spark, n_pages, partitions=cpus * 4).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+def run_pages_pipeline(spark, pages_path: str) -> int:
+    from geo_spark.operators.tiling import tile_counts
+    from geo_spark.sources.extract import extract_encode
+
+    pages = spark.read.parquet(pages_path)
+    return tile_counts(extract_encode(pages), 10).count()
+
+
+def run_pages_pip_join(spark, pages_path: str) -> int:
+    from geo_spark.operators.spatial_join import build_layer, spatial_join
+    from geo_spark.sources.extract import extract_encode
+    from geo_spark.sources.layers import city_loop_regions
+
+    layer = build_layer(spark, city_loop_regions(50), max_cells=8)
+    pages = spark.read.parquet(pages_path)
+    enc = extract_encode(pages, keep=("url",))
+    return spatial_join(
+        enc, layer, point_key="url", latlng=("lat", "lng")
+    ).count()
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -26,38 +72,28 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
     from geo_spark.session import get_spark
-    from geo_spark.sources.pages import synth_pages
-    from geo_spark.sources.extract import extract_encode
-    from geo_spark.operators.tiling import tile_counts
 
     spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
+    pages_path = materialize_pages(spark, n_pages, cpus)
 
-    # Materialize the deterministic pages table once (generation is input
-    # prep, not engine work — on the target cluster pages is an Iceberg
-    # table already on disk).
-    pages_path = f"/tmp/geo_spark_bench/pages_{n_pages}"
-    if not os.path.exists(pages_path + "/_SUCCESS"):
-        synth_pages(spark, n_pages, partitions=cpus * 4).write.mode("overwrite").parquet(
-            pages_path
-        )
-
-    # Flagship: pages/sec through read -> geotag extract -> S2 encode ->
-    # tile assignment -> per-tile counts.
     t0 = time.monotonic()
-    pages = spark.read.parquet(pages_path)
-    out = tile_counts(extract_encode(pages), 10)
-    n_tiles = out.count()
+    n_tiles = run_pages_pipeline(spark, pages_path)
     dt = time.monotonic() - t0
     timings["pages_pipeline"] = round(dt, 3)
     pages_per_sec = round(n_pages / dt, 1)
 
-    for name, fn in entrymod.queries().items():
+    t0 = time.monotonic()
+    n_join = run_pages_pip_join(spark, pages_path)
+    timings["pages_pip_join"] = round(time.monotonic() - t0, 3)
+
+    queries = entrymod.queries()
+    for name in HEADLINE_QUERIES:
+        fn = queries[name]
         t0 = time.monotonic()
-        df = fn(spark, sf_dir)
-        df.count()
+        fn(spark, sf_dir).count()
         timings[name] = round(time.monotonic() - t0, 3)
 
     total = round(sum(timings.values()), 3)
@@ -73,6 +109,7 @@ def main() -> None:
                 "pages_per_sec": pages_per_sec,
                 "n_pages": n_pages,
                 "n_tiles": n_tiles,
+                "pip_join_rows": n_join,
                 "cpus": cpus,
             }
         )

@@ -71,8 +71,19 @@ def v_norm(face: int, v: float) -> np.ndarray:
 
 
 def _face_uv_to_xyz(face: int, u: float, v: float) -> np.ndarray:
-    x, y, z = ck.face_uv_to_xyz(np.int64(face), u, v)
-    return np.array([float(x), float(y), float(z)])
+    """Scalar fast path of ck.face_uv_to_xyz (np.select is ~100x slower
+    on scalars; this sits in the coverer's hot loop)."""
+    if face == 0:
+        return np.array([1.0, u, v])
+    if face == 1:
+        return np.array([-u, 1.0, v])
+    if face == 2:
+        return np.array([-u, -v, 1.0])
+    if face == 3:
+        return np.array([-1.0, -v, -u])
+    if face == 4:
+        return np.array([v, -1.0, -u])
+    return np.array([v, u, -1.0])
 
 
 def _normalize(p: np.ndarray) -> np.ndarray:
@@ -116,12 +127,25 @@ class Cell:
 
     def vertex(self, k: int) -> np.ndarray:
         """Normalized k-th vertex, CCW from lower-left in (u,v); s2/cell.go:117-126."""
-        u = self.u_lo if k in (0, 3) else self.u_hi
-        v = self.v_lo if k in (0, 1) else self.v_hi
-        return _normalize(_face_uv_to_xyz(self.face, u, v))
+        return self.vertices()[k]
 
     def vertices(self) -> np.ndarray:
-        return np.stack([self.vertex(k) for k in range(4)])
+        cached = self.__dict__.get("_verts")
+        if cached is None:
+            cached = np.stack(
+                [
+                    _normalize(
+                        _face_uv_to_xyz(
+                            self.face,
+                            self.u_lo if k in (0, 3) else self.u_hi,
+                            self.v_lo if k in (0, 1) else self.v_hi,
+                        )
+                    )
+                    for k in range(4)
+                ]
+            )
+            self.__dict__["_verts"] = cached
+        return cached
 
     def edge(self, k: int) -> np.ndarray:
         """Inward-facing normal of edge k->k+1; s2/cell.go:128-141."""
@@ -139,15 +163,19 @@ class Cell:
 
     def contains_point(self, p: np.ndarray) -> bool:
         """uv-bounds test with the dblEpsilon/2 margin; s2/cell.go:466-495."""
-        f = int(ck.face_from_xyz(p[0:1], p[1:2], p[2:3])[0])
-        if f != self.face:
-            return False
-        _, u, v = ck.face_uv_from_xyz(p[0:1], p[1:2], p[2:3])
-        u, v = float(u[0]), float(v[0])
+        return bool(self.contains_points(p[None, :])[0])
+
+    def contains_points(self, pts: np.ndarray) -> np.ndarray:
+        """Vectorized containment over an (N,3) batch."""
+        pts = np.atleast_2d(pts)
+        f, u, v = ck.face_uv_from_xyz(pts[:, 0], pts[:, 1], pts[:, 2])
         m = DBL_EPSILON / 2
         return (
-            self.u_lo - m <= u <= self.u_hi + m
-            and self.v_lo - m <= v <= self.v_hi + m
+            (f == self.face)
+            & (u >= self.u_lo - m)
+            & (u <= self.u_hi + m)
+            & (v >= self.v_lo - m)
+            & (v <= self.v_hi + m)
         )
 
     def _latitude(self, i: int, j: int) -> float:
@@ -163,7 +191,14 @@ class Cell:
         return math.atan2(p[1], p[0])
 
     def rect_bound(self) -> Rect:
-        """Conservative lat/lng bound; s2/cell.go:114-149."""
+        """Conservative lat/lng bound; s2/cell.go:114-149 (memoized)."""
+        cached = self.__dict__.get("_rect_bound")
+        if cached is None:
+            cached = self._rect_bound_impl()
+            self.__dict__["_rect_bound"] = cached
+        return cached
+
+    def _rect_bound_impl(self) -> Rect:
         if self.level > 0:
             # Latitude range from one diagonal pair of vertices, longitude
             # from the other; which diagonal depends on the face orientation.

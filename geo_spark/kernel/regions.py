@@ -21,7 +21,7 @@ the coverer consumes: ``cap_bound``, ``cell_union_bound``,
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import numpy as np
 
@@ -357,11 +357,16 @@ def _edges_cross_cell(verts: np.ndarray, cell: Cell, cell_verts: np.ndarray) -> 
 
 @dataclass(frozen=True)
 class LoopRegion(Region):
-    """Single closed CCW ring with crossing-parity interior."""
+    """Single closed CCW ring with crossing-parity interior.
+
+    ``_memo`` caches boundary-intersects answers per cell id — the
+    coverer asks contains_cell AND may_intersect_cell for the same cells
+    and interior+exterior coverings revisit them."""
 
     verts: np.ndarray  # (M,3) unit vectors
     origin_inside: bool
     bound: Rect
+    _memo: dict = field(default_factory=dict, compare=False, repr=False)
 
     @staticmethod
     def from_vertices(verts: np.ndarray) -> "LoopRegion":
@@ -382,10 +387,13 @@ class LoopRegion(Region):
         return RectRegion(self.bound).cap_bound()
 
     def _boundary_intersects(self, cell: Cell, cell_verts: np.ndarray) -> bool:
-        for k in range(len(self.verts)):
-            if cell.contains_point(self.verts[k]):
-                return True
-        return _edges_cross_cell(self.verts, cell, cell_verts)
+        hit = self._memo.get(cell.id)
+        if hit is None:
+            hit = bool(cell.contains_points(self.verts).any()) or _edges_cross_cell(
+                self.verts, cell, cell_verts
+            )
+            self._memo[cell.id] = hit
+        return hit
 
     def contains_cell(self, cell: Cell) -> bool:
         if not self.bound.intersects(cell.rect_bound()):

@@ -178,11 +178,44 @@ def minhash_lsh_pairs(
         .select("da", "db")
         .distinct()
     )
-    # Exact rerank on the candidate set only.
-    exact = ngram_jaccard_pairs(docs, n, 0.0, key, text_col).select(
-        "da", "db", "jaccard"
+    # Exact rerank on the candidate set only — cost is O(candidates),
+    # not all-pairs: join each side's shingle-hash set in and intersect
+    # per pair in one Arrow batch.
+    sets = shingle_hash_sets(docs, n, key, text_col)
+    cands = (
+        cands.join(sets.withColumnRenamed(key, "da").withColumnRenamed("sh", "_sa"), "da")
+        .join(sets.withColumnRenamed(key, "db").withColumnRenamed("sh", "_sb"), "db")
     )
-    return cands.join(exact, ["da", "db"]).where(F.col("jaccard") >= threshold)
+
+    @F.pandas_udf(T.DoubleType())
+    def jac(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        out = np.empty(len(sa))
+        for i, (x, y) in enumerate(zip(sa, sb)):
+            xa = np.asarray(x, dtype=np.int64)
+            ya = np.asarray(y, dtype=np.int64)
+            inter = len(np.intersect1d(xa, ya, assume_unique=True))
+            out[i] = inter / (len(xa) + len(ya) - inter)
+        return pd.Series(out)
+
+    return (
+        cands.withColumn("jaccard", jac(F.col("_sa"), F.col("_sb")))
+        .where(F.col("jaccard") >= threshold)
+        .select("da", "db", "jaccard")
+    )
+
+
+def shingle_hash_sets(
+    docs: DataFrame, n: int = 8, key: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(key, sh array<long>): sorted distinct shingle hashes per doc."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sh(text: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_shingle_hashes(t or "", n).view(np.int64).tolist() for t in text]
+        )
+
+    return docs.select(F.col(key), sh(F.col(text_col)).alias("sh"))
 
 
 def simhash64(

@@ -19,8 +19,11 @@ Scale design (the part the reference, being single-node, doesn't have):
   children (``split_hot_cells``) — a *semantic* salt: the children are
   still valid covering cells, so results are invariant to the split
   while the join keys fan out;
-- the refine is grouped per geometry (``applyInPandas``) so each group
-  runs one vectorized batch predicate, never per-row Python.
+- the refine is shuffle-free for dimension-table layers: regions ship
+  in the task closure and each Arrow batch runs one vectorized
+  predicate per geometry present (``mapInPandas``); huge layers fall
+  back to a broadcast-join + per-geometry grouped apply.  Never
+  per-row Python either way.
 """
 
 from __future__ import annotations
@@ -58,12 +61,25 @@ GEOM_SCHEMA = T.StructType(
 
 
 class Layer:
-    """A prepared join target: geometry blobs + exploded covering table."""
+    """A prepared join target: geometry blobs + exploded covering table.
 
-    def __init__(self, geoms: DataFrame, covering: DataFrame, levels: list[int]):
+    ``regions`` (driver-side dict) is kept when the layer is small enough
+    to ship in task closures — the refine then runs as a shuffle-free
+    mapInPandas instead of a per-geometry grouped apply."""
+
+    MAX_CLOSURE_GEOMS = 20000
+
+    def __init__(
+        self,
+        geoms: DataFrame,
+        covering: DataFrame,
+        levels: list[int],
+        regions: dict[int, Region] | None = None,
+    ):
         self.geoms = geoms
         self.covering = covering
         self.levels = levels
+        self.regions = regions
 
 
 def build_layer(
@@ -80,6 +96,7 @@ def build_layer(
     ``interior=True`` also computes the interior covering and marks
     covering cells that are fully inside (refine-skip fast path).
     """
+    regions = list(regions)
     rows = [(int(gid), pickle.dumps(region)) for gid, region in regions]
     geoms = spark.createDataFrame(rows, GEOM_SCHEMA)
     if num_partitions:
@@ -115,8 +132,20 @@ def build_layer(
         )
 
     covering = geoms.groupBy("geom_id").applyInPandas(cover_one, COVER_SCHEMA)
-    levels = [r["level"] for r in covering.select("level").distinct().collect()]
-    return Layer(geoms, covering, sorted(levels))
+    if len(regions) <= Layer.MAX_CLOSURE_GEOMS:
+        # Dimension-table layer: materialize the covering once and pin it
+        # as literal rows — downstream actions must never re-run the
+        # covering computation (each Python re-execution would cost more
+        # than the join itself).
+        rows = covering.collect()
+        covering = spark.createDataFrame(rows, COVER_SCHEMA)
+        levels = sorted({r["level"] for r in rows})
+        region_map = {int(g): r for g, r in regions}
+    else:
+        covering = covering.persist()
+        levels = [r["level"] for r in covering.select("level").distinct().collect()]
+        region_map = None
+    return Layer(geoms, covering, sorted(levels), region_map)
 
 
 def split_hot_cells(
@@ -158,7 +187,7 @@ def split_hot_cells(
         .withColumn("level", s2sql.level(F.col("cell")).cast("int"))
     )
     levels = [r["level"] for r in cov.select("level").distinct().collect()]
-    return Layer(layer.geoms, cov, sorted(levels))
+    return Layer(layer.geoms, cov, sorted(levels), layer.regions)
 
 
 def hot_cell_histogram(
@@ -236,17 +265,12 @@ def spatial_join(
     pts = points.select(*dict.fromkeys(cols))
     cand = _candidates(pts, layer, cell_col)
 
-    # A point hitting k covering cells of one geometry must produce ONE
-    # row (s2/cellunion.go:27-34 non-redundancy analog): aggregate to
-    # (point, geom) keeping the strongest evidence.
-    extra = list(dict.fromkeys([cell_col, *carry, *(latlng or ())]))
-    agg_cols = [F.max("is_interior").alias("_sure")] + [
-        F.first(c).alias(c) for c in extra
-    ]
-    cand = cand.groupBy(point_key, "geom_id").agg(*agg_cols)
-
-    sure = cand.where(F.col("_sure")).select(point_key, "geom_id", *carry)
-    unsure = cand.where(~F.col("_sure"))
+    # Covering cells of one geometry are *disjoint* (normalized,
+    # s2/cellunion.go:27-34), so a point's leaf lies in at most one of
+    # them: (point, geom) candidate rows are already unique — no dedup
+    # shuffle needed.
+    sure = cand.where(F.col("is_interior")).select(point_key, "geom_id", *carry)
+    unsure = cand.where(~F.col("is_interior"))
 
     refined = _refine(unsure, layer, point_key, cell_col, carry, latlng)
     matches = sure.unionByName(refined)
@@ -267,9 +291,16 @@ def _refine(
     carry: tuple[str, ...],
     latlng: tuple[str, str] | None,
 ) -> DataFrame:
-    """Exact containment per candidate group — one vectorized predicate
-    batch per geometry (applyInPandas), geometry blob joined in (the
-    layer is a broadcastable dim table)."""
+    """Exact containment of the non-interior candidates.
+
+    Fast path (layer fits in the closure): shuffle-free mapInPandas —
+    each Arrow batch is grouped by geom_id in-memory and hit with one
+    vectorized predicate per geometry present.  No extra shuffle, no
+    per-geometry group skew (dense-city geometries would otherwise pin
+    single tasks).  Fallback for huge layers: broadcast-join the blobs
+    and group per geometry."""
+    if layer.regions is not None:
+        return _refine_closure(unsure, layer.regions, point_key, cell_col, carry, latlng)
     joined = unsure.join(F.broadcast(layer.geoms), "geom_id")
 
     out_fields = [T.StructField("geom_id", T.LongType())]
@@ -299,3 +330,49 @@ def _refine(
         return pd.DataFrame(cols)
 
     return joined.groupBy("geom_id").applyInPandas(refine_group, schema)
+
+
+def _points_xyz(pdf: pd.DataFrame, cell_col: str, latlng) -> np.ndarray:
+    if latlng:
+        x, y, z = ck.latlng_to_xyz(
+            pdf[latlng[0]].to_numpy(np.float64),
+            pdf[latlng[1]].to_numpy(np.float64),
+        )
+        return np.stack([x, y, z], axis=1)
+    cells = ck.from_signed(pdf[cell_col].to_numpy(np.int64))
+    x, y, z = ck.cellid_to_xyz(cells)
+    pts = np.stack([x, y, z], axis=1)
+    return pts / np.sqrt((pts * pts).sum(axis=1))[:, None]
+
+
+def _refine_closure(
+    unsure: DataFrame,
+    regions: dict[int, Region],
+    point_key: str,
+    cell_col: str,
+    carry: tuple[str, ...],
+    latlng,
+) -> DataFrame:
+    key_type = unsure.schema[point_key].dataType.simpleString()
+    carry_types = {c: unsure.schema[c].dataType.simpleString() for c in carry}
+    schema = ", ".join(
+        ["geom_id long", f"{point_key} {key_type}"]
+        + [f"{c} {t}" for c, t in carry_types.items()]
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pts = _points_xyz(pdf, cell_col, latlng)
+            gids = pdf["geom_id"].to_numpy(np.int64)
+            keep = np.zeros(len(pdf), dtype=bool)
+            for gid in np.unique(gids):
+                m = gids == gid
+                keep[m] = regions[int(gid)].contains_points(pts[m])
+            out = {"geom_id": gids[keep], point_key: pdf[point_key].to_numpy()[keep]}
+            for c in carry:
+                out[c] = pdf[c].to_numpy()[keep]
+            yield pd.DataFrame(out)
+
+    return unsure.mapInPandas(fn, schema)
