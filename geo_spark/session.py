@@ -19,6 +19,12 @@ def get_spark(
     with master/resources supplied externally.
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # One BLAS thread per Python worker: the vectorized UDF kernels run
+    # one worker per core already — nested OpenBLAS threading (32 workers
+    # x 32 threads) inverts scaling through cache thrash.
+    blas_vars = ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS")
+    for var in blas_vars:
+        os.environ.setdefault(var, "1")
     builder = (
         SparkSession.builder.appName(app)
         .config("spark.sql.adaptive.enabled", "true")
@@ -29,6 +35,8 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    for var in blas_vars:
+        builder = builder.config(f"spark.executorEnv.{var}", "1")
     if master is not None:
         builder = builder.master(master)
     elif "SPARK_MASTER" in os.environ:

@@ -1,0 +1,134 @@
+"""Two-parallelism scaling benchmark (BASELINE.json north_rule evidence).
+
+The rule's N->4N executor criterion cannot use a real cluster in this
+sandbox, so the same flagship job (pages -> geotag extract -> S2 encode
+-> tile counts, plus the pages x city-loops PIP join) runs at local[8]
+and local[32] on the identical materialized input; we report throughput
+at both and the scaling efficiency  eff = (T_8 / T_32) / 4.
+
+Each configuration runs in a fresh JVM subprocess (no cache leakage);
+best-of-N wall times reduce shared-box noise.  Results are appended to
+BASELINE.md under '## Measured scaling'.
+
+Usage: python scripts/scaling_bench.py [--pages 1000000] [--reps 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from bench import bench_session, build_city_layer, materialize_pages, run_pages_pipeline, run_pages_pip_join
+
+cpus = {cpus}
+spark = bench_session(cpus)
+path = materialize_pages(spark, {pages}, cpus)
+layer = build_city_layer(spark)
+# Warmup: pay Python-worker imports and JIT outside the timed window.
+run_pages_pipeline(spark, path)
+run_pages_pip_join(spark, path, layer)
+t0 = time.monotonic(); run_pages_pipeline(spark, path); t1 = time.monotonic()
+run_pages_pip_join(spark, path, layer); t2 = time.monotonic()
+print("RESULT " + json.dumps({{"pipeline": t1 - t0, "join": t2 - t1}}))
+spark.stop()
+"""
+
+
+def run_once(cpus: int, pages: int) -> dict:
+    code = CHILD.format(repo=REPO, cpus=cpus, pages=pages)
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=1200,
+        cwd=REPO,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"child failed (cpus={cpus}):\n{out.stderr[-2000:]}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", type=int, default=4_000_000)
+    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--low", type=int, default=8)
+    ap.add_argument("--high", type=int, default=32)
+    args = ap.parse_args()
+
+    # Interleave configs (H,L,H,L,...): the sandbox VM's CPU delivery is
+    # bursty, so consecutive same-config runs would bias whichever config
+    # ran first; min-of-interleaved gives each config its best window.
+    all_runs: dict[int, list[dict]] = {args.low: [], args.high: []}
+    for _ in range(args.reps):
+        for cpus in (args.high, args.low):
+            all_runs[cpus].append(run_once(cpus, args.pages))
+    best = {
+        cpus: {
+            "pipeline": min(r["pipeline"] for r in runs),
+            "join": min(r["join"] for r in runs),
+            "runs": runs,
+        }
+        for cpus, runs in all_runs.items()
+    }
+
+    factor = args.high / args.low
+    report = {
+        "n_pages": args.pages,
+        "low_cpus": args.low,
+        "high_cpus": args.high,
+        "pipeline": {
+            "low_sec": round(best[args.low]["pipeline"], 2),
+            "high_sec": round(best[args.high]["pipeline"], 2),
+            "low_pages_per_sec": round(args.pages / best[args.low]["pipeline"]),
+            "high_pages_per_sec": round(args.pages / best[args.high]["pipeline"]),
+            "speedup": round(best[args.low]["pipeline"] / best[args.high]["pipeline"], 2),
+            "efficiency": round(
+                best[args.low]["pipeline"] / best[args.high]["pipeline"] / factor, 3
+            ),
+        },
+        "pip_join": {
+            "low_sec": round(best[args.low]["join"], 2),
+            "high_sec": round(best[args.high]["join"], 2),
+            "speedup": round(best[args.low]["join"] / best[args.high]["join"], 2),
+            "efficiency": round(
+                best[args.low]["join"] / best[args.high]["join"] / factor, 3
+            ),
+        },
+    }
+    print(json.dumps(report))
+
+    baseline = os.path.join(REPO, "BASELINE.md")
+    marker = "## Measured scaling"
+    section = (
+        f"\n{marker} (local[{args.low}] vs local[{args.high}], "
+        f"{args.pages:,} pages, best of {args.reps})\n\n"
+        f"| job | {args.low} cores | {args.high} cores | speedup | efficiency vs {factor:.0f}x |\n"
+        f"|---|---|---|---|---|\n"
+        f"| pages pipeline (extract->encode->tile counts) | "
+        f"{report['pipeline']['low_sec']}s ({report['pipeline']['low_pages_per_sec']:,}/s) | "
+        f"{report['pipeline']['high_sec']}s ({report['pipeline']['high_pages_per_sec']:,}/s) | "
+        f"{report['pipeline']['speedup']}x | {report['pipeline']['efficiency']} |\n"
+        f"| pages x 50 city loops PIP join | "
+        f"{report['pip_join']['low_sec']}s | {report['pip_join']['high_sec']}s | "
+        f"{report['pip_join']['speedup']}x | {report['pip_join']['efficiency']} |\n"
+    )
+    with open(baseline) as f:
+        content = f.read()
+    if marker in content:
+        content = content[: content.index(marker) - 1]
+    with open(baseline, "w") as f:
+        f.write(content + section)
+
+
+if __name__ == "__main__":
+    main()
