@@ -338,6 +338,152 @@ def _q_loop_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_interval_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-way interval overlap profile (the s2intersect sweep shape,
+    s2/s2intersect/s2intersect.go:91-296) over deterministic integer
+    intervals derived from orders."""
+    from geo_spark.operators.sweep import overlap_profile
+
+    orders = _t(spark, sf_dir, "orders")
+    iv = orders.select(
+        (F.col("o_orderkey") % 1000).alias("lo"),
+        ((F.col("o_orderkey") % 1000) + (F.col("o_custkey") % 50)).alias("hi"),
+    )
+    return overlap_profile(iv, "lo", "hi")
+
+
+def _oracle_interval_sweep() -> str:
+    return """
+        WITH iv AS (
+          SELECT o_orderkey % 1000 AS lo,
+                 (o_orderkey % 1000) + (o_custkey % 50) AS hi
+          FROM orders
+        ),
+        ev AS (
+          SELECT lo AS pos, 1 AS delta FROM iv
+          UNION ALL
+          SELECT hi + 1 AS pos, -1 AS delta FROM iv
+        ),
+        g AS (SELECT pos, SUM(delta) AS d FROM ev GROUP BY pos)
+        SELECT pos, CAST(SUM(d) OVER (ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS active
+        FROM g ORDER BY pos
+    """
+
+
+def _q_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level tile rollup (GROUPING SETS over face/quadtree
+    prefixes): counts at (face, ti8), (face), and grand total."""
+    from geo_spark.functions.s2 import s2_cellid, s2_face_ij
+    from geo_spark.operators.geo_noise import with_geo_noise
+
+    ev = with_geo_noise(_t(spark, sf_dir, "events"), "event_id")
+    enc = ev.withColumn("cell_id", s2_cellid(F.col("lat"), F.col("lng")))
+    dec = enc.withColumn("fij", s2_face_ij(F.col("cell_id")))
+    base = dec.select(
+        F.col("fij.face").cast("long").alias("face"),
+        F.shiftright(F.col("fij.i"), 22).alias("ti"),
+    )
+    return (
+        base.rollup("face", "ti")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.coalesce(F.col("face"), F.lit(-1)).alias("face"),
+            F.coalesce(F.col("ti"), F.lit(-1)).alias("ti"),
+            "cnt",
+        )
+        .orderBy("face", "ti")
+    )
+
+
+def _oracle_tile_rollup() -> str:
+    from geo_spark.operators.geo_noise import LAT_SQL, LNG_SQL, duckdb_face_ij_query
+
+    lat = LAT_SQL.format(id="event_id")
+    lng = LNG_SQL.format(id="event_id")
+    src = f"SELECT event_id, {lat} AS lat, {lng} AS lng FROM events"
+    fij = duckdb_face_ij_query(src)
+    return f"""
+        SELECT COALESCE(CAST(face AS BIGINT), -1) AS face,
+               COALESCE(i // 4194304, -1) AS ti,
+               COUNT(*) AS cnt
+        FROM ({fij})
+        GROUP BY ROLLUP (face, i // 4194304)
+        ORDER BY face, ti
+    """
+
+
+def _q_top_events_per_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k: 3 highest-value events per level-4 face/quadtree
+    tile (ties by event_id)."""
+    from pyspark.sql import Window
+
+    from geo_spark.functions.s2 import s2_cellid, s2_face_ij
+    from geo_spark.operators.geo_noise import with_geo_noise
+
+    ev = with_geo_noise(_t(spark, sf_dir, "events"), "event_id")
+    enc = ev.withColumn("cell_id", s2_cellid(F.col("lat"), F.col("lng")))
+    dec = enc.withColumn("fij", s2_face_ij(F.col("cell_id")))
+    base = dec.select(
+        "event_id",
+        F.col("value"),
+        F.col("fij.face").cast("long").alias("face"),
+        F.shiftright(F.col("fij.i"), 26).alias("ti"),
+        F.shiftright(F.col("fij.j"), 26).alias("tj"),
+    )
+    w = Window.partitionBy("face", "ti", "tj").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    return (
+        base.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("face", "ti", "tj", "event_id", F.col("rnk").cast("int").alias("rnk"))
+        .orderBy("face", "ti", "tj", "rnk")
+    )
+
+
+def _oracle_top_events_per_tile() -> str:
+    from geo_spark.operators.geo_noise import LAT_SQL, LNG_SQL, duckdb_face_ij_query
+
+    lat = LAT_SQL.format(id="event_id")
+    lng = LNG_SQL.format(id="event_id")
+    src = (
+        f"SELECT event_id, value, {lat} AS lat, {lng} AS lng FROM events"
+    )
+    fij = duckdb_face_ij_query(src)
+    return f"""
+        WITH t AS (
+          SELECT event_id, value, CAST(face AS BIGINT) AS face,
+                 i // 67108864 AS ti, j // 67108864 AS tj
+          FROM ({fij})
+        ),
+        r AS (SELECT face, ti, tj, event_id,
+                     row_number() OVER (PARTITION BY face, ti, tj
+                                        ORDER BY value DESC, event_id) AS rnk
+              FROM t)
+        SELECT face, ti, tj, event_id, CAST(rnk AS INT) AS rnk
+        FROM r WHERE rnk <= 3 ORDER BY face, ti, tj, rnk
+    """
+
+
+def _q_city_hulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convex hull per coarse tile over events (rows-only: spherical
+    Graham scan isn't SQL-expressible; invariants in
+    tests/test_sweep_hull.py)."""
+    from geo_spark.functions.s2 import s2_cellid
+    from geo_spark.functions import sql as s2sql
+    from geo_spark.operators.geo_noise import with_geo_noise
+    from geo_spark.operators.hull import group_convex_hulls
+
+    ev = with_geo_noise(_t(spark, sf_dir, "events"), "event_id")
+    enc = ev.withColumn(
+        "tile", s2sql.parent(s2_cellid(F.col("lat"), F.col("lng")), 2)
+    )
+    hulls = group_convex_hulls(enc.select("tile", "lat", "lng"), "tile")
+    return hulls.select("tile", "n_hull").orderBy("tile")
+
+
 def _q_hex_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events -> H3-compatible aperture-7 hex tiles (res 3) -> counts.
     Rows-only check: the icosahedral projection isn't SQL-expressible;
@@ -612,6 +758,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "q_simhash_pairs": _q_simhash_pairs,
         "q_hex_tile_counts": _q_hex_tile_counts,
+        "q_interval_sweep": _q_interval_sweep,
+        "q_tile_rollup": _q_tile_rollup,
+        "q_top_events_per_tile": _q_top_events_per_tile,
+        "q_city_hulls": _q_city_hulls,
     }
 
 
@@ -629,4 +779,7 @@ def oracle_sql() -> dict[str, str]:
         "q_doc_quality": _oracle_doc_quality(),
         "q_lang_guess": _oracle_lang_guess(),
         "q_cosine_topk": _oracle_cosine_topk(),
+        "q_interval_sweep": _oracle_interval_sweep(),
+        "q_tile_rollup": _oracle_tile_rollup(),
+        "q_top_events_per_tile": _oracle_top_events_per_tile(),
     }
