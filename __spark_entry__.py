@@ -338,6 +338,151 @@ def _q_loop_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shipping priority: 3-way join + filter + top-10."""
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+def _oracle_tpch_q3() -> str:
+    return """
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                        (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+                    AS DOUBLE) AS revenue
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING'
+          AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 10
+    """
+
+
+def _q_events_outside_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti spatial join: events in NO cap, counted per event_type."""
+    from geo_spark.operators.spatial_join import spatial_join
+
+    ev = _events_with_cells(spark, sf_dir)
+    anti = spatial_join(
+        ev,
+        _cap_layer(spark),
+        point_key="event_id",
+        how="left_anti",
+        latlng=("lat", "lng"),
+    )
+    return (
+        anti.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("event_type")
+    )
+
+
+def _oracle_events_outside_caps() -> str:
+    from geo_spark.kernel.regions import chord2_from_angle
+    from geo_spark.operators.geo_noise import LAT_SQL, LNG_SQL
+
+    lat = LAT_SQL.format(id="event_id")
+    lng = LNG_SQL.format(id="event_id")
+    caps = ", ".join(
+        "({g}, cos(radians({ln!r}))*cos(radians({la!r})), "
+        "sin(radians({ln!r}))*cos(radians({la!r})), sin(radians({la!r})), {r2!r})".format(
+            g=g, la=la, ln=ln, r2=chord2_from_angle(r)
+        )
+        for g, la, ln, r in _CAPS
+    )
+    return f"""
+        WITH pts AS (SELECT event_id, {lat} AS lat, {lng} AS lng FROM events),
+        xyz AS (SELECT event_id,
+                       cos(radians(lng))*cos(radians(lat)) AS x,
+                       sin(radians(lng))*cos(radians(lat)) AS y,
+                       sin(radians(lat)) AS z
+                FROM pts),
+        caps(geom_id, cx, cy, cz, r2) AS (VALUES {caps})
+        SELECT e.event_type, COUNT(*) AS cnt
+        FROM events e JOIN xyz USING (event_id)
+        WHERE NOT EXISTS (
+          SELECT 1 FROM caps
+          WHERE least((x-cx)*(x-cx) + (y-cy)*(y-cy) + (z-cz)*(z-cz), 4.0) <= r2
+        )
+        GROUP BY e.event_type ORDER BY e.event_type
+    """
+
+
+def _q_snap_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IntLatLng snap-to-grid site dedup (the Builder snap stage,
+    s2/builder_snapper.go:355-507, as a groupBy instead of the
+    reference's O(N^2) loop): snap events to an E2 grid (0.01 deg) and
+    count distinct sites per face-level-2 quadrant."""
+    from geo_spark.functions.s2 import s2_cellid, s2_face_ij
+    from geo_spark.operators.geo_noise import with_geo_noise
+
+    ev = with_geo_noise(_t(spark, sf_dir, "events"), "event_id")
+    snapped = ev.withColumns(
+        {
+            # floor(x*scale + 0.5): explicit half-up, portable rounding
+            "slat": F.floor(F.col("lat") * 100 + F.lit(0.5)).cast("long"),
+            "slng": F.floor(F.col("lng") * 100 + F.lit(0.5)).cast("long"),
+        }
+    )
+    sites = snapped.select("slat", "slng").distinct()
+    enc = sites.withColumn(
+        "cell_id", s2_cellid(F.col("slat") / 100.0, F.col("slng") / 100.0)
+    ).withColumn("fij", s2_face_ij(F.col("cell_id")))
+    return (
+        enc.select(
+            F.col("fij.face").cast("long").alias("face"),
+            F.shiftright(F.col("fij.i"), 28).alias("qi"),
+            F.shiftright(F.col("fij.j"), 28).alias("qj"),
+        )
+        .groupBy("face", "qi", "qj")
+        .agg(F.count(F.lit(1)).alias("n_sites"))
+        .orderBy("face", "qi", "qj")
+    )
+
+
+def _oracle_snap_dedup() -> str:
+    from geo_spark.operators.geo_noise import LAT_SQL, LNG_SQL, duckdb_face_ij_query
+
+    lat = LAT_SQL.format(id="event_id")
+    lng = LNG_SQL.format(id="event_id")
+    src = f"""
+        SELECT DISTINCT CAST(floor(({lat}) * 100 + 0.5) AS BIGINT) AS slat,
+                        CAST(floor(({lng}) * 100 + 0.5) AS BIGINT) AS slng
+        FROM events
+    """
+    fij = duckdb_face_ij_query(
+        f"SELECT slat / 100.0 AS lat, slng / 100.0 AS lng FROM ({src})"
+    )
+    return f"""
+        SELECT CAST(face AS BIGINT) AS face,
+               i // 268435456 AS qi, j // 268435456 AS qj,
+               COUNT(*) AS n_sites
+        FROM ({fij})
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """
+
+
 def _q_interval_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-way interval overlap profile (the s2intersect sweep shape,
     s2/s2intersect/s2intersect.go:91-296) over deterministic integer
@@ -762,6 +907,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tile_rollup": _q_tile_rollup,
         "q_top_events_per_tile": _q_top_events_per_tile,
         "q_city_hulls": _q_city_hulls,
+        "q_tpch_q3": _q_tpch_q3,
+        "q_events_outside_caps": _q_events_outside_caps,
+        "q_snap_dedup": _q_snap_dedup,
     }
 
 
@@ -782,4 +930,7 @@ def oracle_sql() -> dict[str, str]:
         "q_interval_sweep": _oracle_interval_sweep(),
         "q_tile_rollup": _oracle_tile_rollup(),
         "q_top_events_per_tile": _oracle_top_events_per_tile(),
+        "q_tpch_q3": _oracle_tpch_q3(),
+        "q_events_outside_caps": _oracle_events_outside_caps(),
+        "q_snap_dedup": _oracle_snap_dedup(),
     }
