@@ -181,3 +181,17 @@ def expand_at_level(cells: list[int], level: int) -> list[int]:
 def leaf_cells_covered(cells: list[int]) -> int:
     """Number of level-30 leaves covered; s2/cellunion.go:361-369."""
     return sum(_lsb(ci) << 1 for ci in cells) >> 1
+
+
+def expand_by_radius(cells: list[int], min_radius_rad: float, max_level_diff: int = 3) -> list[int]:
+    """Buffer the union by at least min_radius: expand at the level whose
+    MinWidth is >= the radius (s2/cellunion.go:482-501)."""
+    from geo_spark.kernel import metric
+
+    if not cells:
+        return []
+    min_level = min(_level(c) for c in cells)
+    radius_level = metric.MIN_WIDTH.max_level(min_radius_rad)
+    if radius_level == 0 and min_radius_rad > metric.MIN_WIDTH.value(0):
+        cells = expand_at_level(cells, 0)
+    return expand_at_level(cells, min(min_level + max_level_diff, radius_level))

@@ -1,0 +1,72 @@
+"""Geometry <-> geometry join (polygon/polygon relations).
+
+Candidates: Hilbert-range overlap between the two layers' covering
+cells — the engine's **range join** primitive (the table form of
+CellUnion.Intersects, s2/cellunion.go:253-265): covering cell ranges
+[RangeMin, RangeMax] overlap iff the regions *may* intersect.  Refine:
+pairwise loop relations (kernel/relations.py) on the candidate pairs
+only, geometries shipped in the closure (layers are dimension tables).
+
+For two small layers Spark plans the range join as broadcast-NL — the
+right call; for two huge layers the same code becomes a shuffle range
+join where Iceberg/parquet sort order on the biased cell id provides
+data skipping.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geo_spark.functions import sql as s2sql
+from geo_spark.kernel.regions import LoopRegion
+from geo_spark.kernel.relations import loop_relation
+from geo_spark.operators.spatial_join import Layer
+
+
+def _ranges(layer: Layer, prefix: str) -> DataFrame:
+    return layer.covering.select(
+        F.col("geom_id").alias(f"{prefix}id"),
+        s2sql.range_min(F.col("cell")).alias(f"{prefix}lo"),
+        s2sql.range_max(F.col("cell")).alias(f"{prefix}hi"),
+    )
+
+
+def polygon_polygon_join(a: Layer, b: Layer) -> DataFrame:
+    """(aid, bid, contains, intersects) for candidate pairs whose
+    coverings overlap; non-candidates are provably disjoint."""
+    if a.regions is None or b.regions is None:
+        raise ValueError("polygon_polygon_join requires closure-size layers")
+    ra = _ranges(a, "a")
+    rb = _ranges(b, "b")
+    cands = (
+        ra.join(rb, (ra["alo"] <= rb["bhi"]) & (rb["blo"] <= ra["ahi"]))
+        .select("aid", "bid")
+        .distinct()
+    )
+
+    a_regions = a.regions
+    b_regions = b.regions
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for aid, bid in zip(pdf["aid"].to_numpy(), pdf["bid"].to_numpy()):
+                la = a_regions[int(aid)]
+                lb = b_regions[int(bid)]
+                if not isinstance(la, LoopRegion) or not isinstance(lb, LoopRegion):
+                    raise TypeError("polygon_polygon_join refine expects LoopRegion")
+                contains, intersects = loop_relation(
+                    la.verts, la.origin_inside, lb.verts, lb.origin_inside
+                )
+                rows.append((int(aid), int(bid), contains, intersects))
+            yield pd.DataFrame(
+                rows, columns=["aid", "bid", "contains", "intersects"]
+            )
+
+    out = cands.mapInPandas(
+        fn, "aid long, bid long, contains boolean, intersects boolean"
+    )
+    return out.where(F.col("intersects"))
