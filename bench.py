@@ -41,8 +41,8 @@ def bench_session(cpus: int):
     from geo_spark.session import get_spark
 
     spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus)
-    spark.conf.set("spark.sql.files.maxPartitionBytes", str(2 * 1024 * 1024))
-    spark.conf.set("spark.sql.files.openCostInBytes", str(128 * 1024))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(512 * 1024))
     spark.sparkContext.setLogLevel("ERROR")
     return spark
 
@@ -63,7 +63,7 @@ def run_pages_pipeline(spark, pages_path: str) -> int:
     from geo_spark.sources.extract import extract_encode
 
     pages = spark.read.parquet(pages_path)
-    return tile_counts(extract_encode(pages), 10).count()
+    return tile_counts(extract_encode(pages), 10, sort=False).count()
 
 
 def build_city_layer(spark):

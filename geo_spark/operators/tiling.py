@@ -30,17 +30,21 @@ def with_tiles(df: DataFrame, levels: tuple[int, ...] = (10, 16), cell_col: str 
     return df
 
 
-def tile_counts(df: DataFrame, level: int, cell_col: str = "cell_id") -> DataFrame:
+def tile_counts(
+    df: DataFrame, level: int, cell_col: str = "cell_id", sort: bool = True
+) -> DataFrame:
     """Pages per tile at a level.  Map-side partial aggregation is free
-    (hash agg); output is sorted by tile id = Hilbert order, which is also
-    the locality-preserving write order for downstream consumers."""
+    (hash agg); with ``sort=True`` output is ordered by tile id = Hilbert
+    order, the locality-preserving write order for downstream consumers
+    (skip it when the consumer repartitions anyway — the global sort is
+    an extra full shuffle)."""
     # Null cells are filtered AFTER the aggregation (one group) — a
     # pre-agg filter on the UDF output gets pushed below the projection and
     # duplicates the ArrowEvalPython node, running the UDF twice per row.
     tile = s2sql.parent(F.col(cell_col), level).alias("tile")
-    return (
+    out = (
         df.groupBy(tile)
         .agg(F.count(F.lit(1)).alias("cnt"))
         .where(F.col("tile").isNotNull())
-        .orderBy("tile")
     )
+    return out.orderBy("tile") if sort else out
