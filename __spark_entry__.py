@@ -629,6 +629,75 @@ def _q_city_hulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hulls.select("tile", "n_hull").orderBy("tile")
 
 
+def _q_polygon_polygon_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon x polygon Hilbert-range join + loop-relation refine
+    (rows-only; differential-tested vs all-pairs brute force in
+    tests/test_relations.py)."""
+    from geo_spark.kernel.regions import LoopRegion
+    from geo_spark.operators.geom_join import polygon_polygon_join
+    from geo_spark.operators.spatial_join import build_layer
+    from geo_spark.sources.layers import city_loop_regions, regular_loop_vertices
+
+    small = build_layer(spark, city_loop_regions(30), max_cells=8)
+    big_regions = [
+        (200 + i, LoopRegion.from_vertices(regular_loop_vertices(la, ln, 0.05, 24)))
+        for i, (la, ln) in enumerate(
+            [(40.7, -74.0), (48.85, 2.35), (35.68, 139.65), (0.0, 0.0)]
+        )
+    ]
+    big = build_layer(spark, big_regions, max_cells=8)
+    return (
+        polygon_polygon_join(small, big)
+        .select("aid", "bid", "contains")
+        .orderBy("aid", "bid")
+    )
+
+
+def _q_polyline_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-trail simplification: order events by ts per user,
+    simplify the lat/lng polyline at ~10 km tolerance, report kept/total
+    (rows-only; tolerance guarantee pinned in tests/test_edges.py)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from geo_spark.kernel import cellid as ck
+    from geo_spark.kernel import edges as E
+    from geo_spark.kernel import metric
+    from geo_spark.operators.geo_noise import with_geo_noise
+
+    ev = with_geo_noise(_t(spark, sf_dir, "events"), "event_id")
+    tol = metric.meters_to_radians(10_000.0)
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_points", T.IntegerType()),
+            T.StructField("n_kept", T.IntegerType()),
+        ]
+    )
+
+    def one(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        x, y, z = ck.latlng_to_xyz(
+            pdf["lat"].to_numpy(np.float64), pdf["lng"].to_numpy(np.float64)
+        )
+        verts = np.stack([x, y, z], axis=1)
+        kept = E.simplify_polyline(verts, tol)
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_points": [len(verts)],
+                "n_kept": [len(kept)],
+            }
+        )
+
+    out = ev.select("user_id", "ts", "event_id", "lat", "lng").groupBy(
+        "user_id"
+    ).applyInPandas(one, schema)
+    return out.orderBy("user_id")
+
+
 def _q_hex_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events -> H3-compatible aperture-7 hex tiles (res 3) -> counts.
     Rows-only check: the icosahedral projection isn't SQL-expressible;
@@ -910,6 +979,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q3": _q_tpch_q3,
         "q_events_outside_caps": _q_events_outside_caps,
         "q_snap_dedup": _q_snap_dedup,
+        "q_polygon_polygon_join": _q_polygon_polygon_join,
+        "q_polyline_simplify": _q_polyline_simplify,
     }
 
 

@@ -31,6 +31,9 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Fat Arrow batches: the vectorized kernels amortize per-batch
+        # dispatch; 10k-row default batches leave numpy underfed.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "200000")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
