@@ -90,11 +90,16 @@ def build_layer(
     max_cells: int = 8,
     interior: bool = True,
     num_partitions: int | None = None,
+    subdivide: int = 2,
 ) -> Layer:
     """Covering layer prep — per-geometry parallel (SURVEY.md §3.2).
 
-    ``interior=True`` also computes the interior covering and marks
-    covering cells that are fully inside (refine-skip fast path).
+    ``interior=True`` marks covering cells fully inside the region
+    (refine-skip fast path).  ``subdivide=s`` additionally splits each
+    *boundary* covering cell up to s levels (the ShapeIndex subdivision
+    analog, s2/shapeindex.go:1194-1213): disjoint children are dropped
+    (fewer candidates), fully-contained children become interior (fewer
+    refines); only the shrinking boundary band still refines.
     """
     regions = list(regions)
     rows = [(int(gid), pickle.dumps(region)) for gid, region in regions]
@@ -108,20 +113,37 @@ def build_layer(
     want_interior = interior
 
     def cover_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        from geo_spark.kernel.cell import Cell
+
         out_gid, out_cell, out_lvl, out_int = [], [], [], []
+
+        def emit(gid: int, c: int, is_int: bool) -> None:
+            out_gid.append(gid)
+            out_cell.append(int(ck.to_signed(np.uint64(c))))
+            out_lvl.append(cu._level(c))
+            out_int.append(is_int)
+
         for gid, blob in zip(pdf["geom_id"], pdf["blob"]):
             region = pickle.loads(blob)
-            cover = coverer.covering(region)
-            interior_cells = (
-                coverer.interior_covering(region) if want_interior else []
-            )
-            for c in cover:
-                out_gid.append(gid)
-                out_cell.append(int(ck.to_signed(np.uint64(c))))
-                out_lvl.append(cu._level(c))
-                out_int.append(
-                    bool(interior_cells) and cu.contains_cellid(interior_cells, c)
-                )
+            for c in coverer.covering(region):
+                base_level = cu._level(c)
+                # DFS: interior children emit immediately, disjoint drop,
+                # boundary children split until the depth budget.
+                stack = [(Cell.from_id(c), want_interior)]
+                while stack:
+                    cell, check = stack.pop()
+                    is_int = check and region.contains_cell(cell)
+                    if (
+                        is_int
+                        or not check
+                        or cell.level - base_level >= subdivide
+                        or cell.level >= max_level
+                    ):
+                        emit(gid, cell.id, is_int)
+                        continue
+                    for child in cell.children():
+                        if region.may_intersect_cell(child):
+                            stack.append((child, True))
         return pd.DataFrame(
             {
                 "geom_id": pd.Series(out_gid, dtype="int64"),
@@ -206,12 +228,35 @@ def hot_cell_histogram(
     return [(r["cell"], r["cnt"]) for r in rows]
 
 
+def _coarse_prefilter(points: DataFrame, layer: Layer, cell_col: str) -> DataFrame:
+    """Semi-join points against the coarse ancestors of ALL covering
+    cells before the per-level explode: with a dimension-table layer the
+    ancestor set is tiny, the filter is a broadcast isin at ONE level,
+    and the x|levels| explode then runs only on surviving points (the
+    covering-term join's row multiplier applied to ~the hit rate instead
+    of the whole corpus)."""
+    if not layer.levels:
+        return points
+    l0 = layer.levels[0]
+    rows = (
+        layer.covering.select(s2sql.parent(F.col("cell"), l0).alias("a"))
+        .distinct()
+        .limit(10001)
+        .collect()
+    )
+    ancestors = [r["a"] for r in rows]
+    if len(ancestors) > 10000:
+        return points
+    return points.where(s2sql.parent(F.col(cell_col), l0).isin(ancestors))
+
+
 def _candidates(points: DataFrame, layer: Layer, cell_col: str) -> DataFrame:
     """points x covering equi-join on (level, Parent(point_cell, level)).
 
     The explode emits one row per covering *level* (bounded by the level
     window, typically <= 8 — s2/region_term_indexer.go:140-143 ancestor
     terms), not per covering cell."""
+    points = _coarse_prefilter(points, layer, cell_col)
     # One struct per covering level with a *literal* parent mask — the
     # whole key computation stays inside whole-stage codegen.
     pairs = F.array(
