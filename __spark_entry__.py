@@ -629,6 +629,59 @@ def _q_city_hulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hulls.select("tile", "n_hull").orderBy("tile")
 
 
+_DIST_RADIUS = 0.12  # rad, ~765 km
+
+
+def _q_distance_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events within ~765 km of each cap geometry (buffered-covering
+    candidates + exact chord-distance refine); per-cap counts."""
+    from geo_spark.kernel.regions import Cap
+    from geo_spark.operators.distance_join import build_distance_layer, distance_join
+
+    regions = [
+        (g, Cap.from_center_angle(la, ln, r)) for g, la, ln, r in _CAPS[:3]
+    ]
+    layer = build_distance_layer(spark, regions, _DIST_RADIUS)
+    ev = _events_with_cells(spark, sf_dir)
+    joined = distance_join(ev, layer, _DIST_RADIUS, point_key="event_id")
+    return (
+        joined.groupBy("geom_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("geom_id")
+    )
+
+
+def _oracle_distance_join_counts() -> str:
+    from geo_spark.operators.geo_noise import LAT_SQL, LNG_SQL
+
+    lat = LAT_SQL.format(id="event_id")
+    lng = LNG_SQL.format(id="event_id")
+    caps = ", ".join(
+        "({g}, cos(radians({ln!r}))*cos(radians({la!r})), "
+        "sin(radians({ln!r}))*cos(radians({la!r})), sin(radians({la!r})), {r!r})".format(
+            g=g, la=la, ln=ln, r=r
+        )
+        for g, la, ln, r in _CAPS[:3]
+    )
+    # angle(point, center) - cap_radius <= dist  <=>  the engine's
+    # chord-form comparison (monotone in the angle).
+    return f"""
+        WITH pts AS (SELECT event_id, {lat} AS lat, {lng} AS lng FROM events),
+        xyz AS (SELECT event_id,
+                       cos(radians(lng))*cos(radians(lat)) AS x,
+                       sin(radians(lng))*cos(radians(lat)) AS y,
+                       sin(radians(lat)) AS z
+                FROM pts),
+        caps(geom_id, cx, cy, cz, radius) AS (VALUES {caps})
+        SELECT geom_id, COUNT(*) AS cnt
+        FROM xyz, caps
+        WHERE 2*asin(least(0.5*sqrt(least((x-cx)*(x-cx) + (y-cy)*(y-cy)
+                                          + (z-cz)*(z-cz), 4.0)), 1.0))
+              - radius <= {_DIST_RADIUS!r}
+        GROUP BY geom_id ORDER BY geom_id
+    """
+
+
 def _q_polygon_polygon_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polygon x polygon Hilbert-range join + loop-relation refine
     (rows-only; differential-tested vs all-pairs brute force in
@@ -979,6 +1032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q3": _q_tpch_q3,
         "q_events_outside_caps": _q_events_outside_caps,
         "q_snap_dedup": _q_snap_dedup,
+        "q_distance_join_counts": _q_distance_join_counts,
         "q_polygon_polygon_join": _q_polygon_polygon_join,
         "q_polyline_simplify": _q_polyline_simplify,
     }
@@ -1004,4 +1058,5 @@ def oracle_sql() -> dict[str, str]:
         "q_tpch_q3": _oracle_tpch_q3(),
         "q_events_outside_caps": _oracle_events_outside_caps(),
         "q_snap_dedup": _oracle_snap_dedup(),
+        "q_distance_join_counts": _oracle_distance_join_counts(),
     }

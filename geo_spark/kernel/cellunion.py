@@ -164,17 +164,18 @@ def difference(a: list[int], b: list[int]) -> list[int]:
 
 
 def expand_at_level(cells: list[int], level: int) -> list[int]:
-    """Add all edge/corner neighbors at the given level (one buffer ring);
-    s2/cellunion.go:456-480."""
+    """Add all edge/corner neighbors at the given level (one buffer ring
+    of full level-`level` width); s2/cellunion.go:456-480.  Cells finer
+    than the level are promoted to their level-`level` parent first —
+    the promoted parent plus its ring still covers the original cell's
+    radius-MinWidth(level) buffer."""
     output: list[int] = []
     for ci in cells:
-        lvl = _level(ci)
-        if lvl < level:
-            output.append(ci)
-            continue
+        if _level(ci) > level:
+            ci = _parent(ci, level)
+        output.append(ci)
         for nb in ck.all_neighbors(ci, level):
             output.append(int(nb))
-        output.append(ci)
     return normalize(output)
 
 

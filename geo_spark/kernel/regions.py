@@ -467,3 +467,48 @@ class PolygonRegion(Region):
         if self._boundary_intersects(cell, cell_verts):
             return True
         return self.contains_point(cell.center())
+
+
+# ---------------------------------------------------------------------------
+# Distance-to-region (squared chord; 0 inside) — the within-distance join's
+# refine kernel (min-distance targets, s2/min_distance_targets.go:53-355).
+# ---------------------------------------------------------------------------
+
+
+def _cap_distance_chord2(cap: Cap, pts: np.ndarray) -> np.ndarray:
+    d = np.atleast_2d(pts) - cap.center
+    chord2 = np.minimum((d * d).sum(axis=1), MAX_CHORD2)
+    ang = 2 * np.arcsin(0.5 * np.sqrt(chord2))
+    out_ang = np.maximum(0.0, ang - cap.radius())
+    s = 2 * np.sin(0.5 * np.minimum(out_ang, math.pi))
+    return s * s
+
+
+def _loop_distance_chord2(loop: "LoopRegion", pts: np.ndarray) -> np.ndarray:
+    from geo_spark.kernel import edges as E
+
+    pts = np.atleast_2d(pts)
+    inside = loop.contains_points(pts)
+    out = E.point_to_edges_chord2(pts, np.vstack([loop.verts, loop.verts[:1]]))
+    return np.where(inside, 0.0, out)
+
+
+def distance_chord2(region: Region, pts: np.ndarray) -> np.ndarray:
+    """Squared chord distance from each point to the region (0 if
+    contained).  Supported: Cap, LoopRegion, PolygonRegion."""
+    if isinstance(region, Cap):
+        return _cap_distance_chord2(region, pts)
+    if isinstance(region, LoopRegion):
+        return _loop_distance_chord2(region, pts)
+    if isinstance(region, PolygonRegion):
+        pts = np.atleast_2d(pts)
+        inside = region.contains_points(pts)
+        best = np.full(len(pts), MAX_CHORD2)
+        from geo_spark.kernel import edges as E
+
+        for lp in region.loops:
+            best = np.minimum(
+                best, E.point_to_edges_chord2(pts, np.vstack([lp.verts, lp.verts[:1]]))
+            )
+        return np.where(inside, 0.0, best)
+    raise TypeError(f"distance_chord2: unsupported region {type(region).__name__}")

@@ -1,0 +1,118 @@
+"""Within-distance join: points within radius r of layer geometries.
+
+The distance analog of the PIP join (the "IsDistanceLess" query family,
+s2/edge_query.go + s2/min_distance_targets.go): the layer side's
+coverings are buffered by the radius with ExpandByRadius semantics
+(s2/cellunion.go:482-501 — expand at the level whose MinWidth >= r, so
+the buffered covering provably contains every point within r); the
+candidate join is the same (level, ancestor) equi-join; the refine
+computes the exact point->region distance (kernel/regions.distance_chord2)
+and keeps chord <= chord(r).
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geo_spark.kernel import cellid as ck
+from geo_spark.kernel import cellunion as cu
+from geo_spark.kernel.coverer import RegionCoverer
+from geo_spark.kernel.regions import Region, chord2_from_angle, distance_chord2
+from geo_spark.operators.spatial_join import (
+    COVER_SCHEMA,
+    GEOM_SCHEMA,
+    Layer,
+    _candidates,
+)
+
+
+def build_distance_layer(
+    spark: SparkSession,
+    regions: list[tuple[int, Region]],
+    radius_rad: float,
+    max_cells: int = 8,
+) -> Layer:
+    """Layer whose coverings are buffered by the radius; all cells are
+    non-interior (distance refine always runs — a cell fully inside the
+    *buffered* region does not certify distance <= r pointwise, so no
+    skip flag is claimed)."""
+    regions = list(regions)
+    rows = [(int(gid), pickle.dumps(r)) for gid, r in regions]
+    geoms = spark.createDataFrame(rows, GEOM_SCHEMA)
+    coverer = RegionCoverer(max_cells=max_cells)
+
+    def cover_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = {"geom_id": [], "cell": [], "level": [], "is_interior": []}
+        for gid, blob in zip(pdf["geom_id"], pdf["blob"]):
+            region = pickle.loads(blob)
+            cover = coverer.covering(region)
+            buffered = cu.expand_by_radius(cover, radius_rad)
+            for c in buffered:
+                out["geom_id"].append(gid)
+                out["cell"].append(int(ck.to_signed(np.uint64(c))))
+                out["level"].append(cu._level(c))
+                out["is_interior"].append(False)
+        return pd.DataFrame(
+            {
+                "geom_id": pd.Series(out["geom_id"], dtype="int64"),
+                "cell": pd.Series(out["cell"], dtype="int64"),
+                "level": pd.Series(out["level"], dtype="int32"),
+                "is_interior": pd.Series(out["is_interior"], dtype="bool"),
+            }
+        )
+
+    covering = geoms.groupBy("geom_id").applyInPandas(cover_one, COVER_SCHEMA)
+    crows = covering.collect()
+    covering = spark.createDataFrame(crows, COVER_SCHEMA)
+    levels = sorted({r["level"] for r in crows})
+    return Layer(geoms, covering, levels, {int(g): r for g, r in regions})
+
+
+def distance_join(
+    points: DataFrame,
+    layer: Layer,
+    radius_rad: float,
+    point_key: str,
+    cell_col: str = "cell_id",
+    latlng: tuple[str, str] = ("lat", "lng"),
+) -> DataFrame:
+    """(point_key, geom_id, chord2) for points within the radius."""
+    if layer.regions is None:
+        raise ValueError("distance_join requires a closure-size layer")
+    pts = points.select(point_key, cell_col, *latlng)
+    cand = _candidates(pts, layer, cell_col)
+    limit2 = chord2_from_angle(radius_rad)
+    regions = layer.regions
+
+    key_type = pts.schema[point_key].dataType.simpleString()
+    schema = f"{point_key} {key_type}, geom_id long, chord2 double"
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x, y, z = ck.latlng_to_xyz(
+                pdf[latlng[0]].to_numpy(np.float64),
+                pdf[latlng[1]].to_numpy(np.float64),
+            )
+            p3 = np.stack([x, y, z], axis=1)
+            gids = pdf["geom_id"].to_numpy(np.int64)
+            d = np.full(len(pdf), np.inf)
+            for gid in np.unique(gids):
+                m = gids == gid
+                d[m] = distance_chord2(regions[int(gid)], p3[m])
+            keep = d <= limit2
+            yield pd.DataFrame(
+                {
+                    point_key: pdf[point_key].to_numpy()[keep],
+                    "geom_id": gids[keep],
+                    "chord2": d[keep],
+                }
+            )
+
+    return cand.mapInPandas(fn, schema)

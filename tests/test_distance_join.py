@@ -1,0 +1,84 @@
+"""Distance join vs brute-force all-pairs distances."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from geo_spark.kernel import cellid as ck
+from geo_spark.kernel.pip import latlng_text_to_xyz
+from geo_spark.kernel.regions import (
+    Cap,
+    LoopRegion,
+    chord2_from_angle,
+    distance_chord2,
+)
+from geo_spark.operators.distance_join import build_distance_layer, distance_join
+
+RADIUS = 0.02  # rad ~ 127 km
+
+
+def _regions():
+    return [
+        (1, Cap.from_center_angle(40.7, -74.0, 0.01)),
+        (
+            2,
+            LoopRegion.from_vertices(
+                latlng_text_to_xyz("48:1, 48:3, 50:3, 50:1")
+            ),
+        ),
+        (3, Cap.from_center_angle(-33.9, 151.2, 0.015)),
+    ]
+
+
+@pytest.fixture(scope="module")
+def pts(spark):
+    rng = np.random.default_rng(12)
+    centers = np.array([[40.7, -74.0], [49.0, 2.0], [-33.9, 151.2]])
+    pick = rng.integers(0, 3, 1500)
+    lat = np.clip(centers[pick, 0] + rng.normal(0, 2.0, 1500), -89, 89)
+    lng = (centers[pick, 1] + rng.normal(0, 2.0, 1500) + 180) % 360 - 180
+    cell = ck.to_signed(ck.cellid_from_latlng(lat, lng))
+    df = spark.createDataFrame(
+        [(int(i), float(lat[i]), float(lng[i]), int(cell[i])) for i in range(1500)],
+        "pid long, lat double, lng double, cell_id long",
+    )
+    df.cache().count()
+    return df, lat, lng
+
+
+def test_distance_join_matches_brute(spark, pts):
+    df, lat, lng = pts
+    layer = build_distance_layer(spark, _regions(), RADIUS)
+    got = {
+        (r["pid"], r["geom_id"])
+        for r in distance_join(df, layer, RADIUS, point_key="pid").collect()
+    }
+    x, y, z = ck.latlng_to_xyz(lat, lng)
+    p3 = np.stack([x, y, z], axis=1)
+    limit2 = chord2_from_angle(RADIUS)
+    expected = set()
+    for gid, region in _regions():
+        d = distance_chord2(region, p3)
+        for pid in np.nonzero(d <= limit2)[0]:
+            expected.add((int(pid), gid))
+    assert got == expected
+    assert len(expected) > 50
+
+
+def test_distance_zero_equals_containment(spark, pts):
+    df, lat, lng = pts
+    layer = build_distance_layer(spark, _regions(), 1e-9)
+    got = {
+        (r["pid"], r["geom_id"])
+        for r in distance_join(df, layer, 1e-9, point_key="pid").collect()
+    }
+    x, y, z = ck.latlng_to_xyz(lat, lng)
+    p3 = np.stack([x, y, z], axis=1)
+    expected = set()
+    for gid, region in _regions():
+        inside = region.contains_points(p3)
+        near = distance_chord2(region, p3) <= chord2_from_angle(1e-9)
+        for pid in np.nonzero(inside | near)[0]:
+            expected.add((int(pid), gid))
+    assert got == expected
