@@ -202,3 +202,36 @@ def test_expand_at_level_superset():
     expanded = cu.expand_at_level(cov, max(cu._level(c) for c in cov))
     for c in cov:
         assert cu.contains_cellid(expanded, c) or c in expanded
+
+
+def test_expand_at_level_promotes_finer_cells():
+    # Regression: cells finer than the expansion level must be promoted
+    # to their level-`level` parent before ringing (s2/cellunion.go
+    # ExpandAtLevel), else the buffer silently vanishes.
+    p = random_point()
+    leaf = int(ck.cellid_from_xyz(p[0:1], p[1:2], p[2:3])[0])
+    fine = int(ck.parent(np.array([leaf], dtype=np.uint64), 12)[0])
+    out = cu.expand_at_level([fine], 5)
+    parent5 = int(ck.parent(np.array([leaf], dtype=np.uint64), 5)[0])
+    assert cu.contains_cellid(out, fine)
+    # the ring exists: strictly more leaves than the level-5 parent alone
+    assert cu.leaf_cells_covered(out) > cu.leaf_cells_covered([parent5])
+    nbrs = {int(n) for n in ck.all_neighbors(parent5, 5)}
+    for nb in nbrs:
+        assert cu.contains_cellid(out, nb)
+
+
+def test_expand_by_radius_buffers():
+    from geo_spark.kernel import metric as M
+
+    cap = Cap.from_center_angle(10.0, 10.0, 0.001)
+    cov = RegionCoverer(max_cells=8).covering(cap)
+    buffered = cu.expand_by_radius(cov, 0.02)
+    # every point within 0.02 rad of the cap center is covered
+    for _ in range(200):
+        d = RNG.normal(size=3) * 0.012
+        q = cap.center + d
+        q = q / np.linalg.norm(q)
+        if float(np.arccos(np.clip(q @ cap.center, -1, 1))) <= 0.02 + 0.001:
+            leaf = int(ck.cellid_from_xyz(q[0:1], q[1:2], q[2:3])[0])
+            assert cu.contains_cellid(buffered, leaf)

@@ -75,3 +75,30 @@ def test_manifest_idempotent_resume(spark, tmp_path):
     before = load_manifest(manifest)
     m3 = write_with_manifest(df, out, "bucket", manifest)
     assert m3 == before
+
+
+def test_stream_dedup_matches_batch_distinct(spark, tmp_path):
+    from geo_spark.streaming.dedup import run_dedup_available_now, stream_exact_dedup
+    from geo_spark.streaming.tiles import read_pages_stream
+
+    src = str(tmp_path / "pages_dup")
+    base = synth_pages(spark, 500, partitions=2)
+    # Duplicate every page once (same text, later ts).
+    dup = base.withColumn("warc_ts", F.col("warc_ts") + F.expr("INTERVAL 10 MINUTES"))
+    base.unionByName(dup).write.parquet(src)
+
+    expected = (
+        spark.read.parquet(src)
+        .select(F.md5("text").alias("m"))
+        .distinct()
+        .count()
+    )
+    assert expected == 500
+
+    stream = stream_exact_dedup(read_pages_stream(spark, src))
+    q = run_dedup_available_now(stream, "dedup_test", str(tmp_path / "ckpt2"))
+    q.awaitTermination(120)
+    got = spark.sql("select count(distinct text_md5) c, count(*) n from dedup_test").first()
+    q.stop()
+    assert got["c"] == 500
+    assert got["n"] == 500  # exactly one survivor per content digest
