@@ -174,6 +174,40 @@ def _oracle_orders_join_agg() -> str:
     """
 
 
+def _q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecasting revenue: pure filter + agg (pushdown shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(dec("l_extendedprice") * dec("l_discount"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def _oracle_tpch_q6() -> str:
+    return """
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                        CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """
+
+
 # ---------------------------------------------------------------------------
 # spatial joins (covering-term equi-join + exact refine)
 # ---------------------------------------------------------------------------
@@ -1030,6 +1064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_top_events_per_tile": _q_top_events_per_tile,
         "q_city_hulls": _q_city_hulls,
         "q_tpch_q3": _q_tpch_q3,
+        "q_tpch_q6": _q_tpch_q6,
         "q_events_outside_caps": _q_events_outside_caps,
         "q_snap_dedup": _q_snap_dedup,
         "q_distance_join_counts": _q_distance_join_counts,
@@ -1056,6 +1091,7 @@ def oracle_sql() -> dict[str, str]:
         "q_tile_rollup": _oracle_tile_rollup(),
         "q_top_events_per_tile": _oracle_top_events_per_tile(),
         "q_tpch_q3": _oracle_tpch_q3(),
+        "q_tpch_q6": _oracle_tpch_q6(),
         "q_events_outside_caps": _oracle_events_outside_caps(),
         "q_snap_dedup": _oracle_snap_dedup(),
         "q_distance_join_counts": _oracle_distance_join_counts(),
