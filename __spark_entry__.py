@@ -785,6 +785,40 @@ def _q_polyline_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("user_id")
 
 
+def _q_boolean_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union/intersection/difference areas for overlapping loop pairs
+    built around hot cities (rows-only; region semantics pinned by the
+    point-sampling differentials in tests/test_booleans.py).  Areas are
+    scaled to exact integers (floor of area x 1e9) for a stable
+    schema."""
+    from geo_spark.operators.constructive import boolean_areas
+    from geo_spark.sources.layers import regular_loop_vertices
+
+    rows = []
+    pid = 0
+    for la, ln in [(40.7, -74.0), (48.85, 2.35), (35.68, 139.65)]:
+        va = [[float(c) for c in p] for p in regular_loop_vertices(la, ln, 0.03, 24)]
+        vb = [
+            [float(c) for c in p]
+            for p in regular_loop_vertices(la + 1.0, ln + 0.5, 0.03, 24)
+        ]
+        for op in ("union", "intersection", "difference"):
+            pid += 1
+            rows.append((pid, va, vb, op))
+    pairs = spark.createDataFrame(
+        rows,
+        "pair_id long, a_verts array<array<double>>, "
+        "b_verts array<array<double>>, op string",
+    )
+    out = boolean_areas(pairs)
+    return out.select(
+        "pair_id",
+        "op",
+        "n_loops",
+        F.floor(F.col("area") * 1e9).cast("long").alias("area_x1e9"),
+    ).orderBy("pair_id")
+
+
 def _q_hex_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events -> H3-compatible aperture-7 hex tiles (res 3) -> counts.
     Rows-only check: the icosahedral projection isn't SQL-expressible;
@@ -1070,6 +1104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_distance_join_counts": _q_distance_join_counts,
         "q_polygon_polygon_join": _q_polygon_polygon_join,
         "q_polyline_simplify": _q_polyline_simplify,
+        "q_boolean_areas": _q_boolean_areas,
     }
 
 

@@ -1,0 +1,67 @@
+"""Constructive geometry as distributed operators: per-pair boolean ops
+and per-loop buffering via ``applyInPandas``/pandas UDFs over vertex
+arrays (each geometry pair/loop is one task-local kernel call —
+embarrassingly parallel, like layer prep)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from geo_spark.kernel import measures as M
+from geo_spark.kernel.booleans import loop_boolean
+from geo_spark.kernel.buffer import buffer_loop
+
+
+@F.pandas_udf(
+    T.StructType(
+        [
+            T.StructField("n_loops", T.IntegerType()),
+            T.StructField("area", T.DoubleType()),
+        ]
+    )
+)
+def boolean_area_udf(
+    a_verts: pd.Series, b_verts: pd.Series, op: pd.Series
+) -> pd.DataFrame:
+    """Result loop-count and XOR-parity area of a boolean op per row."""
+    n_out, area_out = [], []
+    for av, bv, o in zip(a_verts, b_verts, op):
+        loops = loop_boolean(
+            np.array(list(av), dtype=np.float64),
+            np.array(list(bv), dtype=np.float64),
+            str(o),
+        )
+        area = 0.0
+        for ring in loops:
+            la = M.loop_area(ring)
+            # XOR-parity: rings covering >half the sphere are complements
+            # of holes in this convention; measure the smaller side.
+            area += la if la <= 2 * np.pi else la - 4 * np.pi
+        n_out.append(len(loops))
+        area_out.append(abs(area))
+    return pd.DataFrame({"n_loops": pd.Series(n_out, dtype="int32"), "area": area_out})
+
+
+@F.pandas_udf(T.ArrayType(T.ArrayType(T.DoubleType())))
+def buffer_loop_udf(verts: pd.Series, radius: pd.Series) -> pd.Series:
+    out = []
+    for v, r in zip(verts, radius):
+        buf = buffer_loop(np.array(list(v), dtype=np.float64), float(r))
+        out.append([[float(c) for c in p] for p in buf])
+    return pd.Series(out)
+
+
+def boolean_areas(pairs: DataFrame) -> DataFrame:
+    """pairs(pair_id, a_verts, b_verts, op) -> (pair_id, op, n_loops,
+    area)."""
+    res = boolean_area_udf(F.col("a_verts"), F.col("b_verts"), F.col("op"))
+    return pairs.withColumn("_r", res).select(
+        "pair_id",
+        "op",
+        F.col("_r.n_loops").alias("n_loops"),
+        F.col("_r.area").alias("area"),
+    )
