@@ -123,8 +123,8 @@ def intersection(a: list[int], b: list[int]) -> list[int]:
     """Sorted-merge intersection; s2/cellunion.go:62-111 semantics."""
     out: list[int] = []
     i = j = 0
-    a = sorted(a)
-    b = sorted(b)
+    a = normalize(a)
+    b = normalize(b)
     # Two cells either nest or are disjoint, so containment is the only
     # overlap case; advance whichever range ends first.
     while i < len(a) and j < len(b):
@@ -143,7 +143,9 @@ def intersection(a: list[int], b: list[int]) -> list[int]:
 
 
 def difference(a: list[int], b: list[int]) -> list[int]:
-    """Cells of a not in b, by recursive subdivision; s2/cellunion.go:124-147."""
+    """Cells of a not in b, by recursive subdivision; s2/cellunion.go:124-147.
+    (contains/intersects binary searches require b normalized.)"""
+    b = normalize(b)
     out: list[int] = []
 
     def emit(ci: int) -> None:
