@@ -240,3 +240,52 @@ def _knn_ring(
         .select(point_key, target_key, F.col("rank").cast("int").alias("rank"))
     )
     return out
+
+
+def knn_regions(
+    points,
+    layer,
+    k: int,
+    point_key: str = "pid",
+    latlng: tuple[str, str] = ("lat", "lng"),
+):
+    """Top-k nearest layer geometries per point by exact region distance
+    (kernel/regions.distance_chord2).  Brute path for dimension-table
+    layers (the reference's small-index fallback); rank ties break by
+    geom_id, matching EdgeQueryResult ordering (s2/edge_query.go:149)."""
+    from geo_spark.kernel.regions import distance_chord2
+
+    if layer.regions is None:
+        raise ValueError("knn_regions requires a closure-size layer")
+    regions = sorted(layer.regions.items())
+    kk = min(k, len(regions))
+
+    src = points.select(point_key, *latlng)
+    key_type = src.schema[point_key].dataType.simpleString()
+    schema = f"{point_key} {key_type}, geom_id long, rank int, chord2 double"
+
+    def fn(batches):
+        gids = np.array([g for g, _ in regions], dtype=np.int64)
+        for pdf in batches:
+            x, y, z = ck.latlng_to_xyz(
+                pdf[latlng[0]].to_numpy(np.float64),
+                pdf[latlng[1]].to_numpy(np.float64),
+            )
+            pts3 = np.stack([x, y, z], axis=1)
+            dmat = np.stack(
+                [distance_chord2(r, pts3) for _, r in regions], axis=1
+            )  # (B, G)
+            order = np.lexsort((np.broadcast_to(gids, dmat.shape), dmat), axis=1)
+            topk = order[:, :kk]
+            b = len(pdf)
+            rows = np.arange(b)[:, None]
+            yield pd.DataFrame(
+                {
+                    point_key: np.repeat(pdf[point_key].to_numpy(), kk),
+                    "geom_id": gids[topk].ravel(),
+                    "rank": np.tile(np.arange(1, kk + 1, dtype=np.int32), b),
+                    "chord2": dmat[rows, topk].ravel(),
+                }
+            )
+
+    return src.mapInPandas(fn, schema)

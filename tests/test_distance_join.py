@@ -82,3 +82,26 @@ def test_distance_zero_equals_containment(spark, pts):
         for pid in np.nonzero(inside | near)[0]:
             expected.add((int(pid), gid))
     assert got == expected
+
+
+def test_knn_regions_matches_brute(spark, pts):
+    from geo_spark.operators.knn import knn_regions
+    from geo_spark.operators.spatial_join import build_layer
+
+    df, lat, lng = pts
+    layer = build_layer(spark, _regions(), max_cells=8)
+    got = {
+        (r["pid"], r["geom_id"], r["rank"])
+        for r in knn_regions(df, layer, k=2, point_key="pid").collect()
+    }
+    x, y, z = ck.latlng_to_xyz(lat, lng)
+    p3 = np.stack([x, y, z], axis=1)
+    regs = sorted(_regions())
+    dmat = np.stack([distance_chord2(r, p3) for _, r in regs], axis=1)
+    gids = np.array([g for g, _ in regs])
+    order = np.lexsort((np.broadcast_to(gids, dmat.shape), dmat), axis=1)
+    expected = set()
+    for pid in range(len(lat)):
+        for rank, ix in enumerate(order[pid, :2], 1):
+            expected.add((pid, int(gids[ix]), rank))
+    assert got == expected
