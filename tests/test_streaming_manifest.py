@@ -102,3 +102,58 @@ def test_stream_dedup_matches_batch_distinct(spark, tmp_path):
     q.stop()
     assert got["c"] == 500
     assert got["n"] == 500  # exactly one survivor per content digest
+
+
+def test_stateful_sessionization(spark, tmp_path):
+    from geo_spark.streaming.sessions import sessionize
+
+    # Two hosts; host A has two sessions separated by a >30min gap.
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = []
+    for i, (host, off_min) in enumerate(
+        [("a.com", 0), ("a.com", 5), ("a.com", 10),
+         ("a.com", 120), ("a.com", 125),
+         ("b.com", 0), ("b.com", 40)]
+    ):
+        rows.append(
+            (
+                f"https://{host}/p{i}",
+                t0 + dt.timedelta(minutes=off_min),
+                b"<html></html>",
+                f"t{i}",
+                "en",
+            )
+        )
+    # A late far-future row pushes the watermark so earlier sessions
+    # time out and emit within the availableNow drain.
+    rows.append(
+        ("https://c.com/x", t0 + dt.timedelta(days=2), b"<html></html>", "t", "en")
+    )
+    src = str(tmp_path / "sess_pages")
+    spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    ).write.parquet(src)
+
+    from geo_spark.streaming.tiles import read_pages_stream
+
+    stream = sessionize(read_pages_stream(spark, src), gap_minutes=30)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sessions_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["host"], r["n_pages"])
+        for r in spark.sql("select * from sessions_test").collect()
+    }
+    q.stop()
+    # a.com: sessions of 3 and 2 pages; b.com: two 1-page sessions.
+    assert ("a.com", 3) in got
+    assert ("a.com", 2) in got
+    assert ("b.com", 1) in got
