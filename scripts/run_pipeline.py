@@ -49,7 +49,10 @@ def main() -> None:
 
     t0 = time.monotonic()
     pages = spark.read.parquet(args.pages)
-    enc = extract_encode(pages, keep=("url",))
+    # text rides through untouched — byte-identical per url is the
+    # engine's per-row invariant (BASELINE.json input_hint), asserted in
+    # tests/test_pipeline_spark.py::test_text_byte_identical_passthrough.
+    enc = extract_encode(pages, keep=("url", "text"))
     tiled = enc.withColumns(
         {
             "tile": s2sql.parent(F.col("cell_id"), args.tile_level),
