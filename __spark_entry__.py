@@ -819,6 +819,52 @@ def _q_boolean_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("pair_id")
 
 
+def _q_raster_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster<->vector round trip per cap: rasterize to a level-7 cell
+    mask, vectorize the mask back to boundary rings (rows-only; the
+    membership round trip is pinned in tests/test_raster.py)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from geo_spark.kernel.raster import rasterize, vectorize_cells
+    from geo_spark.kernel.regions import Cap
+
+    rows = [(g, la, ln, r) for g, la, ln, r in _CAPS[:3]]
+    src = spark.createDataFrame(rows, "geom_id long, lat double, lng double, r double")
+
+    schema = T.StructType(
+        [
+            T.StructField("geom_id", T.LongType()),
+            T.StructField("n_cells", T.IntegerType()),
+            T.StructField("n_interior", T.IntegerType()),
+            T.StructField("n_rings", T.IntegerType()),
+            T.StructField("n_ring_vertices", T.IntegerType()),
+        ]
+    )
+
+    def one(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for rrow in pdf.itertuples():
+            cap = Cap.from_center_angle(rrow.lat, rrow.lng, rrow.r)
+            mask = rasterize(cap, 7, max_cells=1024)
+            rings = vectorize_cells([c for c, _ in mask])
+            out.append(
+                (
+                    rrow.geom_id,
+                    len(mask),
+                    sum(1 for _, i in mask if i),
+                    len(rings),
+                    sum(len(x) for x in rings),
+                )
+            )
+        return pd.DataFrame(
+            out,
+            columns=["geom_id", "n_cells", "n_interior", "n_rings", "n_ring_vertices"],
+        )
+
+    return src.groupBy("geom_id").applyInPandas(one, schema).orderBy("geom_id")
+
+
 def _q_hex_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events -> H3-compatible aperture-7 hex tiles (res 3) -> counts.
     Rows-only check: the icosahedral projection isn't SQL-expressible;
@@ -1105,6 +1151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_polygon_polygon_join": _q_polygon_polygon_join,
         "q_polyline_simplify": _q_polyline_simplify,
         "q_boolean_areas": _q_boolean_areas,
+        "q_raster_vector": _q_raster_vector,
     }
 
 

@@ -1,0 +1,110 @@
+"""Raster <-> vector bridging on the S2 grid.
+
+- :func:`rasterize` — region -> uniform-level cell mask (the covering
+  denormalized to one level, with interior/boundary flags): polygons
+  become rasters at any tile resolution.
+- :func:`vectorize_cells` — uniform-level cell mask -> boundary rings
+  (vector polygons whose vertices are cell corners): the inverse
+  operation, a boundary trace in face (i,j) space (cells of one face
+  stitch exactly; cross-face masks emit per-face rings, which is the
+  standard tiled-vectorization contract).
+
+Together these close the north rule's raster<->vector loop:
+raster tiles of any layer can be vectorized back into polygon layers
+whose PIP join reproduces the mask (round-trip tested).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from geo_spark.kernel import cellid as ck
+from geo_spark.kernel import cellunion as cu
+from geo_spark.kernel.cell import Cell
+from geo_spark.kernel.coverer import RegionCoverer
+from geo_spark.kernel.regions import Region
+
+
+def rasterize(
+    region: Region, level: int, max_cells: int = 64
+) -> list[tuple[int, bool]]:
+    """(cell_id, is_interior) at the uniform level; the mask covers the
+    region (conservative superset, exact interior flags)."""
+    coverer = RegionCoverer(min_level=level, max_level=level, max_cells=max_cells)
+    cells = coverer.covering(region)
+    out = []
+    for c in cells:
+        out.append((c, region.contains_cell(Cell.from_id(c))))
+    return out
+
+
+def vectorize_cells(cells: list[int]) -> list[np.ndarray]:
+    """Uniform-level cell mask -> list of closed CCW boundary rings
+    ((K,3) unit-vector arrays).  Holes come out as separate rings
+    (XOR-parity convention, consistent with kernel/booleans.py)."""
+    if not cells:
+        return []
+    levels = {cu._level(c) for c in cells}
+    if len(levels) != 1:
+        raise ValueError("vectorize_cells requires a uniform-level mask")
+    (level,) = levels
+    size = 1 << (30 - level)
+
+    # Group by face; trace each face's mask in (i,j) lattice units.
+    arr = np.array(sorted(set(cells)), dtype=np.uint64)
+    f, i, j, _ = ck.face_ij_orientation(arr)
+    i = (i // size).astype(np.int64)
+    j = (j // size).astype(np.int64)
+
+    rings_out: list[np.ndarray] = []
+    for face in np.unique(f):
+        m = f == face
+        occupied = set(zip(i[m].tolist(), j[m].tolist()))
+        # Boundary half-edges, oriented CCW around the mask (interior on
+        # the left): for each cell, emit edges whose neighbor is absent.
+        # Corners in lattice coords: (i,j) cell spans [i,i+1]x[j,j+1].
+        edges: dict[tuple[int, int], tuple[int, int]] = {}
+        for ci, cj in occupied:
+            if (ci, cj - 1) not in occupied:  # bottom: left->right
+                edges[(ci, cj)] = (ci + 1, cj)
+            if (ci + 1, cj) not in occupied:  # right: bottom->top
+                edges[(ci + 1, cj)] = (ci + 1, cj + 1)
+            if (ci, cj + 1) not in occupied:  # top: right->left
+                edges[(ci + 1, cj + 1)] = (ci, cj + 1)
+            if (ci - 1, cj) not in occupied:  # left: top->bottom
+                edges[(ci, cj + 1)] = (ci, cj)
+        # Stitch half-edges into rings.
+        while edges:
+            start = next(iter(edges))
+            ring = [start]
+            cur = edges.pop(start)
+            while cur != start:
+                ring.append(cur)
+                cur = edges.pop(cur)
+            # lattice corners -> (s,t) -> xyz
+            pts = []
+            for (li, lj) in ring:
+                s = ck.st_to_uv(ck.ij_to_st_min(np.array([li * size]))[0])
+                t = ck.st_to_uv(ck.ij_to_st_min(np.array([lj * size]))[0])
+                x, y, z = ck.face_uv_to_xyz(np.int64(face), s, t)
+                v = np.array([float(x), float(y), float(z)])
+                pts.append(v / np.linalg.norm(v))
+            rings_out.append(_simplify_collinear(np.array(pts)))
+    return rings_out
+
+
+def _simplify_collinear(ring: np.ndarray) -> np.ndarray:
+    """Drop lattice vertices that continue straight along the same cell
+    row/column (they are exactly on the great arc of the merged edge)."""
+    n = len(ring)
+    keep = []
+    for k in range(n):
+        a, b, c = ring[(k - 1) % n], ring[k], ring[(k + 1) % n]
+        cr = np.cross(a, c)
+        norm = float(np.sqrt(cr @ cr))
+        # Relative test: lattice corners along one u/v-line are exactly
+        # co-planar; float residue is ~eps*|a x c|, a true corner turn is
+        # ~cell_size*|a x c| — orders of magnitude apart.
+        if norm < 1e-24 or abs(float(cr @ b)) > 1e-9 * norm:
+            keep.append(k)
+    return ring[keep] if len(keep) >= 3 else ring
