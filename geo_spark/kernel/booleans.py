@@ -64,18 +64,25 @@ def edge_intersection(a0, a1, b0, b1) -> np.ndarray:
     return x
 
 
-def _split_chain(verts: np.ndarray, crossings: dict[int, list[np.ndarray]]):
+def _split_chain(
+    verts: np.ndarray,
+    crossings: dict[int, list[np.ndarray]],
+    vertex_keys: set[tuple] | None = None,
+):
     """Closed chain -> list of arcs between consecutive crossing points.
 
-    crossings maps edge index -> crossing points on that edge; each arc
-    is (points list, start_key, end_key) where keys identify crossing
-    points (rounded tuples) for stitching."""
+    crossings maps edge index -> interior crossing points on that edge;
+    ``vertex_keys`` marks chain vertices that are themselves crossing
+    points (shared-vertex crossings).  Each arc is (points list,
+    start_key, end_key) with rounded-tuple keys for stitching."""
+    vertex_keys = vertex_keys or set()
     n = len(verts)
     path: list[tuple[np.ndarray, tuple | None]] = []
     for i in range(n):
         a = verts[i]
         b = verts[(i + 1) % n]
-        path.append((a, None))
+        ka = _key(a)
+        path.append((a, ka if ka in vertex_keys else None))
         pts = crossings.get(i, [])
         pts = sorted(pts, key=lambda p: float((p - a) @ (p - a)))
         for p in pts:
@@ -158,9 +165,14 @@ def loop_boolean(
     a_oi = loop_origin_inside(a_verts)
     b_oi = loop_origin_inside(b_verts)
 
-    # All pairwise crossings.
+    # All pairwise crossings: strict interior crossings plus shared-vertex
+    # crossings (the VertexCrossing parity rule, s2/edge_crossings.go:117-142
+    # — the loopA/loopB fixture family crosses exactly at shared vertices).
+    from geo_spark.kernel.pip import _eq, _vertex_crossing
+
     cross_a: dict[int, list[np.ndarray]] = {}
     cross_b: dict[int, list[np.ndarray]] = {}
+    vkeys: set[tuple] = set()
     na, nb = len(a_verts), len(b_verts)
     found = False
     for i in range(na):
@@ -171,6 +183,12 @@ def loop_boolean(
                 x = edge_intersection(a0, a1, b0, b1)
                 cross_a.setdefault(i, []).append(x)
                 cross_b.setdefault(j, []).append(x)
+                found = True
+            elif (
+                _eq(a0, b0) or _eq(a0, b1) or _eq(a1, b0) or _eq(a1, b1)
+            ) and _vertex_crossing(a0, a1, b0, b1):
+                shared = a0 if (_eq(a0, b0) or _eq(a0, b1)) else a1
+                vkeys.add(_key(shared))
                 found = True
 
     if not found:
@@ -203,8 +221,8 @@ def loop_boolean(
             return [a_verts]
         raise ValueError(op)
 
-    a_arcs = _split_chain(a_verts, cross_a)
-    b_arcs = _split_chain(b_verts, cross_b)
+    a_arcs = _split_chain(a_verts, cross_a, vkeys)
+    b_arcs = _split_chain(b_verts, cross_b, vkeys)
 
     def keep_rule(arc, other_verts, other_oi, want_inside):
         mid = _arc_midpoint(arc[0])
