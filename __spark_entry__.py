@@ -21,15 +21,45 @@ chains on identical inputs.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
 SF_DEFAULT = "/root/testdata/sf0.001"
 
 
+def _ensure_pyfiles(spark: SparkSession) -> None:
+    """Executors must import geo_spark even when the driver session was
+    created from another cwd: ship the package as a zip via addPyFile
+    (built lazily, once per session)."""
+    sc = spark.sparkContext
+    if getattr(sc, "_geo_spark_shipped", False):
+        return
+    import pathlib
+    import tempfile
+    import zipfile
+
+    zpath = os.path.join(tempfile.gettempdir(), "geo_spark_pyfiles.zip")
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
+            for p in sorted(pathlib.Path(_REPO, "geo_spark").rglob("*.py")):
+                z.write(p, p.relative_to(_REPO).as_posix())
+    try:
+        sc.addPyFile(zpath)
+    except Exception:
+        pass  # already added in this JVM
+    sc._geo_spark_shipped = True
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_pyfiles(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -794,6 +824,7 @@ def _q_boolean_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geo_spark.operators.constructive import boolean_areas
     from geo_spark.sources.layers import regular_loop_vertices
 
+    _ensure_pyfiles(spark)
     rows = []
     pid = 0
     for la, ln in [(40.7, -74.0), (48.85, 2.35), (35.68, 139.65)]:
@@ -829,6 +860,7 @@ def _q_raster_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geo_spark.kernel.raster import rasterize, vectorize_cells
     from geo_spark.kernel.regions import Cap
 
+    _ensure_pyfiles(spark)
     rows = [(g, la, ln, r) for g, la, ln, r in _CAPS[:3]]
     src = spark.createDataFrame(rows, "geom_id long, lat double, lng double, r double")
 
