@@ -164,8 +164,8 @@ def _oracle_doc_stats_by_lang() -> str:
     return """
         SELECT lang,
                COUNT(*) AS doc_cnt,
-               SUM(n_chars) AS total_chars,
-               SUM(CAST(length(text) AS BIGINT)) AS total_text_len,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS total_text_len,
                MIN(doc_id) AS min_doc_id,
                MAX(doc_id) AS max_doc_id
         FROM documents
@@ -1037,7 +1037,8 @@ def _oracle_lang_guess() -> str:
 
     guess, score = lang_guess_sql("text")
     return f"""
-        SELECT lang_guess, COUNT(*) AS doc_cnt, SUM(lang_score) AS total_score
+        SELECT lang_guess, COUNT(*) AS doc_cnt,
+               CAST(SUM(lang_score) AS BIGINT) AS total_score
         FROM (SELECT {guess} AS lang_guess, {score} AS lang_score FROM documents)
         GROUP BY 1 ORDER BY 1
     """

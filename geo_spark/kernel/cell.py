@@ -235,7 +235,9 @@ class Cell:
             4: Rect(R1Interval(-PI_4, PI_4), S1Interval(-3 * PI_4, -PI_4)),
             5: Rect(R1Interval(-PI_2, -POLE_MIN_LAT), S1Interval.full()),
         }[self.face]
-        return bounds.expanded(0.0, DBL_EPSILON)
+        # s2/cell.go:444 expands latitude by dblEpsilon (longitude is exact
+        # for face cells); Rect.expanded takes (lat_margin, lng_margin).
+        return bounds.expanded(DBL_EPSILON, 0.0)
 
     def children(self) -> list["Cell"]:
         u = np.uint64(self.id)

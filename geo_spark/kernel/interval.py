@@ -178,7 +178,14 @@ class S1Interval:
             return S1Interval.empty()
         if self._fast_contains(o.lo):
             if self._fast_contains(o.hi):
-                if o.length() < self.length():
+                # Reference tie rule (s1/interval.go:256-271) picks the shorter
+                # interval; on a float-equal length tie it can return the
+                # containing interval.  Strengthen with a containment check so
+                # the result is always the smallest interval containing the
+                # intersection even when lengths round equal.
+                if o.length() < self.length() or (
+                    o.length() == self.length() and self.contains_interval(o)
+                ):
                     return o
                 return self
             return S1Interval(o.lo, self.hi)

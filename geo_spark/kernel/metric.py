@@ -48,7 +48,7 @@ class Metric:
     def closest_level(self, val: float) -> int:
         """Level whose metric is closest to val; s2/metric.go:109-113."""
         factor = math.sqrt(2) if self.dim == 1 else 2.0
-        return self.max_level(factor * val)
+        return self.min_level(factor * val)
 
 
 # Quadratic-projection deriv constants, s2/metric.go:45-106.

@@ -63,24 +63,56 @@ def vectorize_cells(cells: list[int]) -> list[np.ndarray]:
         # Boundary half-edges, oriented CCW around the mask (interior on
         # the left): for each cell, emit edges whose neighbor is absent.
         # Corners in lattice coords: (i,j) cell spans [i,i+1]x[j,j+1].
-        edges: dict[tuple[int, int], tuple[int, int]] = {}
+        # Two diagonally-touching cells share a corner, so a corner can
+        # carry TWO outgoing half-edges: key by corner -> list, and at
+        # ambiguous corners take the sharpest left turn relative to the
+        # incoming direction so the pinched rings stay separate.
+        edges: dict[tuple[int, int], list[tuple[int, int]]] = {}
+
+        def _add(a: tuple[int, int], b: tuple[int, int]) -> None:
+            edges.setdefault(a, []).append(b)
+
         for ci, cj in occupied:
             if (ci, cj - 1) not in occupied:  # bottom: left->right
-                edges[(ci, cj)] = (ci + 1, cj)
+                _add((ci, cj), (ci + 1, cj))
             if (ci + 1, cj) not in occupied:  # right: bottom->top
-                edges[(ci + 1, cj)] = (ci + 1, cj + 1)
+                _add((ci + 1, cj), (ci + 1, cj + 1))
             if (ci, cj + 1) not in occupied:  # top: right->left
-                edges[(ci + 1, cj + 1)] = (ci, cj + 1)
+                _add((ci + 1, cj + 1), (ci, cj + 1))
             if (ci - 1, cj) not in occupied:  # left: top->bottom
-                edges[(ci, cj + 1)] = (ci, cj)
+                _add((ci, cj + 1), (ci, cj))
+
+        def _pop_next(
+            corner: tuple[int, int], incoming: tuple[int, int] | None
+        ) -> tuple[int, int]:
+            outs = edges[corner]
+            if len(outs) == 1 or incoming is None:
+                end = outs[-1]
+            else:
+                di, dj = incoming
+                # left turn, straight, right turn (interior stays on the left)
+                end = None
+                for pd in ((-dj, di), (di, dj), (dj, -di)):
+                    want = (corner[0] + pd[0], corner[1] + pd[1])
+                    if want in outs:
+                        end = want
+                        break
+                if end is None:  # pragma: no cover - defensive
+                    end = outs[-1]
+            outs.remove(end)
+            if not outs:
+                del edges[corner]
+            return end
+
         # Stitch half-edges into rings.
         while edges:
             start = next(iter(edges))
             ring = [start]
-            cur = edges.pop(start)
+            cur = _pop_next(start, None)
             while cur != start:
                 ring.append(cur)
-                cur = edges.pop(cur)
+                prev = ring[-2]
+                cur = _pop_next(cur, (cur[0] - prev[0], cur[1] - prev[1]))
             # lattice corners -> (s,t) -> xyz
             pts = []
             for (li, lj) in ring:

@@ -1,10 +1,11 @@
 """Streaming exact dedup: first-seen-wins over a pages/documents stream.
 
-``dropDuplicates`` on the content digest with an event-time watermark —
-state holds one digest per distinct document inside the watermark
-horizon, which is what makes continuous-crawl dedup bounded: re-crawled
-duplicates inside the horizon are dropped in-flight, older re-crawls are
-handled by the batch fingerprint join (operators/dedup.py).
+``dropDuplicatesWithinWatermark`` on the content digest — unlike plain
+``dropDuplicates`` (whose state is only evicted when the event-time
+column is part of the key set), it evicts each digest once it falls
+behind the watermark, so state stays bounded on a continuous stream:
+re-crawled duplicates inside the horizon are dropped in-flight, older
+re-crawls are handled by the batch fingerprint join (operators/dedup.py).
 """
 
 from __future__ import annotations
@@ -22,7 +23,9 @@ def stream_exact_dedup(
     """Distinct-content rows (first occurrence per md5 within the
     watermark horizon)."""
     digested = pages.withColumn("text_md5", F.md5(F.col(text_col)))
-    return digested.withWatermark(ts_col, watermark).dropDuplicates(["text_md5"])
+    return digested.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["text_md5"]
+    )
 
 
 def run_dedup_available_now(result: DataFrame, query_name: str, checkpoint: str):

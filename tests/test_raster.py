@@ -77,3 +77,22 @@ def test_vectorize_donut_has_hole_ring():
     assert len(rings) == 2
     sizes = sorted(len(r) for r in rings)
     assert sizes == [4, 4]  # simplified outer square + inner square
+
+
+def test_vectorize_diagonal_corner_touch():
+    # Two cells sharing only a corner must come out as two separate
+    # 4-vertex rings (regression: shared-corner half-edges used to
+    # collide in a dict keyed by start corner alone).
+    leaf = int(ck.cellid_from_latlng(np.array([40.0]), np.array([-100.0]))[0])
+    base = int(ck.parent(np.array([leaf], dtype=np.uint64), 5)[0])
+    f, i, j, _ = ck.face_ij_orientation(np.array([base], dtype=np.uint64))
+    size = 1 << (30 - 5)
+    diag = int(
+        ck.cellid_from_face_ij(
+            np.array([f[0]]), np.array([i[0] + size]), np.array([j[0] + size])
+        )[0]
+    )
+    diag = int(ck.parent(np.array([diag], dtype=np.uint64), 5)[0])
+    rings = vectorize_cells([base, diag])
+    assert len(rings) == 2
+    assert sorted(len(r) for r in rings) == [4, 4]
