@@ -374,23 +374,32 @@ def _oracle_rect_join_counts() -> str:
     """
 
 
+# Convex CCW quads (lat:lng text, reference fixture grammar) — convexity is
+# what makes the DuckDB oracle below exact: containment == positive side of
+# every edge great-circle.
+_PIP_LOOPS = [
+    (21, "30:-90, 30:-60, 50:-60, 50:-90"),
+    (22, "-20:10, -20:60, 20:60, 20:10"),
+    (23, "-15:140, -15:175, 15:175, 15:140"),
+]
+
+
 def _q_loop_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events x polygon loops — the flagship PIP join (crossing-parity
-    refine).  No SQL oracle (spherical winding isn't SQL-expressible);
-    the driver records a rows-only check, and tests/test_spatial_join.py
-    pins the semantics against brute force."""
+    refine).  The loops are convex, so the DuckDB oracle tests
+    containment as sign(dot(p, a_k x a_{k+1})) > 0 for every edge;
+    tests/test_spatial_join.py additionally pins the general-loop
+    semantics against brute force."""
     from geo_spark.kernel.pip import latlng_text_to_xyz
     from geo_spark.kernel.regions import LoopRegion
     from geo_spark.operators.spatial_join import build_layer, spatial_join
 
-    loops = [
-        (21, "30:-90, 30:-60, 50:-60, 50:-90"),
-        (22, "-20:10, -20:60, 20:60, 20:10"),
-        (23, "-15:140, -15:175, 15:175, 15:140"),
-    ]
     layer = build_layer(
         spark,
-        [(g, LoopRegion.from_vertices(latlng_text_to_xyz(t))) for g, t in loops],
+        [
+            (g, LoopRegion.from_vertices(latlng_text_to_xyz(t)))
+            for g, t in _PIP_LOOPS
+        ],
         max_cells=12,
     )
     ev = _events_with_cells(spark, sf_dir)
@@ -400,6 +409,43 @@ def _q_loop_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"), F.min("event_id").alias("min_event"))
         .orderBy("geom_id")
     )
+
+
+def _oracle_loop_pip_join() -> str:
+    """Convex-loop PIP in ANSI SQL: a point is inside iff it lies on the
+    positive side of every edge plane (normals a_k x a_{k+1} precomputed
+    here as literals; exact for the convex _PIP_LOOPS fixtures)."""
+    import numpy as np
+
+    from geo_spark.kernel.pip import latlng_text_to_xyz
+    from geo_spark.operators.geo_noise import LAT_SQL, LNG_SQL
+
+    lat = LAT_SQL.format(id="event_id")
+    lng = LNG_SQL.format(id="event_id")
+    rows = []
+    for g, t in _PIP_LOOPS:
+        v = latlng_text_to_xyz(t)
+        for k in range(len(v)):
+            n = np.cross(v[k], v[(k + 1) % len(v)])
+            rows.append(
+                f"({g}, {float(n[0])!r}, {float(n[1])!r}, {float(n[2])!r})"
+            )
+    norms = ", ".join(rows)
+    return f"""
+        WITH pts AS (SELECT event_id, {lat} AS lat, {lng} AS lng FROM events),
+        xyz AS (SELECT event_id,
+                       cos(radians(lng))*cos(radians(lat)) AS x,
+                       sin(radians(lng))*cos(radians(lat)) AS y,
+                       sin(radians(lat)) AS z
+                FROM pts),
+        norms(geom_id, nx, ny, nz) AS (VALUES {norms}),
+        hits AS (SELECT geom_id, event_id
+                 FROM xyz, norms
+                 GROUP BY geom_id, event_id
+                 HAVING MIN(nx*x + ny*y + nz*z) > 0)
+        SELECT geom_id, COUNT(*) AS cnt, MIN(event_id) AS min_event
+        FROM hits GROUP BY geom_id ORDER BY geom_id
+    """
 
 
 def _q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -747,27 +793,98 @@ def _oracle_distance_join_counts() -> str:
 
 
 def _q_polygon_polygon_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Polygon x polygon Hilbert-range join + loop-relation refine
-    (rows-only; differential-tested vs all-pairs brute force in
-    tests/test_relations.py)."""
-    from geo_spark.kernel.regions import LoopRegion
+    """Polygon x polygon Hilbert-range join + loop-relation refine.
+    Fixture loops are convex, so a DuckDB edge-sign oracle checks the
+    full (aid, bid, contains) output; general-loop semantics are
+    differential-tested vs all-pairs brute force in
+    tests/test_relations.py."""
     from geo_spark.operators.geom_join import polygon_polygon_join
     from geo_spark.operators.spatial_join import build_layer
-    from geo_spark.sources.layers import city_loop_regions, regular_loop_vertices
 
-    small = build_layer(spark, city_loop_regions(30), max_cells=8)
-    big_regions = [
-        (200 + i, LoopRegion.from_vertices(regular_loop_vertices(la, ln, 0.05, 24)))
-        for i, (la, ln) in enumerate(
-            [(40.7, -74.0), (48.85, 2.35), (35.68, 139.65), (0.0, 0.0)]
-        )
-    ]
+    small_regions, big_regions = _ppj_fixture_regions()
+    small = build_layer(spark, small_regions, max_cells=8)
     big = build_layer(spark, big_regions, max_cells=8)
     return (
         polygon_polygon_join(small, big)
         .select("aid", "bid", "contains")
         .orderBy("aid", "bid")
     )
+
+
+def _ppj_fixture_regions():
+    from geo_spark.kernel.regions import LoopRegion
+    from geo_spark.sources.layers import city_loop_regions, regular_loop_vertices
+
+    small = city_loop_regions(30)
+    big = [
+        (200 + i, LoopRegion.from_vertices(regular_loop_vertices(la, ln, 0.05, 24)))
+        for i, (la, ln) in enumerate(
+            [(40.7, -74.0), (48.85, 2.35), (35.68, 139.65), (0.0, 0.0)]
+        )
+    ]
+    return small, big
+
+
+def _oracle_polygon_polygon_join() -> str:
+    """Convex-loop pairwise relations in ANSI SQL.  Both fixture layers
+    are regular (convex, CCW) rings, so:
+      - vertex-in-loop  = positive side of every edge plane,
+      - A contains B    = every B vertex inside A (convexity),
+      - A intersects B  = some vertex of one inside the other, or a
+        strict edge crossing (SimpleCrossing sign pattern,
+        s2/edge_crossings.go:88).
+    Edge endpoints + plane normals are emitted as literal VALUES."""
+    import numpy as np
+
+    small, big = _ppj_fixture_regions()
+
+    def edge_values(regions):
+        rows = []
+        for gid, reg in regions:
+            v = np.asarray(reg.verts)
+            m = len(v)
+            for k in range(m):
+                a, b = v[k], v[(k + 1) % m]
+                n = np.cross(a, b)
+                # scientific notation so DuckDB types the literals DOUBLE
+                # (plain decimals become DECIMAL and overflow on multiply)
+                vals = ", ".join(format(float(x), ".17e") for x in (*a, *b, *n))
+                rows.append(f"({gid}, {vals})")
+        return ", ".join(rows)
+
+    ea = edge_values(small)
+    eb = edge_values(big)
+    return f"""
+        WITH ea(aid, ax, ay, az, bx, by, bz, nx, ny, nz) AS (VALUES {ea}),
+        eb(bid, cx, cy, cz, dx, dy, dz, mx, my, mz) AS (VALUES {eb}),
+        bva AS (SELECT ea.aid, eb.bid, eb.cx, eb.cy, eb.cz,
+                       MIN(ea.nx*eb.cx + ea.ny*eb.cy + ea.nz*eb.cz) AS mind
+                FROM ea, eb GROUP BY ea.aid, eb.bid, eb.cx, eb.cy, eb.cz),
+        b_in_a AS (SELECT aid, bid,
+                          COUNT(*) FILTER (WHERE mind > 0) AS n_inside,
+                          COUNT(*) AS n_total
+                   FROM bva GROUP BY aid, bid),
+        avb AS (SELECT ea.aid, eb.bid, ea.ax, ea.ay, ea.az,
+                       MIN(eb.mx*ea.ax + eb.my*ea.ay + eb.mz*ea.az) AS mind
+                FROM ea, eb GROUP BY ea.aid, eb.bid, ea.ax, ea.ay, ea.az),
+        a_in_b AS (SELECT aid, bid,
+                          COUNT(*) FILTER (WHERE mind > 0) AS n_inside
+                   FROM avb GROUP BY aid, bid),
+        crossings AS (SELECT DISTINCT ea.aid, eb.bid
+                      FROM ea, eb
+                      WHERE (-(ea.nx*eb.cx + ea.ny*eb.cy + ea.nz*eb.cz))
+                            * (ea.nx*eb.dx + ea.ny*eb.dy + ea.nz*eb.dz) > 0
+                        AND (-(ea.nx*eb.cx + ea.ny*eb.cy + ea.nz*eb.cz))
+                            * (-(eb.mx*ea.bx + eb.my*ea.by + eb.mz*ea.bz)) > 0
+                        AND (-(ea.nx*eb.cx + ea.ny*eb.cy + ea.nz*eb.cz))
+                            * (eb.mx*ea.ax + eb.my*ea.ay + eb.mz*ea.az) > 0)
+        SELECT b.aid, b.bid, (b.n_inside = b.n_total) AS contains
+        FROM b_in_a b
+        JOIN a_in_b a ON a.aid = b.aid AND a.bid = b.bid
+        LEFT JOIN crossings x ON x.aid = b.aid AND x.bid = b.bid
+        WHERE b.n_inside > 0 OR a.n_inside > 0 OR x.aid IS NOT NULL
+        ORDER BY b.aid, b.bid
+    """
 
 
 def _q_polyline_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1196,6 +1313,8 @@ def oracle_sql() -> dict[str, str]:
         "q_orders_join_agg": _oracle_orders_join_agg(),
         "q_cap_join_counts": _oracle_cap_join_counts(),
         "q_rect_join_counts": _oracle_rect_join_counts(),
+        "q_loop_pip_join": _oracle_loop_pip_join(),
+        "q_polygon_polygon_join": _oracle_polygon_polygon_join(),
         "q_knn_cities": _oracle_knn_cities(),
         "q_exact_dedup": _oracle_exact_dedup(),
         "q_ngram_dedup_pairs": _oracle_ngram_dedup_pairs(),

@@ -70,7 +70,13 @@ def build_distance_layer(
     crows = covering.collect()
     covering = spark.createDataFrame(crows, COVER_SCHEMA)
     levels = sorted({r["level"] for r in crows})
-    return Layer(geoms, covering, levels, {int(g): r for g, r in regions})
+    return Layer(
+        geoms,
+        covering,
+        levels,
+        {int(g): r for g, r in regions},
+        covering_rows=len(crows),
+    )
 
 
 def distance_join(

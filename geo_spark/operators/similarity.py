@@ -30,6 +30,12 @@ def _normalize_rows(m: np.ndarray) -> np.ndarray:
     return m / norm[:, None]
 
 
+# Corpus rows above this never ship in a task closure: ~64k x dim 64
+# float64 is ~33 MB broadcast — the same adaptive size switch the kNN
+# path makes at BRUTE_FORCE_MAX_TARGETS (operators/knn.py).
+BRUTE_FORCE_MAX_CORPUS = 65536
+
+
 def cosine_topk_brute(
     queries: DataFrame,
     corpus: DataFrame,
@@ -38,10 +44,19 @@ def cosine_topk_brute(
     corpus_key: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
+    max_corpus_rows: int = BRUTE_FORCE_MAX_CORPUS,
 ) -> DataFrame:
     """(query_key, nb_id, rank): rank 1..k by descending cosine, ties by
-    ascending corpus key."""
-    rows = corpus.select(corpus_key, vec_col).collect()
+    ascending corpus key.  Refuses driver-side collection of a corpus
+    larger than ``max_corpus_rows`` — use :func:`cosine_topk` for the
+    automatic brute/LSH dispatch."""
+    rows = corpus.select(corpus_key, vec_col).limit(max_corpus_rows + 1).collect()
+    if len(rows) > max_corpus_rows:
+        raise ValueError(
+            f"cosine_topk_brute: corpus exceeds {max_corpus_rows} rows; "
+            "the all-pairs GEMM would need an unbounded driver collect. "
+            "Use cosine_topk() (auto-dispatch) or cosine_topk_lsh()."
+        )
     cids = np.array([r[0] for r in rows], dtype=np.int64)
     cmat = _normalize_rows(np.array([r[1] for r in rows], dtype=np.float64))
 
@@ -71,6 +86,29 @@ def cosine_topk_brute(
             )
 
     return src.mapInPandas(fn, schema)
+
+
+def cosine_topk(
+    df: DataFrame,
+    k: int,
+    dim: int,
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = 8,
+    bits_per_band: int = 12,
+    seed: int = 42,
+    max_brute_rows: int = BRUTE_FORCE_MAX_CORPUS,
+) -> DataFrame:
+    """Self-join top-k with automatic strategy dispatch: exact brute
+    force while the corpus fits a task closure, banded sign-LSH +
+    exact rerank beyond it.  The size probe is a bounded ``limit``
+    count, not a full scan."""
+    probe = df.select(key).limit(max_brute_rows + 1).count()
+    if probe <= max_brute_rows:
+        return cosine_topk_brute(
+            df, df, k, key, key, vec_col, max_corpus_rows=max_brute_rows
+        )
+    return cosine_topk_lsh(df, k, dim, bands, bits_per_band, key, vec_col, seed)
 
 
 def _hyperplanes(dim: int, bits: int, seed: int) -> np.ndarray:

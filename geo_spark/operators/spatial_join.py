@@ -75,11 +75,15 @@ class Layer:
         covering: DataFrame,
         levels: list[int],
         regions: dict[int, Region] | None = None,
+        covering_rows: int | None = None,
     ):
         self.geoms = geoms
         self.covering = covering
         self.levels = levels
         self.regions = regions
+        # Known (or conservatively estimated) covering row count; None
+        # means "unknown / large" and disables the broadcast hint.
+        self.covering_rows = covering_rows
 
 
 def build_layer(
@@ -163,11 +167,13 @@ def build_layer(
         covering = spark.createDataFrame(rows, COVER_SCHEMA)
         levels = sorted({r["level"] for r in rows})
         region_map = {int(g): r for g, r in regions}
+        n_cov = len(rows)
     else:
         covering = covering.persist()
         levels = [r["level"] for r in covering.select("level").distinct().collect()]
         region_map = None
-    return Layer(geoms, covering, sorted(levels), region_map)
+        n_cov = covering.count()  # persisted: count is a cache scan
+    return Layer(geoms, covering, sorted(levels), region_map, covering_rows=n_cov)
 
 
 def split_hot_cells(
@@ -209,7 +215,12 @@ def split_hot_cells(
         .withColumn("level", s2sql.level(F.col("cell")).cast("int"))
     )
     levels = [r["level"] for r in cov.select("level").distinct().collect()]
-    return Layer(layer.geoms, cov, sorted(levels), layer.regions)
+    est = (
+        layer.covering_rows * (4**split_levels)
+        if layer.covering_rows is not None
+        else None
+    )
+    return Layer(layer.geoms, cov, sorted(levels), layer.regions, covering_rows=est)
 
 
 def hot_cell_histogram(
@@ -273,16 +284,23 @@ def _candidates(points: DataFrame, layer: Layer, cell_col: str) -> DataFrame:
     ).drop("_lk")
     cov = layer.covering
     return pts.join(
-        cov.hint("broadcast") if _is_small(cov) else cov,
+        cov.hint("broadcast") if _is_small(layer) else cov,
         (pts["_lvl"] == cov["level"]) & (pts["_key"] == cov["cell"]),
     ).drop("_lvl", "_key")
 
 
-def _is_small(df: DataFrame) -> bool:
-    # Covering tables are (geoms x <= max_cells) rows — broadcast unless
-    # caller disabled it; Spark AQE would figure this out too, the hint
-    # just removes the first-run shuffle.
-    return True
+# ~30 bytes/row -> a 200k-row covering broadcasts in a few MB.
+BROADCAST_MAX_COVER_ROWS = 200_000
+
+
+def _is_small(layer: Layer) -> bool:
+    """Broadcast-hint the covering only when its row count is known and
+    actually small; unknown/huge coverings take the shuffle join and let
+    AQE pick the strategy at runtime."""
+    return (
+        layer.covering_rows is not None
+        and layer.covering_rows <= BROADCAST_MAX_COVER_ROWS
+    )
 
 
 def spatial_join(

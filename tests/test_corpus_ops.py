@@ -180,3 +180,34 @@ def test_text_metrics_match_python(spark):
 
     norm = re.sub(r"\s+", " ", rows[0][1].lower()).strip()
     assert out[1]["fingerprint"] == hashlib.md5(norm.encode()).hexdigest()
+
+
+def test_cosine_brute_guard_refuses_large_corpus(spark, emb):
+    from geo_spark.operators.similarity import cosine_topk_brute as brute
+
+    with pytest.raises(ValueError, match="exceeds"):
+        brute(emb, emb, 3, max_corpus_rows=10)
+
+
+def test_cosine_topk_dispatch_branches(spark, emb):
+    from geo_spark.operators.similarity import cosine_topk, cosine_topk_brute
+
+    dim = len(emb.select("embedding").first()[0])
+    expected = {
+        (r["vec_id"], r["nb_id"], r["rank"])
+        for r in cosine_topk_brute(emb, emb, 3).collect()
+    }
+    # corpus fits -> exact brute results
+    got = {
+        (r["vec_id"], r["nb_id"], r["rank"])
+        for r in cosine_topk(emb, 3, dim).collect()
+    }
+    assert got == expected
+    # corpus "too big" -> LSH path (approximate; verify shape + high recall)
+    approx = cosine_topk(
+        emb, 3, dim, bands=32, bits_per_band=4, max_brute_rows=10
+    ).collect()
+    assert {r["rank"] for r in approx} <= {1, 2, 3}
+    got1 = {(r["vec_id"], r["nb_id"]) for r in approx if r["rank"] == 1}
+    exp1 = {(v, n) for v, n, rk in expected if rk == 1}
+    assert len(got1 & exp1) / len(exp1) >= 0.9
