@@ -448,6 +448,61 @@ def _oracle_loop_pip_join() -> str:
     """
 
 
+def _q_knn_ring_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN over a 5000-target layer — above BRUTE_FORCE_MAX_TARGETS, so
+    this exercises the cell-ring expansion path (with the mid-flight
+    straggler GEMM switch); results are exact, verified against an
+    all-pairs DuckDB window oracle."""
+    from geo_spark.operators.geo_noise import with_geo_noise
+    from geo_spark.operators.knn import knn_join
+
+    ev = with_geo_noise(_t(spark, sf_dir, "events").select("event_id"), "event_id")
+    tg = with_geo_noise(
+        spark.range(5000).select(F.col("id").alias("tid")), "(tid + 500000)"
+    )
+    return (
+        knn_join(
+            ev,
+            tg,
+            k=3,
+            point_key="event_id",
+            target_key="tid",
+            straggler_brute_cells=2_000_000,
+        )
+        .orderBy("event_id", "rank")
+    )
+
+
+def _oracle_knn_ring_events() -> str:
+    from geo_spark.operators.geo_noise import LAT_SQL, LNG_SQL
+
+    elat, elng = LAT_SQL.format(id="event_id"), LNG_SQL.format(id="event_id")
+    tlat, tlng = LAT_SQL.format(id="(g + 500000)"), LNG_SQL.format(id="(g + 500000)")
+    return f"""
+        WITH pts AS (SELECT event_id, {elat} AS lat, {elng} AS lng FROM events),
+        pxyz AS (SELECT event_id,
+                        cos(radians(lng))*cos(radians(lat)) AS px,
+                        sin(radians(lng))*cos(radians(lat)) AS py,
+                        sin(radians(lat)) AS pz FROM pts),
+        tg AS (SELECT g AS tid, {tlat} AS lat, {tlng} AS lng
+               FROM generate_series(0, 4999) s(g)),
+        txyz AS (SELECT tid,
+                        cos(radians(lng))*cos(radians(lat)) AS tx,
+                        sin(radians(lng))*cos(radians(lat)) AS ty,
+                        sin(radians(lat)) AS tz FROM tg),
+        d AS (SELECT event_id, tid,
+                     least((px-tx)*(px-tx) + (py-ty)*(py-ty) + (pz-tz)*(pz-tz),
+                           4.0) AS chord2
+              FROM pxyz, txyz),
+        r AS (SELECT event_id, tid,
+                     row_number() OVER (PARTITION BY event_id
+                                        ORDER BY chord2, tid) AS rk
+              FROM d)
+        SELECT event_id, tid, CAST(rk AS INT) AS rank
+        FROM r WHERE rk <= 3 ORDER BY event_id, rank
+    """
+
+
 def _q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shipping priority: 3-way join + filter + top-10."""
     cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
@@ -1281,6 +1336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rect_join_counts": _q_rect_join_counts,
         "q_loop_pip_join": _q_loop_pip_join,
         "q_knn_cities": _q_knn_cities,
+        "q_knn_ring_events": _q_knn_ring_events,
         "q_exact_dedup": _q_exact_dedup,
         "q_ngram_dedup_pairs": _q_ngram_dedup_pairs,
         "q_doc_quality": _q_doc_quality,
@@ -1316,6 +1372,7 @@ def oracle_sql() -> dict[str, str]:
         "q_loop_pip_join": _oracle_loop_pip_join(),
         "q_polygon_polygon_join": _oracle_polygon_polygon_join(),
         "q_knn_cities": _oracle_knn_cities(),
+        "q_knn_ring_events": _oracle_knn_ring_events(),
         "q_exact_dedup": _oracle_exact_dedup(),
         "q_ngram_dedup_pairs": _oracle_ngram_dedup_pairs(),
         "q_doc_quality": _oracle_doc_quality(),

@@ -27,6 +27,7 @@ HEADLINE_QUERIES = [
     "q_cap_join_counts",
     "q_loop_pip_join",
     "q_knn_cities",
+    "q_knn_ring_events",
     "q_minhash_lsh_pairs",  # the scale path; exact ngram join is the sf0.01 oracle query
     "q_cosine_topk",
     "q_hex_tile_counts",

@@ -619,3 +619,26 @@ def all_neighbors(cellid: int, lvl: int) -> np.ndarray:
         lvl,
     )
     return np.unique(nbrs)
+
+
+def all_neighbors_same_level(cellid) -> np.ndarray:
+    """(n, 8) all neighbors (incl. diagonals) of each cell at its OWN
+    level — the fully-vectorized special case of ``all_neighbors`` the
+    kNN ring expansion runs over millions of distinct cells per round.
+    At face corners an entry may duplicate an edge neighbor (the wrap
+    clamps, s2/cellid.go:600-629); callers dedupe set-wise."""
+    cellid = np.atleast_1d(_as_u64(cellid))
+    lvl = level(cellid)
+    size = np.int64(1) << (np.int64(MAX_LEVEL) - lvl)
+    f, i, j, _ = face_ij_orientation(cellid)
+    i &= -size
+    j &= -size
+    cols = []
+    for di, dj in (
+        (-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)
+    ):
+        ii = i + di * size
+        jj = j + dj * size
+        same = (ii >= 0) & (ii < MAX_SIZE) & (jj >= 0) & (jj < MAX_SIZE)
+        cols.append(cellid_from_face_ij_same(f, ii, jj, same))
+    return parent(np.stack(cols, axis=1), lvl[:, None])

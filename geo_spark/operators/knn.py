@@ -39,6 +39,8 @@ from geo_spark.kernel import metric
 from geo_spark.kernel.regions import chord2_from_angle
 
 BRUTE_FORCE_MAX_TARGETS = 4096
+# frontier x targets pairs below this finish as one broadcast GEMM
+_STRAGGLER_BRUTE_CELLS = 64_000_000
 
 
 def _with_xyz(df: DataFrame, lat: str, lng: str, prefix: str) -> DataFrame:
@@ -62,16 +64,30 @@ def knn_join(
     target_latlng: tuple[str, str] | None = None,
     level: int | None = None,
     max_rounds: int = 24,
+    stats: list | None = None,
+    straggler_brute_cells: int = _STRAGGLER_BRUTE_CELLS,
 ) -> DataFrame:
     """Returns (point_key, target_key, rank) with rank 1..k by ascending
     squared chord distance, ties broken by target key (the analog of the
-    reference's result ordering, s2/edge_query.go:149)."""
+    reference's result ordering, s2/edge_query.go:149).  Pass a list as
+    ``stats`` to receive one dict per ring round (round, seconds,
+    active-point count) for benchmark logging."""
     t_latlng = target_latlng or latlng
     n_targets = targets.count()
     if n_targets <= BRUTE_FORCE_MAX_TARGETS:
         return _knn_brute(points, targets, k, point_key, target_key, latlng, t_latlng)
     return _knn_ring(
-        points, targets, k, point_key, target_key, latlng, t_latlng, level, max_rounds
+        points,
+        targets,
+        k,
+        point_key,
+        target_key,
+        latlng,
+        t_latlng,
+        level,
+        max_rounds,
+        stats=stats,
+        straggler_brute_cells=straggler_brute_cells,
     )
 
 
@@ -125,34 +141,24 @@ def _knn_brute(
     return src.mapInPandas(fn, schema)
 
 
-def _ring_cells_udf(level: int, r: int):
-    """array<long> of cells at hop-distance exactly r from the cell
-    (biased ids); hop connectivity = AllNeighbors at the same level."""
+def _expand_ring(ring: DataFrame) -> DataFrame:
+    """(pcell, rcell) ring rows -> the 8-neighborhood of every ring cell,
+    vectorized over whole Arrow batches (all_neighbors_same_level)."""
 
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def ring(cid: pd.Series) -> pd.Series:
-        out = []
-        cache: dict[int, list[int]] = {}
-        for v in cid.to_numpy(np.int64):
-            key = int(v)
-            if key in cache:
-                out.append(cache[key])
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
                 continue
-            c = int(ck.from_signed(np.array([v], dtype=np.int64))[0])
-            ring_set = {c}
-            for _ in range(r):
-                grown = set(ring_set)
-                for x in ring_set:
-                    grown.update(int(n) for n in ck.all_neighbors(x, level))
-                prev = ring_set
-                ring_set = grown
-            exact = ring_set - prev if r > 0 else ring_set
-            vals = [int(ck.to_signed(np.uint64(x))) for x in sorted(exact)]
-            cache[key] = vals
-            out.append(vals)
-        return pd.Series(out)
+            cells = ck.from_signed(pdf["rcell"].to_numpy(np.int64))
+            nbrs = ck.all_neighbors_same_level(cells)  # (n, 8) uint64
+            yield pd.DataFrame(
+                {
+                    "pcell": np.repeat(pdf["pcell"].to_numpy(np.int64), 8),
+                    "rcell": ck.to_signed(nbrs.ravel()),
+                }
+            )
 
-    return ring
+    return ring.mapInPandas(fn, "pcell long, rcell long")
 
 
 def _knn_ring(
@@ -165,8 +171,22 @@ def _knn_ring(
     t_latlng: tuple[str, str],
     level: int | None,
     max_rounds: int,
+    stats: list | None = None,
+    straggler_brute_cells: int = _STRAGGLER_BRUTE_CELLS,
 ) -> DataFrame:
-    spark = points.sparkSession
+    """Synchronized ring expansion (SURVEY.md §3.3), scale-shaped:
+
+    - ring state lives in a (pcell, rcell) DataFrame over the DISTINCT
+      occupied point-cells — hop r+1 = neighbors(hop r) minus hops r-1/r
+      (triangle inequality: an 8-neighborhood never skips a hop), so each
+      round costs one vectorized neighbor pass, never a from-scratch BFS;
+    - only ACTIVE points are re-ranked each round: finished points' rows
+      move to an append-only done list, so the per-round window input is
+      (active x <= k) + this round's candidates, not everything so far;
+    - per-round state is localCheckpoint-ed (lineage truncation) and the
+      previous round's cache released — round cost stays flat no matter
+      how many rounds run.
+    """
     n_targets = targets.count()
     if level is None:
         # Aim for O(k) targets per cell: pick the level where the target
@@ -195,51 +215,125 @@ def _knn_ring(
     )
 
     frontier = pts
-    best: DataFrame | None = None
+    # hop-0 ring: every occupied point-cell maps to itself
+    ring = (
+        pts.select("pcell").distinct().withColumn("rcell", F.col("pcell"))
+        .localCheckpoint()
+    )
+    prev_ring: DataFrame | None = None
+    active_best: DataFrame | None = None
+    done_parts: list[DataFrame] = []
     w = Window.partitionBy(point_key).orderBy("chord2", target_key)
     min_width = metric.MIN_WIDTH.value(level)
 
+    import time as _time
+
     for r in range(max_rounds):
-        ring = _ring_cells_udf(level, r)
+        _t0 = _time.time()
         cand = (
-            frontier.withColumn("rcell", F.explode(ring(F.col("pcell"))))
+            frontier.join(ring, "pcell")
             .join(tg, F.col("rcell") == F.col("tcell"))
             .withColumn("chord2", chord2_expr)
             .select(point_key, target_key, "chord2")
         )
-        best = cand if best is None else best.unionByName(cand)
-        best = (
-            best.withColumn("rank", F.row_number().over(w))
+        merged = cand if active_best is None else active_best.unionByName(cand)
+        # dropDuplicates: at cube corners the clamped cross-face wrap makes
+        # the neighbor relation asymmetric, so a cell can re-enter a later
+        # ring and re-emit a (point, target) pair — a duplicate would eat a
+        # top-k slot and evict a true neighbor.
+        active_best = (
+            merged.dropDuplicates([point_key, target_key])
+            .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .drop("rank")
-            .persist()
+            .localCheckpoint()  # eager: materializes + truncates lineage
         )
-        best.count()
 
         # Termination: a point is done once it has k results and the k-th
         # distance is within the unseen-ring lower bound r*MinWidth(level).
         bound2 = chord2_from_angle(r * min_width) if r > 0 else -1.0
-        stats = best.groupBy(point_key).agg(
+        per_point = active_best.groupBy(point_key).agg(
             F.count(F.lit(1)).alias("_n"), F.max("chord2").alias("_kth")
         )
-        done = stats.where((F.col("_n") >= k) & (F.col("_kth") <= F.lit(bound2)))
-        frontier = frontier.join(done.select(point_key), on=point_key, how="left_anti")
-        frontier = frontier.persist()
-        if frontier.count() == 0:
+        done_keys = (
+            per_point.where((F.col("_n") >= k) & (F.col("_kth") <= F.lit(bound2)))
+            .select(point_key)
+            .localCheckpoint()
+        )
+        n_front = frontier.count()
+        if done_keys.count() > 0:
+            done_parts.append(
+                active_best.join(done_keys, point_key, "semi").localCheckpoint()
+            )
+            active_best = active_best.join(
+                done_keys, point_key, "left_anti"
+            ).localCheckpoint()
+            new_frontier = frontier.join(
+                done_keys, point_key, "left_anti"
+            ).localCheckpoint()
+            if frontier is not pts:
+                frontier.unpersist()
+            frontier = new_frontier
+            n_front = frontier.count()
+            if n_front == 0:
+                if stats is not None:
+                    stats.append({"round": r, "sec": round(_time.time() - _t0, 3)})
+                break
+            # drop ring cells that no longer serve any active point
+            ring = ring.join(
+                frontier.select("pcell").distinct(), "pcell", "semi"
+            )
+            if prev_ring is not None:
+                prev_ring = prev_ring.join(
+                    frontier.select("pcell").distinct(), "pcell", "semi"
+                )
+        # Straggler switch (the reference's adaptive brute-force choice,
+        # s2/edge_query.go:469-488, applied mid-flight): once the leftover
+        # all-pairs work is one cheap GEMM, stop ring-walking isolated
+        # points across empty ocean cells and finish them exactly.
+        if n_front * n_targets <= straggler_brute_cells:
+            leftover = (
+                frontier.crossJoin(F.broadcast(tg))
+                .withColumn("chord2", chord2_expr)
+                .select(point_key, target_key, "chord2")
+            )
+            active_best = active_best.unionByName(leftover)
+            if stats is not None:
+                stats.append(
+                    {
+                        "round": r,
+                        "sec": round(_time.time() - _t0, 3),
+                        "straggler_brute": int(n_front),
+                    }
+                )
             break
+        # advance to hop r+1: neighbors of the ring minus hops r-1 and r
+        seen = ring if prev_ring is None else ring.unionByName(prev_ring)
+        nxt = (
+            _expand_ring(ring)
+            .distinct()
+            .join(seen, ["pcell", "rcell"], "left_anti")
+            .localCheckpoint()
+        )
+        prev_ring, ring = ring, nxt
+        if stats is not None:
+            stats.append({"round": r, "sec": round(_time.time() - _t0, 3)})
     else:
         # Safety net: brute-force the stragglers against all targets.
         leftover = frontier.crossJoin(F.broadcast(tg)).withColumn(
             "chord2", chord2_expr
         ).select(point_key, target_key, "chord2")
-        best = best.unionByName(leftover)
+        active_best = active_best.unionByName(leftover)
 
-    out = (
-        best.withColumn("rank", F.row_number().over(w))
+    out = active_best
+    for part in done_parts:
+        out = out.unionByName(part)
+    return (
+        out.dropDuplicates([point_key, target_key])
+        .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(point_key, target_key, F.col("rank").cast("int").alias("rank"))
     )
-    return out
 
 
 def knn_regions(

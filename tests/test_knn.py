@@ -70,6 +70,70 @@ def test_ring_matches_brute(spark):
             ("lat", "lng"),
             level=3,
             max_rounds=24,
+            straggler_brute_cells=0,
         ).collect()
     }
     assert ring == brute
+
+
+def test_ring_clustered_multi_round(spark):
+    # Clustered targets far from some points -> several expansion rounds;
+    # results must still equal the exact oracle.
+    k = 2
+    rng = np.random.default_rng(11)
+    plat = rng.uniform(-60, 60, 200)
+    plng = rng.uniform(-180, 180, 200)
+    tlat = np.concatenate([rng.normal(40, 0.5, 150), rng.normal(-30, 0.5, 150)])
+    tlng = np.concatenate([rng.normal(-74, 0.5, 150), rng.normal(151, 0.5, 150)])
+    pts = spark.createDataFrame(
+        [(int(i), float(plat[i]), float(plng[i])) for i in range(len(plat))],
+        "pid long, lat double, lng double",
+    )
+    tg = spark.createDataFrame(
+        [(int(i), float(tlat[i]), float(tlng[i])) for i in range(len(tlat))],
+        "tid long, lat double, lng double",
+    )
+    got = {
+        (r["pid"], r["tid"], r["rank"])
+        for r in _knn_ring(
+            pts, tg, k, "pid", "tid", ("lat", "lng"), ("lat", "lng"),
+            level=6, max_rounds=64, straggler_brute_cells=3000,
+        ).collect()
+    }
+    assert got == _numpy_oracle(plat, plng, tlat, tlng, k)
+
+
+def test_ring_safety_net_brute_fallback(spark):
+    # max_rounds too small to converge -> the straggler brute fallback
+    # must still produce exact results.
+    k = 1
+    pts, plat, plng = _mk_points(spark, 80, 5)
+    tg, tlat, tlng = _mk_points(spark, 120, 6)
+    tg = tg.withColumnRenamed("pid", "tid")
+    got = {
+        (r["pid"], r["tid"], r["rank"])
+        for r in _knn_ring(
+            pts, tg, k, "pid", "tid", ("lat", "lng"), ("lat", "lng"),
+            level=8, max_rounds=2, straggler_brute_cells=0,
+        ).collect()
+    }
+    assert got == _numpy_oracle(plat, plng, tlat, tlng, k)
+
+
+def test_ring_straggler_switch(spark):
+    # With the default switch threshold the test-size corpus finishes as
+    # one broadcast GEMM on round 0 — still exact.
+    k = 2
+    pts, plat, plng = _mk_points(spark, 150, 7)
+    tg, tlat, tlng = _mk_points(spark, 200, 8)
+    tg = tg.withColumnRenamed("pid", "tid")
+    stats = []
+    got = {
+        (r["pid"], r["tid"], r["rank"])
+        for r in _knn_ring(
+            pts, tg, k, "pid", "tid", ("lat", "lng"), ("lat", "lng"),
+            level=4, max_rounds=24, stats=stats,
+        ).collect()
+    }
+    assert got == _numpy_oracle(plat, plng, tlat, tlng, k)
+    assert any("straggler_brute" in s for s in stats)
