@@ -37,25 +37,10 @@ SF_DEFAULT = "/root/testdata/sf0.001"
 
 def _ensure_pyfiles(spark: SparkSession) -> None:
     """Executors must import geo_spark even when the driver session was
-    created from another cwd: ship the package as a zip via addPyFile
-    (built lazily, once per session)."""
-    sc = spark.sparkContext
-    if getattr(sc, "_geo_spark_shipped", False):
-        return
-    import pathlib
-    import tempfile
-    import zipfile
+    created from another cwd or runs multi-JVM (local-cluster)."""
+    from geo_spark.session import ensure_pyfiles
 
-    zpath = os.path.join(tempfile.gettempdir(), "geo_spark_pyfiles.zip")
-    if not os.path.exists(zpath):
-        with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
-            for p in sorted(pathlib.Path(_REPO, "geo_spark").rglob("*.py")):
-                z.write(p, p.relative_to(_REPO).as_posix())
-    try:
-        sc.addPyFile(zpath)
-    except Exception:
-        pass  # already added in this JVM
-    sc._geo_spark_shipped = True
+    ensure_pyfiles(spark)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -445,6 +430,105 @@ def _oracle_loop_pip_join() -> str:
                  HAVING MIN(nx*x + ny*y + nz*z) > 0)
         SELECT geom_id, COUNT(*) AS cnt, MIN(event_id) AS min_event
         FROM hits GROUP BY geom_id ORDER BY geom_id
+    """
+
+
+def _q_trajectory_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event trails x region boundaries — the CrossingEdgeQuery
+    analog: which trajectories cross which loop boundaries, how often.
+    Candidates via covering-range overlap, refine via the robust interior
+    CrossingSign count; DuckDB oracle re-derives every trajectory edge
+    with LAG and applies the SimpleCrossing sign pattern to the literal
+    loop edges."""
+    import numpy as np
+
+    from geo_spark.kernel import cellid as ck
+    from geo_spark.kernel.pip import latlng_text_to_xyz
+    from geo_spark.kernel.regions import LoopRegion, PolylineRegion
+    from geo_spark.operators.geo_noise import with_geo_noise
+    from geo_spark.operators.geom_join import crossing_edge_join
+    from geo_spark.operators.spatial_join import build_layer
+
+    ev = with_geo_noise(_t(spark, sf_dir, "events"), "event_id")
+    pdf = (
+        ev.select("user_id", "ts", "event_id", "lat", "lng")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    trails = []
+    for uid, g in pdf.groupby("user_id"):
+        if len(g) < 2:
+            continue
+        x, y, z = ck.latlng_to_xyz(
+            g["lat"].to_numpy(np.float64), g["lng"].to_numpy(np.float64)
+        )
+        trails.append(
+            (int(uid), PolylineRegion.from_vertices(np.stack([x, y, z], axis=1)))
+        )
+    a_layer = build_layer(spark, trails, max_cells=8, interior=False)
+    b_layer = build_layer(
+        spark,
+        [
+            (g, LoopRegion.from_vertices(latlng_text_to_xyz(t)))
+            for g, t in _PIP_LOOPS
+        ],
+        max_cells=12,
+    )
+    return (
+        crossing_edge_join(a_layer, b_layer)
+        .select(
+            F.col("aid").alias("user_id"),
+            F.col("bid").alias("geom_id"),
+            "n_crossings",
+        )
+        .orderBy("user_id", "geom_id")
+    )
+
+
+def _oracle_trajectory_crossings() -> str:
+    import numpy as np
+
+    from geo_spark.kernel.pip import latlng_text_to_xyz
+    from geo_spark.operators.geo_noise import LAT_SQL, LNG_SQL
+
+    lat = LAT_SQL.format(id="event_id")
+    lng = LNG_SQL.format(id="event_id")
+    rows = []
+    for g, t in _PIP_LOOPS:
+        v = latlng_text_to_xyz(t)
+        for k in range(len(v)):
+            c, d = v[k], v[(k + 1) % len(v)]
+            n = np.cross(c, d)
+            vals = ", ".join(format(float(x), ".17e") for x in (*c, *d, *n))
+            rows.append(f"({g}, {vals})")
+    loops = ", ".join(rows)
+    return f"""
+        WITH pts AS (SELECT user_id, ts, event_id, {lat} AS lat, {lng} AS lng
+                     FROM events),
+        xyz AS (SELECT user_id, ts, event_id,
+                       cos(radians(lng))*cos(radians(lat)) AS px,
+                       sin(radians(lng))*cos(radians(lat)) AS py,
+                       sin(radians(lat)) AS pz
+                FROM pts),
+        seq AS (SELECT user_id, px AS bx, py AS by, pz AS bz,
+                       LAG(px) OVER w AS ax,
+                       LAG(py) OVER w AS ay,
+                       LAG(pz) OVER w AS az
+                FROM xyz
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        ed AS (SELECT user_id, ax, ay, az, bx, by, bz,
+                      ay*bz - az*by AS nax,
+                      az*bx - ax*bz AS nay,
+                      ax*by - ay*bx AS naz
+               FROM seq WHERE ax IS NOT NULL),
+        loops(geom_id, cx, cy, cz, dx, dy, dz, mx, my, mz) AS (VALUES {loops}),
+        x AS (SELECT user_id, geom_id
+              FROM ed, loops
+              WHERE (-(nax*cx + nay*cy + naz*cz)) * (nax*dx + nay*dy + naz*dz) > 0
+                AND (-(nax*cx + nay*cy + naz*cz)) * (-(mx*bx + my*by + mz*bz)) > 0
+                AND (-(nax*cx + nay*cy + naz*cz)) * (mx*ax + my*ay + mz*az) > 0)
+        SELECT user_id, geom_id, CAST(COUNT(*) AS INT) AS n_crossings
+        FROM x GROUP BY user_id, geom_id ORDER BY user_id, geom_id
     """
 
 
@@ -1337,6 +1421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_loop_pip_join": _q_loop_pip_join,
         "q_knn_cities": _q_knn_cities,
         "q_knn_ring_events": _q_knn_ring_events,
+        "q_trajectory_crossings": _q_trajectory_crossings,
         "q_exact_dedup": _q_exact_dedup,
         "q_ngram_dedup_pairs": _q_ngram_dedup_pairs,
         "q_doc_quality": _q_doc_quality,
@@ -1373,6 +1458,7 @@ def oracle_sql() -> dict[str, str]:
         "q_polygon_polygon_join": _oracle_polygon_polygon_join(),
         "q_knn_cities": _oracle_knn_cities(),
         "q_knn_ring_events": _oracle_knn_ring_events(),
+        "q_trajectory_crossings": _oracle_trajectory_crossings(),
         "q_exact_dedup": _oracle_exact_dedup(),
         "q_ngram_dedup_pairs": _oracle_ngram_dedup_pairs(),
         "q_doc_quality": _oracle_doc_quality(),

@@ -34,14 +34,16 @@ HEADLINE_QUERIES = [
 ]
 
 
-def bench_session(cpus: int):
+def bench_session(cpus: int, master: str | None = None):
     """Bench session: task sizing scaled to the small fixture so the
     parallelism profile matches the 100 TB deployment (there, default
     128 MB scan partitions give each core full batches; at 82 MB total
-    the default would yield ~5 tasks and idle 27 of 32 cores)."""
+    the default would yield ~5 tasks and idle 27 of 32 cores).  ``master``
+    overrides the default local[cpus] (e.g. local-cluster[4,8,3072] for
+    the multi-JVM scaling protocol)."""
     from geo_spark.session import get_spark
 
-    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark = get_spark(master=master or f"local[{cpus}]", shuffle_partitions=cpus)
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
     spark.conf.set("spark.sql.files.openCostInBytes", str(512 * 1024))
     spark.sparkContext.setLogLevel("ERROR")

@@ -215,14 +215,15 @@ def _latlng(p: np.ndarray) -> tuple[float, float]:
     return lat, lng
 
 
-def rect_bound_of_chain(verts: np.ndarray) -> Rect:
-    """Bound of the closed edge chain (vertex 0 repeated), including edge
-    latitude extrema; s2/rect_bounder.go:68-197."""
+def rect_bound_of_chain(verts: np.ndarray, closed: bool = True) -> Rect:
+    """Bound of the edge chain, including edge latitude extrema;
+    s2/rect_bounder.go:68-197.  ``closed=False`` skips the wrap-around
+    edge (open polylines)."""
     verts = np.atleast_2d(np.asarray(verts, dtype=np.float64))
     bound = Rect.empty()
     a = None
     a_ll = None
-    for idx in range(len(verts) + 1):
+    for idx in range(len(verts) + (1 if closed else 0)):
         b = verts[idx % len(verts)]
         b_ll = _latlng(b)
         if bound.is_empty():

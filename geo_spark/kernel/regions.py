@@ -319,13 +319,16 @@ class CellUnionRegion(Region):
         return Cap(mean, r2)
 
 
-def _edges_cross_cell(verts: np.ndarray, cell: Cell, cell_verts: np.ndarray) -> bool:
-    """Whether any loop edge crosses any cell edge (MaybeCross counts);
-    vectorized triage with the robust cascade on the residue."""
-    m = len(verts)
-    chain = np.vstack([verts, verts[:1]])
+def _edges_cross_cell(
+    verts: np.ndarray, cell: Cell, cell_verts: np.ndarray, closed: bool = True
+) -> bool:
+    """Whether any chain edge crosses any cell edge (MaybeCross counts);
+    vectorized triage with the robust cascade on the residue.
+    ``closed=False`` leaves out the wrap-around edge (open polylines)."""
+    chain = np.vstack([verts, verts[:1]]) if closed else verts
     a = chain[:-1]  # (M,3)
     b = chain[1:]
+    m = len(a)
     for k in range(4):
         c = cell_verts[k]
         d = cell_verts[(k + 1) & 3]
@@ -410,6 +413,60 @@ class LoopRegion(Region):
         if self._boundary_intersects(cell, cell_verts):
             return True
         return self.contains_point(cell.center())
+
+
+@dataclass(frozen=True)
+class PolylineRegion(Region):
+    """Open chain of geodesic edges — dimension 1, no interior
+    (s2/polyline.go:29).  Cell predicates are the Polyline.IntersectsCell
+    test (s2/polyline.go:131-161) restated for convex cells: a chain
+    meets a cell iff a vertex lies inside or an edge crosses a cell edge
+    (a geodesic segment cannot traverse a convex cell otherwise).  Drives
+    the coverer so trajectory edges get covering terms for the crossing
+    join (s2/crossing_edge_query.go:31-390 analog)."""
+
+    verts: np.ndarray  # (M,3) unit vectors, M >= 2
+    bound: Rect
+    _memo: dict = field(default_factory=dict, compare=False, repr=False)
+
+    @staticmethod
+    def from_vertices(verts: np.ndarray) -> "PolylineRegion":
+        verts = np.atleast_2d(np.asarray(verts, dtype=np.float64))
+        return PolylineRegion(verts, pip.rect_bound_of_chain(verts, closed=False))
+
+    @staticmethod
+    def from_latlng(lat_deg: np.ndarray, lng_deg: np.ndarray) -> "PolylineRegion":
+        x, y, z = ck.latlng_to_xyz(
+            np.asarray(lat_deg, dtype=np.float64),
+            np.asarray(lng_deg, dtype=np.float64),
+        )
+        return PolylineRegion.from_vertices(np.stack([x, y, z], axis=1))
+
+    def cap_bound(self) -> Cap:
+        return RectRegion(self.bound).cap_bound()
+
+    def contains_point(self, p: np.ndarray) -> bool:
+        return False  # measure-zero boundary, SemiOpen convention
+
+    def contains_points(self, pts: np.ndarray) -> np.ndarray:
+        return np.zeros(len(np.atleast_2d(pts)), dtype=bool)
+
+    def contains_cell(self, cell: Cell) -> bool:
+        return False  # no interior
+
+    def may_intersect_cell(self, cell: Cell) -> bool:
+        hit = self._memo.get(cell.id)
+        if hit is None:
+            if not self.bound.intersects(cell.rect_bound()):
+                hit = False
+            else:
+                hit = bool(
+                    cell.contains_points(self.verts).any()
+                ) or _edges_cross_cell(
+                    self.verts, cell, cell.vertices(), closed=False
+                )
+            self._memo[cell.id] = hit
+        return hit
 
 
 @dataclass(frozen=True)

@@ -70,3 +70,52 @@ def polygon_polygon_join(a: Layer, b: Layer) -> DataFrame:
         fn, "aid long, bid long, contains boolean, intersects boolean"
     )
     return out.where(F.col("intersects"))
+
+
+def _chain_of(region) -> tuple[np.ndarray, bool]:
+    from geo_spark.kernel.regions import PolylineRegion
+
+    if isinstance(region, LoopRegion):
+        return region.verts, True
+    if isinstance(region, PolylineRegion):
+        return region.verts, False
+    raise TypeError(f"crossing join needs chains, got {type(region).__name__}")
+
+
+def crossing_edge_join(a: Layer, b: Layer) -> DataFrame:
+    """CrossingEdgeQuery analog (s2/crossing_edge_query.go:31-390):
+    (aid, bid, n_crossings) for chain pairs with at least one interior
+    edge crossing.  Candidates come from Hilbert-range overlap of the two
+    covering tables (a polyline's covering contains every cell its edges
+    meet, so any crossing pair shares overlapping ranges); the refine
+    counts robust interior crossings (kernel/relations.chain_crossings)
+    on candidate pairs only.  A-side chains are typically open
+    trajectories (PolylineRegion), B-side closed region boundaries
+    (LoopRegion) — both directions work."""
+    from geo_spark.kernel.relations import chain_crossings
+
+    if a.regions is None or b.regions is None:
+        raise ValueError("crossing_edge_join requires closure-size layers")
+    ra = _ranges(a, "a")
+    rb = _ranges(b, "b")
+    cands = (
+        ra.join(rb, (ra["alo"] <= rb["bhi"]) & (rb["blo"] <= ra["ahi"]))
+        .select("aid", "bid")
+        .distinct()
+    )
+
+    a_regions = a.regions
+    b_regions = b.regions
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for aid, bid in zip(pdf["aid"].to_numpy(), pdf["bid"].to_numpy()):
+                av, ac = _chain_of(a_regions[int(aid)])
+                bv, bc = _chain_of(b_regions[int(bid)])
+                n = chain_crossings(av, bv, a_closed=ac, b_closed=bc)
+                if n:
+                    rows.append((int(aid), int(bid), n))
+            yield pd.DataFrame(rows, columns=["aid", "bid", "n_crossings"])
+
+    return cands.mapInPandas(fn, "aid long, bid long, n_crossings int")

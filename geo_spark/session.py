@@ -3,8 +3,39 @@
 from __future__ import annotations
 
 import os
+import pathlib
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
+
+_PKG_DIR = os.path.dirname(os.path.abspath(__file__))
+_REPO_DIR = os.path.dirname(_PKG_DIR)
+
+
+def ensure_pyfiles(spark: SparkSession) -> None:
+    """Ship the geo_spark package to executor Python workers via
+    addPyFile — required whenever executors run in separate JVMs
+    (local-cluster / a real cluster) or the driver cwd differs from the
+    repo.  The zip is rebuilt whenever any source file is newer than it
+    (a stale /tmp zip would silently run old code on executors)."""
+    sc = spark.sparkContext
+    if getattr(sc, "_geo_spark_shipped", False):
+        return
+    zpath = os.path.join(tempfile.gettempdir(), "geo_spark_pyfiles.zip")
+    srcs = sorted(pathlib.Path(_PKG_DIR).rglob("*.py"))
+    newest = max(p.stat().st_mtime for p in srcs)
+    if not os.path.exists(zpath) or os.path.getmtime(zpath) <= newest:
+        tmp = zpath + ".tmp"
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
+            for p in srcs:
+                z.write(p, p.relative_to(_REPO_DIR).as_posix())
+        os.replace(tmp, zpath)
+    try:
+        sc.addPyFile(zpath)
+    except Exception:
+        pass  # already added in this JVM
+    sc._geo_spark_shipped = True
 
 
 def get_spark(
@@ -36,6 +67,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "200000")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config(
+            "spark.executor.memory", os.environ.get("SPARK_EXECUTOR_MEMORY", "3g")
+        )
         .config("spark.ui.enabled", "false")
     )
     for var in blas_vars:
@@ -46,4 +80,6 @@ def get_spark(
         builder = builder.master(os.environ["SPARK_MASTER"])
     else:
         builder = builder.master(f"local[{cpus}]")
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    ensure_pyfiles(spark)
+    return spark

@@ -29,7 +29,7 @@ sys.path.insert(0, {repo!r})
 from bench import bench_session, build_city_layer, materialize_pages, run_pages_pipeline, run_pages_pip_join
 
 cpus = {cpus}
-spark = bench_session(cpus)
+spark = bench_session(cpus, master={master!r})
 path = materialize_pages(spark, {pages}, cpus)
 layer = build_city_layer(spark)
 # Warmup: pay Python-worker imports and JIT outside the timed window.
@@ -42,8 +42,8 @@ spark.stop()
 """
 
 
-def run_once(cpus: int, pages: int) -> dict:
-    code = CHILD.format(repo=REPO, cpus=cpus, pages=pages)
+def run_once(cpus: int, pages: int, master: str | None = None) -> dict:
+    code = CHILD.format(repo=REPO, cpus=cpus, pages=pages, master=master)
     out = subprocess.run(
         [sys.executable, "-c", code],
         capture_output=True,
@@ -63,7 +63,23 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
+    ap.add_argument(
+        "--cluster",
+        action="store_true",
+        help="multi-JVM protocol: N = local-cluster[1,low,...] vs "
+        "4N = local-cluster[high/low,low,...] — one executor JVM per "
+        "'node', so task dispatch parallelizes per-executor as on a "
+        "real cluster (the single-JVM local[k] dispatch artifact, "
+        "BASELINE.md §5, is out of the loop)",
+    )
+    ap.add_argument("--exec-mem-mb", type=int, default=3072)
     args = ap.parse_args()
+
+    masters: dict[int, str | None] = {args.low: None, args.high: None}
+    if args.cluster:
+        n_exec = args.high // args.low
+        masters[args.low] = f"local-cluster[1,{args.low},{args.exec_mem_mb}]"
+        masters[args.high] = f"local-cluster[{n_exec},{args.low},{args.exec_mem_mb}]"
 
     # Interleave configs (H,L,H,L,...): the sandbox VM's CPU delivery is
     # bursty, so consecutive same-config runs would bias whichever config
@@ -71,7 +87,7 @@ def main() -> None:
     all_runs: dict[int, list[dict]] = {args.low: [], args.high: []}
     for _ in range(args.reps):
         for cpus in (args.high, args.low):
-            all_runs[cpus].append(run_once(cpus, args.pages))
+            all_runs[cpus].append(run_once(cpus, args.pages, masters[cpus]))
     best = {
         cpus: {
             "pipeline": min(r["pipeline"] for r in runs),
@@ -82,10 +98,14 @@ def main() -> None:
     }
 
     factor = args.high / args.low
+    low_label = masters[args.low] or f"local[{args.low}]"
+    high_label = masters[args.high] or f"local[{args.high}]"
     report = {
         "n_pages": args.pages,
         "low_cpus": args.low,
         "high_cpus": args.high,
+        "low_master": low_label,
+        "high_master": high_label,
         "pipeline": {
             "low_sec": round(best[args.low]["pipeline"], 2),
             "high_sec": round(best[args.high]["pipeline"], 2),
@@ -110,7 +130,7 @@ def main() -> None:
     baseline = os.path.join(REPO, "BASELINE.md")
     marker = "## Measured scaling"
     section = (
-        f"\n{marker} (local[{args.low}] vs local[{args.high}], "
+        f"\n{marker} ({low_label} vs {high_label}, "
         f"{args.pages:,} pages, best of {args.reps})\n\n"
         f"| job | {args.low} cores | {args.high} cores | speedup | efficiency vs {factor:.0f}x |\n"
         f"|---|---|---|---|---|\n"
