@@ -80,3 +80,22 @@ def child_begin(cid: Column, lvl: int) -> Column:
 
 def child_end(cid: Column, lvl: int) -> Column:
     return cid + lsb(cid) + F.lit(lsb_for_level(lvl))
+
+
+def next_cell(cid: Column) -> Column:
+    """Next cell at the same level along the Hilbert curve (no wrap);
+    s2/cellid.go:416-419.  Valid on biased ids: the +2*lsb add carries
+    through bit 63 order-preservingly."""
+    return cid + F.shiftleft(lsb(cid), 1)
+
+
+def prev_cell(cid: Column) -> Column:
+    """Previous cell at the same level (no wrap); s2/cellid.go:422-425."""
+    return cid - F.shiftleft(lsb(cid), 1)
+
+
+def advance(cid: Column, steps: Column) -> Column:
+    """Advance along the Hilbert curve at the cell's level (caller keeps
+    steps inside the face range — no clamping, unlike the kernel's
+    ``advance``); s2/cellid.go:452-481."""
+    return cid + steps * F.shiftleft(lsb(cid), 1)

@@ -423,6 +423,74 @@ def intersects(a, b) -> np.ndarray:
     return (range_min(b) <= range_max(a)) & (range_max(b) >= range_min(a))
 
 
+def next_cell(cellid) -> np.ndarray:
+    """Next cell at the same level along the Hilbert curve (no wrap);
+    s2/cellid.go:416-419."""
+    cellid = np.atleast_1d(_as_u64(cellid))
+    return cellid + (lsb(cellid) << _U1)
+
+
+def prev_cell(cellid) -> np.ndarray:
+    """Previous cell at the same level (no wrap); s2/cellid.go:422-425."""
+    cellid = np.atleast_1d(_as_u64(cellid))
+    return cellid - (lsb(cellid) << _U1)
+
+
+_WRAP_OFFSET = U(NUM_FACES) << U(POS_BITS)
+
+
+def advance(cellid, steps) -> np.ndarray:
+    """Advance along the Hilbert curve at the cell's level, clamped to the
+    first/last cell (never wraps); s2/cellid.go:452-481."""
+    cellid = np.atleast_1d(_as_u64(cellid))
+    steps = np.atleast_1d(np.asarray(steps, dtype=np.int64))
+    shift = (np.int64(2) * (np.int64(MAX_LEVEL) - level(cellid)) + np.int64(1)).astype(
+        np.uint64
+    )
+    min_steps = -((cellid >> shift).astype(np.int64))
+    max_steps = ((_WRAP_OFFSET + lsb(cellid) - cellid) >> shift).astype(np.int64)
+    clamped = np.clip(steps, min_steps, max_steps)
+    return cellid + (clamped.astype(np.uint64) << shift)
+
+
+def max_tile(cellid: int, limit: int) -> int:
+    """Largest cell starting at cellid.RangeMin() whose range stays below
+    ``limit`` (a leaf id); returns ``limit`` when exhausted;
+    s2/cellid.go:870-900."""
+    cid = int(U(cellid))
+    lim = int(U(limit))
+
+    def rmin(x):
+        return int(range_min(np.array([x], dtype=np.uint64))[0])
+
+    def rmax(x):
+        return int(range_max(np.array([x], dtype=np.uint64))[0])
+
+    start = rmin(cid)
+    if start >= rmin(lim):
+        return lim
+    if rmax(cid) >= lim:
+        # cell too large: shrink to the first child chain
+        while True:
+            cid = int(child_begin_at_level(
+                np.array([cid], dtype=np.uint64),
+                int(level(np.array([cid], dtype=np.uint64))[0]) + 1,
+            )[0])
+            if rmax(cid) < lim:
+                break
+        return cid
+    # cell may be too small: grow while the parent still starts at start
+    while int(level(np.array([cid], dtype=np.uint64))[0]) > 0:
+        par = int(parent(
+            np.array([cid], dtype=np.uint64),
+            int(level(np.array([cid], dtype=np.uint64))[0]) - 1,
+        )[0])
+        if rmin(par) != start or rmax(par) >= lim:
+            break
+        cid = par
+    return cid
+
+
 def common_ancestor_level(a, b) -> np.ndarray:
     """Level of the lowest common ancestor, or -1; s2/cellid.go:740-748."""
     a = _as_u64(a)

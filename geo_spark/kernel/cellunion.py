@@ -198,3 +198,18 @@ def expand_by_radius(cells: list[int], min_radius_rad: float, max_level_diff: in
     if radius_level == 0 and min_radius_rad > metric.MIN_WIDTH.value(0):
         cells = expand_at_level(cells, 0)
     return expand_at_level(cells, min(min_level + max_level_diff, radius_level))
+
+
+def cellunion_from_range(begin: int, end: int) -> list[int]:
+    """Minimal ordered cell set exactly tiling the leaf range
+    [begin, end); begin/end must be leaf ids (end exclusive, may be one
+    past the last face).  Greedy MaxTile walk; s2/cellunion.go:41-49."""
+    out: list[int] = []
+    if begin >= end:
+        return out
+    cid = ck.max_tile(begin, end)
+    while cid != end:
+        out.append(cid)
+        nxt = int(ck.next_cell(cid)[0])
+        cid = ck.max_tile(nxt, end)
+    return out
