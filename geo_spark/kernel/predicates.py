@@ -234,3 +234,72 @@ def point_cross(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """PointCross (s2/point.go:82-100): (b+a) x (b-a) — a more orthogonal
     cross product for nearly (anti)parallel points; vectorized."""
     return cross(b + a, b - a)
+
+
+# ---------------------------------------------------------------------------
+# CompareDistances — s2/predicates.go:470-723.
+#
+# The reference triages with cos/sin^2 forms before exact arithmetic; we
+# triage directly on the squared-chord doubles (the engine's distance
+# unit everywhere) with a conservative error bound, and fall through to
+# exact rational arithmetic on the residue.  The float64 input vectors
+# are exact rationals, so the Fraction comparison returns the TRUE sign
+# for every input — identical results to the reference cascade, one
+# fewer tier.
+# ---------------------------------------------------------------------------
+
+# |x-a|^2 for unit-ish vectors: 3 squares + 2 adds, each with relative
+# error <= eps; 8 eps covers the worst case with margin.
+_CHORD2_TRIAGE_ERROR = 8 * DBL_EPSILON
+
+
+def triage_compare_chord2(x: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized: sign of chord2(x,a) - chord2(x,b) where certain, else 0.
+    x, a, b are (N,3) batches."""
+    da = ((x - a) ** 2).sum(axis=-1)
+    db = ((x - b) ** 2).sum(axis=-1)
+    diff = da - db
+    err = _CHORD2_TRIAGE_ERROR * (da + db)
+    return np.where(diff > err, 1, np.where(diff < -err, -1, 0)).astype(np.int8)
+
+
+def exact_compare_chord2_scalar(x, a, b) -> int:
+    """Exact sign of chord2(x,a) - chord2(x,b) via rational arithmetic
+    (the exactCompareDistances analog, s2/predicates.go:616-668).
+    Returns 0 only when the two squared chords are exactly equal."""
+    da = sum((_fr(float(x[i])) - _fr(float(a[i]))) ** 2 for i in range(3))
+    db = sum((_fr(float(x[i])) - _fr(float(b[i]))) ** 2 for i in range(3))
+    if da > db:
+        return 1
+    if da < db:
+        return -1
+    return 0
+
+
+def compare_distances(x, a, b) -> int:
+    """-1/0/+1 as distance(x,a) </==/> distance(x,b); scalar.  Triage on
+    doubles, exact on the residue; ties (sign 0) are genuine exact
+    equalities the caller breaks deterministically (the reference's
+    symbolic tier exists only to make that break order-free;
+    s2/predicates.go:470-723)."""
+    x = np.asarray(x, dtype=np.float64)
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    s = int(triage_compare_chord2(x[None, :], a[None, :], b[None, :])[0])
+    if s != 0:
+        return s
+    return exact_compare_chord2_scalar(x, a, b)
+
+
+def compare_distances_batch(
+    x: np.ndarray, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """Vectorized cascade: triage everything, exact only on the residue."""
+    x = np.atleast_2d(x)
+    a = np.atleast_2d(a)
+    b = np.atleast_2d(b)
+    out = triage_compare_chord2(x, a, b).astype(np.int8)
+    res = np.nonzero(out == 0)[0]
+    for i in res:
+        out[i] = exact_compare_chord2_scalar(x[i], a[i], b[i])
+    return out

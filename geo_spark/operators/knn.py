@@ -99,8 +99,16 @@ def _knn_brute(
     target_key: str,
     latlng: tuple[str, str],
     t_latlng: tuple[str, str],
+    exact_ties: bool = False,
 ) -> DataFrame:
-    """Closure-shipped targets, one numpy GEMM-ish pass per Arrow batch."""
+    """Closure-shipped targets, one numpy GEMM-ish pass per Arrow batch.
+
+    ``exact_ties=True`` re-orders runs of float-equal chord2 values with
+    the exact CompareDistances cascade (kernel/predicates.py,
+    s2/predicates.go:470-723): targets whose true distances differ below
+    double resolution rank by true distance, genuine exact ties still
+    break by target key — the scale-invariant tie order the reference's
+    result ordering guarantees (s2/edge_query.go:149)."""
     rows = targets.select(target_key, *t_latlng).collect()
     tids = np.array([r[0] for r in rows], dtype=np.int64)
     tx, ty, tz = ck.latlng_to_xyz(
@@ -128,6 +136,8 @@ def _knn_brute(
             # top-k ascending with (chord2, tid) tie order
             order = np.lexsort((np.broadcast_to(tids, chord2.shape), chord2), axis=1)
             topk = order[:, :kk]
+            if exact_ties:
+                topk = _resolve_tie_runs(pts, chord2, order, topk, kk, tmat, tids)
             b = len(pdf)
             out = pd.DataFrame(
                 {
@@ -139,6 +149,45 @@ def _knn_brute(
             yield out
 
     return src.mapInPandas(fn, schema)
+
+
+def _resolve_tie_runs(pts, chord2, order, topk, kk, tmat, tids):
+    """Re-rank runs of float-equal chord2 overlapping the top-k by exact
+    squared-chord comparison (the CompareDistances cascade's exact tier;
+    kernel/predicates.exact_compare_chord2_scalar).  Only tie runs pay
+    the exact-arithmetic cost; everything else is untouched."""
+    from fractions import Fraction
+
+    topk = topk.copy()
+    n_t = chord2.shape[1]
+    for r in range(len(pts)):
+        row_order = order[r]
+        vals = chord2[r, row_order]
+        px = None
+        i = 0
+        changed = False
+        while i < kk:
+            j = i + 1
+            while j < n_t and vals[j] == vals[i]:
+                j += 1
+            if j - i > 1:
+                if px is None:
+                    px = [Fraction(float(v)) for v in pts[r]]
+                exact = []
+                for tix in row_order[i:j]:
+                    da = sum(
+                        (px[c] - Fraction(float(tmat[tix, c]))) ** 2
+                        for c in range(3)
+                    )
+                    exact.append((da, int(tids[tix]), int(tix)))
+                exact.sort(key=lambda t: (t[0], t[1]))
+                row_order = row_order.copy()
+                row_order[i:j] = [t[2] for t in exact]
+                changed = True
+            i = j
+        if changed:
+            topk[r] = row_order[:kk]
+    return topk
 
 
 def _expand_ring(ring: DataFrame) -> DataFrame:
