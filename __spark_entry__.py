@@ -532,6 +532,128 @@ def _oracle_trajectory_crossings() -> str:
     """
 
 
+_TRAIL_RADIUS_RAD = 500_000.0 / 6_371_010.0  # 500 km on the mean-radius sphere
+
+
+def _q_trail_pair_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory <-> trajectory within-distance join (edge-pair distance
+    kernels, s2/edge_distances.go:334-419): pairs of 4-edge user trails
+    within 500 km, with a crossed flag.  Buffered-covering candidates,
+    exact chain-pair chord refine; DuckDB oracle re-derives the
+    vertex-to-segment minima and the crossing sign pattern in SQL."""
+    import numpy as np
+
+    from geo_spark.kernel import cellid as ck
+    from geo_spark.kernel.regions import PolylineRegion
+    from geo_spark.operators.distance_join import build_distance_layer
+    from geo_spark.operators.geo_noise import with_geo_noise
+    from geo_spark.operators.geom_join import polyline_distance_join
+    from geo_spark.operators.spatial_join import build_layer
+
+    ev = with_geo_noise(_t(spark, sf_dir, "events"), "event_id")
+    pdf = (
+        ev.select("user_id", "ts", "event_id", "lat", "lng")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+        .groupby("user_id")
+        .head(5)
+    )
+    trails = []
+    for uid, g in pdf.groupby("user_id"):
+        if len(g) < 2:
+            continue
+        x, y, z = ck.latlng_to_xyz(
+            g["lat"].to_numpy(np.float64), g["lng"].to_numpy(np.float64)
+        )
+        trails.append(
+            (int(uid), PolylineRegion.from_vertices(np.stack([x, y, z], axis=1)))
+        )
+    a = build_distance_layer(spark, trails, _TRAIL_RADIUS_RAD)
+    b = build_layer(spark, trails, max_cells=8, interior=False)
+    return (
+        polyline_distance_join(a, b, _TRAIL_RADIUS_RAD)
+        .where(F.col("aid") < F.col("bid"))
+        .select(
+            F.col("aid").alias("ua"), F.col("bid").alias("ub"), "crossed", "within"
+        )
+        .orderBy("ua", "ub")
+    )
+
+
+def _oracle_trail_pair_distance() -> str:
+    from geo_spark.kernel.regions import chord2_from_angle
+    from geo_spark.operators.geo_noise import LAT_SQL, LNG_SQL
+
+    lat = LAT_SQL.format(id="event_id")
+    lng = LNG_SQL.format(id="event_id")
+    thr = chord2_from_angle(_TRAIL_RADIUS_RAD)
+    return f"""
+        WITH ranked AS (SELECT user_id, ts, event_id,
+                               row_number() OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id) AS rk
+                        FROM events),
+        pts AS (SELECT user_id, rk, {lat} AS lat, {lng} AS lng
+                FROM ranked WHERE rk <= 5),
+        xyz AS (SELECT user_id, rk,
+                       cos(radians(lng))*cos(radians(lat)) AS px,
+                       sin(radians(lng))*cos(radians(lat)) AS py,
+                       sin(radians(lat)) AS pz
+                FROM pts),
+        ed AS (SELECT user_id, rk,
+                      LAG(px) OVER w AS ax, LAG(py) OVER w AS ay,
+                      LAG(pz) OVER w AS az,
+                      px AS bx, py AS by, pz AS bz
+               FROM xyz WINDOW w AS (PARTITION BY user_id ORDER BY rk)),
+        edges AS (SELECT user_id, ax, ay, az, bx, by, bz,
+                         ay*bz - az*by AS nx,
+                         az*bx - ax*bz AS ny,
+                         ax*by - ay*bx AS nz
+                  FROM ed WHERE ax IS NOT NULL),
+        -- interior crossings between trail pairs (SimpleCrossing pattern)
+        crossings AS (
+            SELECT DISTINCT e1.user_id AS ua, e2.user_id AS ub
+            FROM edges e1, edges e2
+            WHERE e1.user_id < e2.user_id
+              AND (-(e1.nx*e2.ax + e1.ny*e2.ay + e1.nz*e2.az))
+                  * (e1.nx*e2.bx + e1.ny*e2.by + e1.nz*e2.bz) > 0
+              AND (-(e1.nx*e2.ax + e1.ny*e2.ay + e1.nz*e2.az))
+                  * (-(e2.nx*e1.bx + e2.ny*e1.by + e2.nz*e1.bz)) > 0
+              AND (-(e1.nx*e2.ax + e1.ny*e2.ay + e1.nz*e2.az))
+                  * (e2.nx*e1.ax + e2.ny*e1.ay + e2.nz*e1.az) > 0),
+        -- vertex-to-segment chord2, both directions
+        vs AS (
+            SELECT least(v.user_id, e.user_id) AS ua,
+                   greatest(v.user_id, e.user_id) AS ub,
+                   CASE WHEN ((e.ay*v.pz - e.az*v.py)*e.nx
+                              + (e.az*v.px - e.ax*v.pz)*e.ny
+                              + (e.ax*v.py - e.ay*v.px)*e.nz) >= 0
+                         AND ((v.py*e.bz - v.pz*e.by)*e.nx
+                              + (v.pz*e.bx - v.px*e.bz)*e.ny
+                              + (v.px*e.by - v.py*e.bx)*e.nz) >= 0
+                        THEN 2.0 * (1.0 - sqrt(greatest(0.0,
+                             1.0 - power(abs(v.px*e.nx + v.py*e.ny + v.pz*e.nz)
+                                         / sqrt(e.nx*e.nx + e.ny*e.ny + e.nz*e.nz),
+                                         2))))
+                        ELSE least(
+                             (v.px-e.ax)*(v.px-e.ax) + (v.py-e.ay)*(v.py-e.ay)
+                             + (v.pz-e.az)*(v.pz-e.az),
+                             (v.px-e.bx)*(v.px-e.bx) + (v.py-e.by)*(v.py-e.by)
+                             + (v.pz-e.bz)*(v.pz-e.bz))
+                   END AS c2
+            FROM xyz v, edges e
+            WHERE v.user_id <> e.user_id),
+        mind AS (SELECT ua, ub, MIN(least(c2, 4.0)) AS min_c2
+                 FROM vs GROUP BY ua, ub)
+        SELECT m.ua, m.ub,
+               (x.ua IS NOT NULL) AS crossed,
+               TRUE AS within
+        FROM mind m
+        LEFT JOIN crossings x ON x.ua = m.ua AND x.ub = m.ub
+        WHERE x.ua IS NOT NULL OR m.min_c2 <= {thr!r}
+        ORDER BY m.ua, m.ub
+    """
+
+
 def _q_knn_ring_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN over a 5000-target layer — above BRUTE_FORCE_MAX_TARGETS, so
     this exercises the cell-ring expansion path (with the mid-flight
@@ -1422,6 +1544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_cities": _q_knn_cities,
         "q_knn_ring_events": _q_knn_ring_events,
         "q_trajectory_crossings": _q_trajectory_crossings,
+        "q_trail_pair_distance": _q_trail_pair_distance,
         "q_exact_dedup": _q_exact_dedup,
         "q_ngram_dedup_pairs": _q_ngram_dedup_pairs,
         "q_doc_quality": _q_doc_quality,
@@ -1459,6 +1582,7 @@ def oracle_sql() -> dict[str, str]:
         "q_knn_cities": _oracle_knn_cities(),
         "q_knn_ring_events": _oracle_knn_ring_events(),
         "q_trajectory_crossings": _oracle_trajectory_crossings(),
+        "q_trail_pair_distance": _oracle_trail_pair_distance(),
         "q_exact_dedup": _oracle_exact_dedup(),
         "q_ngram_dedup_pairs": _oracle_ngram_dedup_pairs(),
         "q_doc_quality": _oracle_doc_quality(),

@@ -69,6 +69,30 @@ def run_pages_pipeline(spark, pages_path: str) -> int:
     return tile_counts(extract_encode(pages), 10, sort=False).count()
 
 
+def run_encode_kernel(spark, n_rows: int, cpus: int) -> int:
+    """Compute-bound engine job: ids -> deterministic lat/lng (codegen) ->
+    full Hilbert encode (vectorized UDF) -> level-10 tile count with
+    map-side combine.  ~16 bytes/row of Arrow traffic vs ~350 ns/row of
+    kernel arithmetic, so this isolates engine+dispatch scaling from the
+    sandbox's saturated memory bandwidth (BASELINE.md §5)."""
+    from pyspark.sql import functions as F
+
+    from geo_spark.functions import sql as s2sql
+    from geo_spark.functions.s2 import s2_cellid
+    from geo_spark.operators.geo_noise import with_geo_noise
+
+    df = with_geo_noise(
+        spark.range(0, n_rows, 1, cpus * 4).withColumnRenamed("id", "row_id"),
+        "row_id",
+    )
+    enc = df.withColumn("cell_id", s2_cellid(F.col("lat"), F.col("lng")))
+    return (
+        enc.groupBy(s2sql.parent(F.col("cell_id"), 10).alias("tile"))
+        .count()
+        .count()
+    )
+
+
 def build_city_layer(spark):
     from geo_spark.operators.spatial_join import build_layer
     from geo_spark.sources.layers import city_loop_regions

@@ -710,3 +710,83 @@ def all_neighbors_same_level(cellid) -> np.ndarray:
         same = (ii >= 0) & (ii < MAX_SIZE) & (jj >= 0) & (jj < MAX_SIZE)
         cols.append(cellid_from_face_ij_same(f, ii, jj, same))
     return parent(np.stack(cols, axis=1), lvl[:, None])
+
+
+# ---------------------------------------------------------------------------
+# Debug string form "f/0123" and exact-center snap detection.
+# ---------------------------------------------------------------------------
+
+
+def to_string(cellid) -> list[str]:
+    """Human-readable "face/child-path" form, e.g. "2/0123";
+    s2/cellid.go:339-356.  Invalid ids render as "Invalid: <hex>"."""
+    arr = np.atleast_1d(_as_u64(cellid))
+    valid = is_valid(arr)
+    faces = face(arr)
+    lvls = level(arr)
+    out = []
+    for k in range(len(arr)):
+        if not valid[k]:
+            out.append(f"Invalid: {int(arr[k]):016x}")
+            continue
+        cid = int(arr[k])
+        digits = []
+        for l in range(1, int(lvls[k]) + 1):
+            digits.append(str((cid >> (2 * (MAX_LEVEL - l) + 1)) & 3))
+        out.append(f"{int(faces[k])}/" + "".join(digits))
+    return out
+
+
+def cellid_from_string(s: str) -> int:
+    """Inverse of ``to_string``; s2/cellid.go:358-373."""
+    if len(s) < 2 or s[1] != "/" or s[0] not in "012345":
+        raise ValueError(f"bad cell id string {s!r}")
+    face_num = int(s[0])
+    cid = (face_num << POS_BITS) | (1 << 60)  # face cell
+    for ch in s[2:]:
+        if ch not in "0123":
+            raise ValueError(f"bad child digit {ch!r} in {s!r}")
+        arr = np.array([cid], dtype=np.uint64)
+        lvl = int(level(arr)[0]) + 1
+        first = int(child_begin_at_level(arr, lvl)[0])
+        step = 2 * int(lsb_for_level(np.int64(lvl)))
+        cid = first + int(ch) * step
+    return cid
+
+
+def xyz_to_face_siti(p: np.ndarray) -> tuple[int, int, int, int]:
+    """(face, si, ti, level) for a point; level is the cell level if the
+    point is EXACTLY the center of some cell (snap detection for
+    compressed decode), else -1; s2/stuv.go:339-363."""
+    p = np.asarray(p, dtype=np.float64)
+    f, u, v = face_uv_from_xyz(p[0:1], p[1:2], p[2:3])
+    s = uv_to_st(u)[0]
+    t = uv_to_st(v)[0]
+    si = int(round(s * 2 * MAX_SIZE))
+    ti = int(round(t * 2 * MAX_SIZE))
+    si = max(0, min(2 * MAX_SIZE, si))
+    ti = max(0, min(2 * MAX_SIZE, ti))
+    # a center has both coordinates odd multiples of 2^(30-level) doubled;
+    # level = 30 - trailing_zeros(si | ti | marker)
+    bits = (si | ti | (1 << 31))
+    tz = (bits & -bits).bit_length() - 1
+    lvl = MAX_LEVEL - tz
+    if 0 <= lvl <= MAX_LEVEL:
+        # verify exactness: the center of that cell must reproduce p's direction
+        cx, cy, cz = face_uv_to_xyz(
+            np.asarray(f, dtype=np.int64),
+            st_to_uv(np.array([si / (2.0 * MAX_SIZE)])),
+            st_to_uv(np.array([ti / (2.0 * MAX_SIZE)])),
+        )
+        c = np.array(
+            [
+                float(np.atleast_1d(cx)[0]),
+                float(np.atleast_1d(cy)[0]),
+                float(np.atleast_1d(cz)[0]),
+            ]
+        )
+        # the input is a unit vector (S2 Point contract); compare it to
+        # the normalized center exactly, as the reference does
+        if np.array_equal(c / np.linalg.norm(c), p):
+            return int(f[0]), si, ti, lvl
+    return int(f[0]), si, ti, -1

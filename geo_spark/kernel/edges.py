@@ -127,3 +127,51 @@ def simplify_polyline(verts: np.ndarray, tolerance_rad: float) -> np.ndarray:
             keep.append(nxt)
         idx = nxt
     return np.array(keep, dtype=np.int64)
+
+
+def edge_pair_chord2(
+    a0: np.ndarray, a1: np.ndarray, b0: np.ndarray, b1: np.ndarray
+) -> float:
+    """Min squared chord distance between segments A=(a0,a1) and
+    B=(b0,b1): zero when they cross, else the minimum of the four
+    endpoint-to-opposite-segment distances (the closest pair of
+    non-crossing geodesic segments always involves an endpoint);
+    s2/edge_distances.go:334-419."""
+    from geo_spark.kernel.relations import chain_crossings
+
+    if chain_crossings(
+        np.stack([a0, a1]), np.stack([b0, b1]), a_closed=False, b_closed=False
+    ):
+        return 0.0
+    d = min(
+        float(point_segment_chord2(a0[None, :], b0[None, :], b1[None, :])[0]),
+        float(point_segment_chord2(a1[None, :], b0[None, :], b1[None, :])[0]),
+        float(point_segment_chord2(b0[None, :], a0[None, :], a1[None, :])[0]),
+        float(point_segment_chord2(b1[None, :], a0[None, :], a1[None, :])[0]),
+    )
+    return d
+
+
+def chain_pair_chord2(a_chain: np.ndarray, b_chain: np.ndarray) -> float:
+    """Min squared chord distance between two open chains: zero on any
+    crossing, else min over (vertex, opposite chain) pairs — vectorized
+    (the endpoint property makes vertex-to-chain sweeps sufficient);
+    the polyline<->polyline distance kernel (s2/polyline.go:493-532
+    Intersects + edge-pair distances)."""
+    from geo_spark.kernel.relations import chain_crossings
+
+    a_chain = np.atleast_2d(a_chain)
+    b_chain = np.atleast_2d(b_chain)
+    if len(a_chain) >= 2 and len(b_chain) >= 2 and chain_crossings(
+        a_chain, b_chain, a_closed=False, b_closed=False
+    ):
+        return 0.0
+    d1 = point_to_edges_chord2(a_chain, b_chain).min()
+    d2 = point_to_edges_chord2(b_chain, a_chain).min()
+    return float(min(d1, d2))
+
+
+def polylines_intersect(a_chain: np.ndarray, b_chain: np.ndarray) -> bool:
+    """Whether two polylines share any point: an interior crossing or an
+    exact touch (distance exactly zero); s2/polyline.go:493-532."""
+    return chain_pair_chord2(a_chain, b_chain) == 0.0

@@ -169,3 +169,46 @@ def cell_average_area(level: int) -> float:
     from geo_spark.kernel import metric
 
     return metric.AVG_AREA.value(level)
+
+
+def turn_angle(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> float:
+    """Exterior angle at b of the chain a->b->c, positive for a left
+    turn; s2/point_measures.go:131-147 (sign via RobustSign so collinear
+    chains are handled deterministically)."""
+    from geo_spark.kernel import predicates as pred
+
+    ang = angle(np.cross(a, b), np.cross(b, c))
+    s = float(pred.robust_sign(a[None, :], b[None, :], c[None, :])[0])
+    return s * ang if s != 0 else ang
+
+
+def loop_turning_angle(verts: np.ndarray, origin_inside: bool | None = None) -> float:
+    """Sum of turning angles (Kahan-compensated); 2*pi for a tiny CCW
+    loop, -2*pi for CW, +-4*pi degenerate convention for empty/full
+    loops; s2/loop.go:792-838."""
+    verts = np.atleast_2d(np.asarray(verts, dtype=np.float64))
+    n = len(verts)
+    if n < 3:
+        if origin_inside is None and n == 1:
+            origin_inside = bool(verts[0][2] < 0)
+        return -4 * math.pi if origin_inside else 4 * math.pi
+    total = 0.0
+    comp = 0.0  # Kahan compensation, per the reference's error control
+    for i in range(n):
+        a = verts[(i - 1) % n]
+        b = verts[i]
+        c = verts[(i + 1) % n]
+        t = turn_angle(a, b, c)
+        y = t - comp
+        s = total + y
+        comp = (s - total) - y
+        total = s
+    # clamp to the legal range, s2/loop.go:836
+    return max(-4 * math.pi, min(4 * math.pi, total))
+
+
+def loop_is_normalized(verts: np.ndarray, origin_inside: bool | None = None) -> bool:
+    """A loop is normalized when its area is at most 2*pi (interior no
+    larger than the exterior), equivalently TurningAngle >= 0;
+    s2/loop.go:867-881."""
+    return loop_turning_angle(verts, origin_inside) >= -1e-14

@@ -294,3 +294,64 @@ def loop_rect_bound(verts: np.ndarray, origin_inside: bool) -> Rect:
         if bool(loop_contains_points(verts, origin_inside, south[None, :])[0]):
             b = Rect(R1Interval(-PI / 2, b.lat.hi), b.lng)
     return b
+
+
+# ---------------------------------------------------------------------------
+# Vertex models — s2/contains_point_query.go:23-40.
+# ---------------------------------------------------------------------------
+
+VERTEX_MODEL_OPEN = "open"
+VERTEX_MODEL_SEMI_OPEN = "semi_open"
+VERTEX_MODEL_CLOSED = "closed"
+
+
+def point_on_chain(verts: np.ndarray, pts: np.ndarray, closed: bool = True) -> np.ndarray:
+    """Whether each point lies ON the chain's boundary (a vertex or the
+    interior of an edge).  Triage on the edge-plane determinant, exact
+    collinearity + chord-betweenness on the residue."""
+    pts = np.atleast_2d(np.asarray(pts, dtype=np.float64))
+    verts = np.atleast_2d(np.asarray(verts, dtype=np.float64))
+    chain = np.vstack([verts, verts[:1]]) if closed else verts
+    out = np.zeros(len(pts), dtype=bool)
+    if len(chain) < 2:
+        if len(chain) == 1:
+            return (pts == chain[0]).all(axis=1)
+        return out
+    c = chain[:-1]
+    d = chain[1:]
+    n = np.cross(c, d)  # (M,3) edge planes
+    dets = pts @ n.T  # (N,M)
+    # |det| <= error -> possibly on the plane; exact check those pairs only
+    near = np.abs(dets) <= 4 * pred.MAX_DETERMINANT_ERROR
+    for i, j in zip(*np.nonzero(near)):
+        p, a, b = pts[i], c[j], d[j]
+        if _eq(p, a) or _eq(p, b):
+            out[i] = True
+            continue
+        if pred.exact_sign_scalar(a, b, p, perturb=False) != 0:
+            continue
+        # collinear: on the minor arc iff between both endpoints chord-wise
+        if (p - a) @ (b - a) >= 0 and (p - b) @ (a - b) >= 0:
+            out[i] = True
+    return out
+
+
+def loop_contains_points_with_model(
+    verts: np.ndarray,
+    origin_inside: bool,
+    pts: np.ndarray,
+    model: str = VERTEX_MODEL_SEMI_OPEN,
+) -> np.ndarray:
+    """Loop containment under a vertex model: Open excludes the whole
+    boundary, Closed includes it, SemiOpen is the crossing-parity default
+    (s2/contains_point_query.go:23-40; boundary handling per the C++
+    S2VertexModel contract)."""
+    base = loop_contains_points(verts, origin_inside, pts)
+    if model == VERTEX_MODEL_SEMI_OPEN:
+        return base
+    boundary = point_on_chain(verts, pts, closed=True)
+    if model == VERTEX_MODEL_OPEN:
+        return base & ~boundary
+    if model == VERTEX_MODEL_CLOSED:
+        return base | boundary
+    raise ValueError(f"unknown vertex model {model!r}")

@@ -569,3 +569,51 @@ def distance_chord2(region: Region, pts: np.ndarray) -> np.ndarray:
             )
         return np.where(inside, 0.0, best)
     raise TypeError(f"distance_chord2: unsupported region {type(region).__name__}")
+
+
+@dataclass(frozen=True)
+class RegionUnion(Region):
+    """Union of regions; predicates are any/all reductions over members
+    (s2/regionunion.go:30-90)."""
+
+    regions: tuple[Region, ...]
+
+    def contains_point(self, p: np.ndarray) -> bool:
+        return any(r.contains_point(p) for r in self.regions)
+
+    def contains_points(self, pts: np.ndarray) -> np.ndarray:
+        pts = np.atleast_2d(pts)
+        out = np.zeros(len(pts), dtype=bool)
+        for r in self.regions:
+            out |= r.contains_points(pts)
+        return out
+
+    def contains_cell(self, cell: Cell) -> bool:
+        # any single member containing the cell suffices (the union could
+        # contain it jointly — conservative exactly like the reference,
+        # s2/regionunion.go:63-70)
+        return any(r.contains_cell(cell) for r in self.regions)
+
+    def may_intersect_cell(self, cell: Cell) -> bool:
+        return any(r.may_intersect_cell(cell) for r in self.regions)
+
+    def cap_bound(self) -> Cap:
+        return RectRegion(self.rect_bound()).cap_bound()
+
+    def rect_bound(self) -> Rect:
+        b = Rect.empty()
+        for r in self.regions:
+            if hasattr(r, "rect_bound"):
+                rb = r.rect_bound() if callable(getattr(r, "rect_bound")) else r.bound
+            elif hasattr(r, "bound"):
+                rb = r.bound
+            else:
+                return Rect.full()
+            b = b.union(rb)
+        return b
+
+    def cell_union_bound(self) -> list[int]:
+        out: list[int] = []
+        for r in self.regions:
+            out.extend(r.cell_union_bound())
+        return cu.normalize(out)

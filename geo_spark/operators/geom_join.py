@@ -119,3 +119,46 @@ def crossing_edge_join(a: Layer, b: Layer) -> DataFrame:
             yield pd.DataFrame(rows, columns=["aid", "bid", "n_crossings"])
 
     return cands.mapInPandas(fn, "aid long, bid long, n_crossings int")
+
+
+def polyline_distance_join(
+    a_buffered: Layer, b: Layer, radius_rad: float
+) -> DataFrame:
+    """Trajectory <-> trajectory within-distance join: (aid, bid, crossed,
+    within).  ``a_buffered`` must be built with
+    ``distance_join.build_distance_layer`` (coverings expanded by the
+    radius) so every chain within the radius overlaps the buffered
+    ranges; the refine computes the exact chain-pair squared chord
+    (kernel/edges.chain_pair_chord2: zero on crossing, else vertex-to-
+    opposite-chain minima — the edge-pair distance property of
+    s2/edge_distances.go:334-419)."""
+    from geo_spark.kernel.edges import chain_pair_chord2
+    from geo_spark.kernel.regions import chord2_from_angle
+
+    if a_buffered.regions is None or b.regions is None:
+        raise ValueError("polyline_distance_join requires closure-size layers")
+    thr = chord2_from_angle(radius_rad)
+    ra = _ranges(a_buffered, "a")
+    rb = _ranges(b, "b")
+    cands = (
+        ra.join(rb, (ra["alo"] <= rb["bhi"]) & (rb["blo"] <= ra["ahi"]))
+        .select("aid", "bid")
+        .distinct()
+    )
+    a_regions = a_buffered.regions
+    b_regions = b.regions
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for aid, bid in zip(pdf["aid"].to_numpy(), pdf["bid"].to_numpy()):
+                av, _ = _chain_of(a_regions[int(aid)])
+                bv, _ = _chain_of(b_regions[int(bid)])
+                c2 = chain_pair_chord2(av, bv)
+                if c2 <= thr:
+                    rows.append((int(aid), int(bid), c2 == 0.0, True))
+            yield pd.DataFrame(
+                rows, columns=["aid", "bid", "crossed", "within"]
+            )
+
+    return cands.mapInPandas(fn, "aid long, bid long, crossed boolean, within boolean")

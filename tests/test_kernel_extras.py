@@ -1,0 +1,119 @@
+"""Round-2 kernel additions: vertex models, turning angle, RegionUnion,
+cell-id string form, exact-center snap detection, edge-pair distances."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from geo_spark.kernel import cellid as ck
+from geo_spark.kernel import edges as E
+from geo_spark.kernel import measures as M
+from geo_spark.kernel.coverer import RegionCoverer
+from geo_spark.kernel.pip import (
+    latlng_text_to_xyz,
+    loop_contains_points_with_model,
+    loop_origin_inside,
+    point_on_chain,
+)
+from geo_spark.kernel.regions import Cap, RegionUnion
+
+
+def test_vertex_models_boundary_semantics():
+    loop = latlng_text_to_xyz("0:0, 0:10, 10:10, 10:0")
+    oi = loop_origin_inside(loop)
+    vertex = loop[0]
+    mid_edge = latlng_text_to_xyz("0:5")[0]  # on the equator edge exactly
+    inner = latlng_text_to_xyz("5:5")[0]
+    outer = latlng_text_to_xyz("20:20")[0]
+    pts = np.stack([vertex, mid_edge, inner, outer])
+    assert list(point_on_chain(loop, pts)) == [True, True, False, False]
+    assert list(
+        loop_contains_points_with_model(loop, oi, pts, "open")
+    ) == [False, False, True, False]
+    assert list(
+        loop_contains_points_with_model(loop, oi, pts, "semi_open")
+    ) == [False, False, True, False]
+    assert list(
+        loop_contains_points_with_model(loop, oi, pts, "closed")
+    ) == [True, True, True, False]
+
+
+def test_turning_angle_orientation_and_normalized():
+    ccw = latlng_text_to_xyz("0:0, 0:10, 10:10, 10:0")
+    cw = ccw[::-1].copy()
+    assert abs(M.loop_turning_angle(ccw) - 2 * math.pi) < 0.2
+    assert abs(M.loop_turning_angle(cw) + 2 * math.pi) < 0.2
+    assert M.loop_is_normalized(ccw)
+    assert not M.loop_is_normalized(cw)
+
+
+def test_region_union_covering_and_predicates():
+    u = RegionUnion(
+        (Cap.from_center_angle(0, 0, 0.05), Cap.from_center_angle(45, 90, 0.05))
+    )
+    cov = RegionCoverer(max_cells=12).covering(u)
+    assert cov
+    for (la, ln), want in (((0, 0), True), ((45, 90), True), ((20, 20), False)):
+        x, y, z = ck.latlng_to_xyz(np.float64(la), np.float64(ln))
+        p = np.array([float(x), float(y), float(z)])
+        p /= np.linalg.norm(p)
+        assert u.contains_point(p) == want
+        if want:  # member points must be covered
+            leaf = int(ck.cellid_from_latlng(np.array([la]), np.array([ln]))[0])
+            assert any(
+                int(ck.range_min(np.array([c], dtype=np.uint64))[0])
+                <= leaf
+                <= int(ck.range_max(np.array([c], dtype=np.uint64))[0])
+                for c in cov
+            )
+
+
+def test_cellid_string_roundtrip():
+    ids = ck.cellid_from_latlng(
+        np.array([48.8, -33.9, 0.0]), np.array([2.3, 151.2, -179.9])
+    )
+    for lvl in (0, 4, 13, 30):
+        p = ck.parent(ids, lvl)
+        for s, c in zip(ck.to_string(p), p):
+            assert s[1] == "/" and len(s) == 2 + lvl
+            assert ck.cellid_from_string(s) == int(c)
+    with pytest.raises(ValueError):
+        ck.cellid_from_string("7/012")
+    with pytest.raises(ValueError):
+        ck.cellid_from_string("2/014")
+
+
+def test_xyz_to_face_siti_snap():
+    leaf = ck.cellid_from_latlng(np.array([10.0]), np.array([20.0]))
+    for lvl in (4, 12, 30):
+        c = int(ck.parent(leaf, lvl)[0])
+        x, y, z = ck.cellid_to_xyz(np.array([c], dtype=np.uint64))
+        p = np.array([float(x[0]), float(y[0]), float(z[0])])
+        p /= np.linalg.norm(p)
+        f, si, ti, got_lvl = ck.xyz_to_face_siti(p)
+        assert got_lvl == lvl
+    f, si, ti, lvl = ck.xyz_to_face_siti(
+        np.array([0.5, 0.5, 0.70710678])
+    )
+    assert lvl == -1
+
+
+def test_edge_pair_distance_cases():
+    # crossing -> 0
+    a = latlng_text_to_xyz("-5:0, 5:0")
+    b = latlng_text_to_xyz("0:-5, 0:5")
+    assert E.edge_pair_chord2(a[0], a[1], b[0], b[1]) == 0.0
+    # non-crossing: meridian segment ending at the equator vs a lat-1 arc
+    # (whose geodesic bulges to ~1.0004 deg at lng 0) -> ~1 degree apart
+    s = latlng_text_to_xyz("-5:0, 0:0")
+    c = latlng_text_to_xyz("1:-5, 1:5")
+    d2 = E.edge_pair_chord2(s[0], s[1], c[0], c[1])
+    got_deg = math.degrees(2 * math.asin(0.5 * math.sqrt(d2)))
+    assert 0.99 < got_deg < 1.01
+    # chain form agrees with the pairwise form for 2-vertex chains
+    assert E.chain_pair_chord2(s, c) == pytest.approx(d2, abs=1e-15)
+    assert E.polylines_intersect(a, b)
+    assert not E.polylines_intersect(s, c)
