@@ -93,6 +93,43 @@ def run_encode_kernel(spark, n_rows: int, cpus: int) -> int:
     )
 
 
+def run_pip_kernel(spark, n_rows: int, cpus: int, n_verts: int = 256) -> int:
+    """Compute-dominated engine job: each row runs the crossing-parity
+    containment test against a 256-vertex loop (~n_verts triage ops per
+    row vs 16 bytes of Arrow traffic — compute:bandwidth ~400:1).  This
+    is the dense-PIP-refine workload class; it tracks raw CPU scaling
+    where the extract/encode path is capped by the sandbox's memory
+    bandwidth (BASELINE.md §5)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from geo_spark.kernel import cellid as ckm
+    from geo_spark.kernel.pip import loop_contains_points, loop_origin_inside
+    from geo_spark.operators.geo_noise import with_geo_noise
+    from geo_spark.sources.layers import regular_loop_vertices
+
+    verts = regular_loop_vertices(30.0, 10.0, 1.0, n_verts)  # ~continent-size
+    oi = loop_origin_inside(verts)
+
+    df = with_geo_noise(
+        spark.range(0, n_rows, 1, cpus * 4).withColumnRenamed("id", "row_id"),
+        "row_id",
+    )
+
+    def fn(batches):
+        import numpy as np
+
+        for pdf in batches:
+            x, y, z = ckm.latlng_to_xyz(
+                pdf["lat"].to_numpy(np.float64), pdf["lng"].to_numpy(np.float64)
+            )
+            pts = np.stack([x, y, z], axis=1)
+            inside = loop_contains_points(verts, oi, pts)
+            yield pd.DataFrame({"n": [int(inside.sum())]})
+
+    return int(df.mapInPandas(fn, "n long").agg(F.sum("n")).collect()[0][0])
+
+
 def build_city_layer(spark):
     from geo_spark.operators.spatial_join import build_layer
     from geo_spark.sources.layers import city_loop_regions

@@ -279,3 +279,68 @@ class Rect:
         if self.lat.lo == -PI / 2 or self.lat.hi == PI / 2:
             return Rect(self.lat, S1Interval.full())
         return self
+
+
+def rect_centroid(rect: Rect) -> "tuple[float, float, float]":
+    """True (area-weighted, unnormalized) centroid of the rect's surface
+    patch; s2/rect.go:~650-683.  Derived analytically: with dA =
+    cos(lat) dlat dlng over [lat_lo, lat_hi] x the lng interval,
+      integral z dA = dlng * (sin^2 hi - sin^2 lo) / 2,
+      integral x dA = alpha * (sin t2 - sin t1),
+      integral y dA = alpha * (cos t1 - cos t2),
+    with alpha = (lat + sin*cos)/2 evaluated over the lat span."""
+    import math as _m
+
+    if rect.is_empty():
+        return (0.0, 0.0, 0.0)
+    lo, hi = rect.lat.lo, rect.lat.hi
+    dlng = rect.lng.length()
+    z = dlng * (_m.sin(hi) ** 2 - _m.sin(lo) ** 2) / 2.0
+    alpha = (
+        (hi + _m.sin(hi) * _m.cos(hi)) - (lo + _m.sin(lo) * _m.cos(lo))
+    ) / 2.0
+    # lng interval [t1, t2] in its wrapped parametrization
+    t1 = rect.lng.lo
+    t2 = rect.lng.lo + dlng
+    x = alpha * (_m.sin(t2) - _m.sin(t1))
+    y = alpha * (_m.cos(t1) - _m.cos(t2))
+    return (x, y, z)
+
+
+def rect_distance_to_latlng(rect: Rect, lat: float, lng: float) -> float:
+    """Min angular distance from a point to the rect (0 when inside);
+    s2/rect.go:~475-520 semantics.  Nearest boundary point is either due
+    north/south along the point's meridian (when the point's longitude
+    lies inside the rect's interval) or on one of the two meridian edge
+    segments — parallels' interiors are never nearest for an outside
+    longitude (distance decreases monotonically toward the corner)."""
+    import math as _m
+
+    import numpy as np
+
+    from geo_spark.kernel import cellid as _ck
+    from geo_spark.kernel import edges as _E
+
+    if rect.is_empty():
+        return _m.inf
+    if rect.contains_latlng(lat, lng):
+        return 0.0
+    if rect.lng.contains(lng):
+        if lat > rect.lat.hi:
+            return lat - rect.lat.hi
+        return rect.lat.lo - lat
+    x, y, z = _ck.latlng_to_xyz(np.float64(_m.degrees(lat)), np.float64(_m.degrees(lng)))
+    p = np.array([float(x), float(y), float(z)])
+    best = _m.pi
+    for edge_lng in (rect.lng.lo, rect.lng.hi):
+        ax, ay, az = _ck.latlng_to_xyz(
+            np.float64(_m.degrees(rect.lat.lo)), np.float64(_m.degrees(edge_lng))
+        )
+        bx, by, bz = _ck.latlng_to_xyz(
+            np.float64(_m.degrees(rect.lat.hi)), np.float64(_m.degrees(edge_lng))
+        )
+        a = np.array([float(ax), float(ay), float(az)])
+        b = np.array([float(bx), float(by), float(bz)])
+        c2 = float(_E.point_segment_chord2(p[None, :], a[None, :], b[None, :])[0])
+        best = min(best, 2.0 * _m.asin(0.5 * _m.sqrt(min(4.0, c2))))
+    return best

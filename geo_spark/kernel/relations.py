@@ -153,3 +153,117 @@ def _interior_crossing_slow(a, b, c, d) -> bool:
         return False
     dac = _robust_sign_scalar(c, d, a)
     return dac == acb
+
+
+# ---------------------------------------------------------------------------
+# Wedge relations & nested containment — s2/wedge_relations.go:35-97,
+# s2/loop.go:436-470, 963-1012.
+# ---------------------------------------------------------------------------
+
+
+def wedge_contains(a0, ab1, a2, b0, b2) -> bool:
+    """Wedge A=(a0,ab1,a2) contains wedge B=(b0,ab1,b2) at the shared
+    middle vertex; s2/wedge_relations.go:48-55."""
+    return pred.ordered_ccw(a2, b2, b0, ab1) and pred.ordered_ccw(b0, a0, a2, ab1)
+
+
+def wedge_intersects(a0, ab1, a2, b0, b2) -> bool:
+    """Whether the open wedges share any interior point;
+    s2/wedge_relations.go:57-66."""
+    return not (
+        pred.ordered_ccw(a0, b2, b0, ab1) and pred.ordered_ccw(b0, a2, a0, ab1)
+    )
+
+
+def _find_vertex(verts: np.ndarray, p: np.ndarray) -> int | None:
+    hits = np.nonzero((verts == p).all(axis=1))[0]
+    return int(hits[0]) if len(hits) else None
+
+
+def loop_contains_nested(
+    a_verts: np.ndarray, a_origin_inside: bool, b_verts: np.ndarray
+) -> bool:
+    """Containment for loops whose boundaries may share vertices but do
+    not cross: exact wedge comparison at a shared vertex, plain PIP
+    otherwise; s2/loop.go:963-985."""
+    a_verts = np.atleast_2d(a_verts)
+    b_verts = np.atleast_2d(b_verts)
+    if len(b_verts) < 2:
+        return True
+    m = _find_vertex(a_verts, b_verts[1 % len(b_verts)])
+    if m is None:
+        return bool(
+            loop_contains_points(a_verts, a_origin_inside, b_verts[1:2])[0]
+        )
+    n = len(a_verts)
+    return wedge_contains(
+        a_verts[(m - 1) % n],
+        a_verts[m],
+        a_verts[(m + 1) % n],
+        b_verts[0],
+        b_verts[2 % len(b_verts)],
+    )
+
+
+def compare_boundary(
+    a_verts: np.ndarray, a_origin_inside: bool, b_verts: np.ndarray
+) -> int:
+    """+1 if loop A's interior contains B's entire boundary, -1 if it
+    excludes it, 0 if the boundaries cross; s2/loop.go:436-470 semantics
+    (shared single vertices do not count as crossings)."""
+    if _any_edge_crossing_strict(a_verts, b_verts):
+        return 0
+    # pick a B vertex not shared with A when possible
+    b_verts = np.atleast_2d(b_verts)
+    for k in range(len(b_verts)):
+        if _find_vertex(np.atleast_2d(a_verts), b_verts[k]) is None:
+            inside = bool(
+                loop_contains_points(a_verts, a_origin_inside, b_verts[k : k + 1])[0]
+            )
+            return 1 if inside else -1
+    # every B vertex lies on A: decide by wedge containment at vertex 1
+    return 1 if loop_contains_nested(a_verts, a_origin_inside, b_verts) else -1
+
+
+def _any_edge_crossing_strict(a_verts: np.ndarray, b_verts: np.ndarray) -> bool:
+    """Interior (strict) crossing between the closed boundaries."""
+    return (
+        chain_crossings(
+            np.atleast_2d(a_verts), np.atleast_2d(b_verts),
+            a_closed=True, b_closed=True,
+        )
+        > 0
+    )
+
+
+def infer_loop_nesting(
+    loops: list[tuple[int, np.ndarray, bool]]
+) -> list[tuple[int, int | None, int]]:
+    """(loop_id, parent_id | None, depth) for a set of non-crossing
+    rings — the ShapeNestingQuery analog (s2/shape_nesting_query.go:54):
+    shells at even depth, holes at odd depth, parent = the tightest
+    containing ring.  Quadratic in ring count (layer validation runs per
+    polygon group, not per corpus)."""
+    n = len(loops)
+    contains = [[False] * n for _ in range(n)]
+    for i in range(n):
+        _, vi, oi = loops[i]
+        for j in range(n):
+            if i == j:
+                continue
+            _, vj, _ = loops[j]
+            if compare_boundary(vi, oi, vj) == 1:
+                contains[i][j] = True
+    out = []
+    for j in range(n):
+        ancestors = [i for i in range(n) if contains[i][j]]
+        depth = len(ancestors)
+        parent = None
+        if ancestors:
+            # tightest container: the ancestor contained by all others
+            for i in ancestors:
+                if all(contains[k][i] for k in ancestors if k != i):
+                    parent = loops[i][0]
+                    break
+        out.append((loops[j][0], parent, depth))
+    return out

@@ -26,7 +26,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CHILD = r"""
 import json, os, sys, time
 sys.path.insert(0, {repo!r})
-from bench import bench_session, build_city_layer, materialize_pages, run_pages_pipeline, run_pages_pip_join, run_encode_kernel
+from bench import bench_session, build_city_layer, materialize_pages, run_pages_pipeline, run_pages_pip_join, run_encode_kernel, run_pip_kernel
 
 cpus = {cpus}
 spark = bench_session(cpus, master={master!r})
@@ -36,10 +36,12 @@ layer = build_city_layer(spark)
 run_pages_pipeline(spark, path)
 run_pages_pip_join(spark, path, layer)
 run_encode_kernel(spark, {pages}, cpus)
+run_pip_kernel(spark, {pages} // 4, cpus)
 t0 = time.monotonic(); run_pages_pipeline(spark, path); t1 = time.monotonic()
 run_pages_pip_join(spark, path, layer); t2 = time.monotonic()
 run_encode_kernel(spark, {pages} * 4, cpus); t3 = time.monotonic()
-print("RESULT " + json.dumps({{"pipeline": t1 - t0, "join": t2 - t1, "encode": t3 - t2}}))
+run_pip_kernel(spark, {pages}, cpus); t4 = time.monotonic()
+print("RESULT " + json.dumps({{"pipeline": t1 - t0, "join": t2 - t1, "encode": t3 - t2, "pip_kernel": t4 - t3}}))
 spark.stop()
 """
 
@@ -95,6 +97,7 @@ def main() -> None:
             "pipeline": min(r["pipeline"] for r in runs),
             "join": min(r["join"] for r in runs),
             "encode": min(r.get("encode", float("inf")) for r in runs),
+            "pip_kernel": min(r.get("pip_kernel", float("inf")) for r in runs),
             "runs": runs,
         }
         for cpus, runs in all_runs.items()
@@ -136,6 +139,18 @@ def main() -> None:
                 best[args.low]["encode"] / best[args.high]["encode"] / factor, 3
             ),
         },
+        "pip_kernel": {
+            "low_sec": round(best[args.low]["pip_kernel"], 2),
+            "high_sec": round(best[args.high]["pip_kernel"], 2),
+            "rows": args.pages,
+            "speedup": round(
+                best[args.low]["pip_kernel"] / best[args.high]["pip_kernel"], 2
+            ),
+            "efficiency": round(
+                best[args.low]["pip_kernel"] / best[args.high]["pip_kernel"] / factor,
+                3,
+            ),
+        },
     }
     print(json.dumps(report))
 
@@ -153,9 +168,12 @@ def main() -> None:
         f"| pages x 50 city loops PIP join | "
         f"{report['pip_join']['low_sec']}s | {report['pip_join']['high_sec']}s | "
         f"{report['pip_join']['speedup']}x | {report['pip_join']['efficiency']} |\n"
-        f"| encode kernel (compute-bound, {report['encode_kernel']['rows']:,} rows) | "
+        f"| encode kernel ({report['encode_kernel']['rows']:,} rows) | "
         f"{report['encode_kernel']['low_sec']}s | {report['encode_kernel']['high_sec']}s | "
         f"{report['encode_kernel']['speedup']}x | {report['encode_kernel']['efficiency']} |\n"
+        f"| dense PIP refine (compute-bound, {report['pip_kernel']['rows']:,} rows x 256-vertex loop) | "
+        f"{report['pip_kernel']['low_sec']}s | {report['pip_kernel']['high_sec']}s | "
+        f"{report['pip_kernel']['speedup']}x | {report['pip_kernel']['efficiency']} |\n"
     )
     with open(baseline) as f:
         content = f.read()

@@ -117,3 +117,83 @@ def test_edge_pair_distance_cases():
     assert E.chain_pair_chord2(s, c) == pytest.approx(d2, abs=1e-15)
     assert E.polylines_intersect(a, b)
     assert not E.polylines_intersect(s, c)
+
+
+def test_contains_nested_and_compare_boundary():
+    from geo_spark.kernel.relations import (
+        compare_boundary,
+        loop_contains_nested,
+    )
+    from geo_spark.kernel.pip import loop_origin_inside
+    from geo_spark.sources.layers import regular_loop_vertices
+
+    outer = regular_loop_vertices(10, 10, 0.3, 16)
+    inner = regular_loop_vertices(10, 10, 0.1, 16)
+    far = regular_loop_vertices(-40, -100, 0.1, 16)
+    oo = loop_origin_inside(outer)
+    io = loop_origin_inside(inner)
+    assert loop_contains_nested(outer, oo, inner)
+    assert not loop_contains_nested(inner, io, outer)
+    assert compare_boundary(outer, oo, inner) == 1
+    assert compare_boundary(inner, io, outer) == -1
+    assert compare_boundary(outer, oo, far) == -1
+    # crossing rings -> 0
+    cross = regular_loop_vertices(10.0, 10.3, 0.3, 16)
+    assert compare_boundary(outer, oo, cross) == 0
+
+
+def test_shape_nesting_operator(spark):
+    from geo_spark.operators.nesting import shape_nesting
+    from geo_spark.sources.layers import regular_loop_vertices
+
+    rows = []
+    for layer in (1, 2):
+        for lid, r in ((10, 0.3), (11, 0.15), (12, 0.05)):
+            v = regular_loop_vertices(20 * layer, 10, r, 12)
+            rows.append((layer, lid, [list(map(float, p)) for p in v]))
+        rows.append(
+            (layer, 99, [list(map(float, p))
+                         for p in regular_loop_vertices(-50, -60 * layer, 0.1, 12)])
+        )
+    df = spark.createDataFrame(
+        rows, "layer_id long, loop_id long, verts array<array<double>>"
+    )
+    got = {
+        (r["layer_id"], r["loop_id"]): (r["parent_id"], r["depth"], r["is_hole"])
+        for r in shape_nesting(df).collect()
+    }
+    for layer in (1, 2):
+        assert got[(layer, 10)] == (None, 0, False)
+        assert got[(layer, 11)] == (10, 1, True)
+        assert got[(layer, 12)] == (11, 2, False)
+        assert got[(layer, 99)] == (None, 0, False)
+
+
+def test_rect_centroid_and_distance():
+    import math
+
+    from geo_spark.kernel.interval import (
+        R1Interval,
+        Rect,
+        S1Interval,
+        rect_centroid,
+        rect_distance_to_latlng,
+    )
+
+    r = Rect(
+        R1Interval(math.radians(10), math.radians(30)),
+        S1Interval(math.radians(20), math.radians(60)),
+    )
+    x, y, z = rect_centroid(r)
+    # analytic values cross-checked against a 2M-point Monte Carlo run
+    assert x == pytest.approx(0.16010, abs=1e-4)
+    assert y == pytest.approx(0.13434, abs=1e-4)
+    assert z == pytest.approx(0.07674, abs=1e-4)
+    assert rect_distance_to_latlng(r, math.radians(15), math.radians(40)) == 0.0
+    # due north of the rect: pure latitude gap
+    assert rect_distance_to_latlng(
+        r, math.radians(50), math.radians(40)
+    ) == pytest.approx(math.radians(20), abs=1e-12)
+    # east of the rect: nearest is the lng=60 meridian edge
+    d = rect_distance_to_latlng(r, math.radians(20), math.radians(100))
+    assert d == pytest.approx(0.648539, abs=1e-5)
