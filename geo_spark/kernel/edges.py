@@ -175,3 +175,167 @@ def polylines_intersect(a_chain: np.ndarray, b_chain: np.ndarray) -> bool:
     """Whether two polylines share any point: an interior crossing or an
     exact touch (distance exactly zero); s2/polyline.go:493-532."""
     return chain_pair_chord2(a_chain, b_chain) == 0.0
+
+
+# ---------------------------------------------------------------------------
+# PolylineSimplifier — the angle-interval algorithm
+# (s2/polyline_simplifier.go:31-263), O(n) per output edge instead of the
+# greedy O(n^2) re-check in simplify_polyline.
+# ---------------------------------------------------------------------------
+
+
+def _tangent_frame(p: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Orthonormal (e1, e2) spanning the tangent plane at unit p."""
+    ref = np.array([0.0, 0.0, 1.0]) if abs(p[2]) < 0.9 else np.array([1.0, 0.0, 0.0])
+    e1 = np.cross(p, ref)
+    e1 = e1 / math.sqrt(e1 @ e1)
+    e2 = np.cross(p, e1)
+    return e1, e2
+
+
+def _direction_to(src: np.ndarray, e1: np.ndarray, e2: np.ndarray, t: np.ndarray) -> float:
+    """Bearing (radians in the src tangent frame) of the great circle
+    from src toward t."""
+    d = t - src * float(src @ t)
+    return math.atan2(float(d @ e2), float(d @ e1))
+
+
+def simplify_polyline_s2(verts: np.ndarray, tolerance_rad: float) -> np.ndarray:
+    """Kept-vertex indices via direction-interval narrowing: from each
+    source vertex, the set of great-circle bearings that pass within
+    tolerance of every skipped vertex is an S1 interval intersection
+    (half-width asin(sin tol / sin dist) per target,
+    s2/polyline_simplifier.go:175-240); the edge extends while the next
+    vertex's bearing stays inside the running interval.  Guarantees every
+    skipped vertex lies within tolerance of the chosen edge's great
+    circle (the reference documents the same ray-distance guarantee); a
+    final vectorized segment-distance verification walks the endpoint
+    back when a skipped vertex projects beyond the edge, restoring the
+    hard SEGMENT guarantee."""
+    from geo_spark.kernel.interval import S1Interval
+
+    verts = np.atleast_2d(np.asarray(verts, dtype=np.float64))
+    m = len(verts)
+    if m <= 2:
+        return np.arange(m, dtype=np.int64)
+    tol = min(max(tolerance_rad, 0.0), math.pi / 2)
+    sin_tol = math.sin(tol)
+    tol_chord2 = (2 * math.sin(tol / 2)) ** 2
+
+    keep = [0]
+    i = 0
+    while i < m - 1:
+        src = verts[i]
+        e1, e2 = _tangent_frame(src)
+        wedge = S1Interval.full()
+        best = i + 1
+        j = i + 1
+        while j < m:
+            bearing = _direction_to(src, e1, e2, verts[j])
+            if not wedge.contains(bearing):
+                break
+            best = j
+            # narrow by the disc around verts[j]
+            cosd = float(np.clip(src @ verts[j], -1.0, 1.0))
+            dist = math.acos(cosd)
+            if dist > tol:
+                w = math.asin(min(1.0, sin_tol / math.sin(dist)))
+                half = S1Interval(
+                    math.remainder(bearing - w, 2 * math.pi),
+                    math.remainder(bearing + w, 2 * math.pi),
+                )
+                wedge = wedge.intersection(half)
+                if wedge.is_empty():
+                    break
+            j += 1
+        # segment (not just ray) verification, one vectorized pass
+        while best > i + 1:
+            mid = verts[i + 1 : best]
+            d2 = point_segment_chord2(
+                mid,
+                np.broadcast_to(src, mid.shape),
+                np.broadcast_to(verts[best], mid.shape),
+            )
+            if bool((d2 <= tol_chord2).all()):
+                break
+            best -= 1
+        keep.append(best)
+        i = best
+    return np.array(keep, dtype=np.int64)
+
+
+# ---------------------------------------------------------------------------
+# EdgeTessellator — s2/edge_tessellator.go:187-291: geodesic <-> projected
+# conversion with a guaranteed error tolerance (plate carree projection).
+# ---------------------------------------------------------------------------
+
+
+def _latlng_of(p: np.ndarray) -> tuple[float, float]:
+    return (
+        math.atan2(p[2], math.hypot(p[0], p[1])),
+        math.atan2(p[1], p[0]),
+    )
+
+
+def _from_latlng(lat: float, lng: float) -> np.ndarray:
+    cl = math.cos(lat)
+    return np.array([cl * math.cos(lng), cl * math.sin(lng), math.sin(lat)])
+
+
+def tessellate_projected(
+    a: np.ndarray, b: np.ndarray, tolerance_rad: float, max_depth: int = 30
+) -> np.ndarray:
+    """Vertices (incl. endpoints) such that the plate-carree straight
+    line between consecutive outputs stays within tolerance of the
+    geodesic ab: recursive bisection while the projected midpoint of the
+    output segment is farther than tolerance from the geodesic midpoint
+    (AppendProjected, s2/edge_tessellator.go:187-240)."""
+    out = [a]
+
+    def rec(p: np.ndarray, q: np.ndarray, depth: int) -> None:
+        geo_mid = p + q
+        geo_mid = geo_mid / math.sqrt(geo_mid @ geo_mid)
+        pl, pg = _latlng_of(p)
+        ql, qg = _latlng_of(q)
+        dg = math.remainder(qg - pg, 2 * math.pi)
+        proj_mid = _from_latlng(0.5 * (pl + ql), pg + 0.5 * dg)
+        err2 = chord2 = float(((geo_mid - proj_mid) ** 2).sum())
+        tol_chord2 = (2 * math.sin(tolerance_rad / 2)) ** 2
+        if depth >= max_depth or err2 <= tol_chord2:
+            out.append(q)
+            return
+        rec(p, geo_mid, depth + 1)
+        rec(geo_mid, q, depth + 1)
+
+    rec(a, b, 0)
+    return np.array(out)
+
+
+def tessellate_unprojected(
+    a: np.ndarray, b: np.ndarray, tolerance_rad: float, max_depth: int = 30
+) -> np.ndarray:
+    """Inverse direction: vertices whose geodesic chain stays within
+    tolerance of the plate-carree straight line between a and b
+    (AppendUnprojected, s2/edge_tessellator.go:242-291)."""
+    al, ag = _latlng_of(a)
+    bl, bg = _latlng_of(b)
+    dg = math.remainder(bg - ag, 2 * math.pi)
+    out = [a]
+
+    def rec(t0: float, t1: float, depth: int) -> None:
+        p0 = _from_latlng(al + t0 * (bl - al), ag + t0 * dg)
+        p1 = _from_latlng(al + t1 * (bl - al), ag + t1 * dg)
+        tm = 0.5 * (t0 + t1)
+        proj_mid = _from_latlng(al + tm * (bl - al), ag + tm * dg)
+        geo_mid = p0 + p1
+        geo_mid = geo_mid / math.sqrt(geo_mid @ geo_mid)
+        err2 = float(((geo_mid - proj_mid) ** 2).sum())
+        tol_chord2 = (2 * math.sin(tolerance_rad / 2)) ** 2
+        if depth >= max_depth or err2 <= tol_chord2:
+            out.append(p1)
+            return
+        rec(t0, tm, depth + 1)
+        rec(tm, t1, depth + 1)
+
+    rec(0.0, 1.0, 0)
+    return np.array(out)

@@ -80,3 +80,62 @@ def test_simplify_polyline_guarantee():
     for i in range(len(verts)):
         d = E.point_to_edges_chord2(verts[i][None, :], kept)[0]
         assert d <= (2 * math.sin(tol / 2)) ** 2 + 1e-15
+
+
+def test_simplify_polyline_s2_guarantee_and_compression():
+    import math
+
+    from geo_spark.kernel import cellid as ck
+    from geo_spark.kernel.edges import (
+        point_to_edges_chord2,
+        simplify_polyline,
+        simplify_polyline_s2,
+    )
+
+    rng = np.random.default_rng(9)
+    lat = 40 + np.cumsum(rng.normal(0, 0.4, 120))
+    lng = -70 + np.cumsum(rng.normal(0, 0.4, 120))
+    x, y, z = ck.latlng_to_xyz(lat, lng)
+    verts = np.stack([x, y, z], axis=1)
+    for tol_deg in (0.1, 0.5, 2.0):
+        tol = math.radians(tol_deg)
+        kept = simplify_polyline_s2(verts, tol)
+        # endpoints preserved, monotone indices
+        assert kept[0] == 0 and kept[-1] == len(verts) - 1
+        assert (np.diff(kept) > 0).all()
+        # hard tolerance guarantee (every vertex within tol of the chain)
+        d2 = point_to_edges_chord2(verts, verts[kept])
+        worst = 2 * math.asin(0.5 * math.sqrt(float(d2.max())))
+        assert worst <= tol + 1e-12
+        # at least as aggressive as the greedy contract at coarse tolerances
+        assert len(kept) <= len(simplify_polyline(verts, tol)) + 1
+
+
+def test_tessellator_projected_tolerance():
+    import math
+
+    from geo_spark.kernel.edges import (
+        _from_latlng,
+        tessellate_projected,
+        tessellate_unprojected,
+    )
+    from geo_spark.kernel.pip import latlng_text_to_xyz
+
+    a, b = latlng_text_to_xyz("10:10, 50:80")
+    tol = math.radians(0.05)
+    pts = tessellate_projected(a, b, tol)
+    assert len(pts) > 2
+    assert np.allclose(pts[0], a) and np.allclose(pts[-1], b)
+    for k in range(len(pts) - 1):
+        p, q = pts[k], pts[k + 1]
+        gm = p + q
+        gm /= np.linalg.norm(gm)
+        pl, pg = math.atan2(p[2], math.hypot(p[0], p[1])), math.atan2(p[1], p[0])
+        ql, qg = math.atan2(q[2], math.hypot(q[0], q[1])), math.atan2(q[1], q[0])
+        dg = math.remainder(qg - pg, 2 * math.pi)
+        pm = _from_latlng(0.5 * (pl + ql), pg + 0.5 * dg)
+        err = 2 * math.asin(0.5 * float(np.linalg.norm(gm - pm)))
+        assert err <= tol * 1.01
+    un = tessellate_unprojected(a, b, tol)
+    assert np.allclose(un[0], a) and np.allclose(un[-1], b)
+    assert len(un) > 2
