@@ -1,16 +1,16 @@
 """Geometry <-> geometry join (polygon/polygon relations).
 
-Candidates: Hilbert-range overlap between the two layers' covering
-cells — the engine's **range join** primitive (the table form of
-CellUnion.Intersects, s2/cellunion.go:253-265): covering cell ranges
-[RangeMin, RangeMax] overlap iff the regions *may* intersect.  Refine:
-pairwise loop relations (kernel/relations.py) on the candidate pairs
-only, geometries shipped in the closure (layers are dimension tables).
-
-For two small layers Spark plans the range join as broadcast-NL — the
-right call; for two huge layers the same code becomes a shuffle range
-join where Iceberg/parquet sort order on the biased cell id provides
-data skipping.
+Candidates: covering-term **equi-join** between the two layers — the
+region x region form of the RegionTermIndexer scheme
+(s2/region_term_indexer.go:158-261): two coverings overlap iff one
+covering cell is an ancestor of (or equal to) a cell on the other side,
+so each side emits its covering cells plus their ancestors at the other
+side's levels and the join is a plain hash join on the cell key.  This
+is the shape that scales: hash-partitioned, AQE-optimizable,
+broadcastable when one side is small — no cartesian range comparison.
+Refine: pairwise loop relations (kernel/relations.py) on the candidate
+pairs only, geometries shipped in the closure (layers are dimension
+tables).
 """
 
 from __future__ import annotations
@@ -26,12 +26,46 @@ from geo_spark.kernel.relations import loop_relation
 from geo_spark.operators.spatial_join import Layer
 
 
-def _ranges(layer: Layer, prefix: str) -> DataFrame:
-    return layer.covering.select(
-        F.col("geom_id").alias(f"{prefix}id"),
-        s2sql.range_min(F.col("cell")).alias(f"{prefix}lo"),
-        s2sql.range_max(F.col("cell")).alias(f"{prefix}hi"),
+def _term_keys(
+    layer: Layer, other_levels: list[int], prefix: str, cov_ch: int, anc_ch: int
+) -> DataFrame:
+    """One row per (geom, (channel, cell)) term.  Channels make the
+    candidate set EXACT (no sibling false positives): a raw covering
+    cell on channel ``cov_ch`` only ever matches the other side's
+    ancestor emissions on the same channel, so a match certifies true
+    ancestor/descendant (or equal) overlap, never two distinct cells
+    sharing a coarser ancestor."""
+    cov = layer.covering
+    terms = F.array_distinct(
+        F.array(
+            F.struct(
+                F.lit(cov_ch).alias("ch"), F.col("cell").alias("c")
+            ),
+            *[
+                F.struct(
+                    F.lit(anc_ch).alias("ch"),
+                    F.when(
+                        F.lit(l) <= F.col("level"), s2sql.parent(F.col("cell"), l)
+                    )
+                    .otherwise(F.col("cell"))
+                    .alias("c"),
+                )
+                for l in other_levels
+            ],
+        )
     )
+    return cov.select(
+        F.col("geom_id").alias(f"{prefix}id"), F.explode(terms).alias("_term")
+    )
+
+
+def _pair_candidates(a: Layer, b: Layer) -> DataFrame:
+    """(aid, bid) pairs whose coverings overlap — hash equi-join on
+    (channel, cell) terms; the candidate set equals the full
+    range-overlap comparison, without the cartesian."""
+    ta = _term_keys(a, b.levels, "a", cov_ch=0, anc_ch=1)
+    tb = _term_keys(b, a.levels, "b", cov_ch=1, anc_ch=0)
+    return ta.join(tb, "_term").select("aid", "bid").distinct()
 
 
 def polygon_polygon_join(a: Layer, b: Layer) -> DataFrame:
@@ -39,13 +73,7 @@ def polygon_polygon_join(a: Layer, b: Layer) -> DataFrame:
     coverings overlap; non-candidates are provably disjoint."""
     if a.regions is None or b.regions is None:
         raise ValueError("polygon_polygon_join requires closure-size layers")
-    ra = _ranges(a, "a")
-    rb = _ranges(b, "b")
-    cands = (
-        ra.join(rb, (ra["alo"] <= rb["bhi"]) & (rb["blo"] <= ra["ahi"]))
-        .select("aid", "bid")
-        .distinct()
-    )
+    cands = _pair_candidates(a, b)
 
     a_regions = a.regions
     b_regions = b.regions
@@ -85,9 +113,9 @@ def _chain_of(region) -> tuple[np.ndarray, bool]:
 def crossing_edge_join(a: Layer, b: Layer) -> DataFrame:
     """CrossingEdgeQuery analog (s2/crossing_edge_query.go:31-390):
     (aid, bid, n_crossings) for chain pairs with at least one interior
-    edge crossing.  Candidates come from Hilbert-range overlap of the two
-    covering tables (a polyline's covering contains every cell its edges
-    meet, so any crossing pair shares overlapping ranges); the refine
+    edge crossing.  Candidates come from the covering-term equi-join (a
+    polyline's covering contains every cell its edges meet, so any
+    crossing pair shares overlapping covering cells); the refine
     counts robust interior crossings (kernel/relations.chain_crossings)
     on candidate pairs only.  A-side chains are typically open
     trajectories (PolylineRegion), B-side closed region boundaries
@@ -96,13 +124,7 @@ def crossing_edge_join(a: Layer, b: Layer) -> DataFrame:
 
     if a.regions is None or b.regions is None:
         raise ValueError("crossing_edge_join requires closure-size layers")
-    ra = _ranges(a, "a")
-    rb = _ranges(b, "b")
-    cands = (
-        ra.join(rb, (ra["alo"] <= rb["bhi"]) & (rb["blo"] <= ra["ahi"]))
-        .select("aid", "bid")
-        .distinct()
-    )
+    cands = _pair_candidates(a, b)
 
     a_regions = a.regions
     b_regions = b.regions
@@ -138,13 +160,7 @@ def polyline_distance_join(
     if a_buffered.regions is None or b.regions is None:
         raise ValueError("polyline_distance_join requires closure-size layers")
     thr = chord2_from_angle(radius_rad)
-    ra = _ranges(a_buffered, "a")
-    rb = _ranges(b, "b")
-    cands = (
-        ra.join(rb, (ra["alo"] <= rb["bhi"]) & (rb["blo"] <= ra["ahi"]))
-        .select("aid", "bid")
-        .distinct()
-    )
+    cands = _pair_candidates(a_buffered, b)
     a_regions = a_buffered.regions
     b_regions = b.regions
 
