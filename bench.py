@@ -130,6 +130,72 @@ def run_pip_kernel(spark, n_rows: int, cpus: int, n_verts: int = 256) -> int:
     return int(df.mapInPandas(fn, "n long").agg(F.sum("n")).collect()[0][0])
 
 
+def run_tile_kernel_jvm(spark, n_rows: int, cpus: int, level: int = 8) -> int:
+    """Pure-JVM engine job (zero Python workers): ids -> deterministic
+    lat/lng -> the S2 quadratic-projection chain (xyz -> face -> u,v ->
+    s,t -> i,j) entirely in Spark SQL expressions -> groupBy
+    (face, i>>k, j>>k) tile counts.  Grouping by shifted (face, i, j) is
+    mathematically identical to grouping by Parent(cell_id, level)
+    (Hilbert numbering permutes within a level, never regroups), so this
+    IS the tile pipeline's semantics on the engine's native-SQL path —
+    whole-stage codegen, values in registers, the job class that
+    multiplies with executors even on the bandwidth-starved sandbox."""
+    from pyspark.sql import functions as F
+
+    from geo_spark.operators.geo_noise import LAT_SQL, LNG_SQL
+
+    shift = 30 - level
+    df = (
+        spark.range(0, n_rows, 1, cpus * 4)
+        .withColumnRenamed("id", "row_id")
+        .selectExpr(
+            f"{LAT_SQL.format(id='row_id')} as lat",
+            f"{LNG_SQL.format(id='row_id')} as lng",
+        )
+        .selectExpr(
+            "cos(radians(lng))*cos(radians(lat)) as x",
+            "sin(radians(lng))*cos(radians(lat)) as y",
+            "sin(radians(lat)) as z",
+        )
+        .selectExpr(
+            "*",
+            "CASE WHEN abs(x) > abs(y) AND abs(x) > abs(z) THEN 0 "
+            "     WHEN abs(y) > abs(z) THEN 1 ELSE 2 END as axis",
+        )
+        .selectExpr(
+            "*",
+            "axis + CASE WHEN (CASE axis WHEN 0 THEN x WHEN 1 THEN y ELSE z END) < 0 "
+            "            THEN 3 ELSE 0 END as face",
+        )
+        .selectExpr(
+            "face",
+            "CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z "
+            "          WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END as u",
+            "CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z "
+            "          WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END as v",
+        )
+        .selectExpr(
+            "face",
+            "CASE WHEN u >= 0 THEN 0.5*sqrt(1+3*u) ELSE 1-0.5*sqrt(1-3*u) END as s",
+            "CASE WHEN v >= 0 THEN 0.5*sqrt(1+3*v) ELSE 1-0.5*sqrt(1-3*v) END as t",
+        )
+        .selectExpr(
+            "face",
+            "CAST(least(greatest(floor(1073741824.0*s), 0), 1073741823) AS BIGINT) as i",
+            "CAST(least(greatest(floor(1073741824.0*t), 0), 1073741823) AS BIGINT) as j",
+        )
+    )
+    return (
+        df.groupBy(
+            "face",
+            F.shiftrightunsigned("i", shift).alias("ti"),
+            F.shiftrightunsigned("j", shift).alias("tj"),
+        )
+        .count()
+        .count()
+    )
+
+
 def build_city_layer(spark):
     from geo_spark.operators.spatial_join import build_layer
     from geo_spark.sources.layers import city_loop_regions

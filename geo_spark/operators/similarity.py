@@ -189,3 +189,95 @@ def cosine_topk_lsh(
         .where(F.col("rank") <= k)
         .select(F.col("qa").alias(key), F.col("qb").alias("nb_id"), F.col("rank").cast("int").alias("rank"))
     )
+
+
+def _train_centroids(
+    df: DataFrame,
+    n_centroids: int,
+    key: str,
+    vec_col: str,
+    sample_rows: int = 8192,
+    iters: int = 12,
+    seed: int = 7,
+) -> np.ndarray:
+    """Deterministic spherical k-means on a bounded driver-side sample:
+    the coarse quantizer of the IVF index.  Sample and init are seeded,
+    so every executor derives identical buckets."""
+    rows = df.select(vec_col).limit(sample_rows).collect()
+    m = _normalize_rows(np.array([r[0] for r in rows], dtype=np.float64))
+    idx = _splitmix64(
+        np.arange(n_centroids, dtype=np.uint64) + np.uint64(seed)
+    ) % np.uint64(len(m))
+    cents = m[idx.astype(np.int64)].copy()
+    for _ in range(iters):
+        sims = m @ cents.T
+        assign = sims.argmax(axis=1)
+        for c in range(n_centroids):
+            members = m[assign == c]
+            if len(members):
+                cents[c] = members.sum(axis=0)
+        cents = _normalize_rows(cents)
+    return cents
+
+
+def cosine_topk_ivf(
+    df: DataFrame,
+    k: int,
+    n_centroids: int = 64,
+    nprobe: int = 8,
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """IVF approximate self-join top-k: a seeded spherical-k-means coarse
+    quantizer buckets the corpus by nearest centroid (one bucket per
+    vector); each query probes its ``nprobe`` nearest centroid buckets
+    and reranks candidates exactly.  The bucket join is a hash equi-join
+    on the centroid id — the non-all-pairs scale path, complementary to
+    the sign-LSH variant (different recall/shape trade-off: IVF follows
+    the data distribution, LSH is data-independent)."""
+    cents = _train_centroids(df, n_centroids, key, vec_col, seed=seed)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_buckets(vecs: pd.Series) -> pd.Series:
+        m = _normalize_rows(np.array(list(vecs), dtype=np.float64))
+        sims = m @ cents.T
+        order = np.argsort(-sims, axis=1)[:, :nprobe]
+        return pd.Series(list(order.astype(np.int32)))
+
+    @F.pandas_udf(T.IntegerType())
+    def home_bucket(vecs: pd.Series) -> pd.Series:
+        m = _normalize_rows(np.array(list(vecs), dtype=np.float64))
+        return pd.Series((m @ cents.T).argmax(axis=1).astype(np.int32))
+
+    data = df.select(
+        F.col(key).alias("qb"),
+        F.col(vec_col).alias("_vb"),
+        home_bucket(F.col(vec_col)).alias("bucket"),
+    )
+    queries = df.select(
+        F.col(key).alias("qa"),
+        F.col(vec_col).alias("_va"),
+        F.explode(probe_buckets(F.col(vec_col))).alias("bucket"),
+    )
+    cands = queries.join(data, "bucket").where(F.col("qa") != F.col("qb"))
+
+    @F.pandas_udf(T.DoubleType())
+    def cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        ma = _normalize_rows(np.array(list(va), dtype=np.float64))
+        mb = _normalize_rows(np.array(list(vb), dtype=np.float64))
+        return pd.Series((ma * mb).sum(axis=1))
+
+    scored = cands.withColumn("sim", cos(F.col("_va"), F.col("_vb"))).drop(
+        "_va", "_vb"
+    )
+    w = Window.partitionBy("qa").orderBy(F.desc("sim"), F.asc("qb"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qa").alias(key),
+            F.col("qb").alias("nb_id"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

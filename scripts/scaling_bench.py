@@ -26,7 +26,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CHILD = r"""
 import json, os, sys, time
 sys.path.insert(0, {repo!r})
-from bench import bench_session, build_city_layer, materialize_pages, run_pages_pipeline, run_pages_pip_join, run_encode_kernel, run_pip_kernel
+from bench import bench_session, build_city_layer, materialize_pages, run_pages_pipeline, run_pages_pip_join, run_encode_kernel, run_pip_kernel, run_tile_kernel_jvm
 
 cpus = {cpus}
 spark = bench_session(cpus, master={master!r})
@@ -37,11 +37,13 @@ run_pages_pipeline(spark, path)
 run_pages_pip_join(spark, path, layer)
 run_encode_kernel(spark, {pages}, cpus)
 run_pip_kernel(spark, {pages} // 4, cpus)
+run_tile_kernel_jvm(spark, {pages}, cpus)
 t0 = time.monotonic(); run_pages_pipeline(spark, path); t1 = time.monotonic()
 run_pages_pip_join(spark, path, layer); t2 = time.monotonic()
 run_encode_kernel(spark, {pages} * 4, cpus); t3 = time.monotonic()
 run_pip_kernel(spark, {pages}, cpus); t4 = time.monotonic()
-print("RESULT " + json.dumps({{"pipeline": t1 - t0, "join": t2 - t1, "encode": t3 - t2, "pip_kernel": t4 - t3}}))
+run_tile_kernel_jvm(spark, {pages} * 16, cpus); t5 = time.monotonic()
+print("RESULT " + json.dumps({{"pipeline": t1 - t0, "join": t2 - t1, "encode": t3 - t2, "pip_kernel": t4 - t3, "jvm_tile": t5 - t4}}))
 spark.stop()
 """
 
@@ -98,6 +100,7 @@ def main() -> None:
             "join": min(r["join"] for r in runs),
             "encode": min(r.get("encode", float("inf")) for r in runs),
             "pip_kernel": min(r.get("pip_kernel", float("inf")) for r in runs),
+            "jvm_tile": min(r.get("jvm_tile", float("inf")) for r in runs),
             "runs": runs,
         }
         for cpus, runs in all_runs.items()
@@ -151,6 +154,17 @@ def main() -> None:
                 3,
             ),
         },
+        "jvm_tile": {
+            "low_sec": round(best[args.low]["jvm_tile"], 2),
+            "high_sec": round(best[args.high]["jvm_tile"], 2),
+            "rows": args.pages * 16,
+            "speedup": round(
+                best[args.low]["jvm_tile"] / best[args.high]["jvm_tile"], 2
+            ),
+            "efficiency": round(
+                best[args.low]["jvm_tile"] / best[args.high]["jvm_tile"] / factor, 3
+            ),
+        },
     }
     print(json.dumps(report))
 
@@ -171,9 +185,12 @@ def main() -> None:
         f"| encode kernel ({report['encode_kernel']['rows']:,} rows) | "
         f"{report['encode_kernel']['low_sec']}s | {report['encode_kernel']['high_sec']}s | "
         f"{report['encode_kernel']['speedup']}x | {report['encode_kernel']['efficiency']} |\n"
-        f"| dense PIP refine (compute-bound, {report['pip_kernel']['rows']:,} rows x 256-vertex loop) | "
+        f"| dense PIP refine ({report['pip_kernel']['rows']:,} rows x 256-vertex loop) | "
         f"{report['pip_kernel']['low_sec']}s | {report['pip_kernel']['high_sec']}s | "
         f"{report['pip_kernel']['speedup']}x | {report['pip_kernel']['efficiency']} |\n"
+        f"| native-SQL tile kernel (pure JVM codegen, {report['jvm_tile']['rows']:,} rows) | "
+        f"{report['jvm_tile']['low_sec']}s | {report['jvm_tile']['high_sec']}s | "
+        f"{report['jvm_tile']['speedup']}x | {report['jvm_tile']['efficiency']} |\n"
     )
     with open(baseline) as f:
         content = f.read()
