@@ -157,3 +157,44 @@ def test_stateful_sessionization(spark, tmp_path):
     assert ("a.com", 3) in got
     assert ("a.com", 2) in got
     assert ("b.com", 1) in got
+
+
+def test_stream_spatial_join_matches_batch(spark, tmp_path):
+    from geo_spark.operators.spatial_join import build_layer, spatial_join
+    from geo_spark.sources.layers import city_loop_regions
+    from geo_spark.streaming.spatial import stream_spatial_join
+
+    src = str(tmp_path / "pages_sj")
+    synth_pages(spark, 3000, partitions=4).write.parquet(src)
+    layer = build_layer(spark, city_loop_regions(20), max_cells=8)
+
+    batch_pts = extract_encode(spark.read.parquet(src), keep=("url",))
+    expected = {
+        (r["url"], r["geom_id"])
+        for r in spatial_join(
+            batch_pts, layer, point_key="url", latlng=("lat", "lng")
+        ).collect()
+    }
+
+    stream_pts = extract_encode(
+        read_pages_stream(spark, src), keep=("url",)
+    )
+    joined = stream_spatial_join(
+        stream_pts, layer, point_key="url", latlng=("lat", "lng")
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("sj_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["url"], r["geom_id"])
+        for r in spark.sql("select * from sj_test").collect()
+    }
+    q.stop()
+    assert got == expected
+    assert len(got) > 0
