@@ -243,3 +243,43 @@ def _common_ancestor_level(a: int, b: int) -> int:
     if msb > 60:
         return -1
     return (60 - msb) >> 1
+
+
+def flood_fill_region_covering(region, start_cell: int) -> list[int]:
+    """All same-level cells intersecting the region, reachable from the
+    start cell by 4-neighbor steps — SimpleRegionCovering /
+    FloodFillRegionCovering (s2/regioncoverer.go:587-615).  Exact for
+    connected regions; the uniform level comes from the start cell."""
+    import numpy as np
+
+    from geo_spark.kernel import cellid as ck
+    from geo_spark.kernel.cell import Cell
+
+    lvl = int(ck.level(np.array([start_cell], dtype=np.uint64))[0])
+    seen = {int(start_cell)}
+    frontier = [int(start_cell)]
+    out = []
+    while frontier:
+        c = frontier.pop()
+        if not region.may_intersect_cell(Cell.from_id(c)):
+            continue
+        out.append(c)
+        for nb in ck.edge_neighbors(np.array([c], dtype=np.uint64))[0]:
+            n = int(nb)
+            if n not in seen:
+                seen.add(n)
+                frontier.append(n)
+    return sorted(out)
+
+
+def simple_region_covering(region, start_point_latlng: tuple, level: int) -> list[int]:
+    """Flood fill from the cell containing a point of the region;
+    s2/regioncoverer.go:587-597."""
+    import numpy as np
+
+    from geo_spark.kernel import cellid as ck
+
+    lat, lng = start_point_latlng
+    leaf = ck.cellid_from_latlng(np.array([lat]), np.array([lng]))
+    start = int(ck.parent(leaf, level)[0])
+    return flood_fill_region_covering(region, start)

@@ -212,3 +212,17 @@ def loop_is_normalized(verts: np.ndarray, origin_inside: bool | None = None) -> 
     larger than the exterior), equivalently TurningAngle >= 0;
     s2/loop.go:867-881."""
     return loop_turning_angle(verts, origin_inside) >= -1e-14
+
+
+def haversine_distance(lat1, lng1, lat2, lng2) -> np.ndarray:
+    """Angular distance (radians) between degree lat/lng pairs via the
+    haversin form — numerically accurate for small distances;
+    s2/latlng.go:61-69.  Vectorized over arrays."""
+    la1, ln1, la2, ln2 = (
+        np.radians(np.asarray(v, dtype=np.float64))
+        for v in (lat1, lng1, lat2, lng2)
+    )
+    dlat = np.sin(0.5 * (la2 - la1))
+    dlng = np.sin(0.5 * (ln2 - ln1))
+    x = dlat * dlat + dlng * dlng * np.cos(la1) * np.cos(la2)
+    return 2 * np.arcsin(np.sqrt(np.minimum(1.0, x)))

@@ -20,6 +20,7 @@ Directions: +1 CounterClockwise, -1 Clockwise, 0 Indeterminate.
 
 from __future__ import annotations
 
+import math
 from fractions import Fraction
 
 import numpy as np
@@ -303,3 +304,16 @@ def compare_distances_batch(
     for i in res:
         out[i] = exact_compare_chord2_scalar(x[i], a[i], b[i])
     return out
+
+
+def rotate(p: np.ndarray, axis: np.ndarray, angle_rad: float) -> np.ndarray:
+    """Rotate p around the (unit) axis by the angle (Rodrigues form);
+    s2/point.go:286-302."""
+    axis = np.asarray(axis, dtype=np.float64)
+    axis = axis / np.sqrt(axis @ axis)
+    p = np.asarray(p, dtype=np.float64)
+    center = axis * float(p @ axis)
+    dx = p - center
+    dy = np.cross(axis, p)
+    out = dx * math.cos(angle_rad) + dy * math.sin(angle_rad) + center
+    return out / np.sqrt(out @ out)

@@ -197,3 +197,65 @@ def test_rect_centroid_and_distance():
     # east of the rect: nearest is the lng=60 meridian edge
     d = rect_distance_to_latlng(r, math.radians(20), math.radians(100))
     assert d == pytest.approx(0.648539, abs=1e-5)
+
+
+def test_haversine_matches_chord():
+    from geo_spark.kernel.measures import haversine_distance
+
+    rng = np.random.default_rng(12)
+    lat1 = rng.uniform(-89, 89, 500)
+    lng1 = rng.uniform(-180, 180, 500)
+    lat2 = rng.uniform(-89, 89, 500)
+    lng2 = rng.uniform(-180, 180, 500)
+    x1, y1, z1 = ck.latlng_to_xyz(lat1, lng1)
+    x2, y2, z2 = ck.latlng_to_xyz(lat2, lng2)
+    c2 = (x1 - x2) ** 2 + (y1 - y2) ** 2 + (z1 - z2) ** 2
+    expect = 2 * np.arcsin(0.5 * np.sqrt(np.minimum(4.0, c2)))
+    got = haversine_distance(lat1, lng1, lat2, lng2)
+    assert np.allclose(got, expect, atol=1e-12)
+
+
+def test_rotate_rodrigues():
+    from geo_spark.kernel.predicates import ortho, rotate
+
+    p = np.array([1.0, 0.0, 0.0])
+    z = np.array([0.0, 0.0, 1.0])
+    q = rotate(p, z, math.pi / 2)
+    assert np.allclose(q, [0, 1, 0], atol=1e-15)
+    # full turn = identity; rotation preserves the angle to the axis
+    rng = np.random.default_rng(3)
+    v = rng.normal(size=3)
+    v /= np.linalg.norm(v)
+    axis = ortho(v)
+    assert np.allclose(rotate(v, axis, 2 * math.pi), v, atol=1e-14)
+    r = rotate(v, axis, 0.7)
+    assert abs(float(r @ axis) - float(v @ axis)) < 1e-14
+
+
+def test_flood_fill_covering_matches_coverer_leaves():
+    from geo_spark.kernel.coverer import simple_region_covering
+
+    cap = Cap.from_center_angle(25.0, 45.0, 0.05)
+    cells = simple_region_covering(cap, (25.0, 45.0), 8)
+    assert cells
+    # every cell intersects; the set is exactly the level-8 cells that
+    # may intersect (cross-check against a brute scan of a window)
+    from geo_spark.kernel.cell import Cell
+
+    for c in cells:
+        assert cap.may_intersect_cell(Cell.from_id(c))
+    # brute: all level-8 cells around the center via all_neighbors rings
+    leaf = int(ck.cellid_from_latlng(np.array([25.0]), np.array([45.0]))[0])
+    start = int(ck.parent(np.array([leaf], dtype=np.uint64), 8)[0])
+    ring = {start}
+    grown = {start}
+    for _ in range(20):
+        nxt = set()
+        for x in ring:
+            nxt.update(int(n) for n in ck.all_neighbors(x, 8))
+        ring = nxt - grown
+        grown |= nxt
+    brute = sorted(
+        c for c in grown if cap.may_intersect_cell(Cell.from_id(c))
+    )
+    assert brute == cells
