@@ -267,3 +267,46 @@ def infer_loop_nesting(
                     break
         out.append((loops[j][0], parent, depth))
     return out
+
+
+def polygon_relation(
+    a_loops: list[tuple[np.ndarray, bool]],
+    b_loops: list[tuple[np.ndarray, bool]],
+) -> tuple[bool, bool]:
+    """(a_contains_b, a_intersects_b) for multi-loop XOR-parity polygons
+    (holes) — s2/polygon.go:835-904 semantics via the crossing-free
+    reduction, generic position (no shared boundaries):
+
+    - any boundary crossing between any loop pair -> intersects, not
+      contains;
+    - with no crossings every loop lies wholly inside or outside the
+      other polygon, so membership of one representative vertex per loop
+      decides everything:
+        contains  <=>  a rep of B's first loop is in A AND no loop of A
+                       has its rep strictly inside B (such a loop would
+                       flip A-membership within B's interior);
+        intersects <=> some rep of A in B or some rep of B in A.
+
+    Loops are (verts, origin_inside) pairs in the XOR convention of
+    PolygonRegion: holes are passed as their CCW disc rings (membership
+    = XOR of per-loop containment), matching s2/polygon.go:591-613.
+    """
+
+    def member(loops, pts):
+        inside = np.zeros(len(np.atleast_2d(pts)), dtype=bool)
+        for verts, oi in loops:
+            inside ^= loop_contains_points(verts, oi, np.atleast_2d(pts))
+        return inside
+
+    for av, _ in a_loops:
+        for bv, _ in b_loops:
+            if chain_crossings(av, bv, a_closed=True, b_closed=True) > 0:
+                return False, True
+
+    a_reps = np.stack([v[0] for v, _ in a_loops])
+    b_reps = np.stack([v[0] for v, _ in b_loops])
+    b_in_a = member(a_loops, b_reps)
+    a_in_b = member(b_loops, a_reps)
+    intersects = bool(b_in_a.any() or a_in_b.any())
+    contains = bool(b_in_a[0]) and not bool(a_in_b.any())
+    return contains, intersects

@@ -79,16 +79,32 @@ def polygon_polygon_join(a: Layer, b: Layer) -> DataFrame:
     b_regions = b.regions
 
     def fn(batches):
+        from geo_spark.kernel.regions import PolygonRegion
+        from geo_spark.kernel.relations import polygon_relation
+
+        def loops_of(region):
+            if isinstance(region, LoopRegion):
+                return [(region.verts, region.origin_inside)]
+            if isinstance(region, PolygonRegion):
+                return [(lp.verts, lp.origin_inside) for lp in region.loops]
+            raise TypeError(
+                "polygon_polygon_join refine expects Loop/PolygonRegion, "
+                f"got {type(region).__name__}"
+            )
+
         for pdf in batches:
             rows = []
             for aid, bid in zip(pdf["aid"].to_numpy(), pdf["bid"].to_numpy()):
                 la = a_regions[int(aid)]
                 lb = b_regions[int(bid)]
-                if not isinstance(la, LoopRegion) or not isinstance(lb, LoopRegion):
-                    raise TypeError("polygon_polygon_join refine expects LoopRegion")
-                contains, intersects = loop_relation(
-                    la.verts, la.origin_inside, lb.verts, lb.origin_inside
-                )
+                if isinstance(la, LoopRegion) and isinstance(lb, LoopRegion):
+                    contains, intersects = loop_relation(
+                        la.verts, la.origin_inside, lb.verts, lb.origin_inside
+                    )
+                else:
+                    contains, intersects = polygon_relation(
+                        loops_of(la), loops_of(lb)
+                    )
                 rows.append((int(aid), int(bid), contains, intersects))
             yield pd.DataFrame(
                 rows, columns=["aid", "bid", "contains", "intersects"]
