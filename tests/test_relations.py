@@ -77,3 +77,57 @@ def test_polygon_polygon_join(spark):
     assert got == expected
     assert any(x[1] == 101 for x in got)  # big NYC loop has matches
     assert not any(x[1] == 103 for x in got)  # null-island loop matches nothing
+
+
+def test_polygon_relation_with_holes():
+    from geo_spark.kernel.pip import loop_origin_inside
+    from geo_spark.kernel.relations import polygon_relation
+    from geo_spark.sources.layers import regular_loop_vertices
+
+    def mk(lat, lng, r, n=24):
+        v = regular_loop_vertices(lat, lng, r, n)
+        return (v, loop_origin_inside(v))
+
+    donut = [mk(10, 10, 0.3), mk(10, 10, 0.12)]  # shell + hole (XOR discs)
+    cases = [
+        (donut, [mk(10, 10, 0.05)], (False, False)),   # inside the hole
+        (donut, [mk(10, 22, 0.02)], (True, True)),     # inside the ring
+        (donut, [mk(10, 10, 0.2)], (False, True)),     # spans the hole
+        ([mk(10, 10, 0.5)], donut, (True, True)),      # big contains donut
+        (donut, [mk(10, 10, 0.5)], (False, True)),
+        (donut, [mk(-40, -100, 0.1)], (False, False)),  # disjoint
+        ([mk(10, 22, 0.02)], donut, (False, True)),
+    ]
+    for a, b, want in cases:
+        assert polygon_relation(a, b) == want
+
+
+def test_polygon_polygon_join_with_holes(spark):
+    import numpy as np
+
+    from geo_spark.kernel.regions import PolygonRegion
+    from geo_spark.operators.geom_join import polygon_polygon_join
+    from geo_spark.operators.spatial_join import build_layer
+    from geo_spark.sources.layers import regular_loop_vertices
+
+    donut = PolygonRegion.from_loops(
+        [
+            regular_loop_vertices(10, 10, 0.3, 24),
+            regular_loop_vertices(10, 10, 0.12, 24),
+        ]
+    )
+    small_in_hole = PolygonRegion.from_loops(
+        [regular_loop_vertices(10, 10, 0.05, 24)]
+    )
+    small_in_ring = PolygonRegion.from_loops(
+        [regular_loop_vertices(10, 22, 0.02, 24)]
+    )
+    a = build_layer(spark, [(1, donut)], max_cells=12)
+    b = build_layer(
+        spark, [(10, small_in_hole), (11, small_in_ring)], max_cells=8
+    )
+    got = {
+        (r["aid"], r["bid"]): r["contains"]
+        for r in polygon_polygon_join(a, b).collect()
+    }
+    assert got == {(1, 11): True}  # hole one filtered out, ring one contained
