@@ -673,7 +673,9 @@ def _q_knn_ring_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             k=3,
             point_key="event_id",
             target_key="tid",
-            straggler_brute_cells=2_000_000,
+            # rings do the bulk; the last <=5000 stragglers finish as one
+            # broadcast GEMM (exactness unchanged, rounds bounded)
+            straggler_brute_cells=25_000_000,
         )
         .orderBy("event_id", "rank")
     )

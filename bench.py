@@ -248,10 +248,35 @@ def main() -> None:
     timings["pages_pip_join"] = round(time.monotonic() - t0, 3)
 
     queries = entrymod.queries()
+    ring_stats: list = []
     for name in HEADLINE_QUERIES:
-        fn = queries[name]
         t0 = time.monotonic()
-        fn(spark, sf_dir).count()
+        if name == "q_knn_ring_events":
+            # run the ring path directly so per-round stats land in the
+            # bench record (rounds + seconds each)
+            from pyspark.sql import functions as F
+
+            from geo_spark.operators.geo_noise import with_geo_noise
+            from geo_spark.operators.knn import knn_join
+
+            ev = with_geo_noise(
+                spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id"),
+                "event_id",
+            )
+            tg = with_geo_noise(
+                spark.range(5000).select(F.col("id").alias("tid")), "(tid + 500000)"
+            )
+            knn_join(
+                ev,
+                tg,
+                k=3,
+                point_key="event_id",
+                target_key="tid",
+                straggler_brute_cells=25_000_000,
+                stats=ring_stats,
+            ).count()
+        else:
+            queries[name](spark, sf_dir).count()
         timings[name] = round(time.monotonic() - t0, 3)
 
     total = round(sum(timings.values()), 3)
@@ -268,6 +293,7 @@ def main() -> None:
                 "n_pages": n_pages,
                 "n_tiles": n_tiles,
                 "pip_join_rows": n_join,
+                "knn_ring_rounds": ring_stats,
                 "cpus": cpus,
             }
         )
