@@ -532,6 +532,162 @@ def _oracle_trajectory_crossings() -> str:
     """
 
 
+def _q_rect_distance_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event distance to each lat/lng rect (incl. the antimeridian
+    one), bucketed at 0.2 rad — exercises Rect.DistanceToLatLng
+    (kernel/interval.rect_distance_to_latlngs, s2/rect.go:475-520
+    semantics).  Oracle re-derives the meridian-edge reduction in SQL."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from geo_spark.kernel.interval import (
+        R1Interval,
+        Rect,
+        S1Interval,
+        rect_distance_to_latlngs,
+    )
+    from geo_spark.operators.geo_noise import with_geo_noise
+
+    rects = [
+        (
+            g,
+            Rect(
+                R1Interval(math.radians(la0), math.radians(la1)),
+                S1Interval(math.radians(ln0), math.radians(ln1)),
+            ),
+        )
+        for g, la0, ln0, la1, ln1 in _RECTS
+    ]
+
+    ev = with_geo_noise(_t(spark, sf_dir, "events").select("event_id"), "event_id")
+    schema = T.StructType(
+        [
+            T.StructField("geom_id", T.LongType()),
+            T.StructField("bucket", T.IntegerType()),
+        ]
+    )
+
+    def fn(batches):
+        import numpy as np
+
+        for pdf in batches:
+            lat = pdf["lat"].to_numpy(np.float64)
+            lng = pdf["lng"].to_numpy(np.float64)
+            frames = []
+            for g, r in rects:
+                d = rect_distance_to_latlngs(r, lat, lng)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "geom_id": np.full(len(d), g, dtype=np.int64),
+                            "bucket": np.minimum(
+                                (d / 0.2).astype(np.int64), 15
+                            ).astype(np.int32),
+                        }
+                    )
+                )
+            yield pd.concat(frames)
+
+    return (
+        ev.mapInPandas(fn, schema)
+        .groupBy("geom_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("geom_id", "bucket")
+    )
+
+
+def _oracle_rect_distance_buckets() -> str:
+    import math
+
+    from geo_spark.operators.geo_noise import LAT_SQL, LNG_SQL
+
+    lat = LAT_SQL.format(id="event_id")
+    lng = LNG_SQL.format(id="event_id")
+    # rect rows + their two meridian edge segments as xyz literals
+    import numpy as np
+
+    from geo_spark.kernel import cellid as ck
+
+    rect_rows = []
+    edge_rows = []
+    for g, la0, ln0, la1, ln1 in _RECTS:
+        inverted = "TRUE" if ln0 > ln1 else "FALSE"
+        rect_rows.append(
+            f"({g}, {math.radians(la0)!r}, {math.radians(la1)!r}, "
+            f"{ln0!r}, {ln1!r}, {inverted})"
+        )
+        for edge_lng in (ln0, ln1):
+            ax, ay, az = ck.latlng_to_xyz(np.float64(la0), np.float64(edge_lng))
+            bx, by, bz = ck.latlng_to_xyz(np.float64(la1), np.float64(edge_lng))
+            n = np.cross(
+                [float(ax), float(ay), float(az)],
+                [float(bx), float(by), float(bz)],
+            )
+            vals = ", ".join(
+                format(float(v), ".17e")
+                for v in (ax, ay, az, bx, by, bz, *n)
+            )
+            edge_rows.append(f"({g}, {vals})")
+    rvals = ", ".join(rect_rows)
+    evals = ", ".join(edge_rows)
+    return f"""
+        WITH pts AS (SELECT event_id, {lat} AS lat, {lng} AS lng FROM events),
+        xyz AS (SELECT event_id, lat, lng,
+                       cos(radians(lng))*cos(radians(lat)) AS px,
+                       sin(radians(lng))*cos(radians(lat)) AS py,
+                       sin(radians(lat)) AS pz
+                FROM pts),
+        rects(geom_id, lat_lo, lat_hi, lng_lo, lng_hi, inverted) AS
+            (VALUES {rvals}),
+        medges(geom_id, ax, ay, az, bx, by, bz, nx, ny, nz) AS
+            (VALUES {evals}),
+        flags AS (SELECT x.event_id, r.geom_id, x.lat, x.px, x.py, x.pz,
+                         r.lat_lo, r.lat_hi,
+                         CASE WHEN r.inverted
+                              THEN (x.lng >= r.lng_lo OR x.lng <= r.lng_hi)
+                              ELSE (x.lng >= r.lng_lo AND x.lng <= r.lng_hi)
+                         END AS lng_in
+                  FROM xyz x, rects r),
+        lat_case AS (SELECT event_id, geom_id,
+                            CASE WHEN radians(lat) > lat_hi
+                                 THEN radians(lat) - lat_hi
+                                 WHEN radians(lat) < lat_lo
+                                 THEN lat_lo - radians(lat)
+                                 ELSE 0.0 END AS dist
+                     FROM flags WHERE lng_in),
+        seg AS (SELECT f.event_id, f.geom_id,
+                       CASE WHEN ((m.ay*f.pz - m.az*f.py)*m.nx
+                                  + (m.az*f.px - m.ax*f.pz)*m.ny
+                                  + (m.ax*f.py - m.ay*f.px)*m.nz) >= 0
+                             AND ((f.py*m.bz - f.pz*m.by)*m.nx
+                                  + (f.pz*m.bx - f.px*m.bz)*m.ny
+                                  + (f.px*m.by - f.py*m.bx)*m.nz) >= 0
+                            THEN 2.0 * (1.0 - sqrt(greatest(0.0,
+                                 1.0 - power(abs(f.px*m.nx + f.py*m.ny + f.pz*m.nz)
+                                             / sqrt(m.nx*m.nx + m.ny*m.ny + m.nz*m.nz),
+                                             2))))
+                            ELSE least(
+                                 (f.px-m.ax)*(f.px-m.ax) + (f.py-m.ay)*(f.py-m.ay)
+                                 + (f.pz-m.az)*(f.pz-m.az),
+                                 (f.px-m.bx)*(f.px-m.bx) + (f.py-m.by)*(f.py-m.by)
+                                 + (f.pz-m.bz)*(f.pz-m.bz))
+                       END AS c2
+                FROM flags f
+                JOIN medges m ON m.geom_id = f.geom_id
+                WHERE NOT f.lng_in),
+        seg_min AS (SELECT event_id, geom_id,
+                           2.0 * asin(0.5 * sqrt(least(MIN(c2), 4.0))) AS dist
+                    FROM seg GROUP BY event_id, geom_id),
+        dists AS (SELECT * FROM lat_case UNION ALL SELECT * FROM seg_min)
+        SELECT geom_id,
+               CAST(least(CAST(floor(dist / 0.2) AS BIGINT), 15) AS INT) AS bucket,
+               COUNT(*) AS cnt
+        FROM dists GROUP BY geom_id, bucket ORDER BY geom_id, bucket
+    """
+
+
 _TRAIL_RADIUS_RAD = 500_000.0 / 6_371_010.0  # 500 km on the mean-radius sphere
 
 
@@ -1542,6 +1698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_orders_join_agg": _q_orders_join_agg,
         "q_cap_join_counts": _q_cap_join_counts,
         "q_rect_join_counts": _q_rect_join_counts,
+        "q_rect_distance_buckets": _q_rect_distance_buckets,
         "q_loop_pip_join": _q_loop_pip_join,
         "q_knn_cities": _q_knn_cities,
         "q_knn_ring_events": _q_knn_ring_events,
@@ -1579,6 +1736,7 @@ def oracle_sql() -> dict[str, str]:
         "q_orders_join_agg": _oracle_orders_join_agg(),
         "q_cap_join_counts": _oracle_cap_join_counts(),
         "q_rect_join_counts": _oracle_rect_join_counts(),
+        "q_rect_distance_buckets": _oracle_rect_distance_buckets(),
         "q_loop_pip_join": _oracle_loop_pip_join(),
         "q_polygon_polygon_join": _oracle_polygon_polygon_join(),
         "q_knn_cities": _oracle_knn_cities(),

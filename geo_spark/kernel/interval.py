@@ -344,3 +344,54 @@ def rect_distance_to_latlng(rect: Rect, lat: float, lng: float) -> float:
         c2 = float(_E.point_segment_chord2(p[None, :], a[None, :], b[None, :])[0])
         best = min(best, 2.0 * _m.asin(0.5 * _m.sqrt(min(4.0, c2))))
     return best
+
+
+def rect_distance_to_latlngs(rect: Rect, lat_deg, lng_deg):
+    """Vectorized ``rect_distance_to_latlng`` over degree arrays ->
+    radians array (0 inside).  Same reduction: latitude gap when the
+    point's longitude is inside the rect's interval, else min distance
+    to the two meridian edge segments."""
+    import numpy as np
+
+    from geo_spark.kernel import cellid as _ck
+    from geo_spark.kernel import edges as _E
+
+    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    lng = np.radians(np.asarray(lng_deg, dtype=np.float64))
+    n = len(lat)
+    out = np.zeros(n, dtype=np.float64)
+    if rect.is_empty():
+        out[:] = np.inf
+        return out
+
+    lng_in = np.array([rect.lng.contains(float(v)) for v in lng])
+    above = lat > rect.lat.hi
+    below = lat < rect.lat.lo
+    # longitude inside: pure latitude gap (0 if inside the rect)
+    out[lng_in & above] = (lat - rect.lat.hi)[lng_in & above]
+    out[lng_in & below] = (rect.lat.lo - lat)[lng_in & below]
+
+    outside = ~lng_in
+    if outside.any():
+        x, y, z = _ck.latlng_to_xyz(
+            np.degrees(lat[outside]), np.degrees(lng[outside])
+        )
+        p = np.stack([x, y, z], axis=1)
+        best = np.full(len(p), 4.0)
+        for edge_lng in (rect.lng.lo, rect.lng.hi):
+            ax, ay, az = _ck.latlng_to_xyz(
+                np.degrees(rect.lat.lo), np.degrees(edge_lng)
+            )
+            bx, by, bz = _ck.latlng_to_xyz(
+                np.degrees(rect.lat.hi), np.degrees(edge_lng)
+            )
+            a = np.array([float(ax), float(ay), float(az)])
+            b = np.array([float(bx), float(by), float(bz)])
+            best = np.minimum(
+                best,
+                _E.point_segment_chord2(
+                    p, np.broadcast_to(a, p.shape), np.broadcast_to(b, p.shape)
+                ),
+            )
+        out[outside] = 2.0 * np.arcsin(0.5 * np.sqrt(np.minimum(4.0, best)))
+    return out
