@@ -1,0 +1,100 @@
+"""Physical-plan regression tests: the shapes that keep 100x scale-ups
+safe.  These assert properties of the PLAN, not the results — a
+regression here (a stray CartesianProduct, a lost broadcast, a filter
+that stops reaching the scan) is invisible to result tests but fatal at
+cluster scale."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+
+def _plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pair_candidates_have_no_cartesian(spark):
+    from geo_spark.operators.geom_join import _pair_candidates
+    from geo_spark.operators.spatial_join import build_layer
+    from geo_spark.sources.layers import city_loop_regions
+
+    a = build_layer(spark, city_loop_regions(10), max_cells=8)
+    b = build_layer(spark, city_loop_regions(6), max_cells=8)
+    plan = _plan_of(_pair_candidates(a, b))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_spatial_join_broadcasts_dimension_covering(spark):
+    from pyspark.sql import functions as F
+
+    from geo_spark.functions.s2 import s2_cellid
+    from geo_spark.operators.geo_noise import with_geo_noise
+    from geo_spark.operators.spatial_join import build_layer, spatial_join
+    from geo_spark.sources.layers import city_loop_regions
+
+    layer = build_layer(spark, city_loop_regions(10), max_cells=8)
+    ev = with_geo_noise(spark.range(1000).withColumnRenamed("id", "pid"), "pid")
+    ev = ev.withColumn("cell_id", s2_cellid(F.col("lat"), F.col("lng")))
+    joined = spatial_join(ev, layer, point_key="pid", latlng=("lat", "lng"))
+    plan = _plan_of(joined)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # refine stays a shuffle-free arrow stage for closure layers
+    assert "MapInPandas" in plan
+
+
+def test_range_predicates_push_to_parquet_scan(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from geo_spark.functions.s2 import s2_cellid
+    from geo_spark.operators.geo_noise import with_geo_noise
+
+    ev = with_geo_noise(spark.range(5000).withColumnRenamed("id", "pid"), "pid")
+    ev = ev.withColumn("cell_id", s2_cellid(F.col("lat"), F.col("lng")))
+    path = str(tmp_path / "cells")
+    ev.select("pid", "cell_id").repartitionByRange(4, "cell_id").sortWithinPartitions(
+        "cell_id"
+    ).write.parquet(path)
+    df = spark.read.parquet(path).where(
+        "(cell_id BETWEEN 1000000 AND 2000000000) OR "
+        "(cell_id BETWEEN -4000000000 AND -100)"
+    )
+    plan = _plan_of(df)
+    assert "PushedFilters" in plan or "DataFilters" in plan
+    assert "cell_id" in plan
+
+
+def test_tile_pipeline_single_python_stage(spark, tmp_path):
+    """The flagship path must stay one fused Arrow hop: scan -> one
+    Python stage (extract+encode) -> JVM tile key + agg."""
+    from geo_spark.operators.tiling import tile_counts
+    from geo_spark.sources.extract import extract_encode
+    from geo_spark.sources.pages import synth_pages
+
+    src = str(tmp_path / "pages_plan")
+    synth_pages(spark, 500, partitions=2).write.parquet(src)
+    out = tile_counts(extract_encode(spark.read.parquet(src)), 10, sort=False)
+    plan = _plan_of(out)
+    # exactly one Arrow-boundary operator in the whole plan
+    n_python = plan.count("MapInArrow") + plan.count("MapInPandas")
+    assert n_python == 1, plan
+    assert "HashAggregate" in plan
+
+
+def test_knn_brute_plan_is_pure_map(spark):
+    from geo_spark.operators.knn import _knn_brute
+
+    pts = spark.createDataFrame(
+        [(i, float(i % 80 - 40), float(i % 170 - 85)) for i in range(200)],
+        "pid long, lat double, lng double",
+    )
+    tg = spark.createDataFrame(
+        [(i, float(i % 60 - 30), float(i % 150 - 75)) for i in range(30)],
+        "tid long, lat double, lng double",
+    )
+    plan = _plan_of(_knn_brute(pts, tg, 3, "pid", "tid", ("lat", "lng"), ("lat", "lng")))
+    # closure-shipped targets: no join, no shuffle exchange at all
+    assert "Join" not in plan
+    assert "Exchange" not in plan
