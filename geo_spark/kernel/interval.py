@@ -395,3 +395,174 @@ def rect_distance_to_latlngs(rect: Rect, lat_deg, lng_deg):
             )
         out[outside] = 2.0 * np.arcsin(0.5 * np.sqrt(np.minimum(4.0, best)))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Hausdorff distances between rects (s2/rect.go:494-646).
+
+
+def _s1_center(i: S1Interval) -> float:
+    """Center of a circular interval (s1/interval.go Center)."""
+    c = 0.5 * (i.lo + i.hi)
+    if not i.is_inverted():
+        return c
+    return c + PI if c <= 0 else c - PI
+
+
+def _s1_complement_center(i: S1Interval) -> float:
+    """Center of the complement interval; for a singleton, the antipodal
+    point (s1/interval.go:405-414)."""
+    if i.lo != i.hi:
+        return _s1_center(S1Interval(i.hi, i.lo))
+    return i.hi + PI if i.hi <= 0 else i.hi - PI
+
+
+def r1_directed_hausdorff(a: R1Interval, b: R1Interval) -> float:
+    """h(a,b) = max_{p in a} min_{q in b} |p-q| on the line
+    (r1/interval.go:166-178)."""
+    if a.is_empty():
+        return 0.0
+    if b.is_empty():
+        return float("inf")
+    return max(0.0, a.hi - b.hi, b.lo - a.lo)
+
+
+def s1_directed_hausdorff(i: S1Interval, y: S1Interval) -> float:
+    """h(i,y) measured along the circle (s1/interval.go:416-447): zero
+    when contained; otherwise realized at one of i's endpoints, or at the
+    center of y's complement when i spans it."""
+    if y.contains_interval(i):
+        return 0.0
+    if y.is_empty():
+        return PI
+    y_comp_center = _s1_complement_center(y)
+    if i.contains(y_comp_center):
+        return _positive_distance(y.hi, y_comp_center)
+    hi_hi = 0.0
+    if S1Interval(y.hi, y_comp_center).contains(i.hi):
+        hi_hi = _positive_distance(y.hi, i.hi)
+    lo_lo = 0.0
+    if S1Interval(y_comp_center, y.lo).contains(i.lo):
+        lo_lo = _positive_distance(i.lo, y.lo)
+    return max(hi_hi, lo_lo)
+
+
+def _ll_xyz(lat: float, lng: float):
+    """Unit xyz from radians lat/lng (local scalar helper)."""
+    import math as _m
+
+    import numpy as np
+
+    cl = _m.cos(lat)
+    return np.array([cl * _m.cos(lng), cl * _m.sin(lng), _m.sin(lat)])
+
+
+def _segment_distance(p, a, b) -> float:
+    """Angular point-to-geodesic-segment distance."""
+    import math as _m
+
+    from geo_spark.kernel import edges as _E
+
+    c2 = float(_E.point_segment_chord2(p[None, :], a[None, :], b[None, :])[0])
+    return 2.0 * _m.asin(0.5 * _m.sqrt(min(4.0, c2)))
+
+
+def _interior_max_distance(a_lat: R1Interval, b) -> float | None:
+    """Max distance from point ``b`` to the longitude-0 meridian segment
+    spanning ``a_lat``, when the max lies in the segment interior
+    (s2/rect.go:615-632); None otherwise."""
+    import math as _m
+
+    import numpy as np
+
+    if a_lat.is_empty() or b[0] >= 0:
+        return None
+    # the farthest point on the full meridian from b is the antipode of
+    # b's projection onto the y=0 plane
+    proj = np.array([-b[0], 0.0, -b[2]])
+    proj = proj / np.linalg.norm(proj)
+    lat = _m.asin(max(-1.0, min(1.0, proj[2])))
+    if not (a_lat.lo < lat < a_lat.hi):
+        return None
+    d = float(np.clip(b @ proj, -1.0, 1.0))
+    return _m.acos(d)
+
+
+def _bisector_intersection(lat: R1Interval, lng: float):
+    """Intersection of longitude 0 with the perpendicular bisector of the
+    meridian edge at longitude ``lng`` spanning ``lat``
+    (s2/rect.go:634-646)."""
+    import math as _m
+
+    import numpy as np
+
+    from geo_spark.kernel.predicates import point_cross
+
+    lng = abs(lng)
+    lat_center = 0.5 * (lat.lo + lat.hi)
+    if lat_center >= 0:
+        ortho_bisector = _ll_xyz(lat_center - PI / 2, lng)
+    else:
+        ortho_bisector = _ll_xyz(-lat_center - PI / 2, lng - PI)
+    ortho_lng = np.array([0.0, -1.0, 0.0])
+    p = point_cross(ortho_lng[None, :], ortho_bisector[None, :])[0]
+    return p / np.linalg.norm(p)
+
+
+def _directed_hausdorff_lat_edges(lng_diff: float, a: R1Interval, b: R1Interval) -> float:
+    """Directed Hausdorff from the meridian edge spanning latitudes ``a``
+    (at longitude 0) to the meridian edge spanning ``b`` (at longitude
+    ``lng_diff``); the Voronoi case analysis of s2/rect.go:527-613."""
+    import math as _m
+
+    import numpy as np
+
+    if lng_diff < 0 or lng_diff > PI:
+        raise ValueError("lng_diff out of range")
+    if lng_diff == 0:
+        return r1_directed_hausdorff(a, b)
+
+    b_lo = _ll_xyz(b.lo, lng_diff)
+    b_hi = _ll_xyz(b.hi, lng_diff)
+    a_lo = _ll_xyz(a.lo, 0.0)
+    a_hi = _ll_xyz(a.hi, 0.0)
+    max_distance = max(
+        _segment_distance(a_lo, b_lo, b_hi), _segment_distance(a_hi, b_lo, b_hi)
+    )
+
+    if lng_diff <= PI / 2:
+        if a.contains(0.0) and b.contains(0.0):
+            max_distance = max(max_distance, lng_diff)
+        return max_distance
+
+    p = _bisector_intersection(b, lng_diff)
+    p_lat = _m.asin(max(-1.0, min(1.0, p[2])))
+    if a.contains(p_lat):
+        max_distance = max(max_distance, _m.acos(float(np.clip(p @ b_lo, -1, 1))))
+
+    if p_lat > a.lo:
+        d = _interior_max_distance(R1Interval(a.lo, min(p_lat, a.hi)), b_lo)
+        if d is not None:
+            max_distance = max(max_distance, d)
+    if p_lat < a.hi:
+        d = _interior_max_distance(R1Interval(max(p_lat, a.lo), a.hi), b_hi)
+        if d is not None:
+            max_distance = max(max_distance, d)
+    return max_distance
+
+
+def rect_directed_hausdorff(a: Rect, b: Rect) -> float:
+    """Directed Hausdorff distance h(A,B) = max_{p in A} min_{q in B}
+    d(p,q) along the sphere (s2/rect.go:494-507)."""
+    if a.is_empty():
+        return 0.0
+    if b.is_empty():
+        return PI
+    lng = s1_directed_hausdorff(a.lng, b.lng)
+    return _directed_hausdorff_lat_edges(lng, a.lat, b.lat)
+
+
+def rect_hausdorff(a: Rect, b: Rect) -> float:
+    """Undirected Hausdorff distance H(A,B) = max(h(A,B), h(B,A))
+    (s2/rect.go:509-516)."""
+    return max(rect_directed_hausdorff(a, b), rect_directed_hausdorff(b, a))
