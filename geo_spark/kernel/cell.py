@@ -245,3 +245,63 @@ class Cell:
         first = ck.child_begin_at_level(np.array([u]), lvl)[0]
         step = np.uint64(2) * ck.lsb_for_level(np.int64(lvl))
         return [Cell.from_id(int(first + np.uint64(k) * step)) for k in range(4)]
+
+
+# ---------------------------------------------------------------------------
+# uv-bound expansion by spherical distance (s2/cellid.go:808-857).
+
+
+def bound_uv(cellids) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized (u_lo, u_hi, v_lo, v_hi) bounds for an array of cell
+    ids (s2/cellid.go:802-806 via ijLevelToBoundUV)."""
+    cellids = np.atleast_1d(np.asarray(cellids, dtype=np.uint64))
+    f, i, j, _ = ck.face_ij_orientation(cellids)
+    lvl = ck.level(cellids)
+    cell_size = (np.int64(1) << (30 - lvl)).astype(np.int64)
+    i_lo = i & -cell_size
+    j_lo = j & -cell_size
+    scale = 1.0 / float(1 << 30)
+    u_lo = ck.st_to_uv(scale * i_lo)
+    u_hi = ck.st_to_uv(scale * (i_lo + cell_size))
+    v_lo = ck.st_to_uv(scale * j_lo)
+    v_hi = ck.st_to_uv(scale * (j_lo + cell_size))
+    return u_lo, u_hi, v_lo, v_hi
+
+
+def _expand_endpoint(u, max_v, sin_dist):
+    """Shift the u=const boundary line outward so its spherical distance
+    to the original line is exactly asin(sin_dist)
+    (s2/cellid.go:808-819); vectorized."""
+    u = np.asarray(u, dtype=np.float64)
+    max_v = np.asarray(max_v, dtype=np.float64)
+    sin_u_shift = sin_dist * np.sqrt((1.0 + u * u + max_v * max_v) / (1.0 + u * u))
+    cos_u_shift = np.sqrt(1.0 - sin_u_shift * sin_u_shift)
+    # tan(atan(u) + asin(sin_u_shift)), expanded
+    return (cos_u_shift * u + sin_u_shift) / (cos_u_shift - sin_u_shift * u)
+
+
+def expanded_by_distance_uv(
+    u_lo, u_hi, v_lo, v_hi, distance: float
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Expand (or, negative ``distance``, shrink) uv rects so they contain
+    all points within ``distance`` radians *on the sphere* of the original
+    boundary (s2/cellid.go:821-857); vectorized over rect arrays.
+
+    The "expand cell by d meters" primitive for within-distance
+    prefilters: project a query point onto the cell's face and test
+    containment in the expanded bound.  Valid for |distance| <= 45deg (a
+    face rect covers at most one hemisphere).
+    """
+    u_lo = np.asarray(u_lo, dtype=np.float64)
+    u_hi = np.asarray(u_hi, dtype=np.float64)
+    v_lo = np.asarray(v_lo, dtype=np.float64)
+    v_hi = np.asarray(v_hi, dtype=np.float64)
+    max_u = np.maximum(np.abs(u_lo), np.abs(u_hi))
+    max_v = np.maximum(np.abs(v_lo), np.abs(v_hi))
+    sin_dist = math.sin(distance)
+    return (
+        _expand_endpoint(u_lo, max_v, -sin_dist),
+        _expand_endpoint(u_hi, max_v, sin_dist),
+        _expand_endpoint(v_lo, max_u, -sin_dist),
+        _expand_endpoint(v_hi, max_u, sin_dist),
+    )
