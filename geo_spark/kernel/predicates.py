@@ -317,3 +317,87 @@ def rotate(p: np.ndarray, axis: np.ndarray, angle_rad: float) -> np.ndarray:
     dy = np.cross(axis, p)
     out = dx * math.cos(angle_rad) + dy * math.sin(angle_rad) + center
     return out / np.sqrt(out @ out)
+
+
+# ---------------------------------------------------------------------------
+# Dot-product sign and circle-crossing ordering (s2/predicates.go:725-921).
+
+
+def triage_sign_dot_prod(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized sign of a.b with the 3.046875*eps Rump bound
+    (s2/predicates.go:736-759); 0 = indeterminate."""
+    a = np.atleast_2d(a)
+    b = np.atleast_2d(b)
+    max_error = 3.046875 * DBL_EPSILON
+    d = np.einsum("ij,ij->i", a, b)
+    out = np.where(d > max_error, 1, np.where(d < -max_error, -1, 0))
+    return out.astype(np.int8)
+
+
+def _exact_dot_sign(a, b) -> int:
+    s = sum(_fr(float(x)) * _fr(float(y)) for x, y in zip(a, b))
+    return (s > 0) - (s < 0)
+
+
+def sign_dot_prod(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Exact sign of a.b: float triage, rational fallback on the
+    indeterminate residue (s2/predicates.go:725-734)."""
+    a = np.atleast_2d(a)
+    b = np.atleast_2d(b)
+    out = triage_sign_dot_prod(a, b)
+    for i in np.nonzero(out == 0)[0]:
+        out[i] = _exact_dot_sign(a[i], b[i])
+    return out
+
+
+def triage_intersection_ordering(a, b, c, d, m, n) -> np.ndarray:
+    """Vectorized crossing order of edges AB and CD along circle M
+    relative to reference circle N, via the quadruple-product expansion
+    (M.A)(N.B)-(M.B)(N.A) vs (M.C)(N.D)-(M.D)(N.C) with the 32*eps gappa
+    bound (s2/predicates.go:839-905); 0 = indeterminate."""
+    a, b, c, d, m, n = (np.atleast_2d(v) for v in (a, b, c, d, m, n))
+    max_error = 32.0 * DBL_EPSILON
+
+    def dp(x, y):
+        return (x * y).sum(axis=1)  # broadcasts single-row m/n over batches
+
+    prod_ab = dp(m, a) * dp(n, b) - dp(m, b) * dp(n, a)
+    prod_cd = dp(m, c) * dp(n, d) - dp(m, d) * dp(n, c)
+    diff = prod_ab - prod_cd
+    out = np.where(diff > max_error, 1, np.where(diff < -max_error, -1, 0))
+    return out.astype(np.int8)
+
+
+def _exact_intersection_ordering(a, b, c, d, m, n) -> int:
+    def fdp(x, y):
+        return sum(_fr(float(u)) * _fr(float(v)) for u, v in zip(x, y))
+
+    prod_ab = fdp(m, a) * fdp(n, b) - fdp(m, b) * fdp(n, a)
+    prod_cd = fdp(m, c) * fdp(n, d) - fdp(m, d) * fdp(n, c)
+    return (prod_ab > prod_cd) - (prod_ab < prod_cd)
+
+
+def circle_edge_intersection_ordering(a, b, c, d, m, n) -> np.ndarray:
+    """Order of the crossings of edges AB and CD over the great circle
+    with normal M, measured from the reference circle N
+    (s2/predicates.go:819-837): -1 when AB's crossing is closer to N, +1
+    when further, 0 for identical crossings.  Requires A,C on M's
+    positive side and B,D on its negative side; exact after rational
+    fallback (duplicate and reverse-duplicate edges short-circuit to 0).
+    """
+    a, b, c, d, m, n = (np.atleast_2d(v) for v in (a, b, c, d, m, n))
+    out = triage_intersection_ordering(a, b, c, d, m, n)
+    for i in np.nonzero(out == 0)[0]:
+        ai = a[i] if len(a) > 1 else a[0]
+        bi = b[i] if len(b) > 1 else b[0]
+        ci = c[i] if len(c) > 1 else c[0]
+        di = d[i] if len(d) > 1 else d[0]
+        mi = m[i] if len(m) > 1 else m[0]
+        ni = n[i] if len(n) > 1 else n[0]
+        if (np.array_equal(ai, ci) and np.array_equal(bi, di)) or (
+            np.array_equal(ai, di) and np.array_equal(bi, ci)
+        ):
+            out[i] = 0
+            continue
+        out[i] = _exact_intersection_ordering(ai, bi, ci, di, mi, ni)
+    return out
