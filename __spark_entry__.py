@@ -810,6 +810,92 @@ def _oracle_trail_pair_distance() -> str:
     """
 
 
+_DTW_ANCHOR = (10.0, 20.0)  # degrees; single-vertex anchor "trajectory"
+
+
+def _q_dtw_anchor_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-timewarp alignment cost of each user trail against a
+    single-point anchor (kernel/alignment.py; s2/polyline_alignment.go:
+    385-403).  With a one-vertex target the optimal warp must match every
+    trail vertex to the anchor, so the cost collapses to the ordered sum
+    of vertex->anchor chordal distances — which a SQL oracle can compute
+    independently.  Costs are bucketed at 0.05 so ulp-level float
+    differences between engines cannot flip the hash."""
+    import numpy as np
+
+    from geo_spark.kernel import cellid as ck
+    from geo_spark.operators.alignment_ops import dtw_pair_costs
+    from geo_spark.operators.geo_noise import with_geo_noise
+
+    ev = with_geo_noise(_t(spark, sf_dir, "events"), "event_id")
+    pdf = (
+        ev.select("user_id", "ts", "event_id", "lat", "lng")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+        .groupby("user_id")
+        .head(6)
+    )
+    chains: dict[int, np.ndarray] = {}
+    for uid, g in pdf.groupby("user_id"):
+        if len(g) < 2:
+            continue
+        x, y, z = ck.latlng_to_xyz(
+            g["lat"].to_numpy(np.float64), g["lng"].to_numpy(np.float64)
+        )
+        chains[int(uid)] = np.stack([x, y, z], axis=1)
+    ax, ay, az = ck.latlng_to_xyz(
+        np.float64(_DTW_ANCHOR[0]), np.float64(_DTW_ANCHOR[1])
+    )
+    anchor_id = -1
+    chains[anchor_id] = np.array([[float(ax), float(ay), float(az)]])
+    pairs = spark.createDataFrame(
+        [(uid, anchor_id) for uid in sorted(chains) if uid != anchor_id],
+        "aid long, bid long",
+    )
+    return (
+        dtw_pair_costs(pairs, chains)
+        .select(
+            F.col("aid").alias("user_id"),
+            F.floor(F.col("dtw_cost") / F.lit(0.05)).cast("long").alias("dtw_bucket"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def _oracle_dtw_anchor_cost() -> str:
+    import numpy as np
+
+    from geo_spark.kernel import cellid as ck
+    from geo_spark.operators.geo_noise import LAT_SQL, LNG_SQL
+
+    lat = LAT_SQL.format(id="event_id")
+    lng = LNG_SQL.format(id="event_id")
+    ax, ay, az = ck.latlng_to_xyz(
+        np.float64(_DTW_ANCHOR[0]), np.float64(_DTW_ANCHOR[1])
+    )
+    return f"""
+        WITH ranked AS (SELECT user_id, ts, event_id,
+                               row_number() OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id) AS rk,
+                               count(*) OVER (PARTITION BY user_id) AS cnt
+                        FROM events),
+        pts AS (SELECT user_id, rk, {lat} AS lat, {lng} AS lng
+                FROM ranked WHERE rk <= 6 AND cnt >= 2),
+        xyz AS (SELECT user_id,
+                       cos(radians(lng))*cos(radians(lat)) AS px,
+                       sin(radians(lng))*cos(radians(lat)) AS py,
+                       sin(radians(lat)) AS pz
+                FROM pts)
+        SELECT user_id,
+               CAST(FLOOR(SUM(sqrt(
+                   (px - {float(ax)!r})*(px - {float(ax)!r})
+                 + (py - {float(ay)!r})*(py - {float(ay)!r})
+                 + (pz - {float(az)!r})*(pz - {float(az)!r}))) / 0.05) AS BIGINT)
+                   AS dtw_bucket
+        FROM xyz GROUP BY user_id ORDER BY user_id
+    """
+
+
 def _q_knn_ring_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN over a 5000-target layer — above BRUTE_FORCE_MAX_TARGETS, so
     this exercises the cell-ring expansion path (with the mid-flight
@@ -1704,6 +1790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_ring_events": _q_knn_ring_events,
         "q_trajectory_crossings": _q_trajectory_crossings,
         "q_trail_pair_distance": _q_trail_pair_distance,
+        "q_dtw_anchor_cost": _q_dtw_anchor_cost,
         "q_exact_dedup": _q_exact_dedup,
         "q_ngram_dedup_pairs": _q_ngram_dedup_pairs,
         "q_doc_quality": _q_doc_quality,
@@ -1743,6 +1830,7 @@ def oracle_sql() -> dict[str, str]:
         "q_knn_ring_events": _oracle_knn_ring_events(),
         "q_trajectory_crossings": _oracle_trajectory_crossings(),
         "q_trail_pair_distance": _oracle_trail_pair_distance(),
+        "q_dtw_anchor_cost": _oracle_dtw_anchor_cost(),
         "q_exact_dedup": _oracle_exact_dedup(),
         "q_ngram_dedup_pairs": _oracle_ngram_dedup_pairs(),
         "q_doc_quality": _oracle_doc_quality(),
