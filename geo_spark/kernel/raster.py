@@ -42,7 +42,7 @@ def vectorize_cells(cells: list[int]) -> list[np.ndarray]:
     """Uniform-level cell mask -> list of closed CCW boundary rings
     ((K,3) unit-vector arrays).  Holes come out as separate rings
     (XOR-parity convention, consistent with kernel/booleans.py)."""
-    if not cells:
+    if len(cells) == 0:  # accepts list or ndarray masks
         return []
     levels = {cu._level(c) for c in cells}
     if len(levels) != 1:
