@@ -164,6 +164,55 @@ def loop_boolean(
     b_verts = np.atleast_2d(np.asarray(b_verts, dtype=np.float64))
     a_oi = loop_origin_inside(a_verts)
     b_oi = loop_origin_inside(b_verts)
+    na, nb = len(a_verts), len(b_verts)
+
+    # Degenerate pre-pass 1 — identical vertex cycles (exact): the cases
+    # the reference's AI-ported BooleanOperation ignores
+    # (s2/boolean_operation.go:122-124); here A==B collapses exactly.
+    a_keys = [_key(v) for v in a_verts]
+    b_keys = [_key(v) for v in b_verts]
+    if na == nb and set(a_keys) == set(b_keys):
+        try:
+            off = b_keys.index(a_keys[0])
+        except ValueError:
+            off = -1
+        if off >= 0 and all(
+            b_keys[(off + i) % nb] == a_keys[i] for i in range(na)
+        ):
+            if op == "union" or op == "intersection":
+                return [a_verts]
+            if op == "difference":
+                return []
+            raise ValueError(op)
+
+    # Degenerate pre-pass 2 — exact seam edges: an A edge coinciding
+    # vertex-for-vertex with a B edge (either direction).  Seams are
+    # excluded from crossing detection (a coincident pair is not a
+    # crossing), force chain splits at their endpoints, and are
+    # classified after splitting by probing the other loop just off the
+    # edge's left/right side — the numeric stand-in for the symbolic
+    # degeneracy handling of the C++ S2BooleanOperation.  Only
+    # whole-edge coincidence is handled; partial collinear overlap
+    # remains out of scope (documented in SURVEY §8.1).
+    b_edge_by_keys: dict[tuple[tuple, tuple], int] = {}
+    for j in range(nb):
+        b_edge_by_keys[(b_keys[j], b_keys[(j + 1) % nb])] = j
+    seam_pairs: dict[int, int] = {}  # a-edge idx -> b-edge idx
+    seam_arc_keys: set[tuple[tuple, tuple]] = set()
+    seam_b_edges: set[int] = set()
+    vkeys: set[tuple] = set()
+    for i in range(na):
+        ek = (a_keys[i], a_keys[(i + 1) % na])
+        j = b_edge_by_keys.get(ek)
+        if j is None:
+            j = b_edge_by_keys.get((ek[1], ek[0]))
+        if j is not None:
+            seam_pairs[i] = j
+            seam_b_edges.add(j)
+            seam_arc_keys.add(ek)
+            seam_arc_keys.add((ek[1], ek[0]))
+            vkeys.add(ek[0])
+            vkeys.add(ek[1])
 
     # All pairwise crossings: strict interior crossings plus shared-vertex
     # crossings (the VertexCrossing parity rule, s2/edge_crossings.go:117-142
@@ -172,12 +221,12 @@ def loop_boolean(
 
     cross_a: dict[int, list[np.ndarray]] = {}
     cross_b: dict[int, list[np.ndarray]] = {}
-    vkeys: set[tuple] = set()
-    na, nb = len(a_verts), len(b_verts)
-    found = False
+    found = bool(seam_pairs)
     for i in range(na):
         a0, a1 = a_verts[i], a_verts[(i + 1) % na]
         for j in range(nb):
+            if seam_pairs.get(i) == j:
+                continue  # coincident edges are a seam, not a crossing
             b0, b1 = b_verts[j], b_verts[(j + 1) % nb]
             if robust_crossing(a0, a1, b0, b1):
                 x = edge_intersection(a0, a1, b0, b1)
@@ -224,12 +273,50 @@ def loop_boolean(
     a_arcs = _split_chain(a_verts, cross_a, vkeys)
     b_arcs = _split_chain(b_verts, cross_b, vkeys)
 
+    def is_seam(arc) -> bool:
+        # seam endpoints are vkeys, so every seam edge is its own
+        # two-point arc; a longer arc between the same endpoints is a
+        # different path, so the edge-pair match requires exactly 2 pts
+        pts, s, e = arc
+        return len(pts) == 2 and s is not None and (s, e) in seam_arc_keys
+
+    _SEAM_EPS = 1e-8
+
+    def keep_seam(arc) -> bool:
+        """Classify A's copy of a coincident edge by probing B just off
+        the edge's sides (rings are CCW: A's interior lies left).
+        union: boundary iff the right side is outside B; intersection:
+        iff B's interior is also on the left; difference: iff B's
+        interior is NOT on the left."""
+        pts, _, _ = arc
+        p0, p1 = pts[0], pts[1]
+        nrm = np.cross(p0, p1)
+        nrm = nrm / math.sqrt(nrm @ nrm)
+        mid = 0.5 * (p0 + p1)
+        mid = mid / math.sqrt(mid @ mid)
+        left = mid + _SEAM_EPS * nrm
+        left = left / math.sqrt(left @ left)
+        right = mid - _SEAM_EPS * nrm
+        right = right / math.sqrt(right @ right)
+        if op == "union":
+            return not bool(loop_contains_points(b_verts, b_oi, right[None, :])[0])
+        if op == "intersection":
+            return bool(loop_contains_points(b_verts, b_oi, left[None, :])[0])
+        # difference
+        return not bool(loop_contains_points(b_verts, b_oi, left[None, :])[0])
+
     def keep_rule(arc, other_verts, other_oi, want_inside):
         mid = _arc_midpoint(arc[0])
         inside = bool(loop_contains_points(other_verts, other_oi, mid[None, :])[0])
         return inside == want_inside
 
-    kept = []
+    # A's seam copies are classified by the side probe; B's copies of
+    # the same geometry are always dropped (one representative).
+    a_seams = [a for a in a_arcs if is_seam(a)]
+    a_arcs = [a for a in a_arcs if not is_seam(a)]
+    b_arcs = [b for b in b_arcs if not is_seam(b)]
+
+    kept = [a for a in a_seams if keep_seam(a)]
     if op == "union":
         kept += [a for a in a_arcs if keep_rule(a, b_verts, b_oi, False)]
         kept += [b for b in b_arcs if keep_rule(b, a_verts, a_oi, False)]
