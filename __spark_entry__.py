@@ -810,6 +810,145 @@ def _oracle_trail_pair_distance() -> str:
     """
 
 
+# Rects for the Hausdorff contract query: all longitudes within [0, 80]
+# degrees (non-wrapped, pairwise lng Hausdorff < 90), so the circular-
+# interval term collapses to the linear formula and the lat-edge case
+# analysis stays in the lngDiff <= pi/2 branch the oracle re-derives.
+_HAUS_RECTS = [
+    (1, 10.0, 10.0, 30.0, 40.0),
+    (2, 15.0, 20.0, 25.0, 30.0),  # contained in 1
+    (3, -20.0, 0.0, -5.0, 15.0),
+    (4, -10.0, 50.0, 10.0, 80.0),  # equator-crossing
+    (5, -15.0, 5.0, 20.0, 25.0),  # equator-crossing
+    (6, 40.0, 60.0, 60.0, 75.0),
+    (7, 5.0, 12.0, 6.0, 13.0),  # small
+    (8, -45.0, 33.0, -40.0, 47.0),
+]
+
+
+def _q_rect_hausdorff_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed Hausdorff distance h(A,B) for every ordered pair of the
+    fixture rects (kernel/interval.rect_directed_hausdorff;
+    s2/rect.go:494-613), bucketed at 0.02 rad.  The oracle re-derives the
+    Voronoi case analysis in SQL: linear lng/lat Hausdorff when the
+    longitude gap is zero, else the max of the two endpoint-to-meridian-
+    segment distances plus the equator crossing when both lat intervals
+    span it."""
+    import math
+
+    import pandas as pd
+
+    from geo_spark.kernel.interval import (
+        R1Interval,
+        Rect,
+        S1Interval,
+        rect_directed_hausdorff,
+    )
+
+    rects = {
+        g: Rect(
+            R1Interval(math.radians(la0), math.radians(la1)),
+            S1Interval(math.radians(ln0), math.radians(ln1)),
+        )
+        for g, la0, ln0, la1, ln1 in _HAUS_RECTS
+    }
+    pairs = spark.createDataFrame(
+        [(a, b) for a in sorted(rects) for b in sorted(rects) if a != b],
+        "ga long, gb long",
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            h = [
+                rect_directed_hausdorff(rects[int(a)], rects[int(b)])
+                for a, b in zip(pdf["ga"], pdf["gb"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "ga": pdf["ga"].astype("int64"),
+                    "gb": pdf["gb"].astype("int64"),
+                    "h_bucket": pd.Series(
+                        [int(v // 0.02) for v in h], dtype="int64"
+                    ),
+                }
+            )
+
+    return (
+        pairs.mapInPandas(fn, "ga long, gb long, h_bucket long")
+        .orderBy("ga", "gb")
+    )
+
+
+def _oracle_rect_hausdorff_buckets() -> str:
+    import math
+
+    rows = ", ".join(
+        f"({g}, {math.radians(la0)!r}, {math.radians(la1)!r}, "
+        f"{math.radians(ln0)!r}, {math.radians(ln1)!r})"
+        for g, la0, ln0, la1, ln1 in _HAUS_RECTS
+    )
+    # point-to-meridian-segment angular distance: point (plat, lng 0),
+    # segment spanning [blo, bhi] at longitude d — the same wedge /
+    # endpoint CASE as the trail oracle, inlined over scalar columns
+    seg = """
+        CASE WHEN ((bay*pz - baz*py)*nx + (baz*px - bax*pz)*ny
+                   + (bax*py - bay*px)*nz) >= 0
+              AND ((py*bbz - pz*bby)*nx + (pz*bbx - px*bbz)*ny
+                   + (px*bby - py*bbx)*nz) >= 0
+             THEN 2.0 * asin(0.5 * sqrt(least(4.0,
+                  2.0 * (1.0 - sqrt(greatest(0.0,
+                  1.0 - power(abs(px*nx + py*ny + pz*nz)
+                              / sqrt(nx*nx + ny*ny + nz*nz), 2)))))))
+             ELSE 2.0 * asin(0.5 * sqrt(least(4.0, least(
+                  (px-bax)*(px-bax) + (py-bay)*(py-bay) + (pz-baz)*(pz-baz),
+                  (px-bbx)*(px-bbx) + (py-bby)*(py-bby) + (pz-bbz)*(pz-bbz)))))
+        END
+    """
+    return f"""
+        WITH rects(g, lat_lo, lat_hi, lng_lo, lng_hi) AS (VALUES {rows}),
+        pairs AS (
+          SELECT a.g AS ga, b.g AS gb,
+                 a.lat_lo AS ala, a.lat_hi AS ahi,
+                 b.lat_lo AS bla, b.lat_hi AS bhi_lat,
+                 GREATEST(0.0, a.lng_hi - b.lng_hi, b.lng_lo - a.lng_lo) AS d
+          FROM rects a, rects b WHERE a.g <> b.g),
+        geom AS (
+          SELECT *,
+                 -- A's two lat endpoints at longitude 0
+                 cos(ala) AS p1x, 0.0 AS p1y, sin(ala) AS p1z,
+                 cos(ahi) AS p2x, 0.0 AS p2y, sin(ahi) AS p2z,
+                 -- B's meridian edge at longitude d
+                 cos(bla)*cos(d) AS bax, cos(bla)*sin(d) AS bay, sin(bla) AS baz,
+                 cos(bhi_lat)*cos(d) AS bbx, cos(bhi_lat)*sin(d) AS bby,
+                 sin(bhi_lat) AS bbz
+          FROM pairs),
+        withn AS (
+          SELECT *,
+                 bay*bbz - baz*bby AS nx,
+                 baz*bbx - bax*bbz AS ny,
+                 bax*bby - bay*bbx AS nz
+          FROM geom),
+        h AS (
+          SELECT ga, gb,
+                 CASE WHEN d = 0
+                      THEN GREATEST(0.0, ahi - bhi_lat, bla - ala)
+                      ELSE GREATEST(
+                           (SELECT {seg} FROM (SELECT p1x AS px, p1y AS py,
+                               p1z AS pz, bax, bay, baz, bbx, bby, bbz,
+                               nx, ny, nz)),
+                           (SELECT {seg} FROM (SELECT p2x AS px, p2y AS py,
+                               p2z AS pz, bax, bay, baz, bbx, bby, bbz,
+                               nx, ny, nz)),
+                           CASE WHEN ala <= 0 AND ahi >= 0
+                                 AND bla <= 0 AND bhi_lat >= 0
+                                THEN d ELSE 0.0 END)
+                 END AS hd
+          FROM withn)
+        SELECT ga, gb, CAST(FLOOR(hd / 0.02) AS BIGINT) AS h_bucket
+        FROM h ORDER BY ga, gb
+    """
+
+
 _DTW_ANCHOR = (10.0, 20.0)  # degrees; single-vertex anchor "trajectory"
 
 
@@ -1785,6 +1924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cap_join_counts": _q_cap_join_counts,
         "q_rect_join_counts": _q_rect_join_counts,
         "q_rect_distance_buckets": _q_rect_distance_buckets,
+        "q_rect_hausdorff_buckets": _q_rect_hausdorff_buckets,
         "q_loop_pip_join": _q_loop_pip_join,
         "q_knn_cities": _q_knn_cities,
         "q_knn_ring_events": _q_knn_ring_events,
@@ -1824,6 +1964,7 @@ def oracle_sql() -> dict[str, str]:
         "q_cap_join_counts": _oracle_cap_join_counts(),
         "q_rect_join_counts": _oracle_rect_join_counts(),
         "q_rect_distance_buckets": _oracle_rect_distance_buckets(),
+        "q_rect_hausdorff_buckets": _oracle_rect_hausdorff_buckets(),
         "q_loop_pip_join": _oracle_loop_pip_join(),
         "q_polygon_polygon_join": _oracle_polygon_polygon_join(),
         "q_knn_cities": _oracle_knn_cities(),
