@@ -90,6 +90,14 @@ def _normalize(p: np.ndarray) -> np.ndarray:
     return p / math.sqrt(p @ p)
 
 
+def _st_to_uv_scalar(s: float) -> float:
+    """Scalar quadratic projection (s2/stuv.go:186-194); same math as
+    ck.st_to_uv without the per-call numpy dispatch."""
+    if s >= 0.5:
+        return (1.0 / 3.0) * (4.0 * s * s - 1.0)
+    return (1.0 / 3.0) * (1.0 - 4.0 * (1.0 - s) * (1.0 - s))
+
+
 def ij_level_to_bound_uv(i: int, j: int, level: int) -> tuple[float, float, float, float]:
     """(u_lo, u_hi, v_lo, v_hi) of the cell; s2/cellid.go:654-671."""
     cell_size = 1 << (ck.MAX_LEVEL - level)
@@ -97,10 +105,10 @@ def ij_level_to_bound_uv(i: int, j: int, level: int) -> tuple[float, float, floa
     y_lo = j & -cell_size
     scale = 1.0 / ck.MAX_SIZE
     return (
-        float(ck.st_to_uv(scale * x_lo)),
-        float(ck.st_to_uv(scale * (x_lo + cell_size))),
-        float(ck.st_to_uv(scale * y_lo)),
-        float(ck.st_to_uv(scale * (y_lo + cell_size))),
+        _st_to_uv_scalar(scale * x_lo),
+        _st_to_uv_scalar(scale * (x_lo + cell_size)),
+        _st_to_uv_scalar(scale * y_lo),
+        _st_to_uv_scalar(scale * (y_lo + cell_size)),
     )
 
 
@@ -119,11 +127,12 @@ class Cell:
 
     @staticmethod
     def from_id(cid: int) -> "Cell":
-        arr = np.array([cid], dtype=np.uint64)
-        f, i, j, _ = ck.face_ij_orientation(arr)
-        lvl = int(ck.level(arr)[0])
-        u_lo, u_hi, v_lo, v_hi = ij_level_to_bound_uv(int(i[0]), int(j[0]), lvl)
-        return Cell(int(cid), int(f[0]), lvl, u_lo, u_hi, v_lo, v_hi)
+        cid = int(cid)
+        f, i, j, _ = ck.face_ij_orientation_scalar(cid)
+        lsb = cid & -cid & 0xFFFFFFFFFFFFFFFF
+        lvl = 30 - (lsb.bit_length() - 1) // 2
+        u_lo, u_hi, v_lo, v_hi = ij_level_to_bound_uv(i, j, lvl)
+        return Cell(cid, f, lvl, u_lo, u_hi, v_lo, v_hi)
 
     def vertex(self, k: int) -> np.ndarray:
         """Normalized k-th vertex, CCW from lower-left in (u,v); s2/cell.go:117-126."""
@@ -158,8 +167,8 @@ class Cell:
         return -_normalize(u_norm(self.face, self.u_lo))  # left
 
     def center(self) -> np.ndarray:
-        x, y, z = ck.cellid_to_xyz(np.array([self.id], dtype=np.uint64))
-        return _normalize(np.array([float(x[0]), float(y[0]), float(z[0])]))
+        x, y, z = ck.cellid_to_xyz_scalar(self.id)
+        return _normalize(np.array([x, y, z]))
 
     def contains_point(self, p: np.ndarray) -> bool:
         """uv-bounds test with the dblEpsilon/2 margin; s2/cell.go:466-495."""
@@ -240,11 +249,7 @@ class Cell:
         return bounds.expanded(DBL_EPSILON, 0.0)
 
     def children(self) -> list["Cell"]:
-        u = np.uint64(self.id)
-        lvl = self.level + 1
-        first = ck.child_begin_at_level(np.array([u]), lvl)[0]
-        step = np.uint64(2) * ck.lsb_for_level(np.int64(lvl))
-        return [Cell.from_id(int(first + np.uint64(k) * step)) for k in range(4)]
+        return [Cell.from_id(c) for c in ck.children_scalar(self.id)]
 
 
 # ---------------------------------------------------------------------------

@@ -316,6 +316,81 @@ def cellid_from_latlng(lat_deg, lng_deg) -> np.ndarray:
     return cellid_from_xyz(x, y, z)
 
 
+def face_ij_orientation_scalar(cid: int) -> tuple[int, int, int, int]:
+    """Scalar fast path of :func:`face_ij_orientation` for one Python-int
+    cell id.  The vectorized decode pays ~0.3 ms of numpy dispatch per
+    1-element call; per-cell region/coverer code (Cell.from_id, children,
+    cell centers) calls the decode thousands of times per layer build, so
+    plain-int table walks are ~50x faster there.  Bit-for-bit identical
+    to the vectorized path (differential-tested)."""
+    cid = int(cid)
+    f = cid >> 61
+    orientation = f & 1
+    i = 0
+    j = 0
+    lk = LOOKUP_IJ
+    nbits = MAX_LEVEL - 7 * LOOKUP_BITS  # 2, first iteration only
+    for k in range(7, -1, -1):
+        m = (1 << (2 * nbits)) - 1
+        orientation += ((cid >> (k * 2 * LOOKUP_BITS + 1)) & m) << 2
+        orientation = int(lk[orientation])
+        i += (orientation >> (LOOKUP_BITS + 2)) << (k * LOOKUP_BITS)
+        j += ((orientation >> 2) & ((1 << LOOKUP_BITS) - 1)) << (k * LOOKUP_BITS)
+        orientation &= 3
+        nbits = LOOKUP_BITS
+    if (cid & -cid) & 0x1111111111111110:
+        orientation ^= 1  # non-leaf swapMask fixup (s2/cellid.go:565-570)
+    return f, i, j, orientation
+
+
+def face_siti_scalar(cid: int) -> tuple[int, int, int]:
+    """Scalar (face, si, ti) of the cell center (s2/cellid.go:524-536)."""
+    cid = int(cid)
+    f, i, j, _ = face_ij_orientation_scalar(cid)
+    if cid & 1:
+        delta = 1
+    elif (i ^ (cid >> 2)) & 1:
+        delta = 2
+    else:
+        delta = 0
+    return f, 2 * i + delta, 2 * j + delta
+
+
+def cellid_to_xyz_scalar(cid: int) -> tuple[float, float, float]:
+    """Scalar cell-center direction (unnormalized xyz), matching
+    :func:`cellid_to_xyz` bit-for-bit."""
+    f, si, ti = face_siti_scalar(cid)
+    s = (0.5 / MAX_SIZE) * si
+    t = (0.5 / MAX_SIZE) * ti
+    u = (1.0 / 3.0) * (4.0 * s * s - 1.0) if s >= 0.5 else (1.0 / 3.0) * (
+        1.0 - 4.0 * (1.0 - s) * (1.0 - s)
+    )
+    v = (1.0 / 3.0) * (4.0 * t * t - 1.0) if t >= 0.5 else (1.0 / 3.0) * (
+        1.0 - 4.0 * (1.0 - t) * (1.0 - t)
+    )
+    if f == 0:
+        return 1.0, u, v
+    if f == 1:
+        return -u, 1.0, v
+    if f == 2:
+        return -u, -v, 1.0
+    if f == 3:
+        return -1.0, -v, -u
+    if f == 4:
+        return v, -1.0, -u
+    return v, u, -1.0
+
+
+def children_scalar(cid: int) -> tuple[int, int, int, int]:
+    """The four child ids of a non-leaf cell (s2/cellid.go:389-414) via
+    pure-int bit math: child k = id - lsb + (2k+1)*(lsb>>2)."""
+    cid = int(cid)
+    lsb_ = cid & -cid & 0xFFFFFFFFFFFFFFFF
+    cl = lsb_ >> 2
+    base = cid - lsb_
+    return base + cl, base + 3 * cl, base + 5 * cl, base + 7 * cl
+
+
 def face_siti(cellid) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(face, si, ti) of the cell center; s2/cellid.go:524-536."""
     cellid = _as_u64(cellid)

@@ -66,16 +66,24 @@ def build_distance_layer(
             }
         )
 
-    covering = geoms.groupBy("geom_id").applyInPandas(cover_one, COVER_SCHEMA)
-    crows = covering.collect()
-    covering = spark.createDataFrame(crows, COVER_SCHEMA)
-    levels = sorted({r["level"] for r in crows})
+    # Distance layers are closure-size by contract (regions ship to the
+    # refine UDF), so compute the buffered covering directly in the
+    # driver — identical math to the applyInPandas path, minus two Spark
+    # jobs and a Python-worker round-trip (same rationale as
+    # spatial_join.build_layer's dimension-table branch).
+    cpdf = cover_one(
+        pd.DataFrame(
+            {"geom_id": [g for g, _ in rows], "blob": [b for _, b in rows]}
+        )
+    )
+    covering = spark.createDataFrame(cpdf, COVER_SCHEMA)
+    levels = sorted(cpdf["level"].unique().tolist())
     return Layer(
         geoms,
         covering,
         levels,
         {int(g): r for g, r in regions},
-        covering_rows=len(crows),
+        covering_rows=len(cpdf),
     )
 
 
