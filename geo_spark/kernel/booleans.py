@@ -155,6 +155,55 @@ def _dedup_ring(ring: np.ndarray) -> np.ndarray:
     return ring[keep]
 
 
+def _insert_collinear_splits(a_verts: np.ndarray, b_verts: np.ndarray):
+    """Detect partial collinear overlaps and return augmented vertex
+    arrays with the other chain's strictly-interior endpoints inserted
+    (exact copies), or (None, None) when there is nothing to insert.
+
+    Collinearity is decided exactly (triage filter, then the exact
+    determinant WITHOUT symbolic perturbation — perturbed RobustSign
+    never reports 0); betweenness along the minor arc reduces to two
+    chordal dot-product signs for distinct on-circle points."""
+    from geo_spark.kernel import predicates as pred
+    from geo_spark.kernel.pip import _eq
+
+    def splits_for(verts, others):
+        n = len(verts)
+        ins: dict[int, list[np.ndarray]] = {}
+        for i in range(n):
+            a0, a1 = verts[i], verts[(i + 1) % n]
+            for p in others:
+                if _eq(p, a0) or _eq(p, a1):
+                    continue
+                if int(pred.triage_sign(a0[None], a1[None], p[None])[0]) != 0:
+                    continue
+                if pred.exact_sign_scalar(a0, a1, p, perturb=False) != 0:
+                    continue
+                if (
+                    float((p - a0) @ (a1 - a0)) > 0
+                    and float((p - a1) @ (a0 - a1)) > 0
+                ):
+                    ins.setdefault(i, []).append(p)
+        return ins
+
+    ins_a = splits_for(a_verts, b_verts)
+    ins_b = splits_for(b_verts, a_verts)
+    if not ins_a and not ins_b:
+        return None, None
+
+    def augment(verts, ins):
+        out = []
+        for i in range(len(verts)):
+            a0 = verts[i]
+            out.append(a0)
+            pts = ins.get(i, [])
+            pts.sort(key=lambda p: float((p - a0) @ (p - a0)))
+            out.extend(pts)
+        return np.array(out)
+
+    return augment(a_verts, ins_a), augment(b_verts, ins_b)
+
+
 def loop_boolean(
     a_verts: np.ndarray, b_verts: np.ndarray, op: str
 ) -> list[np.ndarray]:
@@ -184,6 +233,18 @@ def loop_boolean(
             if op == "difference":
                 return []
             raise ValueError(op)
+
+    # Degenerate pre-pass 1b — partial collinear overlaps: when an edge
+    # of one loop lies on the other's great circle and their spans
+    # overlap without matching vertices, insert the other edge's interior
+    # endpoints (exact copies) into the chain and restart once.  After
+    # augmentation every coincident stretch is vertex-for-vertex aligned,
+    # so the whole-edge seam machinery below handles it; insertion can
+    # only add vertices already present in the other chain, so the
+    # second pass inserts nothing and terminates.
+    aug_a, aug_b = _insert_collinear_splits(a_verts, b_verts)
+    if aug_a is not None:
+        return loop_boolean(aug_a, aug_b, op)
 
     # Degenerate pre-pass 2 — exact seam edges: an A edge coinciding
     # vertex-for-vertex with a B edge (either direction).  Seams are

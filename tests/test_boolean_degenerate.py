@@ -104,3 +104,64 @@ def test_identical_loops_rotated_start():
     rot = np.roll(SQ, 2, axis=0)
     assert _area(loop_boolean(SQ, rot, "union")) == pytest.approx(A_SQ, abs=1e-12)
     assert loop_boolean(SQ, rot, "difference") == []
+
+
+PARTIAL_A = latlng_text_to_xyz("0:0, 0:10, 10:10, 10:0")
+PARTIAL_B = latlng_text_to_xyz("0:5, 0:15, 10:15, 10:5")  # equator overlap 5..10
+
+
+class TestPartialCollinearOverlap:
+    """Edges sharing a sub-segment of one great circle without matching
+    vertices: the pre-pass inserts the other chain's interior endpoints
+    (exact copies) so the overlap becomes a whole-edge seam."""
+
+    @staticmethod
+    def _member(rings, pts):
+        inside = np.zeros(len(pts), dtype=bool)
+        for r in rings:
+            r = np.asarray(r)
+            inside ^= loop_contains_points(r, loop_origin_inside(r), pts)
+        return inside
+
+    def _sample(self):
+        rng = np.random.default_rng(5)
+        lat = rng.uniform(-3, 13, 2000)
+        lng = rng.uniform(-3, 18, 2000)
+        keep = np.ones(len(lat), dtype=bool)
+        for e in (0, 10):
+            keep &= np.abs(lat - e) > 0.25
+        for e in (0, 5, 10, 15):
+            keep &= np.abs(lng - e) > 0.25
+        lat, lng = lat[keep], lng[keep]
+        x = np.cos(np.radians(lat)) * np.cos(np.radians(lng))
+        y = np.cos(np.radians(lat)) * np.sin(np.radians(lng))
+        z = np.sin(np.radians(lat))
+        return np.stack([x, y, z], axis=1)
+
+    def test_membership_all_ops(self):
+        pts = self._sample()
+        in_a = self._member([PARTIAL_A], pts)
+        in_b = self._member([PARTIAL_B], pts)
+        for op, want in (
+            ("union", in_a | in_b),
+            ("intersection", in_a & in_b),
+            ("difference", in_a & ~in_b),
+        ):
+            got = self._member(loop_boolean(PARTIAL_A, PARTIAL_B, op), pts)
+            assert (got == want).all(), op
+
+    def test_inclusion_exclusion_area(self):
+        a_u = _area(loop_boolean(PARTIAL_A, PARTIAL_B, "union"))
+        a_i = _area(loop_boolean(PARTIAL_A, PARTIAL_B, "intersection"))
+        assert a_u + a_i == pytest.approx(
+            loop_area(PARTIAL_A) + loop_area(PARTIAL_B), abs=1e-9
+        )
+
+    def test_collinear_disjoint_untouched(self):
+        # same great circle (equator edges), spans do not overlap:
+        # nothing to insert, plain containment path answers
+        far = latlng_text_to_xyz("0:20, 0:30, 10:30, 10:20")
+        assert loop_boolean(PARTIAL_A, far, "intersection") == []
+        assert _area(loop_boolean(PARTIAL_A, far, "union")) == pytest.approx(
+            loop_area(PARTIAL_A) + loop_area(far), abs=1e-9
+        )
