@@ -239,9 +239,16 @@ def _knn_ring(
     n_targets = targets.count()
     if level is None:
         # Aim for O(k) targets per cell: pick the level where the target
-        # density per cell is ~max(k, 4).
+        # density per cell is ~max(k, 4).  (Interleaved A/B on 30k points
+        # x 5k targets confirmed this beats one-level-coarser ~20%: more
+        # rounds, but each is small and the rank windows stay tight.)
         cells_wanted = max(6, n_targets // max(k, 4))
-        level = max(0, min(30, int(np.ceil(np.log2(max(cells_wanted / 6, 1)) / 2))))
+        l_target = int(np.ceil(np.log2(max(cells_wanted / 6, 1)) / 2))
+        # density ceiling of 64 targets/cell bounds the first-ring rank
+        # window for large k (where k-per-cell would go very coarse and
+        # GC-thrash the window input)
+        l_cap = int(np.ceil(np.log2(max(n_targets / (6 * 64), 1)) / 2))
+        level = max(0, min(30, max(l_target, l_cap)))
 
     tg = _with_xyz(targets.select(target_key, *t_latlng), *t_latlng, "t")
     tg = tg.withColumn(
