@@ -1830,6 +1830,37 @@ def _oracle_cosine_topk() -> str:
     """
 
 
+def _q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pair join at cosine >= 0.4 (exact tier of
+    operators/similarity.cosine_near_dup_pairs; the sign-LSH tier is the
+    scale path, recall-pinned in tests).  Similarity bucketed at 0.01 so
+    GEMM-vs-SQL ulp noise cannot flip the hash."""
+    from geo_spark.operators.similarity import cosine_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        cosine_near_dup_pairs(emb, 0.4, method="brute")
+        .select(
+            "da",
+            "db",
+            F.floor(F.col("sim") / F.lit(0.01)).cast("long").alias("sim_bucket"),
+        )
+        .orderBy("da", "db")
+    )
+
+
+def _oracle_embed_near_dup() -> str:
+    return """
+        SELECT a.vec_id AS da, b.vec_id AS db,
+               CAST(FLOOR(list_cosine_similarity(a.embedding, b.embedding)
+                          / 0.01) AS BIGINT) AS sim_bucket
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < b.vec_id
+          AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        ORDER BY da, db
+    """
+
+
 def _q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates + exact rerank — rows-only check
     (signature hashing isn't portably SQL-expressible); recall vs exact
@@ -1936,6 +1967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_quality": _q_doc_quality,
         "q_lang_guess": _q_lang_guess,
         "q_cosine_topk": _q_cosine_topk,
+        "q_embed_near_dup": _q_embed_near_dup,
         "q_minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "q_simhash_pairs": _q_simhash_pairs,
         "q_hex_tile_counts": _q_hex_tile_counts,
@@ -1977,6 +2009,7 @@ def oracle_sql() -> dict[str, str]:
         "q_doc_quality": _oracle_doc_quality(),
         "q_lang_guess": _oracle_lang_guess(),
         "q_cosine_topk": _oracle_cosine_topk(),
+        "q_embed_near_dup": _oracle_embed_near_dup(),
         "q_interval_sweep": _oracle_interval_sweep(),
         "q_tile_rollup": _oracle_tile_rollup(),
         "q_top_events_per_tile": _oracle_top_events_per_tile(),

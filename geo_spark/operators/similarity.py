@@ -281,3 +281,92 @@ def cosine_topk_ivf(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float,
+    dim: int | None = None,
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "lsh",
+    bands: int = 16,
+    bits_per_band: int = 8,
+    seed: int = 42,
+    max_corpus_rows: int = BRUTE_FORCE_MAX_CORPUS,
+) -> DataFrame:
+    """Embedding near-duplicate pair join: (da, db, sim) with da < db and
+    cosine >= threshold.
+
+    ``method='lsh'`` (the scale path): sign-LSH band buckets generate
+    candidates (equi-join, never all-pairs) and the exact cosine rerank
+    keeps pairs over the threshold — same harvest-then-verify shape as
+    MinHash-LSH text dedup (operators/dedup.minhash_lsh_pairs); recall
+    for a given threshold is governed by bands x bits (pytest-pinned vs
+    the exact tier).  ``method='brute'``: exact all-pairs against a
+    driver-collected corpus, count-gated like cosine_topk_brute — the
+    oracle tier and the small-corpus fast path.
+    """
+    if method == "brute":
+        rows = df.select(key, vec_col).limit(max_corpus_rows + 1).collect()
+        if len(rows) > max_corpus_rows:
+            raise ValueError(
+                f"cosine_near_dup_pairs(brute): corpus exceeds "
+                f"{max_corpus_rows} rows; use method='lsh'"
+            )
+        cids = np.array([r[0] for r in rows], dtype=np.int64)
+        cmat = _normalize_rows(np.array([r[1] for r in rows], dtype=np.float64))
+
+        src = df.select(key, vec_col)
+
+        def fn(batches):
+            for pdf in batches:
+                q = _normalize_rows(np.array(list(pdf[vec_col]), dtype=np.float64))
+                sims = q @ cmat.T
+                qids = pdf[key].to_numpy(np.int64)
+                # strict upper triangle only: da < db
+                keep = (sims >= threshold) & (qids[:, None] < cids[None, :])
+                qi, ci = np.nonzero(keep)
+                yield pd.DataFrame(
+                    {
+                        "da": qids[qi],
+                        "db": cids[ci],
+                        "sim": sims[qi, ci],
+                    }
+                )
+
+        return src.mapInPandas(fn, "da long, db long, sim double")
+
+    if method != "lsh":
+        raise ValueError(method)
+    if dim is None:
+        raise ValueError("cosine_near_dup_pairs(lsh) requires dim")
+    sigs = lsh_signatures(df, dim, bands, bits_per_band, key, vec_col, seed)
+    a = sigs.select(F.col(key).alias("da"), "band", "sig")
+    b = sigs.select(F.col(key).alias("db"), "band", "sig")
+    cands = (
+        a.join(b, ["band", "sig"])
+        .where(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+    )
+    vecs = df.select(F.col(key).alias("_vid"), F.col(vec_col).alias("_v"))
+    cands = (
+        cands.join(
+            vecs.withColumnRenamed("_vid", "da").withColumnRenamed("_v", "_va"), "da"
+        ).join(
+            vecs.withColumnRenamed("_vid", "db").withColumnRenamed("_v", "_vb"), "db"
+        )
+    )
+
+    @F.pandas_udf(T.DoubleType())
+    def cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        ma = _normalize_rows(np.array(list(va), dtype=np.float64))
+        mb = _normalize_rows(np.array(list(vb), dtype=np.float64))
+        return pd.Series((ma * mb).sum(axis=1))
+
+    return (
+        cands.withColumn("sim", cos(F.col("_va"), F.col("_vb")))
+        .where(F.col("sim") >= threshold)
+        .select("da", "db", "sim")
+    )

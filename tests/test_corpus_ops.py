@@ -243,3 +243,57 @@ def test_cosine_ivf_deterministic(spark, emb):
         for r in cosine_topk_ivf(emb, 2, n_centroids=16, nprobe=4).collect()
     )
     assert a == b
+
+
+def test_cosine_near_dup_pairs_brute_vs_lsh(spark):
+    """Planted near-dups: brute tier is exact ground truth; the sign-LSH
+    tier must be a subset (rerank is exact) with high recall."""
+    import numpy as np
+
+    from geo_spark.operators.similarity import cosine_near_dup_pairs
+
+    rng = np.random.default_rng(17)
+    dim = 32
+    base = rng.normal(size=(60, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for v in base:
+        rows.append((vid, v.tolist()))
+        vid += 1
+        if vid % 3 == 0:  # plant a near-dup (cosine ~0.98)
+            w = v + 0.2 * rng.normal(size=dim) / np.sqrt(dim)
+            w /= np.linalg.norm(w)
+            rows.append((vid, w.tolist()))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    brute = {
+        (r["da"], r["db"]): r["sim"]
+        for r in cosine_near_dup_pairs(df, 0.9, method="brute").collect()
+    }
+    assert len(brute) >= 15  # the planted pairs are found
+    lsh = {
+        (r["da"], r["db"]): r["sim"]
+        for r in cosine_near_dup_pairs(
+            df, 0.9, dim=dim, method="lsh", bands=16, bits_per_band=8
+        ).collect()
+    }
+    # exact rerank: every LSH pair is a true pair with the same sim
+    for pair, sim in lsh.items():
+        assert pair in brute
+        assert abs(sim - brute[pair]) < 1e-12
+    # recall on strong near-dups
+    assert len(lsh) >= 0.8 * len(brute)
+
+
+def test_cosine_near_dup_brute_guard(spark):
+    import pytest as _pytest
+
+    from geo_spark.operators.similarity import cosine_near_dup_pairs
+
+    df = spark.range(10).selectExpr(
+        "id as vec_id", "array(cast(id as double), 1.0d) as embedding"
+    )
+    with _pytest.raises(ValueError, match="corpus exceeds"):
+        cosine_near_dup_pairs(df, 0.5, method="brute", max_corpus_rows=5).collect()
