@@ -82,3 +82,95 @@ def buffer_loop(
         if float((ring[i] - ring[keep[-1]]) @ (ring[i] - ring[keep[-1]])) > 1e-24:
             keep.append(i)
     return ring[keep]
+
+
+def _min_dist_to_chain(p: np.ndarray, loop_verts: np.ndarray) -> float:
+    """Min angular distance from a point to a closed chain's edges."""
+    from geo_spark.kernel import edges as E
+
+    a = loop_verts
+    b = np.roll(loop_verts, -1, axis=0)
+    c2 = float(
+        E.point_segment_chord2(np.broadcast_to(p, a.shape), a, b).min()
+    )
+    return 2.0 * math.asin(0.5 * math.sqrt(min(4.0, c2)))
+
+
+def buffer_loop_rings(
+    verts: np.ndarray, radius_rad: float, error_fraction: float = 0.02
+) -> list[np.ndarray]:
+    """Buffer with self-intersection cleanup: works for arbitrarily
+    concave loops, returning the full set of boundary rings (a deep
+    concavity whose mouth closes at the given radius yields an inner
+    ring as well; interpret rings with the XOR-parity convention).
+
+    Method: build the raw offset curve (exact edge offsets + round
+    convex joins), split it at its robust self-crossings
+    (kernel/booleans machinery), and keep exactly the arcs whose points
+    lie at the full radius from the input chain — a raw-curve point is
+    swallowed iff it is strictly within the radius of some *other* edge,
+    so the kept arcs stitch into the true buffer boundary.  This
+    replaces the offset-curve cleanup the reference routes through its
+    stubbed Builder (s2/buffer_operation.go:41-338; the fork's README
+    marks that assembly "use at your own risk")."""
+    from geo_spark.kernel.booleans import (
+        _split_chain,
+        _stitch,
+        edge_intersection,
+        robust_crossing,
+    )
+
+    ring = buffer_loop(verts, radius_rad, error_fraction)
+    n = len(ring)
+    crossings: dict[int, list[np.ndarray]] = {}
+    found = False
+    for i in range(n):
+        a0, a1 = ring[i], ring[(i + 1) % n]
+        for j in range(i + 2, n):
+            if i == 0 and j == n - 1:
+                continue  # wrap-adjacent edges share a vertex
+            b0, b1 = ring[j], ring[(j + 1) % n]
+            if robust_crossing(a0, a1, b0, b1):
+                x = edge_intersection(a0, a1, b0, b1)
+                crossings.setdefault(i, []).append(x)
+                crossings.setdefault(j, []).append(x)
+                found = True
+    if not found:
+        return [ring]
+
+    arcs = _split_chain(ring, crossings)
+    # tessellation sagitta + join slop: kept arcs sit within this margin
+    # of the exact radius; swallowed arcs are strictly closer to the
+    # input chain
+    thr = radius_rad * (1.0 - 3.0 * error_fraction) - 1e-12
+    loop = np.atleast_2d(np.asarray(verts, dtype=np.float64))
+
+    def arc_on_boundary(arc) -> bool:
+        pts = arc[0]
+        # probe the midpoint of the longest segment (strictly inside the
+        # arc, never a crossing endpoint)
+        best, best_d = None, -1.0
+        for t in range(len(pts) - 1):
+            d = float((pts[t] - pts[t + 1]) @ (pts[t] - pts[t + 1]))
+            if d > best_d:
+                best_d = d
+                best = 0.5 * (pts[t] + pts[t + 1])
+        best = best / math.sqrt(best @ best)
+        return _min_dist_to_chain(best, loop) >= thr
+
+    kept = [a for a in arcs if arc_on_boundary(a)]
+    rings = _stitch(kept)
+    if not rings:
+        return [ring]
+    # Normalize each ring to enclose the smaller side (Loop.IsNormalized
+    # semantics) so the XOR-parity membership convention composes: the
+    # stitcher preserves raw-curve traversal order, which leaves inner
+    # (hole) rings oriented around the complement.
+    from geo_spark.kernel.measures import loop_area
+
+    out = []
+    for rg in rings:
+        if loop_area(np.asarray(rg)) > 2.0 * math.pi:
+            rg = np.asarray(rg)[::-1]
+        out.append(np.asarray(rg))
+    return out

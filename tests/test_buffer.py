@@ -59,3 +59,86 @@ def test_buffer_distance_property_square():
     in_buf = loop_contains_points(buf, oi_b, pts)
     assert np.all(in_buf[within])
     assert not np.any(in_buf[beyond])
+
+
+class TestConcaveCleanup:
+    """buffer_loop_rings: self-intersection cleanup for concave inputs
+    (the offset-curve assembly the reference routes through its stubbed
+    Builder).  Ground truth: membership sampling against the definition
+    dist(p, loop) <= r or p inside loop."""
+
+    @staticmethod
+    def _member(rings, pts):
+        from geo_spark.kernel.pip import loop_contains_points, loop_origin_inside
+
+        inside = np.zeros(len(pts), dtype=bool)
+        for ring in rings:
+            ring = np.asarray(ring)
+            inside ^= loop_contains_points(ring, loop_origin_inside(ring), pts)
+        return inside
+
+    def _check(self, loop, r, rng, box, want_rings=None):
+        import math
+
+        from geo_spark.kernel.buffer import _min_dist_to_chain, buffer_loop_rings
+        from geo_spark.kernel.booleans import robust_crossing
+        from geo_spark.kernel.pip import loop_contains_points, loop_origin_inside
+
+        rings = buffer_loop_rings(loop, r, error_fraction=0.005)
+        if want_rings is not None:
+            assert len(rings) == want_rings
+        # no residual self-intersections
+        for ring in rings:
+            n = len(ring)
+            for i in range(n):
+                for j in range(i + 2, n):
+                    if i == 0 and j == n - 1:
+                        continue
+                    assert not robust_crossing(
+                        ring[i], ring[(i + 1) % n], ring[j], ring[(j + 1) % n]
+                    )
+        lat = rng.uniform(box[0], box[1], 1500)
+        lng = rng.uniform(box[2], box[3], 1500)
+        x = np.cos(np.radians(lat)) * np.cos(np.radians(lng))
+        y = np.cos(np.radians(lat)) * np.sin(np.radians(lng))
+        z = np.sin(np.radians(lat))
+        pts = np.stack([x, y, z], axis=1)
+        in_loop = loop_contains_points(loop, loop_origin_inside(loop), pts)
+        d = np.array([_min_dist_to_chain(p, loop) for p in pts])
+        want = in_loop | (d <= r)
+        got = self._member(rings, pts)
+        clear = np.abs(d - r) > r * 0.04  # off the tessellated boundary band
+        assert ((got == want) | ~clear).all()
+
+    def test_u_shape(self):
+        import math
+
+        from geo_spark.kernel.pip import latlng_text_to_xyz
+
+        u = latlng_text_to_xyz("0:0, 0:20, 20:20, 20:15, 5:15, 5:5, 20:5, 20:0")
+        self._check(u, math.radians(1.5), np.random.default_rng(3), (-5, 25, -5, 25))
+
+    def test_c_shape_preserves_cavity_hole(self):
+        import math
+
+        from geo_spark.kernel.pip import latlng_text_to_xyz
+
+        c = latlng_text_to_xyz(
+            "0:0, 0:20, 20:20, 20:10.5, 15:10.5, 15:15, 5:15, 5:5, 15:5, 15:9.5,"
+            " 20:9.5, 20:0"
+        )
+        self._check(
+            c, math.radians(0.8), np.random.default_rng(5), (-3, 23, -3, 23),
+            want_rings=2,
+        )
+
+    def test_convex_unchanged(self):
+        import math
+
+        from geo_spark.kernel.buffer import buffer_loop, buffer_loop_rings
+        from geo_spark.kernel.pip import latlng_text_to_xyz
+
+        sq = latlng_text_to_xyz("0:0, 0:10, 10:10, 10:0")
+        rings = buffer_loop_rings(sq, math.radians(2), error_fraction=0.005)
+        assert len(rings) == 1
+        assert np.array_equal(rings[0], buffer_loop(sq, math.radians(2), 0.005))
