@@ -55,6 +55,19 @@ def buffer_loop_udf(verts: pd.Series, radius: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+@F.pandas_udf(T.ArrayType(T.ArrayType(T.ArrayType(T.DoubleType()))))
+def buffer_loop_rings_udf(verts: pd.Series, radius: pd.Series) -> pd.Series:
+    """Concavity-safe buffering: list of boundary rings per input loop
+    (XOR-parity convention; kernel/buffer.buffer_loop_rings)."""
+    from geo_spark.kernel.buffer import buffer_loop_rings
+
+    out = []
+    for v, r in zip(verts, radius):
+        rings = buffer_loop_rings(np.array(list(v), dtype=np.float64), float(r))
+        out.append([[[float(c) for c in p] for p in ring] for ring in rings])
+    return pd.Series(out)
+
+
 def boolean_areas(pairs: DataFrame) -> DataFrame:
     """pairs(pair_id, a_verts, b_verts, op) -> (pair_id, op, n_loops,
     area)."""
