@@ -1367,20 +1367,87 @@ def _oracle_top_events_per_tile() -> str:
 
 
 def _q_city_hulls(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Convex hull per coarse tile over events (rows-only: spherical
-    Graham scan isn't SQL-expressible; invariants in
-    tests/test_sweep_hull.py)."""
-    from geo_spark.functions.s2 import s2_cellid
-    from geo_spark.functions import sql as s2sql
+    """Convex hull size per level-2 face/quadtree tile over a sampled
+    event subset (operators/hull.convex_hull_points — Graham scan with
+    the RobustSign strict-turn rule).  Oracle: a point is a hull vertex
+    iff some ordered pair (a,b) has every other group point strictly
+    left of the great circle a x b — an O(n^2) pair scan with a
+    correlated all-points check, tractable because the query samples
+    events 7-to-1 (~45 points per tile).  Tiles are keyed (face, ti, tj)
+    like the rollup queries: Hilbert numbering permutes cells within a
+    level but never regroups the quadtree."""
+    from geo_spark.functions.s2 import s2_cellid, s2_face_ij
     from geo_spark.operators.geo_noise import with_geo_noise
     from geo_spark.operators.hull import group_convex_hulls
 
-    ev = with_geo_noise(_t(spark, sf_dir, "events"), "event_id")
-    enc = ev.withColumn(
-        "tile", s2sql.parent(s2_cellid(F.col("lat"), F.col("lng")), 2)
+    shift = 1 << 28  # leaf ij -> level-2 tile coordinate
+    ev = with_geo_noise(_t(spark, sf_dir, "events"), "event_id").where(
+        (F.col("event_id") % 7) == 0
     )
-    hulls = group_convex_hulls(enc.select("tile", "lat", "lng"), "tile")
-    return hulls.select("tile", "n_hull").orderBy("tile")
+    enc = ev.withColumn(
+        "fij", s2_face_ij(s2_cellid(F.col("lat"), F.col("lng")))
+    ).select(
+        F.col("fij.face").alias("face"),
+        (F.col("fij.i") / shift).cast("long").alias("ti"),
+        (F.col("fij.j") / shift).cast("long").alias("tj"),
+        "lat",
+        "lng",
+    )
+    keyed = enc.withColumn(
+        "grp", F.col("face") * 16 + F.col("ti") * 4 + F.col("tj")
+    )
+    hulls = group_convex_hulls(keyed.select("grp", "lat", "lng"), "grp")
+    return (
+        hulls.select(
+            (F.col("grp") / 16).cast("long").alias("face"),
+            ((F.col("grp") % 16) / 4).cast("long").alias("ti"),
+            (F.col("grp") % 4).alias("tj"),
+            F.col("n_hull").cast("int").alias("n_hull"),
+        )
+        .orderBy("face", "ti", "tj")
+    )
+
+
+def _oracle_city_hulls() -> str:
+    from geo_spark.operators.geo_noise import LAT_SQL, LNG_SQL, duckdb_face_ij_query
+
+    lat = LAT_SQL.format(id="event_id")
+    lng = LNG_SQL.format(id="event_id")
+    src = (
+        f"SELECT event_id, {lat} AS lat, {lng} AS lng FROM events "
+        f"WHERE event_id % 7 = 0"
+    )
+    fij = duckdb_face_ij_query(src)
+    return f"""
+        WITH g AS (
+          SELECT event_id, CAST(face AS BIGINT) AS face,
+                 i // 268435456 AS ti, j // 268435456 AS tj,
+                 cos(radians(lng))*cos(radians(lat)) AS px,
+                 sin(radians(lng))*cos(radians(lat)) AS py,
+                 sin(radians(lat)) AS pz
+          FROM ({fij})),
+        sz AS (SELECT face, ti, tj, COUNT(*) AS n FROM g GROUP BY 1, 2, 3),
+        edges AS (
+          SELECT a.face, a.ti, a.tj, a.event_id AS va
+          FROM g a JOIN g b
+            ON a.face = b.face AND a.ti = b.ti AND a.tj = b.tj
+           AND a.event_id <> b.event_id
+          WHERE NOT EXISTS (
+            SELECT 1 FROM g c
+            WHERE c.face = a.face AND c.ti = a.ti AND c.tj = a.tj
+              AND c.event_id <> a.event_id AND c.event_id <> b.event_id
+              AND ((a.py*b.pz - a.pz*b.py) * c.px
+                   + (a.pz*b.px - a.px*b.pz) * c.py
+                   + (a.px*b.py - a.py*b.px) * c.pz) <= 0)),
+        verts AS (SELECT face, ti, tj, COUNT(DISTINCT va) AS nh
+                  FROM edges GROUP BY 1, 2, 3)
+        SELECT s.face, s.ti, s.tj,
+               CAST(CASE WHEN s.n <= 2 THEN s.n ELSE COALESCE(v.nh, 0) END
+                    AS INT) AS n_hull
+        FROM sz s LEFT JOIN verts v
+          ON v.face = s.face AND v.ti = s.ti AND v.tj = s.tj
+        ORDER BY s.face, s.ti, s.tj
+    """
 
 
 _DIST_RADIUS = 0.12  # rad, ~765 km
@@ -2018,4 +2085,5 @@ def oracle_sql() -> dict[str, str]:
         "q_events_outside_caps": _oracle_events_outside_caps(),
         "q_snap_dedup": _oracle_snap_dedup(),
         "q_distance_join_counts": _oracle_distance_join_counts(),
+        "q_city_hulls": _oracle_city_hulls(),
     }

@@ -1,11 +1,17 @@
 """Spherical convex hull per geometry group (applyInPandas).
 
-Graham scan with the robust sign predicate, re-derived from the
-reference's ConvexHullQuery (s2/convex_hull_query.go:60-235: sort CCW
-around an interior direction, scan keeping left turns).  Valid for point
-sets within an open hemisphere (the reference has the same restriction
-via its cap-bound origin); callers with wider spreads get the full-
-sphere marker (empty hull)."""
+Monotone chain with the robust sign predicate, re-derived from the
+reference's ConvexHullQuery semantics (s2/convex_hull_query.go:60-235).
+The gnomonic projection about an interior direction maps great circles
+to straight lines and preserves orientation (the planar turn sign of
+projected points equals sign((a x b) . c)), so sorting by projected
+coordinates and running Andrew's monotone chain with the *spherical*
+RobustSign turn test yields the exact spherical hull.  (An earlier
+angle-sorted rotating Graham scan could leave non-hull prefix vertices;
+caught by the q_city_hulls DuckDB oracle.)  Valid for point sets within
+an open hemisphere (the reference has the same restriction via its
+cap-bound origin); callers with wider spreads get the full-sphere
+marker (empty hull)."""
 
 from __future__ import annotations
 
@@ -30,31 +36,31 @@ def convex_hull_points(pts: np.ndarray) -> np.ndarray:
     if norm < 1e-12:
         return np.empty((0, 3))  # antipodal spread: no hemisphere hull
     center /= norm
-    # Tangent-plane angles around the interior direction.
+    w = pts @ center
+    if (w <= 1e-12).any():
+        return np.empty((0, 3))  # beyond the open hemisphere of the mean
+    # Gnomonic coordinates about the interior direction; the sort only
+    # needs a consistent total order, the turn tests stay exact on xyz.
     ref = pred.ortho(center)
     ref2 = np.cross(center, ref)
-    ang = np.arctan2(pts @ ref2, pts @ ref)
-    order = np.argsort(ang, kind="stable")
-    sorted_pts = pts[order]
+    px = (pts @ ref) / w
+    py = (pts @ ref2) / w
+    order = np.lexsort((py, px))
+    sp = pts[order]
 
-    hull: list[np.ndarray] = []
-    # Two passes so the scan closes the ring (rotating-start Graham scan).
-    for p in np.concatenate([sorted_pts, sorted_pts]):
-        while len(hull) >= 2 and int(
-            pred.robust_sign(hull[-2], hull[-1], p)[0]
-        ) <= 0:
-            hull.pop()
-        hull.append(p)
-    # Second pass may duplicate the prefix; cut to one cycle.
-    seen = set()
-    out = []
-    for p in hull:
-        key = (float(p[0]), float(p[1]), float(p[2]))
-        if key in seen:
-            break
-        seen.add(key)
-        out.append(p)
-    return np.array(out)
+    def chain(seq) -> list[np.ndarray]:
+        h: list[np.ndarray] = []
+        for p in seq:
+            while len(h) >= 2 and int(
+                pred.robust_sign(h[-2], h[-1], p)[0]
+            ) <= 0:
+                h.pop()
+            h.append(p)
+        return h
+
+    lower = chain(sp)
+    upper = chain(sp[::-1])
+    return np.array(lower[:-1] + upper[:-1])
 
 
 def group_convex_hulls(

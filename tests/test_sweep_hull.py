@@ -92,3 +92,45 @@ def test_group_convex_hulls(spark):
     for g in (0, 1):
         assert 3 <= out[g]["n_hull"] <= 30
         assert len(out[g]["hull"]) == out[g]["n_hull"]
+
+
+def test_hull_matches_pair_criterion_brute():
+    """A point is a hull vertex iff some ordered pair (a,b) leaves every
+    other point strictly left of circle a x b — exhaustive ground truth
+    that caught the rotating-Graham prefix bug."""
+    import numpy as np
+
+    from geo_spark.operators.hull import convex_hull_points
+
+    rng = np.random.default_rng(23)
+    for trial in range(25):
+        n = int(rng.integers(4, 40))
+        # cluster well within a hemisphere (the operator's documented
+        # precondition; ~15 degree spread)
+        c = rng.normal(size=3)
+        c /= np.linalg.norm(c)
+        pts = c + 0.15 * rng.normal(size=(n, 3))
+        pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+        hull = convex_hull_points(pts)
+        want = set()
+        for a in range(n):
+            for b in range(n):
+                if a == b:
+                    continue
+                s = pts @ np.cross(pts[a], pts[b])
+                mask = np.ones(n, bool)
+                mask[[a, b]] = False
+                if (s[mask] > 0).all():
+                    want.add(a)
+                    break
+        got = {
+            tuple(np.round(p, 14)) for p in hull
+        }
+        wantpts = {tuple(np.round(pts[a], 14)) for a in want}
+        assert got == wantpts, trial
+        # CCW ring: every consecutive turn is a strict left turn
+        h = np.asarray(hull)
+        m = len(h)
+        for i in range(m):
+            s = float(np.cross(h[i], h[(i + 1) % m]) @ h[(i + 2) % m])
+            assert s > 0
