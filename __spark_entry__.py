@@ -1598,10 +1598,18 @@ def _oracle_polygon_polygon_join() -> str:
     """
 
 
+_SIMPLIFY_MAX_VERTS = 40
+
+
 def _q_polyline_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user event-trail simplification: order events by ts per user,
-    simplify the lat/lng polyline at ~10 km tolerance, report kept/total
-    (rows-only; tolerance guarantee pinned in tests/test_edges.py)."""
+    """Per-user event-trail simplification: order events by ts per user
+    (first 40), simplify the lat/lng polyline at ~10 km tolerance,
+    report kept/total.  The DuckDB oracle replays the greedy
+    longest-prefix-advance rule (s2/polyline.go:230-263 contract) with a
+    recursive CTE over a precomputed all-pairs "some intermediate
+    exceeds tolerance of edge (i,j)" table — tractable because trails
+    are capped at 40 vertices.  Tolerance guarantee itself is pinned in
+    tests/test_edges.py."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -1623,7 +1631,7 @@ def _q_polyline_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def one(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"])
+        pdf = pdf.sort_values(["ts", "event_id"]).head(_SIMPLIFY_MAX_VERTS)
         x, y, z = ck.latlng_to_xyz(
             pdf["lat"].to_numpy(np.float64), pdf["lng"].to_numpy(np.float64)
         )
@@ -1641,6 +1649,95 @@ def _q_polyline_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id"
     ).applyInPandas(one, schema)
     return out.orderBy("user_id")
+
+
+def _oracle_polyline_simplify() -> str:
+    import math
+
+    from geo_spark.kernel import metric
+    from geo_spark.operators.geo_noise import LAT_SQL, LNG_SQL
+
+    lat = LAT_SQL.format(id="event_id")
+    lng = LNG_SQL.format(id="event_id")
+    tol = metric.meters_to_radians(10_000.0)
+    tol_chord2 = (2.0 * math.sin(min(max(tol, 0.0), math.pi / 2) / 2.0)) ** 2
+    return f"""
+        WITH RECURSIVE
+        ranked AS (
+          SELECT user_id, ts, event_id,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) - 1 AS rk
+          FROM events),
+        pts AS (SELECT user_id, rk, {lat} AS lat, {lng} AS lng
+                FROM ranked WHERE rk < {_SIMPLIFY_MAX_VERTS}),
+        xyz AS (SELECT user_id, rk,
+                       cos(radians(lng))*cos(radians(lat)) AS px,
+                       sin(radians(lng))*cos(radians(lat)) AS py,
+                       sin(radians(lat)) AS pz
+                FROM pts),
+        sz AS (SELECT user_id, COUNT(*) AS n FROM xyz GROUP BY user_id),
+        -- chord2 of every intermediate k to candidate edge (i, j): the
+        -- wedge/endpoint point-to-segment CASE used by the other oracles
+        fail_pair AS (
+          SELECT a.user_id, a.rk AS i, b.rk AS j
+          FROM xyz a JOIN xyz b
+            ON a.user_id = b.user_id AND b.rk >= a.rk + 2
+          WHERE EXISTS (
+            SELECT 1 FROM xyz k
+            WHERE k.user_id = a.user_id AND k.rk > a.rk AND k.rk < b.rk
+              AND (CASE WHEN
+                     ((a.py*b.pz - a.pz*b.py) = 0 AND (a.pz*b.px - a.px*b.pz) = 0
+                      AND (a.px*b.py - a.py*b.px) = 0)
+                   THEN least(
+                        (k.px-a.px)*(k.px-a.px) + (k.py-a.py)*(k.py-a.py)
+                        + (k.pz-a.pz)*(k.pz-a.pz),
+                        (k.px-b.px)*(k.px-b.px) + (k.py-b.py)*(k.py-b.py)
+                        + (k.pz-b.pz)*(k.pz-b.pz))
+                   WHEN ((a.py*k.pz - a.pz*k.py)*(a.py*b.pz - a.pz*b.py)
+                         + (a.pz*k.px - a.px*k.pz)*(a.pz*b.px - a.px*b.pz)
+                         + (a.px*k.py - a.py*k.px)*(a.px*b.py - a.py*b.px)) >= 0
+                    AND ((k.py*b.pz - k.pz*b.py)*(a.py*b.pz - a.pz*b.py)
+                         + (k.pz*b.px - k.px*b.pz)*(a.pz*b.px - a.px*b.pz)
+                         + (k.px*b.py - k.py*b.px)*(a.px*b.py - a.py*b.px)) >= 0
+                   THEN 2.0 * (1.0 - sqrt(greatest(0.0,
+                        1.0 - power(abs(k.px*(a.py*b.pz - a.pz*b.py)
+                                        + k.py*(a.pz*b.px - a.px*b.pz)
+                                        + k.pz*(a.px*b.py - a.py*b.px))
+                                    / sqrt(power(a.py*b.pz - a.pz*b.py, 2)
+                                           + power(a.pz*b.px - a.px*b.pz, 2)
+                                           + power(a.px*b.py - a.py*b.px, 2)),
+                                    2))))
+                   ELSE least(
+                        (k.px-a.px)*(k.px-a.px) + (k.py-a.py)*(k.py-a.py)
+                        + (k.pz-a.pz)*(k.pz-a.pz),
+                        (k.px-b.px)*(k.px-b.px) + (k.py-b.py)*(k.py-b.py)
+                        + (k.pz-b.pz)*(k.pz-b.pz))
+                   END) > {tol_chord2!r})),
+        -- greedy longest-prefix advance: next(i) = first failing j minus
+        -- one (at least i+1); no failure means jump to the last vertex
+        nxt AS (
+          SELECT s.user_id, g.i,
+                 GREATEST(g.i + 1,
+                          COALESCE(MIN(f.j) - 1, s.n - 1)) AS nx
+          FROM sz s
+          JOIN (SELECT user_id, rk AS i FROM xyz) g ON g.user_id = s.user_id
+          LEFT JOIN fail_pair f
+            ON f.user_id = g.user_id AND f.i = g.i
+          GROUP BY s.user_id, g.i, s.n),
+        walk(user_id, idx, kept) AS (
+          SELECT user_id, 0, 1 FROM sz
+          UNION ALL
+          SELECT w.user_id, n.nx, w.kept + 1
+          FROM walk w
+          JOIN sz s ON s.user_id = w.user_id
+          JOIN nxt n ON n.user_id = w.user_id AND n.i = w.idx
+          WHERE w.idx < s.n - 1)
+        SELECT s.user_id, CAST(s.n AS INT) AS n_points,
+               CAST(MAX(w.kept) AS INT) AS n_kept
+        FROM sz s JOIN walk w ON w.user_id = s.user_id
+        GROUP BY s.user_id, s.n
+        ORDER BY s.user_id
+    """
 
 
 def _q_boolean_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2086,4 +2183,5 @@ def oracle_sql() -> dict[str, str]:
         "q_snap_dedup": _oracle_snap_dedup(),
         "q_distance_join_counts": _oracle_distance_join_counts(),
         "q_city_hulls": _oracle_city_hulls(),
+        "q_polyline_simplify": _oracle_polyline_simplify(),
     }
