@@ -394,3 +394,274 @@ def loop_boolean(
         raise ValueError(op)
 
     return _stitch(kept)
+
+
+def _parity_contains(prepped: list, pts: np.ndarray) -> np.ndarray:
+    """XOR-parity membership over a list of (verts, origin_inside)."""
+    inside = np.zeros(len(np.atleast_2d(pts)), dtype=bool)
+    for v, oi in prepped:
+        inside ^= loop_contains_points(v, oi, np.atleast_2d(pts))
+    return inside
+
+
+def _collect_collinear_splits(rings: list, other_verts: np.ndarray):
+    """Per-ring edge -> strictly-interior other-chain endpoints lying on
+    the edge's great circle (the multi-ring form of the loop pre-pass)."""
+    from geo_spark.kernel import predicates as pred
+    from geo_spark.kernel.pip import _eq
+
+    out = []
+    any_ins = False
+    for verts in rings:
+        n = len(verts)
+        ins: dict[int, list[np.ndarray]] = {}
+        for i in range(n):
+            a0, a1 = verts[i], verts[(i + 1) % n]
+            for p in other_verts:
+                if _eq(p, a0) or _eq(p, a1):
+                    continue
+                if int(pred.triage_sign(a0[None], a1[None], p[None])[0]) != 0:
+                    continue
+                if pred.exact_sign_scalar(a0, a1, p, perturb=False) != 0:
+                    continue
+                if (
+                    float((p - a0) @ (a1 - a0)) > 0
+                    and float((p - a1) @ (a0 - a1)) > 0
+                ):
+                    ins.setdefault(i, []).append(p)
+                    any_ins = True
+        out.append(ins)
+    return out, any_ins
+
+
+def _augment_ring(verts: np.ndarray, ins: dict) -> np.ndarray:
+    out = []
+    for i in range(len(verts)):
+        a0 = verts[i]
+        out.append(a0)
+        pts = ins.get(i, [])
+        pts.sort(key=lambda p: float((p - a0) @ (p - a0)))
+        out.extend(pts)
+    return np.array(out)
+
+
+def polygon_boolean(a_rings: list, b_rings: list, op: str) -> list[np.ndarray]:
+    """Boolean operation between two multi-ring regions under the
+    XOR-parity convention (shells and holes alike; s2/polygon.go:591-613
+    membership): returns result rings, each normalized to enclose the
+    smaller side so XOR-parity membership composes.
+
+    The generalization of :func:`loop_boolean`: an arc of either
+    boundary belongs to the result boundary iff the result membership
+    op(inA, inB) flips across it — for an arc of A's boundary inA flips
+    and inB is constant, so the rule reduces to a single midpoint
+    membership test in the *other* region; coincident (seam) arcs, where
+    both flip, are classified by probing both sides and kept as one
+    copy.  Valid polygons (rings disjoint within each side) are assumed;
+    results are valid while every result ring encloses less than a
+    hemisphere.
+    """
+    if op not in ("union", "intersection", "difference"):
+        raise ValueError(op)
+    a_rings = [np.atleast_2d(np.asarray(r, dtype=np.float64)) for r in a_rings]
+    b_rings = [np.atleast_2d(np.asarray(r, dtype=np.float64)) for r in b_rings]
+
+    # pre-pass: partial collinear overlaps -> insert split vertices and
+    # restart once (second pass provably inserts nothing)
+    b_verts_all = np.concatenate(b_rings) if b_rings else np.empty((0, 3))
+    a_verts_all = np.concatenate(a_rings) if a_rings else np.empty((0, 3))
+    ins_a, any_a = _collect_collinear_splits(a_rings, b_verts_all)
+    ins_b, any_b = _collect_collinear_splits(b_rings, a_verts_all)
+    if any_a or any_b:
+        return polygon_boolean(
+            [_augment_ring(r, i) for r, i in zip(a_rings, ins_a)],
+            [_augment_ring(r, i) for r, i in zip(b_rings, ins_b)],
+            op,
+        )
+
+    a_prep = [(r, loop_origin_inside(r)) for r in a_rings]
+    b_prep = [(r, loop_origin_inside(r)) for r in b_rings]
+
+    # Orient every ring so its region lies on the LEFT of the traversal
+    # (shells CCW, holes CW).  NOTE: parity membership is orientation-
+    # SENSITIVE (reversing one ring complements the parity set globally),
+    # so all membership probes keep using the small-side-normalized input
+    # preps (a_prep/b_prep); the reoriented rings exist only so arc
+    # splitting/stitching has consistent directions.
+    def _orient(rings, prepped):
+        out = []
+        for r in rings:
+            p0, p1 = r[0], r[1]
+            nrm = np.cross(p0, p1)
+            nrm = nrm / math.sqrt(nrm @ nrm)
+            mid = 0.5 * (p0 + p1)
+            mid = mid / math.sqrt(mid @ mid)
+            left = mid + 1e-8 * nrm
+            left = left / math.sqrt(left @ left)
+            if bool(_parity_contains(prepped, left[None, :])[0]):
+                out.append(r)
+            else:
+                out.append(r[::-1])
+        return out
+
+    a_rings = _orient(a_rings, a_prep)
+    b_rings = _orient(b_rings, b_prep)
+
+    def member_op(pts: np.ndarray) -> np.ndarray:
+        in_a = _parity_contains(a_prep, pts)
+        in_b = _parity_contains(b_prep, pts)
+        if op == "union":
+            return in_a | in_b
+        if op == "intersection":
+            return in_a & in_b
+        return in_a & ~in_b
+
+    from geo_spark.kernel.pip import _eq, _vertex_crossing
+
+    # seams + crossings across every (a-ring, b-ring) pair
+    a_keys = [[_key(v) for v in r] for r in a_rings]
+    b_keys = [[_key(v) for v in r] for r in b_rings]
+    b_edges: dict[tuple[tuple, tuple], tuple[int, int]] = {}
+    for rj, keys in enumerate(b_keys):
+        nb = len(keys)
+        for j in range(nb):
+            b_edges[(keys[j], keys[(j + 1) % nb])] = (rj, j)
+
+    seam_pairs: dict[tuple[int, int], tuple[int, int]] = {}
+    seam_arc_keys: set[tuple[tuple, tuple]] = set()
+    a_vkeys: list[set] = [set() for _ in a_rings]
+    b_vkeys: list[set] = [set() for _ in b_rings]
+    for ri, keys in enumerate(a_keys):
+        na = len(keys)
+        for i in range(na):
+            ek = (keys[i], keys[(i + 1) % na])
+            hit = b_edges.get(ek) or b_edges.get((ek[1], ek[0]))
+            if hit is not None:
+                seam_pairs[(ri, i)] = hit
+                seam_arc_keys.add(ek)
+                seam_arc_keys.add((ek[1], ek[0]))
+                a_vkeys[ri].update(ek)
+                b_vkeys[hit[0]].update(ek)
+
+    cross_a: list[dict[int, list[np.ndarray]]] = [dict() for _ in a_rings]
+    cross_b: list[dict[int, list[np.ndarray]]] = [dict() for _ in b_rings]
+    found = bool(seam_pairs)
+    for ri, ra in enumerate(a_rings):
+        na = len(ra)
+        for i in range(na):
+            a0, a1 = ra[i], ra[(i + 1) % na]
+            for rj, rb in enumerate(b_rings):
+                nb = len(rb)
+                for j in range(nb):
+                    if seam_pairs.get((ri, i)) == (rj, j):
+                        continue
+                    b0, b1 = rb[j], rb[(j + 1) % nb]
+                    if robust_crossing(a0, a1, b0, b1):
+                        x = edge_intersection(a0, a1, b0, b1)
+                        cross_a[ri].setdefault(i, []).append(x)
+                        cross_b[rj].setdefault(j, []).append(x)
+                        found = True
+                    elif (
+                        _eq(a0, b0) or _eq(a0, b1) or _eq(a1, b0) or _eq(a1, b1)
+                    ) and _vertex_crossing(a0, a1, b0, b1):
+                        shared = a0 if (_eq(a0, b0) or _eq(a0, b1)) else a1
+                        a_vkeys[ri].add(_key(shared))
+                        b_vkeys[rj].add(_key(shared))
+                        found = True
+
+    _SEAM_EPS = 1e-8
+
+    def keep_seam_arc(arc) -> bool:
+        pts, _, _ = arc
+        p0, p1 = pts[0], pts[1]
+        nrm = np.cross(p0, p1)
+        nrm = nrm / math.sqrt(nrm @ nrm)
+        mid = 0.5 * (p0 + p1)
+        mid = mid / math.sqrt(mid @ mid)
+        left = mid + _SEAM_EPS * nrm
+        left = left / math.sqrt(left @ left)
+        right = mid - _SEAM_EPS * nrm
+        right = right / math.sqrt(right @ right)
+        m = member_op(np.stack([left, right]))
+        return bool(m[0]) != bool(m[1])
+
+    def is_seam(arc) -> bool:
+        pts, s, e = arc
+        return len(pts) == 2 and s is not None and (s, e) in seam_arc_keys
+
+    kept = []
+    whole: list[np.ndarray] = []
+
+    def handle_side(rings, crossings, vkeys, other_prep, keep_when_inside, reverse):
+        # with region-left input orientation, kept arcs already have the
+        # result region on their left — except B's arcs in a difference
+        # (the result lies in B's complement), which are reversed
+        for ri, ring in enumerate(rings):
+            if not crossings[ri] and not vkeys[ri]:
+                # untouched ring: whole-ring decision off any edge midpoint
+                mid = 0.5 * (ring[0] + ring[1])
+                mid = mid / math.sqrt(mid @ mid)
+                inside = bool(_parity_contains(other_prep, mid[None, :])[0])
+                if inside == keep_when_inside:
+                    whole.append(ring[::-1] if reverse else ring)
+                continue
+            for arc in _split_chain(ring, crossings[ri], vkeys[ri]):
+                if is_seam(arc):
+                    continue  # handled once from the A side below
+                mid = _arc_midpoint(arc[0])
+                inside = bool(_parity_contains(other_prep, mid[None, :])[0])
+                if inside == keep_when_inside:
+                    if reverse:
+                        pts, s, e = arc
+                        kept.append((pts[::-1], e, s))
+                    else:
+                        kept.append(arc)
+
+    # A-side seam copies: keep iff the result membership flips across
+    # the coincident edge, directed so the result stays on the left
+    for ri, ring in enumerate(a_rings):
+        if not cross_a[ri] and not a_vkeys[ri]:
+            continue
+        for arc in _split_chain(ring, cross_a[ri], a_vkeys[ri]):
+            if not is_seam(arc):
+                continue
+            pts, s, e = arc
+            p0, p1 = pts[0], pts[1]
+            nrm = np.cross(p0, p1)
+            nrm = nrm / math.sqrt(nrm @ nrm)
+            mid = 0.5 * (p0 + p1)
+            mid = mid / math.sqrt(mid @ mid)
+            left = mid + _SEAM_EPS * nrm
+            left = left / math.sqrt(left @ left)
+            right = mid - _SEAM_EPS * nrm
+            right = right / math.sqrt(right @ right)
+            m = member_op(np.stack([left, right]))
+            if bool(m[0]) == bool(m[1]):
+                continue
+            if m[0]:
+                kept.append(arc)  # result on the left: native direction
+            else:
+                kept.append((pts[::-1], e, s))
+
+    if op == "union":
+        handle_side(a_rings, cross_a, a_vkeys, b_prep, False, False)
+        handle_side(b_rings, cross_b, b_vkeys, a_prep, False, False)
+    elif op == "intersection":
+        handle_side(a_rings, cross_a, a_vkeys, b_prep, True, False)
+        handle_side(b_rings, cross_b, b_vkeys, a_prep, True, False)
+    else:  # difference
+        handle_side(a_rings, cross_a, a_vkeys, b_prep, False, False)
+        handle_side(b_rings, cross_b, b_vkeys, a_prep, True, True)
+
+    if not found and not whole and not kept:
+        return []
+
+    from geo_spark.kernel.measures import loop_area
+
+    out = []
+    for rg in whole + _stitch(kept):
+        rg = np.asarray(rg)
+        if loop_area(rg) > 2.0 * math.pi:
+            rg = rg[::-1]
+        out.append(rg)
+    return out

@@ -1,0 +1,112 @@
+"""Multi-ring (polygon-with-holes) boolean ops: sampled-membership
+differential against XOR-parity of the inputs (the reference contract:
+s2/boolean_operation.go op semantics over s2/polygon.go:591-613
+parity membership)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from geo_spark.kernel.booleans import (
+    loop_origin_inside,
+    polygon_boolean,
+)
+from geo_spark.kernel.cellid import latlng_to_xyz
+from geo_spark.kernel.pip import loop_contains_points
+
+OPS = ("union", "intersection", "difference")
+
+
+def _ring(lat0, lng0, r, n=12):
+    ts = np.linspace(0, 2 * math.pi, n, endpoint=False)
+    lats = lat0 + r * np.sin(ts)
+    lngs = lng0 + r * np.cos(ts)
+    return np.stack(latlng_to_xyz(np.radians(lats), np.radians(lngs)), axis=-1)
+
+
+def _sq(lat0, lat1, lng0, lng1):
+    c = [(lat0, lng0), (lat0, lng1), (lat1, lng1), (lat1, lng0)]
+    la = np.array([p[0] for p in c])
+    lo = np.array([p[1] for p in c])
+    return np.stack(latlng_to_xyz(np.radians(la), np.radians(lo)), axis=-1)
+
+
+def _member(rings, pts):
+    inside = np.zeros(len(pts), dtype=bool)
+    for r in rings:
+        r = np.asarray(r)
+        inside ^= loop_contains_points(r, loop_origin_inside(r), pts)
+    return inside
+
+
+@pytest.fixture(scope="module")
+def pts():
+    rng = np.random.default_rng(7)
+    lats = rng.uniform(-9, 9, 4000)
+    lngs = rng.uniform(-11, 11, 4000)
+    return np.stack(latlng_to_xyz(np.radians(lats), np.radians(lngs)), axis=-1)
+
+
+CASES = {
+    # A = annulus (shell + hole), B = disc overlapping shell and hole
+    "annulus_vs_disc": ([_ring(0, 0, 6.0), _ring(0, 0, 2.5)], [_ring(0, 3.5, 2.0)]),
+    # B disc entirely inside A's hole
+    "disc_in_hole": ([_ring(0, 0, 6.0), _ring(0, 0, 3.0)], [_ring(0, 0, 1.0)]),
+    # B disc crossing only the hole boundary
+    "disc_across_hole": ([_ring(0, 0, 6.0), _ring(0, 0, 3.0)], [_ring(0, 2.0, 1.5)]),
+    # two disjoint A shells vs one B disc spanning between them
+    "two_shells": ([_ring(0, -4, 2.0), _ring(0, 4, 2.0)], [_ring(0, 0, 3.0)]),
+    "disjoint": ([_ring(0, -5, 2.0)], [_ring(0, 5, 2.0)]),
+    "nested": ([_ring(0, 0, 6.0)], [_ring(0, 1, 2.0)]),
+    # seams: B shares the hole's right edge, flush inside the hole
+    "b_flush_in_hole": ([_sq(-6, 6, -6, 6), _sq(-2, 2, -2, 2)], [_sq(-2, 2, 0, 2)]),
+    # B shares A's outer right edge, extending outward
+    "b_flush_outside": ([_sq(-6, 6, -6, 6)], [_sq(-6, 6, 6, 10)]),
+    "identical": (
+        [_sq(-6, 6, -6, 6), _sq(-2, 2, -2, 2)],
+        [_sq(-6, 6, -6, 6), _sq(-2, 2, -2, 2)],
+    ),
+    # B equals A's hole exactly (plugs the hole)
+    "plug_hole": ([_sq(-6, 6, -6, 6), _sq(-2, 2, -2, 2)], [_sq(-2, 2, -2, 2)]),
+    # partial collinear overlap on A's boundary
+    "partial_seam": ([_sq(-6, 6, -6, 6)], [_sq(-2, 2, 6, 10)]),
+}
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+@pytest.mark.parametrize("op", OPS)
+def test_membership_differential(name, op, pts):
+    a_rings, b_rings = CASES[name]
+    in_a = _member(a_rings, pts)
+    in_b = _member(b_rings, pts)
+    want = {
+        "union": in_a | in_b,
+        "intersection": in_a & in_b,
+        "difference": in_a & ~in_b,
+    }[op]
+    got = _member(polygon_boolean(a_rings, b_rings, op), pts)
+    assert (got == want).all()
+
+
+@pytest.mark.parametrize("op", OPS)
+def test_random_multiring(op, pts):
+    rng = np.random.default_rng(11)
+    for _ in range(8):
+        c_lat, c_lng = rng.uniform(-3, 3), rng.uniform(-3, 3)
+        a_rings = [_ring(c_lat, c_lng, rng.uniform(3, 6))]
+        # nest a hole inside the shell half the time
+        if rng.random() < 0.5:
+            a_rings.append(_ring(c_lat, c_lng, rng.uniform(0.8, 1.8)))
+        b_rings = [_ring(rng.uniform(-3, 3), rng.uniform(-3, 3), rng.uniform(2, 5))]
+        in_a = _member(a_rings, pts)
+        in_b = _member(b_rings, pts)
+        want = {
+            "union": in_a | in_b,
+            "intersection": in_a & in_b,
+            "difference": in_a & ~in_b,
+        }[op]
+        got = _member(polygon_boolean(a_rings, b_rings, op), pts)
+        assert (got == want).all()
