@@ -1883,6 +1883,128 @@ def _oracle_boolean_counts() -> str:
     """
 
 
+def _polygon_bool_fixtures():
+    """Shell+hole multi-ring pairs per hot city: A = annulus (convex
+    shell, concentric convex hole), B = offset disc with its own small
+    hole, overlapping both of A's boundaries."""
+    from geo_spark.sources.layers import regular_loop_vertices
+
+    out = []
+    pid = 0
+    for la, ln in _BOOL_CITIES:
+        a_rings = [
+            ("a_shell", regular_loop_vertices(la, ln, 0.03, 24)),
+            ("a_hole", regular_loop_vertices(la, ln, 0.012, 20)),
+        ]
+        b_rings = [
+            ("b_shell", regular_loop_vertices(la + 0.9, ln + 0.45, 0.02, 24)),
+            ("b_hole", regular_loop_vertices(la + 0.9, ln + 0.45, 0.006, 16)),
+        ]
+        for op in ("union", "intersection", "difference"):
+            pid += 1
+            out.append((pid, op, a_rings, b_rings))
+    return out
+
+
+def _q_polygon_boolean_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Region semantics of multi-ring (polygon-with-holes) boolean ops,
+    oracle-checked end to end: events are classified against the
+    engine's polygon_boolean result ring sets (XOR-parity membership);
+    the DuckDB twin classifies the same events against the *input*
+    convex shell/hole rings (in = in_shell AND NOT in_hole, per-edge
+    sign tests) and combines with the set operation."""
+    import numpy as np
+    import pandas as pd
+
+    from geo_spark.kernel import cellid as ck
+    from geo_spark.kernel.booleans import polygon_boolean
+    from geo_spark.kernel.pip import loop_contains_points, loop_origin_inside
+    from geo_spark.operators.geo_noise import with_geo_noise
+
+    fixtures = []
+    for pid, op, a_rings, b_rings in _polygon_bool_fixtures():
+        rings = polygon_boolean(
+            [np.asarray(v) for _, v in a_rings],
+            [np.asarray(v) for _, v in b_rings],
+            op,
+        )
+        prepped = [(np.asarray(r), loop_origin_inside(np.asarray(r))) for r in rings]
+        fixtures.append((pid, op, prepped))
+
+    ev = with_geo_noise(_t(spark, sf_dir, "events").select("event_id"), "event_id")
+
+    def fn(batches):
+        for pdf in batches:
+            x, y, z = ck.latlng_to_xyz(
+                pdf["lat"].to_numpy(np.float64), pdf["lng"].to_numpy(np.float64)
+            )
+            pts = np.stack([x, y, z], axis=1)
+            rows = []
+            for pid, op, prepped in fixtures:
+                inside = np.zeros(len(pts), dtype=bool)
+                for r, oi in prepped:
+                    inside ^= loop_contains_points(r, oi, pts)
+                rows.append((pid, op, int(inside.sum())))
+            yield pd.DataFrame(rows, columns=["pair_id", "op", "n"])
+
+    return (
+        ev.mapInPandas(fn, "pair_id long, op string, n long")
+        .groupBy("pair_id", "op")
+        .agg(F.sum("n").alias("n_inside"))
+        .orderBy("pair_id")
+    )
+
+
+def _oracle_polygon_boolean_counts() -> str:
+    import numpy as np
+
+    from geo_spark.operators.geo_noise import LAT_SQL, LNG_SQL
+
+    lat = LAT_SQL.format(id="event_id")
+    lng = LNG_SQL.format(id="event_id")
+    rows = []
+    for pid, op, a_rings, b_rings in _polygon_bool_fixtures():
+        for side, v in a_rings + b_rings:
+            v = np.asarray(v)
+            for k in range(len(v)):
+                n = np.cross(v[k], v[(k + 1) % len(v)])
+                rows.append(
+                    f"({pid}, '{op}', '{side}', "
+                    f"{float(n[0])!r}, {float(n[1])!r}, {float(n[2])!r})"
+                )
+    norms = ", ".join(rows)
+
+    def _in(side):
+        return (
+            f"BOOL_AND(CASE WHEN n.side = '{side}' "
+            "THEN n.nx*x.x + n.ny*x.y + n.nz*x.z > 0 ELSE TRUE END)"
+        )
+
+    return f"""
+        WITH pts AS (SELECT event_id, {lat} AS lat, {lng} AS lng FROM events),
+        xyz AS (SELECT event_id,
+                       cos(radians(lng))*cos(radians(lat)) AS x,
+                       sin(radians(lng))*cos(radians(lat)) AS y,
+                       sin(radians(lat)) AS z
+                FROM pts),
+        norms(pair_id, op, side, nx, ny, nz) AS (VALUES {norms}),
+        memb AS (
+          SELECT n.pair_id, n.op, x.event_id,
+                 {_in("a_shell")} AND NOT {_in("a_hole")} AS in_a,
+                 {_in("b_shell")} AND NOT {_in("b_hole")} AS in_b
+          FROM xyz x, norms n
+          GROUP BY n.pair_id, n.op, x.event_id),
+        flags AS (
+          SELECT pair_id, op, event_id,
+                 CASE op WHEN 'union' THEN in_a OR in_b
+                         WHEN 'intersection' THEN in_a AND in_b
+                         ELSE in_a AND NOT in_b END AS inside
+          FROM memb)
+        SELECT pair_id, op, COUNT(*) FILTER (WHERE inside) AS n_inside
+        FROM flags GROUP BY pair_id, op ORDER BY pair_id
+    """
+
+
 def _q_raster_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster<->vector round trip per cap: rasterize to a level-7 cell
     mask, vectorize the mask back to boundary rings (rows-only; the
@@ -2256,6 +2378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_polyline_simplify": _q_polyline_simplify,
         "q_boolean_areas": _q_boolean_areas,
         "q_boolean_counts": _q_boolean_counts,
+        "q_polygon_boolean_counts": _q_polygon_boolean_counts,
         "q_raster_vector": _q_raster_vector,
     }
 
@@ -2294,4 +2417,5 @@ def oracle_sql() -> dict[str, str]:
         "q_city_hulls": _oracle_city_hulls(),
         "q_polyline_simplify": _oracle_polyline_simplify(),
         "q_boolean_counts": _oracle_boolean_counts(),
+        "q_polygon_boolean_counts": _oracle_polygon_boolean_counts(),
     }
