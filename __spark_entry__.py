@@ -2256,14 +2256,41 @@ def _oracle_embed_near_dup() -> str:
 
 
 def _q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidates + exact rerank — rows-only check
-    (signature hashing isn't portably SQL-expressible); recall vs exact
-    Jaccard pinned in tests/test_corpus_ops.py."""
+    """MinHash-LSH near-dup candidates + exact rerank, oracle-checked
+    *semantically*: the contract output is "all pairs with n-gram
+    Jaccard >= threshold", so the DuckDB twin computes exact Jaccard
+    over string shingles directly — a hash-green match certifies both
+    LSH recall (no pair missed by banding) and rerank exactness (the
+    64-bit shingle-hash sets are collision-free on this corpus)."""
     from geo_spark.operators.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"), n=8, threshold=0.3
     ).orderBy("da", "db")
+
+
+def _oracle_minhash_lsh_pairs() -> str:
+    return """
+        WITH sh AS (
+          SELECT DISTINCT doc_id, s
+          FROM documents,
+               UNNEST(list_transform(range(1, greatest(length(text)-7, 1)+1),
+                                     i -> substr(text, i, 8))) AS t(s)
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT da, db,
+               CAST(shared AS DOUBLE)/(sa.n + sb.n - shared) AS jaccard
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = da
+        JOIN sizes sb ON sb.doc_id = db
+        WHERE CAST(shared AS DOUBLE)/(sa.n + sb.n - shared) >= 0.3
+        ORDER BY da, db
+    """
 
 
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2402,6 +2429,7 @@ def oracle_sql() -> dict[str, str]:
         "q_dtw_anchor_cost": _oracle_dtw_anchor_cost(),
         "q_exact_dedup": _oracle_exact_dedup(),
         "q_ngram_dedup_pairs": _oracle_ngram_dedup_pairs(),
+        "q_minhash_lsh_pairs": _oracle_minhash_lsh_pairs(),
         "q_doc_quality": _oracle_doc_quality(),
         "q_lang_guess": _oracle_lang_guess(),
         "q_cosine_topk": _oracle_cosine_topk(),
