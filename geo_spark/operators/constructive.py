@@ -78,3 +78,34 @@ def boolean_areas(pairs: DataFrame) -> DataFrame:
         F.col("_r.n_loops").alias("n_loops"),
         F.col("_r.area").alias("area"),
     )
+
+
+@F.pandas_udf(T.ArrayType(T.ArrayType(T.ArrayType(T.DoubleType()))))
+def polygon_boolean_udf(
+    a_rings: pd.Series, b_rings: pd.Series, op: pd.Series
+) -> pd.Series:
+    """Multi-ring (polygon-with-holes) boolean op per row: inputs and
+    output are ring sets under the XOR-parity membership convention
+    (s2/polygon.go:591-613); kernel/booleans.polygon_boolean.  Each
+    geometry pair is one task-local kernel call — embarrassingly
+    parallel over the pair table, no shuffle."""
+    from geo_spark.kernel.booleans import polygon_boolean
+
+    out = []
+    for av, bv, o in zip(a_rings, b_rings, op):
+        rings = polygon_boolean(
+            [np.array(list(r), dtype=np.float64) for r in av],
+            [np.array(list(r), dtype=np.float64) for r in bv],
+            str(o),
+        )
+        out.append([[[float(c) for c in p] for p in ring] for ring in rings])
+    return pd.Series(out)
+
+
+def polygon_booleans(pairs: DataFrame) -> DataFrame:
+    """pairs(pair_id, a_rings, b_rings, op) -> (pair_id, op, n_rings,
+    rings): distributed polygon-with-holes overlay."""
+    res = polygon_boolean_udf(F.col("a_rings"), F.col("b_rings"), F.col("op"))
+    return pairs.withColumn("rings", res).select(
+        "pair_id", "op", F.size("rings").alias("n_rings"), "rings"
+    )

@@ -110,3 +110,42 @@ def test_random_multiring(op, pts):
         }[op]
         got = _member(polygon_boolean(a_rings, b_rings, op), pts)
         assert (got == want).all()
+
+
+def test_polygon_booleans_operator(spark, pts):
+    """Distributed pair-table overlay matches the kernel row for row."""
+    import pandas as pd
+    from geo_spark.operators.constructive import polygon_booleans
+
+    rows = []
+    pid = 0
+    for name in ("annulus_vs_disc", "plug_hole"):
+        a_rings, b_rings = CASES[name]
+        for op in OPS:
+            pid += 1
+            rows.append(
+                (
+                    pid,
+                    [[[float(c) for c in p] for p in r] for r in a_rings],
+                    [[[float(c) for c in p] for p in r] for r in b_rings],
+                    op,
+                    name,
+                )
+            )
+    pairs = spark.createDataFrame(
+        rows,
+        "pair_id long, a_rings array<array<array<double>>>, "
+        "b_rings array<array<array<double>>>, op string, name string",
+    )
+    got = {
+        (r["pair_id"]): (r["op"], r["name"], r["rings"])
+        for r in polygon_booleans(pairs).join(
+            pairs.select("pair_id", "name"), "pair_id"
+        ).collect()
+    }
+    assert len(got) == pid
+    for pair_id, (op, name, rings) in got.items():
+        a_rings, b_rings = CASES[name]
+        want = _member(polygon_boolean(a_rings, b_rings, op), pts)
+        have = _member([np.array(r) for r in rings], pts)
+        assert (want == have).all(), (name, op)
