@@ -2294,12 +2294,78 @@ def _oracle_minhash_lsh_pairs() -> str:
 
 
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash Hamming<=3 pairs — rows-only check (same reason)."""
+    """SimHash Hamming<=3 pairs, oracle-checked end to end: the DuckDB
+    twin re-derives the 64-bit signatures bit-for-bit (FNV-1a over
+    shingle chars + splitmix64 finalizer, emulated with HUGEINT
+    wrap-multiplication) and brute-forces all pairs — a hash-green
+    match certifies both the signature math and that the pigeonhole
+    block join loses no pair inside the radius."""
     from geo_spark.operators.dedup import simhash_pairs
 
     return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3).orderBy(
         "da", "db"
     )
+
+
+def _oracle_simhash_pairs() -> str:
+    mod = 1 << 64
+    m32 = 1 << 32
+    golden = 0x9E3779B97F4A7C15
+    c1 = 0xBF58476D1CE4E5B9
+    c2 = 0x94D049BB133111EB
+    fnv_basis = 14695981039346656037
+    fnv_prime = 1099511628211
+
+    def mul(a, c):
+        # 64-bit wrapping multiply in HUGEINT: split a into 32-bit limbs
+        return (
+            f"((({a}) % {m32}) * {c} "
+            f"+ (((({a}) // {m32}) * {c}) % {m32}) * {m32}) % {mod}"
+        )
+
+    def xor(a, b):
+        return f"CAST(xor(CAST({a} AS UBIGINT), CAST({b} AS UBIGINT)) AS HUGEINT)"
+
+    def shr(a, k):
+        return f"CAST(CAST({a} AS UBIGINT) >> {k} AS HUGEINT)"
+
+    fnv = (
+        "list_reduce(list_prepend("
+        f"CAST({fnv_basis} AS HUGEINT), "
+        "list_transform(range(1, length(s)+1), "
+        "i -> CAST(ord(substr(s, i, 1)) AS HUGEINT))), "
+        f"(h, c) -> {mul(xor('h', 'c'), fnv_prime)})"
+    )
+    return f"""
+        WITH sh AS (
+          SELECT DISTINCT doc_id, s
+          FROM documents,
+               UNNEST(list_transform(range(1, greatest(length(text)-7, 1)+1),
+                                     i -> substr(text, i, 8))) AS t(s)
+        ),
+        f0 AS (SELECT doc_id, ({fnv} + {golden}) % {mod} AS g FROM sh),
+        f1 AS (SELECT doc_id, {mul(xor('g', shr('g', 30)), c1)} AS z1 FROM f0),
+        f2 AS (SELECT doc_id, {mul(xor('z1', shr('z1', 27)), c2)} AS z2 FROM f1),
+        hh AS (SELECT DISTINCT doc_id,
+                      CAST({xor('z2', shr('z2', 31))} AS UBIGINT) AS h
+               FROM f2),
+        bits AS (
+          SELECT doc_id, b,
+                 SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS votes
+          FROM hh, UNNEST(range(0, 64)) AS t(b)
+          GROUP BY doc_id, b),
+        sim AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN votes > 0
+                               THEN CAST(1 AS UBIGINT) << CAST(b AS INT)
+                               ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS sh
+          FROM bits GROUP BY doc_id)
+        SELECT a.doc_id AS da, b.doc_id AS db,
+               CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+        FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        ORDER BY da, db
+    """
 
 
 # ---------------------------------------------------------------------------
@@ -2430,6 +2496,7 @@ def oracle_sql() -> dict[str, str]:
         "q_exact_dedup": _oracle_exact_dedup(),
         "q_ngram_dedup_pairs": _oracle_ngram_dedup_pairs(),
         "q_minhash_lsh_pairs": _oracle_minhash_lsh_pairs(),
+        "q_simhash_pairs": _oracle_simhash_pairs(),
         "q_doc_quality": _oracle_doc_quality(),
         "q_lang_guess": _oracle_lang_guess(),
         "q_cosine_topk": _oracle_cosine_topk(),
