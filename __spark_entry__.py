@@ -2054,9 +2054,12 @@ def _q_raster_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_hex_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events -> H3-compatible aperture-7 hex tiles (res 3) -> counts.
-    Rows-only check: the icosahedral projection isn't SQL-expressible;
-    partition/refinement/round-trip invariants pinned in
-    tests/test_hexgrid.py."""
+    Oracle-checked: the DuckDB twin replays the whole icosahedral
+    chain in SQL — 20-face argmax, gnomonic projection, Class-II/III
+    rotation, cube rounding, and the center-re-encode canonicalization
+    — with the face table and lattice constants injected as the exact
+    doubles the kernel computes.  Partition/refinement/round-trip
+    invariants additionally pinned in tests/test_hexgrid.py."""
     from geo_spark.functions.hex import hex_cell_udf
     from geo_spark.operators.geo_noise import with_geo_noise
 
@@ -2068,6 +2071,124 @@ def _q_hex_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("hex3").isNotNull())
         .orderBy("hex3")
     )
+
+
+def _oracle_hex_tile_counts() -> str:
+    """Replay latlng_to_hex(. . ., res=3) in SQL: raw encode, hex-center
+    inverse, canonical re-encode.  Every constant is the double the
+    kernel itself computed, so both sides run identical IEEE
+    arithmetic in identical operation order."""
+    import numpy as np
+
+    from geo_spark.kernel import hexgrid as H
+    from geo_spark.operators.geo_noise import LAT_SQL, LNG_SQL
+
+    res = 3
+    scale, cr, sr = H._res_frame(res)
+    scale, cr, sr = float(scale), float(cr), float(sr)
+    c1 = float(np.sqrt(3.0) / 3.0)  # qf coefficient on xr
+    third = float(1.0 / 3.0)
+    sqrt3 = float(np.sqrt(3.0))
+    off = H.OFFSET
+
+    face_rows = ", ".join(
+        f"({f}, {H._CENTERS[f,0]!r}, {H._CENTERS[f,1]!r}, {H._CENTERS[f,2]!r}, "
+        f"{H._U[f,0]!r}, {H._U[f,1]!r}, {H._U[f,2]!r}, "
+        f"{H._V[f,0]!r}, {H._V[f,1]!r}, {H._V[f,2]!r})"
+        for f in range(20)
+    )
+
+    def encode(src, k):
+        """CTEs enc{k} (face argmax + axial round) from src(event_id,x,y,z)."""
+        return f"""
+        d{k} AS (
+          SELECT s.event_id, f.f, s.x, s.y, s.z,
+                 s.x*f.cx + s.y*f.cy + s.z*f.cz AS dot,
+                 f.cx, f.cy, f.cz, f.ux, f.uy, f.uz, f.vx, f.vy, f.vz,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY s.event_id
+                   ORDER BY s.x*f.cx + s.y*f.cy + s.z*f.cz DESC, f.f ASC
+                 ) AS rn
+          FROM {src} s, faces f),
+        uv{k} AS (
+          SELECT event_id, f,
+                 (x*(1.0/dot) - cx)*ux + (y*(1.0/dot) - cy)*uy
+                   + (z*(1.0/dot) - cz)*uz AS u,
+                 (x*(1.0/dot) - cx)*vx + (y*(1.0/dot) - cy)*vy
+                   + (z*(1.0/dot) - cz)*vz AS v,
+                 cx, cy, cz, ux, uy, uz, vx, vy, vz
+          FROM d{k} WHERE rn = 1),
+        ax{k} AS (
+          SELECT *,
+                 ({cr!r}*u + {sr!r}*v)/{scale!r} AS xr,
+                 ({-sr!r}*u + {cr!r}*v)/{scale!r} AS yr
+          FROM uv{k}),
+        frac{k} AS (
+          SELECT *, {c1!r}*xr - {third!r}*yr AS qf, {2.0 / 3.0!r}*yr AS rf
+          FROM ax{k}),
+        rnd{k} AS (
+          SELECT *, ROUND(qf) AS q0, ROUND(rf) AS r0, ROUND(-qf - rf) AS s0
+          FROM frac{k}),
+        enc{k} AS (
+          SELECT event_id, f, cx, cy, cz, ux, uy, uz, vx, vy, vz,
+                 CASE WHEN abs(q0-qf) > abs(r0-rf) AND abs(q0-qf) > abs(s0-(-qf-rf))
+                      THEN -r0-s0 ELSE q0 END AS q,
+                 CASE WHEN NOT (abs(q0-qf) > abs(r0-rf) AND abs(q0-qf) > abs(s0-(-qf-rf)))
+                           AND abs(r0-rf) > abs(s0-(-qf-rf))
+                      THEN -q0-s0 ELSE r0 END AS r
+          FROM rnd{k})"""
+
+    lat = LAT_SQL.format(id="event_id")
+    lng = LNG_SQL.format(id="event_id")
+    return f"""
+        WITH faces(f, cx, cy, cz, ux, uy, uz, vx, vy, vz) AS (
+          VALUES {face_rows}
+        ),
+        pts AS (SELECT event_id, {lat} AS lat, {lng} AS lng FROM events),
+        xyz0 AS (SELECT event_id,
+                        cos(radians(lng))*cos(radians(lat)) AS x,
+                        sin(radians(lng))*cos(radians(lat)) AS y,
+                        sin(radians(lat)) AS z
+                 FROM pts),
+        {encode('xyz0', 1)},
+        -- hex center: axial -> face plane -> xyz -> latlng -> xyz
+        cplane AS (
+          SELECT event_id,
+                 ({cr!r}*({sqrt3!r}*(q + r/2.0)) - {sr!r}*(1.5*r))*{scale!r} AS x2,
+                 ({sr!r}*({sqrt3!r}*(q + r/2.0)) + {cr!r}*(1.5*r))*{scale!r} AS y2,
+                 cx, cy, cz, ux, uy, uz, vx, vy, vz
+          FROM enc1),
+        craw AS (
+          SELECT event_id,
+                 (cx + x2*ux) + y2*vx AS px,
+                 (cy + x2*uy) + y2*vy AS py,
+                 (cz + x2*uz) + y2*vz AS pz
+          FROM cplane),
+        cnorm AS (
+          SELECT event_id,
+                 px/sqrt(px*px + py*py + pz*pz) AS nx,
+                 py/sqrt(px*px + py*py + pz*pz) AS ny,
+                 pz/sqrt(px*px + py*py + pz*pz) AS nz
+          FROM craw),
+        cll AS (
+          SELECT event_id,
+                 degrees(atan2(nz, sqrt(nx*nx + ny*ny))) AS clat,
+                 degrees(atan2(ny, nx)) AS clng
+          FROM cnorm),
+        xyz1 AS (SELECT event_id,
+                        cos(radians(clng))*cos(radians(clat)) AS x,
+                        sin(radians(clng))*cos(radians(clat)) AS y,
+                        sin(radians(clat)) AS z
+                 FROM cll),
+        {encode('xyz1', 2)}
+        SELECT (CAST({res} AS BIGINT) << 47)
+               | (CAST(f AS BIGINT) << 42)
+               | ((CAST(q AS BIGINT) + {off}) << 21)
+               | (CAST(r AS BIGINT) + {off}) AS hex3,
+               COUNT(*) AS cnt
+        FROM enc2
+        GROUP BY 1 ORDER BY 1
+    """
 
 
 # ---------------------------------------------------------------------------
@@ -2497,6 +2618,7 @@ def oracle_sql() -> dict[str, str]:
         "q_ngram_dedup_pairs": _oracle_ngram_dedup_pairs(),
         "q_minhash_lsh_pairs": _oracle_minhash_lsh_pairs(),
         "q_simhash_pairs": _oracle_simhash_pairs(),
+        "q_hex_tile_counts": _oracle_hex_tile_counts(),
         "q_doc_quality": _oracle_doc_quality(),
         "q_lang_guess": _oracle_lang_guess(),
         "q_cosine_topk": _oracle_cosine_topk(),
