@@ -2242,6 +2242,55 @@ def _oracle_ngram_dedup_pairs() -> str:
     """
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster resolution over the exact-Jaccard pair graph:
+    connected components by min-label propagation + pointer jumping;
+    every document gets its cluster representative (singletons map to
+    themselves).  The DuckDB twin computes the same components with a
+    recursive transitive-closure CTE."""
+    from geo_spark.operators.dedup import dedup_clusters, ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=8, threshold=0.3)
+    return dedup_clusters(pairs, docs=docs).orderBy("doc_id")
+
+
+def _oracle_dedup_clusters() -> str:
+    return """
+        WITH RECURSIVE sh AS (
+          SELECT DISTINCT doc_id, s
+          FROM documents,
+               UNNEST(list_transform(range(1, greatest(length(text)-7, 1)+1),
+                                     i -> substr(text, i, 8))) AS t(s)
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        jp AS (
+          SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT da, db FROM jp
+          JOIN sizes sa ON sa.doc_id = da
+          JOIN sizes sb ON sb.doc_id = db
+          WHERE CAST(shared AS DOUBLE)/(sa.n + sb.n - shared) >= 0.3
+        ),
+        e AS (SELECT da AS u, db AS v FROM pairs
+              UNION SELECT db, da FROM pairs),
+        reach(u, v) AS (
+          SELECT u, v FROM e
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+        ),
+        comp AS (
+          SELECT u AS id, least(u, MIN(v)) AS rep FROM reach GROUP BY u
+        )
+        SELECT d.doc_id, COALESCE(c.rep, d.doc_id) AS rep
+        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+        ORDER BY d.doc_id
+    """
+
+
 def _q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geo_spark.operators.text import (
         token_count_bpe_ish,
@@ -2578,6 +2627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_near_dup": _q_embed_near_dup,
         "q_minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "q_simhash_pairs": _q_simhash_pairs,
+        "q_dedup_clusters": _q_dedup_clusters,
         "q_hex_tile_counts": _q_hex_tile_counts,
         "q_interval_sweep": _q_interval_sweep,
         "q_tile_rollup": _q_tile_rollup,
@@ -2619,6 +2669,7 @@ def oracle_sql() -> dict[str, str]:
         "q_minhash_lsh_pairs": _oracle_minhash_lsh_pairs(),
         "q_simhash_pairs": _oracle_simhash_pairs(),
         "q_hex_tile_counts": _oracle_hex_tile_counts(),
+        "q_dedup_clusters": _oracle_dedup_clusters(),
         "q_doc_quality": _oracle_doc_quality(),
         "q_lang_guess": _oracle_lang_guess(),
         "q_cosine_topk": _oracle_cosine_topk(),

@@ -281,3 +281,84 @@ def simhash_pairs(
     return cands.withColumn("hamming", ham).where(
         F.col("hamming") <= max_hamming
     ).select("da", "db", "hamming")
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    docs: DataFrame | None = None,
+    key: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Resolve near-dup pairs into clusters: connected components over
+    the pair graph, representative = min id per component — the step
+    that concludes web-scale dedup (keep one doc per cluster).
+
+    Distributed shape: alternating min-label propagation + pointer
+    jumping (l <- l(l)), so convergence is O(log diameter) shuffle
+    rounds, each a plain equi-join + min-groupBy (AQE-sized; no
+    driver-side graph).  Dup clusters in web corpora are shallow
+    (near-cliques from a shared template), so 3-4 rounds is typical;
+    ``max_iter`` bounds adversarial chains.  Each round persists its
+    label table and unpersists the previous one — lineage stays O(1).
+
+    Returns (key, rep).  With ``docs`` given, singleton documents (in
+    no pair) appear with rep = self.
+    """
+    e = pairs.select(F.col("da").alias("u"), F.col("db").alias("v"))
+    edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    edges = edges.persist()
+    labels = (
+        edges.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(
+                labels.select(F.col("id").alias("v"), F.col("lbl").alias("vlbl")), "v"
+            )
+            .groupBy("u")
+            .agg(F.min("vlbl").alias("nlbl"))
+        )
+        stepped = (
+            labels.join(nbr.select(F.col("u").alias("id"), "nlbl"), "id", "left")
+            .select(
+                "id",
+                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias(
+                    "lbl"
+                ),
+            )
+        )
+        # pointer jump: l <- l(l) (labels are ids, so look them up)
+        jumped = (
+            stepped.join(
+                stepped.select(
+                    F.col("id").alias("lbl"), F.col("lbl").alias("lbl2")
+                ),
+                "lbl",
+                "left",
+            )
+            .select("id", F.coalesce(F.col("lbl2"), F.col("lbl")).alias("lbl"))
+            .persist()
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels.unpersist()
+        labels = jumped
+        if changed == 0:
+            break
+    out = labels.select(F.col("id").alias(key), F.col("lbl").alias("rep"))
+    if docs is not None:
+        out = (
+            docs.select(key)
+            .join(out, key, "left")
+            .select(key, F.coalesce(F.col("rep"), F.col(key)).alias("rep"))
+        )
+    edges.unpersist()
+    return out

@@ -297,3 +297,45 @@ def test_cosine_near_dup_brute_guard(spark):
     )
     with _pytest.raises(ValueError, match="corpus exceeds"):
         cosine_near_dup_pairs(df, 0.5, method="brute", max_corpus_rows=5).collect()
+
+
+class TestDedupClusters:
+    def test_components_match_union_find(self, spark):
+        from geo_spark.operators.dedup import dedup_clusters
+
+        # two chains (forces >1 propagation round), a triangle, singletons
+        pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12),
+                 (20, 21), (21, 22), (20, 22)]
+        docs = [(i,) for i in list(range(1, 6)) + [10, 11, 12, 20, 21, 22, 30, 31]]
+        pdf = spark.createDataFrame(pairs, "da long, db long")
+        ddf = spark.createDataFrame(docs, "doc_id long")
+        got = {
+            r["doc_id"]: r["rep"]
+            for r in dedup_clusters(pdf, docs=ddf).collect()
+        }
+
+        # union-find ground truth
+        parent = {}
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {d[0]: find(d[0]) for d in docs}
+        assert got == want
+
+    def test_long_chain_converges(self, spark):
+        from geo_spark.operators.dedup import dedup_clusters
+
+        n = 12  # path graph: worst-case diameter; pointer jumping -> O(log n)
+        pdf = spark.createDataFrame(
+            [(i, i + 1) for i in range(n)], "da long, db long"
+        )
+        got = dedup_clusters(pdf).collect()
+        assert all(r["rep"] == 0 for r in got)
+        assert len(got) == n + 1
