@@ -2291,6 +2291,67 @@ def _oracle_dedup_clusters() -> str:
     """
 
 
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture sampling: 40 docs per language by md5
+    order, with the skew prefilter engaged (counts supplied) so the
+    benched plan is the 100 TB shape; the DuckDB twin is the plain
+    ROW_NUMBER window (the prefilter is exact at 4x margin)."""
+    from geo_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    return stratified_sample(
+        docs, "lang", 40, prefilter_counts=counts
+    ).select("doc_id", "lang").orderBy("doc_id")
+
+
+def _oracle_stratified_sample() -> str:
+    return """
+        SELECT doc_id, lang
+        FROM (
+          SELECT doc_id, lang,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                 ) AS rn
+          FROM documents)
+        WHERE rn <= 40
+        ORDER BY doc_id
+    """
+
+
+def _q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-budget mixture: walk docs in md5 order, keep
+    while the running whitespace-token total stays within 3000."""
+    from geo_spark.operators.sampling import token_budget_sample
+    from geo_spark.operators.text import with_quality
+
+    docs = with_quality(_t(spark, sf_dir, "documents"))
+    return (
+        token_budget_sample(docs, "lang", 3000)
+        .select("doc_id", "lang", "cum_tokens")
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_token_budget_sample() -> str:
+    return """
+        SELECT doc_id, lang, CAST(cum_tokens AS BIGINT) AS cum_tokens
+        FROM (
+          SELECT doc_id, lang,
+                 SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE length(text) - length(replace(text, ' ', '')) + 1
+                     END) OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ROWS UNBOUNDED PRECEDING
+                 ) AS cum_tokens
+          FROM documents)
+        WHERE cum_tokens <= 3000
+        ORDER BY doc_id
+    """
+
+
 def _q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geo_spark.operators.text import (
         token_count_bpe_ish,
@@ -2628,6 +2689,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "q_simhash_pairs": _q_simhash_pairs,
         "q_dedup_clusters": _q_dedup_clusters,
+        "q_stratified_sample": _q_stratified_sample,
+        "q_token_budget_sample": _q_token_budget_sample,
         "q_hex_tile_counts": _q_hex_tile_counts,
         "q_interval_sweep": _q_interval_sweep,
         "q_tile_rollup": _q_tile_rollup,
@@ -2670,6 +2733,8 @@ def oracle_sql() -> dict[str, str]:
         "q_simhash_pairs": _oracle_simhash_pairs(),
         "q_hex_tile_counts": _oracle_hex_tile_counts(),
         "q_dedup_clusters": _oracle_dedup_clusters(),
+        "q_stratified_sample": _oracle_stratified_sample(),
+        "q_token_budget_sample": _oracle_token_budget_sample(),
         "q_doc_quality": _oracle_doc_quality(),
         "q_lang_guess": _oracle_lang_guess(),
         "q_cosine_topk": _oracle_cosine_topk(),

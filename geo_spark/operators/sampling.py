@@ -1,0 +1,99 @@
+"""Mixture-construction sampling for training-data pipelines.
+
+Building a training mixture from a 100 TB corpus is a *sampling* step:
+per-stratum quotas ("50k docs per language") or token budgets ("2B
+tokens per domain"), deterministic across reruns so downstream shards
+are reproducible.  Both operators are one window function over a
+single shuffle on the stratum key — entirely native SQL (whole-stage
+codegen), no UDF, no driver state.
+
+Determinism: rows are ordered by ``md5(key)`` (a content-free uniform
+permutation), so the sample is a fixed pseudo-random subset independent
+of input partitioning or row order — rerunning the pipeline, or running
+it on a differently-bucketed copy of the corpus, selects the same rows.
+
+Skew note (100 TB): one stratum = one window partition.  A single
+giant stratum (e.g. English) concentrates on one task; for quota
+sampling cap the damage by pre-filtering with an approximate quantile
+of md5 (sample 2x the quota cheaply, then window the survivors).
+:func:`stratified_sample` applies that prefilter automatically when
+``prefilter_counts`` is given.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _order_cols(key: str):
+    # md5 of the key, tie-broken by the key itself (total order)
+    return [F.md5(F.col(key).cast("string")), F.col(key)]
+
+
+def stratified_sample(
+    docs: DataFrame,
+    stratum_col: str,
+    quota: int,
+    key: str = "doc_id",
+    prefilter_counts: DataFrame | None = None,
+) -> DataFrame:
+    """Deterministic per-stratum quota sample: the ``quota`` rows with
+    the smallest ``md5(key)`` in each stratum.
+
+    ``prefilter_counts`` (stratum_col, n_docs) — when given, strata
+    larger than ``4 * quota`` are pre-thinned with a cheap md5-prefix
+    range predicate before the exact window, so the window partition
+    for a billion-doc stratum sees ~4x the quota instead of a billion
+    rows.  The thinned result equals the exact sample unless fewer than
+    ``quota`` of the stratum's rows hash under the 4x cutoff — a
+    Chernoff-improbable event (P < exp(-q); pass ``None`` for the
+    unconditionally exact path)."""
+    if prefilter_counts is not None:
+        # keep rows whose md5 falls in the first ~4*quota/n fraction of
+        # hash space: equal-length lowercase hex compares lexicographically,
+        # so an 8-hex-digit cutoff string is the whole predicate
+        frac = F.least(
+            F.lit(1.0), F.lit(4.0 * quota) / F.col("n_docs").cast("double")
+        )
+        cutoff = F.lpad(
+            F.format_string(
+                "%x", F.least(F.lit(0xFFFFFFFF), F.ceil(frac * (1 << 32))).cast("long")
+            ),
+            8,
+            "0",
+        )
+        docs = (
+            docs.join(F.broadcast(prefilter_counts), stratum_col)
+            .where(F.substring(F.md5(F.col(key).cast("string")), 1, 8) <= cutoff)
+            .drop("n_docs")
+        )
+    w = Window.partitionBy(stratum_col).orderBy(*_order_cols(key))
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= quota)
+        .drop("_rn")
+    )
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    stratum_col: str,
+    budget: int,
+    token_col: str = "n_tokens",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum token-budget sample: walk the stratum
+    in md5 order, keep documents while the running token total stays
+    within ``budget`` (the first document that would overflow the
+    budget is excluded, as are all after it)."""
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(*_order_cols(key))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.withColumn("_cum", F.sum(F.col(token_col)).over(w))
+        .where(F.col("_cum") <= budget)
+        .withColumnRenamed("_cum", "cum_tokens")
+    )

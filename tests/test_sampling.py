@@ -1,0 +1,64 @@
+"""Mixture sampling: determinism, prefilter equivalence, budget walk."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from geo_spark.operators.sampling import stratified_sample, token_budget_sample
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_prefilter_matches_exact(spark):
+    docs = _docs(spark)
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    exact = {
+        r["doc_id"]
+        for r in stratified_sample(docs, "lang", 10).select("doc_id").collect()
+    }
+    fast = {
+        r["doc_id"]
+        for r in stratified_sample(docs, "lang", 10, prefilter_counts=counts)
+        .select("doc_id")
+        .collect()
+    }
+    assert exact == fast
+    per_lang = (
+        stratified_sample(docs, "lang", 10)
+        .groupBy("lang")
+        .count()
+        .collect()
+    )
+    assert all(r["count"] <= 10 for r in per_lang)
+
+
+def test_sample_invariant_to_partitioning(spark):
+    docs = _docs(spark)
+    a = {r["doc_id"] for r in stratified_sample(docs, "lang", 7).collect()}
+    b = {
+        r["doc_id"]
+        for r in stratified_sample(docs.repartition(13), "lang", 7).collect()
+    }
+    assert a == b
+
+
+def test_token_budget_walk(spark):
+    from geo_spark.operators.text import with_quality
+
+    docs = with_quality(_docs(spark))
+    out = token_budget_sample(docs, "lang", 500).collect()
+    assert out, "budget should admit at least one doc per stratum"
+    # every kept doc fits, and the walk is the md5-order prefix
+    by_lang = {}
+    for r in out:
+        assert r["cum_tokens"] <= 500
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rows in by_lang.items():
+        rows.sort(key=lambda r: r["cum_tokens"])
+        # cumulative totals strictly increase along the prefix
+        cums = [r["cum_tokens"] for r in rows]
+        assert cums == sorted(set(cums))
