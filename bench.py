@@ -31,6 +31,7 @@ HEADLINE_QUERIES = [
     "q_minhash_lsh_pairs",  # the scale path; exact ngram join is the sf0.01 oracle query
     "q_cosine_topk",
     "q_hex_tile_counts",
+    "q_stratified_sample",  # mixture sampling: partial WindowGroupLimit plan
 ]
 
 
