@@ -1883,6 +1883,167 @@ def _oracle_boolean_counts() -> str:
     """
 
 
+def _oracle_boolean_areas() -> str:
+    """Convex boolean-op areas re-derived in SQL: intersection polygon =
+    {A-verts in B} + {B-verts in A} + great-circle edge crossings,
+    angularly ordered around its centroid, l'Huilier triangle-fan area;
+    union/difference by inclusion-exclusion.  Valid because every
+    fixture pair is two overlapping convex loops (single-ring results,
+    n_loops = 1 with >= 2 proper crossings)."""
+    from geo_spark.sources.layers import regular_loop_vertices
+
+    def vert_rows():
+        rows = []
+        for c, (la, ln) in enumerate(_BOOL_CITIES):
+            va = regular_loop_vertices(la, ln, 0.03, 24)
+            vb = regular_loop_vertices(la + 1.0, ln + 0.5, 0.03, 24)
+            for side, v in (("a", va), ("b", vb)):
+                n = len(v)
+                for k in range(n):
+                    p, q = v[k], v[(k + 1) % n]
+                    rows.append(
+                        f"({c}, '{side}', {k}, {p[0]!r}, {p[1]!r}, {p[2]!r}, "
+                        f"{q[0]!r}, {q[1]!r}, {q[2]!r})"
+                    )
+        return ", ".join(rows)
+
+    return f"""
+        WITH vr(c, side, k, px0, py0, pz0, qx0, qy0, qz0) AS (VALUES {vert_rows()}),
+ve AS (
+  SELECT c, side, k,
+         CAST(px0 AS DOUBLE) AS px, CAST(py0 AS DOUBLE) AS py, CAST(pz0 AS DOUBLE) AS pz,
+         CAST(qx0 AS DOUBLE) AS qx, CAST(qy0 AS DOUBLE) AS qy, CAST(qz0 AS DOUBLE) AS qz
+  FROM vr),
+-- edge normals
+ed AS (
+  SELECT *, py*qz - pz*qy AS nx, pz*qx - px*qz AS ny, px*qy - py*qx AS nz
+  FROM ve),
+-- vertices of one side inside the other region (all edge signs > 0)
+vin AS (
+  SELECT v.c, v.side, v.k, v.px, v.py, v.pz
+  FROM ve v
+  JOIN ed e ON e.c = v.c AND e.side <> v.side
+  GROUP BY v.c, v.side, v.k, v.px, v.py, v.pz
+  HAVING BOOL_AND(e.nx*v.px + e.ny*v.py + e.nz*v.pz > 0)),
+-- proper crossings between edge pairs
+cx AS (
+  SELECT a.c,
+         -- x = cross(na, nb), sign toward a-edge midpoint
+         a.ny*b.nz - a.nz*b.ny AS rx,
+         a.nz*b.nx - a.nx*b.nz AS ry,
+         a.nx*b.ny - a.ny*b.nx AS rz,
+         a.px + a.qx AS sx, a.py + a.qy AS sy, a.pz + a.qz AS sz
+  FROM ed a JOIN ed b ON a.c = b.c AND a.side = 'a' AND b.side = 'b'
+  WHERE (a.nx*b.px + a.ny*b.py + a.nz*b.pz)
+        * (a.nx*b.qx + a.ny*b.qy + a.nz*b.qz) < 0
+    AND (b.nx*a.px + b.ny*a.py + b.nz*a.pz)
+        * (b.nx*a.qx + b.ny*a.qy + b.nz*a.qz) < 0),
+cxn AS (
+  SELECT c,
+         CASE WHEN rx*sx + ry*sy + rz*sz >= 0 THEN  rx/sqrt(rx*rx+ry*ry+rz*rz)
+              ELSE -rx/sqrt(rx*rx+ry*ry+rz*rz) END AS px,
+         CASE WHEN rx*sx + ry*sy + rz*sz >= 0 THEN  ry/sqrt(rx*rx+ry*ry+rz*rz)
+              ELSE -ry/sqrt(rx*rx+ry*ry+rz*rz) END AS py,
+         CASE WHEN rx*sx + ry*sy + rz*sz >= 0 THEN  rz/sqrt(rx*rx+ry*ry+rz*rz)
+              ELSE -rz/sqrt(rx*rx+ry*ry+rz*rz) END AS pz
+  FROM cx),
+-- intersection-polygon vertex set
+iv AS (
+  SELECT c, px, py, pz FROM vin
+  UNION ALL
+  SELECT c, px, py, pz FROM cxn),
+-- centroid frame per city
+ic AS (
+  SELECT c, SUM(px) AS gx, SUM(py) AS gy, SUM(pz) AS gz FROM iv GROUP BY c),
+icn AS (
+  SELECT c, gx/sqrt(gx*gx+gy*gy+gz*gz) AS mx, gy/sqrt(gx*gx+gy*gy+gz*gz) AS my,
+         gz/sqrt(gx*gx+gy*gy+gz*gz) AS mz
+  FROM ic),
+-- reference direction: first vertex (min by lexicographic xyz)
+iref AS (
+  SELECT DISTINCT ON (c) iv.c, iv.px AS r0x, iv.py AS r0y, iv.pz AS r0z
+  FROM iv ORDER BY iv.c, iv.px, iv.py, iv.pz),
+frame AS (
+  SELECT n.c, n.mx, n.my, n.mz,
+         r.r0x - n.mx*(n.mx*r.r0x + n.my*r.r0y + n.mz*r.r0z) AS e1xr,
+         r.r0y - n.my*(n.mx*r.r0x + n.my*r.r0y + n.mz*r.r0z) AS e1yr,
+         r.r0z - n.mz*(n.mx*r.r0x + n.my*r.r0y + n.mz*r.r0z) AS e1zr
+  FROM icn n JOIN iref r ON r.c = n.c),
+frame2 AS (
+  SELECT c, mx, my, mz,
+         e1xr/sqrt(e1xr*e1xr + e1yr*e1yr + e1zr*e1zr) AS e1x,
+         e1yr/sqrt(e1xr*e1xr + e1yr*e1yr + e1zr*e1zr) AS e1y,
+         e1zr/sqrt(e1xr*e1xr + e1yr*e1yr + e1zr*e1zr) AS e1z
+  FROM frame),
+frame3 AS (
+  SELECT *, my*e1z - mz*e1y AS e2x, mz*e1x - mx*e1z AS e2y,
+         mx*e1y - my*e1x AS e2z
+  FROM frame2),
+-- angular order of intersection vertices
+iord AS (
+  SELECT v.c, v.px, v.py, v.pz, f.mx, f.my, f.mz,
+         atan2(v.px*f.e2x + v.py*f.e2y + v.pz*f.e2z,
+               v.px*f.e1x + v.py*f.e1y + v.pz*f.e1z) AS th,
+         ROW_NUMBER() OVER (PARTITION BY v.c ORDER BY
+           atan2(v.px*f.e2x + v.py*f.e2y + v.pz*f.e2z,
+                 v.px*f.e1x + v.py*f.e1y + v.pz*f.e1z)) AS rk,
+         COUNT(*) OVER (PARTITION BY v.c) AS nv
+  FROM iv v JOIN frame3 f ON f.c = v.c),
+-- consecutive pairs (cyclic) -> spherical triangle with centroid
+ipair AS (
+  SELECT a.c, a.mx, a.my, a.mz,
+         a.px AS ax, a.py AS ay, a.pz AS az,
+         b.px AS bx, b.py AS by, b.pz AS bz
+  FROM iord a JOIN iord b
+    ON b.c = a.c AND b.rk = (a.rk % a.nv) + 1),
+itri AS (
+  SELECT c,
+         2*asin(least(1.0, 0.5*sqrt((ax-bx)*(ax-bx)+(ay-by)*(ay-by)+(az-bz)*(az-bz)))) AS sa,
+         2*asin(least(1.0, 0.5*sqrt((mx-ax)*(mx-ax)+(my-ay)*(my-ay)+(mz-az)*(mz-az)))) AS sb,
+         2*asin(least(1.0, 0.5*sqrt((mx-bx)*(mx-bx)+(my-by)*(my-by)+(mz-bz)*(mz-bz)))) AS sc
+  FROM ipair),
+iarea AS (
+  SELECT c, SUM(4*atan(sqrt(greatest(0.0,
+           tan(0.5*(0.5*(sa+sb+sc)))
+           * tan(0.5*(0.5*(sa+sb+sc) - sa))
+           * tan(0.5*(0.5*(sa+sb+sc) - sb))
+           * tan(0.5*(0.5*(sa+sb+sc) - sc)))))) AS ai
+  FROM itri GROUP BY c),
+-- full ring areas for each side (fan from ring centroid, natural order)
+rc AS (
+  SELECT c, side, SUM(px) AS gx, SUM(py) AS gy, SUM(pz) AS gz
+  FROM ve GROUP BY c, side),
+rcn AS (
+  SELECT c, side, gx/sqrt(gx*gx+gy*gy+gz*gz) AS mx,
+         gy/sqrt(gx*gx+gy*gy+gz*gz) AS my, gz/sqrt(gx*gx+gy*gy+gz*gz) AS mz
+  FROM rc),
+rtri AS (
+  SELECT v.c, v.side,
+         2*asin(least(1.0, 0.5*sqrt((v.px-v.qx)*(v.px-v.qx)+(v.py-v.qy)*(v.py-v.qy)+(v.pz-v.qz)*(v.pz-v.qz)))) AS sa,
+         2*asin(least(1.0, 0.5*sqrt((n.mx-v.px)*(n.mx-v.px)+(n.my-v.py)*(n.my-v.py)+(n.mz-v.pz)*(n.mz-v.pz)))) AS sb,
+         2*asin(least(1.0, 0.5*sqrt((n.mx-v.qx)*(n.mx-v.qx)+(n.my-v.qy)*(n.my-v.qy)+(n.mz-v.qz)*(n.mz-v.qz)))) AS sc
+  FROM ve v JOIN rcn n ON n.c = v.c AND n.side = v.side),
+rarea AS (
+  SELECT c, side, SUM(4*atan(sqrt(greatest(0.0,
+           tan(0.5*(0.5*(sa+sb+sc)))
+           * tan(0.5*(0.5*(sa+sb+sc) - sa))
+           * tan(0.5*(0.5*(sa+sb+sc) - sb))
+           * tan(0.5*(0.5*(sa+sb+sc) - sc)))))) AS ar
+  FROM rtri GROUP BY c, side),
+ops(i, op) AS (VALUES (1, 'union'), (2, 'intersection'), (3, 'difference'))
+SELECT CAST(ia.c*3 + i AS BIGINT) AS pair_id, op,
+       CAST(1 AS INT) AS n_loops,
+       CAST(FLOOR((CASE op WHEN 'union' THEN aa.ar + ab.ar - ia.ai
+               WHEN 'intersection' THEN ia.ai
+               ELSE aa.ar - ia.ai END) * 1e9) AS BIGINT) AS area_x1e9
+FROM iarea ia
+JOIN rarea aa ON aa.c = ia.c AND aa.side = 'a'
+JOIN rarea ab ON ab.c = ia.c AND ab.side = 'b'
+CROSS JOIN ops
+ORDER BY pair_id
+    """
+
+
 def _polygon_bool_fixtures():
     """Shell+hole multi-ring pairs per hot city: A = annulus (convex
     shell, concentric convex hole), B = offset disc with its own small
@@ -2750,5 +2911,6 @@ def oracle_sql() -> dict[str, str]:
         "q_city_hulls": _oracle_city_hulls(),
         "q_polyline_simplify": _oracle_polyline_simplify(),
         "q_boolean_counts": _oracle_boolean_counts(),
+        "q_boolean_areas": _oracle_boolean_areas(),
         "q_polygon_boolean_counts": _oracle_polygon_boolean_counts(),
     }
