@@ -149,3 +149,53 @@ def test_polygon_booleans_operator(spark, pts):
         want = _member(polygon_boolean(a_rings, b_rings, op), pts)
         have = _member([np.array(r) for r in rings], pts)
         assert (want == have).all(), (name, op)
+
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    HAVE_HYP = False
+
+
+if HAVE_HYP:
+
+    @st.composite
+    def _ring_sets(draw):
+        """1-2 rings per side: shell (+ optional concentric hole)."""
+        def side():
+            clat = draw(st.floats(-4, 4))
+            clng = draw(st.floats(-4, 4))
+            r = draw(st.floats(2.0, 6.0))
+            n = draw(st.integers(6, 16))
+            rings = [_ring(clat, clng, r, n)]
+            if draw(st.booleans()):
+                rings.append(_ring(clat, clng, draw(st.floats(0.5, r * 0.45)), n))
+            return rings
+
+        return side(), side()
+
+    @settings(max_examples=40, deadline=None)
+    @given(_ring_sets(), st.sampled_from(OPS))
+    def test_fuzz_membership(sides, op):
+        pts = test_fuzz_membership._pts
+        a_rings, b_rings = sides
+        in_a = _member(a_rings, pts)
+        in_b = _member(b_rings, pts)
+        want = {
+            "union": in_a | in_b,
+            "intersection": in_a & in_b,
+            "difference": in_a & ~in_b,
+        }[op]
+        got = _member(polygon_boolean(a_rings, b_rings, op), pts)
+        assert (got == want).all()
+
+    _rng = np.random.default_rng(29)
+    test_fuzz_membership._pts = np.stack(
+        latlng_to_xyz(
+            np.radians(_rng.uniform(-12, 12, 1500)),
+            np.radians(_rng.uniform(-12, 12, 1500)),
+        ),
+        axis=-1,
+    )
