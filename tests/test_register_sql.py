@@ -1,0 +1,89 @@
+"""SQL registration: native SQL UDFs match the Column builders bit for
+bit, stay in codegen, and the Arrow UDF surface answers from SQL."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geo_spark.functions import sql as s2sql
+from geo_spark.functions.register import register_sql
+
+
+@pytest.fixture(scope="module")
+def reg(spark):
+    register_sql(spark)
+    return spark
+
+
+@pytest.fixture(scope="module")
+def cells(reg):
+    """Deterministic valid biased cell ids at mixed levels."""
+    from geo_spark.kernel import cellid as ck
+
+    rng = np.random.default_rng(5)
+    lat = rng.uniform(-80, 80, 512)
+    lng = rng.uniform(-179, 179, 512)
+    leaf = ck.cellid_from_latlng(lat, lng)
+    ids = []
+    for lvl in (4, 10, 20, 30):
+        ids.append(ck.to_signed(ck.parent(leaf[::4], lvl)))
+    arr = np.concatenate(ids).astype(np.int64)
+    df = reg.createDataFrame([(int(v),) for v in arr], "cid long")
+    df.createOrReplaceTempView("cells_t")
+    return df
+
+
+def test_native_sql_udfs_match_column_builders(reg, cells):
+    got = reg.sql(
+        """SELECT cid, s2_level(cid) AS lvl, s2_parent(cid, 3) AS par,
+                  s2_range_min(cid) AS rmin, s2_range_max(cid) AS rmax,
+                  s2_is_leaf(cid) AS leaf, s2_face(cid) AS face,
+                  s2_next(cid) AS nxt, s2_prev(cid) AS prv,
+                  s2_advance(cid, 3) AS adv
+           FROM cells_t"""
+    )
+    want = cells.select(
+        "cid",
+        s2sql.level(F.col("cid")).alias("lvl"),
+        s2sql.parent(F.col("cid"), 3).alias("par"),
+        s2sql.range_min(F.col("cid")).alias("rmin"),
+        s2sql.range_max(F.col("cid")).alias("rmax"),
+        s2sql.is_leaf(F.col("cid")).alias("leaf"),
+        s2sql.face(F.col("cid")).alias("face"),
+        s2sql.next_cell(F.col("cid")).alias("nxt"),
+        s2sql.prev_cell(F.col("cid")).alias("prv"),
+        s2sql.advance(F.col("cid"), F.lit(3)).alias("adv"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_native_sql_udfs_inline_into_codegen(reg, cells):
+    plan = reg.sql(
+        "SELECT s2_parent(cid, 8) AS p FROM cells_t"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_arrow_udfs_from_sql(reg, cells):
+    from geo_spark.kernel import cellid as ck
+
+    rows = reg.sql(
+        """SELECT s2_cellid(48.8, 2.3) AS cid,
+                  s2_token(s2_cellid(48.8, 2.3)) AS tok,
+                  hex_cell_r3(48.8, 2.3) AS hx"""
+    ).collect()[0]
+    leaf = ck.cellid_from_latlng(np.array([48.8]), np.array([2.3]))
+    assert rows["cid"] == int(ck.to_signed(leaf)[0])
+    assert rows["tok"] == ck.to_token(leaf)[0]
+    assert rows["hx"] is not None
+
+
+def test_contains_from_sql(reg, cells):
+    bad = reg.sql(
+        """SELECT count(*) AS n FROM cells_t
+           WHERE s2_level(cid) < 30
+             AND NOT s2_contains(cid, s2_child_begin(cid, 30))"""
+    ).collect()[0]["n"]
+    assert bad == 0
