@@ -2166,10 +2166,153 @@ def _oracle_polygon_boolean_counts() -> str:
     """
 
 
+def _oracle_raster_vector() -> str:
+    """The raster->vector round trip replayed in SQL: enumerate every
+    level-7 cell (6 x 128 x 128), replay the cap/cell predicates
+    (vertex chord tests, center-in-cell uv test, the s2/cap.go:377-419
+    edge cascade) for the mask, then trace the mask boundary exactly as
+    kernel/raster.vectorize_cells does — per-face half-edges, sharpest-
+    left-turn stitching (ring count = cycles of the successor map, via
+    a recursive closure), and collinear-run simplification (a traced
+    vertex survives iff the lattice direction turns)."""
+    import math
+
+    def cap_rows():
+        rows = []
+        for g, la, ln, r in _CAPS[:3]:
+            phi, th = math.radians(la), math.radians(ln)
+            c = (
+                math.cos(th) * math.cos(phi),
+                math.sin(th) * math.cos(phi),
+                math.sin(phi),
+            )
+            r2 = 4.0 * math.sin(r / 2.0) ** 2
+            s2a = r2 * (1 - 0.25 * r2)
+            rows.append(f"({g}, {c[0]!r}, {c[1]!r}, {c[2]!r}, {r2!r}, {s2a!r})")
+        return ", ".join(rows)
+
+    return """WITH RECURSIVE caps(g, cx, cy, cz, r2, s2a) AS (VALUES {cap_rows}),
+grid AS (SELECT f, i, j FROM range(6) t1(f), range(128) t2(i), range(128) t3(j)),
+uvb AS (
+  SELECT f, i, j,
+         CASE WHEN (CAST(i AS DOUBLE)/128.0) >= 0.5 THEN (1.0/3.0)*(4.0*(CAST(i AS DOUBLE)/128.0)*(CAST(i AS DOUBLE)/128.0) - 1.0) ELSE (1.0/3.0)*(1.0 - 4.0*(1.0-(CAST(i AS DOUBLE)/128.0))*(1.0-(CAST(i AS DOUBLE)/128.0))) END AS u0,
+         CASE WHEN (CAST(i+1 AS DOUBLE)/128.0) >= 0.5 THEN (1.0/3.0)*(4.0*(CAST(i+1 AS DOUBLE)/128.0)*(CAST(i+1 AS DOUBLE)/128.0) - 1.0) ELSE (1.0/3.0)*(1.0 - 4.0*(1.0-(CAST(i+1 AS DOUBLE)/128.0))*(1.0-(CAST(i+1 AS DOUBLE)/128.0))) END AS u1,
+         CASE WHEN (CAST(j AS DOUBLE)/128.0) >= 0.5 THEN (1.0/3.0)*(4.0*(CAST(j AS DOUBLE)/128.0)*(CAST(j AS DOUBLE)/128.0) - 1.0) ELSE (1.0/3.0)*(1.0 - 4.0*(1.0-(CAST(j AS DOUBLE)/128.0))*(1.0-(CAST(j AS DOUBLE)/128.0))) END AS v0,
+         CASE WHEN (CAST(j+1 AS DOUBLE)/128.0) >= 0.5 THEN (1.0/3.0)*(4.0*(CAST(j+1 AS DOUBLE)/128.0)*(CAST(j+1 AS DOUBLE)/128.0) - 1.0) ELSE (1.0/3.0)*(1.0 - 4.0*(1.0-(CAST(j+1 AS DOUBLE)/128.0))*(1.0-(CAST(j+1 AS DOUBLE)/128.0))) END AS v1
+  FROM grid),
+-- CCW corners k=0..3: (u0,v0) (u1,v0) (u1,v1) (u0,v1); one row per corner
+cor AS (
+  SELECT f, i, j, u0, u1, v0, v1, kk.k,
+         CASE f WHEN 0 THEN 1.0 WHEN 1 THEN -(CASE kk.k WHEN 0 THEN u0 WHEN 1 THEN u1 WHEN 2 THEN u1 ELSE u0 END) WHEN 2 THEN -(CASE kk.k WHEN 0 THEN u0 WHEN 1 THEN u1 WHEN 2 THEN u1 ELSE u0 END) WHEN 3 THEN -1.0 WHEN 4 THEN (CASE kk.k WHEN 0 THEN v0 WHEN 1 THEN v0 WHEN 2 THEN v1 ELSE v1 END) ELSE (CASE kk.k WHEN 0 THEN v0 WHEN 1 THEN v0 WHEN 2 THEN v1 ELSE v1 END) END AS xr,
+         CASE f WHEN 0 THEN (CASE kk.k WHEN 0 THEN u0 WHEN 1 THEN u1 WHEN 2 THEN u1 ELSE u0 END) WHEN 1 THEN 1.0 WHEN 2 THEN -(CASE kk.k WHEN 0 THEN v0 WHEN 1 THEN v0 WHEN 2 THEN v1 ELSE v1 END) WHEN 3 THEN -(CASE kk.k WHEN 0 THEN v0 WHEN 1 THEN v0 WHEN 2 THEN v1 ELSE v1 END) WHEN 4 THEN -1.0 ELSE (CASE kk.k WHEN 0 THEN u0 WHEN 1 THEN u1 WHEN 2 THEN u1 ELSE u0 END) END AS yr,
+         CASE f WHEN 0 THEN (CASE kk.k WHEN 0 THEN v0 WHEN 1 THEN v0 WHEN 2 THEN v1 ELSE v1 END) WHEN 1 THEN (CASE kk.k WHEN 0 THEN v0 WHEN 1 THEN v0 WHEN 2 THEN v1 ELSE v1 END) WHEN 2 THEN 1.0 WHEN 3 THEN -(CASE kk.k WHEN 0 THEN u0 WHEN 1 THEN u1 WHEN 2 THEN u1 ELSE u0 END) WHEN 4 THEN -(CASE kk.k WHEN 0 THEN u0 WHEN 1 THEN u1 WHEN 2 THEN u1 ELSE u0 END) ELSE -1.0 END AS zr
+  FROM uvb, range(4) kk(k)),
+corn AS (
+  SELECT f, i, j, u0, u1, v0, v1, k,
+         xr/sqrt(xr*xr+yr*yr+zr*zr) AS vx,
+         yr/sqrt(xr*xr+yr*yr+zr*zr) AS vy,
+         zr/sqrt(xr*xr+yr*yr+zr*zr) AS vz
+  FROM cor),
+-- vertex-in count per (cap, cell)
+vin AS (
+  SELECT k.g, c.f, c.i, c.j,
+         SUM(CASE WHEN (c.vx-k.cx)*(c.vx-k.cx)+(c.vy-k.cy)*(c.vy-k.cy)+(c.vz-k.cz)*(c.vz-k.cz) <= k.r2
+                  THEN 1 ELSE 0 END) AS nin
+  FROM corn c CROSS JOIN caps k
+  GROUP BY k.g, c.f, c.i, c.j),
+-- edges: pair corner k with corner (k+1)%4
+edg AS (
+  SELECT a.f, a.i, a.j, a.k,
+         a.vx AS x1, a.vy AS y1, a.vz AS z1,
+         b.vx AS x2, b.vy AS y2, b.vz AS z2,
+         a.vy*b.vz - a.vz*b.vy AS nx,
+         a.vz*b.vx - a.vx*b.vz AS ny,
+         a.vx*b.vy - a.vy*b.vx AS nz
+  FROM corn a JOIN corn b
+    ON b.f = a.f AND b.i = a.i AND b.j = a.j AND b.k = (a.k + 1) % 4),
+etest AS (
+  SELECT k.g, e.f, e.i, e.j,
+         BOOL_OR(k.cx*e.nx + k.cy*e.ny + k.cz*e.nz < 0
+                 AND (k.cx*e.nx + k.cy*e.ny + k.cz*e.nz)*(k.cx*e.nx + k.cy*e.ny + k.cz*e.nz)
+                     > k.s2a*(e.nx*e.nx + e.ny*e.ny + e.nz*e.nz)) AS any_far,
+         BOOL_OR(k.cx*e.nx + k.cy*e.ny + k.cz*e.nz <= 0
+                 AND (k.cx*e.nx + k.cy*e.ny + k.cz*e.nz)*(k.cx*e.nx + k.cy*e.ny + k.cz*e.nz)
+                     <= k.s2a*(e.nx*e.nx + e.ny*e.ny + e.nz*e.nz)
+                 AND (e.ny*k.cz - e.nz*k.cy)*e.x1 + (e.nz*k.cx - e.nx*k.cz)*e.y1 + (e.nx*k.cy - e.ny*k.cx)*e.z1 < 0
+                 AND (e.ny*k.cz - e.nz*k.cy)*e.x2 + (e.nz*k.cx - e.nx*k.cz)*e.y2 + (e.nx*k.cy - e.ny*k.cx)*e.z2 > 0) AS any_hit
+  FROM edg e CROSS JOIN caps k
+  GROUP BY k.g, e.f, e.i, e.j),
+-- center-in-cell
+cic AS (
+  SELECT k.g, u.f, u.i, u.j,
+         CASE u.f
+           WHEN 0 THEN k.cx > 0 AND k.cy/k.cx BETWEEN u.u0 AND u.u1 AND k.cz/k.cx BETWEEN u.v0 AND u.v1
+           WHEN 1 THEN k.cy > 0 AND -k.cx/k.cy BETWEEN u.u0 AND u.u1 AND k.cz/k.cy BETWEEN u.v0 AND u.v1
+           WHEN 2 THEN k.cz > 0 AND -k.cx/k.cz BETWEEN u.u0 AND u.u1 AND -k.cy/k.cz BETWEEN u.v0 AND u.v1
+           WHEN 3 THEN k.cx < 0 AND k.cz/k.cx BETWEEN u.u0 AND u.u1 AND k.cy/k.cx BETWEEN u.v0 AND u.v1
+           WHEN 4 THEN k.cy < 0 AND k.cz/k.cy BETWEEN u.u0 AND u.u1 AND -k.cx/k.cy BETWEEN u.v0 AND u.v1
+           ELSE        k.cz < 0 AND -k.cy/k.cz BETWEEN u.u0 AND u.u1 AND -k.cx/k.cz BETWEEN u.v0 AND u.v1
+         END AS cin
+  FROM uvb u CROSS JOIN caps k),
+mask AS MATERIALIZED (
+  SELECT v.g, v.f, v.i, v.j, v.nin = 4 AS interior
+  FROM vin v
+  JOIN etest e ON e.g = v.g AND e.f = v.f AND e.i = v.i AND e.j = v.j
+  JOIN cic c ON c.g = v.g AND c.f = v.f AND c.i = v.i AND c.j = v.j
+  WHERE v.nin > 0 OR c.cin OR (NOT e.any_far AND e.any_hit)),
+-- boundary half-edges, CCW (interior on the left); d: 0=R 1=U 2=L 3=D
+he0 AS (
+  SELECT m.g, m.f, m.i AS sx, m.j AS sy, m.i+1 AS ex, m.j AS ey, 0 AS d
+  FROM mask m WHERE NOT EXISTS (SELECT 1 FROM mask n WHERE n.g=m.g AND n.f=m.f AND n.i=m.i AND n.j=m.j-1)
+  UNION ALL
+  SELECT m.g, m.f, m.i+1, m.j, m.i+1, m.j+1, 1
+  FROM mask m WHERE NOT EXISTS (SELECT 1 FROM mask n WHERE n.g=m.g AND n.f=m.f AND n.i=m.i+1 AND n.j=m.j)
+  UNION ALL
+  SELECT m.g, m.f, m.i+1, m.j+1, m.i, m.j+1, 2
+  FROM mask m WHERE NOT EXISTS (SELECT 1 FROM mask n WHERE n.g=m.g AND n.f=m.f AND n.i=m.i AND n.j=m.j+1)
+  UNION ALL
+  SELECT m.g, m.f, m.i, m.j+1, m.i, m.j, 3
+  FROM mask m WHERE NOT EXISTS (SELECT 1 FROM mask n WHERE n.g=m.g AND n.f=m.f AND n.i=m.i-1 AND n.j=m.j)),
+he AS MATERIALIZED (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY g, f, sx, sy, d) AS eid FROM he0),
+-- successor: sharpest left turn first (left, straight, right)
+sm AS (
+  SELECT e.g, e.eid AS a, o.eid AS b, o.d AS od, e.d AS ed,
+         ROW_NUMBER() OVER (PARTITION BY e.eid ORDER BY p.pr) AS rn
+  FROM he e
+  JOIN (VALUES (0, 1), (1, 0), (2, 3)) p(pr, off)
+    ON TRUE
+  JOIN he o ON o.g = e.g AND o.f = e.f AND o.sx = e.ex AND o.sy = e.ey
+           AND o.d = (e.d + p.off) % 4),
+succ AS MATERIALIZED (SELECT g, a, b, od, ed FROM sm WHERE rn = 1),
+turns AS (
+  SELECT g, COUNT(*) FILTER (WHERE od <> ed) AS n_ring_vertices
+  FROM succ GROUP BY g),
+walk AS (
+  SELECT g, a, b FROM succ
+  UNION
+  SELECT w.g, w.a, s.b FROM walk w JOIN succ s ON s.g = w.g AND s.a = w.b),
+reps AS (
+  SELECT g, a, LEAST(a, MIN(b)) AS rep FROM walk GROUP BY g, a),
+nrings AS (
+  SELECT g, COUNT(DISTINCT rep) AS n_rings FROM reps GROUP BY g),
+counts AS (
+  SELECT g, COUNT(*) AS n_cells, COUNT(*) FILTER (WHERE interior) AS n_interior
+  FROM mask GROUP BY g)
+SELECT CAST(c.g AS BIGINT) AS geom_id, CAST(c.n_cells AS INT) AS n_cells,
+       CAST(c.n_interior AS INT) AS n_interior, CAST(r.n_rings AS INT) AS n_rings,
+       CAST(t.n_ring_vertices AS INT) AS n_ring_vertices
+FROM counts c JOIN nrings r ON r.g = c.g JOIN turns t ON t.g = c.g
+ORDER BY c.g""".replace("{cap_rows}", cap_rows())
+
+
 def _q_raster_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster<->vector round trip per cap: rasterize to a level-7 cell
-    mask, vectorize the mask back to boundary rings (rows-only; the
-    membership round trip is pinned in tests/test_raster.py)."""
+    mask, vectorize the mask back to boundary rings.  Oracle-checked:
+    the DuckDB twin replays the full chain (mask predicates over all
+    98k level-7 cells, boundary half-edge trace with left-turn ring
+    stitching, collinear simplification) — see _oracle_raster_vector.
+    Membership round trip additionally pinned in tests/test_raster.py."""
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -2912,5 +3055,6 @@ def oracle_sql() -> dict[str, str]:
         "q_polyline_simplify": _oracle_polyline_simplify(),
         "q_boolean_counts": _oracle_boolean_counts(),
         "q_boolean_areas": _oracle_boolean_areas(),
+        "q_raster_vector": _oracle_raster_vector(),
         "q_polygon_boolean_counts": _oracle_polygon_boolean_counts(),
     }
