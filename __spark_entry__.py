@@ -2656,6 +2656,43 @@ def _oracle_token_budget_sample() -> str:
     """
 
 
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language concat-and-chunk packing into 2048-token bins:
+    each document's token span and bin range in the shard stream."""
+    from geo_spark.operators.sampling import pack_sequences
+    from geo_spark.operators.text import with_quality
+
+    docs = with_quality(_t(spark, sf_dir, "documents"))
+    return pack_sequences(docs, 2048, "lang").select(
+        "doc_id", "lang", "start_tok", "end_tok", "start_bin", "end_bin"
+    ).orderBy("doc_id")
+
+
+def _oracle_pack_sequences() -> str:
+    return """
+        WITH toks AS (
+          SELECT doc_id, lang,
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE length(text) - length(replace(text, ' ', '')) + 1
+                 END AS n_tokens
+          FROM documents),
+        cums AS (
+          SELECT doc_id, lang, n_tokens,
+                 SUM(n_tokens) OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum
+          FROM toks)
+        SELECT doc_id, lang,
+               CAST(cum - n_tokens AS BIGINT) AS start_tok,
+               CAST(cum AS BIGINT) AS end_tok,
+               CAST(FLOOR((cum - n_tokens) / 2048.0) AS BIGINT) AS start_bin,
+               CAST(FLOOR((cum - 1) / 2048.0) AS BIGINT) AS end_bin
+        FROM cums WHERE n_tokens > 0
+        ORDER BY doc_id
+    """
+
+
 def _q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geo_spark.operators.text import (
         token_count_bpe_ish,
@@ -2995,6 +3032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_clusters": _q_dedup_clusters,
         "q_stratified_sample": _q_stratified_sample,
         "q_token_budget_sample": _q_token_budget_sample,
+        "q_pack_sequences": _q_pack_sequences,
         "q_hex_tile_counts": _q_hex_tile_counts,
         "q_interval_sweep": _q_interval_sweep,
         "q_tile_rollup": _q_tile_rollup,
@@ -3039,6 +3077,7 @@ def oracle_sql() -> dict[str, str]:
         "q_dedup_clusters": _oracle_dedup_clusters(),
         "q_stratified_sample": _oracle_stratified_sample(),
         "q_token_budget_sample": _oracle_token_budget_sample(),
+        "q_pack_sequences": _oracle_pack_sequences(),
         "q_doc_quality": _oracle_doc_quality(),
         "q_lang_guess": _oracle_lang_guess(),
         "q_cosine_topk": _oracle_cosine_topk(),

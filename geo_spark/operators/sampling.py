@@ -97,3 +97,42 @@ def token_budget_sample(
         .where(F.col("_cum") <= budget)
         .withColumnRenamed("_cum", "cum_tokens")
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int,
+    shard_col: str,
+    token_col: str = "n_tokens",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: within each shard, documents
+    are concatenated in deterministic ``md5(key)`` order and the token
+    stream is chunked into fixed ``seq_len`` windows — the standard
+    pretraining packing step.  Each document reports the half-open
+    token span it occupies and the bins it lands in; documents longer
+    than ``seq_len`` span multiple bins.
+
+    One running-sum window per shard (same shuffle shape as
+    :func:`token_budget_sample`).  Packing per *shard* rather than
+    globally is deliberate: a global token order would be a
+    single-partition window (a driver-shaped bottleneck at 100 TB),
+    while shards pack independently on executors and training readers
+    consume shards independently anyway.
+    """
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(*_order_cols(key))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(token_col)).over(w)
+    start = (cum - F.col(token_col)).alias("start_tok")
+    return docs.select(
+        key,
+        shard_col,
+        F.col(token_col),
+        start,
+        cum.alias("end_tok"),
+        F.floor((cum - F.col(token_col)) / seq_len).cast("long").alias("start_bin"),
+        F.floor((cum - 1) / seq_len).cast("long").alias("end_bin"),
+    ).where(F.col(token_col) > 0)

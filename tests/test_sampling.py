@@ -62,3 +62,24 @@ def test_token_budget_walk(spark):
         # cumulative totals strictly increase along the prefix
         cums = [r["cum_tokens"] for r in rows]
         assert cums == sorted(set(cums))
+
+
+def test_pack_sequences_stream_contract(spark):
+    from geo_spark.operators.text import with_quality
+    from geo_spark.operators.sampling import pack_sequences
+
+    docs = with_quality(_docs(spark))
+    out = pack_sequences(docs, 512, "lang").collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rows in by_lang.items():
+        rows.sort(key=lambda r: r["start_tok"])
+        # spans tile the stream with no gaps or overlaps
+        pos = 0
+        for r in rows:
+            assert r["start_tok"] == pos
+            assert r["end_tok"] == pos + r["n_tokens"]
+            assert r["start_bin"] == r["start_tok"] // 512
+            assert r["end_bin"] == (r["end_tok"] - 1) // 512
+            pos = r["end_tok"]
