@@ -2656,6 +2656,34 @@ def _oracle_token_budget_sample() -> str:
     """
 
 
+def _q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-conditional unigram NLL per document (CCNet-style
+    perplexity-filter shape); exact integer fixed-point so the DuckDB
+    twin matches bit for bit."""
+    from geo_spark.operators.text import unigram_nll
+
+    return unigram_nll(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def _oracle_unigram_nll() -> str:
+    return """
+        WITH words AS (
+          SELECT doc_id, w
+          FROM documents,
+               UNNEST(list_filter(string_split_regex(text, ' +'),
+                                  x -> length(x) > 0)) AS t(w)),
+        counts AS (SELECT w, count(*) AS cnt FROM words GROUP BY w),
+        tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS tot FROM counts),
+        logp AS (
+          SELECT w, CAST(FLOOR(ln(cnt / tot) * 1e6) AS BIGINT) AS lp
+          FROM counts, tot)
+        SELECT w2.doc_id, COUNT(*) AS n_words,
+               CAST(-SUM(l.lp) AS BIGINT) AS nll_x1e6
+        FROM words w2 JOIN logp l ON l.w = w2.w
+        GROUP BY w2.doc_id ORDER BY w2.doc_id
+    """
+
+
 def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language concat-and-chunk packing into 2048-token bins:
     each document's token span and bin range in the shard stream."""
@@ -3033,6 +3061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stratified_sample": _q_stratified_sample,
         "q_token_budget_sample": _q_token_budget_sample,
         "q_pack_sequences": _q_pack_sequences,
+        "q_unigram_nll": _q_unigram_nll,
         "q_hex_tile_counts": _q_hex_tile_counts,
         "q_interval_sweep": _q_interval_sweep,
         "q_tile_rollup": _q_tile_rollup,
@@ -3078,6 +3107,7 @@ def oracle_sql() -> dict[str, str]:
         "q_stratified_sample": _oracle_stratified_sample(),
         "q_token_budget_sample": _oracle_token_budget_sample(),
         "q_pack_sequences": _oracle_pack_sequences(),
+        "q_unigram_nll": _oracle_unigram_nll(),
         "q_doc_quality": _oracle_doc_quality(),
         "q_lang_guess": _oracle_lang_guess(),
         "q_cosine_topk": _oracle_cosine_topk(),

@@ -151,3 +151,39 @@ def token_count_bpe_ish(docs: DataFrame, text_col: str = "text") -> DataFrame:
             )
         ).cast("long"),
     )
+
+
+def unigram_nll(
+    docs: DataFrame, key: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-conditional quality score: per-document mean unigram
+    negative log-likelihood under the corpus's own word distribution —
+    the shape of CCNet-style LM-perplexity filtering, with the corpus
+    itself as the language model.  High scores flag documents whose
+    vocabulary is atypical for the corpus.
+
+    Two passes, both scale-clean: (1) global word counts (explode +
+    map-side-combined groupBy; vocabulary << corpus so the result is
+    broadcastable), (2) per-doc sum via a broadcast join.  Log terms
+    are fixed-pointed per *word* (floor(ln p x 1e6)) before summing so
+    the aggregate is an exact integer sum — invariant to partition
+    order, unlike a float sum.
+    """
+    words = docs.select(
+        F.col(key),
+        F.explode(F.split(F.col(text_col), " +")).alias("w"),
+    ).where(F.length("w") > 0)
+    counts = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("tot"))
+    logp = counts.crossJoin(F.broadcast(total)).select(
+        "w",
+        F.floor(F.log(F.col("cnt") / F.col("tot")) * 1e6).cast("long").alias("lp_x1e6"),
+    )
+    return (
+        words.join(F.broadcast(logp), "w")
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            (-F.sum("lp_x1e6")).alias("nll_x1e6"),
+        )
+    )

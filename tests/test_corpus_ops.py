@@ -339,3 +339,21 @@ class TestDedupClusters:
         got = dedup_clusters(pdf).collect()
         assert all(r["rep"] == 0 for r in got)
         assert len(got) == n + 1
+
+
+def test_unigram_nll_properties(spark):
+    """Common words score lower than rare ones; totals consistent."""
+    from geo_spark.operators.text import unigram_nll
+
+    docs = spark.createDataFrame(
+        [(1, "the the the the rare"), (2, "the the the the the")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in unigram_nll(docs).collect()}
+    assert rows[1]["n_words"] == 5 and rows[2]["n_words"] == 5
+    # doc 1 contains the rare word -> strictly higher NLL
+    assert rows[1]["nll_x1e6"] > rows[2]["nll_x1e6"]
+    import math
+    # doc 2: 5 * floor(ln(9/10)*1e6)... 'the' appears 9 of 10 words
+    lp_the = math.floor(math.log(9 / 10) * 1e6)
+    assert rows[2]["nll_x1e6"] == -5 * lp_the
