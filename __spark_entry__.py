@@ -3023,6 +3023,63 @@ def _oracle_knn_cities() -> str:
     """
 
 
+def _q_farthest_cities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 FARTHEST hot cities per event (max-distance targets): runs
+    the nearest-kNN machinery against the antipodal city set."""
+    from geo_spark.operators.geo_noise import with_geo_noise
+    from geo_spark.operators.knn import farthest_join
+    from geo_spark.sources.pages import HOT_CITIES
+
+    ev = with_geo_noise(_t(spark, sf_dir, "events"), "event_id")
+    cities = spark.createDataFrame(
+        [(int(i), float(la), float(ln)) for i, (la, ln) in enumerate(HOT_CITIES)],
+        "tid long, lat double, lng double",
+    )
+    return farthest_join(
+        ev, cities, k=3, point_key="event_id", target_key="tid"
+    ).orderBy("event_id", "rank")
+
+
+def _oracle_farthest_cities() -> str:
+    from geo_spark.operators.geo_noise import LAT_SQL, LNG_SQL
+    from geo_spark.sources.pages import HOT_CITIES
+
+    lat = LAT_SQL.format(id="event_id")
+    lng = LNG_SQL.format(id="event_id")
+    # antipodal cities, via the same float expressions the operator uses
+    cities = ", ".join(
+        "({i}, {la!r}, {ln!r})".format(i=i, la=float(la), ln=float(ln))
+        for i, (la, ln) in enumerate(HOT_CITIES)
+    )
+    return f"""
+        WITH pts AS (SELECT event_id, {lat} AS lat, {lng} AS lng FROM events),
+        xyz AS (SELECT event_id,
+                       cos(radians(lng))*cos(radians(lat)) AS x,
+                       sin(radians(lng))*cos(radians(lat)) AS y,
+                       sin(radians(lat)) AS z
+                FROM pts),
+        tg0(tid, tla, tln) AS (VALUES {cities}),
+        tg AS (SELECT tid, -tla AS ala,
+                      ((tln + 360.0) % 360.0) - 180.0 AS aln
+               FROM tg0),
+        txyz AS (SELECT tid,
+                        cos(radians(aln))*cos(radians(ala)) AS tx,
+                        sin(radians(aln))*cos(radians(ala)) AS ty,
+                        sin(radians(ala)) AS tz
+                 FROM tg),
+        d AS (SELECT event_id, tid,
+                     least((x-tx)*(x-tx) + (y-ty)*(y-ty) + (z-tz)*(z-tz), 4.0)
+                         AS chord2
+              FROM xyz, txyz),
+        r AS (SELECT event_id, tid,
+                     row_number() OVER (PARTITION BY event_id
+                                        ORDER BY chord2, tid) AS rk
+              FROM d)
+        SELECT event_id, tid, CAST(rk AS INT) AS rank
+        FROM r WHERE rk <= 3 ORDER BY event_id, rank
+    """
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3062,6 +3119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_budget_sample": _q_token_budget_sample,
         "q_pack_sequences": _q_pack_sequences,
         "q_unigram_nll": _q_unigram_nll,
+        "q_farthest_cities": _q_farthest_cities,
         "q_hex_tile_counts": _q_hex_tile_counts,
         "q_interval_sweep": _q_interval_sweep,
         "q_tile_rollup": _q_tile_rollup,
@@ -3108,6 +3166,7 @@ def oracle_sql() -> dict[str, str]:
         "q_token_budget_sample": _oracle_token_budget_sample(),
         "q_pack_sequences": _oracle_pack_sequences(),
         "q_unigram_nll": _oracle_unigram_nll(),
+        "q_farthest_cities": _oracle_farthest_cities(),
         "q_doc_quality": _oracle_doc_quality(),
         "q_lang_guess": _oracle_lang_guess(),
         "q_cosine_topk": _oracle_cosine_topk(),

@@ -439,3 +439,37 @@ def knn_regions(
             )
 
     return src.mapInPandas(fn, schema)
+
+
+def farthest_join(
+    points: DataFrame,
+    targets: DataFrame,
+    k: int,
+    point_key: str = "pid",
+    target_key: str = "tid",
+    latlng: tuple[str, str] = ("lat", "lng"),
+    target_latlng: tuple[str, str] | None = None,
+    **kwargs,
+) -> DataFrame:
+    """Top-k FARTHEST targets per point (the FurthestEdgeQuery analog,
+    s2/edge_query.go max-distance targets): max distance to t equals
+    pi minus min distance to t's antipode, so the whole nearest-kNN
+    machinery — brute GEMM path and the ring-expansion scale path —
+    runs unchanged against the antipodal target set.  Rank 1 is the
+    farthest; ties break by target key (ascending), matching the
+    reference's deterministic result ordering."""
+    t_latlng = target_latlng or latlng
+    tla, tln = t_latlng
+    anti = targets.withColumn(tla, -F.col(tla)).withColumn(
+        tln, ((F.col(tln) + 360.0) % 360.0) - 180.0
+    )
+    return knn_join(
+        points,
+        anti,
+        k,
+        point_key=point_key,
+        target_key=target_key,
+        latlng=latlng,
+        target_latlng=t_latlng,
+        **kwargs,
+    )

@@ -137,3 +137,36 @@ def test_ring_straggler_switch(spark):
     }
     assert got == _numpy_oracle(plat, plng, tlat, tlng, k)
     assert any("straggler_brute" in s for s in stats)
+
+
+def test_farthest_join_is_reverse_order(spark):
+    """farthest_join rank 1 is the true max-distance target (numpy
+    differential), and farthest(k=T) reverses nearest(k=T) modulo the
+    shared tie rule."""
+    import numpy as np
+
+    from geo_spark.kernel import cellid as ck
+    from geo_spark.operators.knn import farthest_join
+
+    rng = np.random.default_rng(17)
+    pts = [(int(i), float(la), float(ln)) for i, (la, ln) in
+           enumerate(zip(rng.uniform(-80, 80, 40), rng.uniform(-179, 179, 40)))]
+    tgs = [(int(i), float(la), float(ln)) for i, (la, ln) in
+           enumerate(zip(rng.uniform(-80, 80, 25), rng.uniform(-179, 179, 25)))]
+    pdf = spark.createDataFrame(pts, "pid long, lat double, lng double")
+    tdf = spark.createDataFrame(tgs, "tid long, lat double, lng double")
+    got = {}
+    for r in farthest_join(pdf, tdf, k=3).collect():
+        got.setdefault(r["pid"], {})[r["rank"]] = r["tid"]
+
+    px, py, pz = ck.latlng_to_xyz(
+        np.array([p[1] for p in pts]), np.array([p[2] for p in pts]))
+    tx, ty, tz = ck.latlng_to_xyz(
+        np.array([t[1] for t in tgs]), np.array([t[2] for t in tgs]))
+    P = np.stack([px, py, pz], axis=1)
+    T = np.stack([tx, ty, tz], axis=1)
+    d = ((P[:, None, :] - T[None, :, :]) ** 2).sum(axis=2)
+    for i, (pid, _, _) in enumerate(pts):
+        order = np.lexsort((np.arange(len(tgs)), -d[i]))
+        assert got[pid][1] == int(order[0])
+        assert [got[pid][r] for r in (1, 2, 3)] == [int(t) for t in order[:3]]
