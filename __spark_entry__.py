@@ -2721,6 +2721,93 @@ def _oracle_pack_sequences() -> str:
     """
 
 
+def _q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data pipeline composed end to end, oracle-
+    checked as one query: near-dup cluster survivors (connected
+    components over the exact-Jaccard pair graph, keep the min doc per
+    cluster) -> quality floor (>= 30 whitespace tokens) -> per-language
+    quota sample (25 by md5 order) -> 1024-token concat-and-chunk
+    packing.  Every stage is an already-oracled operator; this query
+    certifies their *composition* (the ordering/threshold interactions
+    between stages)."""
+    from geo_spark.operators.dedup import dedup_clusters, ngram_jaccard_pairs
+    from geo_spark.operators.sampling import pack_sequences, stratified_sample
+    from geo_spark.operators.text import with_quality
+
+    docs = _t(spark, sf_dir, "documents")
+    reps = dedup_clusters(ngram_jaccard_pairs(docs, n=8, threshold=0.3), docs=docs)
+    survivors = docs.join(
+        reps.where(F.col("doc_id") == F.col("rep")).select("doc_id"), "doc_id"
+    )
+    good = with_quality(survivors).where(F.col("n_tokens") >= 30)
+    sample = stratified_sample(good, "lang", 25)
+    return (
+        pack_sequences(sample, 1024, "lang")
+        .select("doc_id", "lang", "n_tokens", "start_tok", "end_tok", "start_bin", "end_bin")
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_corpus_pipeline() -> str:
+    return """
+        WITH RECURSIVE sh AS (
+          SELECT DISTINCT doc_id, s
+          FROM documents,
+               UNNEST(list_transform(range(1, greatest(length(text)-7, 1)+1),
+                                     i -> substr(text, i, 8))) AS t(s)
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        jp AS (
+          SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT da, db FROM jp
+          JOIN sizes sa ON sa.doc_id = da
+          JOIN sizes sb ON sb.doc_id = db
+          WHERE CAST(shared AS DOUBLE)/(sa.n + sb.n - shared) >= 0.3),
+        e AS (SELECT da AS u, db AS v FROM pairs
+              UNION SELECT db, da FROM pairs),
+        reach(u, v) AS (
+          SELECT u, v FROM e
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+        comp AS (SELECT u AS id, least(u, MIN(v)) AS rep FROM reach GROUP BY u),
+        surv AS (
+          SELECT d.* FROM documents d
+          LEFT JOIN comp c ON c.id = d.doc_id
+          WHERE COALESCE(c.rep, d.doc_id) = d.doc_id),
+        toks AS (
+          SELECT doc_id, lang,
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE length(text) - length(replace(text, ' ', '')) + 1
+                 END AS n_tokens
+          FROM surv),
+        good AS (SELECT * FROM toks WHERE n_tokens >= 30),
+        samp AS (
+          SELECT doc_id, lang, n_tokens
+          FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY lang
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+                FROM good)
+          WHERE rn <= 25),
+        packed AS (
+          SELECT doc_id, lang, n_tokens,
+                 SUM(n_tokens) OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum
+          FROM samp)
+        SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(cum - n_tokens AS BIGINT) AS start_tok,
+               CAST(cum AS BIGINT) AS end_tok,
+               CAST(FLOOR((cum - n_tokens) / 1024.0) AS BIGINT) AS start_bin,
+               CAST(FLOOR((cum - 1) / 1024.0) AS BIGINT) AS end_bin
+        FROM packed WHERE n_tokens > 0
+        ORDER BY doc_id
+    """
+
+
 def _q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geo_spark.operators.text import (
         token_count_bpe_ish,
@@ -3120,6 +3207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_sequences": _q_pack_sequences,
         "q_unigram_nll": _q_unigram_nll,
         "q_farthest_cities": _q_farthest_cities,
+        "q_corpus_pipeline": _q_corpus_pipeline,
         "q_hex_tile_counts": _q_hex_tile_counts,
         "q_interval_sweep": _q_interval_sweep,
         "q_tile_rollup": _q_tile_rollup,
@@ -3167,6 +3255,7 @@ def oracle_sql() -> dict[str, str]:
         "q_pack_sequences": _oracle_pack_sequences(),
         "q_unigram_nll": _oracle_unigram_nll(),
         "q_farthest_cities": _oracle_farthest_cities(),
+        "q_corpus_pipeline": _oracle_corpus_pipeline(),
         "q_doc_quality": _oracle_doc_quality(),
         "q_lang_guess": _oracle_lang_guess(),
         "q_cosine_topk": _oracle_cosine_topk(),
