@@ -2729,7 +2729,10 @@ def _q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     quota sample (25 by md5 order) -> 1024-token concat-and-chunk
     packing.  Every stage is an already-oracled operator; this query
     certifies their *composition* (the ordering/threshold interactions
-    between stages)."""
+    between stages).  Scale note: the pair stage here is the exact
+    n-gram join (the oracle-expressible ground-truth tier); the 100 TB
+    deployment swaps in minhash_lsh_pairs for candidate generation —
+    same downstream stages, same (da, db) contract."""
     from geo_spark.operators.dedup import dedup_clusters, ngram_jaccard_pairs
     from geo_spark.operators.sampling import pack_sequences, stratified_sample
     from geo_spark.operators.text import with_quality
