@@ -357,3 +357,38 @@ def test_unigram_nll_properties(spark):
     # doc 2: 5 * floor(ln(9/10)*1e6)... 'the' appears 9 of 10 words
     lp_the = math.floor(math.log(9 / 10) * 1e6)
     assert rows[2]["nll_x1e6"] == -5 * lp_the
+
+
+def test_random_graphs_match_union_find(spark):
+    """Three random graphs in disjoint id spaces, resolved in ONE
+    operator call (components never cross the spaces)."""
+    import numpy as np
+
+    from geo_spark.operators.dedup import dedup_clusters
+
+    rng = np.random.default_rng(23)
+    pairs, ids = [], []
+    for block in range(3):
+        base = block * 1000
+        n = int(rng.integers(8, 20))
+        ids += [base + i for i in range(n)]
+        for _ in range(int(rng.integers(4, 15))):
+            a, b = rng.integers(0, n, 2)
+            if a != b:
+                pairs.append((base + int(min(a, b)), base + int(max(a, b))))
+    pdf = spark.createDataFrame(pairs, "da long, db long")
+    ddf = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r["doc_id"]: r["rep"] for r in dedup_clusters(pdf, docs=ddf).collect()}
+
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    assert got == {i: find(i) for i in ids}
