@@ -2064,6 +2064,23 @@ def _polygon_bool_fixtures():
         for op in ("union", "intersection", "difference"):
             pid += 1
             out.append((pid, op, a_rings, b_rings))
+    # shared-vertex seams (round-2 fuzz regression class): B's shell is an
+    # octagon inscribed in the SAME circle as A's hexagonal hole — they
+    # share the angle-0 and angle-pi vertices exactly (float-identical),
+    # touching without crossing; the overlay must classify the tangent
+    # junctions without emitting self-touching rings.
+    for la, ln in _BOOL_CITIES:
+        a_rings = [
+            ("a_shell", regular_loop_vertices(la, ln, 0.03, 24)),
+            ("a_hole", regular_loop_vertices(la, ln, 0.012, 6)),
+        ]
+        b_rings = [
+            ("b_shell", regular_loop_vertices(la, ln, 0.012, 8)),
+            ("b_hole", regular_loop_vertices(la, ln, 0.003, 12)),
+        ]
+        for op in ("union", "intersection", "difference"):
+            pid += 1
+            out.append((pid, op, a_rings, b_rings))
     return out
 
 

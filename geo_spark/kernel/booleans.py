@@ -124,7 +124,16 @@ def _arc_midpoint(arc: list[np.ndarray]) -> np.ndarray:
 
 
 def _stitch(arcs: list[tuple[list[np.ndarray], tuple, tuple]]) -> list[np.ndarray]:
-    """Join arcs end-key -> start-key into closed loops."""
+    """Join arcs end-key -> start-key into closed loops.
+
+    A junction where ≥2 arcs end and ≥2 start (a shared vertex that is a
+    VertexCrossing of the two boundaries) makes the pairing ambiguous;
+    any choice closes the same point set into rings, but may thread two
+    lobes into one self-touching "bowtie" ring.  Bowties break the
+    XOR-parity contract (origin_inside of a self-touching ring is
+    ill-defined), so after assembly every ring is split at repeated
+    vertices back into simple loops — parity membership is invariant
+    under that split."""
     by_start: dict[tuple, list[int]] = {}
     for i, arc in enumerate(arcs):
         by_start.setdefault(arc[1], []).append(i)
@@ -141,8 +150,29 @@ def _stitch(arcs: list[tuple[list[np.ndarray], tuple, tuple]]) -> list[np.ndarra
             candidates = [j for j in by_start.get(arcs[i][2], []) if j not in used]
             i = candidates[0] if candidates else None
         if len(ring) >= 3:
-            loops.append(_dedup_ring(np.array(ring)))
+            for simple in _split_at_repeats(_dedup_ring(np.array(ring))):
+                loops.append(simple)
     return [r for r in loops if len(r) >= 3]
+
+
+def _split_at_repeats(ring: np.ndarray) -> list[np.ndarray]:
+    """Split a closed ring at any vertex that occurs more than once into
+    simple sub-rings (same total parity membership)."""
+    keys = [_key(p) for p in ring]
+    seen: dict[tuple, int] = {}
+    for i, k in enumerate(keys):
+        if k in seen:
+            j = seen[k]
+            lobe = ring[j:i]
+            rest = np.concatenate([ring[:j], ring[i:]])
+            out = []
+            if len(lobe) >= 3:
+                out.extend(_split_at_repeats(lobe))
+            if len(rest) >= 3:
+                out.extend(_split_at_repeats(rest))
+            return out
+        seen[k] = i
+    return [ring] if len(ring) >= 3 else []
 
 
 def _dedup_ring(ring: np.ndarray) -> np.ndarray:

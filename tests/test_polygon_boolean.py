@@ -73,6 +73,20 @@ CASES = {
     "plug_hole": ([_sq(-6, 6, -6, 6), _sq(-2, 2, -2, 2)], [_sq(-2, 2, -2, 2)]),
     # partial collinear overlap on A's boundary
     "partial_seam": ([_sq(-6, 6, -6, 6)], [_sq(-2, 2, 6, 10)]),
+    # pinned round-2 fuzz counterexample: B octagon inscribed in the same
+    # circle as A's hexagonal hole — shares two exact vertices with it and
+    # crosses transversally near the hexagon's other vertices; the stitch
+    # junction at the shared vertices used to emit self-touching bowtie
+    # rings (now split by _split_at_repeats)
+    "shared_vertex_hole": (
+        [_ring(0, 0, 6.0, 6), _ring(0, 0, 2.0, 6)],
+        [_ring(0, 0, 2.0, 8)],
+    ),
+    # same-circle hexagon hole vs dodecagon (shares all six hole vertices)
+    "shared_six_vertices": (
+        [_ring(0, 0, 6.0, 6), _ring(0, 0, 2.0, 6)],
+        [_ring(0, 0, 2.0, 12)],
+    ),
 }
 
 
