@@ -2374,7 +2374,7 @@ def _q_raster_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_hex_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Events -> H3-compatible aperture-7 hex tiles (res 3) -> counts.
+    """Events -> H3-style aperture-7 hex tiles (res 3) -> counts.
     Oracle-checked: the DuckDB twin replays the whole icosahedral
     chain in SQL — 20-face argmax, gnomonic projection, Class-II/III
     rotation, cube rounding, and the center-re-encode canonicalization

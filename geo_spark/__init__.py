@@ -2,7 +2,7 @@
 
 Built from scratch against the semantics of akhenakh/geo (the Go port of the
 S2 spherical-geometry library): cell-id Hilbert encoding, region coverings,
-point-in-polygon joins, kNN via cell-ring expansion, and H3-compatible tiling
+point-in-polygon joins, kNN via cell-ring expansion, and H3-style tiling
 — all expressed as DataFrame plans with vectorized pandas/Arrow UDF kernels.
 """
 

@@ -1,4 +1,4 @@
-"""Pandas UDFs for the H3-compatible hex tiling (kernel/hexgrid.py)."""
+"""Pandas UDFs for the H3-style hex tiling (kernel/hexgrid.py)."""
 
 from __future__ import annotations
 

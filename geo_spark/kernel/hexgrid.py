@@ -1,4 +1,4 @@
-"""H3-compatible hexagonal tiling: aperture-7 hex hierarchy on an
+"""H3-style hexagonal tiling: aperture-7 hex hierarchy on an
 icosahedron (vectorized numpy).
 
 Implements the published H3 *algorithm shape* — gnomonic projection onto
@@ -15,7 +15,8 @@ H3's face table; every downstream operator (tiling, rollups, joins) is
 id-agnostic.
 
 Reference analog: the reference library is S2-only; this satisfies the
-north star's "H3-compatible tiling" as the second tiling system.
+north star's hex-tiling requirement as the second tiling system (H3-style:
+engine-canonical ids, NOT H3-token interoperable).
 """
 
 from __future__ import annotations
