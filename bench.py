@@ -234,10 +234,16 @@ def main() -> None:
 
     # Warm-up: Python-worker imports + JIT are per-deployment costs, not
     # per-job throughput; steady state is the number a cluster sustains.
+    # Flagship metric: best of THREE timed runs with the spread recorded
+    # (this shared VM's burst windows vary identical runs up to 3x,
+    # BASELINE.md §5 — the spread makes the noise floor visible).
     run_pages_pipeline(spark, pages_path)
-    t0 = time.monotonic()
-    n_tiles = run_pages_pipeline(spark, pages_path)
-    dt = time.monotonic() - t0
+    flagship_runs = []
+    for _ in range(3):
+        t0 = time.monotonic()
+        n_tiles = run_pages_pipeline(spark, pages_path)
+        flagship_runs.append(round(time.monotonic() - t0, 3))
+    dt = min(flagship_runs)
     timings["pages_pipeline"] = round(dt, 3)
     pages_per_sec = round(n_pages / dt, 1)
 
@@ -315,6 +321,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "pages_per_sec": pages_per_sec,
+                "pages_pipeline_runs": flagship_runs,
                 "n_pages": n_pages,
                 "n_tiles": n_tiles,
                 "pip_join_rows": n_join,

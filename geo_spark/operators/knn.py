@@ -190,6 +190,30 @@ def _resolve_tie_runs(pts, chord2, order, topk, kk, tmat, tids):
     return topk
 
 
+def _dedup_topk(df: DataFrame, point_key: str, target_key: str, k: int) -> DataFrame:
+    """Per-point top-k with (point, target) dedup in ONE exchange.
+
+    A duplicate (point, target) pair always carries a bitwise-identical
+    chord2 (same SQL expression over the same column values), so in the
+    per-point (chord2, target) sort duplicates are adjacent: a lag-filter
+    removes them inside the same window pass, and the rank window reuses
+    the exchange+sort (Catalyst sees the filter preserves the child
+    ordering) — versus dropDuplicates + window, which shuffles twice."""
+    w = Window.partitionBy(point_key).orderBy("chord2", target_key)
+    return (
+        df.withColumn("_pt", F.lag(target_key).over(w))
+        .withColumn("_pc", F.lag("chord2").over(w))
+        .where(
+            F.col("_pt").isNull()
+            | (F.col("_pt") != F.col(target_key))
+            | (F.col("_pc") != F.col("chord2"))
+        )
+        .drop("_pt", "_pc")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def _expand_ring(ring: DataFrame) -> DataFrame:
     """(pcell, rcell) ring rows -> the 8-neighborhood of every ring cell,
     vectorized over whole Arrow batches (all_neighbors_same_level)."""
@@ -271,21 +295,30 @@ def _knn_ring(
     )
 
     frontier = pts
-    # hop-0 ring: every occupied point-cell maps to itself
+    # Initial ring = hops {0,1}: the occupied point-cells plus their full
+    # 8-neighborhoods.  Hop 0 alone can never finish a point (its unseen-
+    # ring lower bound is 0), so gathering it separately would spend one
+    # whole synchronized round with no terminations; starting at hops
+    # {0,1} saves that round while the hop-(r+1) advance below stays
+    # valid (neighbors(hops<=1) minus seen = exactly hop 2).
+    ring0 = pts.select("pcell").distinct().withColumn("rcell", F.col("pcell"))
     ring = (
-        pts.select("pcell").distinct().withColumn("rcell", F.col("pcell"))
-        .localCheckpoint()
+        ring0.unionByName(_expand_ring(ring0)).distinct().localCheckpoint()
     )
     prev_ring: DataFrame | None = None
     active_best: DataFrame | None = None
     done_parts: list[DataFrame] = []
-    w = Window.partitionBy(point_key).orderBy("chord2", target_key)
     min_width = metric.MIN_WIDTH.value(level)
+    # frontier size is tracked arithmetically (it only shrinks by the
+    # done-key subtraction) so the loop never re-counts it: one driver
+    # action per round (done_keys.count) instead of three.
+    n_front = pts.count()
 
     import time as _time
 
     for r in range(max_rounds):
         _t0 = _time.time()
+        hop = r + 1  # highest hop gathered after this round's join
         cand = (
             frontier.join(ring, "pcell")
             .join(tg, F.col("rcell") == F.col("tcell"))
@@ -293,21 +326,22 @@ def _knn_ring(
             .select(point_key, target_key, "chord2")
         )
         merged = cand if active_best is None else active_best.unionByName(cand)
-        # dropDuplicates: at cube corners the clamped cross-face wrap makes
-        # the neighbor relation asymmetric, so a cell can re-enter a later
-        # ring and re-emit a (point, target) pair — a duplicate would eat a
-        # top-k slot and evict a true neighbor.
+        # dedup within the rank pass: at cube corners the clamped
+        # cross-face wrap makes the neighbor relation asymmetric, so a
+        # cell can re-enter a later ring and re-emit a (point, target)
+        # pair — a duplicate would eat a top-k slot and evict a true
+        # neighbor.
         active_best = (
-            merged.dropDuplicates([point_key, target_key])
-            .withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
+            _dedup_topk(merged, point_key, target_key, k)
             .drop("rank")
             .localCheckpoint()  # eager: materializes + truncates lineage
         )
 
         # Termination: a point is done once it has k results and the k-th
-        # distance is within the unseen-ring lower bound r*MinWidth(level).
-        bound2 = chord2_from_angle(r * min_width) if r > 0 else -1.0
+        # distance is within the unseen-ring lower bound hop*MinWidth(level)
+        # (unseen cells are at hop distance > hop, hence at least hop full
+        # cell widths away).
+        bound2 = chord2_from_angle(hop * min_width)
         per_point = active_best.groupBy(point_key).agg(
             F.count(F.lit(1)).alias("_n"), F.max("chord2").alias("_kth")
         )
@@ -316,22 +350,17 @@ def _knn_ring(
             .select(point_key)
             .localCheckpoint()
         )
-        n_front = frontier.count()
-        if done_keys.count() > 0:
-            done_parts.append(
-                active_best.join(done_keys, point_key, "semi").localCheckpoint()
-            )
-            active_best = active_best.join(
-                done_keys, point_key, "left_anti"
-            ).localCheckpoint()
-            new_frontier = frontier.join(
-                done_keys, point_key, "left_anti"
-            ).localCheckpoint()
-            if frontier is not pts:
-                frontier.unpersist()
-            frontier = new_frontier
-            n_front = frontier.count()
-            if n_front == 0:
+        n_done = done_keys.count()
+        if n_done > 0:
+            # done_parts / the shrunken active_best / frontier are all
+            # single flat joins off checkpointed frames — leave them lazy
+            # (no checkpoint barrier); the next round's window job or the
+            # final union computes them exactly once where needed.
+            done_parts.append(active_best.join(done_keys, point_key, "semi"))
+            active_best = active_best.join(done_keys, point_key, "left_anti")
+            frontier = frontier.join(done_keys, point_key, "left_anti")
+            n_front -= n_done
+            if n_front <= 0:
                 if stats is not None:
                     stats.append({"round": r, "sec": round(_time.time() - _t0, 3)})
                 break
@@ -384,11 +413,8 @@ def _knn_ring(
     out = active_best
     for part in done_parts:
         out = out.unionByName(part)
-    return (
-        out.dropDuplicates([point_key, target_key])
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(point_key, target_key, F.col("rank").cast("int").alias("rank"))
+    return _dedup_topk(out, point_key, target_key, k).select(
+        point_key, target_key, F.col("rank").cast("int").alias("rank")
     )
 
 
