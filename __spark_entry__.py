@@ -810,10 +810,14 @@ def _oracle_trail_pair_distance() -> str:
     """
 
 
-# Rects for the Hausdorff contract query: all longitudes within [0, 80]
-# degrees (non-wrapped, pairwise lng Hausdorff < 90), so the circular-
-# interval term collapses to the linear formula and the lat-edge case
-# analysis stays in the lngDiff <= pi/2 branch the oracle re-derives.
+# Rects for the Hausdorff contract query.  Ids 1-8 are the round-2
+# moderate family; 9-15 (round 3) add the exotic configurations of
+# SURVEY §8.1 #4 — antimeridian-crossing lng intervals (lo > hi wraps),
+# pole-touching/pole-adjacent lat bands, full-lng polar caps, a
+# near-full equatorial band, and a degenerate pole point — so the
+# oracle replays the FULL reference case analysis (S1 circular-interval
+# Hausdorff with wrap, s1/interval.go:416-447, plus the lngDiff > pi/2
+# bisector / interior-maximum branches, s2/rect.go:527-646).
 _HAUS_RECTS = [
     (1, 10.0, 10.0, 30.0, 40.0),
     (2, 15.0, 20.0, 25.0, 30.0),  # contained in 1
@@ -823,6 +827,13 @@ _HAUS_RECTS = [
     (6, 40.0, 60.0, 60.0, 75.0),
     (7, 5.0, 12.0, 6.0, 13.0),  # small
     (8, -45.0, 33.0, -40.0, 47.0),
+    (9, 10.0, 170.0, 30.0, -170.0),  # antimeridian-crossing, mid-lat
+    (10, 80.0, -30.0, 90.0, 30.0),  # north-pole-touching
+    (11, 75.0, 160.0, 89.0, -160.0),  # pole-adjacent AND antimeridian
+    (12, 70.0, -180.0, 90.0, 180.0),  # full-lng polar cap band
+    (13, -90.0, -180.0, -85.0, 180.0),  # full-lng south-pole band
+    (14, -5.0, -170.0, 5.0, 170.0),  # near-full (340 deg) equatorial band
+    (15, 90.0, 17.0, 90.0, 17.0),  # degenerate point at the north pole
 ]
 
 
@@ -880,6 +891,13 @@ def _q_rect_hausdorff_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_rect_hausdorff_buckets() -> str:
+    """Full-chain SQL twin of rect_directed_hausdorff: the S1
+    circular-interval directed Hausdorff with wrap/full/singleton
+    semantics (s1/interval.go:416-447), then the meridian-edge Voronoi
+    case analysis including the lngDiff > pi/2 bisector and
+    interior-maximum branches (s2/rect.go:527-646).  Every step is the
+    kernel formula transliterated over scalar columns; buckets at 0.02
+    rad absorb libm ulp differences between numpy and DuckDB."""
     import math
 
     rows = ", ".join(
@@ -887,11 +905,36 @@ def _oracle_rect_hausdorff_buckets() -> str:
         f"{math.radians(ln0)!r}, {math.radians(ln1)!r})"
         for g, la0, ln0, la1, ln1 in _HAUS_RECTS
     )
-    # point-to-meridian-segment angular distance: point (plat, lng 0),
-    # segment spanning [blo, bhi] at longitude d — the same wedge /
-    # endpoint CASE as the trail oracle, inlined over scalar columns
+
+    def norm(p):
+        # S1Interval.contains normalizes -pi -> pi before the test
+        return f"(CASE WHEN {p} = -pi() THEN pi() ELSE {p} END)"
+
+    def s1_contains(lo, hi, p):
+        pn = norm(p)
+        return (
+            f"(CASE WHEN {lo} > {hi} THEN ({pn} >= {lo} OR {pn} <= {hi}) "
+            f"ELSE ({lo} <= {pn} AND {pn} <= {hi}) END)"
+        )
+
+    def pd(a, b):
+        # _positive_distance along the circle (s1/interval.go:72-76)
+        return (
+            f"(CASE WHEN {b} - {a} >= 0 THEN {b} - {a} "
+            f"ELSE ({b} + pi()) - ({a} - pi()) END)"
+        )
+
+    def clamp(v):
+        return f"least(1.0, greatest(-1.0, {v}))"
+
+    # point-to-meridian-segment angular distance (same wedge CASE as the
+    # trail oracle) with a degenerate-segment guard (B's lat interval a
+    # single point -> endpoint distance)
     seg = """
-        CASE WHEN ((bay*pz - baz*py)*nx + (baz*px - bax*pz)*ny
+        CASE WHEN bax = bbx AND bay = bby AND baz = bbz
+             THEN 2.0 * asin(0.5 * sqrt(least(4.0,
+                  (px-bax)*(px-bax) + (py-bay)*(py-bay) + (pz-baz)*(pz-baz))))
+             WHEN ((bay*pz - baz*py)*nx + (baz*px - bax*pz)*ny
                    + (bax*py - bay*px)*nz) >= 0
               AND ((py*bbz - pz*bby)*nx + (pz*bbx - px*bbz)*ny
                    + (px*bby - py*bbx)*nz) >= 0
@@ -904,46 +947,132 @@ def _oracle_rect_hausdorff_buckets() -> str:
                   (px-bbx)*(px-bbx) + (py-bby)*(py-bby) + (pz-bbz)*(pz-bbz)))))
         END
     """
+
+    # _interior_max_distance over a sub-interval [lo, hi] of A's lat with
+    # B endpoint (bx, *, bz): zero contribution unless the meridian's
+    # farthest point from b lies strictly inside the sub-interval; the
+    # distance there simplifies to acos(-sqrt(bx^2 + bz^2))
+    def interior(lo, hi, bx, bz):
+        nrm = f"sqrt({bx}*{bx} + {bz}*{bz})"
+        latp = f"asin({clamp(f'-{bz} / {nrm}')})"
+        return f"""
+        (CASE WHEN {lo} > {hi} OR {bx} >= 0 THEN 0.0
+              WHEN {lo} < {latp} AND {latp} < {hi}
+              THEN acos({clamp(f'-{nrm}')})
+              ELSE 0.0 END)
+        """
+
     return f"""
         WITH rects(g, lat_lo, lat_hi, lng_lo, lng_hi) AS (VALUES {rows}),
         pairs AS (
           SELECT a.g AS ga, b.g AS gb,
                  a.lat_lo AS ala, a.lat_hi AS ahi,
-                 b.lat_lo AS bla, b.lat_hi AS bhi_lat,
-                 GREATEST(0.0, a.lng_hi - b.lng_hi, b.lng_lo - a.lng_lo) AS d
+                 a.lng_lo AS ilo, a.lng_hi AS ihi,
+                 b.lat_lo AS bla, b.lat_hi AS bhi,
+                 b.lng_lo AS ylo, b.lng_hi AS yhi
           FROM rects a, rects b WHERE a.g <> b.g),
+        -- S1 directed Hausdorff h(i=a.lng, y=b.lng) with wrap
+        s1a AS (
+          SELECT *,
+                 -- complement center of y (singleton -> antipode)
+                 CASE WHEN ylo <> yhi THEN
+                        CASE WHEN ylo > yhi THEN 0.5*(ylo + yhi)
+                             ELSE CASE WHEN 0.5*(ylo + yhi) <= 0
+                                       THEN 0.5*(ylo + yhi) + pi()
+                                       ELSE 0.5*(ylo + yhi) - pi() END END
+                      ELSE CASE WHEN yhi <= 0 THEN yhi + pi()
+                                ELSE yhi - pi() END END AS ycc
+          FROM pairs),
+        s1b AS (
+          SELECT *,
+                 CASE WHEN ylo > yhi THEN
+                        CASE WHEN ilo > ihi THEN (ilo >= ylo AND ihi <= yhi)
+                             ELSE (ilo >= ylo OR ihi <= yhi) END
+                      ELSE CASE WHEN ilo > ihi
+                                THEN (ylo = -pi() AND yhi = pi())
+                                ELSE (ilo >= ylo AND ihi <= yhi) END END
+                   AS y_contains_i,
+                 {s1_contains('ilo', 'ihi', 'ycc')} AS i_contains_ycc
+          FROM s1a),
+        s1c AS (
+          SELECT ga, gb, ala, ahi, bla, bhi,
+                 CASE WHEN y_contains_i THEN 0.0
+                      WHEN i_contains_ycc THEN {pd('yhi', 'ycc')}
+                      ELSE GREATEST(
+                        CASE WHEN {s1_contains('yhi', 'ycc', 'ihi')}
+                             THEN {pd('yhi', 'ihi')} ELSE 0.0 END,
+                        CASE WHEN {s1_contains('ycc', 'ylo', 'ilo')}
+                             THEN {pd('ilo', 'ylo')} ELSE 0.0 END) END AS d
+          FROM s1b),
+        -- meridian-edge geometry: A's lat endpoints at lng 0, B's
+        -- meridian edge at lng d
         geom AS (
           SELECT *,
-                 -- A's two lat endpoints at longitude 0
                  cos(ala) AS p1x, 0.0 AS p1y, sin(ala) AS p1z,
                  cos(ahi) AS p2x, 0.0 AS p2y, sin(ahi) AS p2z,
-                 -- B's meridian edge at longitude d
                  cos(bla)*cos(d) AS bax, cos(bla)*sin(d) AS bay, sin(bla) AS baz,
-                 cos(bhi_lat)*cos(d) AS bbx, cos(bhi_lat)*sin(d) AS bby,
-                 sin(bhi_lat) AS bbz
-          FROM pairs),
+                 cos(bhi)*cos(d) AS bbx, cos(bhi)*sin(d) AS bby, sin(bhi) AS bbz
+          FROM s1c),
         withn AS (
           SELECT *,
                  bay*bbz - baz*bby AS nx,
                  baz*bbx - bax*bbz AS ny,
                  bax*bby - bay*bbx AS nz
           FROM geom),
+        -- perpendicular-bisector intersection with longitude 0
+        -- (s2/rect.go:634-646): ortho-bisector per the kernel's two
+        -- hemisphere branches (analytically equal, trig arguments kept
+        -- identical), p = (0,-1,0) x ob = (-obz, 0, obx) normalized
+        bis AS (
+          SELECT *,
+                 CASE WHEN 0.5*(bla + bhi) >= 0
+                      THEN cos(0.5*(bla + bhi) - pi()/2) * cos(d)
+                      ELSE cos(-0.5*(bla + bhi) - pi()/2) * cos(d - pi()) END
+                   AS obx,
+                 CASE WHEN 0.5*(bla + bhi) >= 0
+                      THEN sin(0.5*(bla + bhi) - pi()/2)
+                      ELSE sin(-0.5*(bla + bhi) - pi()/2) END AS obz
+          FROM withn),
+        bis2 AS (
+          SELECT *,
+                 sqrt(obz*obz + obx*obx) AS pnorm,
+                 asin({clamp('obx / sqrt(obz*obz + obx*obx)')}) AS plat
+          FROM bis),
         h AS (
           SELECT ga, gb,
-                 CASE WHEN d = 0
-                      THEN GREATEST(0.0, ahi - bhi_lat, bla - ala)
-                      ELSE GREATEST(
-                           (SELECT {seg} FROM (SELECT p1x AS px, p1y AS py,
-                               p1z AS pz, bax, bay, baz, bbx, bby, bbz,
-                               nx, ny, nz)),
-                           (SELECT {seg} FROM (SELECT p2x AS px, p2y AS py,
-                               p2z AS pz, bax, bay, baz, bbx, bby, bbz,
-                               nx, ny, nz)),
-                           CASE WHEN ala <= 0 AND ahi >= 0
-                                 AND bla <= 0 AND bhi_lat >= 0
-                                THEN d ELSE 0.0 END)
-                 END AS hd
-          FROM withn)
+            CASE WHEN d = 0
+                 THEN GREATEST(0.0, ahi - bhi, bla - ala)
+                 WHEN d <= pi()/2
+                 THEN GREATEST(
+                      (SELECT {seg} FROM (SELECT p1x AS px, p1y AS py,
+                          p1z AS pz, bax, bay, baz, bbx, bby, bbz,
+                          nx, ny, nz)),
+                      (SELECT {seg} FROM (SELECT p2x AS px, p2y AS py,
+                          p2z AS pz, bax, bay, baz, bbx, bby, bbz,
+                          nx, ny, nz)),
+                      CASE WHEN ala <= 0 AND ahi >= 0
+                            AND bla <= 0 AND bhi >= 0
+                           THEN d ELSE 0.0 END)
+                 ELSE GREATEST(
+                      (SELECT {seg} FROM (SELECT p1x AS px, p1y AS py,
+                          p1z AS pz, bax, bay, baz, bbx, bby, bbz,
+                          nx, ny, nz)),
+                      (SELECT {seg} FROM (SELECT p2x AS px, p2y AS py,
+                          p2z AS pz, bax, bay, baz, bbx, bby, bbz,
+                          nx, ny, nz)),
+                      CASE WHEN ala <= plat AND plat <= ahi
+                           THEN acos({clamp('(-obz*bax + obx*baz) / pnorm')})
+                           ELSE 0.0 END,
+                      CASE WHEN plat > ala
+                           THEN {interior('ala', 'least(plat, ahi)',
+                                          'bax', 'baz')}
+                           ELSE 0.0 END,
+                      CASE WHEN plat < ahi
+                           THEN {interior('greatest(plat, ala)', 'ahi',
+                                          'bbx', 'bbz')}
+                           ELSE 0.0 END)
+            END AS hd
+          FROM bis2)
         SELECT ga, gb, CAST(FLOOR(hd / 0.02) AS BIGINT) AS h_bucket
         FROM h ORDER BY ga, gb
     """

@@ -33,10 +33,13 @@ def point_segment_chord2(
     a = np.atleast_2d(a)
     b = np.atleast_2d(b)
     n = np.cross(a, b)  # edge great-circle normal (unnormalized)
-    # Interior iff x is within the lune swept from a to b.
+    # Interior iff x is within the lune swept from a to b.  A zero
+    # normal (degenerate a==b point-segment, or antipodal endpoints)
+    # makes both sign tests vacuously true with sin_d = 0 — force the
+    # endpoint path there.
     in_a = (np.cross(a, x) * n).sum(axis=1) >= 0
     in_b = (np.cross(x, b) * n).sum(axis=1) >= 0
-    interior = in_a & in_b
+    interior = in_a & in_b & ((n * n).sum(axis=1) > 0)
 
     nn = _norm(n)
     nn = np.where(nn == 0, 1.0, nn)

@@ -151,3 +151,85 @@ class TestRectHausdorff:
         b = _rect_from_degrees(-20, 140, 20, 150)
         _verify_directed(a, b)
         _verify_directed(b, a)
+
+    def test_exotic_antimeridian_x_pole_adjacent(self):
+        """SURVEY §8.1 #4 residue (VERDICT r2 #5): antimeridian-crossing
+        rects paired with pole-adjacent/pole-touching rects, near-full
+        lng intervals, cap-like full-lng rects, and degenerate pole
+        slices — all verified by the reference's grid-sampling protocol
+        (s2/rect_test.go:956-1013)."""
+        cases = [
+            # pole-touching x antimeridian-crossing (opposite hemispheres)
+            (_rect_from_degrees(80, -30, 90, 30),
+             _rect_from_degrees(-30, 170, -10, -170)),
+            # both: pole-adjacent AND antimeridian-crossing
+            (_rect_from_degrees(75, 160, 89, -160),
+             _rect_from_degrees(-89, 150, -75, -150)),
+            # cap-like rect (full lng, touches the pole) x narrow mid-lat
+            (_rect_from_degrees(70, -180, 90, 180),
+             _rect_from_degrees(-10, 40, 10, 60)),
+            (_rect_from_degrees(-10, 40, 10, 60),
+             _rect_from_degrees(70, -180, 90, 180)),
+            # near-full lng interval (hi just west of lo) x pole-adjacent
+            (_rect_from_degrees(-5, -170, 5, 170),
+             _rect_from_degrees(80, -100, 89, -80)),
+            (_rect_from_degrees(80, -100, 89, -80),
+             _rect_from_degrees(-5, -170, 5, 170)),
+            # degenerate meridian slice ON the antimeridian x pole band
+            (_rect_from_degrees(-40, 180, 40, 180),
+             _rect_from_degrees(85, -180, 90, 180)),
+            # degenerate point at the north pole x antimeridian rect
+            (_rect_from_degrees(90, 17, 90, 17),
+             _rect_from_degrees(-20, 175, 20, -175)),
+            # south-pole band x north-pole band (max-distance configs)
+            (_rect_from_degrees(-90, -180, -85, 180),
+             _rect_from_degrees(85, -180, 90, 180)),
+            # antimeridian rect x antimeridian rect, disjoint lat bands
+            (_rect_from_degrees(50, 150, 70, -150),
+             _rect_from_degrees(-70, 160, -50, -160)),
+            # pole-touching wide rect x rect whose lng is a superset
+            (_rect_from_degrees(60, 100, 90, -100),
+             _rect_from_degrees(-30, -180, -10, 180)),
+        ]
+        for a, b in cases:
+            _verify_directed(a, b)
+            _verify_directed(b, a)
+
+    def test_exotic_random_pole_antimeridian_pairs(self):
+        """Randomized sweep biased into the exotic corner: lat spans
+        drawn to touch a pole half the time, lng spans drawn to cross
+        the antimeridian half the time."""
+        rng = np.random.default_rng(31)
+        for _ in range(40):
+            def mk():
+                if rng.random() < 0.5:
+                    lo = rng.uniform(60, 89)
+                    hi = 90.0 if rng.random() < 0.5 else rng.uniform(lo, 90)
+                    if rng.random() < 0.5:
+                        lo, hi = -hi, -lo
+                else:
+                    lat = np.sort(rng.uniform(-80, 80, 2))
+                    lo, hi = lat
+                if rng.random() < 0.5:
+                    llo = rng.uniform(120, 179)
+                    lhi = rng.uniform(-179, -120)  # crosses antimeridian
+                else:
+                    llo, lhi = np.sort(rng.uniform(-179, 179, 2))
+                return _rect_from_degrees(float(lo), float(llo), float(hi), float(lhi))
+
+            a, b = mk(), mk()
+            _verify_directed(a, b)
+            _verify_directed(b, a)
+
+    def test_degenerate_point_rect_distance(self):
+        """Pinned r3 regression: a degenerate (point) rect used to
+        report distance 0 to everything — point_segment_chord2's lune
+        sign tests are vacuous when the edge normal is zero (a==b), so
+        the interior branch fired with sin_d = 0.  Caught by the
+        full-chain DuckDB oracle, not the sampling differential (both
+        sides shared the kernel)."""
+        pole = _rect_from_degrees(90, 17, 90, 17)
+        d = rect_distance_to_latlng(pole, math.radians(20), math.radians(25))
+        assert d == pytest.approx(math.radians(70), abs=1e-9)
+        h = rect_directed_hausdorff(_rect_from_degrees(10, 10, 30, 40), pole)
+        assert h == pytest.approx(math.radians(80), abs=1e-9)
