@@ -2867,6 +2867,171 @@ def _oracle_pack_sequences() -> str:
     """
 
 
+def _q_geo_stratified_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo-stratified dedup — the engine's two halves composed end to
+    end and certified by ONE DuckDB oracle (round-3 contract): documents
+    get deterministic coordinates, a covering-term PIP join assigns each
+    to a convex region (_PIP_LOOPS), the exact n-gram Jaccard pair graph
+    is scoped to co-located pairs, near-dup clusters resolve by
+    distributed min-label propagation + pointer jumping (composite
+    region*B+doc node ids keep components region-local in ONE global
+    resolution pass), and each region keeps a 5-doc quota of cluster
+    representatives by deterministic md5 order.
+
+    Scale shape: PIP join is the covering equi-join (no cartesian),
+    cluster resolution is O(log diameter) shuffle rounds, sampling is
+    one partial-group-limit window — every stage is the 100 TB plan."""
+    from geo_spark.functions.s2 import s2_cellid
+    from geo_spark.kernel.pip import latlng_text_to_xyz
+    from geo_spark.kernel.regions import LoopRegion
+    from geo_spark.operators.dedup import dedup_clusters, ngram_jaccard_pairs
+    from geo_spark.operators.geo_noise import with_geo_noise
+    from geo_spark.operators.sampling import stratified_sample
+    from geo_spark.operators.spatial_join import build_layer, spatial_join
+
+    B = 1_000_000  # doc ids are far below this at every test SF
+
+    docs = _t(spark, sf_dir, "documents")
+    geo = with_geo_noise(docs.select("doc_id"), "doc_id").withColumn(
+        "cell_id", s2_cellid(F.col("lat"), F.col("lng"))
+    )
+    layer = build_layer(
+        spark,
+        [
+            (g, LoopRegion.from_vertices(latlng_text_to_xyz(t)))
+            for g, t in _PIP_LOOPS
+        ],
+        max_cells=12,
+    )
+    regions = spatial_join(
+        geo, layer, point_key="doc_id", latlng=("lat", "lng")
+    ).select("doc_id", "geom_id")
+
+    pairs = ngram_jaccard_pairs(docs, n=8, threshold=0.3).select("da", "db")
+    rpairs = (
+        pairs.join(
+            regions.select(F.col("doc_id").alias("da"), "geom_id"), "da"
+        )
+        .join(
+            regions.select(
+                F.col("doc_id").alias("db"), F.col("geom_id").alias("gb")
+            ),
+            "db",
+        )
+        .where(F.col("geom_id") == F.col("gb"))
+        .select(
+            (F.col("geom_id") * B + F.col("da")).alias("da"),
+            (F.col("geom_id") * B + F.col("db")).alias("db"),
+        )
+    )
+    nodes = regions.select(
+        (F.col("geom_id") * B + F.col("doc_id")).alias("doc_id")
+    )
+    comp = dedup_clusters(rpairs, docs=nodes)  # (doc_id=node, rep)
+    reps = (
+        comp.select("rep")
+        .distinct()
+        .withColumn("geom_id", (F.col("rep") / B).cast("long"))
+        .withColumn("doc_id", F.col("rep") % B)
+        .select("geom_id", "doc_id")
+    )
+    return (
+        stratified_sample(reps, "geom_id", 5)
+        .select("geom_id", "doc_id")
+        .orderBy("geom_id", "doc_id")
+    )
+
+
+def _oracle_geo_stratified_dedup() -> str:
+    """The whole composition replayed as one DuckDB query: noise
+    coordinates -> convex sign-test PIP -> region-scoped exact-Jaccard
+    pairs -> recursive-CTE components over the same composite ids ->
+    per-region md5 quota."""
+    import numpy as np
+
+    from geo_spark.kernel.pip import latlng_text_to_xyz
+    from geo_spark.operators.geo_noise import LAT_SQL, LNG_SQL
+
+    lat = LAT_SQL.format(id="doc_id")
+    lng = LNG_SQL.format(id="doc_id")
+    rows = []
+    for g, t in _PIP_LOOPS:
+        v = latlng_text_to_xyz(t)
+        for k in range(len(v)):
+            n = np.cross(v[k], v[(k + 1) % len(v)])
+            rows.append(
+                f"({g}, {float(n[0])!r}, {float(n[1])!r}, {float(n[2])!r})"
+            )
+    norms = ", ".join(rows)
+    return f"""
+        WITH RECURSIVE
+        pts AS (SELECT doc_id, {lat} AS lat, {lng} AS lng FROM documents),
+        xyz AS (SELECT doc_id,
+                       cos(radians(lng))*cos(radians(lat)) AS x,
+                       sin(radians(lng))*cos(radians(lat)) AS y,
+                       sin(radians(lat)) AS z
+                FROM pts),
+        norms(geom_id, nx, ny, nz) AS (VALUES {norms}),
+        regions AS (SELECT geom_id, doc_id
+                    FROM xyz, norms
+                    GROUP BY geom_id, doc_id
+                    HAVING MIN(nx*x + ny*y + nz*z) > 0),
+        sh AS (
+          SELECT DISTINCT doc_id, s
+          FROM documents,
+               UNNEST(list_transform(range(1, greatest(length(text)-7, 1)+1),
+                                     i -> substr(text, i, 8))) AS t(s)
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        jp AS (
+          SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT da, db FROM jp
+          JOIN sizes sa ON sa.doc_id = da
+          JOIN sizes sb ON sb.doc_id = db
+          WHERE CAST(shared AS DOUBLE)/(sa.n + sb.n - shared) >= 0.3
+        ),
+        rp AS (
+          SELECT ra.geom_id, p.da, p.db
+          FROM pairs p
+          JOIN regions ra ON ra.doc_id = p.da
+          JOIN regions rb ON rb.doc_id = p.db AND rb.geom_id = ra.geom_id
+        ),
+        e AS (SELECT geom_id*1000000 + da AS u, geom_id*1000000 + db AS v
+              FROM rp
+              UNION
+              SELECT geom_id*1000000 + db, geom_id*1000000 + da FROM rp),
+        reach(u, v) AS (
+          SELECT u, v FROM e
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+        ),
+        comp AS (
+          SELECT u AS id, least(u, MIN(v)) AS rep FROM reach GROUP BY u
+        ),
+        nodes AS (SELECT geom_id, doc_id,
+                         geom_id*1000000 + doc_id AS id
+                  FROM regions),
+        withrep AS (
+          SELECT n.geom_id, COALESCE(c.rep, n.id) AS rep
+          FROM nodes n LEFT JOIN comp c ON c.id = n.id),
+        reps AS (SELECT DISTINCT geom_id, rep % 1000000 AS doc_id
+                 FROM withrep),
+        sample AS (
+          SELECT geom_id, doc_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY geom_id
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                 ) AS rn
+          FROM reps)
+        SELECT geom_id, doc_id FROM sample WHERE rn <= 5
+        ORDER BY geom_id, doc_id
+    """
+
+
 def _q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-data pipeline composed end to end, oracle-
     checked as one query: near-dup cluster survivors (connected
@@ -3357,6 +3522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_unigram_nll": _q_unigram_nll,
         "q_farthest_cities": _q_farthest_cities,
         "q_corpus_pipeline": _q_corpus_pipeline,
+        "q_geo_stratified_dedup": _q_geo_stratified_dedup,
         "q_hex_tile_counts": _q_hex_tile_counts,
         "q_interval_sweep": _q_interval_sweep,
         "q_tile_rollup": _q_tile_rollup,
@@ -3405,6 +3571,7 @@ def oracle_sql() -> dict[str, str]:
         "q_unigram_nll": _oracle_unigram_nll(),
         "q_farthest_cities": _oracle_farthest_cities(),
         "q_corpus_pipeline": _oracle_corpus_pipeline(),
+        "q_geo_stratified_dedup": _oracle_geo_stratified_dedup(),
         "q_doc_quality": _oracle_doc_quality(),
         "q_lang_guess": _oracle_lang_guess(),
         "q_cosine_topk": _oracle_cosine_topk(),
