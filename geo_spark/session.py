@@ -42,6 +42,7 @@ def get_spark(
     app: str = "geo_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    confs: dict[str, str] | None = None,
 ) -> SparkSession:
     """Local session mirroring the multi-executor configuration we target.
 
@@ -74,6 +75,8 @@ def get_spark(
     )
     for var in blas_vars:
         builder = builder.config(f"spark.executorEnv.{var}", "1")
+    for k, v in (confs or {}).items():
+        builder = builder.config(k, v)
     if master is not None:
         builder = builder.master(master)
     elif "SPARK_MASTER" in os.environ:

@@ -36,6 +36,16 @@ def main() -> None:
     ap.add_argument("--bucket-level", type=int, default=4)
     ap.add_argument("--join-city-loops", action="store_true")
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument(
+        "--backend",
+        choices=("parquet", "iceberg"),
+        default="parquet",
+        help="storage backend: parquet dirs + manifest sidecar (default) "
+        "or an Iceberg hadoop catalog (--pages/--out become table names; "
+        "requires iceberg-spark-runtime on the classpath and "
+        "--iceberg-warehouse)",
+    )
+    ap.add_argument("--iceberg-warehouse", default=None)
     args = ap.parse_args()
     manifest = args.manifest or (args.out.rstrip("/") + ".manifest.jsonl")
 
@@ -44,11 +54,20 @@ def main() -> None:
     from geo_spark.session import get_spark
     from geo_spark.sources.extract import extract_encode
 
-    spark = get_spark(app="geo_spark_pipeline", master=f"local[{args.cpus}]")
+    from geo_spark.sources.catalog import iceberg_confs, read_table, write_table
+
+    extra_confs = (
+        iceberg_confs(args.iceberg_warehouse)
+        if args.backend == "iceberg" and args.iceberg_warehouse
+        else {}
+    )
+    spark = get_spark(
+        app="geo_spark_pipeline", master=f"local[{args.cpus}]", confs=extra_confs
+    )
     spark.sparkContext.setLogLevel("WARN")
 
     t0 = time.monotonic()
-    pages = spark.read.parquet(args.pages)
+    pages = read_table(spark, args.pages, backend=args.backend)
     # text rides through untouched — byte-identical per url is the
     # engine's per-row invariant (BASELINE.json input_hint), asserted in
     # tests/test_pipeline_spark.py::test_text_byte_identical_passthrough.
@@ -70,10 +89,24 @@ def main() -> None:
         ).withColumnRenamed("geom_id", "polygon_id")
         tiled = tiled.join(hits, "url", "left")
 
-    m = write_with_manifest(tiled, args.out, "bucket", manifest)
-    bad = verify_manifest(spark, args.out, "bucket", manifest)
+    if args.backend == "iceberg":
+        # the catalog owns data + lineage atomically: the manifest
+        # summary rides as table properties on the snapshot commit
+        n_rows = tiled.count()
+        write_table(
+            tiled,
+            args.out,
+            backend="iceberg",
+            partition_by=("bucket",),
+            properties={"geo_spark.rows": str(n_rows)},
+        )
+        m, bad = {"_iceberg": {"rows": n_rows}}, []
+    else:
+        m = write_with_manifest(tiled, args.out, "bucket", manifest)
+        bad = verify_manifest(spark, args.out, "bucket", manifest)
     report = {
         "out": args.out,
+        "backend": args.backend,
         "manifest": manifest,
         "buckets": len(m),
         "rows": sum(e["rows"] for e in m.values()),
