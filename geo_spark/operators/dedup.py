@@ -155,9 +155,33 @@ def minhash_lsh_pairs(
     """Near-dup pairs: LSH band-bucket candidate join + exact-Jaccard
     rerank.  With r = num_hashes/bands rows per band, the candidate
     probability is 1-(1-J^r)^bands — tuned so J >= threshold is nearly
-    always caught (recall tested vs :func:`ngram_jaccard_pairs`)."""
+    always caught (recall tested vs :func:`ngram_jaccard_pairs`).
+
+    Signatures and shingle-hash sets come from ONE fused text pass
+    (persisted): the naive composition scans the corpus three times —
+    once for signatures and once per side of the rerank set join — and
+    at 100 TB the text scan IS the cost."""
     rows = num_hashes // bands
-    sigs = minhash_signatures(docs, n, num_hashes, key, text_col)
+    seeds = _splitmix64(np.arange(1, num_hashes + 1, dtype=np.uint64))
+    src = docs.select(key, text_col)
+    ktype = src.schema[key].dataType.simpleString()
+
+    def fused(batches):
+        for pdf in batches:
+            sigs_out, shs_out = [], []
+            for t in pdf[text_col]:
+                h = _shingle_hashes(t or "", n)  # (S,) distinct
+                m = _splitmix64(h[:, None] ^ seeds[None, :]).min(axis=0)
+                sigs_out.append(m.view(np.int64).tolist())
+                shs_out.append(h.view(np.int64).tolist())
+            yield pd.DataFrame(
+                {key: pdf[key], "sig": sigs_out, "sh": shs_out}
+            )
+
+    base = src.mapInPandas(
+        fused, f"{key} {ktype}, sig array<long>, sh array<long>"
+    ).persist()
+    sigs = base.select(key, "sig")
     band_arr = F.array(
         *[
             F.struct(
@@ -181,7 +205,7 @@ def minhash_lsh_pairs(
     # Exact rerank on the candidate set only — cost is O(candidates),
     # not all-pairs: join each side's shingle-hash set in and intersect
     # per pair in one Arrow batch.
-    sets = shingle_hash_sets(docs, n, key, text_col)
+    sets = base.select(key, "sh")
     cands = (
         cands.join(sets.withColumnRenamed(key, "da").withColumnRenamed("sh", "_sa"), "da")
         .join(sets.withColumnRenamed(key, "db").withColumnRenamed("sh", "_sb"), "db")
