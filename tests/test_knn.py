@@ -250,3 +250,80 @@ def test_ring_cube_corner_cluster(spark):
         ).collect()
     }
     assert got == _numpy_oracle(plat, plng, tlat, tlng, k)
+
+
+def test_broadcast_ring_matches_oracle(spark):
+    # The middle tier (closure-shipped targets, shuffle-free expansion)
+    # must equal the exact oracle on a uniform fixture at a forced-fine
+    # level (several hops before termination).
+    from geo_spark.operators.knn import _knn_broadcast_ring
+
+    k = 3
+    pts, plat, plng = _mk_points(spark, 400, 31)
+    tg, tlat, tlng = _mk_points(spark, 300, 32)
+    tg = tg.withColumnRenamed("pid", "tid")
+    got = {
+        (r["pid"], r["tid"], r["rank"])
+        for r in _knn_broadcast_ring(
+            pts, tg, k, "pid", "tid", ("lat", "lng"), ("lat", "lng"),
+            level=5,
+        ).collect()
+    }
+    assert got == _numpy_oracle(plat, plng, tlat, tlng, k)
+
+
+def test_broadcast_ring_clustered_and_straggler(spark):
+    # Targets clustered in two far blobs, points uniform -> isolated
+    # points must hop far; a tiny max_seen_cells forces the task-local
+    # straggler GEMM for them.  Both paths must stay exact.
+    from geo_spark.operators.knn import _knn_broadcast_ring
+
+    k = 2
+    rng = np.random.default_rng(33)
+    plat = np.degrees(np.arcsin(rng.uniform(-1, 1, 250)))
+    plng = rng.uniform(-180, 180, 250)
+    tlat = np.concatenate([rng.normal(40, 0.5, 120), rng.normal(-30, 0.5, 120)])
+    tlng = np.concatenate([rng.normal(-74, 0.5, 120), rng.normal(151, 0.5, 120)])
+    pts = spark.createDataFrame(
+        [(int(i), float(plat[i]), float(plng[i])) for i in range(len(plat))],
+        "pid long, lat double, lng double",
+    )
+    tg = spark.createDataFrame(
+        [(int(i), float(tlat[i]), float(tlng[i])) for i in range(len(tlat))],
+        "tid long, lat double, lng double",
+    )
+    for max_seen in (4096, 8):
+        got = {
+            (r["pid"], r["tid"], r["rank"])
+            for r in _knn_broadcast_ring(
+                pts, tg, k, "pid", "tid", ("lat", "lng"), ("lat", "lng"),
+                level=6, max_seen_cells=max_seen,
+            ).collect()
+        }
+        assert got == _numpy_oracle(plat, plng, tlat, tlng, k)
+
+
+def test_knn_join_routes_middle_tier(spark):
+    # knn_join with BRUTE_FORCE_MAX_TARGETS < n <= BROADCAST_RING_MAX_TARGETS
+    # must route through the broadcast-ring tier and stay exact.
+    from geo_spark.operators import knn as knn_mod
+    from geo_spark.operators.knn import knn_join
+
+    k = 2
+    pts, plat, plng = _mk_points(spark, 200, 41)
+    tg, tlat, tlng = _mk_points(spark, 300, 42)
+    tg = tg.withColumnRenamed("pid", "tid")
+    orig = knn_mod.BRUTE_FORCE_MAX_TARGETS
+    knn_mod.BRUTE_FORCE_MAX_TARGETS = 100
+    try:
+        got = {
+            (r["pid"], r["tid"], r["rank"])
+            for r in knn_join(
+                pts, tg, k,
+                point_key="pid", target_key="tid",
+                latlng=("lat", "lng"), target_latlng=("lat", "lng"),
+            ).collect()
+        }
+    finally:
+        knn_mod.BRUTE_FORCE_MAX_TARGETS = orig
+    assert got == _numpy_oracle(plat, plng, tlat, tlng, k)
