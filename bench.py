@@ -266,9 +266,12 @@ def main() -> None:
 
     queries = entrymod.queries()
     ring_stats: list = []
+    knn_tier = "broadcast_ring"  # 5000 targets routes the middle tier
     def run_ring(stats: list) -> None:
         # run the ring path directly so per-round stats land in the
-        # bench record (rounds + seconds each)
+        # bench record (rounds + seconds each); since round 3 the 5000-
+        # target fixture routes the shuffle-free broadcast-ring tier, so
+        # stats stay empty (no driver-synchronized rounds exist)
         from pyspark.sql import functions as F
 
         from geo_spark.operators.geo_noise import with_geo_noise
@@ -325,6 +328,7 @@ def main() -> None:
                 "n_pages": n_pages,
                 "n_tiles": n_tiles,
                 "pip_join_rows": n_join,
+                "knn_tier": knn_tier,
                 "knn_ring_rounds": ring_stats,
                 "cpus": cpus,
             }
