@@ -3122,6 +3122,56 @@ def _oracle_corpus_pipeline() -> str:
     """
 
 
+def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style line-level boilerplate removal over the documents
+    table.  The synthetic docs carry no newlines, so multi-line bodies
+    are derived deterministically first (every literal ' a ' token
+    becomes a line break — same left-to-right literal replace in Spark
+    and DuckDB); then every line occurring more than once corpus-wide
+    is dropped and documents are rebuilt from the survivors in order.
+    Exercises operators/dedup.line_dedup end to end: md5-prefix line
+    counts (map-side combined), skew-safe count attach via equi-join,
+    per-doc ordered rebuild."""
+    from geo_spark.operators.dedup import line_dedup
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(r"replace(text, ' a ', '\n')").alias("text")
+    )
+    return line_dedup(docs, key="doc_id", text_col="text").orderBy("doc_id")
+
+
+def _oracle_line_dedup() -> str:
+    return r"""
+        WITH base AS (
+          SELECT doc_id, replace(text, ' a ', chr(10)) AS t FROM documents),
+        lines AS (
+          SELECT doc_id,
+                 unnest(string_split(t, chr(10))) AS line,
+                 unnest(generate_series(1, len(string_split(t, chr(10))))) AS pos
+          FROM base),
+        counts AS (
+          SELECT substr(md5(line), 1, 16) AS h, COUNT(*) AS n
+          FROM lines GROUP BY 1),
+        kept AS (
+          SELECT l.doc_id, l.pos, l.line
+          FROM lines l JOIN counts c ON substr(md5(l.line), 1, 16) = c.h
+          WHERE c.n <= 1),
+        agg AS (
+          SELECT doc_id, COUNT(*) AS n_kept,
+                 string_agg(line, chr(10) ORDER BY pos) AS text_clean
+          FROM kept GROUP BY doc_id),
+        tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM lines GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(COALESCE(t.n_lines, 0) AS BIGINT) AS n_lines,
+               CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+               COALESCE(a.text_clean, '') AS text_clean
+        FROM documents d
+        LEFT JOIN tot t USING (doc_id)
+        LEFT JOIN agg a USING (doc_id)
+        ORDER BY d.doc_id
+    """
+
+
 def _q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geo_spark.operators.text import (
         token_count_bpe_ish,
@@ -3510,6 +3560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_exact_dedup": _q_exact_dedup,
         "q_ngram_dedup_pairs": _q_ngram_dedup_pairs,
         "q_doc_quality": _q_doc_quality,
+        "q_line_dedup": _q_line_dedup,
         "q_lang_guess": _q_lang_guess,
         "q_cosine_topk": _q_cosine_topk,
         "q_embed_near_dup": _q_embed_near_dup,
@@ -3573,6 +3624,7 @@ def oracle_sql() -> dict[str, str]:
         "q_corpus_pipeline": _oracle_corpus_pipeline(),
         "q_geo_stratified_dedup": _oracle_geo_stratified_dedup(),
         "q_doc_quality": _oracle_doc_quality(),
+        "q_line_dedup": _oracle_line_dedup(),
         "q_lang_guess": _oracle_lang_guess(),
         "q_cosine_topk": _oracle_cosine_topk(),
         "q_embed_near_dup": _oracle_embed_near_dup(),

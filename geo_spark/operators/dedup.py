@@ -386,3 +386,73 @@ def dedup_clusters(
         )
     edges.unpersist()
     return out
+
+
+def line_dedup(
+    docs: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    max_count: int = 1,
+) -> DataFrame:
+    """CCNet-style line-level boilerplate removal: drop every line whose
+    corpus-wide occurrence count exceeds ``max_count``, rebuild each
+    document from its surviving lines in order.
+
+    Returns (key, n_lines, n_kept, text_clean) — one row per input doc
+    (documents whose every line is boilerplate keep an empty string).
+
+    Scale shape (the 10^12-row deployment):
+
+    - Lines are counted by a 16-hex-char md5 prefix, not the raw string:
+      the count shuffle carries 16 bytes + a long per DISTINCT line,
+      with map-side partial combine collapsing hot boilerplate lines
+      ("Home", cookie banners) before the exchange.
+    - Counts attach back via an equi-JOIN on the hash rather than a
+      count-over-window: a window partitioned by line hash would buffer
+      the hottest boilerplate key's rows in one task (WindowExec holds
+      each key group in memory), while sort-merge join streams the fat
+      side against exactly one count row per key — skew-safe without
+      salting; AQE splits any residual hot join partition.
+    - Rebuild is one groupBy(key) with collect_list of (pos, line)
+      structs sorted per group — per-doc state is bounded by document
+      size, never corpus size.
+    - The whole plan is native SQL (split/posexplode/md5/window-free
+      aggregation): zero Python, whole-stage codegen end to end.
+
+    ``sep`` is both the split regex and the rejoin separator; md5-prefix
+    collisions across distinct lines are conflated (2^-64-scale odds,
+    same trade every tier in this module makes).
+    """
+    import re as _re
+
+    lines = docs.select(
+        F.col(key),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep), -1)).alias(
+            "pos", "line"
+        ),
+    ).withColumn("h", F.substring(F.md5("line"), 1, 16))
+    counts = lines.groupBy("h").agg(F.count(F.lit(1)).alias("n"))
+    kept = lines.join(counts, "h").where(F.col("n") <= F.lit(max_count))
+    rebuilt = kept.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("text_clean"),
+    )
+    totals = lines.groupBy(key).agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        docs.select(key)
+        .join(totals, key, "left")
+        .join(rebuilt, key, "left")
+        .select(
+            key,
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )

@@ -392,3 +392,46 @@ def test_random_graphs_match_union_find(spark):
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     assert got == {i: find(i) for i in ids}
+
+
+def test_line_dedup_boilerplate_removal(spark):
+    from geo_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique one\nCOOKIE BANNER\nunique two"),
+            (2, "COOKIE BANNER\nonly here"),
+            (3, "COOKIE BANNER"),          # fully boilerplate -> empty
+            (4, "twice in me\ntwice in me\nsolo line"),  # in-doc dup counts
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["text_clean"])
+        for r in line_dedup(docs).collect()
+    }
+    assert got[1] == (3, 2, "unique one\nunique two")
+    assert got[2] == (2, 1, "only here")
+    assert got[3] == (1, 0, "")
+    assert got[4] == (3, 1, "solo line")
+
+
+def test_line_dedup_max_count_and_order(spark):
+    from geo_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "b\na\nb"), (2, "c\nb")],
+        "doc_id long, text string",
+    )
+    # max_count=2: 'b' occurs 3x -> dropped; rebuild preserves line order
+    got = {
+        r["doc_id"]: r["text_clean"]
+        for r in line_dedup(docs, max_count=2).collect()
+    }
+    assert got == {1: "a", 2: "c"}
+    # max_count=3 keeps everything, original order intact
+    got3 = {
+        r["doc_id"]: r["text_clean"]
+        for r in line_dedup(docs, max_count=3).collect()
+    }
+    assert got3 == {1: "b\na\nb", 2: "c\nb"}
