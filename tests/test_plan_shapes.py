@@ -98,3 +98,48 @@ def test_knn_brute_plan_is_pure_map(spark):
     # closure-shipped targets: no join, no shuffle exchange at all
     assert "Join" not in plan
     assert "Exchange" not in plan
+
+
+def test_knn_broadcast_ring_plan_is_pure_map(spark):
+    # The middle tier ships targets in the closure: the plan must be
+    # scan -> (optional repartition lift) -> ArrowEvalPython with no
+    # join; with enough input partitions, no Exchange at all.
+    from geo_spark.operators.knn import _knn_broadcast_ring
+
+    from pyspark.sql import functions as F
+
+    # spark.range carries defaultParallelism splits natively, so the
+    # operator's under-partitioned-scan lift must NOT fire
+    pts = spark.range(500).select(
+        F.col("id").alias("pid"),
+        (F.col("id") % 80 - 40).cast("double").alias("lat"),
+        (F.col("id") % 170 - 85).cast("double").alias("lng"),
+    )
+    tg = spark.createDataFrame(
+        [(i, float(i % 60 - 30), float(i % 150 - 75)) for i in range(300)],
+        "tid long, lat double, lng double",
+    )
+    plan = _plan_of(
+        _knn_broadcast_ring(
+            pts, tg, 3, "pid", "tid", ("lat", "lng"), ("lat", "lng")
+        )
+    )
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+
+
+def test_line_dedup_plan_native_and_combined(spark):
+    # line_dedup must stay whole-stage-codegen native SQL: no Python
+    # eval nodes, and the line-count aggregation must show a partial
+    # (map-side) HashAggregate before its exchange.
+    from geo_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"l{i}\ncommon\nl{i}b") for i in range(50)],
+        "doc_id long, text string",
+    )
+    plan = _plan_of(line_dedup(docs))
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan or "partial" in plan.lower()
