@@ -12,12 +12,14 @@ permutation), so the sample is a fixed pseudo-random subset independent
 of input partitioning or row order — rerunning the pipeline, or running
 it on a differently-bucketed copy of the corpus, selects the same rows.
 
-Skew note (100 TB): one stratum = one window partition.  A single
-giant stratum (e.g. English) concentrates on one task; for quota
-sampling cap the damage by pre-filtering with an approximate quantile
-of md5 (sample 2x the quota cheaply, then window the survivors).
-:func:`stratified_sample` applies that prefilter automatically when
-``prefilter_counts`` is given.
+Skew note (100 TB): a naive per-stratum window makes one stratum one
+window partition — a single giant stratum (e.g. English) concentrates
+on one task.  :func:`stratified_sample` caps the damage with an
+md5-prefix range prefilter when ``prefilter_counts`` is given;
+:func:`token_budget_sample` decomposes the walk into md5-prefix
+buckets (tiny per-bucket totals first, then per-bucket windows over
+only the buckets the budget can reach), so neither a full-stratum
+sort nor a single-task stratum exists on the per-doc path.
 """
 
 from __future__ import annotations
@@ -82,20 +84,61 @@ def token_budget_sample(
     budget: int,
     token_col: str = "n_tokens",
     key: str = "doc_id",
+    bucket_hex: int = 2,
 ) -> DataFrame:
     """Deterministic per-stratum token-budget sample: walk the stratum
     in md5 order, keep documents while the running token total stays
     within ``budget`` (the first document that would overflow the
-    budget is excluded, as are all after it)."""
-    w = (
+    budget is excluded, as are all after it).  Token counts must be
+    non-negative.
+
+    Scale shape — bucketed prefix-sum, not one full per-stratum sort:
+    the md5 order is refined by its own first ``bucket_hex`` hex chars
+    into 16^bucket_hex ordered buckets, so the walk decomposes exactly:
+
+    1. aggregate token totals per (stratum, bucket) — map-side
+       combined, output is strata x 256 rows;
+    2. an exclusive prefix sum over that TINY table (window over
+       buckets) gives each bucket's starting offset in the walk;
+    3. buckets whose offset already exceeds the budget are dropped
+       BEFORE any per-doc work — at corpus scale with budget << corpus
+       this prunes almost all data ahead of the expensive exchange;
+    4. surviving docs window per (stratum, bucket): 256-way parallel
+       per-bucket sorts of ~budget-sized data instead of one task
+       sorting a billion-doc stratum, then per-doc cum = bucket offset
+       + in-bucket running sum (exact, because bucket prefix order is
+       a prefix of the full md5 order).
+
+    Output rows and ``cum_tokens`` values are identical to the naive
+    single-window formulation (the sf0.01 oracle replays that naive
+    SQL verbatim)."""
+    bucket = F.substring(F.md5(F.col(key).cast("string")), 1, bucket_hex)
+    bucketed = docs.withColumn("_bkt", bucket)
+    stats = bucketed.groupBy(stratum_col, "_bkt").agg(
+        F.sum(F.col(token_col)).alias("_bt")
+    )
+    wcum = (
         Window.partitionBy(stratum_col)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    surviving = (
+        stats.withColumn("_cum_before", F.sum("_bt").over(wcum) - F.col("_bt"))
+        .where(F.col("_cum_before") <= budget)
+        .select(stratum_col, "_bkt", "_cum_before")
+    )
+    w = (
+        Window.partitionBy(stratum_col, "_bkt")
         .orderBy(*_order_cols(key))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        docs.withColumn("_cum", F.sum(F.col(token_col)).over(w))
-        .where(F.col("_cum") <= budget)
-        .withColumnRenamed("_cum", "cum_tokens")
+        bucketed.join(F.broadcast(surviving), [stratum_col, "_bkt"])
+        .withColumn(
+            "cum_tokens", F.sum(F.col(token_col)).over(w) + F.col("_cum_before")
+        )
+        .where(F.col("cum_tokens") <= budget)
+        .drop("_bkt", "_cum_before")
     )
 
 

@@ -83,3 +83,41 @@ def test_pack_sequences_stream_contract(spark):
             assert r["start_bin"] == r["start_tok"] // 512
             assert r["end_bin"] == (r["end_tok"] - 1) // 512
             pos = r["end_tok"]
+
+
+def test_token_budget_bucketed_equals_naive(spark):
+    # The bucketed prefix-sum decomposition must reproduce the naive
+    # single-window walk row-for-row, including cum_tokens values.
+    # bucket_hex=1 on 400 docs spreads rows over 16 buckets, so fully
+    # kept, boundary, and fully-pruned buckets all occur.
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from geo_spark.operators.sampling import _order_cols, token_budget_sample
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (int(i), ["en", "fr", "de"][i % 3], int(rng.integers(0, 40)))
+        for i in range(400)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(*_order_cols("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for budget in (0, 37, 500, 10**6):
+        naive = {
+            (r["doc_id"], r["cum_tokens"])
+            for r in docs.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+            .where(F.col("cum_tokens") <= budget)
+            .collect()
+        }
+        got = {
+            (r["doc_id"], r["cum_tokens"])
+            for r in token_budget_sample(
+                docs, "lang", budget, bucket_hex=1
+            ).collect()
+        }
+        assert got == naive, budget
