@@ -66,16 +66,22 @@ class RegionCoverer:
         """s2/regioncoverer.go:143-171."""
         if not region.may_intersect_cell(cell):
             return None
+        return self._candidate_from_relate(
+            interior, cell, lambda: region.contains_cell(cell)
+        )
+
+    def _candidate_from_relate(self, interior: bool, cell: Cell, contains):
+        """Terminality rules of _new_candidate given a known may_intersect
+        == True; ``contains`` is a thunk so the scalar path keeps its
+        short-circuit (batch callers pass an already-computed bool)."""
         is_terminal = cell.level >= self.max_level
         if not is_terminal:
             if interior:
-                if region.contains_cell(cell):
+                if contains():
                     is_terminal = True
                 elif cell.level + self.level_mod > self.max_level:
                     return None
-            elif cell.level + self.level_mod > self.max_level or region.contains_cell(
-                cell
-            ):
+            elif cell.level + self.level_mod > self.max_level or contains():
                 is_terminal = True
         return _Candidate(cell, is_terminal)
 
@@ -83,10 +89,28 @@ class RegionCoverer:
         self, region: Region, interior: bool, cand: _Candidate, cell: Cell, num_levels: int
     ) -> int:
         """s2/regioncoverer.go:175-196: descend level_mod levels, collecting
-        leaf candidates of the expansion; returns the terminal count."""
+        leaf candidates of the expansion; returns the terminal count.
+
+        Leaf level (num_levels == 1) evaluates all four children in one
+        relate_cells batch when the region provides a vectorized
+        override — the coverer's hot loop."""
         num_levels -= 1
         num_terminals = 0
-        for child_cell in cell.children():
+        children = cell.children()
+        if num_levels == 0 and type(region).relate_cells is not Region.relate_cells:
+            cont, may = region.relate_cells(children)
+            for child_cell, c_ok, m_ok in zip(children, cont, may):
+                if not m_ok:
+                    continue
+                child = self._candidate_from_relate(
+                    interior, child_cell, lambda v=bool(c_ok): v
+                )
+                if child is not None:
+                    cand.children.append(child)
+                    if child.terminal:
+                        num_terminals += 1
+            return num_terminals
+        for child_cell in children:
             if num_levels > 0:
                 if region.may_intersect_cell(child_cell):
                     num_terminals += self._expand_children(

@@ -30,7 +30,7 @@ from geo_spark.kernel import cellunion as cu
 from geo_spark.kernel import metric, pip
 from geo_spark.kernel import predicates as pred
 from geo_spark.kernel.cell import Cell
-from geo_spark.kernel.interval import PI, R1Interval, Rect, S1Interval
+from geo_spark.kernel.interval import DBL_EPSILON, PI, R1Interval, Rect, S1Interval
 
 RIGHT_CHORD2 = 2.0  # squared chord length of a 90-degree angle
 MAX_CHORD2 = 4.0  # antipodal
@@ -78,6 +78,18 @@ class Region:
         """Vectorized containment over an (N,3) batch — the join's refine
         kernel.  Default: scalar fallback."""
         return np.array([self.contains_point(p) for p in np.atleast_2d(pts)])
+
+    def relate_cells(self, cells: list[Cell]) -> tuple[np.ndarray, np.ndarray]:
+        """(contains[], may_intersect[]) over a batch of cells — the
+        coverer/subdivision inner loop.  Default: scalar fallback; shapes
+        with vectorizable predicates (LoopRegion) override."""
+        n = len(cells)
+        contains = np.empty(n, dtype=bool)
+        may = np.empty(n, dtype=bool)
+        for i, c in enumerate(cells):
+            contains[i] = self.contains_cell(c)
+            may[i] = self.may_intersect_cell(c)
+        return contains, may
 
 
 @dataclass(frozen=True)
@@ -413,6 +425,86 @@ class LoopRegion(Region):
         if self._boundary_intersects(cell, cell_verts):
             return True
         return self.contains_point(cell.center())
+
+    def _verts_fuv(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Loop vertices projected to (face, u, v) — shared by every
+        vertex-in-cell test in a batch (the scalar path recomputes this
+        per cell; it was the layer build's hottest line)."""
+        fuv = self._memo.get("_fuv")
+        if fuv is None:
+            fuv = ck.face_uv_from_xyz(
+                self.verts[:, 0], self.verts[:, 1], self.verts[:, 2]
+            )
+            self._memo["_fuv"] = fuv
+        return fuv
+
+    def _chain(self) -> tuple[np.ndarray, np.ndarray]:
+        ch = self._memo.get("_chain")
+        if ch is None:
+            closed = np.vstack([self.verts, self.verts[:1]])
+            ch = (closed[:-1], closed[1:])
+            self._memo["_chain"] = ch
+        return ch
+
+    def _edges_cross_cells_batch(self, cv: np.ndarray) -> np.ndarray:
+        """bool[K]: any loop edge crosses any edge of cell k (MaybeCross
+        counts, same conservative semantics as _edges_cross_cell).  ``cv``
+        is a (K,4,3) stack of cell vertices.  Bit-identical to the scalar
+        path: triage_sign broadcasts elementwise over the same floats."""
+        a, b = self._chain()
+        A = a[None, None, :, :]
+        B = b[None, None, :, :]
+        C = cv[:, :, None, :]
+        D = np.roll(cv, -1, axis=1)[:, :, None, :]
+        acb = -pred.triage_sign(A, B, C)  # (K,4,M)
+        bda = pred.triage_sign(A, B, D)
+        maybe = (acb == 0) | (bda == 0)
+        live = (acb == bda) & (acb != 0)
+        cbd = -pred.triage_sign(C, D, B)
+        dac = pred.triage_sign(C, D, A)
+        proper = live & (cbd == acb) & (dac == acb)
+        maybe_live = live & ((cbd == 0) | (dac == 0))
+        return (maybe | proper | maybe_live).any(axis=(1, 2))
+
+    def relate_cells(self, cells: list[Cell]) -> tuple[np.ndarray, np.ndarray]:
+        """Batched (contains[], may_intersect[]): one rect prefilter pass,
+        one shared-projection vertex-in-cell test, one broadcast edge-
+        crossing cascade, one loop_contains_points call over all cell
+        centers — replacing per-cell scalar predicate calls in the
+        coverer/subdivision inner loop (~5x on the 50-city layer build)."""
+        n = len(cells)
+        contains = np.zeros(n, dtype=bool)
+        may = np.zeros(n, dtype=bool)
+        alive = [i for i in range(n) if self.bound.intersects(cells[i].rect_bound())]
+        if not alive:
+            return contains, may
+        sub = [cells[i] for i in alive]
+        k = len(sub)
+        f, u, v = self._verts_fuv()
+        faces = np.array([c.face for c in sub])[:, None]
+        ulo = np.array([c.u_lo for c in sub])[:, None]
+        uhi = np.array([c.u_hi for c in sub])[:, None]
+        vlo = np.array([c.v_lo for c in sub])[:, None]
+        vhi = np.array([c.v_hi for c in sub])[:, None]
+        m = DBL_EPSILON / 2
+        vin = (
+            (f[None, :] == faces)
+            & (u[None, :] >= ulo - m)
+            & (u[None, :] <= uhi + m)
+            & (v[None, :] >= vlo - m)
+            & (v[None, :] <= vhi + m)
+        ).any(axis=1)
+        hit = vin.copy()
+        need = np.nonzero(~vin)[0]
+        if len(need):
+            cv = np.stack([sub[i].vertices() for i in need])
+            hit[need] = self._edges_cross_cells_batch(cv)
+        centers = np.stack([c.center() for c in sub])
+        cin = pip.loop_contains_points(self.verts, self.origin_inside, centers)
+        idx = np.array(alive)
+        contains[idx] = ~hit & cin
+        may[idx] = hit | cin
+        return contains, may
 
 
 @dataclass(frozen=True)

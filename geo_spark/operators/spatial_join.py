@@ -129,25 +129,36 @@ def build_layer(
 
         for gid, blob in zip(pdf["geom_id"], pdf["blob"]):
             region = pickle.loads(blob)
-            for c in coverer.covering(region):
-                base_level = cu._level(c)
-                # DFS: interior children emit immediately, disjoint drop,
-                # boundary children split until the depth budget.
-                stack = [(Cell.from_id(c), want_interior)]
-                while stack:
-                    cell, check = stack.pop()
-                    is_int = check and region.contains_cell(cell)
+            covering = coverer.covering(region)
+            if not want_interior:
+                for c in covering:
+                    emit(gid, c, False)
+                continue
+            # Level-synchronous BFS so every round's contains/may tests
+            # run as ONE batched relate_cells call (LoopRegion vectorizes
+            # the whole frontier; other shapes fall back to scalar).
+            # Semantics identical to the per-cell DFS: interior cells
+            # emit, disjoint children drop, boundary cells split until
+            # the depth budget.  Root covering cells are never may-
+            # filtered (the DFS pushed them unconditionally).
+            frontier = [(Cell.from_id(c), cu._level(c)) for c in covering]
+            root = True
+            while frontier:
+                contains, may = region.relate_cells([c for c, _ in frontier])
+                nxt = []
+                for (cell, base), isc, m_ok in zip(frontier, contains, may):
+                    if not root and not m_ok:
+                        continue
                     if (
-                        is_int
-                        or not check
-                        or cell.level - base_level >= subdivide
+                        isc
+                        or cell.level - base >= subdivide
                         or cell.level >= max_level
                     ):
-                        emit(gid, cell.id, is_int)
+                        emit(gid, cell.id, bool(isc))
                         continue
-                    for child in cell.children():
-                        if region.may_intersect_cell(child):
-                            stack.append((child, True))
+                    nxt.extend((child, base) for child in cell.children())
+                frontier = nxt
+                root = False
         return pd.DataFrame(
             {
                 "geom_id": pd.Series(out_gid, dtype="int64"),

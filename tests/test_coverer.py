@@ -235,3 +235,60 @@ def test_expand_by_radius_buffers():
         if float(np.arccos(np.clip(q @ cap.center, -1, 1))) <= 0.02 + 0.001:
             leaf = int(ck.cellid_from_xyz(q[0:1], q[1:2], q[2:3])[0])
             assert cu.contains_cellid(buffered, leaf)
+
+
+def test_relate_cells_batch_matches_scalar():
+    # The vectorized LoopRegion.relate_cells must agree with the scalar
+    # contains_cell / may_intersect_cell pair on every cell: near the
+    # loop, far away, and across levels (containing, boundary-crossing,
+    # disjoint cells all occur).
+    import numpy as np
+
+    from geo_spark.kernel import cellid as ck
+    from geo_spark.kernel.cell import Cell
+    from geo_spark.sources.layers import city_loop_regions
+
+    rng = np.random.default_rng(5)
+    for gid, region in list(city_loop_regions(6)):
+        import math
+
+        ctr = region.verts.mean(axis=0)
+        ctr /= np.linalg.norm(ctr)
+        lat = math.degrees(math.asin(ctr[2]))
+        lng = math.degrees(math.atan2(ctr[1], ctr[0]))
+        lats = np.concatenate([lat + rng.uniform(-3, 3, 40), rng.uniform(-80, 80, 10)])
+        lngs = np.concatenate([lng + rng.uniform(-3, 3, 40), rng.uniform(-180, 180, 10)])
+        ids = ck.cellid_from_latlng(lats, lngs)
+        cells = []
+        for lvl in (4, 8, 12, 16):
+            cells.extend(
+                Cell.from_id(int(c)) for c in np.unique(ck.parent(ids, lvl))
+            )
+        bc, bm = region.relate_cells(cells)
+        for i, cell in enumerate(cells):
+            assert region.contains_cell(cell) == bc[i], (gid, cell.id)
+            assert region.may_intersect_cell(cell) == bm[i], (gid, cell.id)
+
+
+def test_covering_identical_with_batch_disabled():
+    # The coverer's batched child expansion must not change any covering
+    # (the predicates are float-identical; the candidate walk must be too).
+    from geo_spark.kernel.coverer import RegionCoverer
+    from geo_spark.kernel.regions import LoopRegion, Region
+    from geo_spark.sources.layers import city_loop_regions
+
+    regions = list(city_loop_regions(12))
+    cov = RegionCoverer(min_level=0, max_level=30, max_cells=8)
+    with_batch = [
+        (list(cov.covering(r)), list(cov.interior_covering(r))) for _, r in regions
+    ]
+    orig = LoopRegion.relate_cells
+    LoopRegion.relate_cells = Region.relate_cells
+    try:
+        without = [
+            (list(cov.covering(r)), list(cov.interior_covering(r)))
+            for _, r in regions
+        ]
+    finally:
+        LoopRegion.relate_cells = orig
+    assert with_batch == without
