@@ -370,6 +370,69 @@ def _edges_cross_cell(
     return False
 
 
+def _edges_cross_cells_batch(
+    a: np.ndarray, b: np.ndarray, cv: np.ndarray
+) -> np.ndarray:
+    """bool[K]: any chain edge (a[j] -> b[j]) crosses any edge of cell k
+    (MaybeCross counts, same conservative semantics as _edges_cross_cell).
+    ``cv`` is a (K,4,3) stack of cell vertices.  Bit-identical to the
+    scalar path: triage_sign broadcasts elementwise over the same
+    floats."""
+    A = a[None, None, :, :]
+    B = b[None, None, :, :]
+    C = cv[:, :, None, :]
+    D = np.roll(cv, -1, axis=1)[:, :, None, :]
+    acb = -pred.triage_sign(A, B, C)  # (K,4,M)
+    bda = pred.triage_sign(A, B, D)
+    maybe = (acb == 0) | (bda == 0)
+    live = (acb == bda) & (acb != 0)
+    cbd = -pred.triage_sign(C, D, B)
+    dac = pred.triage_sign(C, D, A)
+    proper = live & (cbd == acb) & (dac == acb)
+    maybe_live = live & ((cbd == 0) | (dac == 0))
+    return (maybe | proper | maybe_live).any(axis=(1, 2))
+
+
+def _boundary_hits_batch(
+    verts: np.ndarray, memo: dict, sub: list[Cell], closed: bool
+) -> np.ndarray:
+    """bool[len(sub)]: chain boundary touches each cell — a chain vertex
+    inside the cell, or a chain edge crossing a cell edge.  The chain
+    vertices' (face,u,v) projection and edge arrays are memoized per
+    region (the scalar path recomputed the projection per cell; it was
+    the layer build's hottest line)."""
+    fuv = memo.get("_fuv")
+    if fuv is None:
+        fuv = ck.face_uv_from_xyz(verts[:, 0], verts[:, 1], verts[:, 2])
+        memo["_fuv"] = fuv
+    f, u, v = fuv
+    faces = np.array([c.face for c in sub])[:, None]
+    ulo = np.array([c.u_lo for c in sub])[:, None]
+    uhi = np.array([c.u_hi for c in sub])[:, None]
+    vlo = np.array([c.v_lo for c in sub])[:, None]
+    vhi = np.array([c.v_hi for c in sub])[:, None]
+    m = DBL_EPSILON / 2
+    vin = (
+        (f[None, :] == faces)
+        & (u[None, :] >= ulo - m)
+        & (u[None, :] <= uhi + m)
+        & (v[None, :] >= vlo - m)
+        & (v[None, :] <= vhi + m)
+    ).any(axis=1)
+    hit = vin.copy()
+    need = np.nonzero(~vin)[0]
+    if len(need):
+        ch = memo.get("_chain")
+        if ch is None:
+            closed_chain = np.vstack([verts, verts[:1]]) if closed else verts
+            ch = (closed_chain[:-1], closed_chain[1:])
+            memo["_chain"] = ch
+        a, b = ch
+        cv = np.stack([sub[i].vertices() for i in need])
+        hit[need] = _edges_cross_cells_batch(a, b, cv)
+    return hit
+
+
 @dataclass(frozen=True)
 class LoopRegion(Region):
     """Single closed CCW ring with crossing-parity interior.
@@ -426,45 +489,8 @@ class LoopRegion(Region):
             return True
         return self.contains_point(cell.center())
 
-    def _verts_fuv(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """Loop vertices projected to (face, u, v) — shared by every
-        vertex-in-cell test in a batch (the scalar path recomputes this
-        per cell; it was the layer build's hottest line)."""
-        fuv = self._memo.get("_fuv")
-        if fuv is None:
-            fuv = ck.face_uv_from_xyz(
-                self.verts[:, 0], self.verts[:, 1], self.verts[:, 2]
-            )
-            self._memo["_fuv"] = fuv
-        return fuv
-
-    def _chain(self) -> tuple[np.ndarray, np.ndarray]:
-        ch = self._memo.get("_chain")
-        if ch is None:
-            closed = np.vstack([self.verts, self.verts[:1]])
-            ch = (closed[:-1], closed[1:])
-            self._memo["_chain"] = ch
-        return ch
-
-    def _edges_cross_cells_batch(self, cv: np.ndarray) -> np.ndarray:
-        """bool[K]: any loop edge crosses any edge of cell k (MaybeCross
-        counts, same conservative semantics as _edges_cross_cell).  ``cv``
-        is a (K,4,3) stack of cell vertices.  Bit-identical to the scalar
-        path: triage_sign broadcasts elementwise over the same floats."""
-        a, b = self._chain()
-        A = a[None, None, :, :]
-        B = b[None, None, :, :]
-        C = cv[:, :, None, :]
-        D = np.roll(cv, -1, axis=1)[:, :, None, :]
-        acb = -pred.triage_sign(A, B, C)  # (K,4,M)
-        bda = pred.triage_sign(A, B, D)
-        maybe = (acb == 0) | (bda == 0)
-        live = (acb == bda) & (acb != 0)
-        cbd = -pred.triage_sign(C, D, B)
-        dac = pred.triage_sign(C, D, A)
-        proper = live & (cbd == acb) & (dac == acb)
-        maybe_live = live & ((cbd == 0) | (dac == 0))
-        return (maybe | proper | maybe_live).any(axis=(1, 2))
+    def _boundary_hits_batch(self, sub: list[Cell]) -> np.ndarray:
+        return _boundary_hits_batch(self.verts, self._memo, sub, closed=True)
 
     def relate_cells(self, cells: list[Cell]) -> tuple[np.ndarray, np.ndarray]:
         """Batched (contains[], may_intersect[]): one rect prefilter pass,
@@ -479,26 +505,7 @@ class LoopRegion(Region):
         if not alive:
             return contains, may
         sub = [cells[i] for i in alive]
-        k = len(sub)
-        f, u, v = self._verts_fuv()
-        faces = np.array([c.face for c in sub])[:, None]
-        ulo = np.array([c.u_lo for c in sub])[:, None]
-        uhi = np.array([c.u_hi for c in sub])[:, None]
-        vlo = np.array([c.v_lo for c in sub])[:, None]
-        vhi = np.array([c.v_hi for c in sub])[:, None]
-        m = DBL_EPSILON / 2
-        vin = (
-            (f[None, :] == faces)
-            & (u[None, :] >= ulo - m)
-            & (u[None, :] <= uhi + m)
-            & (v[None, :] >= vlo - m)
-            & (v[None, :] <= vhi + m)
-        ).any(axis=1)
-        hit = vin.copy()
-        need = np.nonzero(~vin)[0]
-        if len(need):
-            cv = np.stack([sub[i].vertices() for i in need])
-            hit[need] = self._edges_cross_cells_batch(cv)
+        hit = self._boundary_hits_batch(sub)
         centers = np.stack([c.center() for c in sub])
         cin = pip.loop_contains_points(self.verts, self.origin_inside, centers)
         idx = np.array(alive)
@@ -560,6 +567,21 @@ class PolylineRegion(Region):
             self._memo[cell.id] = hit
         return hit
 
+    def relate_cells(self, cells: list[Cell]) -> tuple[np.ndarray, np.ndarray]:
+        """Batched: contains is identically False (no interior); may =
+        rect prefilter + one vectorized boundary-touch pass."""
+        n = len(cells)
+        contains = np.zeros(n, dtype=bool)
+        may = np.zeros(n, dtype=bool)
+        alive = [i for i in range(n) if self.bound.intersects(cells[i].rect_bound())]
+        if not alive:
+            return contains, may
+        sub = [cells[i] for i in alive]
+        may[np.array(alive)] = _boundary_hits_batch(
+            self.verts, self._memo, sub, closed=False
+        )
+        return contains, may
+
 
 @dataclass(frozen=True)
 class PolygonRegion(Region):
@@ -616,6 +638,36 @@ class PolygonRegion(Region):
         if self._boundary_intersects(cell, cell_verts):
             return True
         return self.contains_point(cell.center())
+
+    def relate_cells(self, cells: list[Cell]) -> tuple[np.ndarray, np.ndarray]:
+        """Batched: boundary-touch is the OR over rings (each ring only
+        evaluated for cells its own bound reaches), center parity is the
+        XOR of one loop_contains_points call per ring."""
+        n = len(cells)
+        contains = np.zeros(n, dtype=bool)
+        may = np.zeros(n, dtype=bool)
+        b = self.bound()
+        alive = [i for i in range(n) if b.intersects(cells[i].rect_bound())]
+        if not alive:
+            return contains, may
+        sub = [cells[i] for i in alive]
+        hit = np.zeros(len(sub), dtype=bool)
+        for lp in self.loops:
+            idx = [
+                j
+                for j in range(len(sub))
+                if not hit[j] and lp.bound.intersects(sub[j].rect_bound())
+            ]
+            if idx:
+                hit[idx] |= lp._boundary_hits_batch([sub[j] for j in idx])
+        centers = np.stack([c.center() for c in sub])
+        cin = np.zeros(len(sub), dtype=bool)
+        for lp in self.loops:
+            cin ^= pip.loop_contains_points(lp.verts, lp.origin_inside, centers)
+        idx = np.array(alive)
+        contains[idx] = ~hit & cin
+        may[idx] = hit | cin
+        return contains, may
 
 
 # ---------------------------------------------------------------------------

@@ -292,3 +292,58 @@ def test_covering_identical_with_batch_disabled():
     finally:
         LoopRegion.relate_cells = orig
     assert with_batch == without
+
+
+def test_relate_cells_polyline_and_polygon_match_scalar():
+    import math
+
+    import numpy as np
+
+    from geo_spark.kernel import cellid as ck
+    from geo_spark.kernel.cell import Cell
+    from geo_spark.kernel.regions import PolygonRegion, PolylineRegion
+
+    rng = np.random.default_rng(9)
+
+    def cells_near(lat, lng):
+        lats = np.concatenate(
+            [lat + rng.uniform(-3, 3, 40), rng.uniform(-80, 80, 8)]
+        )
+        lngs = np.concatenate(
+            [lng + rng.uniform(-3, 3, 40), rng.uniform(-180, 180, 8)]
+        )
+        ids = ck.cellid_from_latlng(lats, lngs)
+        out = []
+        for lvl in (4, 8, 12, 16):
+            out.extend(Cell.from_id(int(c)) for c in np.unique(ck.parent(ids, lvl)))
+        return out
+
+    for t in range(4):
+        lat0, lng0 = rng.uniform(-60, 60), rng.uniform(-170, 170)
+        lats = lat0 + np.cumsum(rng.uniform(-0.3, 0.3, 20))
+        lngs = lng0 + np.cumsum(rng.uniform(-0.3, 0.3, 20))
+        r = PolylineRegion.from_latlng(lats, lngs)
+        cells = cells_near(lat0, lng0)
+        bc, bm = r.relate_cells(cells)
+        for i, c in enumerate(cells):
+            assert r.contains_cell(c) == bc[i]
+            assert r.may_intersect_cell(c) == bm[i]
+
+    for t in range(4):
+        lat0, lng0 = rng.uniform(-50, 50), rng.uniform(-160, 160)
+
+        def ring(radius, n, rev=False):
+            ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+            if rev:
+                ang = ang[::-1]
+            la = lat0 + radius * np.sin(ang)
+            lo = lng0 + radius * np.cos(ang)
+            x, y, z = ck.latlng_to_xyz(la, lo)
+            return np.stack([x, y, z], axis=1)
+
+        pg = PolygonRegion.from_loops([ring(2.0, 24), ring(0.8, 12, rev=True)])
+        cells = cells_near(lat0, lng0)
+        bc, bm = pg.relate_cells(cells)
+        for i, c in enumerate(cells):
+            assert pg.contains_cell(c) == bc[i], c.id
+            assert pg.may_intersect_cell(c) == bm[i], c.id
