@@ -67,3 +67,104 @@ def test_decode_rejects_bad_inputs():
         decode_cellunion(struct.pack("<bq", ENCODING_VERSION, 2_000_000))
     with pytest.raises(ValueError, match="shorter"):
         decode_cellid(b"\x00")
+
+
+# ---------------------------------------------------------------------------
+# Compressed point encoding (s2/pointcompression_test.go:48-94 cases)
+# ---------------------------------------------------------------------------
+
+
+def _snapped_points(n, level, seed=3):
+    """n points on a small circle near the (1,1,1) corner, snapped to
+    level-``level`` cell centers (no snap when level > 30) — the analog
+    of the reference's makeSnappedPoints."""
+    import math
+
+    import numpy as np
+
+    from geo_spark.kernel import cellid as ck
+    from geo_spark.kernel.cell import Cell
+
+    ang = np.linspace(0.0, 2 * math.pi, n, endpoint=False)
+    lat = 35.264389682754654 + 0.001 * np.sin(ang)
+    lng = 45.0 + 0.001 * np.cos(ang)
+    x, y, z = ck.latlng_to_xyz(lat, lng)
+    pts = np.stack([x, y, z], axis=1)
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    if level <= 30:
+        ids = ck.parent(ck.cellid_from_latlng(lat, lng), level)
+        pts = np.stack([Cell.from_id(int(c)).center() for c in ids])
+    return pts
+
+
+def test_points_compressed_roundtrip_cases():
+    import numpy as np
+
+    from geo_spark.kernel.serialization import (
+        decode_points_compressed,
+        encode_points_compressed,
+    )
+
+    cases = [
+        ("loop4", _snapped_points(4, 30), 30),
+        ("loop4unsnapped", _snapped_points(4, 4), 30),
+        ("loop4level14", _snapped_points(4, 14), 14),
+        ("loop100", _snapped_points(100, 30), 30),
+        ("loop100unsnapped", _snapped_points(100, 100), 30),
+    ]
+    mixed = _snapped_points(100, 30).copy()
+    mixed4 = _snapped_points(100, 4)
+    for i in range(15):
+        mixed[3 * i] = mixed4[3 * i]
+    cases.append(("loop100mixed15", mixed, 30))
+
+    for label, pts, level in cases:
+        blob = encode_points_compressed(pts, level)
+        got = decode_points_compressed(blob, level, len(pts))
+        assert np.allclose(got, pts, atol=1e-14), label
+        # snapped-at-level points must round-trip EXACTLY (cell centers)
+        if label in ("loop4", "loop4level14", "loop100"):
+            assert np.array_equal(got, pts), label
+
+
+def test_points_compressed_size():
+    from geo_spark.kernel.serialization import encode_points_compressed
+
+    pts = _snapped_points(100, 30)
+    blob = encode_points_compressed(pts, 30)
+    # reference: 8 bytes for the first vertex + ~4/vertex thereafter for
+    # nearby snapped points; raw storage is 2400 bytes
+    assert len(blob) < 700, len(blob)
+
+    # off-center points cost 24 bytes + index each, exactly recoverable
+    raw = _snapped_points(10, 100)
+    blob2 = encode_points_compressed(raw, 30)
+    assert len(blob2) > 10 * 24
+
+
+def test_zigzag_reference_table():
+    # s2/pointcompression_test.go:96-115
+    from geo_spark.kernel.serialization import _zigzag_decode, _zigzag_encode
+
+    table = [
+        (0, 0),
+        (-1, 1),
+        (1, 2),
+        (-2, 3),
+        (2147483647, 4294967294),
+        (-2147483648, 4294967295),
+    ]
+    for signed, unsigned in table:
+        assert _zigzag_encode(signed) == unsigned
+        assert _zigzag_decode(unsigned) == signed
+
+
+def test_interleave_bit_order():
+    # s2/interleave.go:128-133: bit 0 of x -> bit 0, bit 0 of y -> bit 1
+    from geo_spark.kernel.serialization import _deinterleave32, _interleave32
+
+    assert _interleave32(1, 0) == 1
+    assert _interleave32(0, 1) == 2
+    assert _interleave32(0xFFFFFFFF, 0) == 0x5555555555555555
+    for x, y in [(123456789, 987654321), (0, 0), (0xFFFFFFFF, 0xFFFFFFFF)]:
+        assert _deinterleave32(_interleave32(x, y)) == (x, y)
