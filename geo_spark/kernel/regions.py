@@ -377,7 +377,19 @@ def _edges_cross_cells_batch(
     (MaybeCross counts, same conservative semantics as _edges_cross_cell).
     ``cv`` is a (K,4,3) stack of cell vertices.  Bit-identical to the
     scalar path: triage_sign broadcasts elementwise over the same
-    floats."""
+    floats.  Work is chunked so the (K,4,M) intermediates stay bounded
+    for huge chains (a 65k-edge loop against hundreds of cells would
+    otherwise allocate hundreds of MB)."""
+    K, M = len(cv), len(a)
+    budget = 2_000_000  # elements per (chunk,4,M) intermediate
+    if K * M * 4 > budget and K > 1:
+        step = max(1, budget // (4 * M))
+        return np.concatenate(
+            [
+                _edges_cross_cells_batch(a, b, cv[i : i + step])
+                for i in range(0, K, step)
+            ]
+        )
     A = a[None, None, :, :]
     B = b[None, None, :, :]
     C = cv[:, :, None, :]
