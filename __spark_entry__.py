@@ -2641,6 +2641,309 @@ def _oracle_hex_tile_counts() -> str:
     """
 
 
+def _q_geohash_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events -> byte-exact geohash tokens (precision 5) -> two-level
+    rollup over the prefix hierarchy (prefix = ancestor containment).
+
+    The tile assignment is a pure native-SQL projection
+    (`functions/webgrid.geohash_col`: quantize + Morton spread + base-32
+    chars, zero UDFs, whole-stage codegen) — the cheap path for
+    assigning 10^12 pages to interoperable web-grid tiles.  The DuckDB
+    twin re-derives every character by DIRECT bit gather from the
+    quantized lat/lng integers (no Morton masks), so the two sides
+    compute the interleave through structurally different bit math."""
+    from geo_spark.functions.webgrid import geohash_col
+    from geo_spark.operators.geo_noise import with_geo_noise
+
+    ev = with_geo_noise(_t(spark, sf_dir, "events"), "event_id")
+    base = ev.select(
+        geohash_col(F.col("lat"), F.col("lng"), 5).alias("gh5"), "event_id"
+    ).withColumn("gh2", F.substring(F.col("gh5"), 1, 2))
+    return (
+        base.rollup("gh2", "gh5")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min("event_id").alias("min_event"))
+        .select(
+            F.coalesce(F.col("gh2"), F.lit("*")).alias("gh2"),
+            F.coalesce(F.col("gh5"), F.lit("*")).alias("gh5"),
+            "cnt",
+            "min_event",
+        )
+        .orderBy("gh2", "gh5")
+    )
+
+
+def _geohash_char_sql(lng_q: str, lat_q: str, precision: int) -> list[str]:
+    """Per-character SQL exprs for a geohash: each of the 5 bits of char
+    k is gathered directly from the quantized lng/lat integer (bisection
+    bit order: even stream positions = lng MSB-down, odd = lat)."""
+    from geo_spark.kernel.webgrid import GEOHASH_BASE32, _geohash_bits
+
+    lng_bits, lat_bits = _geohash_bits(precision)
+    chars = []
+    for k in range(precision):
+        terms = []
+        for j in range(5):
+            m = 5 * k + j  # global bit index from MSB
+            if m % 2 == 0:
+                src, s = lng_q, lng_bits - 1 - m // 2
+            else:
+                src, s = lat_q, lat_bits - 1 - m // 2
+            terms.append(f"((({src} >> {s}) & 1) << {4 - j})")
+        chars.append(f"substring('{GEOHASH_BASE32}', 1 + ({' + '.join(terms)}), 1)")
+    return chars
+
+
+def _oracle_geohash_rollup() -> str:
+    from geo_spark.kernel.webgrid import _geohash_bits
+    from geo_spark.operators.geo_noise import LAT_SQL, LNG_SQL
+
+    precision = 5
+    lng_bits, lat_bits = _geohash_bits(precision)
+    lat = LAT_SQL.format(id="event_id")
+    lng = LNG_SQL.format(id="event_id")
+    chars = _geohash_char_sql("lng_q", "lat_q", precision)
+    return f"""
+        WITH pts AS (
+          SELECT event_id, {lat} AS lat, {lng} AS lng FROM events
+        ),
+        q AS (
+          SELECT event_id,
+                 GREATEST(0, LEAST({(1 << lat_bits) - 1},
+                   CAST(FLOOR((lat + 90.0) / 180.0 * {float(1 << lat_bits)!r}) AS BIGINT))) AS lat_q,
+                 GREATEST(0, LEAST({(1 << lng_bits) - 1},
+                   CAST(FLOOR((lng + 180.0) / 360.0 * {float(1 << lng_bits)!r}) AS BIGINT))) AS lng_q
+          FROM pts
+        ),
+        gh AS (
+          SELECT event_id, {' || '.join(chars)} AS gh5 FROM q
+        )
+        SELECT COALESCE(substring(gh5, 1, 2), '*') AS gh2,
+               COALESCE(gh5, '*') AS gh5,
+               COUNT(*) AS cnt, MIN(event_id) AS min_event
+        FROM gh
+        GROUP BY ROLLUP (substring(gh5, 1, 2), gh5)
+        ORDER BY gh2, gh5
+    """
+
+
+def _q_quadkey_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events -> Web-Mercator tile (x, y) at zoom 8 + Bing quadkey
+    string -> per-tile counts.  Tile math is a UDF-free codegen
+    projection (`functions/webgrid.mercator_xy_cols`/`quadkey_col`);
+    quadkeys are byte-interoperable with Bing/slippy-map tile ids.  The
+    oracle replays the published Mercator formula and extracts each
+    quadkey digit arithmetically (digit = 2*y_bit + x_bit, MSB-first)."""
+    from geo_spark.functions.webgrid import mercator_xy_cols, quadkey_col
+    from geo_spark.operators.geo_noise import with_geo_noise
+
+    ev = with_geo_noise(_t(spark, sf_dir, "events"), "event_id")
+    tx, ty = mercator_xy_cols(F.col("lat"), F.col("lng"), 8)
+    base = ev.select(tx.alias("tx"), ty.alias("ty"), "event_id")
+    return (
+        base.withColumn("qk", quadkey_col(F.col("tx"), F.col("ty"), 8))
+        .groupBy("qk", "tx", "ty")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min("event_id").alias("min_event"))
+        .orderBy("qk")
+    )
+
+
+def _oracle_quadkey_tiles() -> str:
+    import numpy as np
+
+    from geo_spark.kernel.webgrid import MERCATOR_MAX_LAT
+    from geo_spark.operators.geo_noise import LAT_SQL, LNG_SQL
+
+    zoom = 8
+    n = float(1 << zoom)
+    hi = (1 << zoom) - 1
+    deg2rad = float(np.radians(1.0))
+    four_pi = float(4.0 * np.pi)
+    digits = []
+    for k in range(zoom):
+        s = zoom - 1 - k
+        digits.append(
+            f"CAST(2 * ((ty >> {s}) & 1) + ((tx >> {s}) & 1) AS VARCHAR)"
+        )
+    return f"""
+        WITH pts AS (
+          SELECT event_id, {LAT_SQL.format(id='event_id')} AS lat,
+                 {LNG_SQL.format(id='event_id')} AS lng
+          FROM events
+        ),
+        m AS (
+          SELECT event_id,
+                 sin(GREATEST({-MERCATOR_MAX_LAT!r}, LEAST({MERCATOR_MAX_LAT!r}, lat))
+                     * {deg2rad!r}) AS sy,
+                 lng
+          FROM pts
+        ),
+        t AS (
+          SELECT event_id,
+                 GREATEST(0, LEAST({hi},
+                   CAST(FLOOR((lng + 180.0) / 360.0 * {n!r}) AS BIGINT))) AS tx,
+                 GREATEST(0, LEAST({hi},
+                   CAST(FLOOR((0.5 - ln((1.0 + sy) / (1.0 - sy)) / {four_pi!r}) * {n!r})
+                        AS BIGINT))) AS ty
+          FROM m
+        )
+        SELECT {' || '.join(digits)} AS qk, tx, ty,
+               COUNT(*) AS cnt, MIN(event_id) AS min_event
+        FROM t
+        GROUP BY qk, tx, ty
+        ORDER BY qk
+    """
+
+
+def _q_geohash_cover_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events x lat/lng rects (incl. the antimeridian-wrapping one)
+    joined ENTIRELY in native SQL via geohash covering terms: adaptive
+    per-rect covering precision (RegionTermIndexer ancestor-term trick
+    on the geohash lattice), broadcast term join, closed-interval
+    refine — no UDF, no Arrow hop, one broadcast join, zero shuffles
+    of the point side.  The oracle ignores the tiling machinery
+    entirely and tests containment directly, so the covering+refine
+    chain is verified against first principles."""
+    from geo_spark.operators.geo_noise import with_geo_noise
+    from geo_spark.operators.webgrid_join import (
+        build_geohash_rect_layer,
+        geohash_rect_join,
+    )
+
+    ev = with_geo_noise(_t(spark, sf_dir, "events"), "event_id")
+    layer = build_geohash_rect_layer(
+        spark, [(g, la0, ln0, la1, ln1) for g, la0, ln0, la1, ln1 in _RECTS]
+    )
+    joined = geohash_rect_join(ev, layer, point_key="event_id")
+    return (
+        joined.groupBy("geom_id")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min("event_id").alias("min_event"))
+        .orderBy("geom_id")
+    )
+
+
+def _oracle_geohash_cover_join() -> str:
+    from geo_spark.operators.geo_noise import LAT_SQL, LNG_SQL
+
+    lat = LAT_SQL.format(id="event_id")
+    lng = LNG_SQL.format(id="event_id")
+    rect_rows = ", ".join(
+        f"({g}, {la0!r}, {ln0!r}, {la1!r}, {ln1!r})"
+        for g, la0, ln0, la1, ln1 in _RECTS
+    )
+    return f"""
+        WITH pts AS (
+          SELECT event_id, {lat} AS lat, {lng} AS lng FROM events
+        ),
+        rects(geom_id, la0, ln0, la1, ln1) AS (VALUES {rect_rows})
+        SELECT geom_id, COUNT(*) AS cnt, MIN(event_id) AS min_event
+        FROM pts, rects
+        WHERE lat >= la0 AND lat <= la1
+          AND (CASE WHEN ln0 <= ln1 THEN lng >= ln0 AND lng <= ln1
+                    ELSE lng >= ln0 OR lng <= ln1 END)
+        GROUP BY geom_id ORDER BY geom_id
+    """
+
+
+def _q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registered-domain corpus rollup over synthetic Common-Crawl
+    URLs: host extraction (one JVM regex), public-suffix registered
+    domain (last-2/last-3 label rule over the embedded multi-label
+    suffix table), then one hash aggregate.  All native SQL — the
+    whole per-URL path is a codegen projection.  The DuckDB twin
+    re-derives host + domain with its own string/list SQL."""
+    from geo_spark.operators.webcorpus import domain_stats, synthetic_url_sql
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(synthetic_url_sql("doc_id")).alias("url"), "text"
+    )
+    return domain_stats(docs).orderBy("domain")
+
+
+def _oracle_domain_stats() -> str:
+    from geo_spark.operators.webcorpus import (
+        HOST_RE,
+        MULTI_LABEL_SUFFIXES,
+        synthetic_url_sql,
+    )
+
+    suffixes = ", ".join(f"'{s}'" for s in MULTI_LABEL_SUFFIXES)
+    return f"""
+        WITH urls AS (
+          SELECT doc_id, {synthetic_url_sql('doc_id')} AS url, text
+          FROM documents
+        ),
+        h AS (
+          SELECT lower(regexp_extract(url, '{HOST_RE}', 1)) AS host,
+                 length(text) AS n_chars
+          FROM urls
+        ),
+        parts AS (SELECT *, string_split(host, '.') AS labels FROM h),
+        d AS (
+          SELECT host, n_chars,
+                 CASE WHEN len(labels) <= 2 THEN host
+                      WHEN array_to_string(labels[-2:], '.') IN ({suffixes})
+                           AND len(labels) >= 3
+                        THEN array_to_string(labels[-3:], '.')
+                      ELSE array_to_string(labels[-2:], '.')
+                 END AS domain
+          FROM parts
+        )
+        SELECT domain, COUNT(*) AS pages, COUNT(DISTINCT host) AS hosts,
+               SUM(n_chars) AS total_chars
+        FROM d GROUP BY domain ORDER BY domain
+    """
+
+
+def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact URL dedup after RFC 3986 canonicalization (fragment strip,
+    scheme+host lowercase, default-port strip): consecutive doc-id
+    pairs carry presentation variants of the same base URL, so every
+    canonical URL collapses its variants to the min doc_id.  One
+    codegen'd normalization projection + one map-side-combined groupBy
+    — the shape that URL-dedups 10^12 pages in a single shuffle."""
+    from geo_spark.operators.webcorpus import synthetic_url_sql, url_dedup
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(synthetic_url_sql("doc_id")).alias("url")
+    )
+    return url_dedup(docs).orderBy("canon_url")
+
+
+def _oracle_url_dedup() -> str:
+    from geo_spark.operators.webcorpus import synthetic_url_sql
+
+    return f"""
+        WITH urls AS (
+          SELECT doc_id, {synthetic_url_sql('doc_id')} AS url FROM documents
+        ),
+        nofrag AS (
+          SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM urls
+        ),
+        pieces AS (
+          SELECT doc_id, u,
+                 regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)', 0)
+                   AS pref0
+          FROM nofrag
+        ),
+        low AS (
+          SELECT doc_id, lower(pref0) AS pref,
+                 substring(u, length(pref0) + 1) AS rest
+          FROM pieces
+        ),
+        norm AS (
+          SELECT doc_id,
+                 (CASE WHEN starts_with(pref, 'http://') AND ends_with(pref, ':80')
+                         THEN substring(pref, 1, length(pref) - 3)
+                       WHEN starts_with(pref, 'https://') AND ends_with(pref, ':443')
+                         THEN substring(pref, 1, length(pref) - 4)
+                       ELSE pref END) || rest AS canon_url
+          FROM low
+        )
+        SELECT canon_url, MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt
+        FROM norm GROUP BY canon_url ORDER BY canon_url
+    """
+
+
 # ---------------------------------------------------------------------------
 # training-data corpus ops (dedup / text analysis / similarity)
 # ---------------------------------------------------------------------------
@@ -3575,6 +3878,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_corpus_pipeline": _q_corpus_pipeline,
         "q_geo_stratified_dedup": _q_geo_stratified_dedup,
         "q_hex_tile_counts": _q_hex_tile_counts,
+        "q_geohash_rollup": _q_geohash_rollup,
+        "q_quadkey_tiles": _q_quadkey_tiles,
+        "q_geohash_cover_join": _q_geohash_cover_join,
+        "q_domain_stats": _q_domain_stats,
+        "q_url_dedup": _q_url_dedup,
         "q_interval_sweep": _q_interval_sweep,
         "q_tile_rollup": _q_tile_rollup,
         "q_top_events_per_tile": _q_top_events_per_tile,
@@ -3615,6 +3923,11 @@ def oracle_sql() -> dict[str, str]:
         "q_minhash_lsh_pairs": _oracle_minhash_lsh_pairs(),
         "q_simhash_pairs": _oracle_simhash_pairs(),
         "q_hex_tile_counts": _oracle_hex_tile_counts(),
+        "q_geohash_rollup": _oracle_geohash_rollup(),
+        "q_quadkey_tiles": _oracle_quadkey_tiles(),
+        "q_geohash_cover_join": _oracle_geohash_cover_join(),
+        "q_domain_stats": _oracle_domain_stats(),
+        "q_url_dedup": _oracle_url_dedup(),
         "q_dedup_clusters": _oracle_dedup_clusters(),
         "q_stratified_sample": _oracle_stratified_sample(),
         "q_token_budget_sample": _oracle_token_budget_sample(),

@@ -32,6 +32,8 @@ HEADLINE_QUERIES = [
     "q_cosine_topk",
     "q_hex_tile_counts",
     "q_stratified_sample",  # mixture sampling: partial WindowGroupLimit plan
+    "q_geohash_rollup",  # byte-exact web-grid tokens, pure codegen projection
+    "q_domain_stats",  # URL -> registered-domain rollup, native SQL
 ]
 
 

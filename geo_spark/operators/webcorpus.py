@@ -1,0 +1,172 @@
+"""Web-corpus URL/domain operators: host extraction, URL canonicalization,
+registered-domain rollups, and crawl-style domain bucketing — all native
+Spark SQL expressions (zero Python in the row path).
+
+A Common-Crawl-scale corpus (the north rule's 10^12-page table) is
+dominated by per-URL and per-domain bookkeeping: canonicalizing URLs
+before dedup, rolling quality statistics up to the registered domain
+(the unit at which crawl policies, spam scoring, and robots decisions
+apply), and partitioning work by domain so one hot site cannot skew a
+stage.  Everything here is a codegen'd projection or a single hash
+aggregation:
+
+* `host_col` — regex host extraction (one `regexp_extract`, JVM-side).
+* `url_normalize_col` — scheme+host lowercase, default-port strip,
+  fragment strip (RFC 3986 §6 normalizations that preserve semantics).
+* `registered_domain_col` — last-two-labels rule with an embedded table
+  of common multi-label public suffixes (``co.uk``-style).  The full
+  public-suffix list is a data file a production deployment drops in;
+  the *operator shape* (suffix match → label slice) is identical.
+* `domain_bucket_col` — deterministic md5-based bucket id: the
+  crawl-frontier partitioner (politeness / skew control), and the join
+  key for co-locating per-domain state without a shuffle-by-domain.
+
+Reference analog: none (akhenakh/geo is geometry-only); this is the
+webtext half of the north star.  Oracle: every op re-derives in DuckDB
+with plain string/regex SQL (`q_domain_stats`, `q_url_dedup`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Regex shared verbatim with the DuckDB oracles (RE2/ICU-compatible, no
+# backrefs): scheme, then host = run of chars excluding delimiters.
+HOST_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)"
+
+# Common multi-label public suffixes (subset of the published
+# publicsuffix.org list; swap in the full file in production).
+MULTI_LABEL_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.br", "net.br", "org.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "com.mx", "org.mx",
+    "co.in", "net.in", "org.in", "firm.in",
+    "co.kr", "or.kr", "go.kr",
+    "com.tr", "org.tr",
+    "com.ar", "org.ar",
+    "co.za", "org.za", "web.za",
+    "com.sg", "org.sg",
+    "com.hk", "org.hk",
+    "co.nz", "org.nz", "net.nz",
+    "com.tw", "org.tw",
+    "co.id", "or.id",
+    "com.my", "org.my",
+)
+
+
+def synthetic_url_sql(id_col: str) -> str:
+    """Engine-portable SQL deriving a deterministic Common-Crawl-style
+    URL from an integer id (used by both the Spark queries and their
+    DuckDB oracles — identical text, identical semantics).
+
+    Consecutive id pairs share a base URL but differ in presentation
+    (uppercase host, explicit default port, fragment), so URL dedup has
+    real work; hosts spread over sub×name×suffix combinations incl.
+    multi-label public suffixes."""
+    base = f"CAST(FLOOR({id_col} / 2.0) AS BIGINT)"
+
+    def pick(expr: str, options: tuple[str, ...]) -> str:
+        whens = " ".join(f"WHEN {i} THEN '{o}'" for i, o in enumerate(options))
+        return f"(CASE ({expr}) % {len(options)} {whens} END)"
+
+    sub = pick(base, ("www", "cdn", "blog", "shop"))
+    name = pick(f"{base} + 1", ("acme", "globex", "initech", "umbrella", "stark", "wayne", "hooli"))
+    suf = pick(f"{base} + 2", (".com", ".org", ".co.uk", ".com.au", ".io"))
+    host = f"({sub} || '.' || {name} || {suf})"
+    path = f"('/Page/' || CAST({base} AS BIGINT))"
+    plain = f"('https://' || {host} || {path})"
+    messy = f"('https://' || upper({host}) || ':443' || {path} || '#sec-' || CAST({id_col} % 7 AS BIGINT))"
+    return f"(CASE WHEN {id_col} % 2 = 0 THEN {plain} ELSE {messy} END)"
+
+
+def host_col(url: Column) -> Column:
+    """Lowercased host of a URL ('' when no ``scheme://host`` prefix)."""
+    return F.lower(F.regexp_extract(url, HOST_RE, 1))
+
+
+def url_normalize_col(url: Column) -> Column:
+    """Semantics-preserving URL canonicalization (RFC 3986 §6):
+    lowercase the scheme and host, drop ``:80``/``:443`` when they are
+    the scheme default, drop the fragment.  Path/query are untouched
+    (case-significant).  One regexp_replace chain, fully codegen."""
+    # strip fragment
+    u = F.regexp_replace(url, "#.*$", "")
+    # lowercase scheme://host prefix (group 0 = 'scheme://host[:port]')
+    pref0 = F.regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)", 0)
+    rest = F.substr(u, F.length(pref0) + F.lit(1), F.length(u))
+    pref = F.lower(pref0)
+    # default ports off the (now lowercased) prefix
+    pref = F.when(
+        pref.startswith("http://") & pref.endswith(":80"),
+        F.substr(pref, F.lit(1), F.length(pref) - F.lit(3)),
+    ).when(
+        pref.startswith("https://") & pref.endswith(":443"),
+        F.substr(pref, F.lit(1), F.length(pref) - F.lit(4)),
+    ).otherwise(pref)
+    return F.concat(pref, rest)
+
+
+def registered_domain_col(host: Column) -> Column:
+    """Registered (pay-level) domain: one label above the public suffix.
+
+    Last-2-labels by default; last-3 when the final two labels form a
+    known multi-label suffix.  Hosts with <2 labels pass through."""
+    labels = F.split(host, "\\.")
+    n = F.array_size(labels)
+    last2 = F.array_join(F.slice(labels, n - F.lit(1), 2), ".")
+    last3 = F.array_join(F.slice(labels, n - F.lit(2), 3), ".")
+    is_multi = last2.isin(*MULTI_LABEL_SUFFIXES)
+    return (
+        F.when(n <= 2, host)
+        .when(is_multi & (n >= 3), last3)
+        .otherwise(last2)
+    )
+
+
+def domain_bucket_col(domain: Column, n_buckets: int) -> Column:
+    """Deterministic bucket id in [0, n_buckets): md5-prefix hash, the
+    same engine-portable construction the sampling/dedup operators use
+    (replayable in any SQL engine; independent of Spark's hash seed)."""
+    return (
+        F.conv(F.substring(F.md5(domain), 1, 15), 16, 10).cast("long")
+        % F.lit(n_buckets)
+    ).cast("int")
+
+
+def domain_stats(pages: DataFrame, url: str = "url", text: str = "text") -> DataFrame:
+    """Per-registered-domain corpus statistics: pages, distinct hosts,
+    total/avg text chars.  One codegen projection + one hash aggregate
+    (partial map-side combine; no skew risk — domains are the coarse
+    key, and a hot domain still reduces to one row per partition before
+    the exchange)."""
+    host = host_col(F.col(url))
+    base = pages.select(
+        host.alias("host"),
+        registered_domain_col(host).alias("domain"),
+        F.length(F.col(text)).alias("n_chars"),
+    )
+    return base.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("pages"),
+        F.count_distinct(F.col("host")).alias("hosts"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+def url_dedup(pages: DataFrame, url: str = "url", id_col: str = "doc_id") -> DataFrame:
+    """Exact URL dedup after canonicalization: group by the normalized
+    URL, keep the smallest id (deterministic winner).  The groupBy key
+    is the canonical URL string — one shuffle, map-side combined."""
+    return (
+        pages.select(
+            url_normalize_col(F.col(url)).alias("canon_url"), F.col(id_col)
+        )
+        .groupBy("canon_url")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_cnt"),
+        )
+    )

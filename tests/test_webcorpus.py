@@ -1,0 +1,114 @@
+"""URL/domain web-corpus operators: canonicalization cases, the
+registered-domain rule (incl. multi-label public suffixes), bucket
+determinism, dedup semantics — and the no-Python-UDF plan gate."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geo_spark.operators import webcorpus as WC
+
+
+@pytest.fixture(scope="module")
+def urls_df(spark):
+    rows = [
+        # (doc_id, url)
+        (1, "https://WWW.Example.COM:443/Path/One#frag"),
+        (2, "https://www.example.com/Path/One"),
+        (3, "http://Sub.Site.ORG:80/a?q=1#x"),
+        (4, "http://sub.site.org/a?q=1"),
+        (5, "https://shop.acme.co.uk/p"),
+        (6, "https://a.b.c.gov.uk/x"),
+        (7, "https://single-label/x"),
+        (8, "https://example.io:8443/keep-port"),
+        (9, "ftp://files.example.net/pub"),
+        (10, "https://example.com/Case/Sensitive/PATH"),
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "url"]))
+
+
+def _col_vals(df, col):
+    return {r["doc_id"]: r[col] for r in df.collect()}
+
+
+def test_url_normalize_cases(urls_df):
+    out = urls_df.select(
+        "doc_id", WC.url_normalize_col(F.col("url")).alias("canon")
+    )
+    got = _col_vals(out, "canon")
+    assert got[1] == "https://www.example.com/Path/One"  # case+port+frag
+    assert got[2] == "https://www.example.com/Path/One"
+    assert got[3] == "http://sub.site.org/a?q=1"  # :80 stripped, frag gone
+    assert got[4] == "http://sub.site.org/a?q=1"
+    assert got[8] == "https://example.io:8443/keep-port"  # non-default port kept
+    assert got[10] == "https://example.com/Case/Sensitive/PATH"  # path case kept
+
+
+def test_host_and_registered_domain(urls_df):
+    host = WC.host_col(F.col("url"))
+    out = urls_df.select(
+        "doc_id",
+        host.alias("host"),
+        WC.registered_domain_col(host).alias("domain"),
+    )
+    hosts = _col_vals(out, "host")
+    doms = _col_vals(out, "domain")
+    assert hosts[1] == "www.example.com" and doms[1] == "example.com"
+    assert hosts[3] == "sub.site.org" and doms[3] == "site.org"
+    assert doms[5] == "acme.co.uk"  # multi-label public suffix
+    assert doms[6] == "c.gov.uk"  # deep subdomain under multi-label suffix
+    assert doms[7] == "single-label"  # <2 labels passes through
+    assert doms[9] == "example.net"  # scheme-agnostic
+
+
+def test_domain_bucket_deterministic(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"domain": [f"d{i}.com" for i in range(500)]})
+    )
+    b1 = df.select(WC.domain_bucket_col(F.col("domain"), 32).alias("b")).toPandas()
+    b2 = df.select(WC.domain_bucket_col(F.col("domain"), 32).alias("b")).toPandas()
+    assert (b1["b"] == b2["b"]).all()
+    assert b1["b"].between(0, 31).all()
+    # spreads: no bucket takes more than an extreme share
+    assert b1["b"].value_counts().max() < 60
+
+
+def test_url_dedup_semantics(urls_df):
+    out = WC.url_dedup(urls_df).toPandas().set_index("canon_url")
+    assert out.loc["https://www.example.com/Path/One", "dup_cnt"] == 2
+    assert out.loc["https://www.example.com/Path/One", "keep_id"] == 1
+    assert out.loc["http://sub.site.org/a?q=1", "dup_cnt"] == 2
+    assert int(out["dup_cnt"].sum()) == 10  # partition of the input
+
+
+def test_synthetic_urls_portable(spark):
+    """The shared URL synthesis evaluates identically in Spark and
+    DuckDB (same SQL text, both engines)."""
+    import duckdb
+
+    sql = WC.synthetic_url_sql("doc_id")
+    ids = pd.DataFrame({"doc_id": range(1, 41)})
+    sp = (
+        spark.createDataFrame(ids)
+        .select("doc_id", F.expr(sql).alias("url"))
+        .toPandas()
+        .sort_values("doc_id")["url"]
+        .tolist()
+    )
+    con = duckdb.connect()
+    con.register("t", ids)
+    du = con.execute(
+        f"SELECT {sql} AS url FROM t ORDER BY doc_id"
+    ).fetchdf()["url"].tolist()
+    assert sp == du
+
+
+def test_plan_is_udf_free(urls_df):
+    out = WC.url_dedup(urls_df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    stats = WC.domain_stats(
+        urls_df.withColumn("text", F.lit("hello world"))
+    )
+    plan2 = stats._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan2 and "ArrowEvalPython" not in plan2

@@ -1,0 +1,322 @@
+"""Geohash + Web-Mercator/quadkey tilings: public interop vectors, the
+bisection-reference differential, round trips, neighbor topology, and the
+numpy ↔ Spark-native-expression consistency gate (incl. a no-Python-UDF
+plan assertion — the whole tile-assignment path must stay in codegen)."""
+
+import numpy as np
+import pytest
+
+from geo_spark.kernel import webgrid as W
+
+RNG = np.random.default_rng(20260817)
+
+
+def _rand_latlng(n):
+    lat = np.degrees(np.arcsin(RNG.uniform(-1, 1, n)))
+    lng = RNG.uniform(-180.0, 180.0, n)
+    return lat, lng
+
+
+# ---------------------------------------------------------------------------
+# public interop vectors
+# ---------------------------------------------------------------------------
+
+
+def test_geohash_public_vectors():
+    # canonical published example (geohash.org / Wikipedia)
+    got = W.geohash_encode(np.array([57.64911]), np.array([10.40744]), 11)
+    assert got[0] == "u4pruydqqvj"
+    # every prefix is the coarser encoding of the same point
+    for p in range(1, 11):
+        assert W.geohash_encode(np.array([57.64911]), np.array([10.40744]), p)[0] == (
+            "u4pruydqqvj"[:p]
+        )
+    # decode of the other canonical vector
+    lat, lng = W.geohash_decode(np.array(["ezs42"]))
+    assert abs(lat[0] - 42.60498046875) < 1e-12
+    assert abs(lng[0] - (-5.60302734375)) < 1e-12
+
+
+def test_quadkey_public_vectors():
+    # Bing Maps Tile System worked example: tile (3,5) @ level 3 -> "213"
+    assert W.quadkey_encode(np.array([3]), np.array([5]), 3)[0] == "213"
+    # z=1 quadrants (hand-derivable)
+    x, y = W.mercator_tile(np.array([40.0, 40.0, -40.0, -40.0]), np.array([-100.0, 100.0, -100.0, 100.0]), 1)
+    assert W.quadkey_encode(x, y, 1).tolist() == ["0", "1", "2", "3"]
+    # equator/prime-meridian point falls in the (1,1) tile at z=1
+    x, y = W.mercator_tile(np.array([0.0]), np.array([0.0]), 1)
+    assert (x[0], y[0]) == (1, 1)
+
+
+def test_geohash_bisection_reference_differential():
+    """Bit-twiddled encode == the published character-by-character
+    bisection algorithm, on random + boundary points."""
+
+    def reference(lat, lng, precision):
+        lat_lo, lat_hi = -90.0, 90.0
+        lng_lo, lng_hi = -180.0, 180.0
+        bits = []
+        even = True
+        while len(bits) < 5 * precision:
+            if even:
+                mid = (lng_lo + lng_hi) / 2
+                if lng >= mid:
+                    bits.append(1)
+                    lng_lo = mid
+                else:
+                    bits.append(0)
+                    lng_hi = mid
+            else:
+                mid = (lat_lo + lat_hi) / 2
+                if lat >= mid:
+                    bits.append(1)
+                    lat_lo = mid
+                else:
+                    bits.append(0)
+                    lat_hi = mid
+            even = not even
+        chars = []
+        for k in range(precision):
+            v = 0
+            for b in bits[5 * k : 5 * k + 5]:
+                v = v * 2 + b
+            chars.append(W.GEOHASH_BASE32[v])
+        return "".join(chars)
+
+    lat, lng = _rand_latlng(200)
+    lat = np.concatenate([lat, [0.0, 90.0, -90.0, 45.0]])
+    lng = np.concatenate([lng, [0.0, 180.0, -180.0, 45.0]])
+    for p in (1, 2, 5, 7, 12):
+        got = W.geohash_encode(lat, lng, p)
+        for i in range(len(lat)):
+            assert got[i] == reference(lat[i], lng[i], p), (lat[i], lng[i], p)
+
+
+# ---------------------------------------------------------------------------
+# round trips + structure
+# ---------------------------------------------------------------------------
+
+
+def test_geohash_roundtrip_and_bbox():
+    lat, lng = _rand_latlng(50000)
+    for p in (4, 6, 9, 12):
+        gh = W.geohash_encode(lat, lng, p)
+        lo, hi, wlo, whi = W.geohash_bbox(gh)
+        assert ((lat >= lo) & (lat < hi)).all()
+        assert ((lng >= wlo) & (lng < whi)).all()
+        # re-encoding the center reproduces the hash (cell stability)
+        clat, clng = W.geohash_decode(gh)
+        assert (W.geohash_encode(clat, clng, p) == gh).all()
+
+
+def test_geohash_prefix_is_ancestor():
+    lat, lng = _rand_latlng(10000)
+    g9 = W.geohash_encode(lat, lng, 9)
+    for p in (1, 3, 5, 8):
+        gp = W.geohash_encode(lat, lng, p)
+        assert (np.char.ljust(gp, p) == np.array([s[:p] for s in g9])).all()
+
+
+def test_geohash_neighbors_topology():
+    lat, lng = _rand_latlng(2000)
+    # keep away from poles where N/S neighbors degenerate
+    mask = np.abs(lat) < 80
+    lat, lng = lat[mask], lng[mask]
+    gh = W.geohash_encode(lat, lng, 6)
+    nb = W.geohash_neighbors(gh)
+    assert nb.shape == (len(gh), 8)
+    # all 8 distinct and != self
+    for i in range(min(len(gh), 200)):
+        s = set(nb[i])
+        assert len(s) == 8 and gh[i] not in s
+    # E/W neighbors share the latitude band; N/S share the longitude band
+    lo, hi, wlo, whi = W.geohash_bbox(gh)
+    elo, ehi, _, _ = W.geohash_bbox(nb[:, 2])
+    assert np.allclose(elo, lo) and np.allclose(ehi, hi)
+    _, _, nwlo, nwhi = W.geohash_bbox(nb[:, 0])
+    assert np.allclose(nwlo, wlo) and np.allclose(nwhi, whi)
+    # antimeridian wrap: east of the last column is the first column
+    g = W.geohash_encode(np.array([10.0]), np.array([179.9999]), 6)
+    e = W.geohash_neighbors(g)[0, 2]
+    _, _, wlo2, _ = W.geohash_bbox(np.array([e]))
+    assert wlo2[0] == -180.0
+
+
+def test_quadkey_roundtrip_parent():
+    lat, lng = _rand_latlng(50000)
+    for z in (1, 5, 12, 23, 30):
+        x, y = W.mercator_tile(lat, lng, z)
+        assert (x >= 0).all() and (x < (1 << z)).all()
+        assert (y >= 0).all() and (y < (1 << z)).all()
+        qk = W.quadkey_encode(x, y, z)
+        x2, y2, z2 = W.quadkey_decode(qk)
+        assert z2 == z and (x2 == x).all() and (y2 == y).all()
+        if z > 1:
+            px, py = W.tile_parent(x, y)
+            pqk = W.quadkey_encode(px, py, z - 1)
+            # quadkey prefix == parent quadkey (the quadtree property)
+            assert (pqk == np.array([s[: z - 1] for s in qk])).all()
+
+
+def test_tile_bounds_contain_points():
+    lat, lng = _rand_latlng(20000)
+    lat = np.clip(lat, -W.MERCATOR_MAX_LAT + 1e-6, W.MERCATOR_MAX_LAT - 1e-6)
+    for z in (3, 10):
+        x, y = W.mercator_tile(lat, lng, z)
+        lo, hi, wlo, whi = W.tile_bounds(x, y, z)
+        assert ((lat >= lo - 1e-9) & (lat <= hi + 1e-9)).all()
+        assert ((lng >= wlo - 1e-9) & (lng < whi + 1e-9)).all()
+        # y increases southward: northern edge above southern
+        assert (hi > lo).all()
+
+
+def test_mercator_y_ordering():
+    # y monotonically increases as latitude decreases (north -> south)
+    lats = np.linspace(85.0, -85.0, 1000)
+    _, y = W.mercator_tile(lats, np.zeros_like(lats), 15)
+    assert (np.diff(y) >= 0).all()
+
+
+def test_geohash_cover_rect_exact():
+    """Covering = exactly the cells intersecting the rect: every listed
+    cell's bbox overlaps the rect (no slop), and every random point
+    inside the rect lands in a listed cell (no gaps) — incl. the
+    antimeridian wrap."""
+    cases = [
+        (30.0, 50.0, -90.0, -60.0),
+        (-10.0, 10.0, 170.0, -170.0),  # wraps
+        (-0.5, 0.5, -0.5, 0.5),
+        (85.0, 90.0, -180.0, 180.0),  # polar band
+    ]
+    for la0, la1, ln0, ln1 in cases:
+        for p in (2, 3, 4):
+            cells = W.geohash_cover_rect(la0, la1, ln0, ln1, p)
+            assert len(cells) == len(set(cells))
+            lo, hi, wlo, whi = W.geohash_bbox(cells)
+            # overlap in latitude always required
+            assert ((hi >= la0) & (lo <= la1)).all()
+            # longitude overlap respecting wrap
+            if ln0 <= ln1:
+                assert ((whi >= ln0) & (wlo <= ln1)).all()
+            else:
+                assert ((whi >= ln0) | (wlo <= ln1)).all()
+            # completeness: points sampled inside must hash into the set
+            n = 2000
+            lat = RNG.uniform(la0, la1, n)
+            if ln0 <= ln1:
+                lng = RNG.uniform(ln0, ln1, n)
+            else:
+                lng = RNG.uniform(ln0, ln1 + 360.0, n)
+                lng = ((lng + 180.0) % 360.0) - 180.0
+            gh = W.geohash_encode(lat, lng, p)
+            cellset = set(cells)
+            assert all(g in cellset for g in gh)
+
+
+def test_geohash_cover_adaptive_budget():
+    p, cells = W.geohash_cover_adaptive(30.0, 50.0, -90.0, -60.0, max_cells=64)
+    assert len(cells) <= 64 and p >= 2
+    # a tiny rect gets a fine precision
+    p2, cells2 = W.geohash_cover_adaptive(10.0, 10.01, 10.0, 10.01, max_cells=64)
+    assert p2 > p
+    assert len(cells2) <= 64
+
+
+@pytest.mark.usefixtures("spark")
+def test_geohash_rect_join_differential(spark):
+    """Term join + refine == brute containment, on skewed random points
+    x 4 rects (one antimeridian, one tiny)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from geo_spark.operators.webgrid_join import (
+        build_geohash_rect_layer,
+        geohash_rect_join,
+    )
+
+    n = 20000
+    lat, lng = _rand_latlng(n)
+    # cluster some points near rect corners to stress boundaries
+    lat[:500] = 30.0 + RNG.uniform(-0.01, 0.01, 500)
+    lng[:500] = -90.0 + RNG.uniform(-0.01, 0.01, 500)
+    pdf = pd.DataFrame({"pid": np.arange(n), "lat": lat, "lng": lng})
+    pts = spark.createDataFrame(pdf).repartition(4)
+    rects = [
+        (1, 30.0, -90.0, 50.0, -60.0),
+        (2, -10.0, 170.0, 10.0, -170.0),
+        (3, 29.99, -90.01, 30.05, -89.95),
+        (4, -90.0, -180.0, -80.0, 180.0),
+    ]
+    layer = build_geohash_rect_layer(spark, rects)
+    got = (
+        geohash_rect_join(pts, layer, point_key="pid", latlng=("lat", "lng"))
+        .select("pid", "geom_id")
+        .toPandas()
+        .sort_values(["pid", "geom_id"])
+        .reset_index(drop=True)
+    )
+    # plan gate: no Python nodes
+    j = geohash_rect_join(pts, layer, point_key="pid")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    # brute force
+    exp_rows = []
+    for g, la0, ln0, la1, ln1 in rects:
+        in_lat = (lat >= la0) & (lat <= la1)
+        in_lng = (
+            (lng >= ln0) & (lng <= ln1) if ln0 <= ln1 else (lng >= ln0) | (lng <= ln1)
+        )
+        for pid in np.nonzero(in_lat & in_lng)[0]:
+            exp_rows.append((pid, g))
+    exp = (
+        pd.DataFrame(exp_rows, columns=["pid", "geom_id"])
+        .sort_values(["pid", "geom_id"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    assert (got["pid"].to_numpy() == exp["pid"].to_numpy()).all()
+    assert (got["geom_id"].to_numpy() == exp["geom_id"].to_numpy()).all()
+
+
+# ---------------------------------------------------------------------------
+# Spark-native expressions == numpy kernel, and stay UDF-free
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.usefixtures("spark")
+def test_spark_native_matches_numpy(spark):
+    from pyspark.sql import functions as F
+
+    from geo_spark.functions import webgrid as SW
+
+    n = 200_000
+    lat, lng = _rand_latlng(n)
+    # include hot boundary values
+    lat[:6] = [90.0, -90.0, 0.0, 85.05112878, -85.05112878, 45.0]
+    lng[:6] = [180.0, -180.0, 0.0, 179.999999, -179.999999, 45.0]
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"i": np.arange(n), "lat": lat, "lng": lng})
+    ).repartition(8)
+    out = df.select(
+        "i",
+        SW.geohash_col(F.col("lat"), F.col("lng"), 7).alias("gh7"),
+        SW.geohash_col(F.col("lat"), F.col("lng"), 12).alias("gh12"),
+        *[
+            c.alias(nm)
+            for c, nm in zip(SW.mercator_xy_cols(F.col("lat"), F.col("lng"), 13), ["tx", "ty"])
+        ],
+        SW.quadkey_from_latlng(F.col("lat"), F.col("lng"), 13).alias("qk"),
+    )
+    # plan must not contain any Python evaluation node
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    pdf = out.toPandas().sort_values("i").reset_index(drop=True)
+    assert (pdf["gh7"].to_numpy() == W.geohash_encode(lat, lng, 7)).all()
+    assert (pdf["gh12"].to_numpy() == W.geohash_encode(lat, lng, 12)).all()
+    x, y = W.mercator_tile(lat, lng, 13)
+    assert (pdf["tx"].to_numpy() == x).all()
+    assert (pdf["ty"].to_numpy() == y).all()
+    assert (pdf["qk"].to_numpy() == W.quadkey_encode(x, y, 13)).all()
