@@ -2672,28 +2672,8 @@ def _q_geohash_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _geohash_char_sql(lng_q: str, lat_q: str, precision: int) -> list[str]:
-    """Per-character SQL exprs for a geohash: each of the 5 bits of char
-    k is gathered directly from the quantized lng/lat integer (bisection
-    bit order: even stream positions = lng MSB-down, odd = lat)."""
-    from geo_spark.kernel.webgrid import GEOHASH_BASE32, _geohash_bits
-
-    lng_bits, lat_bits = _geohash_bits(precision)
-    chars = []
-    for k in range(precision):
-        terms = []
-        for j in range(5):
-            m = 5 * k + j  # global bit index from MSB
-            if m % 2 == 0:
-                src, s = lng_q, lng_bits - 1 - m // 2
-            else:
-                src, s = lat_q, lat_bits - 1 - m // 2
-            terms.append(f"((({src} >> {s}) & 1) << {4 - j})")
-        chars.append(f"substring('{GEOHASH_BASE32}', 1 + ({' + '.join(terms)}), 1)")
-    return chars
-
-
 def _oracle_geohash_rollup() -> str:
+    from geo_spark.functions.webgrid import geohash_char_sql
     from geo_spark.kernel.webgrid import _geohash_bits
     from geo_spark.operators.geo_noise import LAT_SQL, LNG_SQL
 
@@ -2701,7 +2681,7 @@ def _oracle_geohash_rollup() -> str:
     lng_bits, lat_bits = _geohash_bits(precision)
     lat = LAT_SQL.format(id="event_id")
     lng = LNG_SQL.format(id="event_id")
-    chars = _geohash_char_sql("lng_q", "lat_q", precision)
+    chars = geohash_char_sql("lng_q", "lat_q", precision)
     return f"""
         WITH pts AS (
           SELECT event_id, {lat} AS lat, {lng} AS lng FROM events
@@ -2791,6 +2771,42 @@ def _oracle_quadkey_tiles() -> str:
         FROM t
         GROUP BY qk, tx, ty
         ORDER BY qk
+    """
+
+
+def _q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-map aggregation pyramid: per-tile counts at every zoom 0..6
+    in two shuffles (collapse to base tiles first, then explode the
+    bounded tile table's prefixes — the input is never multiplied).
+    Spark side computes quadkeys via the Morton-spread Column builders;
+    the oracle re-derives them with arithmetic digit extraction and
+    builds the pyramid by direct per-zoom substring grouping."""
+    from geo_spark.operators.geo_noise import with_geo_noise
+    from geo_spark.operators.tiling import quadkey_pyramid
+
+    ev = with_geo_noise(_t(spark, sf_dir, "events"), "event_id")
+    return quadkey_pyramid(ev, zoom=6).orderBy("zoom", "qk")
+
+
+def _oracle_tile_pyramid() -> str:
+    from geo_spark.functions.webgrid import mercator_xy_sql, quadkey_sql_text
+    from geo_spark.operators.geo_noise import LAT_SQL, LNG_SQL
+
+    zoom = 6
+    lat = LAT_SQL.format(id="event_id")
+    lng = LNG_SQL.format(id="event_id")
+    x, y = mercator_xy_sql("lat", "lng", zoom)
+    qk = quadkey_sql_text("tx", "ty", zoom)
+    return f"""
+        WITH pts AS (
+          SELECT event_id, {lat} AS lat, {lng} AS lng FROM events
+        ),
+        t AS (SELECT {x} AS tx, {y} AS ty FROM pts),
+        q AS (SELECT {qk} AS qk FROM t),
+        lv AS (SELECT qk, CAST(r.z AS INT) AS zoom
+               FROM q, (SELECT UNNEST(range(0, {zoom + 1})) AS z) r)
+        SELECT zoom, substring(qk, 1, zoom) AS qk, COUNT(*) AS cnt
+        FROM lv GROUP BY 1, 2 ORDER BY zoom, qk
     """
 
 
@@ -3881,6 +3897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_geohash_rollup": _q_geohash_rollup,
         "q_quadkey_tiles": _q_quadkey_tiles,
         "q_geohash_cover_join": _q_geohash_cover_join,
+        "q_tile_pyramid": _q_tile_pyramid,
         "q_domain_stats": _q_domain_stats,
         "q_url_dedup": _q_url_dedup,
         "q_interval_sweep": _q_interval_sweep,
@@ -3926,6 +3943,7 @@ def oracle_sql() -> dict[str, str]:
         "q_geohash_rollup": _oracle_geohash_rollup(),
         "q_quadkey_tiles": _oracle_quadkey_tiles(),
         "q_geohash_cover_join": _oracle_geohash_cover_join(),
+        "q_tile_pyramid": _oracle_tile_pyramid(),
         "q_domain_stats": _oracle_domain_stats(),
         "q_url_dedup": _oracle_url_dedup(),
         "q_dedup_clusters": _oracle_dedup_clusters(),

@@ -147,3 +147,78 @@ def quadkey_from_latlng(lat: Column, lng: Column, zoom: int) -> Column:
 def tile_parent_cols(x: Column, y: Column, levels: int = 1) -> tuple[Column, Column]:
     """Quadtree parent tile `levels` zooms up."""
     return F.shiftright(x, levels), F.shiftright(y, levels)
+
+
+# ---------------------------------------------------------------------------
+# engine-portable SQL text (native SQL-function bodies + DuckDB oracles)
+# ---------------------------------------------------------------------------
+
+
+def geohash_char_sql(lng_q: str, lat_q: str, precision: int) -> list[str]:
+    """Per-character SQL exprs for a geohash from quantized integer
+    exprs, by DIRECT bit gather (no Morton masks): bisection bit order —
+    even stream positions pull lng bits MSB-down, odd pull lat.  Valid
+    Spark 4 SQL (native-function bodies that inline into codegen) and
+    DuckDB SQL (the structurally-independent oracle twin) alike."""
+    lng_bits, lat_bits = _geohash_bits(precision)
+    chars = []
+    for k in range(precision):
+        terms = []
+        for j in range(5):
+            m = 5 * k + j  # global bit index from MSB
+            if m % 2 == 0:
+                src, s = lng_q, lng_bits - 1 - m // 2
+            else:
+                src, s = lat_q, lat_bits - 1 - m // 2
+            terms.append(f"((({src} >> {s}) & 1) << {4 - j})")
+        chars.append(
+            f"substring('{GEOHASH_BASE32}', 1 + ({' + '.join(terms)}), 1)"
+        )
+    return chars
+
+
+def geohash_sql_text(lat: str, lng: str, precision: int) -> str:
+    """One self-contained SQL expression computing the geohash of
+    (lat, lng) exprs — portable between Spark SQL and DuckDB."""
+    lng_bits, lat_bits = _geohash_bits(precision)
+
+    def q(v: str, lo: float, span: float, bits: int) -> str:
+        return (
+            f"GREATEST(0, LEAST({(1 << bits) - 1}, "
+            f"CAST(FLOOR((({v}) + {-lo!r}) / {span!r} * {float(1 << bits)!r}) AS BIGINT)))"
+        )
+
+    lat_q = q(lat, -90.0, 180.0, lat_bits)
+    lng_q = q(lng, -180.0, 360.0, lng_bits)
+    chars = geohash_char_sql(lng_q, lat_q, precision)
+    return "(" + " || ".join(chars) + ")"
+
+
+def mercator_xy_sql(lat: str, lng: str, zoom: int) -> tuple[str, str]:
+    """(x, y) tile-coordinate SQL exprs, portable Spark/DuckDB, matching
+    mercator_xy_cols' clamp + operation order."""
+    n = float(1 << zoom)
+    hi = (1 << zoom) - 1
+    latc = f"GREATEST({-MERCATOR_MAX_LAT!r}, LEAST({MERCATOR_MAX_LAT!r}, ({lat})))"
+    x = (
+        f"GREATEST(0, LEAST({hi}, "
+        f"CAST(FLOOR((({lng}) + 180.0) / 360.0 * {n!r}) AS BIGINT)))"
+    )
+    s = f"sin({latc} * {_DEG2RAD!r})"
+    y = (
+        f"GREATEST(0, LEAST({hi}, CAST(FLOOR((0.5 - ln((1.0 + {s}) / "
+        f"(1.0 - {s})) / {_4PI!r}) * {n!r}) AS BIGINT)))"
+    )
+    return x, y
+
+
+def quadkey_sql_text(x: str, y: str, zoom: int) -> str:
+    """Quadkey string SQL expr from tile-coordinate exprs (digit =
+    2*y_bit + x_bit, MSB-first), portable Spark/DuckDB."""
+    digits = []
+    for k in range(zoom):
+        s = zoom - 1 - k
+        digits.append(
+            f"CAST(2 * ((({y}) >> {s}) & 1) + ((({x}) >> {s}) & 1) AS STRING)"
+        )
+    return "(" + " || ".join(digits) + ")"

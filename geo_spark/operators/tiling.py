@@ -48,3 +48,41 @@ def tile_counts(
         .where(F.col("tile").isNotNull())
     )
     return out.orderBy("tile") if sort else out
+
+
+def quadkey_pyramid(
+    df: DataFrame,
+    zoom: int,
+    latlng: tuple[str, str] = ("lat", "lng"),
+) -> DataFrame:
+    """Full web-map aggregation pyramid: per-tile counts at EVERY zoom
+    0..zoom, in two shuffles total regardless of depth.
+
+    Shape for the 10^12-row table: the raw rows first collapse to
+    base-zoom tiles (<= 4^zoom groups, map-side combined — the only
+    shuffle that touches full data), then the pyramid is built by
+    exploding each base tile's zoom+1 quadkey prefixes and re-summing —
+    the explode multiplies the *tile* table (bounded, tiny next to the
+    input), never the input.  The naive per-zoom loop would rescan or
+    reshuffle the input `zoom` times; the naive explode-first plan
+    multiplies the input by zoom+1 before any combine.
+
+    Output: (zoom, qk, cnt) with qk = '' at zoom 0."""
+    from geo_spark.functions.webgrid import quadkey_from_latlng
+
+    base = (
+        df.select(
+            quadkey_from_latlng(F.col(latlng[0]), F.col(latlng[1]), zoom).alias("qk")
+        )
+        .groupBy("qk")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pre = F.posexplode(
+        F.array(*[F.substring(F.col("qk"), 1, z) for z in range(zoom + 1)])
+    )
+    return (
+        base.select(pre.alias("zoom", "qk_pre"), "cnt")
+        .groupBy("zoom", "qk_pre")
+        .agg(F.sum("cnt").alias("cnt"))
+        .select(F.col("zoom").cast("int").alias("zoom"), F.col("qk_pre").alias("qk"), "cnt")
+    )

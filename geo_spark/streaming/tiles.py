@@ -66,3 +66,32 @@ def run_available_now(result: DataFrame, query_name: str, checkpoint: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_geohash_counts(
+    pages: DataFrame,
+    precision: int = 5,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """(window, geohash, cnt) streaming aggregate with ZERO Python in
+    the pipeline: geotag regex extraction, geohash token derivation
+    (`functions/webgrid.geohash_col`), and the windowed count are all
+    native expressions — the whole incremental query runs inside the
+    JVM, so the stream scales with codegen throughput, not Arrow
+    round-trips.  Same state bound as the S2 twin: (window x active
+    geohash cells), pruned by the watermark."""
+    from geo_spark.functions.webgrid import geohash_col
+    from geo_spark.sources.geotags import with_geotags
+
+    tagged = with_geotags(pages)
+    tiled = tagged.withColumn(
+        "gh", geohash_col(F.col("lat"), F.col("lng"), precision)
+    )
+    return (
+        tiled.where(F.col("gh").isNotNull())
+        .withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("win"), F.col("gh"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("win.start").alias("window_start"), "gh", "cnt")
+    )

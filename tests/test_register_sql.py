@@ -87,3 +87,49 @@ def test_contains_from_sql(reg, cells):
              AND NOT s2_contains(cid, s2_child_begin(cid, 30))"""
     ).collect()[0]["n"]
     assert bad == 0
+
+
+def test_webgrid_sql_fns_match_kernel(reg):
+    """geohash{p}/quadkey{z}/tile_{x,y}{z} native SQL functions ==
+    numpy kernel byte-for-byte (the SQL bodies use direct bit gather,
+    the kernel uses Morton spread — structurally different bit math)."""
+    import pandas as pd
+
+    from geo_spark.kernel import webgrid as W
+
+    rng = np.random.default_rng(11)
+    lat = np.degrees(np.arcsin(rng.uniform(-1, 1, 4000)))
+    lng = rng.uniform(-180.0, 180.0, 4000)
+    lat[:4] = [90.0, -90.0, 85.05112878, 0.0]
+    lng[:4] = [180.0, -180.0, 0.0, 179.999999]
+    df = reg.createDataFrame(
+        pd.DataFrame({"i": np.arange(len(lat)), "lat": lat, "lng": lng})
+    )
+    df.createOrReplaceTempView("webgrid_pts_t")
+    got = (
+        reg.sql(
+            """SELECT i, geohash5(lat, lng) AS g5, geohash12(lat, lng) AS g12,
+                      quadkey12(lat, lng) AS qk,
+                      tile_x12(lat, lng) AS tx, tile_y12(lat, lng) AS ty
+               FROM webgrid_pts_t"""
+        )
+        .toPandas()
+        .sort_values("i")
+        .reset_index(drop=True)
+    )
+    assert (got["g5"].to_numpy() == W.geohash_encode(lat, lng, 5)).all()
+    assert (got["g12"].to_numpy() == W.geohash_encode(lat, lng, 12)).all()
+    x, y = W.mercator_tile(lat, lng, 12)
+    assert (got["tx"].to_numpy() == x).all()
+    assert (got["ty"].to_numpy() == y).all()
+    assert (got["qk"].to_numpy() == W.quadkey_encode(x, y, 12)).all()
+
+
+def test_webgrid_sql_fns_inline_into_codegen(reg):
+    df = reg.sql("SELECT geohash7(1.0 * id, 2.0 * id) AS g FROM range(10)")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the inlined bit math shows up as a codegen'd (*) Project over the
+    # raw quantize/gather expressions — no ScalaUDF / PythonUDF wrapper
+    assert "*(1)" in plan and "substring(0123456789bcdefghjkmnpqrstuvwxyz" in plan
+    assert "UDF" not in plan

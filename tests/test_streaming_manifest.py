@@ -198,3 +198,42 @@ def test_stream_spatial_join_matches_batch(spark, tmp_path):
     q.stop()
     assert got == expected
     assert len(got) > 0
+
+
+def test_stream_geohash_matches_batch(spark, tmp_path):
+    """The zero-Python streaming pipeline (regex geotags -> native
+    geohash -> windowed counts) matches its batch twin row for row, and
+    its plan carries no Python eval node."""
+    from geo_spark.functions.webgrid import geohash_col
+    from geo_spark.sources.geotags import with_geotags
+    from geo_spark.streaming.tiles import (
+        read_pages_stream,
+        run_available_now,
+        stream_geohash_counts,
+    )
+
+    src = str(tmp_path / "pages_gh")
+    synth_pages(spark, 2000, partitions=4).write.parquet(src)
+
+    batch = (
+        with_geotags(spark.read.parquet(src))
+        .withColumn("gh", geohash_col(F.col("lat"), F.col("lng"), 4))
+        .where(F.col("gh").isNotNull())
+        .groupBy(F.window("warc_ts", "1 hour").alias("win"), "gh")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("win.start").alias("window_start"), "gh", "cnt")
+    )
+    expected = {(r["window_start"], r["gh"], r["cnt"]) for r in batch.collect()}
+
+    stream = stream_geohash_counts(read_pages_stream(spark, src), precision=4)
+    plan = stream._jdf.queryExecution().analyzed().toString()
+    assert "pythonUDF" not in plan and "PythonUDF" not in plan
+    q = run_available_now(stream, "gh_tiles_test", str(tmp_path / "ckpt_gh"))
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["gh"], r["cnt"])
+        for r in spark.sql("select * from gh_tiles_test").collect()
+    }
+    q.stop()
+    assert got == expected
+    assert len(got) > 10

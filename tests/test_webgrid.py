@@ -320,3 +320,35 @@ def test_spark_native_matches_numpy(spark):
     assert (pdf["tx"].to_numpy() == x).all()
     assert (pdf["ty"].to_numpy() == y).all()
     assert (pdf["qk"].to_numpy() == W.quadkey_encode(x, y, 13)).all()
+
+
+@pytest.mark.usefixtures("spark")
+def test_quadkey_pyramid_consistency(spark):
+    """Every zoom level partitions the same total; each tile's count ==
+    sum of its 4 children; exactly two exchanges in the plan (collapse +
+    pyramid), never an input-times-zoom explode before the first agg."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from geo_spark.operators.tiling import quadkey_pyramid
+
+    n = 30000
+    lat, lng = _rand_latlng(n)
+    df = spark.createDataFrame(pd.DataFrame({"lat": lat, "lng": lng})).repartition(4)
+    zoom = 5
+    out = quadkey_pyramid(df, zoom=zoom)
+    pdf = out.toPandas()
+    per_zoom = pdf.groupby("zoom")["cnt"].sum()
+    assert (per_zoom == n).all() and len(per_zoom) == zoom + 1
+    # parent-child consistency at every level
+    for z in range(zoom):
+        parents = pdf[pdf["zoom"] == z].set_index("qk")["cnt"]
+        kids = pdf[pdf["zoom"] == z + 1].copy()
+        kid_sum = kids.groupby(kids["qk"].str[:z])["cnt"].sum()
+        assert parents.sort_index().equals(kid_sum.sort_index())
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # AQE's toString repeats the plan under "== Initial Plan ==" — count
+    # exchanges in the final section only
+    final_plan = plan.split("== Initial Plan ==")[0]
+    assert final_plan.count("Exchange hashpartitioning") == 2
