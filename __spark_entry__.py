@@ -3850,6 +3850,147 @@ def _oracle_farthest_cities() -> str:
     """
 
 
+_ST_RADIUS_RAD = 0.078  # ~500 km
+_ST_WINDOW_S = 7200.0  # 2 h
+
+
+def _q_spacetime_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatiotemporal co-occurrence self-join over events: unordered
+    pairs within 500 km AND 2 h of each other.  The engine runs the
+    banded (cell, time-bucket) equi-join (operators/spacetime.py: probe
+    side emits the 9-cell x 3-bucket grid, exactly-once canonical dedup
+    on the refined result); the oracle never sees the banding — it is a
+    first-principles DuckDB range join on time with an exact chord2
+    filter, so bucket boundaries, neighbor topology, and the dedup all
+    get checked semantically."""
+    from geo_spark.operators.geo_noise import with_geo_noise, with_time_noise
+    from geo_spark.operators.spacetime import spacetime_join
+
+    ev = with_time_noise(
+        with_geo_noise(_t(spark, sf_dir, "events"), "event_id"), "event_id"
+    )
+    return spacetime_join(
+        ev, _ST_RADIUS_RAD, _ST_WINDOW_S, key="event_id", ts_col="ts_us"
+    ).orderBy("a", "b")
+
+
+def _oracle_spacetime_pairs() -> str:
+    from geo_spark.kernel.regions import chord2_from_angle
+    from geo_spark.operators.geo_noise import LAT_SQL, LNG_SQL, TS_US_SQL
+
+    lat = LAT_SQL.format(id="event_id")
+    lng = LNG_SQL.format(id="event_id")
+    ts = TS_US_SQL.format(id="event_id")
+    w_us = int(round(_ST_WINDOW_S * 1_000_000))
+    limit2 = chord2_from_angle(_ST_RADIUS_RAD)
+    return f"""
+        WITH pts AS (SELECT event_id, {lat} AS lat, {lng} AS lng,
+                            {ts} AS ts_us
+                     FROM events),
+        xyz AS (SELECT event_id, ts_us,
+                       cos(radians(lng))*cos(radians(lat)) AS x,
+                       sin(radians(lng))*cos(radians(lat)) AS y,
+                       sin(radians(lat)) AS z
+                FROM pts)
+        SELECT a.event_id AS a, b.event_id AS b,
+               b.ts_us - a.ts_us AS dt_us
+        FROM xyz a JOIN xyz b
+          ON b.event_id > a.event_id
+         AND b.ts_us BETWEEN a.ts_us - {w_us} AND a.ts_us + {w_us}
+         AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)
+             + (a.z-b.z)*(a.z-b.z) <= {limit2!r}
+        ORDER BY a, b
+    """
+
+
+# deterministic synthetic link graph: 3 LCG-derived outlinks per node
+# (identical integer arithmetic in Spark SQL and DuckDB)
+_LINK_STREAMS = ((48271, 11), (69621, 23), (40692, 37))
+_PR_ITERS = 3
+_PR_DAMPING = 0.85
+
+
+def _q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over a deterministic synthetic link graph on events
+    (nodes = event ids, edges = 3 LCG outlinks per node, self-loops
+    dropped, deduped): 3 power iterations at damping 0.85 with
+    distributed dangling-mass redistribution (operators/linkgraph.py).
+    The oracle replays the same spec as 3 unrolled relational steps in
+    DuckDB.  Ranks are ROUND-scaled to 1e12: the 3-free contribution
+    paths produce exact decimal rationals that sit ON integer granules
+    (FLOOR there flips on ULP noise — observed at sf0.01); rounding
+    moves the decision boundary to half-integers, which the same
+    rationals essentially never hit, and the generic (deg-3-tainted)
+    values carry only ULP-scale error, 8 orders below the granule."""
+    from geo_spark.operators.linkgraph import pagerank
+
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    n = ev.count()
+    edges = None
+    for a, b in _LINK_STREAMS:
+        e = ev.select(
+            F.col("event_id").alias("src"),
+            ((F.col("event_id") * a + b) % n).alias("dst"),
+        )
+        edges = e if edges is None else edges.unionByName(e)
+    pr = pagerank(
+        edges,
+        ev,
+        iterations=_PR_ITERS,
+        damping=_PR_DAMPING,
+        node_key="event_id",
+    )
+    return pr.select(
+        "event_id",
+        F.round(F.col("rank") * 1e12, 0).cast("long").alias("rank_x1e12"),
+    ).orderBy("event_id")
+
+
+def _oracle_link_pagerank() -> str:
+    links = " UNION ALL ".join(
+        f"SELECT id AS src, (id * {a} + {b}) % (SELECT n FROM n) AS dst"
+        " FROM nodes"
+        for a, b in _LINK_STREAMS
+    )
+    d = _PR_DAMPING
+    steps = []
+    prev = "r0"
+    for i in range(1, _PR_ITERS + 1):
+        steps.append(
+            f"""c{i} AS (
+          SELECT e.dst AS id, SUM(r._rank / e.deg) AS c
+          FROM edges e JOIN {prev} r ON r.id = e.src
+          GROUP BY e.dst),
+        dm{i} AS (
+          SELECT COALESCE(SUM(r._rank), 0.0) AS dm
+          FROM {prev} r LEFT JOIN outdeg o ON o.src = r.id
+          WHERE o.src IS NULL),
+        r{i} AS (
+          SELECT nd.id,
+                 (1.0 - {d}) / (SELECT n FROM n)
+                 + {d} * (COALESCE(c.c, 0.0)
+                          + dm{i}.dm / (SELECT n FROM n)) AS _rank
+          FROM nodes nd CROSS JOIN dm{i}
+          LEFT JOIN c{i} c ON c.id = nd.id)"""
+        )
+        prev = f"r{i}"
+    steps_sql = ",\n        ".join(steps)
+    return f"""
+        WITH nodes AS (SELECT event_id AS id FROM events),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+        raw_edges AS ({links}),
+        dedup AS (SELECT DISTINCT src, dst FROM raw_edges WHERE src != dst),
+        outdeg AS (SELECT src, COUNT(*) AS deg FROM dedup GROUP BY src),
+        edges AS (SELECT e.src, e.dst, o.deg
+                  FROM dedup e JOIN outdeg o ON o.src = e.src),
+        r0 AS (SELECT id, 1.0 / (SELECT n FROM n) AS _rank FROM nodes),
+        {steps_sql}
+        SELECT id AS event_id,
+               CAST(ROUND(_rank * 1e12) AS BIGINT) AS rank_x1e12
+        FROM {prev} ORDER BY event_id
+    """
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3898,6 +4039,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quadkey_tiles": _q_quadkey_tiles,
         "q_geohash_cover_join": _q_geohash_cover_join,
         "q_tile_pyramid": _q_tile_pyramid,
+        "q_spacetime_pairs": _q_spacetime_pairs,
+        "q_link_pagerank": _q_link_pagerank,
         "q_domain_stats": _q_domain_stats,
         "q_url_dedup": _q_url_dedup,
         "q_interval_sweep": _q_interval_sweep,
@@ -3944,6 +4087,8 @@ def oracle_sql() -> dict[str, str]:
         "q_quadkey_tiles": _oracle_quadkey_tiles(),
         "q_geohash_cover_join": _oracle_geohash_cover_join(),
         "q_tile_pyramid": _oracle_tile_pyramid(),
+        "q_spacetime_pairs": _oracle_spacetime_pairs(),
+        "q_link_pagerank": _oracle_link_pagerank(),
         "q_domain_stats": _oracle_domain_stats(),
         "q_url_dedup": _oracle_url_dedup(),
         "q_dedup_clusters": _oracle_dedup_clusters(),

@@ -28,6 +28,27 @@ _U2 = "((({id} * 2246822519 + 54321) % 4294967296) / 4294967296.0)"
 LAT_SQL = f"degrees(asin(2.0 * {_U1} - 1.0))"
 LNG_SQL = f"(360.0 * {_U2} - 180.0)"
 
+# Independent pseudo-time stream (microseconds over a 30-day span).
+# The events table's real ts increases with event_id while the LCG geo
+# streams are low-discrepancy in id — id-adjacent (= time-adjacent) rows
+# are pushed maximally far apart on the sphere, so "near in space AND
+# near in real ts" pairs structurally cannot exist.  Spatiotemporal
+# queries therefore draw event time from its own hash stream, making
+# time and location independent (u3 < 2^32 is exact in a double; the
+# divide and multiply are IEEE-identical in Spark and DuckDB).
+# NOTE the e0 literals: `4294967296.0` parses as DECIMAL in both Spark
+# and DuckDB but their division-scale rules differ (Spark rounds the
+# quotient at scale 12, DuckDB at a different scale), which skewed
+# floor(u3 * span) by ±1 µs; scientific notation forces DOUBLE in both
+# engines, making the whole chain shared-exponent IEEE arithmetic.
+_U3 = "(CAST(({id} * 1539316589 + 98765) % 4294967296 AS DOUBLE) / 4294967296e0)"
+TS_US_SQL = f"CAST(FLOOR({_U3} * 2592000000000e0) AS BIGINT)"
+
+
+def with_time_noise(df: DataFrame, id_col: str) -> DataFrame:
+    """Adds a deterministic ``ts_us`` epoch-microsecond column."""
+    return df.withColumn("ts_us", F.expr(TS_US_SQL.format(id=id_col)))
+
 
 def with_geo_noise(df: DataFrame, id_col: str) -> DataFrame:
     """Adds deterministic lat/lng columns derived from an integer id."""

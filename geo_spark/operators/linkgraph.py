@@ -1,0 +1,112 @@
+"""Link-graph quality signals for web corpora: PageRank over a url/host
+edge list.
+
+Corpus curation at Common-Crawl scale weighs documents by link-graph
+centrality (OPIC / PageRank / harmonic variants); this module gives the
+engine that signal as a first-class DataFrame operator.  No reference
+analog (akhenakh/geo is geometry-only) — this extends the webtext half
+of the north rule alongside operators/webcorpus.py.
+
+Scale shape:
+
+- **One shuffle per iteration.**  Each power-iteration step is
+  contributions = edges x ranks (equi-join on src, co-partitioned by the
+  join key) -> groupBy(dst).sum (map-side combined).  The edge list is
+  joined against the *previous* rank vector only — no growing state.
+- **Out-degrees are fused into the edge list once** (``rank/deg`` needs
+  deg; pre-joining avoids a second per-iteration join), and the fused
+  edge table is cached: iterations re-scan it from memory/disk cache,
+  the classic Spark iterative-workload shape.
+- **Dangling mass stays distributed**: the sum of ranks of zero-outlink
+  nodes is a 1-row aggregate cross-joined (broadcast) back in — no
+  ``collect`` in the loop, so the whole K-iteration plan is lazy until
+  the caller acts.
+- **Flat lineage**: each iteration's rank vector is localCheckpoint-ed;
+  round cost stays constant in K (same protocol as the ring kNN loop
+  and the connected-components pointer jumping, operators/dedup.py).
+
+The fixed iteration count is a hyperparameter (rank deltas decay
+geometrically by the damping factor); convergence-threshold loops add a
+per-iteration driver action for the delta norm — supported via
+``tol`` but off by default to keep the plan action-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    node_key: str = "id",
+    tol: float | None = None,
+) -> DataFrame:
+    """(node_key, rank) after ``iterations`` power steps of
+    rank = (1-d)/N + d * (in-contributions + dangling_mass/N).
+
+    ``edges`` is deduplicated and self-loops are dropped (a self-loop
+    is rank recycling, not linking).  ``nodes`` fixes the vertex set —
+    isolated nodes keep receiving the teleport share.  With ``tol``
+    set, iteration stops early once the L1 rank delta falls below it
+    (costs one driver action per iteration)."""
+    n = nodes.count()
+    e = (
+        edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+        .where(F.col("_src") != F.col("_dst"))
+        .distinct()
+    )
+    outdeg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
+    fused = e.join(outdeg, "_src").persist()
+
+    ids = nodes.select(F.col(node_key).alias("_id"))
+    ranks = ids.withColumn("_rank", F.lit(1.0 / n)).localCheckpoint()
+
+    for _ in range(iterations):
+        contrib = (
+            fused.join(ranks, F.col("_src") == F.col("_id"))
+            .groupBy("_dst")
+            .agg(F.sum(F.col("_rank") / F.col("_deg")).alias("_c"))
+        )
+        dangling = (
+            ranks.join(outdeg, F.col("_id") == F.col("_src"), "left_anti")
+            .agg(F.coalesce(F.sum("_rank"), F.lit(0.0)).alias("_dm"))
+        )
+        new_ranks = (
+            ids.join(F.broadcast(dangling))
+            .join(contrib, F.col("_id") == F.col("_dst"), "left")
+            .select(
+                "_id",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("_c"), F.lit(0.0))
+                        + F.col("_dm") / F.lit(float(n))
+                    )
+                ).alias("_rank"),
+            )
+            .localCheckpoint()
+        )
+        if tol is not None:
+            delta = (
+                new_ranks.join(
+                    ranks.withColumnRenamed("_rank", "_prev"), "_id"
+                )
+                .agg(F.sum(F.abs(F.col("_rank") - F.col("_prev"))))
+                .collect()[0][0]
+            )
+            ranks = new_ranks
+            if delta is not None and delta < tol:
+                break
+        else:
+            ranks = new_ranks
+    fused.unpersist()
+    return ranks.select(
+        F.col("_id").alias(node_key), F.col("_rank").alias("rank")
+    )
