@@ -34,6 +34,8 @@ HEADLINE_QUERIES = [
     "q_stratified_sample",  # mixture sampling: partial WindowGroupLimit plan
     "q_geohash_rollup",  # byte-exact web-grid tokens, pure codegen projection
     "q_domain_stats",  # URL -> registered-domain rollup, native SQL
+    "q_spacetime_pairs",  # banded (cell, time-bucket) pair join
+    "q_link_pagerank",  # 3 power iterations, one shuffle each
 ]
 
 

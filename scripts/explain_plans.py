@@ -55,6 +55,21 @@ NOTES = {
   md5-prefix — hot boilerplate lines collapse map-side.
 - Count attach is a JOIN (SMJ/BHJ), not a count-over-window: WindowExec
   would buffer the hottest key's rows in one task.""",
+    "spacetime_pairs": """Properties to check:
+- ONE `MapInArrow` node (probe-grid emission) on the probe side only;
+  the home side is a pure codegen projection.
+- The join is a hash/sort-merge EQUI-join on (pcell, ptb) — no
+  CartesianProduct, no BroadcastNestedLoopJoin: the radius AND window
+  predicates are post-join codegen filters on banded candidates.
+- The final `dropDuplicates` exchange hashes only the refined result
+  columns (a, b, dt_us) — result-set-sized, not candidate-sized.""",
+    "link_pagerank": """Properties to check:
+- Per power iteration: one Exchange for the edges x ranks equi-join +
+  one partial/final `HashAggregate` pair on dst (map-side combine).
+- The dangling-mass aggregate enters via `BroadcastExchange` of a
+  1-row plan — no collect, no driver value in the loop.
+- Rank-vector scans read from `localCheckpoint` (flat lineage): the
+  K=3 plan does not nest iteration 1's join inside iteration 3's.""",
 }
 
 
@@ -102,6 +117,8 @@ def main() -> None:
     plans["line_dedup"] = cap(entry._q_line_dedup(spark, SF))
     plans["geohash_rollup"] = cap(entry._q_geohash_rollup(spark, SF))
     plans["url_dedup"] = cap(entry._q_url_dedup(spark, SF))
+    plans["spacetime_pairs"] = cap(entry._q_spacetime_pairs(spark, SF))
+    plans["link_pagerank"] = cap(entry._q_link_pagerank(spark, SF))
 
     out = [
         "# PLANS — physical-plan evidence for the headline operators\n",
