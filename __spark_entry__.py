@@ -3991,6 +3991,91 @@ def _oracle_link_pagerank() -> str:
     """
 
 
+_SESS_GAP_S = 4 * 3600.0
+_SESS_JUMP_RAD = 2.8
+
+
+def _q_geo_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user geo-sessionization over events (pseudo-time + geo noise
+    streams): sessions break on >4 h gaps OR >2.8 rad teleport hops;
+    output rolls up count, span, and exact spherical travel length per
+    session (operators/sessionize.py — one shuffle total: the session
+    aggregate reuses the lag window's user partitioning).  The DuckDB
+    twin replays the segmentation from first principles with its own
+    window functions."""
+    from geo_spark.operators.geo_noise import with_geo_noise, with_time_noise
+    from geo_spark.operators.sessionize import geo_sessionize
+
+    ev = with_time_noise(
+        with_geo_noise(_t(spark, sf_dir, "events"), "event_id"), "event_id"
+    )
+    out = geo_sessionize(
+        ev,
+        _SESS_GAP_S,
+        _SESS_JUMP_RAD,
+        user_col="user_id",
+        ts_us_col="ts_us",
+        tiebreak_col="event_id",
+    )
+    return out.select(
+        "user_id",
+        F.col("session_id").cast("long").alias("session_id"),
+        "n_events",
+        "start_us",
+        "end_us",
+        F.round("travel", 6).alias("travel"),
+    ).orderBy("user_id", "session_id")
+
+
+def _oracle_geo_sessions() -> str:
+    from geo_spark.kernel.regions import chord2_from_angle
+    from geo_spark.operators.geo_noise import LAT_SQL, LNG_SQL, TS_US_SQL
+
+    lat = LAT_SQL.format(id="event_id")
+    lng = LNG_SQL.format(id="event_id")
+    ts = TS_US_SQL.format(id="event_id")
+    gap_us = int(round(_SESS_GAP_S * 1_000_000))
+    jump2 = chord2_from_angle(_SESS_JUMP_RAD)
+    return f"""
+        WITH pts AS (SELECT user_id, event_id, {ts} AS ts_us,
+                            {lat} AS lat, {lng} AS lng
+                     FROM events),
+        xyz AS (SELECT user_id, event_id, ts_us,
+                       cos(radians(lng))*cos(radians(lat)) AS x,
+                       sin(radians(lng))*cos(radians(lat)) AS y,
+                       sin(radians(lat)) AS z
+                FROM pts),
+        lagd AS (SELECT *,
+                        lag(x) OVER w AS px, lag(y) OVER w AS py,
+                        lag(z) OVER w AS pz, lag(ts_us) OVER w AS pts
+                 FROM xyz
+                 WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        brk AS (SELECT *,
+                       CASE WHEN pts IS NULL
+                              OR ts_us - pts > {gap_us}
+                              OR (x-px)*(x-px) + (y-py)*(y-py)
+                                 + (z-pz)*(z-pz) > {jump2!r}
+                            THEN 1 ELSE 0 END AS b
+                FROM lagd),
+        sess AS (SELECT *,
+                        SUM(b) OVER (PARTITION BY user_id
+                                     ORDER BY ts_us, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_id
+                 FROM brk),
+        hop AS (SELECT *,
+                       CASE WHEN b = 1 THEN 0.0
+                            ELSE 2.0 * asin(sqrt((x-px)*(x-px)
+                                 + (y-py)*(y-py) + (z-pz)*(z-pz)) / 2.0)
+                       END AS h
+                FROM sess)
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               COUNT(*) AS n_events, MIN(ts_us) AS start_us,
+               MAX(ts_us) AS end_us, ROUND(SUM(h), 6) AS travel
+        FROM hop GROUP BY user_id, session_id
+        ORDER BY user_id, session_id
+    """
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4041,6 +4126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tile_pyramid": _q_tile_pyramid,
         "q_spacetime_pairs": _q_spacetime_pairs,
         "q_link_pagerank": _q_link_pagerank,
+        "q_geo_sessions": _q_geo_sessions,
         "q_domain_stats": _q_domain_stats,
         "q_url_dedup": _q_url_dedup,
         "q_interval_sweep": _q_interval_sweep,
@@ -4089,6 +4175,7 @@ def oracle_sql() -> dict[str, str]:
         "q_tile_pyramid": _oracle_tile_pyramid(),
         "q_spacetime_pairs": _oracle_spacetime_pairs(),
         "q_link_pagerank": _oracle_link_pagerank(),
+        "q_geo_sessions": _oracle_geo_sessions(),
         "q_domain_stats": _oracle_domain_stats(),
         "q_url_dedup": _oracle_url_dedup(),
         "q_dedup_clusters": _oracle_dedup_clusters(),

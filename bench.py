@@ -36,6 +36,7 @@ HEADLINE_QUERIES = [
     "q_domain_stats",  # URL -> registered-domain rollup, native SQL
     "q_spacetime_pairs",  # banded (cell, time-bucket) pair join
     "q_link_pagerank",  # 3 power iterations, one shuffle each
+    "q_geo_sessions",  # per-user sessionization, one shuffle, no Python
 ]
 
 

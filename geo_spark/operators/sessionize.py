@@ -1,0 +1,101 @@
+"""Batch geo-sessionization: per-user trajectory segmentation with
+spatial roll-ups — the batch twin of streaming/sessions.py.
+
+A session breaks when the time gap to the user's previous event exceeds
+``gap_s`` OR the great-circle hop exceeds ``jump_rad`` (teleport
+detection — crawl replays, account sharing, GPS glitches).  Output is
+one row per session with count, span, and exact spherical travel
+length.
+
+Scale shape: everything is native window/aggregate SQL —
+
+- ONE shuffle total: the lag window partitions by user; the session
+  aggregation groups by (user, session_id), and HashPartitioning(user)
+  already satisfies ClusteredDistribution(user, session_id), so
+  Catalyst reuses the window's exchange for the final aggregate
+  (asserted in tests/test_sessionize.py).
+- the break flag is lag + boolean arithmetic, the session id its
+  running sum over the same window (no second sort), the travel length
+  a sum of codegen chord expressions — zero Python anywhere.
+- skew: the window is per-user; a pathological single user serializes
+  only their own partition (the same bound any per-key sequence
+  operator has).  Hot users can be pre-split by a (user, day) composite
+  key upstream when that bound matters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from geo_spark.kernel.regions import chord2_from_angle
+
+
+def geo_sessionize(
+    events: DataFrame,
+    gap_s: float,
+    jump_rad: float,
+    user_col: str = "user_id",
+    ts_us_col: str = "ts_us",
+    latlng: tuple[str, str] = ("lat", "lng"),
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """One row per (user, session): (user, session_id, n_events,
+    start_us, end_us, travel) where travel is the summed great-circle
+    length (radians) of intra-session hops.
+
+    ``tiebreak_col`` makes the within-user order total when timestamps
+    can collide — without a total order the lag pairing (hence the
+    segmentation) is nondeterministic across runs and engines."""
+    gap_us = int(round(gap_s * 1_000_000))
+    jump2 = chord2_from_angle(jump_rad)
+
+    order = [ts_us_col] + ([tiebreak_col] if tiebreak_col else [])
+    w = Window.partitionBy(user_col).orderBy(*order)
+    keep = [user_col, ts_us_col] + ([tiebreak_col] if tiebreak_col else [])
+    la, ln = (F.radians(F.col(c)) for c in latlng)
+    base = (
+        # native trig, not the s2_xyz Arrow UDF: the whole operator
+        # stays inside whole-stage codegen (zero Python nodes)
+        events.select(*keep, *latlng)
+        .select(
+            *keep,
+            (F.cos(ln) * F.cos(la)).alias("x"),
+            (F.sin(ln) * F.cos(la)).alias("y"),
+            F.sin(la).alias("z"),
+        )
+        .withColumn("_px", F.lag("x").over(w))
+        .withColumn("_py", F.lag("y").over(w))
+        .withColumn("_pz", F.lag("z").over(w))
+        .withColumn("_pts", F.lag(ts_us_col).over(w))
+    )
+    hop2 = (
+        (F.col("x") - F.col("_px")) * (F.col("x") - F.col("_px"))
+        + (F.col("y") - F.col("_py")) * (F.col("y") - F.col("_py"))
+        + (F.col("z") - F.col("_pz")) * (F.col("z") - F.col("_pz"))
+    )
+    brk = F.when(
+        F.col("_pts").isNull()
+        | (F.col(ts_us_col) - F.col("_pts") > F.lit(gap_us))
+        | (hop2 > F.lit(jump2)),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    sessioned = base.withColumn("_brk", brk).withColumn(
+        "session_id", F.sum("_brk").over(w)
+    )
+    # intra-session hop length (0 at session starts)
+    hop_len = F.when(
+        F.col("_brk") == 1, F.lit(0.0)
+    ).otherwise(
+        2.0 * F.asin(F.sqrt(hop2) / 2.0)
+    )
+    return (
+        sessioned.withColumn("_hop", hop_len)
+        .groupBy(user_col, "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_us_col).alias("start_us"),
+            F.max(ts_us_col).alias("end_us"),
+            F.sum("_hop").alias("travel"),
+        )
+    )
