@@ -3991,6 +3991,52 @@ def _oracle_link_pagerank() -> str:
     """
 
 
+_FOCAL_ZOOM = 7
+
+
+def _q_tile_focal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster-algebra focal (3x3) mean over the zoom-7 web-mercator tile
+    grid (heatmap smoothing): events collapse to occupied tiles first
+    (the only full-data shuffle), the 9-offset explode multiplies only
+    the bounded tile table, x wraps the antimeridian, y clamps at the
+    grid edge.  The DuckDB twin re-derives tiles and the smoothing sum
+    from first principles with its own offsets cross join."""
+    from geo_spark.operators.geo_noise import with_geo_noise
+    from geo_spark.operators.tiling import tile_focal_mean
+
+    ev = with_geo_noise(_t(spark, sf_dir, "events"), "event_id")
+    return tile_focal_mean(ev, _FOCAL_ZOOM).orderBy("tx", "ty")
+
+
+def _oracle_tile_focal_mean() -> str:
+    from geo_spark.functions.webgrid import mercator_xy_sql
+    from geo_spark.operators.geo_noise import LAT_SQL, LNG_SQL
+
+    zoom = _FOCAL_ZOOM
+    n = 1 << zoom
+    lat = LAT_SQL.format(id="event_id")
+    lng = LNG_SQL.format(id="event_id")
+    x, y = mercator_xy_sql("lat", "lng", zoom)
+    return f"""
+        WITH pts AS (SELECT {lat} AS lat, {lng} AS lng FROM events),
+        tiles AS (SELECT {x} AS tx, {y} AS ty FROM pts),
+        base AS (SELECT tx, ty, COUNT(*) AS cnt FROM tiles GROUP BY tx, ty),
+        offs(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                                (1,-1),(1,0),(1,1)),
+        contrib AS (
+          SELECT ((b.tx + o.dx) + {n}) % {n} AS nx, b.ty + o.dy AS ny,
+                 SUM(b.cnt) AS s
+          FROM base b CROSS JOIN offs o
+          WHERE b.ty + o.dy >= 0 AND b.ty + o.dy < {n}
+          GROUP BY 1, 2)
+        SELECT c.nx AS tx, c.ny AS ty,
+               CAST(FLOOR(c.s * 1000000 / 9) AS BIGINT) AS smoothed
+        FROM contrib c
+        WHERE EXISTS (SELECT 1 FROM base b WHERE b.tx = c.nx AND b.ty = c.ny)
+        ORDER BY tx, ty
+    """
+
+
 _SESS_GAP_S = 4 * 3600.0
 _SESS_JUMP_RAD = 2.8
 
@@ -4127,6 +4173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_spacetime_pairs": _q_spacetime_pairs,
         "q_link_pagerank": _q_link_pagerank,
         "q_geo_sessions": _q_geo_sessions,
+        "q_tile_focal_mean": _q_tile_focal_mean,
         "q_domain_stats": _q_domain_stats,
         "q_url_dedup": _q_url_dedup,
         "q_interval_sweep": _q_interval_sweep,
@@ -4176,6 +4223,7 @@ def oracle_sql() -> dict[str, str]:
         "q_spacetime_pairs": _oracle_spacetime_pairs(),
         "q_link_pagerank": _oracle_link_pagerank(),
         "q_geo_sessions": _oracle_geo_sessions(),
+        "q_tile_focal_mean": _oracle_tile_focal_mean(),
         "q_domain_stats": _oracle_domain_stats(),
         "q_url_dedup": _oracle_url_dedup(),
         "q_dedup_clusters": _oracle_dedup_clusters(),

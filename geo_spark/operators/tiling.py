@@ -50,6 +50,66 @@ def tile_counts(
     return out.orderBy("tile") if sort else out
 
 
+def tile_focal_mean(
+    df: DataFrame,
+    zoom: int,
+    latlng: tuple[str, str] = ("lat", "lng"),
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Raster-algebra focal (3x3) mean over the web-mercator tile grid:
+    per-tile counts smoothed with their 8 neighbors (absent neighbors
+    count 0) — the heatmap-smoothing kernel, entirely native SQL.
+
+    Scale shape: the raw rows collapse to occupied tiles FIRST (the only
+    full-data shuffle, map-side combined); the 9-offset explode then
+    multiplies the bounded tile table, never the input, and the re-sum
+    is a second small hash aggregate.  x wraps around the antimeridian;
+    y clamps at the mercator poles (no wrap — offsets off the grid are
+    dropped).  Output keeps only tiles whose own count is nonzero, via
+    a semi join against the occupied set (broadcast-sized next to the
+    input).
+
+    ``smoothed`` is returned as FLOOR(sum * scale / 9) — integer, so
+    distributed float summation order cannot perturb it."""
+    from geo_spark.functions.webgrid import mercator_xy_cols
+
+    n = 1 << zoom
+    x, y = mercator_xy_cols(F.col(latlng[0]), F.col(latlng[1]), zoom)
+    base = (
+        df.select(x.alias("tx"), y.alias("ty"))
+        .groupBy("tx", "ty")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    offsets = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ]
+        )
+    )
+    contrib = (
+        base.select("tx", "ty", "cnt", offsets.alias("o"))
+        .select(
+            (((F.col("tx") + F.col("o.dx")) + n) % n).alias("nx"),
+            (F.col("ty") + F.col("o.dy")).alias("ny"),
+            "cnt",
+        )
+        .where((F.col("ny") >= 0) & (F.col("ny") < n))
+        .groupBy("nx", "ny")
+        .agg(F.sum("cnt").alias("s"))
+    )
+    occupied = base.select(
+        F.col("tx").alias("nx"), F.col("ty").alias("ny")
+    )
+    return contrib.join(occupied, ["nx", "ny"], "semi").select(
+        F.col("nx").alias("tx"),
+        F.col("ny").alias("ty"),
+        F.floor(F.col("s") * scale / 9).cast("long").alias("smoothed"),
+    )
+
+
 def quadkey_pyramid(
     df: DataFrame,
     zoom: int,

@@ -352,3 +352,40 @@ def test_quadkey_pyramid_consistency(spark):
     # exchanges in the final section only
     final_plan = plan.split("== Initial Plan ==")[0]
     assert final_plan.count("Exchange hashpartitioning") == 2
+
+
+def test_tile_focal_mean_matches_numpy(spark):
+    """3x3 focal mean over mercator tiles == dense numpy convolution
+    with x wraparound and y edge clamp."""
+    import pandas as pd
+
+    from geo_spark.kernel import webgrid as W
+    from geo_spark.operators.tiling import tile_focal_mean
+
+    rng = np.random.default_rng(41)
+    n_pts = 5000
+    lat = np.degrees(np.arcsin(rng.uniform(-1, 1, n_pts)))
+    lng = rng.uniform(-180.0, 180.0, n_pts)
+    zoom = 4
+    n = 1 << zoom
+    df = spark.createDataFrame(pd.DataFrame({"lat": lat, "lng": lng}))
+    got = {
+        (r["tx"], r["ty"]): r["smoothed"]
+        for r in tile_focal_mean(df, zoom).collect()
+    }
+    x, y = W.mercator_tile(lat, lng, zoom)
+    grid = np.zeros((n, n), dtype=np.int64)
+    np.add.at(grid, (x, y), 1)
+    want = {}
+    for tx in range(n):
+        for ty in range(n):
+            if grid[tx, ty] == 0:
+                continue
+            s = 0
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    ny = ty + dy
+                    if 0 <= ny < n:
+                        s += int(grid[(tx + dx) % n, ny])
+            want[(tx, ty)] = int(np.floor(s * 1_000_000 / 9))
+    assert got == want
