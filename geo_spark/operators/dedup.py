@@ -42,8 +42,9 @@ def _shingle_hashes(text: str, n: int) -> np.ndarray:
     if len(text) < n:
         data = text.encode()
         h = np.uint64(14695981039346656037)
-        for byte in data:
-            h = (h ^ np.uint64(byte)) * np.uint64(1099511628211)
+        with np.errstate(over="ignore"):  # FNV wraps mod 2^64 by design
+            for byte in data:
+                h = (h ^ np.uint64(byte)) * np.uint64(1099511628211)
         return _splitmix64(np.array([h], dtype=np.uint64))
     b = np.frombuffer(text.encode(), dtype=np.uint8)
     if len(b) < n:  # multi-byte chars shrank nothing here (ascii expected)
