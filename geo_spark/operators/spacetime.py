@@ -32,10 +32,12 @@ Scale shape (the part that must survive 100 TB):
   post-refine, orders of magnitude smaller than the candidate set.
 - **Refine is pure codegen**: squared chord distance and |dt| are
   native column arithmetic on the joined row — no Python in the
-  per-pair path.  The only Arrow hop is the probe-key emission
-  (cell 8-neighborhoods need the Hilbert (face,i,j) topology,
-  kernel/cellid.all_neighbors_same_level), a map-side pass over the
-  narrow (key, cell, tb) projection.
+  per-pair path.  The only Arrow hop builds the DISTINCT-cell
+  adjacency table (cell 8-neighborhoods need the Hilbert (face,i,j)
+  topology, kernel/cellid.all_neighbors_same_level); the 27x row
+  multiplication itself is a broadcast join + codegen explode, so
+  Python touches one row per occupied cell, never per event (the
+  per-row emission it replaced cost ~18x the whole query).
 
 Skew: a hot (cell, tb) bucket (urban flash crowd) concentrates its
 candidate pairs on one reducer; AQE's skew-join split handles the join
@@ -67,50 +69,65 @@ def spacetime_level(radius_rad: float) -> int:
     return metric.MIN_WIDTH.max_level(radius_rad)
 
 
-def _emit_probes(pts: DataFrame, key: str) -> DataFrame:
-    """(key, ts_us, tb, x, y, z, cell) -> 27-key probe rows: the cell's
-    9-neighborhood x buckets {tb-1, tb, tb+1}, per-row deduplicated (at
-    cube corners neighborhoods repeat cells)."""
-    key_field = pts.schema[key]
-    schema = (
-        f"{key} {key_field.dataType.simpleString()}, ts_us long, "
-        "x double, y double, z double, pcell long, ptb long"
-    )
+def _neighbor_table(cells: DataFrame) -> DataFrame:
+    """DISTINCT occupied cells -> (cell, pcell) adjacency rows: self +
+    the 8-neighborhood, per-cell deduplicated (at cube corners the
+    clamped wrap repeats entries).
+
+    The Arrow hop runs over the distinct-cell table only — data-bounded
+    and orders of magnitude smaller than the event stream (the earlier
+    per-ROW emission moved every event through Python 27 times; this
+    version moves each occupied CELL through once and lets codegen do
+    all row multiplication)."""
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
             pdf = b.to_pandas()
-            n = len(pdf)
-            if n == 0:
+            if not len(pdf):
                 continue
-            cells = ck.from_signed(pdf["cell"].to_numpy(np.int64))
-            nbrs = ck.all_neighbors_same_level(cells)  # (n, 8) uint64
-            grid = np.concatenate([cells[:, None], nbrs], axis=1)  # (n, 9)
-            # per-row dedup: sort each row, mask repeats (keeps first)
+            cells_u = ck.from_signed(pdf["cell"].to_numpy(np.int64))
+            nbrs = ck.all_neighbors_same_level(cells_u)  # (n, 8)
+            grid = np.concatenate([cells_u[:, None], nbrs], axis=1)
             grid.sort(axis=1)
             keep = np.ones(grid.shape, dtype=bool)
             keep[:, 1:] = grid[:, 1:] != grid[:, :-1]
             rows, cols = np.nonzero(keep)
-            pcell = ck.to_signed(grid[rows, cols])
-            m = len(rows)
-            tb = pdf["tb"].to_numpy(np.int64)
-            out = {
-                key: np.repeat(pdf[key].to_numpy()[rows], 3),
-                "ts_us": np.repeat(pdf["ts_us"].to_numpy(np.int64)[rows], 3),
-                "x": np.repeat(pdf["x"].to_numpy(np.float64)[rows], 3),
-                "y": np.repeat(pdf["y"].to_numpy(np.float64)[rows], 3),
-                "z": np.repeat(pdf["z"].to_numpy(np.float64)[rows], 3),
-                "pcell": np.repeat(pcell, 3),
-                "ptb": (
-                    np.repeat(tb[rows], 3)
-                    + np.tile(np.array([-1, 0, 1], dtype=np.int64), m)
-                ),
-            }
             yield pa.RecordBatch.from_pandas(
-                pd.DataFrame(out), preserve_index=False
+                pd.DataFrame(
+                    {
+                        "cell": pdf["cell"].to_numpy(np.int64)[rows],
+                        "pcell": ck.to_signed(grid[rows, cols]),
+                    }
+                ),
+                preserve_index=False,
             )
 
-    return pts.mapInArrow(fn, schema)
+    return cells.distinct().mapInArrow(fn, "cell long, pcell long")
+
+
+def _emit_probes(pts: DataFrame, key: str) -> DataFrame:
+    """(key, ts_us, tb, x, y, z, cell) -> 27-key probe rows: the cell's
+    9-neighborhood x buckets {tb-1, tb, tb+1}.
+
+    The neighbor relation is joined in from the tiny distinct-cell
+    adjacency table (broadcast-sized: occupied level-L cells — the
+    banding level is coarse by construction, MinWidth(L) >= radius, so
+    the table is bounded by min(6*4^L, distinct event cells); drop the
+    broadcast hint and let AQE pick if a deployment ever bands at leaf
+    levels), and the bucket fan-out is a codegen explode — the full 27x
+    row multiplication happens JVM-side; Python only ever touches one
+    row per DISTINCT cell."""
+    nbr = _neighbor_table(pts.select("cell"))
+    return (
+        pts.join(F.broadcast(nbr), "cell")
+        .withColumn(
+            "ptb",
+            F.explode(
+                F.array(F.col("tb") - 1, F.col("tb"), F.col("tb") + 1)
+            ),
+        )
+        .select(key, "ts_us", "x", "y", "z", "pcell", "ptb")
+    )
 
 
 def spacetime_join(

@@ -60,12 +60,20 @@ def _emit_probe_cells(pts: DataFrame, key: str, ts_col: str) -> DataFrame:
             if not len(pdf):
                 continue
             cells = ck.from_signed(pdf["cell"].to_numpy(np.int64))
+            # neighbor lookup per DISTINCT cell, gathered back by inverse
+            # index — the kernel cost scales with occupied cells, not
+            # stream rows (the batch operator goes further and joins a
+            # distinct-cell table; a stream cannot distinct() statelessly,
+            # so dedup per micro-batch here)
+            uniq, inv = np.unique(cells, return_inverse=True)
             grid = np.concatenate(
-                [cells[:, None], ck.all_neighbors_same_level(cells)], axis=1
+                [uniq[:, None], ck.all_neighbors_same_level(uniq)], axis=1
             )
             grid.sort(axis=1)
-            keep = np.ones(grid.shape, dtype=bool)
-            keep[:, 1:] = grid[:, 1:] != grid[:, :-1]
+            ukeep = np.ones(grid.shape, dtype=bool)
+            ukeep[:, 1:] = grid[:, 1:] != grid[:, :-1]
+            grid = grid[inv]
+            keep = ukeep[inv]
             rows, cols = np.nonzero(keep)
             out = pd.DataFrame(
                 {
