@@ -157,9 +157,17 @@ def spacetime_join(
         )
     else:  # already integer microseconds
         ts_us = F.col(ts_col).cast("long")
+    src = events.select(key, *latlng, ts_col)
+    # Small-scan parallelism lift (same rationale as knn.py): a local
+    # fixture's parquet arrives in a handful of splits and would run the
+    # join/refine on a fraction of the cores; at production scale the
+    # scan already carries >= cores splits and this never fires.
+    want_parts = events.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < want_parts:
+        src = src.repartition(want_parts)
     p3 = F.col("_p3")
     base = (
-        events.select(key, *latlng, ts_col)
+        src
         .withColumn("ts_us", ts_us)
         .withColumn("tb", F.floor(F.col("ts_us") / F.lit(window_us)))
         .withColumn("_p3", s2_xyz(F.col(latlng[0]), F.col(latlng[1])))

@@ -121,3 +121,29 @@ def test_no_nested_loop_in_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+try:
+    from hypothesis import given, settings, strategies as hst
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        hst.floats(0.02, 0.5),
+        hst.floats(300.0, 14400.0),
+        hst.integers(0, 10),
+    )
+    def _fuzz_banding(radius, window_s, seed):
+        spark = _fuzz_banding._spark
+        rng = np.random.default_rng(seed)
+        n = 150
+        lat = np.degrees(np.arcsin(rng.uniform(-1, 1, n)))
+        lng = rng.uniform(-180, 180, n)
+        ts = rng.integers(0, 86400_000_000, n)
+        want = _oracle(lat, lng, ts, radius, window_s)
+        assert _run(spark, lat, lng, ts, radius, window_s) == want
+
+    def test_fuzz_banding(spark):
+        _fuzz_banding._spark = spark
+        _fuzz_banding()
+except ImportError:  # pragma: no cover
+    pass
