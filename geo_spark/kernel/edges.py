@@ -342,3 +342,134 @@ def tessellate_unprojected(
 
     rec(0.0, 1.0, 0)
     return np.array(out)
+
+
+def chain_pairs_chord2_indexed(
+    A: np.ndarray,
+    lenA: np.ndarray,
+    B: np.ndarray,
+    lenB: np.ndarray,
+    ai: np.ndarray,
+    bi: np.ndarray,
+    chunk_elems: int = 20_000_000,
+) -> np.ndarray:
+    """Batched :func:`chain_pair_chord2` over pair INDEX arrays — the
+    within-distance refine for millions of candidate chain pairs
+    without a Python call per pair.
+
+    A (nA, ma, 3) / B (nB, mb, 3) are padded vertex tables (pad = the
+    chain's last vertex repeated; padded segments are degenerate
+    (v, v), whose point-segment distance is the distance to that real
+    vertex — harmless inside a min — and padded edges are masked out of
+    the crossing test).  lenA/lenB give true vertex counts; ai/bi index
+    the tables per pair.
+
+    Exactness contract: distances use the same float formulas as
+    point_segment_chord2 (min-reduction is order-free); crossings are
+    decided by the vectorized triage sign, and any pair with an
+    indeterminate (triage == 0) edge-pair sign and no certain crossing
+    falls back to the scalar robust path — results equal
+    chain_pair_chord2 pair for pair (differential-tested)."""
+    from geo_spark.kernel import predicates as pred
+
+    ai = np.asarray(ai, dtype=np.int64)
+    bi = np.asarray(bi, dtype=np.int64)
+    n = len(ai)
+    out = np.empty(n, dtype=np.float64)
+    ma, mb = A.shape[1], B.shape[1]
+    sa, sb = max(ma - 1, 0), max(mb - 1, 0)
+    # chunk so the LARGEST live set of (k, m, s, 3) temporaries (~8 of
+    # them in flight in the vertex-segment pass) stays ~chunk_elems
+    # doubles — oversizing regresses badly on bandwidth-bound hosts
+    per_pair = 24 * max(ma * max(sb, 1), mb * max(sa, 1), sa * max(sb, 1), 1)
+    chunk = max(1024, chunk_elems // per_pair)
+
+    def _verts_to_segs(X, Q):
+        """min chord2 from each pair's X-vertices to its Q-segments;
+        X (k, mx, 3), Q (k, mq, 3) -> (k,)"""
+        if Q.shape[1] < 2:
+            d = X[:, :, None, :] - Q[:, None, :, :]
+            return np.minimum((d * d).sum(-1), 4.0).min(axis=(1, 2))
+        a = Q[:, None, :-1, :]
+        b = Q[:, None, 1:, :]
+        x = X[:, :, None, :]
+        nrm = np.cross(Q[:, :-1, :], Q[:, 1:, :])[:, None, :, :]
+        in_a = (np.cross(a, x) * nrm).sum(-1) >= 0
+        in_b = (np.cross(x, b) * nrm).sum(-1) >= 0
+        nn2 = (nrm * nrm).sum(-1)
+        interior = in_a & in_b & (nn2 > 0)
+        nn = np.sqrt(nn2)
+        nn = np.where(nn == 0, 1.0, nn)
+        sin_d = np.clip(np.abs((x * nrm).sum(-1)) / nn, 0.0, 1.0)
+        chord2_int = 2.0 * (1.0 - np.sqrt(1.0 - sin_d * sin_d))
+        da = ((x - a) ** 2).sum(-1)
+        db = ((x - b) ** 2).sum(-1)
+        vals = np.where(interior, chord2_int, np.minimum(da, db))
+        return np.minimum(vals, 4.0).min(axis=(1, 2))
+
+    err = pred.MAX_DETERMINANT_ERROR
+
+    def _sgn(det: np.ndarray) -> np.ndarray:
+        return np.where(
+            det > err, np.int8(1), np.where(det < -err, np.int8(-1), np.int8(0))
+        )
+
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        P = A[ai[lo:hi]]
+        Q = B[bi[lo:hi]]
+        la = lenA[ai[lo:hi]]
+        lb = lenB[bi[lo:hi]]
+        k = hi - lo
+
+        # crossing pass FIRST (cheap: one normal per edge, four dets per
+        # edge pair) — crossing pairs skip the heavier distance pass
+        # entirely, which on dense workloads is most of them
+        if sa > 0 and sb > 0:
+            na = pred.cross(P[:, :-1, :], P[:, 1:, :])  # (k, sa, 3)
+            nb = pred.cross(Q[:, :-1, :], Q[:, 1:, :])  # (k, sb, 3)
+            acb = -_sgn(pred.dot(na[:, :, None, :], Q[:, None, :-1, :]))
+            bda = _sgn(pred.dot(na[:, :, None, :], Q[:, None, 1:, :]))
+            cbd = -_sgn(pred.dot(nb[:, None, :, :], P[:, 1:, None, :]))
+            dac = _sgn(pred.dot(nb[:, None, :, :], P[:, :-1, None, :]))
+            valid = (
+                (np.arange(sa)[None, :, None] < (la - 1)[:, None, None])
+                & (np.arange(sb)[None, None, :] < (lb - 1)[:, None, None])
+            )
+            certain = (acb != 0) & (bda != 0) & (cbd != 0) & (dac != 0)
+            crossing = (
+                valid & certain & (acb == bda) & (cbd == acb) & (dac == acb)
+            )
+            pair_cross = crossing.any(axis=(1, 2))
+            uncertain = (valid & ~certain).any(axis=(1, 2)) & ~pair_cross
+        else:
+            pair_cross = np.zeros(k, dtype=bool)
+            uncertain = np.zeros(k, dtype=bool)
+
+        dist = np.zeros(k, dtype=np.float64)
+        rest = np.nonzero(~pair_cross)[0]
+        if len(rest):
+            Pr, Qr = P[rest], Q[rest]
+            dist[rest] = np.minimum(
+                _verts_to_segs(Pr, Qr), _verts_to_segs(Qr, Pr)
+            )
+        for j in np.nonzero(uncertain)[0]:
+            dist[j] = chain_pair_chord2(
+                A[ai[lo + j]][: lenA[ai[lo + j]]],
+                B[bi[lo + j]][: lenB[bi[lo + j]]],
+            )
+        out[lo:hi] = dist
+    return out
+
+
+def pad_chain_table(chains: list) -> tuple[np.ndarray, np.ndarray]:
+    """List of (mi, 3) chains -> (padded (n, max_m, 3) table, lengths);
+    padding repeats each chain's last vertex (see
+    chain_pairs_chord2_indexed for why that is harmless)."""
+    lens = np.array([len(c) for c in chains], dtype=np.int64)
+    m = int(lens.max()) if len(lens) else 0
+    T = np.empty((len(chains), m, 3), dtype=np.float64)
+    for i, c in enumerate(chains):
+        T[i, : len(c)] = c
+        T[i, len(c):] = c[-1]
+    return T, lens

@@ -310,3 +310,67 @@ def polygon_relation(
     intersects = bool(b_in_a.any() or a_in_b.any())
     contains = bool(b_in_a[0]) and not bool(a_in_b.any())
     return contains, intersects
+
+
+def chain_pairs_crossings_indexed(
+    A: np.ndarray,
+    lenA: np.ndarray,
+    B: np.ndarray,
+    lenB: np.ndarray,
+    ai: np.ndarray,
+    bi: np.ndarray,
+    chunk_elems: int = 20_000_000,
+) -> np.ndarray:
+    """Batched :func:`chain_crossings` (open chains) over pair index
+    arrays into padded vertex tables (see edges.pad_chain_table; closed
+    chains are pre-closed by appending their first vertex before
+    padding).  Counts per pair equal the scalar kernel exactly: the
+    vectorized triage decides the certain edge pairs; any pair with an
+    indeterminate sign anywhere falls back to the scalar robust cascade
+    (a count cannot shortcut uncertainty the way a zero distance can)."""
+    ai = np.asarray(ai, dtype=np.int64)
+    bi = np.asarray(bi, dtype=np.int64)
+    n = len(ai)
+    out = np.zeros(n, dtype=np.int64)
+    ma, mb = A.shape[1], B.shape[1]
+    sa, sb = max(ma - 1, 0), max(mb - 1, 0)
+    if sa == 0 or sb == 0:
+        return out
+    per_pair = 24 * sa * sb
+    chunk = max(1024, chunk_elems // per_pair)
+    err = pred.MAX_DETERMINANT_ERROR
+
+    def _sgn(det):
+        return np.where(
+            det > err, np.int8(1), np.where(det < -err, np.int8(-1), np.int8(0))
+        )
+
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        P = A[ai[lo:hi]]
+        Q = B[bi[lo:hi]]
+        la = lenA[ai[lo:hi]]
+        lb = lenB[bi[lo:hi]]
+        na = pred.cross(P[:, :-1, :], P[:, 1:, :])
+        nb = pred.cross(Q[:, :-1, :], Q[:, 1:, :])
+        acb = -_sgn(pred.dot(na[:, :, None, :], Q[:, None, :-1, :]))
+        bda = _sgn(pred.dot(na[:, :, None, :], Q[:, None, 1:, :]))
+        cbd = -_sgn(pred.dot(nb[:, None, :, :], P[:, 1:, None, :]))
+        dac = _sgn(pred.dot(nb[:, None, :, :], P[:, :-1, None, :]))
+        valid = (
+            (np.arange(sa)[None, :, None] < (la - 1)[:, None, None])
+            & (np.arange(sb)[None, None, :] < (lb - 1)[:, None, None])
+        )
+        certain = (acb != 0) & (bda != 0) & (cbd != 0) & (dac != 0)
+        crossing = valid & certain & (acb == bda) & (cbd == acb) & (dac == acb)
+        cnt = crossing.sum(axis=(1, 2)).astype(np.int64)
+        uncertain = (valid & ~certain).any(axis=(1, 2))
+        for j in np.nonzero(uncertain)[0]:
+            cnt[j] = chain_crossings(
+                A[ai[lo + j]][: lenA[ai[lo + j]]],
+                B[bi[lo + j]][: lenB[bi[lo + j]]],
+                a_closed=False,
+                b_closed=False,
+            )
+        out[lo:hi] = cnt
+    return out

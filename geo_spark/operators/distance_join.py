@@ -67,23 +67,35 @@ def build_distance_layer(
         )
 
     # Distance layers are closure-size by contract (regions ship to the
-    # refine UDF), so compute the buffered covering directly in the
-    # driver — identical math to the applyInPandas path, minus two Spark
-    # jobs and a Python-worker round-trip (same rationale as
-    # spatial_join.build_layer's dimension-table branch).
-    cpdf = cover_one(
-        pd.DataFrame(
-            {"geom_id": [g for g, _ in rows], "blob": [b for _, b in rows]}
+    # refine UDF).  Below DRIVER_COVER_GEOMS the buffered covering is
+    # computed directly in the driver (identical math, minus two Spark
+    # jobs); above it the per-geometry covering cost dominates and the
+    # same function runs distributed (same split as build_layer).
+    from geo_spark.operators.spatial_join import DRIVER_COVER_GEOMS
+
+    if len(regions) <= DRIVER_COVER_GEOMS:
+        cpdf = cover_one(
+            pd.DataFrame(
+                {"geom_id": [g for g, _ in rows], "blob": [b for _, b in rows]}
+            )
         )
-    )
-    covering = spark.createDataFrame(cpdf, COVER_SCHEMA)
-    levels = sorted(cpdf["level"].unique().tolist())
+        covering = spark.createDataFrame(cpdf, COVER_SCHEMA)
+        levels = sorted(cpdf["level"].unique().tolist())
+        n_cov = len(cpdf)
+    else:
+        covering = geoms.groupBy("geom_id").applyInPandas(
+            cover_one, COVER_SCHEMA
+        ).persist()
+        levels = sorted(
+            r["level"] for r in covering.select("level").distinct().collect()
+        )
+        n_cov = covering.count()
     return Layer(
         geoms,
         covering,
         levels,
         {int(g): r for g, r in regions},
-        covering_rows=len(cpdf),
+        covering_rows=n_cov,
     )
 
 

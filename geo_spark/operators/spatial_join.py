@@ -60,6 +60,12 @@ GEOM_SCHEMA = T.StructType(
 )
 
 
+# Below this many geometries the covering computation runs in the
+# driver (literal-row layer, zero Spark jobs); above it, per-geometry
+# distributed (the coverings, not the closure shipping, are the cost).
+DRIVER_COVER_GEOMS = 256
+
+
 class Layer:
     """A prepared join target: geometry blobs + exploded covering table.
 
@@ -168,7 +174,7 @@ def build_layer(
             }
         )
 
-    if len(regions) <= Layer.MAX_CLOSURE_GEOMS:
+    if len(regions) <= DRIVER_COVER_GEOMS:
         # Dimension-table layer: run the identical covering computation
         # in the driver (it ends up collected as literal rows either
         # way), skipping two Spark jobs + a Python-worker round-trip —
@@ -188,10 +194,18 @@ def build_layer(
         region_map = {int(g): r for g, r in regions}
         n_cov = len(pdf)
     else:
+        # Hundreds+ of geometries: the covering computation itself is
+        # the cost (a complex region covers in ~10-30 ms) — distribute
+        # it per geometry.  The region MAP still ships in closures when
+        # small enough (the map is the input list, not the coverings).
         covering = geoms.groupBy("geom_id").applyInPandas(cover_one, COVER_SCHEMA)
         covering = covering.persist()
         levels = [r["level"] for r in covering.select("level").distinct().collect()]
-        region_map = None
+        region_map = (
+            {int(g): r for g, r in regions}
+            if len(regions) <= Layer.MAX_CLOSURE_GEOMS
+            else None
+        )
         n_cov = covering.count()  # persisted: count is a cache scan
     return Layer(geoms, covering, sorted(levels), region_map, covering_rows=n_cov)
 

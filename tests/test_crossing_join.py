@@ -102,3 +102,44 @@ def test_crossing_edge_join_matches_all_pairs(spark):
             if n:
                 exp.add((aid, bid, n))
     assert got == exp
+
+
+def test_chain_pairs_crossings_batch_matches_scalar():
+    """chain_pairs_crossings_indexed == chain_crossings pair for pair
+    on random open/closed chains incl. shared-vertex touch configs."""
+    import numpy as np
+
+    from geo_spark.kernel.cellid import latlng_to_xyz
+    from geo_spark.kernel.edges import pad_chain_table
+    from geo_spark.kernel.relations import (
+        chain_crossings,
+        chain_pairs_crossings_indexed,
+    )
+
+    rng = np.random.default_rng(123)
+
+    def chain(m, spread):
+        la = rng.uniform(-spread, spread, m)
+        ln = rng.uniform(-spread, spread, m)
+        return np.stack(latlng_to_xyz(np.radians(la), np.radians(ln)), axis=-1)
+
+    a_chains = [chain(int(rng.integers(2, 7)), 40) for _ in range(30)]
+    b_chains = [chain(int(rng.integers(2, 8)), 40) for _ in range(25)]
+    # shared-vertex touch: b chain starting exactly at a vertex of a[0]
+    t = np.vstack([a_chains[0][1][None, :], chain(3, 30)])
+    b_chains.append(t / np.linalg.norm(t, axis=1, keepdims=True))
+    A, lenA = pad_chain_table(a_chains)
+    B, lenB = pad_chain_table(b_chains)
+    ai, bi = np.meshgrid(
+        np.arange(len(a_chains)), np.arange(len(b_chains)), indexing="ij"
+    )
+    ai = ai.ravel(); bi = bi.ravel()
+    got = chain_pairs_crossings_indexed(A, lenA, B, lenB, ai, bi)
+    some = 0
+    for k in range(len(ai)):
+        want = chain_crossings(
+            a_chains[ai[k]], b_chains[bi[k]], a_closed=False, b_closed=False
+        )
+        assert got[k] == want, (ai[k], bi[k], got[k], want)
+        some += want
+    assert some > 0

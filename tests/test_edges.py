@@ -139,3 +139,52 @@ def test_tessellator_projected_tolerance():
     un = tessellate_unprojected(a, b, tol)
     assert np.allclose(un[0], a) and np.allclose(un[-1], b)
     assert len(un) > 2
+
+
+def test_chain_pairs_batch_matches_scalar():
+    """chain_pairs_chord2_indexed == chain_pair_chord2 pair for pair:
+    random chains, crossing pairs, shared-vertex touches, single-vertex
+    chains, mixed lengths (padding), near-degenerate slivers."""
+    import numpy as np
+
+    from geo_spark.kernel.cellid import latlng_to_xyz
+    from geo_spark.kernel.edges import (
+        chain_pair_chord2,
+        chain_pairs_chord2_indexed,
+        pad_chain_table,
+    )
+
+    rng = np.random.default_rng(77)
+
+    def ring(lat0, lng0, r, m):
+        ts = np.linspace(0, 1.5 * np.pi, m)
+        la = lat0 + r * np.sin(ts)
+        ln = lng0 + r * np.cos(ts)
+        return np.stack(latlng_to_xyz(np.radians(la), np.radians(ln)), axis=-1)
+
+    chains_a, chains_b = [], []
+    for _ in range(40):
+        m = int(rng.integers(1, 7))
+        chains_a.append(ring(rng.uniform(-40, 40), rng.uniform(-90, 90),
+                             rng.uniform(0.5, 8.0), max(m, 1)))
+    for _ in range(35):
+        m = int(rng.integers(1, 9))
+        chains_b.append(ring(rng.uniform(-40, 40), rng.uniform(-90, 90),
+                             rng.uniform(0.5, 8.0), max(m, 1)))
+    # adversarial: B chain sharing an exact vertex with A chain 0
+    shared = np.vstack([chains_a[0][-1][None, :],
+                        ring(10.0, 10.0, 2.0, 3)])
+    shared = shared / np.linalg.norm(shared, axis=1, keepdims=True)
+    chains_b.append(shared)
+    # a long crossing diagonal
+    chains_b.append(ring(0.0, 0.0, 60.0, 5))
+
+    A, lenA = pad_chain_table(chains_a)
+    B, lenB = pad_chain_table(chains_b)
+    ai, bi = np.meshgrid(np.arange(len(chains_a)), np.arange(len(chains_b)),
+                         indexing="ij")
+    ai = ai.ravel(); bi = bi.ravel()
+    got = chain_pairs_chord2_indexed(A, lenA, B, lenB, ai, bi)
+    for k in range(len(ai)):
+        want = chain_pair_chord2(chains_a[ai[k]], chains_b[bi[k]])
+        assert got[k] == want, (ai[k], bi[k], got[k], want)
