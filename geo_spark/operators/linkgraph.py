@@ -66,6 +66,12 @@ def pagerank(
 
     ids = nodes.select(F.col(node_key).alias("_id"))
     ranks = ids.withColumn("_rank", F.lit(1.0 / n)).localCheckpoint()
+    # the zero-outlink node set is static — compute it once; each
+    # iteration then reads the dangling mass with a broadcast semi-join
+    # instead of a fresh anti-join shuffle against the rank vector
+    dangling_ids = ids.join(
+        outdeg, F.col("_id") == F.col("_src"), "left_anti"
+    ).persist()
 
     for _ in range(iterations):
         contrib = (
@@ -74,7 +80,7 @@ def pagerank(
             .agg(F.sum(F.col("_rank") / F.col("_deg")).alias("_c"))
         )
         dangling = (
-            ranks.join(outdeg, F.col("_id") == F.col("_src"), "left_anti")
+            ranks.join(F.broadcast(dangling_ids), "_id", "semi")
             .agg(F.coalesce(F.sum("_rank"), F.lit(0.0)).alias("_dm"))
         )
         new_ranks = (
@@ -107,6 +113,7 @@ def pagerank(
         else:
             ranks = new_ranks
     fused.unpersist()
+    dangling_ids.unpersist()
     return ranks.select(
         F.col("_id").alias(node_key), F.col("_rank").alias("rank")
     )
