@@ -4037,6 +4037,57 @@ def _oracle_tile_focal_mean() -> str:
     """
 
 
+_BM25_TERMS = ["table", "join", "query", "scan"]
+
+
+def _q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed query-term
+    set (operators/text.bm25_scores — native tokenize/filter/aggregate,
+    one token-table shuffle).  Scores are ROUND-scaled to 1e6 integers;
+    the DuckDB twin re-derives tf/df/dl/avgdl and the scoring formula
+    from first principles with its own regex split."""
+    from geo_spark.operators.text import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    out = bm25_scores(docs, _BM25_TERMS)
+    return out.select(
+        "doc_id",
+        F.round(F.col("bm25") * 1e6, 0).cast("long").alias("bm25_x1e6"),
+    ).orderBy("doc_id")
+
+
+def _oracle_bm25_scores() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    k1, b = 1.2, 0.75
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+          FROM documents),
+        ft AS (SELECT doc_id, term, COUNT(*) AS tf
+               FROM toks WHERE term IN ({terms}) GROUP BY doc_id, term),
+        dft AS (SELECT term, COUNT(*) AS df FROM ft GROUP BY term),
+        dl AS (SELECT doc_id,
+                      len(string_split_regex(lower(text), '\\s+')) AS dl
+               FROM documents),
+        stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                         AVG(dl) AS avgdl
+                  FROM dl),
+        parts AS (
+          SELECT f.doc_id,
+                 ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                 * (f.tf * {k1 + 1.0!r})
+                 / (f.tf + {k1!r} * ({1.0 - b!r} + {b!r} * l.dl / s.avgdl))
+                   AS part
+          FROM ft f
+          JOIN dft d ON d.term = f.term
+          JOIN dl l ON l.doc_id = f.doc_id
+          CROSS JOIN stats s)
+        SELECT doc_id,
+               CAST(ROUND(SUM(part) * 1e6) AS BIGINT) AS bm25_x1e6
+        FROM parts GROUP BY doc_id ORDER BY doc_id
+    """
+
+
 _SESS_GAP_S = 4 * 3600.0
 _SESS_JUMP_RAD = 2.8
 
@@ -4174,6 +4225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_link_pagerank": _q_link_pagerank,
         "q_geo_sessions": _q_geo_sessions,
         "q_tile_focal_mean": _q_tile_focal_mean,
+        "q_bm25_scores": _q_bm25_scores,
         "q_domain_stats": _q_domain_stats,
         "q_url_dedup": _q_url_dedup,
         "q_interval_sweep": _q_interval_sweep,
@@ -4224,6 +4276,7 @@ def oracle_sql() -> dict[str, str]:
         "q_link_pagerank": _oracle_link_pagerank(),
         "q_geo_sessions": _oracle_geo_sessions(),
         "q_tile_focal_mean": _oracle_tile_focal_mean(),
+        "q_bm25_scores": _oracle_bm25_scores(),
         "q_domain_stats": _oracle_domain_stats(),
         "q_url_dedup": _oracle_url_dedup(),
         "q_dedup_clusters": _oracle_dedup_clusters(),

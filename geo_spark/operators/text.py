@@ -187,3 +187,70 @@ def unigram_nll(
             (-F.sum("lp_x1e6")).alias("nll_x1e6"),
         )
     )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    key: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed term set
+    — the retrieval-quality scoring a corpus pipeline uses to mine
+    topic-targeted subsets.  Entirely native SQL:
+
+    - tokenization is a split+explode projection; term filtering is an
+      IN over the (small, literal) query-term list, so only matching
+      tokens ever reach the aggregation;
+    - document frequencies and avg document length are two tiny
+      aggregates broadcast back (no second pass over tokens);
+    - the score is one codegen expression per (doc, term), summed by a
+      map-side-combined hash aggregate.  One token-table shuffle total.
+
+    IDF uses the non-negative variant ln(1 + (N - df + .5)/(df + .5)).
+    Scale: the token table is the only big intermediate (corpus tokens
+    filtered to query terms); everything else is dimension-sized.
+    """
+    terms = [t.lower() for t in query_terms]
+    toks = (
+        docs.select(
+            F.col(key),
+            F.explode(
+                F.split(F.lower(F.col(text_col)), r"\s+")
+            ).alias("term"),
+        )
+        .where(F.col("term").isin(terms))
+    )
+    tf = toks.groupBy(key, "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.count()
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dl = docs.select(
+        F.col(key),
+        F.size(F.split(F.lower(F.col(text_col)), r"\s+")).alias("dl"),
+    )
+    avgdl = float(dl.agg(F.avg("dl")).collect()[0][0])
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(dl, key)
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "part",
+            F.col("idf")
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+            ),
+        )
+    )
+    return scored.groupBy(key).agg(F.sum("part").alias("bm25"))

@@ -435,3 +435,45 @@ def test_line_dedup_max_count_and_order(spark):
         for r in line_dedup(docs, max_count=3).collect()
     }
     assert got3 == {1: "b\na\nb", 2: "c\nb"}
+
+
+def test_bm25_matches_numpy(spark):
+    """bm25_scores == a straightforward numpy replay of Okapi BM25 on a
+    small fixture with known tf/df structure."""
+    import numpy as np
+
+    from geo_spark.operators.text import bm25_scores
+
+    texts = [
+        "the table joins the query",
+        "scan scan scan",
+        "table table table query",
+        "nothing relevant here",
+        "a query about a table scan plan",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    terms = ["table", "query", "scan"]
+    got = {r["doc_id"]: r["bm25"] for r in bm25_scores(docs, terms).collect()}
+
+    toks = [t.lower().split() for t in texts]
+    n = len(texts)
+    dl = np.array([len(t) for t in toks], dtype=float)
+    avgdl = dl.mean()
+    k1, b = 1.2, 0.75
+    want = {}
+    for i, tk in enumerate(toks):
+        s = 0.0
+        for term in terms:
+            tf = tk.count(term)
+            if tf == 0:
+                continue
+            df = sum(1 for t2 in toks if term in t2)
+            idf = np.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            s += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl[i] / avgdl))
+        if s > 0:
+            want[i] = s
+    assert set(got) == set(want)
+    for i in want:
+        assert abs(got[i] - want[i]) < 1e-12, i
