@@ -127,6 +127,13 @@ def _knn_brute(
     kk = min(k, len(tids))
 
     src = points.select(point_key, *latlng)
+    # small-scan parallelism lift (same rationale as the ring tiers): a
+    # local fixture's few parquet splits would run the whole GEMM pass
+    # on a handful of cores; at production scale the scan already
+    # carries >= cores splits and this never fires
+    want_parts = points.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < want_parts:
+        src = src.repartition(want_parts)
     key_type = src.schema[point_key].dataType.simpleString()
     schema = f"{point_key} {key_type}, {target_key} long, rank int"
 
