@@ -63,6 +63,16 @@ NOTES = {
   predicates are post-join codegen filters on banded candidates.
 - The final `dropDuplicates` exchange hashes only the refined result
   columns (a, b, dt_us) — result-set-sized, not candidate-sized.""",
+    "geo_sessions": """Properties to check:
+- ONE `Exchange hashpartitioning(user_id)` total: both Window nodes and
+  the final (user, session) HashAggregate run on the same partitioning
+  (HashPartitioning(user) satisfies the aggregate's distribution).
+- No Python eval node anywhere — xyz is native trig, the break flag and
+  travel are codegen column arithmetic.""",
+    "bm25_scores": """Properties to check:
+- The token explode + term IN filter is a codegen projection feeding a
+  partial/final HashAggregate pair (map-side combine on (doc, term)).
+- df table enters via BroadcastExchange; no second pass over tokens.""",
     "link_pagerank": """Properties to check:
 - Per power iteration: one Exchange for the edges x ranks equi-join +
   one partial/final `HashAggregate` pair on dst (map-side combine).
@@ -119,6 +129,8 @@ def main() -> None:
     plans["url_dedup"] = cap(entry._q_url_dedup(spark, SF))
     plans["spacetime_pairs"] = cap(entry._q_spacetime_pairs(spark, SF))
     plans["link_pagerank"] = cap(entry._q_link_pagerank(spark, SF))
+    plans["geo_sessions"] = cap(entry._q_geo_sessions(spark, SF))
+    plans["bm25_scores"] = cap(entry._q_bm25_scores(spark, SF))
 
     out = [
         "# PLANS — physical-plan evidence for the headline operators\n",
