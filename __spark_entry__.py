@@ -4037,6 +4037,122 @@ def _oracle_tile_focal_mean() -> str:
     """
 
 
+def _dissolve_fixtures():
+    """Per hot city: a chain of 3 overlapping convex discs (each
+    overlaps the next; the union is one blob) plus one detached disc —
+    the dissolve must merge the chain and keep the island separate."""
+    from geo_spark.sources.layers import regular_loop_vertices
+
+    out = []
+    for grp, (la, ln) in enumerate(_BOOL_CITIES):
+        discs = [
+            regular_loop_vertices(la, ln, 0.02, 18),
+            regular_loop_vertices(la + 0.9, ln + 0.5, 0.022, 20),
+            regular_loop_vertices(la + 1.8, ln + 1.0, 0.018, 16),
+            regular_loop_vertices(la - 3.0, ln - 3.0, 0.012, 14),
+        ]
+        for d in discs:
+            out.append((grp, d))
+    return out
+
+
+def _q_dissolve_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIS dissolve (per-group polygon union aggregation,
+    operators/constructive.dissolve): overlapping disc chains merge into
+    one region per group; events are classified against the DISSOLVED
+    ring sets (XOR parity).  The DuckDB twin never dissolves — it counts
+    events inside ANY input disc (OR of convex edge-sign tests), which
+    equals the dissolved region's membership by the union contract."""
+    import numpy as np
+    import pandas as pd
+
+    from geo_spark.kernel import cellid as ck
+    from geo_spark.kernel.pip import loop_contains_points, loop_origin_inside
+    from geo_spark.operators.constructive import dissolve
+    from geo_spark.operators.geo_noise import with_geo_noise
+
+    rows = [
+        (grp, [[[float(c) for c in p] for p in verts]])
+        for grp, verts in _dissolve_fixtures()
+    ]
+    geoms = spark.createDataFrame(
+        rows, "grp int, rings array<array<array<double>>>"
+    )
+    dissolved = dissolve(geoms).collect()
+    fixtures = [
+        (
+            int(r["grp"]),
+            [
+                (np.array(rg), loop_origin_inside(np.array(rg)))
+                for rg in r["rings"]
+            ],
+        )
+        for r in dissolved
+    ]
+
+    ev = with_geo_noise(_t(spark, sf_dir, "events").select("event_id"), "event_id")
+
+    def fn(batches):
+        for pdf in batches:
+            x, y, z = ck.latlng_to_xyz(
+                pdf["lat"].to_numpy(np.float64), pdf["lng"].to_numpy(np.float64)
+            )
+            pts = np.stack([x, y, z], axis=1)
+            out = []
+            for grp, prepped in fixtures:
+                inside = np.zeros(len(pts), dtype=bool)
+                for rg, oi in prepped:
+                    inside ^= loop_contains_points(rg, oi, pts)
+                out.append((grp, int(inside.sum())))
+            yield pd.DataFrame(out, columns=["grp", "n"])
+
+    return (
+        ev.mapInPandas(fn, "grp int, n long")
+        .groupBy("grp")
+        .agg(F.sum("n").alias("n_inside"))
+        .orderBy("grp")
+    )
+
+
+def _oracle_dissolve_counts() -> str:
+    import numpy as np
+
+    from geo_spark.operators.geo_noise import LAT_SQL, LNG_SQL
+
+    lat = LAT_SQL.format(id="event_id")
+    lng = LNG_SQL.format(id="event_id")
+    rows = []
+    for gi, (grp, verts) in enumerate(_dissolve_fixtures()):
+        v = np.asarray(verts)
+        for k in range(len(v)):
+            nrm = np.cross(v[k], v[(k + 1) % len(v)])
+            rows.append(
+                f"({grp}, {gi}, {float(nrm[0])!r}, {float(nrm[1])!r}, "
+                f"{float(nrm[2])!r})"
+            )
+    norms = ", ".join(rows)
+    return f"""
+        WITH pts AS (SELECT event_id, {lat} AS lat, {lng} AS lng FROM events),
+        xyz AS (SELECT event_id,
+                       cos(radians(lng))*cos(radians(lat)) AS x,
+                       sin(radians(lng))*cos(radians(lat)) AS y,
+                       sin(radians(lat)) AS z
+                FROM pts),
+        norms(grp, disc, nx, ny, nz) AS (VALUES {norms}),
+        memb AS (
+          SELECT n.grp, n.disc, x.event_id,
+                 BOOL_AND(n.nx*x.x + n.ny*x.y + n.nz*x.z > 0) AS in_disc
+          FROM xyz x, norms n
+          GROUP BY n.grp, n.disc, x.event_id),
+        any_in AS (
+          SELECT grp, event_id, BOOL_OR(in_disc) AS inside
+          FROM memb GROUP BY grp, event_id)
+        SELECT CAST(grp AS INT) AS grp,
+               COUNT(*) FILTER (WHERE inside) AS n_inside
+        FROM any_in GROUP BY grp ORDER BY grp
+    """
+
+
 _BM25_TERMS = ["table", "join", "query", "scan"]
 
 
@@ -4226,6 +4342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_geo_sessions": _q_geo_sessions,
         "q_tile_focal_mean": _q_tile_focal_mean,
         "q_bm25_scores": _q_bm25_scores,
+        "q_dissolve_counts": _q_dissolve_counts,
         "q_domain_stats": _q_domain_stats,
         "q_url_dedup": _q_url_dedup,
         "q_interval_sweep": _q_interval_sweep,
@@ -4277,6 +4394,7 @@ def oracle_sql() -> dict[str, str]:
         "q_geo_sessions": _oracle_geo_sessions(),
         "q_tile_focal_mean": _oracle_tile_focal_mean(),
         "q_bm25_scores": _oracle_bm25_scores(),
+        "q_dissolve_counts": _oracle_dissolve_counts(),
         "q_domain_stats": _oracle_domain_stats(),
         "q_url_dedup": _oracle_url_dedup(),
         "q_dedup_clusters": _oracle_dedup_clusters(),

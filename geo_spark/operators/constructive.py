@@ -109,3 +109,58 @@ def polygon_booleans(pairs: DataFrame) -> DataFrame:
     return pairs.withColumn("rings", res).select(
         "pair_id", "op", F.size("rings").alias("n_rings"), "rings"
     )
+
+
+def dissolve(
+    geoms: DataFrame,
+    group_col: str = "grp",
+    rings_col: str = "rings",
+) -> DataFrame:
+    """Per-group polygon UNION aggregation (the GIS "dissolve"):
+    (group, rings[]) rows -> one multi-ring region per group whose
+    XOR-parity membership equals the OR of the group's inputs.
+
+    Distributed shape: ONE shuffle groups the geometries; inside each
+    group the union folds pairwise through the exact overlay kernel
+    (kernel/booleans.polygon_boolean) — group work is proportional to
+    the group's own geometry count, embarrassingly parallel across
+    groups.  Deterministic: inputs fold in ascending serialized order,
+    so re-runs and the two engines of the oracle see the same fold
+    tree.  For groups with thousands of members prefer a two-level
+    fold (tree reduce) — the left-deep fold here keeps the result-ring
+    count growth visible and is fine at dimension-table group sizes.
+    """
+    out_t = T.ArrayType(T.ArrayType(T.ArrayType(T.DoubleType())))
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        from geo_spark.kernel.booleans import polygon_boolean
+
+        grp = pdf[group_col].iloc[0]
+        ring_sets = sorted(
+            (
+                [np.array(list(r), dtype=np.float64) for r in rings]
+                for rings in pdf[rings_col]
+            ),
+            key=lambda rs: (len(rs), [tuple(rs[0][0])] if len(rs) else []),
+        )
+        acc = ring_sets[0]
+        for nxt in ring_sets[1:]:
+            acc = polygon_boolean(acc, nxt, "union")
+        return pd.DataFrame(
+            {
+                group_col: [grp],
+                "n_rings": [len(acc)],
+                "rings": [
+                    [[[float(c) for c in p] for p in ring] for ring in acc]
+                ],
+            }
+        )
+
+    schema = T.StructType(
+        [
+            geoms.schema[group_col],
+            T.StructField("n_rings", T.IntegerType()),
+            T.StructField("rings", out_t),
+        ]
+    )
+    return geoms.groupBy(group_col).applyInPandas(fold, schema)

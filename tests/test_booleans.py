@@ -103,3 +103,43 @@ def test_boolean_random_circles():
         ]:
             got = _member(loop_boolean(va, vb, op), pts)
             assert (got != rule).mean() < 0.003, op
+
+
+def test_dissolve_operator(spark):
+    """Distributed dissolve: chained overlapping discs merge to one
+    ring, the detached disc stays an island; XOR membership of the
+    result equals OR membership of the inputs on a probe grid."""
+    import numpy as np
+
+    from geo_spark.kernel.cellid import latlng_to_xyz
+    from geo_spark.kernel.pip import loop_contains_points, loop_origin_inside
+    from geo_spark.operators.constructive import dissolve
+    from geo_spark.sources.layers import regular_loop_vertices
+
+    discs = [
+        regular_loop_vertices(10.0, 20.0, 0.02, 16),
+        regular_loop_vertices(10.9, 20.5, 0.022, 18),
+        regular_loop_vertices(7.0, 17.0, 0.012, 12),  # island
+    ]
+    rows = [
+        (1, [[[float(c) for c in p] for p in d]]) for d in discs
+    ] + [(2, [[[float(c) for c in p] for p in discs[0]]])]
+    geoms = spark.createDataFrame(
+        rows, "grp int, rings array<array<array<double>>>"
+    )
+    got = {r["grp"]: r for r in dissolve(geoms).collect()}
+    assert got[1]["n_rings"] == 2  # merged chain + island
+    assert got[2]["n_rings"] == 1
+
+    rng = np.random.default_rng(5)
+    lats = rng.uniform(5, 14, 3000)
+    lngs = rng.uniform(15, 24, 3000)
+    pts = np.stack(latlng_to_xyz(np.radians(lats), np.radians(lngs)), axis=-1)
+    want = np.zeros(len(pts), dtype=bool)
+    for d in discs:
+        want |= loop_contains_points(d, loop_origin_inside(d), pts)
+    have = np.zeros(len(pts), dtype=bool)
+    for rg in got[1]["rings"]:
+        rg = np.array(rg)
+        have ^= loop_contains_points(rg, loop_origin_inside(rg), pts)
+    assert (have == want).all()
