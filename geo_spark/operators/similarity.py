@@ -370,3 +370,197 @@ def cosine_near_dup_pairs(
         .where(F.col("sim") >= threshold)
         .select("da", "db", "sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): 8-bit codes + asymmetric-distance scans —
+# the compressed tier of the ANN family (brute / LSH / IVF / PQ).
+# ---------------------------------------------------------------------------
+
+
+def train_pq(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    m_sub: int = 8,
+    n_codes: int = 256,
+    sample_rows: int = 8192,
+    iters: int = 12,
+    seed: int = 11,
+) -> np.ndarray:
+    """(m_sub, n_codes, d/m_sub) PQ codebooks: per-subspace k-means on a
+    bounded, seeded driver-side sample (the FAISS training protocol —
+    codebooks are a dimension-table artifact, the corpus encode is the
+    distributed part).  Vectors are L2-normalized first, so PQ dot
+    products approximate cosine."""
+    rows = df.select(vec_col).limit(sample_rows).collect()
+    m = _normalize_rows(np.array([r[0] for r in rows], dtype=np.float64))
+    d = m.shape[1]
+    if d % m_sub:
+        raise ValueError(f"dim {d} not divisible by m_sub {m_sub}")
+    ds = d // m_sub
+    n_codes = min(n_codes, len(m))
+    books = np.empty((m_sub, n_codes, ds), dtype=np.float64)
+    for s in range(m_sub):
+        sub = m[:, s * ds : (s + 1) * ds]
+        idx = _splitmix64(
+            np.arange(n_codes, dtype=np.uint64) + np.uint64(seed + 977 * s)
+        ) % np.uint64(len(sub))
+        cents = sub[idx.astype(np.int64)].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(n_codes):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books[s] = cents
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(key, codes binary): each vector compressed to m_sub bytes
+    (argmin subspace centroid).  One vectorized Arrow pass; at 8 bytes
+    per vector the encoded corpus is ~64x smaller than float64x64 —
+    the representation a 100 TB embedding scan actually reads."""
+    m_sub, n_codes, ds = codebooks.shape
+    if n_codes > 256:
+        raise ValueError("binary codes support up to 256 centroids")
+    key_type = df.schema[key].dataType.simpleString()
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = _normalize_rows(
+                np.array(list(pdf[vec_col]), dtype=np.float64)
+            )
+            n = len(vecs)
+            codes = np.empty((n, m_sub), dtype=np.uint8)
+            for s in range(m_sub):
+                sub = vecs[:, s * ds : (s + 1) * ds]
+                d2 = ((sub[:, None, :] - codebooks[s][None, :, :]) ** 2).sum(
+                    axis=2
+                )
+                codes[:, s] = d2.argmin(axis=1).astype(np.uint8)
+            yield pd.DataFrame(
+                {
+                    key: pdf[key].to_numpy(),
+                    "codes": [c.tobytes() for c in codes],
+                }
+            )
+
+    return df.select(key, vec_col).mapInPandas(fn, f"{key} {key_type}, codes binary")
+
+
+def cosine_topk_pq(
+    queries: DataFrame,
+    corpus_codes: DataFrame,
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    k: int,
+    rerank: int = 4,
+    query_key: str = "vec_id",
+    corpus_key: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+    max_queries: int = 4096,
+) -> DataFrame:
+    """(query_key, nb_id, rank): ADC top-k over PQ codes with exact
+    re-ranking.
+
+    Scan shape for 100 TB of embeddings: per corpus partition, every
+    query's (m_sub x n_codes) dot-product lookup table scores the
+    partition's codes as pure numpy GATHERS over uint8 (no float
+    vector is ever read) and emits a per-partition top-(k*rerank); one
+    small shuffle ranks the per-partition survivors globally, and the
+    final k come from EXACT cosine on the survivors only (the standard
+    PQ refinement step — approximation error affects recall, never the
+    reported order of the reranked set)."""
+    m_sub, n_codes, ds = codebooks.shape
+    qrows = queries.select(query_key, vec_col).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"cosine_topk_pq ships query LUTs in closures; got > "
+            f"{max_queries} queries — batch the query set"
+        )
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qvecs = _normalize_rows(np.array([r[1] for r in qrows], dtype=np.float64))
+    nq = len(qids)
+    # LUT[q, s, c] = <q_sub_s, centroid_c_s>
+    lut = np.stack(
+        [qvecs[:, s * ds : (s + 1) * ds] @ codebooks[s].T for s in range(m_sub)],
+        axis=1,
+    )  # (nq, m_sub, n_codes)
+    keep_n = k * rerank + (1 if exclude_self else 0)
+
+    def scan(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.frombuffer(
+                b"".join(pdf["codes"]), dtype=np.uint8
+            ).reshape(len(pdf), m_sub)
+            tids = pdf[corpus_key].to_numpy(np.int64)
+            # scores[q, row] = sum_s LUT[q, s, codes[row, s]]
+            scores = np.zeros((nq, len(codes)), dtype=np.float64)
+            for s in range(m_sub):
+                scores += lut[:, s, :][:, codes[:, s]]
+            kk = min(keep_n, scores.shape[1])
+            top = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+            rws = np.arange(nq)[:, None]
+            yield pd.DataFrame(
+                {
+                    query_key: np.repeat(qids, kk),
+                    "nb_id": tids[top].ravel(),
+                    "approx": scores[rws, top].ravel(),
+                }
+            )
+
+    cand = corpus_codes.mapInPandas(
+        scan, f"{query_key} long, nb_id long, approx double"
+    )
+    if exclude_self:
+        cand = cand.where(F.col(query_key) != F.col("nb_id"))
+    w = Window.partitionBy(query_key).orderBy(
+        F.col("approx").desc(), F.col("nb_id")
+    )
+    survivors = (
+        cand.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= keep_n)
+        .drop("_r", "approx")
+    )
+    # exact rerank: join true vectors back for the survivor set only
+    qmap = {int(i): v for i, v in zip(qids, qvecs)}
+    exact = survivors.join(
+        corpus.select(
+            F.col(corpus_key).alias("nb_id"), F.col(vec_col).alias("_v")
+        ),
+        "nb_id",
+    )
+
+    def rer(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = _normalize_rows(np.array(list(pdf["_v"]), dtype=np.float64))
+            qs = np.array([qmap[int(q)] for q in pdf[query_key]])
+            yield pd.DataFrame(
+                {
+                    query_key: pdf[query_key],
+                    "nb_id": pdf["nb_id"],
+                    "cos": (qs * vecs).sum(axis=1),
+                }
+            )
+
+    rers = exact.mapInPandas(rer, f"{query_key} long, nb_id long, cos double")
+    w2 = Window.partitionBy(query_key).orderBy(F.col("cos").desc(), F.col("nb_id"))
+    return (
+        rers.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select(query_key, "nb_id", F.col("rank").cast("int").alias("rank"))
+    )

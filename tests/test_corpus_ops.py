@@ -477,3 +477,54 @@ def test_bm25_matches_numpy(spark):
     assert set(got) == set(want)
     for i in want:
         assert abs(got[i] - want[i]) < 1e-12, i
+
+
+def test_pq_recall_and_rerank(spark):
+    """PQ tier: codes are m_sub bytes, the ADC scan + exact rerank
+    reaches high recall@k vs the brute oracle on clustered embeddings,
+    and the reranked order itself is exact-cosine order."""
+    import numpy as np
+
+    from geo_spark.operators.similarity import (
+        _normalize_rows,
+        cosine_topk_brute,
+        cosine_topk_pq,
+        pq_encode,
+        train_pq,
+    )
+
+    rng = np.random.default_rng(31)
+    dim, n = 32, 1200
+    centers = _normalize_rows(rng.normal(size=(20, dim)))
+    vecs = _normalize_rows(
+        centers[rng.integers(0, 20, n)] + 0.15 * rng.normal(size=(n, dim))
+    )
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    ).repartition(4)
+
+    books = train_pq(df, m_sub=8, n_codes=64, sample_rows=n, iters=8)
+    assert books.shape == (8, 64, 4)
+    codes = pq_encode(df, books)
+    row = codes.limit(1).collect()[0]
+    assert len(row["codes"]) == 8  # 8 bytes per vector
+
+    queries = df.limit(40)
+    k = 10
+    got = {}
+    for r in cosine_topk_pq(
+        queries, codes, df, books, k=k, rerank=6
+    ).collect():
+        got.setdefault(r["vec_id"], []).append((r["rank"], r["nb_id"]))
+    want = {}
+    for r in cosine_topk_brute(queries, df, k=k).collect():
+        want.setdefault(r["vec_id"], []).append((r["rank"], r["nb_id"]))
+    assert set(got) == set(want)
+    hits = total = 0
+    for q in want:
+        w = {t for _, t in want[q]}
+        g = {t for _, t in got[q]}
+        hits += len(w & g)
+        total += k
+    assert hits / total >= 0.9, hits / total
