@@ -473,3 +473,39 @@ def _refine_closure(
             yield pd.DataFrame(out)
 
     return unsure.mapInPandas(fn, schema)
+
+
+def auto_salt_layer(
+    points: DataFrame,
+    layer: Layer,
+    cell_col: str = "cell_id",
+    skew_ratio: float = 8.0,
+    top: int = 20,
+    split_levels: int = 2,
+) -> tuple[Layer, list[int]]:
+    """Adaptive cell-level salting (the north rule's phrase, made a
+    one-call operator): measure the candidate histogram against THIS
+    point distribution, split every covering cell whose candidate count
+    exceeds ``skew_ratio`` x the mean per-cell load, and return the
+    salted layer plus the split cells (for logging/metrics).
+
+    Join output is provably invariant (split_hot_cells: children cover
+    exactly the parent's leaves); only the shuffle key-space fans out.
+    Cost: one aggregate over the candidate join (the same join the
+    query runs anyway — at production scale run it on a sample or reuse
+    a previous run's histogram; both Compose, since the salting is
+    correctness-neutral)."""
+    hist = hot_cell_histogram(points, layer, cell_col=cell_col, top=top)
+    if not hist or not layer.covering_rows:
+        return layer, []
+    total = (
+        _candidates(
+            points.select(F.col(cell_col).alias("_pt_cell")), layer, "_pt_cell"
+        )
+        .count()
+    )
+    mean_load = max(total / max(layer.covering_rows, 1), 1.0)
+    hot = [c for c, cnt in hist if cnt > skew_ratio * mean_load]
+    if not hot:
+        return layer, []
+    return split_hot_cells(layer, hot, split_levels=split_levels), hot

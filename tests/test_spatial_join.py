@@ -142,3 +142,27 @@ def test_interior_cells_skip_refine(spark, layer):
         u = int(ck.from_signed(np.array([r["cell"]], dtype=np.int64))[0])
         region = dict(_regions())[r["geom_id"]]
         assert region.contains_cell(Cell.from_id(u))
+
+
+def test_auto_salt_layer(spark, points_df, layer):
+    """Adaptive salting: the clustered point pile triggers splits of
+    overloaded covering cells and the join result is unchanged."""
+    from geo_spark.operators.spatial_join import auto_salt_layer
+
+    df, lat, lng = points_df
+    before = {
+        (r["pid"], r["geom_id"])
+        for r in spatial_join(
+            df, layer, point_key="pid", latlng=("lat", "lng")
+        ).collect()
+    }
+    salted, hot = auto_salt_layer(df, layer, skew_ratio=4.0)
+    assert hot, "clustered pile must trigger splits"
+    after = {
+        (r["pid"], r["geom_id"])
+        for r in spatial_join(
+            df, salted, point_key="pid", latlng=("lat", "lng")
+        ).collect()
+    }
+    assert after == before
+    assert salted.covering_rows > layer.covering_rows
