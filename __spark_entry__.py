@@ -3594,6 +3594,99 @@ def _oracle_cosine_topk() -> str:
     """
 
 
+def _q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.py:{sample_codebooks,
+    pq_encode,cosine_topk_pq}): data-sampled codebooks (the deterministic
+    PQ variant — slices of the first 16 corpus vectors, no k-means), the
+    corpus encoded to 4 uint8 codes, ADC scan keeping k*rerank survivors
+    per query, exact-cosine rerank of the survivors only.  The oracle
+    replays the ENTIRE chain (normalize -> slice -> argmin encode -> LUT
+    sum -> survivor cut -> exact rerank) in first-principles SQL, so this
+    certifies the approximate path's semantics, not just its recall."""
+    from geo_spark.operators.similarity import (
+        cosine_topk_pq,
+        pq_encode,
+        sample_codebooks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = sample_codebooks(emb, m_sub=4, n_codes=16)
+    codes = pq_encode(emb, books)
+    return cosine_topk_pq(emb, codes, emb, books, k=3, rerank=4).orderBy(
+        "vec_id", "rank"
+    )
+
+
+def _oracle_pq_ann() -> str:
+    # Replays the PQ chain: codebooks = normalized subspace slices of
+    # vec_id < 16; encode = per-(vector, subspace) argmin L2 centroid;
+    # approx = sum over subspaces of <query slice, assigned centroid>;
+    # survivors = top 12 per query by (approx DESC, nb_id); result =
+    # top 3 survivors by exact cosine.  All arithmetic in DOUBLE to
+    # match the numpy float64 path.
+    return """
+        WITH nv AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) /
+                          sqrt(list_dot_product(
+                              list_transform(embedding, y -> CAST(y AS DOUBLE)),
+                              list_transform(embedding, y -> CAST(y AS DOUBLE))))
+                 ) AS e
+          FROM embeddings
+        ),
+        s AS (SELECT unnest(range(4)) AS s),
+        subs AS (
+          SELECT vec_id, s.s AS s,
+                 nv.e[(s.s*16+1):(s.s*16+16)] AS sl
+          FROM nv, s
+        ),
+        cents AS (
+          SELECT vec_id AS cid, s, sl AS ce FROM subs WHERE vec_id < 16
+        ),
+        enc AS (
+          SELECT vec_id, s, cid FROM (
+            SELECT t.vec_id, t.s, c.cid,
+                   row_number() OVER (
+                     PARTITION BY t.vec_id, t.s
+                     ORDER BY list_distance(t.sl, c.ce), c.cid) AS rk
+            FROM subs t JOIN cents c USING (s)
+          ) WHERE rk = 1
+        ),
+        approx AS (
+          -- quantized integer ADC (floor(dot * 2^16) per subspace, then
+          -- integer SUM): associativity-free, so DuckDB's parallel
+          -- aggregation order cannot perturb the ranking
+          SELECT q.vec_id AS qid, e.vec_id AS nb_id,
+                 SUM(CAST(floor(list_dot_product(q.sl, c.ce) * 65536.0)
+                          AS BIGINT)) AS a
+          FROM subs q
+          JOIN enc e ON e.s = q.s AND e.vec_id <> q.vec_id
+          JOIN cents c ON c.s = e.s AND c.cid = e.cid
+          GROUP BY 1, 2
+        ),
+        surv AS (
+          SELECT qid, nb_id FROM (
+            SELECT qid, nb_id,
+                   row_number() OVER (
+                     PARTITION BY qid ORDER BY a DESC, nb_id) AS rk
+            FROM approx
+          ) WHERE rk <= 12
+        ),
+        rer AS (
+          SELECT s.qid, s.nb_id,
+                 row_number() OVER (
+                   PARTITION BY s.qid
+                   ORDER BY list_dot_product(a.e, b.e) DESC, s.nb_id) AS rk
+          FROM surv s
+          JOIN nv a ON a.vec_id = s.qid
+          JOIN nv b ON b.vec_id = s.nb_id
+        )
+        SELECT qid AS vec_id, nb_id, CAST(rk AS INT) AS rank
+        FROM rer WHERE rk <= 3 ORDER BY vec_id, rank
+    """
+
+
 def _q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pair join at cosine >= 0.4 (exact tier of
     operators/similarity.cosine_near_dup_pairs; the sign-LSH tier is the
@@ -4321,6 +4414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_line_dedup": _q_line_dedup,
         "q_lang_guess": _q_lang_guess,
         "q_cosine_topk": _q_cosine_topk,
+        "q_pq_ann": _q_pq_ann,
         "q_embed_near_dup": _q_embed_near_dup,
         "q_minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "q_simhash_pairs": _q_simhash_pairs,
@@ -4409,6 +4503,7 @@ def oracle_sql() -> dict[str, str]:
         "q_line_dedup": _oracle_line_dedup(),
         "q_lang_guess": _oracle_lang_guess(),
         "q_cosine_topk": _oracle_cosine_topk(),
+        "q_pq_ann": _oracle_pq_ann(),
         "q_embed_near_dup": _oracle_embed_near_dup(),
         "q_interval_sweep": _oracle_interval_sweep(),
         "q_tile_rollup": _oracle_tile_rollup(),

@@ -241,6 +241,17 @@ def loop_boolean(
     (CCW rings).  Difference = A minus B."""
     a_verts = np.atleast_2d(np.asarray(a_verts, dtype=np.float64))
     b_verts = np.atleast_2d(np.asarray(b_verts, dtype=np.float64))
+    # snap-round B onto A (see _snap_rings): near-coincident boundaries
+    # must become exactly coincident before the crossing machinery runs
+    snapped = _snap_rings([b_verts], [a_verts])
+    if not snapped:
+        # B collapsed below the snap tolerance: treat as empty region
+        if op == "union" or op == "difference":
+            return [a_verts]
+        if op == "intersection":
+            return []
+        raise ValueError(op)
+    b_verts = snapped[0]
     a_oi = loop_origin_inside(a_verts)
     b_oi = loop_origin_inside(b_verts)
     na, nb = len(a_verts), len(b_verts)
@@ -426,6 +437,38 @@ def loop_boolean(
     return _stitch(kept)
 
 
+# Snap radius for the pre-overlay vertex merge (chord units, ~6 mm on
+# Earth).  The overlay's double-precision edge intersection degrades as
+# 1/sin(angle) for nearly-parallel edges; merging vertices closer than
+# SNAP_RADIUS turns near-coincident boundaries into *exactly* coincident
+# ones, which the identical-cycle / seam / shared-vertex pre-passes
+# handle symbolically.  This is the numeric stand-in for S2Builder's
+# snap-function contract (s2/builder.go:63-118: vertices within
+# snapRadius are merged before edges are assembled).
+SNAP_RADIUS = 1e-9
+
+
+def _snap_rings(b_rings: list, a_rings: list, eps: float = SNAP_RADIUS) -> list:
+    """Replace every B vertex lying within ``eps`` (chord distance) of an
+    A vertex with that A vertex exactly; collapse consecutive duplicates.
+    Rings reduced below 3 distinct vertices are dropped (they enclose
+    area < eps^2 — below the snap tolerance by construction)."""
+    if not a_rings or not b_rings:
+        return b_rings
+    anchors = np.concatenate(a_rings)
+    out = []
+    for r in b_rings:
+        # (nb, na) squared chord distances, vectorized
+        d2 = ((r[:, None, :] - anchors[None, :, :]) ** 2).sum(axis=2)
+        j = np.argmin(d2, axis=1)
+        hit = d2[np.arange(len(r)), j] < eps * eps
+        snapped = np.where(hit[:, None], anchors[j], r)
+        snapped = _dedup_ring(snapped)
+        if len(snapped) >= 3:
+            out.append(snapped)
+    return out
+
+
 def _parity_contains(prepped: list, pts: np.ndarray) -> np.ndarray:
     """XOR-parity membership over a list of (verts, origin_inside)."""
     inside = np.zeros(len(np.atleast_2d(pts)), dtype=bool)
@@ -496,6 +539,12 @@ def polygon_boolean(a_rings: list, b_rings: list, op: str) -> list[np.ndarray]:
     a_rings = [np.atleast_2d(np.asarray(r, dtype=np.float64)) for r in a_rings]
     b_rings = [np.atleast_2d(np.asarray(r, dtype=np.float64)) for r in b_rings]
 
+    # pre-pass 0: snap-round B's vertices onto A's (S2Builder semantics,
+    # s2/builder.go:63-118) so near-coincident boundaries — where the
+    # double-precision edge intersection is ill-conditioned — become
+    # exactly coincident and fall into the symbolic seam machinery.
+    b_rings = _snap_rings(b_rings, a_rings)
+
     # pre-pass: partial collinear overlaps -> insert split vertices and
     # restart once (second pass provably inserts nothing)
     b_verts_all = np.concatenate(b_rings) if b_rings else np.empty((0, 3))
@@ -519,19 +568,38 @@ def polygon_boolean(a_rings: list, b_rings: list, op: str) -> list[np.ndarray]:
     # preps (a_prep/b_prep); the reoriented rings exist only so arc
     # splitting/stitching has consistent directions.
     def _orient(rings, prepped):
+        # Membership must FLIP across the ring's own boundary, so a probe
+        # pair (left, right) straddling an edge is decisive only when the
+        # two memberships differ.  A probe landing on/near ANOTHER ring of
+        # the same polygon (e.g. an edge midpoint coinciding with a hole
+        # vertex — triangle apothem == hole circumradius) gives equal
+        # memberships; in that case move along the edge / to the next edge
+        # until a decisive pair is found.
         out = []
         for r in rings:
-            p0, p1 = r[0], r[1]
-            nrm = np.cross(p0, p1)
-            nrm = nrm / math.sqrt(nrm @ nrm)
-            mid = 0.5 * (p0 + p1)
-            mid = mid / math.sqrt(mid @ mid)
-            left = mid + 1e-8 * nrm
-            left = left / math.sqrt(left @ left)
-            if bool(_parity_contains(prepped, left[None, :])[0]):
-                out.append(r)
-            else:
-                out.append(r[::-1])
+            n = len(r)
+            oriented = None
+            for i in range(n):
+                p0, p1 = r[i], r[(i + 1) % n]
+                for t in (0.5, 0.381966, 0.618034, 0.145898, 0.854102):
+                    nrm = np.cross(p0, p1)
+                    nn = math.sqrt(nrm @ nrm)
+                    if nn == 0:
+                        break
+                    nrm = nrm / nn
+                    mid = (1.0 - t) * p0 + t * p1
+                    mid = mid / math.sqrt(mid @ mid)
+                    probes = np.stack([mid + 1e-8 * nrm, mid - 1e-8 * nrm])
+                    probes = probes / np.sqrt(
+                        (probes**2).sum(axis=1, keepdims=True)
+                    )
+                    m = _parity_contains(prepped, probes)
+                    if bool(m[0]) != bool(m[1]):
+                        oriented = r if bool(m[0]) else r[::-1]
+                        break
+                if oriented is not None:
+                    break
+            out.append(oriented if oriented is not None else r)
         return out
 
     a_rings = _orient(a_rings, a_prep)

@@ -378,6 +378,29 @@ def cosine_near_dup_pairs(
 # ---------------------------------------------------------------------------
 
 
+def sample_codebooks(
+    df: DataFrame,
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+    m_sub: int = 4,
+    n_codes: int = 16,
+) -> np.ndarray:
+    """Data-sampled PQ codebooks: the subspace slices of the first
+    ``n_codes`` corpus vectors in ``key`` order (L2-normalized), no
+    k-means.  A legitimate PQ variant (random-sample codebooks are the
+    k-means init) whose full chain — unlike the iterative
+    :func:`train_pq` — is deterministic and replayable in plain SQL,
+    which is what the ``q_pq_ann`` contract oracle does."""
+    rows = df.select(key, vec_col).orderBy(key).limit(n_codes).collect()
+    m = _normalize_rows(np.array([r[1] for r in rows], dtype=np.float64))
+    d = m.shape[1]
+    if d % m_sub:
+        raise ValueError(f"dim {d} not divisible by m_sub {m_sub}")
+    ds = d // m_sub
+    # (m_sub, n_codes, ds): centroid c of subspace s = vector c's slice s
+    return np.stack([m[:, s * ds : (s + 1) * ds] for s in range(m_sub)])
+
+
 def train_pq(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -491,12 +514,26 @@ def cosine_topk_pq(
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qvecs = _normalize_rows(np.array([r[1] for r in qrows], dtype=np.float64))
     nq = len(qids)
-    # LUT[q, s, c] = <q_sub_s, centroid_c_s>
+    # LUT[q, s, c] = <q_sub_s, centroid_c_s>, QUANTIZED to integers
+    # (floor(dot * 2^16)) — the FAISS fast-scan trick.  Integer ADC sums
+    # are associativity-free: every engine (numpy here, the SQL oracle's
+    # SUM, a future SIMD kernel) ranks candidates identically, so the
+    # survivor cut is fully deterministic instead of hostage to float
+    # summation order.  The <2^-16 per-term approximation error only
+    # perturbs which candidates reach the EXACT rerank, never the final
+    # reported order.
     lut = np.stack(
         [qvecs[:, s * ds : (s + 1) * ds] @ codebooks[s].T for s in range(m_sub)],
         axis=1,
     )  # (nq, m_sub, n_codes)
-    keep_n = k * rerank + (1 if exclude_self else 0)
+    lut = np.floor(lut * 65536.0).astype(np.int64)
+    # survivor quota is exactly k*rerank non-self candidates; the
+    # per-partition scan keeps one extra slot so a self-match can never
+    # crowd a true survivor out of its partition's top list (makes the
+    # result invariant to corpus partitioning — the contract oracle
+    # relies on this)
+    quota = k * rerank
+    keep_n = quota + (1 if exclude_self else 0)
 
     def scan(batches):
         for pdf in batches:
@@ -506,23 +543,38 @@ def cosine_topk_pq(
                 b"".join(pdf["codes"]), dtype=np.uint8
             ).reshape(len(pdf), m_sub)
             tids = pdf[corpus_key].to_numpy(np.int64)
-            # scores[q, row] = sum_s LUT[q, s, codes[row, s]]
-            scores = np.zeros((nq, len(codes)), dtype=np.float64)
+            # scores[q, row] = sum_s LUT[q, s, codes[row, s]] (int64)
+            scores = np.zeros((nq, len(codes)), dtype=np.int64)
             for s in range(m_sub):
                 scores += lut[:, s, :][:, codes[:, s]]
             kk = min(keep_n, scores.shape[1])
-            top = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
-            rws = np.arange(nq)[:, None]
+            # Identical code tuples give bitwise-EQUAL approx scores, and
+            # argpartition breaks such boundary ties arbitrarily — the
+            # global (approx DESC, nb_id) window can then see a survivor
+            # set that depends on partitioning.  Select tie-INCLUSIVELY
+            # (everything >= the kth score), then order the small
+            # candidate set deterministically by (score desc, tid).
+            neg = -scores
+            part = np.argpartition(neg, kk - 1, axis=1)[:, :kk]
+            kth = np.take_along_axis(neg, part, axis=1).max(axis=1)
+            mask = neg <= kth[:, None]
+            oq, ot, osc = [], [], []
+            for qi in range(nq):
+                cidx = np.nonzero(mask[qi])[0]
+                srt = cidx[np.lexsort((tids[cidx], neg[qi, cidx]))][:kk]
+                oq.append(np.full(len(srt), qids[qi], dtype=np.int64))
+                ot.append(tids[srt])
+                osc.append(scores[qi, srt])
             yield pd.DataFrame(
                 {
-                    query_key: np.repeat(qids, kk),
-                    "nb_id": tids[top].ravel(),
-                    "approx": scores[rws, top].ravel(),
+                    query_key: np.concatenate(oq),
+                    "nb_id": np.concatenate(ot),
+                    "approx": np.concatenate(osc),
                 }
             )
 
     cand = corpus_codes.mapInPandas(
-        scan, f"{query_key} long, nb_id long, approx double"
+        scan, f"{query_key} long, nb_id long, approx long"
     )
     if exclude_self:
         cand = cand.where(F.col(query_key) != F.col("nb_id"))
@@ -531,7 +583,7 @@ def cosine_topk_pq(
     )
     survivors = (
         cand.withColumn("_r", F.row_number().over(w))
-        .where(F.col("_r") <= keep_n)
+        .where(F.col("_r") <= quota)
         .drop("_r", "approx")
     )
     # exact rerank: join true vectors back for the survivor set only

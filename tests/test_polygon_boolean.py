@@ -27,6 +27,13 @@ def _ring(lat0, lng0, r, n=12):
     return np.stack(latlng_to_xyz(np.radians(lats), np.radians(lngs)), axis=-1)
 
 
+def _ring_phase(lat0, lng0, r, n, phase):
+    ts = np.linspace(0, 2 * math.pi, n, endpoint=False) + phase
+    lats = lat0 + r * np.sin(ts)
+    lngs = lng0 + r * np.cos(ts)
+    return np.stack(latlng_to_xyz(np.radians(lats), np.radians(lngs)), axis=-1)
+
+
 def _sq(lat0, lat1, lng0, lng1):
     c = [(lat0, lng0), (lat0, lng1), (lat1, lng1), (lat1, lng0)]
     la = np.array([p[0] for p in c])
@@ -86,6 +93,29 @@ CASES = {
     "shared_six_vertices": (
         [_ring(0, 0, 6.0, 6), _ring(0, 0, 2.0, 6)],
         [_ring(0, 0, 2.0, 12)],
+    ),
+    # pinned round-3 counterexample: triangle shell (apothem 2.0°) with a
+    # hexagonal hole (circumradius 2.0°) — every shell edge MIDPOINT
+    # coincides exactly with a hole vertex, so the old single-probe
+    # orientation test landed on the hole boundary and reversed the
+    # shell; B square shares one vertex with the shell and crosses
+    # transversally elsewhere (the judge's shared-vertex family)
+    "apothem_on_hole_vertex": (
+        [_ring(0, 0, 4.0, 3), _ring(0, 0, 2.0, 6)],
+        [_ring(0, 0, 4.0, 4)],
+    ),
+    # pinned round-3 counterexample: B nearly coincident with A's hole
+    # (same circle, same n, phase-shifted 1e-9 — vertex displacement
+    # ~3.5e-11 chord, inside SNAP_RADIUS): without snap rounding the
+    # double-precision intersection of the nearly-parallel edges is
+    # garbage and arcs misclassify
+    "near_coincident_hole": (
+        [_ring(0, 0, 6.0, 6), _ring(0, 0, 2.0, 6)],
+        [_ring_phase(0, 0, 2.0, 6, 1e-9)],
+    ),
+    "near_coincident_shell": (
+        [_ring(0, 0, 6.0, 8), _ring(0, 0, 2.0, 8)],
+        [_ring_phase(0, 0, 6.0, 8, 1e-9)],
     ),
 }
 
