@@ -3996,6 +3996,84 @@ def _oracle_spacetime_pairs() -> str:
     """
 
 
+_DBSCAN_EPS_RAD = 0.02
+_DBSCAN_MIN_PTS = 3
+
+
+def _q_geo_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN over the event points (operators/clustering.py:geo_dbscan):
+    eps-pairs from the banded cell equi-join, core points by degree,
+    clusters = connected components of the core-core graph (min-label
+    propagation + pointer jumping), border points attached to their
+    minimum-rep core neighbor, noise omitted.  eps = 0.02 rad keeps the
+    random geometric graph below percolation, so the fixture has many
+    small clusters plus border/noise points — every branch of the
+    classification is exercised.  The oracle replays the definition
+    from first principles: brute-force chord2 pair join + degree count
+    + recursive-CTE reachability, never seeing cells or banding."""
+    from geo_spark.operators.clustering import geo_dbscan
+    from geo_spark.operators.geo_noise import with_geo_noise
+
+    ev = with_geo_noise(_t(spark, sf_dir, "events"), "event_id")
+    return geo_dbscan(
+        ev, _DBSCAN_EPS_RAD, _DBSCAN_MIN_PTS, key="event_id"
+    ).orderBy("event_id")
+
+
+def _oracle_geo_dbscan() -> str:
+    from geo_spark.kernel.regions import chord2_from_angle
+    from geo_spark.operators.geo_noise import LAT_SQL, LNG_SQL
+
+    lat = LAT_SQL.format(id="event_id")
+    lng = LNG_SQL.format(id="event_id")
+    limit2 = chord2_from_angle(_DBSCAN_EPS_RAD)
+    return f"""
+        WITH RECURSIVE pts AS (
+          SELECT event_id AS id, {lat} AS lat, {lng} AS lng FROM events
+        ),
+        xyz AS (SELECT id,
+                       cos(radians(lng))*cos(radians(lat)) AS x,
+                       sin(radians(lng))*cos(radians(lat)) AS y,
+                       sin(radians(lat)) AS z
+                FROM pts),
+        pairs AS (
+          SELECT a.id AS a, b.id AS b
+          FROM xyz a JOIN xyz b ON b.id > a.id
+          WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)
+                + (a.z-b.z)*(a.z-b.z) <= {limit2!r}
+        ),
+        adj AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+        deg AS (SELECT a AS id, count(*) AS n FROM adj GROUP BY a),
+        cores AS (SELECT id FROM deg WHERE n >= {_DBSCAN_MIN_PTS} - 1),
+        ce AS (
+          SELECT p.a AS u, p.b AS v FROM pairs p
+          JOIN cores ca ON ca.id = p.a
+          JOIN cores cb ON cb.id = p.b
+        ),
+        e AS (SELECT u, v FROM ce UNION SELECT v, u FROM ce),
+        reach(u, v) AS (
+          SELECT u, v FROM e
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+        ),
+        comp AS (
+          SELECT c.id, least(c.id, COALESCE(MIN(r.v), c.id)) AS rep
+          FROM cores c LEFT JOIN reach r ON r.u = c.id
+          GROUP BY c.id
+        ),
+        border AS (
+          SELECT a.a AS id, MIN(cm.rep) AS rep
+          FROM adj a JOIN comp cm ON cm.id = a.b
+          WHERE a.a NOT IN (SELECT id FROM cores)
+          GROUP BY a.a
+        )
+        SELECT id AS event_id, rep AS cluster, 'core' AS role FROM comp
+        UNION ALL
+        SELECT id AS event_id, rep AS cluster, 'border' AS role FROM border
+        ORDER BY event_id
+    """
+
+
 # deterministic synthetic link graph: 3 LCG-derived outlinks per node
 # (identical integer arithmetic in Spark SQL and DuckDB)
 _LINK_STREAMS = ((48271, 11), (69621, 23), (40692, 37))
@@ -4432,6 +4510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_geohash_cover_join": _q_geohash_cover_join,
         "q_tile_pyramid": _q_tile_pyramid,
         "q_spacetime_pairs": _q_spacetime_pairs,
+        "q_geo_dbscan": _q_geo_dbscan,
         "q_link_pagerank": _q_link_pagerank,
         "q_geo_sessions": _q_geo_sessions,
         "q_tile_focal_mean": _q_tile_focal_mean,
@@ -4484,6 +4563,7 @@ def oracle_sql() -> dict[str, str]:
         "q_geohash_cover_join": _oracle_geohash_cover_join(),
         "q_tile_pyramid": _oracle_tile_pyramid(),
         "q_spacetime_pairs": _oracle_spacetime_pairs(),
+        "q_geo_dbscan": _oracle_geo_dbscan(),
         "q_link_pagerank": _oracle_link_pagerank(),
         "q_geo_sessions": _oracle_geo_sessions(),
         "q_tile_focal_mean": _oracle_tile_focal_mean(),

@@ -323,22 +323,26 @@ def dedup_clusters(
     rounds, each a plain equi-join + min-groupBy (AQE-sized; no
     driver-side graph).  Dup clusters in web corpora are shallow
     (near-cliques from a shared template), so 3-4 rounds is typical;
-    ``max_iter`` bounds adversarial chains.  Each round persists its
-    label table and unpersists the previous one — lineage stays O(1).
+    ``max_iter`` bounds adversarial chains.  Each round cuts lineage
+    with ``localCheckpoint`` — the pointer jump references the stepped
+    table TWICE, so without truncation the *logical plan* grows ~3x per
+    round (persist caches data but keeps the analyzed tree), which
+    OOMs the driver once the upstream pair plan is itself large (e.g.
+    the banded spatial join feeding geo_dbscan).
 
     Returns (key, rep).  With ``docs`` given, singleton documents (in
     no pair) appear with rep = self.
     """
     e = pairs.select(F.col("da").alias("u"), F.col("db").alias("v"))
     edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
-    edges = edges.persist()
+    # materialize + truncate the (possibly huge) upstream pair plan once
+    edges = edges.localCheckpoint()
     labels = (
         edges.select(F.col("u").alias("id"))
         .distinct()
         .withColumn("lbl", F.col("id"))
-        .persist()
+        .localCheckpoint()
     )
-    labels.count()
     for _ in range(max_iter):
         nbr = (
             edges.join(
@@ -366,7 +370,7 @@ def dedup_clusters(
                 "left",
             )
             .select("id", F.coalesce(F.col("lbl2"), F.col("lbl")).alias("lbl"))
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             jumped.alias("n")
