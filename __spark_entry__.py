@@ -1442,6 +1442,76 @@ def _oracle_tile_rollup() -> str:
     """
 
 
+_KMV_K = 32
+
+
+def _q_tile_user_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users per level-4 tile via the KMV sketch
+    (operators/sketches.py): k smallest distinct 32-bit hashes per
+    group, exact below k, integer-floor estimator above.  The oracle
+    replays hash, rank-k cut, and estimator in plain SQL — the sketch
+    is bit-deterministic by construction, so the *approximate* operator
+    still gets an exact correctness gate (the same trick as the
+    quantized-LUT PQ scan)."""
+    from geo_spark.functions.s2 import s2_cellid, s2_face_ij
+    from geo_spark.operators.geo_noise import with_geo_noise
+    from geo_spark.operators.sketches import kmv_distinct
+
+    ev = with_geo_noise(_t(spark, sf_dir, "events"), "event_id")
+    enc = ev.withColumn("cell_id", s2_cellid(F.col("lat"), F.col("lng")))
+    dec = enc.withColumn("fij", s2_face_ij(F.col("cell_id")))
+    base = dec.select(
+        F.col("fij.face").cast("long").alias("face"),
+        F.shiftright(F.col("fij.i"), 26).alias("ti"),
+        F.shiftright(F.col("fij.j"), 26).alias("tj"),
+        "user_id",
+    )
+    return (
+        kmv_distinct(base, ["face", "ti", "tj"], "user_id", k=_KMV_K)
+        .select("face", "ti", "tj", "n_kept", "est_distinct")
+        .orderBy("face", "ti", "tj")
+    )
+
+
+def _oracle_tile_user_kmv() -> str:
+    from geo_spark.operators.geo_noise import (
+        LAT_SQL,
+        LNG_SQL,
+        duckdb_face_ij_query,
+    )
+    from geo_spark.operators.sketches import kmv_hash_sql
+
+    lat = LAT_SQL.format(id="event_id")
+    lng = LNG_SQL.format(id="event_id")
+    src = (
+        f"SELECT event_id, user_id, {lat} AS lat, {lng} AS lng FROM events"
+    )
+    fij = duckdb_face_ij_query(src)
+    h = kmv_hash_sql("user_id")
+    k = _KMV_K
+    return f"""
+        WITH tiles AS (
+          SELECT CAST(face AS BIGINT) AS face,
+                 i // 67108864 AS ti, j // 67108864 AS tj,
+                 {h} AS h
+          FROM ({fij})
+        ),
+        d AS (SELECT DISTINCT face, ti, tj, h FROM tiles),
+        r AS (SELECT face, ti, tj, h,
+                     row_number() OVER (
+                       PARTITION BY face, ti, tj ORDER BY h) AS rn
+              FROM d),
+        agg AS (
+          SELECT face, ti, tj, count(*) AS n_kept, max(h) AS kth
+          FROM r WHERE rn <= {k} GROUP BY 1, 2, 3
+        )
+        SELECT face, ti, tj, n_kept,
+               CASE WHEN n_kept < {k} THEN n_kept
+                    ELSE ({k - 1} * 4294967296) // kth END AS est_distinct
+        FROM agg ORDER BY face, ti, tj
+    """
+
+
 def _q_top_events_per_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window top-k: 3 highest-value events per level-4 face/quadtree
     tile (ties by event_id)."""
@@ -4520,6 +4590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_url_dedup": _q_url_dedup,
         "q_interval_sweep": _q_interval_sweep,
         "q_tile_rollup": _q_tile_rollup,
+        "q_tile_user_kmv": _q_tile_user_kmv,
         "q_top_events_per_tile": _q_top_events_per_tile,
         "q_city_hulls": _q_city_hulls,
         "q_tpch_q3": _q_tpch_q3,
@@ -4587,6 +4658,7 @@ def oracle_sql() -> dict[str, str]:
         "q_embed_near_dup": _oracle_embed_near_dup(),
         "q_interval_sweep": _oracle_interval_sweep(),
         "q_tile_rollup": _oracle_tile_rollup(),
+        "q_tile_user_kmv": _oracle_tile_user_kmv(),
         "q_top_events_per_tile": _oracle_top_events_per_tile(),
         "q_tpch_q3": _oracle_tpch_q3(),
         "q_tpch_q6": _oracle_tpch_q6(),
