@@ -37,6 +37,7 @@ HEADLINE_QUERIES = [
     "q_spacetime_pairs",  # banded (cell, time-bucket) pair join
     "q_link_pagerank",  # 3 power iterations, one shuffle each
     "q_geo_sessions",  # per-user sessionization, one shuffle, no Python
+    "q_tile_user_kmv",  # KMV distinct-users-per-tile sketch, rank-k window
 ]
 
 
