@@ -80,6 +80,23 @@ NOTES = {
   1-row plan — no collect, no driver value in the loop.
 - Rank-vector scans read from `localCheckpoint` (flat lineage): the
   K=3 plan does not nest iteration 1's join inside iteration 3's.""",
+    "tile_user_kmv": """Properties to check:
+- TWO `WindowGroupLimit` nodes (Partial before the exchange, Final
+  after): each map task forwards at most k hashes per tile it sees, so
+  the rank window shuffles k rows per (task, tile), never the hash set.
+- The 32-bit LCG hash and the integer-floor estimator are codegen
+  column arithmetic — no Python eval node anywhere.
+- `HashAggregate`(partial/final) pair for the distinct on (tile, hash)
+  before the window (map-side combine on duplicates).""",
+    "dbscan_pairs": """Properties to check:
+- The eps-pair join is a hash EQUI-join on the probe cell — no
+  CartesianProduct, no BroadcastNestedLoopJoin; the chord^2 radius
+  predicate is a post-join codegen filter on banded candidates.
+- The cell 8-neighborhood table enters via `BroadcastExchange` of a
+  DISTINCT-cell `MapInArrow` (Python touches one row per occupied
+  cell, never per event).
+- The exactly-once dedup exchange hashes only (a, b) on the refined
+  result — result-set-sized, not candidate-sized.""",
 }
 
 
@@ -131,6 +148,13 @@ def main() -> None:
     plans["link_pagerank"] = cap(entry._q_link_pagerank(spark, SF))
     plans["geo_sessions"] = cap(entry._q_geo_sessions(spark, SF))
     plans["bm25_scores"] = cap(entry._q_bm25_scores(spark, SF))
+    plans["tile_user_kmv"] = cap(entry._q_tile_user_kmv(spark, SF))
+
+    from geo_spark.operators.clustering import within_distance_pairs
+
+    plans["dbscan_pairs"] = cap(
+        within_distance_pairs(ev, 0.02, key="event_id")
+    )
 
     out = [
         "# PLANS — physical-plan evidence for the headline operators\n",
