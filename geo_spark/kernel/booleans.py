@@ -389,23 +389,37 @@ def loop_boolean(
         the edge's sides (rings are CCW: A's interior lies left).
         union: boundary iff the right side is outside B; intersection:
         iff B's interior is also on the left; difference: iff B's
-        interior is NOT on the left."""
+        interior is NOT on the left.  Majority-voted across probe
+        positions along the edge: a single position can sit within
+        _SEAM_EPS of an unrelated feature (isolated tangency) and
+        classify the wrong side."""
         pts, _, _ = arc
         p0, p1 = pts[0], pts[1]
         nrm = np.cross(p0, p1)
         nrm = nrm / math.sqrt(nrm @ nrm)
-        mid = 0.5 * (p0 + p1)
-        mid = mid / math.sqrt(mid @ mid)
-        left = mid + _SEAM_EPS * nrm
-        left = left / math.sqrt(left @ left)
-        right = mid - _SEAM_EPS * nrm
-        right = right / math.sqrt(right @ right)
-        if op == "union":
-            return not bool(loop_contains_points(b_verts, b_oi, right[None, :])[0])
-        if op == "intersection":
-            return bool(loop_contains_points(b_verts, b_oi, left[None, :])[0])
-        # difference
-        return not bool(loop_contains_points(b_verts, b_oi, left[None, :])[0])
+        ts = (0.5, 0.381966, 0.618034)
+        votes = 0
+        for t in ts:
+            mid = (1.0 - t) * p0 + t * p1
+            mid = mid / math.sqrt(mid @ mid)
+            left = mid + _SEAM_EPS * nrm
+            left = left / math.sqrt(left @ left)
+            right = mid - _SEAM_EPS * nrm
+            right = right / math.sqrt(right @ right)
+            if op == "union":
+                keep = not bool(
+                    loop_contains_points(b_verts, b_oi, right[None, :])[0]
+                )
+            elif op == "intersection":
+                keep = bool(
+                    loop_contains_points(b_verts, b_oi, left[None, :])[0]
+                )
+            else:  # difference
+                keep = not bool(
+                    loop_contains_points(b_verts, b_oi, left[None, :])[0]
+                )
+            votes += int(keep)
+        return votes >= 2
 
     def keep_rule(arc, other_verts, other_oi, want_inside):
         mid = _arc_midpoint(arc[0])
@@ -668,20 +682,49 @@ def polygon_boolean(a_rings: list, b_rings: list, op: str) -> list[np.ndarray]:
                         found = True
 
     _SEAM_EPS = 1e-8
+    _SEAM_TS = (0.5, 0.381966, 0.618034, 0.145898, 0.854102)
 
-    def keep_seam_arc(arc) -> bool:
-        pts, _, _ = arc
-        p0, p1 = pts[0], pts[1]
+    def seam_vote(p0, p1):
+        """(flip, left_in_result): majority-voted membership-flip test
+        across probe positions along the seam.  A single position can
+        sit within _SEAM_EPS of an unrelated feature — e.g. a same-side
+        hole vertex tangent to the shell edge (within-side tangencies
+        are NOT snapped; only B snaps onto A) — and classify the wrong
+        side; such features meet the edge in isolated points, so the
+        majority of spread-out positions is unaffected."""
         nrm = np.cross(p0, p1)
         nrm = nrm / math.sqrt(nrm @ nrm)
-        mid = 0.5 * (p0 + p1)
-        mid = mid / math.sqrt(mid @ mid)
-        left = mid + _SEAM_EPS * nrm
-        left = left / math.sqrt(left @ left)
-        right = mid - _SEAM_EPS * nrm
-        right = right / math.sqrt(right @ right)
-        m = member_op(np.stack([left, right]))
-        return bool(m[0]) != bool(m[1])
+        flips = 0
+        lefts = 0
+        for t in _SEAM_TS:
+            mid = (1.0 - t) * p0 + t * p1
+            mid = mid / math.sqrt(mid @ mid)
+            probes = np.stack(
+                [mid + _SEAM_EPS * nrm, mid - _SEAM_EPS * nrm]
+            )
+            probes = probes / np.sqrt(
+                (probes**2).sum(axis=1, keepdims=True)
+            )
+            m = member_op(probes)
+            if bool(m[0]) != bool(m[1]):
+                flips += 1
+                lefts += int(bool(m[0]))
+        if flips * 2 <= len(_SEAM_TS):
+            return False, False
+        return True, lefts * 2 > flips
+
+    def untouched_inside(ring, other_prep) -> bool:
+        """Whole-ring side decision, majority-voted across positions on
+        the first edge (a single midpoint can coincide with a tangency
+        of the other boundary)."""
+        votes = 0
+        for t in (0.5, 0.381966, 0.618034):
+            mid = (1.0 - t) * ring[0] + t * ring[1]
+            mid = mid / math.sqrt(mid @ mid)
+            votes += int(
+                bool(_parity_contains(other_prep, mid[None, :])[0])
+            )
+        return votes >= 2
 
     def is_seam(arc) -> bool:
         pts, s, e = arc
@@ -696,11 +739,8 @@ def polygon_boolean(a_rings: list, b_rings: list, op: str) -> list[np.ndarray]:
         # (the result lies in B's complement), which are reversed
         for ri, ring in enumerate(rings):
             if not crossings[ri] and not vkeys[ri]:
-                # untouched ring: whole-ring decision off any edge midpoint
-                mid = 0.5 * (ring[0] + ring[1])
-                mid = mid / math.sqrt(mid @ mid)
-                inside = bool(_parity_contains(other_prep, mid[None, :])[0])
-                if inside == keep_when_inside:
+                # untouched ring: voted whole-ring side decision
+                if untouched_inside(ring, other_prep) == keep_when_inside:
                     whole.append(ring[::-1] if reverse else ring)
                 continue
             for arc in _split_chain(ring, crossings[ri], vkeys[ri]):
@@ -724,19 +764,10 @@ def polygon_boolean(a_rings: list, b_rings: list, op: str) -> list[np.ndarray]:
             if not is_seam(arc):
                 continue
             pts, s, e = arc
-            p0, p1 = pts[0], pts[1]
-            nrm = np.cross(p0, p1)
-            nrm = nrm / math.sqrt(nrm @ nrm)
-            mid = 0.5 * (p0 + p1)
-            mid = mid / math.sqrt(mid @ mid)
-            left = mid + _SEAM_EPS * nrm
-            left = left / math.sqrt(left @ left)
-            right = mid - _SEAM_EPS * nrm
-            right = right / math.sqrt(right @ right)
-            m = member_op(np.stack([left, right]))
-            if bool(m[0]) == bool(m[1]):
+            flip, left_in = seam_vote(pts[0], pts[1])
+            if not flip:
                 continue
-            if m[0]:
+            if left_in:
                 kept.append(arc)  # result on the left: native direction
             else:
                 kept.append((pts[::-1], e, s))

@@ -117,6 +117,16 @@ CASES = {
         [_ring(0, 0, 6.0, 8), _ring(0, 0, 2.0, 8)],
         [_ring_phase(0, 0, 6.0, 8, 1e-9)],
     ),
+    # pinned round-3 counterexample: B identical to A's shell while A's
+    # hole is tangent to the shell from inside (hole vertices within
+    # 3e-10 of the shell edge planes — a WITHIN-side near-tangency the
+    # B-onto-A snap never sees); the old single-midpoint seam probe at
+    # offset 1e-8 landed inside the hole wedge and dropped the shell's
+    # seam copies, now outvoted by spread probe positions
+    "tangent_hole_identical_shell": (
+        [_ring(0, 0, 4.0, 3), _ring(0, 0, 2.0, 6)],
+        [_ring(0, 0, 4.0, 3)],
+    ),
 }
 
 
