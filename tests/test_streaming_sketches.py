@@ -1,0 +1,65 @@
+"""Streaming KMV == batch KMV: drain a multi-file parquet source with
+availableNow (several micro-batches, so the state-merge path runs) and
+compare each tile's LAST update row against operators/sketches
+kmv_distinct on the same static data."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from geo_spark.operators.sketches import kmv_distinct
+from geo_spark.streaming.sketches import stream_tile_kmv
+
+K = 16
+
+
+def _fixture(n=5000, seed=13):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "tile": rng.integers(0, 8, n).astype(np.int64),
+            "user_id": rng.integers(0, 900, n).astype(np.int64),
+        }
+    )
+
+
+def test_stream_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "kmv_events")
+    pdf = _fixture()
+    spark.createDataFrame(pdf).repartition(6).write.parquet(src)
+
+    static = spark.read.parquet(src)
+    want = {
+        r["tile"]: (r["n_kept"], r["est_distinct"])
+        for r in kmv_distinct(static, ["tile"], "user_id", k=K).collect()
+    }
+    assert len(want) == 8
+    assert any(v[0] == K for v in want.values())  # estimator path used
+
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 2)  # force several micro-batches
+        .parquet(src)
+    )
+    q = (
+        stream_tile_kmv(stream, k=K)
+        .writeStream.format("memory")
+        .queryName("kmv_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql("SELECT * FROM kmv_stream").toPandas()
+    q.stop()
+    # The sketch state only improves monotonically (n_kept never drops,
+    # kth_hash never grows), so the FINAL state per tile is identifiable
+    # without relying on sink row order: max n_kept, then min kth_hash.
+    got = {}
+    for tile, grp in rows.groupby("tile"):
+        grp = grp.sort_values(["n_kept", "kth_hash"], ascending=[False, True])
+        r = grp.iloc[0]
+        got[int(tile)] = (int(r["n_kept"]), int(r["est_distinct"]))
+    assert got == want
