@@ -3922,6 +3922,116 @@ def _q_knn_cities(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id", "rank")
 
 
+_IDW_K = 4
+
+
+def _q_idw_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-distance-weighted interpolation of the events' value
+    field onto a fixed 10x20 lat/lng grid: k=4 nearest events per grid
+    node (broadcast-ring kNN tier at sf0.01 target counts), weights
+    1/chord2, the weighted mean folded in RANK order via a rank pivot
+    so the float summation order is fixed and engine-portable; output
+    bucketed at 0.01 to absorb cross-engine trig ulps (the
+    q_rect_distance_buckets convention)."""
+    from geo_spark.operators.geo_noise import with_geo_noise
+    from geo_spark.operators.knn import knn_join
+
+    ev = with_geo_noise(_t(spark, sf_dir, "events"), "event_id")
+    probes = spark.range(200).select(
+        F.col("id").alias("pid"),
+        (F.lit(-57.0) + 6.0 * (F.col("id") / 20).cast("long")).alias("lat"),
+        (F.lit(-171.0) + 18.0 * (F.col("id") % 20)).alias("lng"),
+    )
+    nn = knn_join(
+        probes, ev, k=_IDW_K, point_key="pid", target_key="event_id"
+    )
+    px = probes.select(
+        "pid",
+        (F.cos(F.radians("lng")) * F.cos(F.radians("lat"))).alias("px"),
+        (F.sin(F.radians("lng")) * F.cos(F.radians("lat"))).alias("py"),
+        F.sin(F.radians("lat")).alias("pz"),
+    )
+    ex = ev.select(
+        "event_id",
+        "value",
+        (F.cos(F.radians("lng")) * F.cos(F.radians("lat"))).alias("ex"),
+        (F.sin(F.radians("lng")) * F.cos(F.radians("lat"))).alias("ey"),
+        F.sin(F.radians("lat")).alias("ez"),
+    )
+    chord2 = (
+        (F.col("px") - F.col("ex")) * (F.col("px") - F.col("ex"))
+        + (F.col("py") - F.col("ey")) * (F.col("py") - F.col("ey"))
+        + (F.col("pz") - F.col("ez")) * (F.col("pz") - F.col("ez"))
+    )
+    wv = nn.join(px, "pid").join(ex, "event_id").select(
+        "pid",
+        "rank",
+        (F.lit(1.0) / F.greatest(chord2, F.lit(1e-30))).alias("w"),
+        "value",
+    )
+    pick = lambda r, c: F.max(F.when(F.col("rank") == r, F.col(c)))  # noqa: E731
+    agg = wv.groupBy("pid").agg(
+        *[pick(r, "w").alias(f"w{r}") for r in range(1, _IDW_K + 1)],
+        *[pick(r, "value").alias(f"v{r}") for r in range(1, _IDW_K + 1)],
+    )
+    num = "((w1*v1 + w2*v2) + w3*v3) + w4*v4"
+    den = "((w1 + w2) + w3) + w4"
+    return agg.select(
+        "pid",
+        F.expr(
+            f"CAST(FLOOR(({num}) / ({den}) / 0.01) AS BIGINT)"
+        ).alias("idw_bucket"),
+    ).orderBy("pid")
+
+
+def _oracle_idw_grid() -> str:
+    from geo_spark.operators.geo_noise import LAT_SQL, LNG_SQL
+
+    lat = LAT_SQL.format(id="event_id")
+    lng = LNG_SQL.format(id="event_id")
+    k = _IDW_K
+    return f"""
+        WITH probes AS (
+          SELECT pid, -57.0 + 6.0*(pid // 20) AS plat,
+                 -171.0 + 18.0*(pid % 20) AS plng
+          FROM range(200) t(pid)
+        ),
+        pxyz AS (SELECT pid,
+                        cos(radians(plng))*cos(radians(plat)) AS px,
+                        sin(radians(plng))*cos(radians(plat)) AS py,
+                        sin(radians(plat)) AS pz
+                 FROM probes),
+        ev AS (SELECT event_id, value, {lat} AS lat, {lng} AS lng FROM events),
+        exyz AS (SELECT event_id, value,
+                        cos(radians(lng))*cos(radians(lat)) AS ex,
+                        sin(radians(lng))*cos(radians(lat)) AS ey,
+                        sin(radians(lat)) AS ez
+                 FROM ev),
+        d AS (SELECT pid, event_id, value,
+                     (px-ex)*(px-ex) + (py-ey)*(py-ey) + (pz-ez)*(pz-ez)
+                         AS chord2
+              FROM pxyz, exyz),
+        r AS (SELECT pid, value, chord2,
+                     row_number() OVER (
+                       PARTITION BY pid ORDER BY chord2, event_id) AS rn
+              FROM d),
+        piv AS (
+          SELECT pid,
+                 {", ".join(
+                     f"MAX(CASE WHEN rn = {i} THEN 1.0/greatest(chord2, 1e-30) END) AS w{i}, "
+                     f"MAX(CASE WHEN rn = {i} THEN value END) AS v{i}"
+                     for i in range(1, k + 1)
+                 )}
+          FROM r WHERE rn <= {k} GROUP BY pid
+        )
+        SELECT pid,
+               CAST(FLOOR((((w1*v1 + w2*v2) + w3*v3) + w4*v4)
+                          / (((w1 + w2) + w3) + w4) / 0.01) AS BIGINT)
+                   AS idw_bucket
+        FROM piv ORDER BY pid
+    """
+
+
 def _oracle_knn_cities() -> str:
     from geo_spark.operators.geo_noise import LAT_SQL, LNG_SQL
     from geo_spark.sources.pages import HOT_CITIES
@@ -4552,6 +4662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rect_hausdorff_buckets": _q_rect_hausdorff_buckets,
         "q_loop_pip_join": _q_loop_pip_join,
         "q_knn_cities": _q_knn_cities,
+        "q_idw_grid": _q_idw_grid,
         "q_knn_ring_events": _q_knn_ring_events,
         "q_trajectory_crossings": _q_trajectory_crossings,
         "q_trail_pair_distance": _q_trail_pair_distance,
@@ -4620,6 +4731,7 @@ def oracle_sql() -> dict[str, str]:
         "q_loop_pip_join": _oracle_loop_pip_join(),
         "q_polygon_polygon_join": _oracle_polygon_polygon_join(),
         "q_knn_cities": _oracle_knn_cities(),
+        "q_idw_grid": _oracle_idw_grid(),
         "q_knn_ring_events": _oracle_knn_ring_events(),
         "q_trajectory_crossings": _oracle_trajectory_crossings(),
         "q_trail_pair_distance": _oracle_trail_pair_distance(),
