@@ -1512,6 +1512,112 @@ def _oracle_tile_user_kmv() -> str:
     """
 
 
+def _q_tile_value_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile median of the event value field on a deterministic
+    bottom-64-by-md5 sample (operators/sketches.py:sampled_group_median)
+    — bounded per-group state, the quantile analog of the KMV sketch.
+    The median is a SELECTED row's value (no float arithmetic), so the
+    oracle match is bitwise."""
+    from geo_spark.functions.s2 import s2_cellid, s2_face_ij
+    from geo_spark.operators.geo_noise import with_geo_noise
+    from geo_spark.operators.sketches import sampled_group_median
+
+    ev = with_geo_noise(_t(spark, sf_dir, "events"), "event_id")
+    enc = ev.withColumn("cell_id", s2_cellid(F.col("lat"), F.col("lng")))
+    dec = enc.withColumn("fij", s2_face_ij(F.col("cell_id")))
+    base = dec.select(
+        F.col("fij.face").cast("long").alias("face"),
+        F.shiftright(F.col("fij.i"), 26).alias("ti"),
+        F.shiftright(F.col("fij.j"), 26).alias("tj"),
+        "event_id",
+        "value",
+    )
+    return sampled_group_median(
+        base, ["face", "ti", "tj"], "value", "event_id", k=64
+    ).orderBy("face", "ti", "tj")
+
+
+def _oracle_tile_value_median() -> str:
+    from geo_spark.operators.geo_noise import (
+        LAT_SQL,
+        LNG_SQL,
+        duckdb_face_ij_query,
+    )
+
+    lat = LAT_SQL.format(id="event_id")
+    lng = LNG_SQL.format(id="event_id")
+    src = (
+        "SELECT event_id, value, "
+        f"{lat} AS lat, {lng} AS lng FROM events"
+    )
+    fij = duckdb_face_ij_query(src)
+    return f"""
+        WITH tiles AS (
+          SELECT CAST(face AS BIGINT) AS face,
+                 i // 67108864 AS ti, j // 67108864 AS tj,
+                 event_id, value
+          FROM ({fij})
+        ),
+        kept AS (
+          SELECT face, ti, tj, event_id, value FROM (
+            SELECT *, row_number() OVER (
+                     PARTITION BY face, ti, tj
+                     ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+                   ) AS rn
+            FROM tiles
+          ) WHERE rn <= 64
+        ),
+        ranked AS (
+          SELECT face, ti, tj, value,
+                 row_number() OVER (
+                   PARTITION BY face, ti, tj
+                   ORDER BY value, event_id) AS vr,
+                 count(*) OVER (PARTITION BY face, ti, tj) AS m
+          FROM kept
+        )
+        SELECT face, ti, tj, m AS n_sample, value AS median
+        FROM ranked WHERE vr = CAST(ceil(m / 2.0) AS BIGINT)
+        ORDER BY face, ti, tj
+    """
+
+
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/dedup.py:decontaminate):
+    flag documents sharing any distinct 16-char shingle with the probe
+    set (doc_id % 50 == 0 stands in for an eval set), returning hit
+    counts.  Probe shingles broadcast; corpus side is one scan +
+    semi-join + groupBy."""
+    from geo_spark.operators.dedup import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    probes = docs.where(F.col("doc_id") % 50 == 0)
+    return decontaminate(docs, probes, n=16).orderBy("doc_id")
+
+
+def _oracle_decontaminate() -> str:
+    return """
+        WITH pr AS (
+          SELECT DISTINCT s
+          FROM documents,
+               UNNEST(list_transform(
+                   range(1, greatest(length(text)-15, 1)+1),
+                   i -> substr(text, i, 16))) AS t(s)
+          WHERE doc_id % 50 = 0 AND length(s) = 16
+        ),
+        d AS (
+          SELECT DISTINCT doc_id, s
+          FROM documents,
+               UNNEST(list_transform(
+                   range(1, greatest(length(text)-15, 1)+1),
+                   i -> substr(text, i, 16))) AS t(s)
+          WHERE length(s) = 16
+        )
+        SELECT doc_id, count(*) AS n_hits
+        FROM d JOIN pr USING (s)
+        GROUP BY doc_id ORDER BY doc_id
+    """
+
+
 def _q_top_events_per_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window top-k: 3 highest-value events per level-4 face/quadtree
     tile (ties by event_id)."""
@@ -4702,6 +4808,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_interval_sweep": _q_interval_sweep,
         "q_tile_rollup": _q_tile_rollup,
         "q_tile_user_kmv": _q_tile_user_kmv,
+        "q_tile_value_median": _q_tile_value_median,
+        "q_decontaminate": _q_decontaminate,
         "q_top_events_per_tile": _q_top_events_per_tile,
         "q_city_hulls": _q_city_hulls,
         "q_tpch_q3": _q_tpch_q3,
@@ -4771,6 +4879,8 @@ def oracle_sql() -> dict[str, str]:
         "q_interval_sweep": _oracle_interval_sweep(),
         "q_tile_rollup": _oracle_tile_rollup(),
         "q_tile_user_kmv": _oracle_tile_user_kmv(),
+        "q_tile_value_median": _oracle_tile_value_median(),
+        "q_decontaminate": _oracle_decontaminate(),
         "q_top_events_per_tile": _oracle_top_events_per_tile(),
         "q_tpch_q3": _oracle_tpch_q3(),
         "q_tpch_q6": _oracle_tpch_q6(),

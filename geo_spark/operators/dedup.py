@@ -120,6 +120,37 @@ def ngram_jaccard_pairs(
     )
 
 
+def decontaminate(
+    docs: DataFrame,
+    probes: DataFrame,
+    n: int = 16,
+    key: str = "doc_id",
+    text_col: str = "text",
+    probe_text: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: (key, n_hits) for every document that
+    shares at least one distinct n-char shingle with the probe (eval)
+    set — the step that keeps test-set text out of a training corpus.
+
+    Scale shape: eval sets are dimension-sized, so the probe shingle set
+    is broadcast and the 100 TB corpus side is one scan + hash semi-join
+    + groupBy (no shuffle of the corpus text, no pair blowup — ANY-hit
+    semantics needs no per-pair state, unlike the Jaccard join)."""
+    p = (
+        probes.select(F.explode(shingle_expr(probe_text, n)).alias("s"))
+        .where(F.length("s") == n)
+        .distinct()
+    )
+    d = docs.select(
+        F.col(key), F.explode(shingle_expr(text_col, n)).alias("s")
+    ).where(F.length("s") == n)
+    return (
+        d.join(F.broadcast(p), "s")
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     n: int = 8,

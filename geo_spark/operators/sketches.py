@@ -36,6 +36,46 @@ def kmv_hash_sql(value_col: str) -> str:
     return KMV_HASH_SQL.format(v=value_col)
 
 
+def sampled_group_median(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    id_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """(group_cols..., n_sample, median): per-group median estimated on
+    a deterministic bottom-k-by-md5 sample (the hash-rank sample of
+    operators/sampling.py), selected as the ceil(m/2)-th smallest
+    sample value with (value, id) tie order.
+
+    Per-group state is k rows regardless of group size — the quantile
+    analog of the KMV distinct sketch.  The median is a SELECTED row's
+    value (no arithmetic), so the SQL oracle reproduces it bitwise;
+    both windows share one hash partitioning (one shuffle total)."""
+    w_sample = Window.partitionBy(*group_cols).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    kept = (
+        df.select(*group_cols, value_col, id_col)
+        .withColumn("_rn", F.row_number().over(w_sample))
+        .where(F.col("_rn") <= k)
+    )
+    w_rank = Window.partitionBy(*group_cols).orderBy(
+        F.col(value_col), F.col(id_col)
+    )
+    cnt = Window.partitionBy(*group_cols)
+    return (
+        kept.withColumn("_vr", F.row_number().over(w_rank))
+        .withColumn("_m", F.count(F.lit(1)).over(cnt))
+        .where(F.col("_vr") == F.ceil(F.col("_m") / 2))
+        .select(
+            *group_cols,
+            F.col("_m").alias("n_sample"),
+            F.col(value_col).alias("median"),
+        )
+    )
+
+
 def kmv_distinct(
     df: DataFrame,
     group_cols: list[str],
