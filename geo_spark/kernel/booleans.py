@@ -46,16 +46,54 @@ def robust_crossing(a0, a1, b0, b1) -> bool:
     return cbd == acb and dac == acb
 
 
+def _exact_intersection_dir(a0, a1, b0, b1) -> np.ndarray:
+    """cross(cross(a0,a1), cross(b0,b1)) in exact rational arithmetic
+    (the ExactIntersection tier of s2/edge_crossings.go:322-378, with
+    Fraction standing in for big.Float).  Floats are exact rationals,
+    so the result direction carries no conditioning error; only the
+    final Fraction->float conversion rounds."""
+    from fractions import Fraction as Fr
+
+    av0 = [Fr(float(c)) for c in a0]
+    av1 = [Fr(float(c)) for c in a1]
+    bv0 = [Fr(float(c)) for c in b0]
+    bv1 = [Fr(float(c)) for c in b1]
+
+    def cross(u, v):
+        return [
+            u[1] * v[2] - u[2] * v[1],
+            u[2] * v[0] - u[0] * v[2],
+            u[0] * v[1] - u[1] * v[0],
+        ]
+
+    x = cross(cross(av0, av1), cross(bv0, bv1))
+    # scale to a representable float range before converting (rational
+    # magnitudes here can be ~1e-32 for near-parallel inputs)
+    mx = max(abs(c) for c in x)
+    if mx == 0:
+        # edges exactly on one great circle: pre-screened as crossing,
+        # so this cannot happen for valid inputs
+        raise ValueError("coincident great circles in edge_intersection")
+    return np.array([float(c / mx) for c in x], dtype=np.float64)
+
+
 def edge_intersection(a0, a1, b0, b1) -> np.ndarray:
     """Intersection point of two crossing edges: the unit vector on both
-    great circles, oriented to the segment side (the simple form of
-    s2/edge_crossings.go:172-250; inputs are pre-screened as crossing)."""
+    great circles, oriented to the segment side (s2/edge_crossings.go
+    :172-250).  The double-precision cross-of-crosses direction error
+    grows as eps/sin(theta) for edges meeting at angle theta; below
+    sin(theta) ~ 1e-3 that error crosses the stitch-key resolution
+    (_key rounds at 1e-12), so ill-conditioned pairs fall back to the
+    exact rational tier (the stable->exact cascade of the reference)."""
     na = np.cross(a0, a1)
     nb = np.cross(b0, b1)
     x = np.cross(na, nb)
     norm = math.sqrt(x @ x)
-    if norm == 0:
-        raise ValueError("parallel edges reached edge_intersection")
+    # conditioning: norm == |na||nb| sin(theta)
+    scale = math.sqrt(float(na @ na)) * math.sqrt(float(nb @ nb))
+    if norm <= 1e-3 * scale:
+        x = _exact_intersection_dir(a0, a1, b0, b1)
+        norm = math.sqrt(x @ x)
     x = x / norm
     # Orient toward the segments: the true crossing point has positive
     # dot with the sum of all four endpoints' midpoint direction.
@@ -483,6 +521,50 @@ def _snap_rings(b_rings: list, a_rings: list, eps: float = SNAP_RADIUS) -> list:
     return out
 
 
+def _snap_insert_vertices(
+    target_rings: list, source_rings: list, eps: float = SNAP_RADIUS
+) -> list:
+    """Vertex-EDGE snap tier: every source vertex lying within ``eps``
+    of a target edge's interior (but not near its endpoints) is
+    inserted into that edge as an exact chain vertex.  Afterwards a
+    source edge running along the target edge matches it vertex-for-
+    vertex and falls into the exact seam machinery — the case
+    vertex-vertex snapping cannot see (edges coincide to ~1e-20 while
+    their vertices are far apart).  Perturbs the target boundary by at
+    most eps, the same contract as the vertex merge
+    (s2/builder.go:63-118 snap-rounding semantics)."""
+    if not source_rings or not target_rings:
+        return target_rings
+    src = np.concatenate(source_rings)
+    out = []
+    for r in target_rings:
+        n = len(r)
+        ins: dict[int, list[np.ndarray]] = {}
+        for i in range(n):
+            a0, a1 = r[i], r[(i + 1) % n]
+            nrm = np.cross(a0, a1)
+            nn = math.sqrt(nrm @ nrm)
+            if nn == 0:
+                continue
+            nrm = nrm / nn
+            d = np.abs(src @ nrm)
+            t0 = (src - a0) @ (a1 - a0)
+            t1 = (src - a1) @ (a0 - a1)
+            e0 = ((src - a0) ** 2).sum(axis=1)
+            e1 = ((src - a1) ** 2).sum(axis=1)
+            m = (
+                (d < eps)
+                & (t0 > 0)
+                & (t1 > 0)
+                & (e0 > eps * eps)
+                & (e1 > eps * eps)
+            )
+            if m.any():
+                ins.setdefault(i, []).extend(src[k] for k in np.nonzero(m)[0])
+        out.append(_augment_ring(r, ins) if ins else r)
+    return out
+
+
 def _parity_contains(prepped: list, pts: np.ndarray) -> np.ndarray:
     """XOR-parity membership over a list of (verts, origin_inside)."""
     inside = np.zeros(len(np.atleast_2d(pts)), dtype=bool)
@@ -558,6 +640,12 @@ def polygon_boolean(a_rings: list, b_rings: list, op: str) -> list[np.ndarray]:
     # double-precision edge intersection is ill-conditioned — become
     # exactly coincident and fall into the symbolic seam machinery.
     b_rings = _snap_rings(b_rings, a_rings)
+    # pre-pass 0b: vertex-EDGE snap both ways — a B edge can run along
+    # an A edge to within ~1e-20 while all four vertices are far apart;
+    # inserting each side's near-edge vertices into the other's chains
+    # turns the overlap into exact shared-vertex/seam geometry.
+    a_rings = _snap_insert_vertices(a_rings, b_rings)
+    b_rings = _snap_insert_vertices(b_rings, a_rings)
 
     # pre-pass: partial collinear overlaps -> insert split vertices and
     # restart once (second pass provably inserts nothing)

@@ -127,6 +127,21 @@ CASES = {
         [_ring(0, 0, 4.0, 3), _ring(0, 0, 2.0, 6)],
         [_ring(0, 0, 4.0, 3)],
     ),
+    # pinned round-3 Hypothesis counterexamples (shrunk): B = A
+    # translated slightly in lat, so an edge of B runs along an edge of
+    # A to within ~1e-20 while all four endpoints are far apart — the
+    # vertex-EDGE snap tier (_snap_insert_vertices) turns that overlap
+    # into exact shared-vertex seams; before it, the near-parallel
+    # double-precision intersection produced inconsistent arcs (and in
+    # one variant an exactly-zero cross product)
+    "translated_sevengon": (
+        [_ring(0, 0, 2.0, 7)],
+        [_ring(0.7629394531249999, 0, 2.0, 7)],
+    ),
+    "translated_ninegon": (
+        [_ring(0, 0, 2.0, 9)],
+        [_ring(0.5, 0, 2.0, 9)],
+    ),
 }
 
 
