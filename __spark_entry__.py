@@ -4360,6 +4360,101 @@ def _oracle_geo_dbscan() -> str:
     """
 
 
+def _q_cluster_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed contract (the stage-composition certificate pattern of
+    q_corpus_pipeline / q_geo_stratified_dedup, session-3 edition):
+    DBSCAN the event points, then profile every cluster with the two
+    bounded-state sketches — KMV distinct users and bottom-k sampled
+    median value — in one pipeline.  ONE DuckDB oracle replays the
+    whole chain (brute pair join + recursive-CTE reachability +
+    hash-rank sketch replays), so the composition is certified, not
+    just the stages."""
+    from geo_spark.operators.clustering import geo_dbscan
+    from geo_spark.operators.geo_noise import with_geo_noise
+    from geo_spark.operators.sketches import kmv_distinct, sampled_group_median
+
+    ev = with_geo_noise(_t(spark, sf_dir, "events"), "event_id")
+    members = geo_dbscan(
+        ev, _DBSCAN_EPS_RAD, _DBSCAN_MIN_PTS, key="event_id"
+    ).join(
+        ev.select("event_id", "user_id", "value"), "event_id"
+    )
+    sizes = members.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    users = kmv_distinct(members, ["cluster"], "user_id", k=_KMV_K).select(
+        "cluster", F.col("est_distinct").alias("est_users")
+    )
+    med = sampled_group_median(
+        members, ["cluster"], "value", "event_id", k=64
+    ).select("cluster", F.col("median").alias("median_value"))
+    return (
+        sizes.join(users, "cluster").join(med, "cluster").orderBy("cluster")
+    )
+
+
+def _oracle_cluster_profiles() -> str:
+    from geo_spark.operators.sketches import kmv_hash_sql
+
+    # the dbscan CTE chain, verbatim, minus its final SELECT
+    dbscan = _oracle_geo_dbscan()
+    body = dbscan[: dbscan.index("SELECT id AS event_id")].rstrip()
+    h = kmv_hash_sql("user_id")
+    k = _KMV_K
+    return f"""{body},
+        members AS (
+          SELECT m.event_id, m.cluster, e.user_id, e.value
+          FROM (
+            SELECT id AS event_id, rep AS cluster FROM comp
+            UNION ALL
+            SELECT id AS event_id, rep AS cluster FROM border
+          ) m JOIN events e ON e.event_id = m.event_id
+        ),
+        sizes AS (
+          SELECT cluster, count(*) AS n_members FROM members GROUP BY 1
+        ),
+        kd AS (SELECT DISTINCT cluster, {h} AS hv FROM members),
+        kr AS (SELECT cluster, hv,
+                      row_number() OVER (
+                        PARTITION BY cluster ORDER BY hv) AS rn
+               FROM kd),
+        kagg AS (
+          SELECT cluster, count(*) AS n_kept, max(hv) AS kth
+          FROM kr WHERE rn <= {k} GROUP BY 1
+        ),
+        users AS (
+          SELECT cluster,
+                 CASE WHEN n_kept < {k} THEN n_kept
+                      ELSE ({k - 1} * 4294967296) // kth END AS est_users
+          FROM kagg
+        ),
+        mkept AS (
+          SELECT cluster, event_id, value FROM (
+            SELECT cluster, event_id, value,
+                   row_number() OVER (
+                     PARTITION BY cluster
+                     ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+                   ) AS rn
+            FROM members
+          ) WHERE rn <= 64
+        ),
+        mranked AS (
+          SELECT cluster, value,
+                 row_number() OVER (
+                   PARTITION BY cluster ORDER BY value, event_id) AS vr,
+                 count(*) OVER (PARTITION BY cluster) AS m
+          FROM mkept
+        ),
+        med AS (
+          SELECT cluster, value AS median_value
+          FROM mranked WHERE vr = CAST(ceil(m / 2.0) AS BIGINT)
+        )
+        SELECT s.cluster, s.n_members, u.est_users, md.median_value
+        FROM sizes s JOIN users u USING (cluster) JOIN med md USING (cluster)
+        ORDER BY s.cluster
+    """
+
+
 # deterministic synthetic link graph: 3 LCG-derived outlinks per node
 # (identical integer arithmetic in Spark SQL and DuckDB)
 _LINK_STREAMS = ((48271, 11), (69621, 23), (40692, 37))
@@ -4798,6 +4893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tile_pyramid": _q_tile_pyramid,
         "q_spacetime_pairs": _q_spacetime_pairs,
         "q_geo_dbscan": _q_geo_dbscan,
+        "q_cluster_profiles": _q_cluster_profiles,
         "q_link_pagerank": _q_link_pagerank,
         "q_geo_sessions": _q_geo_sessions,
         "q_tile_focal_mean": _q_tile_focal_mean,
@@ -4855,6 +4951,7 @@ def oracle_sql() -> dict[str, str]:
         "q_tile_pyramid": _oracle_tile_pyramid(),
         "q_spacetime_pairs": _oracle_spacetime_pairs(),
         "q_geo_dbscan": _oracle_geo_dbscan(),
+        "q_cluster_profiles": _oracle_cluster_profiles(),
         "q_link_pagerank": _oracle_link_pagerank(),
         "q_geo_sessions": _oracle_geo_sessions(),
         "q_tile_focal_mean": _oracle_tile_focal_mean(),
