@@ -90,6 +90,17 @@ def main():
             b = [_ring(0, 0, 2.0, nb, phase=ph)]
             for op in OPS:
                 fails += not check(a, b, op, f"phase na={na} nb={nb} ph={ph:g}")
+    # 2b) translated same-radius rings (the Hypothesis-found family:
+    # near-parallel offset edges, vertex-on-edge to ~1e-20)
+    for n in (5, 7, 9, 12):
+        for dlat in (0.05, 0.2, 0.5, 0.7629394531249999, 1.0, 1.9):
+            a = [_ring(0, 0, 2.0, n)]
+            b = [_ring(dlat, 0, 2.0, n)]
+            for op in OPS:
+                fails += not check(a, b, op, f"translate n={n} dlat={dlat:g}")
+            a2 = [_ring(0, 0, 2.0, n), _ring(0, 0, 0.8, n)]
+            for op in OPS:
+                fails += not check(a2, b, op, f"translate+hole n={n} dlat={dlat:g}")
     # 3) random sweep mirroring the Hypothesis strategy
     rng = np.random.default_rng(int(sys.argv[1]) if len(sys.argv) > 1 else 1)
     n_iter = int(sys.argv[2]) if len(sys.argv) > 2 else 800
