@@ -837,6 +837,129 @@ _HAUS_RECTS = [
 ]
 
 
+_MATCH_RADIUS_RAD = 200_000.0 / 6_371_010.0  # 200 km snap radius
+
+
+def _q_event_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map matching: snap every event point to the nearest segment of
+    the nearest user trail within 200 km (ClosestEdgeQuery analog,
+    s2/edge_query.go:30-230).  Trails = first-5-event polylines of every
+    third user; match = buffered-covering candidates + vectorized
+    argmin-segment refine + one partial-aggregatable struct-min shuffle.
+    The DuckDB oracle replays the exact point->segment chord arithmetic
+    and the (chord2, trail, segment) lexicographic selection."""
+    import numpy as np
+
+    from geo_spark.kernel import cellid as ck
+    from geo_spark.kernel.regions import PolylineRegion, chord2_from_angle
+    from geo_spark.operators.distance_join import build_distance_layer
+    from geo_spark.operators.geo_noise import with_geo_noise
+    from geo_spark.operators.mapmatch import map_match
+
+    ev = with_geo_noise(_t(spark, sf_dir, "events"), "event_id")
+    pdf = (
+        ev.where(F.col("user_id") % 3 == 0)
+        .select("user_id", "ts", "event_id", "lat", "lng")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+        .groupby("user_id")
+        .head(5)
+    )
+    trails = []
+    for uid, g in pdf.groupby("user_id"):
+        if len(g) < 2:
+            continue
+        x, y, z = ck.latlng_to_xyz(
+            g["lat"].to_numpy(np.float64), g["lng"].to_numpy(np.float64)
+        )
+        trails.append(
+            (int(uid), PolylineRegion.from_vertices(np.stack([x, y, z], axis=1)))
+        )
+    layer = build_distance_layer(spark, trails, _MATCH_RADIUS_RAD)
+    pts = _events_with_cells(spark, sf_dir)
+    matched = map_match(pts, layer, _MATCH_RADIUS_RAD, point_key="event_id")
+    step = chord2_from_angle(_MATCH_RADIUS_RAD) / 16.0
+    return matched.select(
+        "event_id",
+        F.col("geom_id").alias("trail_id"),
+        "seg_idx",
+        F.least(F.floor(F.col("chord2") / F.lit(step)), F.lit(15).cast("long"))
+        .cast("int")
+        .alias("dist_bucket"),
+    ).orderBy("event_id")
+
+
+def _oracle_event_map_match() -> str:
+    from geo_spark.kernel.regions import chord2_from_angle
+    from geo_spark.operators.geo_noise import LAT_SQL, LNG_SQL
+
+    lat = LAT_SQL.format(id="event_id")
+    lng = LNG_SQL.format(id="event_id")
+    limit2 = chord2_from_angle(_MATCH_RADIUS_RAD)
+    step = limit2 / 16.0
+    return f"""
+        WITH ranked AS (SELECT user_id, ts, event_id,
+                               row_number() OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id) AS rk
+                        FROM events WHERE user_id % 3 = 0),
+        tpts AS (SELECT user_id, rk, {lat} AS lat, {lng} AS lng
+                 FROM ranked WHERE rk <= 5),
+        txyz AS (SELECT user_id, rk,
+                        cos(radians(lng))*cos(radians(lat)) AS px,
+                        sin(radians(lng))*cos(radians(lat)) AS py,
+                        sin(radians(lat)) AS pz
+                 FROM tpts),
+        ed AS (SELECT user_id, rk,
+                      LAG(px) OVER w AS ax, LAG(py) OVER w AS ay,
+                      LAG(pz) OVER w AS az,
+                      px AS bx, py AS by, pz AS bz
+               FROM txyz WINDOW w AS (PARTITION BY user_id ORDER BY rk)),
+        edges AS (SELECT user_id, rk - 2 AS seg_idx,
+                         ax, ay, az, bx, by, bz,
+                         ay*bz - az*by AS nx,
+                         az*bx - ax*bz AS ny,
+                         ax*by - ay*bx AS nz
+                  FROM ed WHERE ax IS NOT NULL),
+        p AS (SELECT event_id, {lat} AS lat, {lng} AS lng FROM events),
+        pxyz AS (SELECT event_id,
+                        cos(radians(lng))*cos(radians(lat)) AS px,
+                        sin(radians(lng))*cos(radians(lat)) AS py,
+                        sin(radians(lat)) AS pz
+                 FROM p),
+        -- one row per (point, trail edge); the column expressions are the
+        -- exact numpy ops of kernel.edges.point_segment_chord2
+        raw AS (SELECT q.event_id, e.user_id AS trail_id, e.seg_idx,
+                       (e.ay*q.pz - e.az*q.py)*e.nx
+                       + (e.az*q.px - e.ax*q.pz)*e.ny
+                       + (e.ax*q.py - e.ay*q.px)*e.nz AS d_a,
+                       (q.py*e.bz - q.pz*e.by)*e.nx
+                       + (q.pz*e.bx - q.px*e.bz)*e.ny
+                       + (q.px*e.by - q.py*e.bx)*e.nz AS d_b,
+                       e.nx*e.nx + e.ny*e.ny + e.nz*e.nz AS nn2,
+                       abs(q.px*e.nx + q.py*e.ny + q.pz*e.nz) AS adot,
+                       (q.px-e.ax)*(q.px-e.ax) + (q.py-e.ay)*(q.py-e.ay)
+                       + (q.pz-e.az)*(q.pz-e.az) AS da,
+                       (q.px-e.bx)*(q.px-e.bx) + (q.py-e.by)*(q.py-e.by)
+                       + (q.pz-e.bz)*(q.pz-e.bz) AS db
+                FROM pxyz q, edges e),
+        cand AS (SELECT event_id, trail_id, seg_idx,
+                        least(CASE WHEN d_a >= 0 AND d_b >= 0 AND nn2 > 0
+                              THEN 2.0*(1.0 - sqrt(1.0
+                                   - least(adot/sqrt(nn2), 1.0)
+                                     * least(adot/sqrt(nn2), 1.0)))
+                              ELSE least(da, db) END, 4.0) AS c2
+                 FROM raw),
+        best AS (SELECT event_id, trail_id, seg_idx, c2,
+                        row_number() OVER (PARTITION BY event_id
+                                           ORDER BY c2, trail_id, seg_idx) AS rn
+                 FROM cand WHERE c2 <= {limit2!r})
+        SELECT event_id, trail_id, seg_idx,
+               CAST(least(CAST(floor(c2 / {step!r}) AS BIGINT), 15) AS INT)
+                   AS dist_bucket
+        FROM best WHERE rn = 1 ORDER BY event_id
+    """
+
+
 def _q_rect_hausdorff_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed Hausdorff distance h(A,B) for every ordered pair of the
     fixture rects (kernel/interval.rect_directed_hausdorff;
@@ -4867,6 +4990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_ring_events": _q_knn_ring_events,
         "q_trajectory_crossings": _q_trajectory_crossings,
         "q_trail_pair_distance": _q_trail_pair_distance,
+        "q_event_map_match": _q_event_map_match,
         "q_dtw_anchor_cost": _q_dtw_anchor_cost,
         "q_exact_dedup": _q_exact_dedup,
         "q_ngram_dedup_pairs": _q_ngram_dedup_pairs,
@@ -4939,6 +5063,7 @@ def oracle_sql() -> dict[str, str]:
         "q_knn_ring_events": _oracle_knn_ring_events(),
         "q_trajectory_crossings": _oracle_trajectory_crossings(),
         "q_trail_pair_distance": _oracle_trail_pair_distance(),
+        "q_event_map_match": _oracle_event_map_match(),
         "q_dtw_anchor_cost": _oracle_dtw_anchor_cost(),
         "q_exact_dedup": _oracle_exact_dedup(),
         "q_ngram_dedup_pairs": _oracle_ngram_dedup_pairs(),

@@ -71,6 +71,31 @@ def point_to_edges_chord2(x: np.ndarray, chain: np.ndarray) -> np.ndarray:
     return best
 
 
+def point_to_edges_chord2_argmin(
+    x: np.ndarray, chain: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """(min chord2, argmin segment index) from each point (N,3) to the
+    open chain (M,3).  Strict `<` update keeps the LOWEST segment index
+    on exact ties (the shared-vertex case: both adjacent segments report
+    the identical endpoint chord2), matching the relational tie-break
+    ORDER BY (chord2, seg_idx) used by the map-match oracle."""
+    x = np.atleast_2d(x)
+    chain = np.atleast_2d(chain)
+    if len(chain) == 1:
+        d = x - chain[0]
+        return np.minimum((d * d).sum(axis=1), 4.0), np.zeros(len(x), np.int64)
+    best = np.full(len(x), 4.0)
+    idx = np.zeros(len(x), dtype=np.int64)
+    for i in range(len(chain) - 1):
+        a = np.broadcast_to(chain[i], x.shape)
+        b = np.broadcast_to(chain[i + 1], x.shape)
+        d = point_segment_chord2(x, a, b)
+        m = d < best
+        best[m] = d[m]
+        idx[m] = i
+    return best, idx
+
+
 def interpolate(a: np.ndarray, b: np.ndarray, t: float) -> np.ndarray:
     """Point at fraction t along the minor arc ab (slerp);
     s2/edge_distances.go:129-160."""

@@ -1,0 +1,102 @@
+"""Map matching (nearest-edge assignment): snap each point to the
+closest segment of the closest polyline within a radius.
+
+The per-point analog of the reference's ClosestEdgeQuery
+(s2/edge_query.go:30-230 + s2/min_distance_targets.go:140-213): for a
+layer of polylines ("roads"/trails), each point gets the (polyline,
+segment index, distance) of its globally nearest edge, provided that
+edge is within ``radius_rad``.  This is the primitive under GPS-trace
+map matching, snapping noisy geotags to a road network, and
+trajectory-to-route attribution.
+
+Spark shape (the 100 TB plan):
+  1. candidates — the buffered-covering (level, ancestor) equi-join of
+     ``distance_join`` (ExpandByRadius semantics guarantee every
+     polyline within r of a point is a candidate; broadcast when the
+     covering is small).
+  2. refine — one Arrow pass per candidate batch; per (point, polyline)
+     the vectorized segment sweep returns (min chord2, argmin segment),
+     strict-< so exact ties take the lowest segment index.
+  3. argmin — ``min(struct(chord2, geom_id, seg_idx))`` per point: a
+     single partial-aggregatable shuffle (map-side combine halves the
+     exchange), no window, no sort.
+Ties across polylines resolve lexicographically by (chord2, geom_id,
+seg_idx) — bit-deterministic, so an exact SQL oracle can replay the
+selection.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geo_spark.kernel import cellid as ck
+from geo_spark.kernel.edges import point_to_edges_chord2_argmin
+from geo_spark.kernel.regions import PolylineRegion, chord2_from_angle
+from geo_spark.operators.spatial_join import Layer, _candidates
+
+
+def map_match(
+    points: DataFrame,
+    layer: Layer,
+    radius_rad: float,
+    point_key: str,
+    cell_col: str = "cell_id",
+    latlng: tuple[str, str] = ("lat", "lng"),
+) -> DataFrame:
+    """(point_key, geom_id, seg_idx, chord2): the nearest polyline
+    segment within the radius, one row per matched point.  ``layer``
+    must be a buffered distance layer over PolylineRegions (see
+    distance_join.build_distance_layer)."""
+    if layer.regions is None:
+        raise ValueError("map_match requires a closure-size layer")
+    pts = points.select(point_key, cell_col, *latlng)
+    cand = _candidates(pts, layer, cell_col)
+    limit2 = chord2_from_angle(radius_rad)
+    regions = layer.regions
+
+    key_type = pts.schema[point_key].dataType.simpleString()
+    schema = f"{point_key} {key_type}, geom_id long, seg_idx long, chord2 double"
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x, y, z = ck.latlng_to_xyz(
+                pdf[latlng[0]].to_numpy(np.float64),
+                pdf[latlng[1]].to_numpy(np.float64),
+            )
+            p3 = np.stack([x, y, z], axis=1)
+            gids = pdf["geom_id"].to_numpy(np.int64)
+            d = np.full(len(pdf), np.inf)
+            seg = np.zeros(len(pdf), dtype=np.int64)
+            for gid in np.unique(gids):
+                m = gids == gid
+                region = regions[int(gid)]
+                if not isinstance(region, PolylineRegion):
+                    raise TypeError("map_match layers must hold PolylineRegions")
+                d[m], seg[m] = point_to_edges_chord2_argmin(p3[m], region.verts)
+            keep = d <= limit2
+            yield pd.DataFrame(
+                {
+                    point_key: pdf[point_key].to_numpy()[keep],
+                    "geom_id": gids[keep],
+                    "seg_idx": seg[keep],
+                    "chord2": d[keep],
+                }
+            )
+
+    refined = cand.mapInPandas(fn, schema)
+    # Global nearest (edge within radius) per point: one aggregation,
+    # partial on the map side, lexicographic (chord2, geom_id, seg_idx).
+    best = refined.groupBy(point_key).agg(
+        F.min(F.struct("chord2", "geom_id", "seg_idx")).alias("_b")
+    )
+    return best.select(
+        point_key,
+        F.col("_b.geom_id").alias("geom_id"),
+        F.col("_b.seg_idx").alias("seg_idx"),
+        F.col("_b.chord2").alias("chord2"),
+    )
