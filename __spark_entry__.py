@@ -3790,6 +3790,76 @@ def _oracle_line_dedup() -> str:
     """
 
 
+def _q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1) over the
+    documents table: duplicate-line excess fraction, top-2-gram
+    character claim, duplicated-5-gram positional coverage — exact
+    integer fixed-point, one token-table shuffle per signal family.
+    Lines derived with the q_line_dedup trick (' a ' -> newline)."""
+    from geo_spark.operators.text import repetition_signals
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(r"replace(text, ' a ', '\n')").alias("text")
+    )
+    return repetition_signals(docs, key="doc_id").orderBy("doc_id")
+
+
+def _oracle_repetition_signals() -> str:
+    return r"""
+        WITH base AS (
+          SELECT doc_id, replace(text, ' a ', chr(10)) AS t FROM documents),
+        l AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS ln FROM base),
+        lc AS (SELECT doc_id, ln, COUNT(*) AS c FROM l GROUP BY 1, 2),
+        ls AS (SELECT doc_id,
+                      CAST(SUM(c) AS BIGINT) AS n_lines,
+                      CAST(SUM(c * len(ln)) AS BIGINT) AS tot,
+                      CAST(SUM(CASE WHEN c >= 2 THEN (c - 1) * len(ln)
+                               ELSE 0 END) AS BIGINT) AS dup
+               FROM lc GROUP BY 1),
+        tk AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_chars,
+                      string_split_regex(t, '[ ' || chr(10) || ']') AS toks
+               FROM base),
+        g2 AS (SELECT doc_id, n_chars, array_to_string(toks[i:i+1], ' ') AS g
+               FROM (SELECT doc_id, n_chars, toks,
+                            unnest(generate_series(1, greatest(len(toks) - 1, 0)))
+                                AS i
+                     FROM tk)),
+        g2c AS (SELECT doc_id, n_chars, g, COUNT(*) AS c
+                FROM g2 GROUP BY 1, 2, 3),
+        top2 AS (SELECT doc_id,
+                        CAST((c * len(g) * 1000000) // n_chars AS BIGINT)
+                            AS topf,
+                        row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY c DESC, g) AS rn
+                 FROM g2c),
+        g5 AS (SELECT doc_id, i - 1 AS p, array_to_string(toks[i:i+4], ' ') AS g
+               FROM (SELECT doc_id, toks,
+                            unnest(generate_series(1, greatest(len(toks) - 4, 0)))
+                                AS i
+                     FROM tk)),
+        g5d AS (SELECT doc_id, g FROM g5 GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        cov AS (SELECT DISTINCT doc_id, ti
+                FROM (SELECT a.doc_id,
+                             unnest(generate_series(a.p, a.p + 4)) AS ti
+                      FROM g5 a JOIN g5d d USING (doc_id, g))),
+        covc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS cv
+                 FROM cov GROUP BY 1)
+        SELECT tk.doc_id,
+               ls.n_lines,
+               CAST(len(tk.toks) AS BIGINT) AS n_tokens,
+               CAST(CASE WHEN ls.tot > 0 THEN (ls.dup * 1000000) // ls.tot
+                    ELSE 0 END AS BIGINT) AS dup_line_frac_x1e6,
+               CAST(COALESCE(t2.topf, 0) AS BIGINT) AS top_2gram_frac_x1e6,
+               CAST(COALESCE((covc.cv * 1000000) // len(tk.toks), 0) AS BIGINT)
+                   AS dup_5gram_token_frac_x1e6
+        FROM tk
+        JOIN ls USING (doc_id)
+        LEFT JOIN (SELECT doc_id, topf FROM top2 WHERE rn = 1) t2 USING (doc_id)
+        LEFT JOIN covc USING (doc_id)
+        ORDER BY doc_id
+    """
+
+
 def _q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geo_spark.operators.text import (
         token_count_bpe_ish,
@@ -4991,6 +5061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_trajectory_crossings": _q_trajectory_crossings,
         "q_trail_pair_distance": _q_trail_pair_distance,
         "q_event_map_match": _q_event_map_match,
+        "q_repetition_signals": _q_repetition_signals,
         "q_dtw_anchor_cost": _q_dtw_anchor_cost,
         "q_exact_dedup": _q_exact_dedup,
         "q_ngram_dedup_pairs": _q_ngram_dedup_pairs,
@@ -5064,6 +5135,7 @@ def oracle_sql() -> dict[str, str]:
         "q_trajectory_crossings": _oracle_trajectory_crossings(),
         "q_trail_pair_distance": _oracle_trail_pair_distance(),
         "q_event_map_match": _oracle_event_map_match(),
+        "q_repetition_signals": _oracle_repetition_signals(),
         "q_dtw_anchor_cost": _oracle_dtw_anchor_cost(),
         "q_exact_dedup": _oracle_exact_dedup(),
         "q_ngram_dedup_pairs": _oracle_ngram_dedup_pairs(),

@@ -189,6 +189,157 @@ def unigram_nll(
     )
 
 
+def _ngram_array(tk: Column, n: int) -> Column:
+    """Array of word n-grams (space-joined) from a token array — pure
+    higher-order functions, no explode yet.  The F.when guard matters:
+    Spark's sequence(0, size-n) with size < n infers step -1 and yields
+    a DESCENDING sequence instead of an empty one."""
+    return F.when(
+        F.size(tk) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tk) - n),
+            lambda i: F.concat_ws(" ", F.slice(tk, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_signals(
+    docs: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    line_sep: str = "\n",
+    top_n: int = 2,
+    dup_n: int = 5,
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1),
+    the standard pre-training repetition filters, per document:
+
+      n_lines / n_tokens            — size denominators
+      dup_line_frac_x1e6            — excess duplicate-line characters
+                                      ((count-1)·len per repeated line)
+                                      over total line characters
+      top_{top_n}gram_frac_x1e6     — characters claimed by the single
+                                      most frequent word n-gram
+                                      (count·len; overlaps counted, so
+                                      the ratio may exceed 1e6); ties
+                                      break to the lexicographically
+                                      smallest n-gram
+      dup_{dup_n}gram_token_frac_x1e6 — fraction of token POSITIONS
+                                      covered by at least one word
+                                      n-gram that occurs 2+ times in the
+                                      doc (exact interval-union coverage
+                                      via a position explode + distinct,
+                                      not the overcounting sum)
+
+    All ratios are floor((num·1e6) div den) in exact integer arithmetic,
+    so the DuckDB twin matches bitwise.  Native SQL end to end: the
+    explodes/groupBys shuffle token-scale rows keyed by (doc, gram) with
+    map-side partial combine — the same one-token-table-shuffle shape as
+    bm25_scores.  (A zero-shuffle alternative — one Arrow pass with
+    per-doc Counters — wins when documents are tiny and the cluster is
+    shuffle-bound; the keyed form wins on skew transparency and stays
+    hash-verifiable, so it is the default.)
+    """
+    import re as _re
+
+    tok_re = "[ " + _re.escape(line_sep) + "]"
+    t = F.col(text_col)
+    base = docs.select(
+        F.col(key),
+        F.length(t).cast("long").alias("_n_chars"),
+        F.split(t, _re.escape(line_sep), -1).alias("_lns"),
+        F.split(t, tok_re, -1).alias("_tk"),
+    )
+
+    # -- duplicate-line excess characters ------------------------------
+    lines = base.select(F.col(key), F.explode("_lns").alias("_ln"))
+    lc = lines.groupBy(key, "_ln").agg(F.count(F.lit(1)).alias("_c"))
+    line_stats = (
+        lc.groupBy(key)
+        .agg(
+            F.sum("_c").cast("long").alias("n_lines"),
+            F.sum(F.col("_c") * F.length("_ln")).cast("long").alias("_tot"),
+            F.sum(
+                F.when(
+                    F.col("_c") >= 2, (F.col("_c") - 1) * F.length("_ln")
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("_dup"),
+        )
+        .select(
+            key,
+            "n_lines",
+            F.when(F.col("_tot") > 0, F.expr("(_dup * 1000000) div _tot"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("dup_line_frac_x1e6"),
+        )
+    )
+
+    # -- most frequent top_n-gram character claim ----------------------
+    tg = base.select(
+        F.col(key), "_n_chars", F.explode(_ngram_array(F.col("_tk"), top_n)).alias("_g")
+    )
+    tgc = tg.groupBy(key, "_n_chars", "_g").agg(F.count(F.lit(1)).alias("_c"))
+    top = (
+        tgc.groupBy(key, "_n_chars")
+        .agg(
+            F.min(
+                F.struct((-F.col("_c")).alias("_neg"), F.col("_g").alias("_g"))
+            ).alias("_b")
+        )
+        .select(
+            key,
+            F.expr("((-_b._neg) * length(_b._g) * 1000000) div _n_chars")
+            .cast("long")
+            .alias(f"top_{top_n}gram_frac_x1e6"),
+        )
+    )
+
+    # -- duplicated dup_n-gram positional coverage ---------------------
+    pg = base.select(
+        F.col(key), F.posexplode(_ngram_array(F.col("_tk"), dup_n)).alias("_p", "_g")
+    )
+    dup = (
+        pg.groupBy(key, "_g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .where(F.col("_c") >= 2)
+        .select(key, "_g")
+    )
+    cov = (
+        pg.join(dup, [key, "_g"])
+        .select(
+            F.col(key),
+            F.explode(F.sequence(F.col("_p"), F.col("_p") + (dup_n - 1))).alias("_ti"),
+        )
+        .distinct()
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).cast("long").alias("_cov"))
+    )
+
+    sizes = base.select(
+        F.col(key), "_n_chars", F.size("_tk").cast("long").alias("n_tokens")
+    )
+    return (
+        sizes.join(line_stats, key)
+        .join(top, key, "left")
+        .join(cov, key, "left")
+        .select(
+            key,
+            "n_lines",
+            "n_tokens",
+            "dup_line_frac_x1e6",
+            F.coalesce(f"top_{top_n}gram_frac_x1e6", F.lit(0).cast("long")).alias(
+                f"top_{top_n}gram_frac_x1e6"
+            ),
+            F.coalesce(
+                F.expr("(_cov * 1000000) div n_tokens"), F.lit(0).cast("long")
+            ).alias(f"dup_{dup_n}gram_token_frac_x1e6"),
+        )
+    )
+
+
 def bm25_scores(
     docs: DataFrame,
     query_terms: list[str],
