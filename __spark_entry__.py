@@ -3388,6 +3388,36 @@ def _oracle_stratified_sample() -> str:
     """
 
 
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    priorities ln(u)/w), 25 docs per language weighted by n_chars —
+    longer documents proportionally likelier.  Deterministic LCG
+    uniforms, so the oracle replays the exact priorities."""
+    from geo_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample(docs, "lang", 25, weight_col="n_chars").orderBy(
+        "lang", "rank"
+    )
+
+
+def _oracle_weighted_sample() -> str:
+    from geo_spark.operators.sampling import weighted_priority_sql
+
+    k = weighted_priority_sql("doc_id", "n_chars")
+    return f"""
+        WITH pri AS (
+          SELECT lang, doc_id, n_chars, {k} AS k
+          FROM documents),
+        r AS (SELECT lang, doc_id, n_chars,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                                        ORDER BY k DESC, doc_id) AS rnk
+              FROM pri)
+        SELECT lang, doc_id, n_chars AS weight, CAST(rnk AS INT) AS rank
+        FROM r WHERE rnk <= 25 ORDER BY lang, rank
+    """
+
+
 def _q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language token-budget mixture: walk docs in md5 order, keep
     while the running whitespace-token total stays within 3000."""
@@ -5062,6 +5092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_trail_pair_distance": _q_trail_pair_distance,
         "q_event_map_match": _q_event_map_match,
         "q_repetition_signals": _q_repetition_signals,
+        "q_weighted_sample": _q_weighted_sample,
         "q_dtw_anchor_cost": _q_dtw_anchor_cost,
         "q_exact_dedup": _q_exact_dedup,
         "q_ngram_dedup_pairs": _q_ngram_dedup_pairs,
@@ -5136,6 +5167,7 @@ def oracle_sql() -> dict[str, str]:
         "q_trail_pair_distance": _oracle_trail_pair_distance(),
         "q_event_map_match": _oracle_event_map_match(),
         "q_repetition_signals": _oracle_repetition_signals(),
+        "q_weighted_sample": _oracle_weighted_sample(),
         "q_dtw_anchor_cost": _oracle_dtw_anchor_cost(),
         "q_exact_dedup": _oracle_exact_dedup(),
         "q_ngram_dedup_pairs": _oracle_ngram_dedup_pairs(),
