@@ -4766,6 +4766,78 @@ def _oracle_link_pagerank() -> str:
     """
 
 
+def _q_link_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities over the same synthetic link graph as
+    q_link_pagerank: 3 L1-normalized half-step pairs
+    (a = normalize(E^T h), h = normalize(E a)).  ROUND-x1e12 scaling for
+    the same ULP-granule reason documented on the PageRank query; the
+    oracle unrolls the identical spec relationally."""
+    from geo_spark.operators.linkgraph import hits
+
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    n = ev.count()
+    edges = None
+    for a, b in _LINK_STREAMS:
+        e = ev.select(
+            F.col("event_id").alias("src"),
+            ((F.col("event_id") * a + b) % n).alias("dst"),
+        )
+        edges = e if edges is None else edges.unionByName(e)
+    hs = hits(edges, ev, iterations=_PR_ITERS, node_key="event_id")
+    return hs.select(
+        "event_id",
+        F.round(F.col("hub") * 1e12, 0).cast("long").alias("hub_x1e12"),
+        F.round(F.col("auth") * 1e12, 0).cast("long").alias("auth_x1e12"),
+    ).orderBy("event_id")
+
+
+def _oracle_link_hits() -> str:
+    links = " UNION ALL ".join(
+        f"SELECT id AS src, (id * {a} + {b}) % (SELECT n FROM n) AS dst"
+        " FROM nodes"
+        for a, b in _LINK_STREAMS
+    )
+    steps = []
+    prev = "h0"
+    for i in range(1, _PR_ITERS + 1):
+        steps.append(
+            f"""ar{i} AS (
+          SELECT e.dst AS id, SUM(h.h) AS a
+          FROM dedup e JOIN {prev} h ON h.id = e.src
+          GROUP BY e.dst),
+        at{i} AS (SELECT COALESCE(SUM(a), 1.0) AS t FROM ar{i}),
+        a{i} AS (
+          SELECT nd.id, COALESCE(ar.a, 0.0) / at{i}.t AS a
+          FROM nodes nd CROSS JOIN at{i}
+          LEFT JOIN ar{i} ar ON ar.id = nd.id),
+        hr{i} AS (
+          SELECT e.src AS id, SUM(a.a) AS h
+          FROM dedup e JOIN a{i} a ON a.id = e.dst
+          GROUP BY e.src),
+        ht{i} AS (SELECT COALESCE(SUM(h), 1.0) AS t FROM hr{i}),
+        h{i} AS (
+          SELECT nd.id, COALESCE(hr.h, 0.0) / ht{i}.t AS h
+          FROM nodes nd CROSS JOIN ht{i}
+          LEFT JOIN hr{i} hr ON hr.id = nd.id)"""
+        )
+        prev = f"h{i}"
+    steps_sql = ",\n        ".join(steps)
+    k = _PR_ITERS
+    return f"""
+        WITH nodes AS (SELECT event_id AS id FROM events),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+        raw_edges AS ({links}),
+        dedup AS (SELECT DISTINCT src, dst FROM raw_edges WHERE src != dst),
+        h0 AS (SELECT id, 1.0 / (SELECT n FROM n) AS h FROM nodes),
+        {steps_sql}
+        SELECT h{k}.id AS event_id,
+               CAST(ROUND(h{k}.h * 1e12) AS BIGINT) AS hub_x1e12,
+               CAST(ROUND(a{k}.a * 1e12) AS BIGINT) AS auth_x1e12
+        FROM h{k} JOIN a{k} ON a{k}.id = h{k}.id
+        ORDER BY event_id
+    """
+
+
 _FOCAL_ZOOM = 7
 
 
@@ -5093,6 +5165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_event_map_match": _q_event_map_match,
         "q_repetition_signals": _q_repetition_signals,
         "q_weighted_sample": _q_weighted_sample,
+        "q_link_hits": _q_link_hits,
         "q_dtw_anchor_cost": _q_dtw_anchor_cost,
         "q_exact_dedup": _q_exact_dedup,
         "q_ngram_dedup_pairs": _q_ngram_dedup_pairs,
@@ -5168,6 +5241,7 @@ def oracle_sql() -> dict[str, str]:
         "q_event_map_match": _oracle_event_map_match(),
         "q_repetition_signals": _oracle_repetition_signals(),
         "q_weighted_sample": _oracle_weighted_sample(),
+        "q_link_hits": _oracle_link_hits(),
         "q_dtw_anchor_cost": _oracle_dtw_anchor_cost(),
         "q_exact_dedup": _oracle_exact_dedup(),
         "q_ngram_dedup_pairs": _oracle_ngram_dedup_pairs(),

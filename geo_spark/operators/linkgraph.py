@@ -37,6 +37,82 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def hits(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    node_key: str = "id",
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) with L1 normalization:
+    a_k = normalize(E^T h_{k-1}), h_k = normalize(E a_k) — the
+    complementary link signal to PageRank (a page can be a poor
+    authority but a great hub, e.g. a link directory).
+
+    Same scale discipline as :func:`pagerank`: edges deduped/self-loop
+    free and persisted; each half-step is ONE keyed shuffle
+    (join on the edge key -> groupBy sum, map-side combined) plus a
+    1-row normalization aggregate broadcast back; rank vectors are
+    localCheckpoint-ed so lineage stays flat across iterations.
+    Returns (node_key, hub, auth); isolated nodes score 0.0."""
+    n = nodes.count()
+    e = (
+        edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+        .where(F.col("_src") != F.col("_dst"))
+        .distinct()
+        .persist()
+    )
+    ids = nodes.select(F.col(node_key).alias("_id"))
+    hub = ids.withColumn("_h", F.lit(1.0 / n)).localCheckpoint()
+    auth = ids.withColumn("_a", F.lit(0.0)).localCheckpoint()
+
+    for _ in range(iterations):
+        araw = (
+            e.join(hub, F.col("_src") == F.col("_id"))
+            .groupBy("_dst")
+            .agg(F.sum("_h").alias("_ar"))
+        )
+        atot = araw.agg(
+            F.coalesce(F.sum("_ar"), F.lit(1.0)).alias("_t")
+        )
+        auth = (
+            ids.join(F.broadcast(atot))
+            .join(araw, F.col("_id") == F.col("_dst"), "left")
+            .select(
+                "_id",
+                (F.coalesce(F.col("_ar"), F.lit(0.0)) / F.col("_t")).alias("_a"),
+            )
+            .localCheckpoint()
+        )
+        hraw = (
+            e.join(auth, F.col("_dst") == F.col("_id"))
+            .groupBy("_src")
+            .agg(F.sum("_a").alias("_hr"))
+        )
+        htot = hraw.agg(
+            F.coalesce(F.sum("_hr"), F.lit(1.0)).alias("_t")
+        )
+        hub = (
+            ids.join(F.broadcast(htot))
+            .join(hraw, F.col("_id") == F.col("_src"), "left")
+            .select(
+                "_id",
+                (F.coalesce(F.col("_hr"), F.lit(0.0)) / F.col("_t")).alias("_h"),
+            )
+            .localCheckpoint()
+        )
+    e.unpersist()
+    return (
+        hub.join(auth, "_id")
+        .select(
+            F.col("_id").alias(node_key),
+            F.col("_h").alias("hub"),
+            F.col("_a").alias("auth"),
+        )
+    )
+
+
 def pagerank(
     edges: DataFrame,
     nodes: DataFrame,
