@@ -3890,6 +3890,71 @@ def _oracle_repetition_signals() -> str:
     """
 
 
+def _q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed corpus-curation certificate: repetition signals ->
+    quality gate (drop docs whose top 2-gram claims > 10% of chars) ->
+    Efraimidis-Spirakis weighted draw of 15 docs per language weighted
+    by surviving token mass.  ONE DuckDB oracle replays signal
+    computation, gating and the priority selection end to end —
+    certifying the stages compose, not just pass individually."""
+    from geo_spark.operators.sampling import weighted_sample
+    from geo_spark.operators.text import repetition_signals
+
+    raw = _t(spark, sf_dir, "documents")
+    docs = raw.select(
+        "doc_id", F.expr(r"replace(text, ' a ', '\n')").alias("text")
+    )
+    sig = repetition_signals(docs, key="doc_id")
+    kept = (
+        sig.where(F.col("top_2gram_frac_x1e6") <= 100_000)
+        .select("doc_id", "n_tokens")
+        .join(raw.select("doc_id", "lang"), "doc_id")
+    )
+    return weighted_sample(kept, "lang", 15, weight_col="n_tokens").orderBy(
+        "lang", "rank"
+    )
+
+
+def _oracle_quality_weighted_sample() -> str:
+    from geo_spark.operators.sampling import weighted_priority_sql
+
+    k = weighted_priority_sql("doc_id", "n_tokens")
+    return rf"""
+        WITH base AS (
+          SELECT doc_id, lang, replace(text, ' a ', chr(10)) AS t
+          FROM documents),
+        tk AS (SELECT doc_id, lang, CAST(len(t) AS BIGINT) AS n_chars,
+                      string_split_regex(t, '[ ' || chr(10) || ']') AS toks
+               FROM base),
+        g2 AS (SELECT doc_id, n_chars, array_to_string(toks[i:i+1], ' ') AS g
+               FROM (SELECT doc_id, n_chars, toks,
+                            unnest(generate_series(1, greatest(len(toks) - 1, 0)))
+                                AS i
+                     FROM tk)),
+        g2c AS (SELECT doc_id, n_chars, g, COUNT(*) AS c
+                FROM g2 GROUP BY 1, 2, 3),
+        top2 AS (SELECT doc_id,
+                        CAST((c * len(g) * 1000000) // n_chars AS BIGINT)
+                            AS topf,
+                        row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY c DESC, g) AS rn
+                 FROM g2c),
+        kept AS (SELECT tk.doc_id, tk.lang,
+                        CAST(len(tk.toks) AS BIGINT) AS n_tokens
+                 FROM tk
+                 LEFT JOIN (SELECT doc_id, topf FROM top2 WHERE rn = 1) t2
+                        USING (doc_id)
+                 WHERE COALESCE(t2.topf, 0) <= 100000),
+        pri AS (SELECT lang, doc_id, n_tokens, {k} AS k FROM kept),
+        r AS (SELECT lang, doc_id, n_tokens,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                                        ORDER BY k DESC, doc_id) AS rnk
+              FROM pri)
+        SELECT lang, doc_id, n_tokens AS weight, CAST(rnk AS INT) AS rank
+        FROM r WHERE rnk <= 15 ORDER BY lang, rank
+    """
+
+
 def _q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geo_spark.operators.text import (
         token_count_bpe_ish,
@@ -5166,6 +5231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repetition_signals": _q_repetition_signals,
         "q_weighted_sample": _q_weighted_sample,
         "q_link_hits": _q_link_hits,
+        "q_quality_weighted_sample": _q_quality_weighted_sample,
         "q_dtw_anchor_cost": _q_dtw_anchor_cost,
         "q_exact_dedup": _q_exact_dedup,
         "q_ngram_dedup_pairs": _q_ngram_dedup_pairs,
@@ -5242,6 +5308,7 @@ def oracle_sql() -> dict[str, str]:
         "q_repetition_signals": _oracle_repetition_signals(),
         "q_weighted_sample": _oracle_weighted_sample(),
         "q_link_hits": _oracle_link_hits(),
+        "q_quality_weighted_sample": _oracle_quality_weighted_sample(),
         "q_dtw_anchor_cost": _oracle_dtw_anchor_cost(),
         "q_exact_dedup": _oracle_exact_dedup(),
         "q_ngram_dedup_pairs": _oracle_ngram_dedup_pairs(),
