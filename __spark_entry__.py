@@ -3890,6 +3890,39 @@ def _oracle_repetition_signals() -> str:
     """
 
 
+def _q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document (score = tf * ln(N/df),
+    ties to the lexicographically smaller term).  Both factors are
+    exact integers, so the oracle recomputes bit-identical scores."""
+    from geo_spark.operators.text import tfidf_topk
+
+    return tfidf_topk(_t(spark, sf_dir, "documents"), k=3).orderBy(
+        "doc_id", "rank"
+    )
+
+
+def _oracle_tfidf_topk() -> str:
+    return """
+        WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                      FROM documents),
+        t AS (SELECT doc_id, term, COUNT(*) AS tf
+              FROM toks WHERE len(term) > 0 GROUP BY 1, 2),
+        d AS (SELECT term, COUNT(*) AS df FROM t GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n FROM documents),
+        s AS (SELECT t.doc_id, t.term, t.tf, d.df,
+                     t.tf * ln(CAST(n.n AS DOUBLE) / CAST(d.df AS DOUBLE))
+                         AS score
+              FROM t JOIN d USING (term) CROSS JOIN n),
+        r AS (SELECT doc_id, term, tf, df,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, term) AS rnk
+              FROM s)
+        SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+               CAST(df AS BIGINT) AS df, CAST(rnk AS INT) AS rank
+        FROM r WHERE rnk <= 3 ORDER BY doc_id, rank
+    """
+
+
 def _q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed corpus-curation certificate: repetition signals ->
     quality gate (drop docs whose top 2-gram claims > 10% of chars) ->
@@ -5232,6 +5265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_weighted_sample": _q_weighted_sample,
         "q_link_hits": _q_link_hits,
         "q_quality_weighted_sample": _q_quality_weighted_sample,
+        "q_tfidf_topk": _q_tfidf_topk,
         "q_dtw_anchor_cost": _q_dtw_anchor_cost,
         "q_exact_dedup": _q_exact_dedup,
         "q_ngram_dedup_pairs": _q_ngram_dedup_pairs,
@@ -5309,6 +5343,7 @@ def oracle_sql() -> dict[str, str]:
         "q_weighted_sample": _oracle_weighted_sample(),
         "q_link_hits": _oracle_link_hits(),
         "q_quality_weighted_sample": _oracle_quality_weighted_sample(),
+        "q_tfidf_topk": _oracle_tfidf_topk(),
         "q_dtw_anchor_cost": _oracle_dtw_anchor_cost(),
         "q_exact_dedup": _oracle_exact_dedup(),
         "q_ngram_dedup_pairs": _oracle_ngram_dedup_pairs(),

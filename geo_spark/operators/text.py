@@ -9,7 +9,7 @@ is I/O-bound, exactly as it should be.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword markers for the n-gram language heuristic.
@@ -336,6 +336,56 @@ def repetition_signals(
             F.coalesce(
                 F.expr("(_cov * 1000000) div n_tokens"), F.lit(0).cast("long")
             ).alias(f"dup_{dup_n}gram_token_frac_x1e6"),
+        )
+    )
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    k: int = 3,
+    key: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k TF-IDF keywords per document: score = tf * ln(N/df) over
+    whitespace tokens, ranked per doc by (score DESC, term ASC).
+
+    Both factors are exact integers (term count, document frequency,
+    corpus size), so the only float is ln(N/df) on identical integer
+    ratios — the oracle recomputes bit-identical scores, and the ASC
+    term tie-break resolves equal-(tf, df) terms deterministically.
+
+    Scale shape: token explode -> ONE (doc, term) count shuffle; df is
+    a groupBy(term) over that (already aggregated) table, not the raw
+    tokens; N is a 1-row broadcast; the final per-doc rank is a
+    row_number window that Spark 4 rewrites with a partial
+    WindowGroupLimit below the exchange.  All codegen, no Python."""
+    toks = docs.select(
+        F.col(key), F.explode(F.split(F.col(text_col), " ", -1)).alias("_term")
+    ).where(F.length("_term") > 0)
+    tf = toks.groupBy(key, "_term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("_term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("_n"))
+    scored = (
+        tf.join(df_, "_term")
+        .join(F.broadcast(n))
+        .withColumn(
+            "_score",
+            F.col("tf")
+            * F.log(F.col("_n").cast("double") / F.col("df").cast("double")),
+        )
+    )
+    w = Window.partitionBy(key).orderBy(
+        F.col("_score").desc(), F.col("_term").asc()
+    )
+    return (
+        scored.withColumn("_rnk", F.row_number().over(w))
+        .where(F.col("_rnk") <= k)
+        .select(
+            key,
+            F.col("_term").alias("term"),
+            "tf",
+            "df",
+            F.col("_rnk").cast("int").alias("rank"),
         )
     )
 
