@@ -173,11 +173,7 @@ def weighted_sample(
 
     Returns (stratum, key, weight, rank) with rank 1..quota by
     descending priority."""
-    u = (
-        f"(cast(conv(substring(md5(cast({key} as string)), 1, 13), 16, 10)"
-        f" as bigint) + 1) / 4503599627370496e0"
-    )
-    pri = F.expr(f"ln({u}) / {weight_col}")
+    pri = F.expr(AES_PRIORITY_SQL.format(key=key, weight=weight_col))
     w = Window.partitionBy(stratum_col).orderBy(
         pri.desc(), F.col(key).asc()
     )
@@ -191,6 +187,15 @@ def weighted_sample(
             F.col("_rnk").cast("int").alias("rank"),
         )
     )
+
+
+# The A-ES priority as a Spark SQL fragment — shared verbatim by the
+# batch operator and the streaming reservoir twin so both rank by the
+# bit-identical value.
+AES_PRIORITY_SQL = (
+    "ln((cast(conv(substring(md5(cast({key} as string)), 1, 13), 16, 10)"
+    " as bigint) + 1) / 4503599627370496e0) / {weight}"
+)
 
 
 def weighted_priority_sql(key: str, weight: str) -> str:
