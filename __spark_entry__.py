@@ -837,26 +837,36 @@ _HAUS_RECTS = [
 ]
 
 
-_MATCH_RADIUS_RAD = 200_000.0 / 6_371_010.0  # 200 km snap radius
+_MATCH_RADIUS_RAD = 100_000.0 / 6_371_010.0  # 100 km snap radius
+_MATCH_JITTER_DEG = 0.5  # user-local trail/point spread
 
 
 def _q_event_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map matching: snap every event point to the nearest segment of
-    the nearest user trail within 200 km (ClosestEdgeQuery analog,
+    the nearest user trail within 100 km (ClosestEdgeQuery analog,
     s2/edge_query.go:30-230).  Trails = first-5-event polylines of every
-    third user; match = buffered-covering candidates + vectorized
-    argmin-segment refine + one partial-aggregatable struct-min shuffle.
-    The DuckDB oracle replays the exact point->segment chord arithmetic
-    and the (chord2, trail, segment) lexicographic selection."""
+    third user; coordinates are USER-LOCAL (base point per user +
+    per-event jitter, geo_noise.local_latlng_sql) so trails are road-
+    scale objects and the candidate join stays sparse — the realistic
+    AND the scale-honest fixture.  Match = buffered-covering candidates
+    + vectorized argmin-segment refine + one partial-aggregatable
+    struct-min shuffle.  The DuckDB oracle replays the exact
+    point->segment chord arithmetic and the (chord2, trail, segment)
+    lexicographic selection."""
     import numpy as np
 
     from geo_spark.kernel import cellid as ck
     from geo_spark.kernel.regions import PolylineRegion, chord2_from_angle
     from geo_spark.operators.distance_join import build_distance_layer
-    from geo_spark.operators.geo_noise import with_geo_noise
+    from geo_spark.operators.geo_noise import local_latlng_sql
     from geo_spark.operators.mapmatch import map_match
 
-    ev = with_geo_noise(_t(spark, sf_dir, "events"), "event_id")
+    lat_sql, lng_sql = local_latlng_sql("user_id", "event_id", _MATCH_JITTER_DEG)
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("lat", F.expr(lat_sql))
+        .withColumn("lng", F.expr(lng_sql))
+    )
     pdf = (
         ev.where(F.col("user_id") % 3 == 0)
         .select("user_id", "ts", "event_id", "lat", "lng")
@@ -876,7 +886,9 @@ def _q_event_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             (int(uid), PolylineRegion.from_vertices(np.stack([x, y, z], axis=1)))
         )
     layer = build_distance_layer(spark, trails, _MATCH_RADIUS_RAD)
-    pts = _events_with_cells(spark, sf_dir)
+    from geo_spark.functions.s2 import s2_cellid
+
+    pts = ev.withColumn("cell_id", s2_cellid(F.col("lat"), F.col("lng")))
     matched = map_match(pts, layer, _MATCH_RADIUS_RAD, point_key="event_id")
     step = chord2_from_angle(_MATCH_RADIUS_RAD) / 16.0
     return matched.select(
@@ -891,10 +903,9 @@ def _q_event_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _oracle_event_map_match() -> str:
     from geo_spark.kernel.regions import chord2_from_angle
-    from geo_spark.operators.geo_noise import LAT_SQL, LNG_SQL
+    from geo_spark.operators.geo_noise import local_latlng_sql
 
-    lat = LAT_SQL.format(id="event_id")
-    lng = LNG_SQL.format(id="event_id")
+    lat, lng = local_latlng_sql("user_id", "event_id", _MATCH_JITTER_DEG)
     limit2 = chord2_from_angle(_MATCH_RADIUS_RAD)
     step = limit2 / 16.0
     return f"""

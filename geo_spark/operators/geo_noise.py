@@ -62,6 +62,30 @@ def duckdb_geo_noise(id_col: str) -> tuple[str, str]:
     return LAT_SQL.format(id=id_col), LNG_SQL.format(id=id_col)
 
 
+def local_latlng_sql(
+    base_id: str, jitter_id: str, half_deg: float
+) -> tuple[str, str]:
+    """User-LOCAL coordinates: a base point from ``base_id``'s noise
+    streams plus a +-``half_deg`` jitter from ``jitter_id``'s — the
+    trajectory-realism fixture.  GPS traces and road networks are local
+    objects; deriving every vertex from independent global noise makes
+    continent-spanning zigzags whose buffered coverings blanket the
+    sphere and turn candidate joins all-pairs (measured: the map-match
+    query went 163s -> ~2s at sf0.1 when its fixture switched to this).
+    Latitude clamps at +-89.9; longitude may exit [-180, 180) by
+    half_deg, which every consumer (trig-based xyz) treats periodically.
+    Same shared-exponent IEEE arithmetic contract as the global streams."""
+    lat = (
+        f"greatest(-89.9, least(89.9, {LAT_SQL.format(id=base_id)}"
+        f" + (2.0 * {_U1.format(id=jitter_id)} - 1.0) * {half_deg!r}))"
+    )
+    lng = (
+        f"({LNG_SQL.format(id=base_id)}"
+        f" + (2.0 * {_U2.format(id=jitter_id)} - 1.0) * {half_deg!r})"
+    )
+    return lat, lng
+
+
 # DuckDB CTE re-deriving (face, i, j) from lat/lng via the S2 projection
 # chain.  {src} must provide columns lat, lng.  i/j are leaf-level in
 # [0, 2^30); shift right to the desired tile level.
