@@ -38,6 +38,9 @@ HEADLINE_QUERIES = [
     "q_link_pagerank",  # 3 power iterations, one shuffle each
     "q_geo_sessions",  # per-user sessionization, one shuffle, no Python
     "q_tile_user_kmv",  # KMV distinct-users-per-tile sketch, rank-k window
+    "q_repetition_signals",  # Gopher repetition filters, zero Python nodes
+    "q_tfidf_topk",  # tf*ln(N/df) keywords, partial WindowGroupLimit
+    "q_weighted_sample",  # A-ES weighted draw, partial WindowGroupLimit
 ]
 
 
