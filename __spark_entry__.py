@@ -901,15 +901,16 @@ def _q_event_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
-def _oracle_event_map_match() -> str:
+def _map_match_oracle_ctes() -> str:
+    """The shared WITH-chain deriving ``best`` (rn = 1 rows are each
+    event's nearest (trail, segment) within the radius) — reused by the
+    map-match query oracle and the composed traffic rollup."""
     from geo_spark.kernel.regions import chord2_from_angle
     from geo_spark.operators.geo_noise import local_latlng_sql
 
     lat, lng = local_latlng_sql("user_id", "event_id", _MATCH_JITTER_DEG)
     limit2 = chord2_from_angle(_MATCH_RADIUS_RAD)
-    step = limit2 / 16.0
-    return f"""
-        WITH ranked AS (SELECT user_id, ts, event_id,
+    return f"""ranked AS (SELECT user_id, ts, event_id,
                                row_number() OVER (PARTITION BY user_id
                                                   ORDER BY ts, event_id) AS rk
                         FROM events WHERE user_id % 3 = 0),
@@ -963,11 +964,55 @@ def _oracle_event_map_match() -> str:
         best AS (SELECT event_id, trail_id, seg_idx, c2,
                         row_number() OVER (PARTITION BY event_id
                                            ORDER BY c2, trail_id, seg_idx) AS rn
-                 FROM cand WHERE c2 <= {limit2!r})
+                 FROM cand WHERE c2 <= {limit2!r})"""
+
+
+def _oracle_event_map_match() -> str:
+    from geo_spark.kernel.regions import chord2_from_angle
+
+    step = chord2_from_angle(_MATCH_RADIUS_RAD) / 16.0
+    return f"""
+        WITH {_map_match_oracle_ctes()}
         SELECT event_id, trail_id, seg_idx,
                CAST(least(CAST(floor(c2 / {step!r}) AS BIGINT), 15) AS INT)
                    AS dist_bucket
         FROM best WHERE rn = 1 ORDER BY event_id
+    """
+
+
+def _q_trail_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed geo certificate: map matching -> per-segment traffic
+    rollup.  Every matched event attributes to its nearest (trail,
+    segment); the rollup reports match count, exact distinct users and
+    first event per segment — the road-utilization aggregation a fleet/
+    traffic pipeline runs after snapping.  ONE oracle replays snap +
+    selection + rollup end to end (shared CTE chain with
+    q_event_map_match's oracle)."""
+    matched = _q_event_map_match(spark, sf_dir)
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    return (
+        matched.join(ev, "event_id")
+        .groupBy("trail_id", "seg_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("event_id").alias("first_event"),
+        )
+        .orderBy("trail_id", "seg_idx")
+    )
+
+
+def _oracle_trail_traffic() -> str:
+    return f"""
+        WITH {_map_match_oracle_ctes()}
+        SELECT b.trail_id, b.seg_idx,
+               COUNT(*) AS n_matched,
+               CAST(COUNT(DISTINCT ev.user_id) AS BIGINT) AS n_users,
+               MIN(b.event_id) AS first_event
+        FROM best b JOIN events ev ON ev.event_id = b.event_id
+        WHERE b.rn = 1
+        GROUP BY b.trail_id, b.seg_idx
+        ORDER BY b.trail_id, b.seg_idx
     """
 
 
@@ -5277,6 +5322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_link_hits": _q_link_hits,
         "q_quality_weighted_sample": _q_quality_weighted_sample,
         "q_tfidf_topk": _q_tfidf_topk,
+        "q_trail_traffic": _q_trail_traffic,
         "q_dtw_anchor_cost": _q_dtw_anchor_cost,
         "q_exact_dedup": _q_exact_dedup,
         "q_ngram_dedup_pairs": _q_ngram_dedup_pairs,
@@ -5355,6 +5401,7 @@ def oracle_sql() -> dict[str, str]:
         "q_link_hits": _oracle_link_hits(),
         "q_quality_weighted_sample": _oracle_quality_weighted_sample(),
         "q_tfidf_topk": _oracle_tfidf_topk(),
+        "q_trail_traffic": _oracle_trail_traffic(),
         "q_dtw_anchor_cost": _oracle_dtw_anchor_cost(),
         "q_exact_dedup": _oracle_exact_dedup(),
         "q_ngram_dedup_pairs": _oracle_ngram_dedup_pairs(),
