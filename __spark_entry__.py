@@ -4992,6 +4992,114 @@ def _oracle_link_hits() -> str:
     """
 
 
+_ZONAL_ZOOM = 6
+
+
+def _tile_center_sqls(zoom: int) -> tuple[str, str]:
+    """(lat_sql, lng_sql) of a web-mercator tile's CENTER with {tx}/{ty}
+    placeholders — the inverse-mercator formula written with explicit
+    exp() (DuckDB has no sinh), identical text on both engines."""
+    import math
+
+    n = float(1 << zoom)
+    a = f"({math.pi!r} * (1.0 - 2.0 * ({{ty}} + 0.5) / {n!r}))"
+    lat = f"degrees(atan((exp({a}) - exp(-{a})) / 2.0))"
+    lng = f"(({{tx}} + 0.5) / {n!r} * 360.0 - 180.0)"
+    return lat, lng
+
+
+def _q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics (the classic raster->vector aggregation): the
+    event heatmap rasterizes to zoom-6 web-mercator tile counts, each
+    occupied tile's CENTER is assigned to the spherical-cap zones via
+    the covering join, and every zone reports tile count / value sum /
+    fixed-point mean.  Scale shape: events collapse to the bounded tile
+    table first (the only full-data shuffle); the zone join touches one
+    row per occupied tile, never per event."""
+    from geo_spark.functions.s2 import s2_cellid
+    from geo_spark.functions.webgrid import mercator_xy_cols
+    from geo_spark.operators.geo_noise import with_geo_noise
+    from geo_spark.operators.spatial_join import spatial_join
+
+    n = 1 << _ZONAL_ZOOM
+    ev = with_geo_noise(_t(spark, sf_dir, "events"), "event_id")
+    tx, ty = mercator_xy_cols(F.col("lat"), F.col("lng"), _ZONAL_ZOOM)
+    tiles = (
+        ev.select(tx.alias("tx"), ty.alias("ty"))
+        .groupBy("tx", "ty")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    lat_sql, lng_sql = _tile_center_sqls(_ZONAL_ZOOM)
+    centers = tiles.select(
+        (F.col("tx") * n + F.col("ty")).alias("tile"),
+        "v",
+        F.expr(lat_sql.format(ty="ty")).alias("lat"),
+        F.expr(lng_sql.format(tx="tx")).alias("lng"),
+    ).withColumn("cell_id", s2_cellid(F.col("lat"), F.col("lng")))
+    joined = spatial_join(
+        centers,
+        _cap_layer(spark),
+        point_key="tile",
+        carry=("v",),
+        latlng=("lat", "lng"),
+    )
+    return (
+        joined.groupBy("geom_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tiles"),
+            F.sum("v").cast("long").alias("sum_v"),
+        )
+        .select(
+            "geom_id",
+            "n_tiles",
+            "sum_v",
+            F.expr("(sum_v * 1000000) div n_tiles").alias("mean_v_x1e6"),
+        )
+        .orderBy("geom_id")
+    )
+
+
+def _oracle_zonal_stats() -> str:
+    from geo_spark.functions.webgrid import mercator_xy_sql
+    from geo_spark.kernel.regions import chord2_from_angle
+    from geo_spark.operators.geo_noise import LAT_SQL, LNG_SQL
+
+    lat = LAT_SQL.format(id="event_id")
+    lng = LNG_SQL.format(id="event_id")
+    x, y = mercator_xy_sql("lat", "lng", _ZONAL_ZOOM)
+    lat_c, lng_c = _tile_center_sqls(_ZONAL_ZOOM)
+    caps = ", ".join(
+        "({g}, cos(radians({ln!r}))*cos(radians({la!r})), "
+        "sin(radians({ln!r}))*cos(radians({la!r})), sin(radians({la!r})), {r2!r})".format(
+            g=g, la=la, ln=ln, r2=chord2_from_angle(r)
+        )
+        for g, la, ln, r in _CAPS
+    )
+    return f"""
+        WITH pts AS (SELECT event_id, {lat} AS lat, {lng} AS lng FROM events),
+        t AS (SELECT {x} AS tx, {y} AS ty FROM pts),
+        tiles AS (SELECT tx, ty, COUNT(*) AS v FROM t GROUP BY 1, 2),
+        c AS (SELECT v, {lat_c.format(ty="ty")} AS lat,
+                     {lng_c.format(tx="tx")} AS lng
+              FROM tiles),
+        xyz AS (SELECT v,
+                       cos(radians(lng))*cos(radians(lat)) AS x,
+                       sin(radians(lng))*cos(radians(lat)) AS y,
+                       sin(radians(lat)) AS z
+                FROM c),
+        caps(geom_id, cx, cy, cz, r2) AS (VALUES {caps}),
+        m AS (SELECT geom_id, v
+              FROM xyz, caps
+              WHERE least((x-cx)*(x-cx) + (y-cy)*(y-cy) + (z-cz)*(z-cz),
+                          4.0) <= r2)
+        SELECT geom_id, COUNT(*) AS n_tiles,
+               CAST(SUM(v) AS BIGINT) AS sum_v,
+               CAST((CAST(SUM(v) AS BIGINT) * 1000000) // COUNT(*) AS BIGINT)
+                   AS mean_v_x1e6
+        FROM m GROUP BY geom_id ORDER BY geom_id
+    """
+
+
 _FOCAL_ZOOM = 7
 
 
@@ -5323,6 +5431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_weighted_sample": _q_quality_weighted_sample,
         "q_tfidf_topk": _q_tfidf_topk,
         "q_trail_traffic": _q_trail_traffic,
+        "q_zonal_stats": _q_zonal_stats,
         "q_dtw_anchor_cost": _q_dtw_anchor_cost,
         "q_exact_dedup": _q_exact_dedup,
         "q_ngram_dedup_pairs": _q_ngram_dedup_pairs,
@@ -5402,6 +5511,7 @@ def oracle_sql() -> dict[str, str]:
         "q_quality_weighted_sample": _oracle_quality_weighted_sample(),
         "q_tfidf_topk": _oracle_tfidf_topk(),
         "q_trail_traffic": _oracle_trail_traffic(),
+        "q_zonal_stats": _oracle_zonal_stats(),
         "q_dtw_anchor_cost": _oracle_dtw_anchor_cost(),
         "q_exact_dedup": _oracle_exact_dedup(),
         "q_ngram_dedup_pairs": _oracle_ngram_dedup_pairs(),
