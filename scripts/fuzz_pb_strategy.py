@@ -5,9 +5,12 @@ producing exact shared vertices).  Usage: fuzz_pb_strategy.py [seed] [n]."""
 from __future__ import annotations
 
 import math
+import os
 import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from geo_spark.kernel.booleans import loop_origin_inside, polygon_boolean
 from geo_spark.kernel.cellid import latlng_to_xyz
