@@ -736,15 +736,16 @@ def _q_trail_pair_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_trail_pair_distance() -> str:
-    from geo_spark.kernel.regions import chord2_from_angle
+def _trail_oracle_prefix(lat: str | None = None, lng: str | None = None) -> str:
+    """Shared CTE chain deriving per-user trail edges and the
+    interior-crossing pair set (``crossings``) — reused by the
+    trail-pair-distance oracle (global noise coordinates) and the
+    crossing-components oracle (user-local coordinates)."""
     from geo_spark.operators.geo_noise import LAT_SQL, LNG_SQL
 
-    lat = LAT_SQL.format(id="event_id")
-    lng = LNG_SQL.format(id="event_id")
-    thr = chord2_from_angle(_TRAIL_RADIUS_RAD)
-    return f"""
-        WITH ranked AS (SELECT user_id, ts, event_id,
+    lat = lat or LAT_SQL.format(id="event_id")
+    lng = lng or LNG_SQL.format(id="event_id")
+    return f"""ranked AS (SELECT user_id, ts, event_id,
                                row_number() OVER (PARTITION BY user_id
                                                   ORDER BY ts, event_id) AS rk
                         FROM events),
@@ -775,7 +776,15 @@ def _oracle_trail_pair_distance() -> str:
               AND (-(e1.nx*e2.ax + e1.ny*e2.ay + e1.nz*e2.az))
                   * (-(e2.nx*e1.bx + e2.ny*e1.by + e2.nz*e1.bz)) > 0
               AND (-(e1.nx*e2.ax + e1.ny*e2.ay + e1.nz*e2.az))
-                  * (e2.nx*e1.ax + e2.ny*e1.ay + e2.nz*e1.az) > 0),
+                  * (e2.nx*e1.ax + e2.ny*e1.ay + e2.nz*e1.az) > 0)"""
+
+
+def _oracle_trail_pair_distance() -> str:
+    from geo_spark.kernel.regions import chord2_from_angle
+
+    thr = chord2_from_angle(_TRAIL_RADIUS_RAD)
+    return f"""
+        WITH {_trail_oracle_prefix()},
         -- vertex-to-segment chord2, both directions
         vs AS (
             SELECT least(v.user_id, e.user_id) AS ua,
@@ -1013,6 +1022,91 @@ def _oracle_trail_traffic() -> str:
         WHERE b.rn = 1
         GROUP BY b.trail_id, b.seg_idx
         ORDER BY b.trail_id, b.seg_idx
+    """
+
+
+_XC_JITTER_DEG = 5.0
+_XC_RADIUS_RAD = 50_000.0 / 6_371_010.0
+
+
+def _q_trail_crossing_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory-network compose: user-LOCAL trails (base + 5-degree
+    jitter — sparse, multi-component crossing structure; the global-
+    noise trails collapse into one blob) cross pairwise via the
+    `crossed` flag of the pair-distance join; connected components
+    resolve with the same min-label + pointer-jumping operator that
+    concludes web-scale dedup (operators/dedup.dedup_clusters); each
+    component reports its min-id representative and size.  ONE oracle:
+    shared trail/crossing CTE prefix + recursive-CTE reachability."""
+    import numpy as np
+
+    from geo_spark.kernel import cellid as ck
+    from geo_spark.kernel.regions import PolylineRegion
+    from geo_spark.operators.dedup import dedup_clusters
+    from geo_spark.operators.distance_join import build_distance_layer
+    from geo_spark.operators.geo_noise import local_latlng_sql
+    from geo_spark.operators.geom_join import polyline_distance_join
+    from geo_spark.operators.spatial_join import build_layer
+
+    lat_sql, lng_sql = local_latlng_sql("user_id", "event_id", _XC_JITTER_DEG)
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("lat", F.expr(lat_sql))
+        .withColumn("lng", F.expr(lng_sql))
+    )
+    pdf = (
+        ev.select("user_id", "ts", "event_id", "lat", "lng")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+        .groupby("user_id")
+        .head(5)
+    )
+    trails = []
+    for uid, g in pdf.groupby("user_id"):
+        if len(g) < 2:
+            continue
+        x, y, z = ck.latlng_to_xyz(
+            g["lat"].to_numpy(np.float64), g["lng"].to_numpy(np.float64)
+        )
+        trails.append(
+            (int(uid), PolylineRegion.from_vertices(np.stack([x, y, z], axis=1)))
+        )
+    a = build_distance_layer(spark, trails, _XC_RADIUS_RAD)
+    b = build_layer(spark, trails, max_cells=8, interior=False)
+    pairs = (
+        polyline_distance_join(a, b, _XC_RADIUS_RAD)
+        .where(F.col("aid") < F.col("bid"))
+        .where(F.col("crossed"))
+    )
+    comp = dedup_clusters(
+        pairs.select(F.col("aid").alias("da"), F.col("bid").alias("db")),
+        key="user_id",
+    )
+    return (
+        comp.groupBy("rep")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy("rep")
+    )
+
+
+def _oracle_trail_crossing_components() -> str:
+    from geo_spark.operators.geo_noise import local_latlng_sql
+
+    lat, lng = local_latlng_sql("user_id", "event_id", _XC_JITTER_DEG)
+    return f"""
+        WITH RECURSIVE {_trail_oracle_prefix(lat, lng)},
+        e AS (SELECT ua AS u, ub AS v FROM crossings
+              UNION SELECT ub, ua FROM crossings),
+        reach(u, v) AS (
+          SELECT u, v FROM e
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+        ),
+        comp AS (
+          SELECT u AS id, least(u, MIN(v)) AS rep FROM reach GROUP BY u
+        )
+        SELECT rep, COUNT(*) AS n_members
+        FROM comp GROUP BY rep ORDER BY rep
     """
 
 
@@ -5432,6 +5526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tfidf_topk": _q_tfidf_topk,
         "q_trail_traffic": _q_trail_traffic,
         "q_zonal_stats": _q_zonal_stats,
+        "q_trail_crossing_components": _q_trail_crossing_components,
         "q_dtw_anchor_cost": _q_dtw_anchor_cost,
         "q_exact_dedup": _q_exact_dedup,
         "q_ngram_dedup_pairs": _q_ngram_dedup_pairs,
@@ -5512,6 +5607,7 @@ def oracle_sql() -> dict[str, str]:
         "q_tfidf_topk": _oracle_tfidf_topk(),
         "q_trail_traffic": _oracle_trail_traffic(),
         "q_zonal_stats": _oracle_zonal_stats(),
+        "q_trail_crossing_components": _oracle_trail_crossing_components(),
         "q_dtw_anchor_cost": _oracle_dtw_anchor_cost(),
         "q_exact_dedup": _oracle_exact_dedup(),
         "q_ngram_dedup_pairs": _oracle_ngram_dedup_pairs(),
