@@ -24,6 +24,32 @@ def test_star_graph_separates_hubs_from_authorities(spark):
     assert got[5] == (0.0, 0.0)  # isolated node
 
 
+def test_hits_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    n = 40
+    edges = [
+        (int(a), int(b))
+        for a, b in rng.integers(0, n, (150, 2))
+        if a != b
+    ]
+    got = _run(spark, edges, range(n), iters=4)
+
+    E = np.zeros((n, n))
+    for a, b in set(edges):
+        E[a, b] = 1.0
+    h = np.full(n, 1.0 / n)
+    for _ in range(4):
+        a = E.T @ h
+        a = a / (a.sum() or 1.0)
+        h = E @ a
+        h = h / (h.sum() or 1.0)
+    for i in range(n):
+        assert abs(got[i][0] - h[i]) < 1e-12, i
+        assert abs(got[i][1] - a[i]) < 1e-12, i
+
+
 def test_l1_normalized_and_self_loops_dropped(spark):
     edges = [(0, 1), (1, 2), (2, 0), (2, 2), (2, 2)]  # dup self-loops
     got = _run(spark, edges, range(3))
