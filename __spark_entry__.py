@@ -4040,6 +4040,43 @@ def _oracle_repetition_signals() -> str:
     """
 
 
+def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (window 32, overlap 8) — the
+    standard pretraining prep step; DuckDB twin replays the k-range
+    arithmetic and the ordered window rebuild."""
+    from geo_spark.operators.sampling import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=32, overlap=8
+    ).orderBy("doc_id", "chunk_id")
+
+
+def _oracle_chunk_documents() -> str:
+    chunk, overlap = 32, 8
+    stride = chunk - overlap
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(generate_series(1, len(string_split(text, ' ')))) - 1
+                     AS pos,
+                 unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+        spread AS (
+          SELECT doc_id, pos, tok,
+                 unnest(generate_series(
+                   CASE WHEN pos < {chunk} THEN 0
+                        ELSE (pos - {chunk}) // {stride} + 1 END,
+                   pos // {stride})) AS chunk_id
+          FROM toks)
+        SELECT doc_id, chunk_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+        FROM spread
+        GROUP BY doc_id, chunk_id
+        ORDER BY doc_id, chunk_id
+    """
+
+
 def _q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF keywords per document (score = tf * ln(N/df),
     ties to the lexicographically smaller term).  Both factors are
@@ -5527,6 +5564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_trail_traffic": _q_trail_traffic,
         "q_zonal_stats": _q_zonal_stats,
         "q_trail_crossing_components": _q_trail_crossing_components,
+        "q_chunk_documents": _q_chunk_documents,
         "q_dtw_anchor_cost": _q_dtw_anchor_cost,
         "q_exact_dedup": _q_exact_dedup,
         "q_ngram_dedup_pairs": _q_ngram_dedup_pairs,
@@ -5608,6 +5646,7 @@ def oracle_sql() -> dict[str, str]:
         "q_trail_traffic": _oracle_trail_traffic(),
         "q_zonal_stats": _oracle_zonal_stats(),
         "q_trail_crossing_components": _oracle_trail_crossing_components(),
+        "q_chunk_documents": _oracle_chunk_documents(),
         "q_dtw_anchor_cost": _oracle_dtw_anchor_cost(),
         "q_exact_dedup": _oracle_exact_dedup(),
         "q_ngram_dedup_pairs": _oracle_ngram_dedup_pairs(),

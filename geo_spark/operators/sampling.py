@@ -189,6 +189,61 @@ def weighted_sample(
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    key: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping token windows (the standard
+    pretraining chunking step: window ``chunk_tokens``, stride
+    ``chunk_tokens - overlap``).  Token at position p belongs to every
+    chunk k with k*stride <= p < k*stride + chunk_tokens; trailing
+    windows may be short (and, when the doc ends inside an overlap,
+    a tail window can be a subset of its predecessor — included by
+    spec, deterministic).
+
+    Integer arithmetic only, and the k-range derivation keeps every
+    numerator non-negative: Spark's `div` truncates toward zero while
+    DuckDB's `//` floors, so a negative intermediate would silently
+    diverge between engine and oracle.
+
+    Scale shape: posexplode -> bounded explode (<= chunk/stride chunk
+    ids per token) -> ONE groupBy(key, chunk) rebuilding each window
+    with a sorted collect_list — per-group state bounded by the window
+    size, never the document."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = docs.select(
+        F.col(key),
+        F.posexplode(F.split(F.col(text_col), " ", -1)).alias("_pos", "_tok"),
+    )
+    kmin = F.when(F.col("_pos") < chunk_tokens, F.lit(0)).otherwise(
+        F.expr(f"(_pos - {chunk_tokens}) div {stride} + 1")
+    )
+    kmax = F.expr(f"_pos div {stride}")
+    spread = toks.withColumn(
+        "chunk_id", F.explode(F.sequence(kmin.cast("long"), kmax.cast("long")))
+    )
+    return (
+        spread.groupBy(key, "chunk_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_pos", "_tok"))
+                    ),
+                    lambda s: s["_tok"],
+                ),
+            ).alias("chunk_text"),
+        )
+    )
+
+
 # The A-ES priority as a Spark SQL fragment — shared verbatim by the
 # batch operator and the streaming reservoir twin so both rank by the
 # bit-identical value.
