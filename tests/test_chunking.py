@@ -29,6 +29,32 @@ def test_short_doc_single_chunk(spark):
     assert got == [(0, 3, "a b c")]
 
 
+def test_random_differential_vs_python(spark):
+    import random
+
+    rng = random.Random(4242)
+    rows = []
+    for i in range(60):
+        n = rng.randint(1, 50)
+        rows.append((i, " ".join(f"w{rng.randint(0, 9)}" for _ in range(n))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    chunk, overlap = 8, 3
+    stride = chunk - overlap
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["n_tokens"], r["chunk_text"])
+        for r in chunk_documents(df, chunk, overlap).collect()
+    }
+    want = {}
+    for i, text in rows:
+        toks = text.split(" ")
+        k = 0
+        while k * stride < len(toks):
+            w = toks[k * stride : k * stride + chunk]
+            want[(i, k)] = (len(w), " ".join(w))
+            k += 1
+    assert got == want
+
+
 def test_full_coverage_property(spark):
     text = " ".join(str(i) for i in range(57))
     got = _run(spark, text, 16, 4)
