@@ -38,7 +38,7 @@ from geo_spark.kernel.regions import PolylineRegion, chord2_from_angle
 from geo_spark.operators.spatial_join import Layer, _candidates
 
 
-def map_match(
+def refine_candidates(
     points: DataFrame,
     layer: Layer,
     radius_rad: float,
@@ -46,10 +46,10 @@ def map_match(
     cell_col: str = "cell_id",
     latlng: tuple[str, str] = ("lat", "lng"),
 ) -> DataFrame:
-    """(point_key, geom_id, seg_idx, chord2): the nearest polyline
-    segment within the radius, one row per matched point.  ``layer``
-    must be a buffered distance layer over PolylineRegions (see
-    distance_join.build_distance_layer)."""
+    """(point_key, geom_id, seg_idx, chord2) candidate rows — the
+    covering join + per-(point, polyline) argmin-segment refine, before
+    the global per-point argmin.  Stateless, so it runs unchanged on a
+    streaming points DataFrame (stream-static join + mapInPandas)."""
     if layer.regions is None:
         raise ValueError("map_match requires a closure-size layer")
     pts = points.select(point_key, cell_col, *latlng)
@@ -88,7 +88,22 @@ def map_match(
                 }
             )
 
-    refined = cand.mapInPandas(fn, schema)
+    return cand.mapInPandas(fn, schema)
+
+
+def map_match(
+    points: DataFrame,
+    layer: Layer,
+    radius_rad: float,
+    point_key: str,
+    cell_col: str = "cell_id",
+    latlng: tuple[str, str] = ("lat", "lng"),
+) -> DataFrame:
+    """(point_key, geom_id, seg_idx, chord2): the nearest polyline
+    segment within the radius, one row per matched point.  ``layer``
+    must be a buffered distance layer over PolylineRegions (see
+    distance_join.build_distance_layer)."""
+    refined = refine_candidates(points, layer, radius_rad, point_key, cell_col, latlng)
     # Global nearest (edge within radius) per point: one aggregation,
     # partial on the map side, lexicographic (chord2, geom_id, seg_idx).
     best = refined.groupBy(point_key).agg(
