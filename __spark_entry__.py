@@ -3359,6 +3359,92 @@ def _oracle_domain_stats() -> str:
     """
 
 
+def _q_domain_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed webcorpus certificate: per registered domain, the
+    fraction of its LINES that are corpus-wide duplicates (the CCNet
+    boilerplate signal rolled up to the crawl's natural unit).  Line
+    counts shuffle once corpus-wide (map-side combined); the domain
+    rollup is a second keyed aggregate; integer fixed-point output.
+    ONE oracle replays url -> registered domain, corpus line counts and
+    the rollup end to end."""
+    from geo_spark.operators.webcorpus import (
+        host_col,
+        registered_domain_col,
+        synthetic_url_sql,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(synthetic_url_sql("doc_id")).alias("url"),
+        F.expr(r"replace(text, ' a ', '\n')").alias("text"),
+    )
+    lines = docs.select(
+        "doc_id",
+        registered_domain_col(host_col(F.col("url"))).alias("domain"),
+        F.explode(F.split("text", "\n", -1)).alias("line"),
+    )
+    counts = lines.groupBy("line").agg(F.count(F.lit(1)).alias("_n"))
+    flagged = lines.join(counts, "line").select(
+        "domain", (F.col("_n") >= 2).cast("long").alias("is_dup")
+    )
+    return (
+        flagged.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum("is_dup").cast("long").alias("n_dup_lines"),
+        )
+        .select(
+            "domain",
+            "n_lines",
+            "n_dup_lines",
+            F.expr("(n_dup_lines * 1000000) div n_lines").alias(
+                "dup_rate_x1e6"
+            ),
+        )
+        .orderBy("domain")
+    )
+
+
+def _oracle_domain_boilerplate() -> str:
+    from geo_spark.operators.webcorpus import (
+        HOST_RE,
+        MULTI_LABEL_SUFFIXES,
+        synthetic_url_sql,
+    )
+
+    suffixes = ", ".join(f"'{s}'" for s in MULTI_LABEL_SUFFIXES)
+    return rf"""
+        WITH urls AS (
+          SELECT doc_id, {synthetic_url_sql('doc_id')} AS url,
+                 replace(text, ' a ', chr(10)) AS t
+          FROM documents),
+        h AS (SELECT doc_id, t,
+                     lower(regexp_extract(url, '{HOST_RE}', 1)) AS host
+              FROM urls),
+        parts AS (SELECT *, string_split(host, '.') AS labels FROM h),
+        d AS (SELECT doc_id, t,
+                     CASE WHEN len(labels) <= 2 THEN host
+                          WHEN array_to_string(labels[-2:], '.') IN ({suffixes})
+                               AND len(labels) >= 3
+                            THEN array_to_string(labels[-3:], '.')
+                          ELSE array_to_string(labels[-2:], '.')
+                     END AS domain
+              FROM parts),
+        lines AS (SELECT domain, unnest(string_split(t, chr(10))) AS line
+                  FROM d),
+        counts AS (SELECT line, COUNT(*) AS n FROM lines GROUP BY 1),
+        flagged AS (SELECT l.domain,
+                           CASE WHEN c.n >= 2 THEN 1 ELSE 0 END AS is_dup
+                    FROM lines l JOIN counts c USING (line))
+        SELECT domain,
+               COUNT(*) AS n_lines,
+               CAST(SUM(is_dup) AS BIGINT) AS n_dup_lines,
+               CAST((CAST(SUM(is_dup) AS BIGINT) * 1000000) // COUNT(*)
+                    AS BIGINT) AS dup_rate_x1e6
+        FROM flagged GROUP BY domain ORDER BY domain
+    """
+
+
 def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact URL dedup after RFC 3986 canonicalization (fragment strip,
     scheme+host lowercase, default-port strip): consecutive doc-id
@@ -5565,6 +5651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_zonal_stats": _q_zonal_stats,
         "q_trail_crossing_components": _q_trail_crossing_components,
         "q_chunk_documents": _q_chunk_documents,
+        "q_domain_boilerplate": _q_domain_boilerplate,
         "q_dtw_anchor_cost": _q_dtw_anchor_cost,
         "q_exact_dedup": _q_exact_dedup,
         "q_ngram_dedup_pairs": _q_ngram_dedup_pairs,
@@ -5647,6 +5734,7 @@ def oracle_sql() -> dict[str, str]:
         "q_zonal_stats": _oracle_zonal_stats(),
         "q_trail_crossing_components": _oracle_trail_crossing_components(),
         "q_chunk_documents": _oracle_chunk_documents(),
+        "q_domain_boilerplate": _oracle_domain_boilerplate(),
         "q_dtw_anchor_cost": _oracle_dtw_anchor_cost(),
         "q_exact_dedup": _oracle_exact_dedup(),
         "q_ngram_dedup_pairs": _oracle_ngram_dedup_pairs(),
