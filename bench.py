@@ -41,6 +41,8 @@ HEADLINE_QUERIES = [
     "q_repetition_signals",  # Gopher repetition filters, zero Python nodes
     "q_tfidf_topk",  # tf*ln(N/df) keywords, partial WindowGroupLimit
     "q_weighted_sample",  # A-ES weighted draw, partial WindowGroupLimit
+    "q_event_map_match",  # GPS snap: covering candidates + argmin refine
+    "q_zonal_stats",  # raster->vector zonal aggregation per cap zone
 ]
 
 
