@@ -161,6 +161,45 @@ def _arc_midpoint(arc: list[np.ndarray]) -> np.ndarray:
     return best
 
 
+# Probe points used to classify an arc/edge against the OTHER region must
+# stay clear of that region's vertices: a probe landing on (or within the
+# side-probe offset of) a vertex of the other boundary sits exactly on the
+# membership discontinuity — the shared-vertex tangency family, where one
+# region's boundary passes through the other's vertex without crossing.
+_PROBE_CLEARANCE = 2e-8
+
+
+def _clear_of(p: np.ndarray, avoid: np.ndarray | None) -> bool:
+    if avoid is None or len(avoid) == 0:
+        return True
+    d2 = ((avoid - p) ** 2).sum(axis=1).min()
+    return float(d2) > _PROBE_CLEARANCE * _PROBE_CLEARANCE
+
+
+def _arc_probes(
+    arc: list[np.ndarray], avoid: np.ndarray | None, k: int = 3
+) -> list[np.ndarray]:
+    """Up to ``k`` points strictly inside the arc, spread across its longest
+    segments, each at least _PROBE_CLEARANCE (chord) from every ``avoid``
+    vertex.  Falls back to the plain longest-segment midpoint when the whole
+    arc runs within clearance of the avoid set (then the arc is a seam and
+    is classified elsewhere)."""
+    order = sorted(
+        range(len(arc) - 1),
+        key=lambda i: -float((arc[i] - arc[i + 1]) @ (arc[i] - arc[i + 1])),
+    )
+    out: list[np.ndarray] = []
+    for i in order:
+        for t in (0.5, 0.381966, 0.618034):
+            p = (1.0 - t) * arc[i] + t * arc[i + 1]
+            p = p / math.sqrt(p @ p)
+            if _clear_of(p, avoid):
+                out.append(p)
+                if len(out) >= k:
+                    return out
+    return out if out else [_arc_midpoint(arc)]
+
+
 def _stitch(arcs: list[tuple[list[np.ndarray], tuple, tuple]]) -> list[np.ndarray]:
     """Join arcs end-key -> start-key into closed loops.
 
@@ -677,27 +716,38 @@ def polygon_boolean(a_rings: list, b_rings: list, op: str) -> list[np.ndarray]:
         # vertex — triangle apothem == hole circumradius) gives equal
         # memberships; in that case move along the edge / to the next edge
         # until a decisive pair is found.
+        avoid = np.concatenate(rings) if rings else None
         out = []
         for r in rings:
             n = len(r)
             oriented = None
-            for i in range(n):
-                p0, p1 = r[i], r[(i + 1) % n]
-                for t in (0.5, 0.381966, 0.618034, 0.145898, 0.854102):
-                    nrm = np.cross(p0, p1)
-                    nn = math.sqrt(nrm @ nrm)
-                    if nn == 0:
-                        break
-                    nrm = nrm / nn
-                    mid = (1.0 - t) * p0 + t * p1
-                    mid = mid / math.sqrt(mid @ mid)
-                    probes = np.stack([mid + 1e-8 * nrm, mid - 1e-8 * nrm])
-                    probes = probes / np.sqrt(
-                        (probes**2).sum(axis=1, keepdims=True)
-                    )
-                    m = _parity_contains(prepped, probes)
-                    if bool(m[0]) != bool(m[1]):
-                        oriented = r if bool(m[0]) else r[::-1]
+            # pass 0 keeps probe pairs clear of the polygon's own other
+            # vertices (e.g. a hole vertex tangent to this edge): the
+            # decisive-flip retry below cannot detect a pair that flips
+            # across the WRONG feature.  Pass 1 drops the clearance filter
+            # so sub-clearance-sized rings still get oriented.
+            for use_clearance in (True, False):
+                for i in range(n):
+                    p0, p1 = r[i], r[(i + 1) % n]
+                    for t in (0.5, 0.381966, 0.618034, 0.145898, 0.854102):
+                        nrm = np.cross(p0, p1)
+                        nn = math.sqrt(nrm @ nrm)
+                        if nn == 0:
+                            break
+                        nrm = nrm / nn
+                        mid = (1.0 - t) * p0 + t * p1
+                        mid = mid / math.sqrt(mid @ mid)
+                        if use_clearance and not _clear_of(mid, avoid):
+                            continue
+                        probes = np.stack([mid + 1e-8 * nrm, mid - 1e-8 * nrm])
+                        probes = probes / np.sqrt(
+                            (probes**2).sum(axis=1, keepdims=True)
+                        )
+                        m = _parity_contains(prepped, probes)
+                        if bool(m[0]) != bool(m[1]):
+                            oriented = r if bool(m[0]) else r[::-1]
+                            break
+                    if oriented is not None:
                         break
                 if oriented is not None:
                     break
@@ -772,19 +822,34 @@ def polygon_boolean(a_rings: list, b_rings: list, op: str) -> list[np.ndarray]:
     _SEAM_EPS = 1e-8
     _SEAM_TS = (0.5, 0.381966, 0.618034, 0.145898, 0.854102)
 
+    # vertex sets each side's probes must stay clear of (see _arc_probes)
+    a_avoid = np.concatenate(a_rings) if a_rings else np.empty((0, 3))
+    b_avoid = np.concatenate(b_rings) if b_rings else np.empty((0, 3))
+    both_avoid = np.concatenate([a_avoid, b_avoid])
+
     def seam_vote(p0, p1):
         """(flip, left_in_result): majority-voted membership-flip test
         across probe positions along the seam.  A single position can
         sit within _SEAM_EPS of an unrelated feature — e.g. a same-side
         hole vertex tangent to the shell edge (within-side tangencies
         are NOT snapped; only B snaps onto A) — and classify the wrong
-        side; such features meet the edge in isolated points, so the
-        majority of spread-out positions is unaffected."""
+        side; such features meet the edge in isolated points, so
+        positions within probe clearance of ANY input vertex are skipped
+        up front and the remaining spread-out majority decides."""
         nrm = np.cross(p0, p1)
         nrm = nrm / math.sqrt(nrm @ nrm)
+        ts = [
+            t
+            for t in _SEAM_TS
+            if _clear_of(
+                (m := (1.0 - t) * p0 + t * p1) / math.sqrt(m @ m), both_avoid
+            )
+        ]
+        if len(ts) < 3:
+            ts = list(_SEAM_TS)
         flips = 0
         lefts = 0
-        for t in _SEAM_TS:
+        for t in ts:
             mid = (1.0 - t) * p0 + t * p1
             mid = mid / math.sqrt(mid @ mid)
             probes = np.stack(
@@ -797,22 +862,20 @@ def polygon_boolean(a_rings: list, b_rings: list, op: str) -> list[np.ndarray]:
             if bool(m[0]) != bool(m[1]):
                 flips += 1
                 lefts += int(bool(m[0]))
-        if flips * 2 <= len(_SEAM_TS):
+        if flips * 2 <= len(ts):
             return False, False
         return True, lefts * 2 > flips
 
-    def untouched_inside(ring, other_prep) -> bool:
-        """Whole-ring side decision, majority-voted across positions on
-        the first edge (a single midpoint can coincide with a tangency
-        of the other boundary)."""
-        votes = 0
-        for t in (0.5, 0.381966, 0.618034):
-            mid = (1.0 - t) * ring[0] + t * ring[1]
-            mid = mid / math.sqrt(mid @ mid)
-            votes += int(
-                bool(_parity_contains(other_prep, mid[None, :])[0])
-            )
-        return votes >= 2
+    def untouched_inside(ring, other_prep, other_avoid) -> bool:
+        """Whole-ring side decision, majority-voted across probe points
+        spread over the ring's edges, each kept clear of the other
+        boundary's vertices (a midpoint can coincide with a tangency of
+        the other boundary)."""
+        probes = _arc_probes(list(ring) + [ring[0]], other_avoid, k=3)
+        votes = int(
+            _parity_contains(other_prep, np.stack(probes)).sum()
+        )
+        return votes * 2 > len(probes)
 
     def is_seam(arc) -> bool:
         pts, s, e = arc
@@ -821,21 +884,30 @@ def polygon_boolean(a_rings: list, b_rings: list, op: str) -> list[np.ndarray]:
     kept = []
     whole: list[np.ndarray] = []
 
-    def handle_side(rings, crossings, vkeys, other_prep, keep_when_inside, reverse):
+    def handle_side(
+        rings, crossings, vkeys, other_prep, other_avoid, keep_when_inside, reverse
+    ):
         # with region-left input orientation, kept arcs already have the
         # result region on their left — except B's arcs in a difference
         # (the result lies in B's complement), which are reversed
         for ri, ring in enumerate(rings):
             if not crossings[ri] and not vkeys[ri]:
                 # untouched ring: voted whole-ring side decision
-                if untouched_inside(ring, other_prep) == keep_when_inside:
+                if untouched_inside(ring, other_prep, other_avoid) == keep_when_inside:
                     whole.append(ring[::-1] if reverse else ring)
                 continue
             for arc in _split_chain(ring, crossings[ri], vkeys[ri]):
                 if is_seam(arc):
                     continue  # handled once from the A side below
-                mid = _arc_midpoint(arc[0])
-                inside = bool(_parity_contains(other_prep, mid[None, :])[0])
+                # majority over probe points clear of the other boundary's
+                # vertices: an arc interior can pass exactly through an
+                # other-side vertex (shared-vertex tangency) where a single
+                # midpoint test sits on the membership discontinuity
+                probes = _arc_probes(arc[0], other_avoid, k=3)
+                votes = int(
+                    _parity_contains(other_prep, np.stack(probes)).sum()
+                )
+                inside = votes * 2 > len(probes)
                 if inside == keep_when_inside:
                     if reverse:
                         pts, s, e = arc
@@ -861,14 +933,14 @@ def polygon_boolean(a_rings: list, b_rings: list, op: str) -> list[np.ndarray]:
                 kept.append((pts[::-1], e, s))
 
     if op == "union":
-        handle_side(a_rings, cross_a, a_vkeys, b_prep, False, False)
-        handle_side(b_rings, cross_b, b_vkeys, a_prep, False, False)
+        handle_side(a_rings, cross_a, a_vkeys, b_prep, b_avoid, False, False)
+        handle_side(b_rings, cross_b, b_vkeys, a_prep, a_avoid, False, False)
     elif op == "intersection":
-        handle_side(a_rings, cross_a, a_vkeys, b_prep, True, False)
-        handle_side(b_rings, cross_b, b_vkeys, a_prep, True, False)
+        handle_side(a_rings, cross_a, a_vkeys, b_prep, b_avoid, True, False)
+        handle_side(b_rings, cross_b, b_vkeys, a_prep, a_avoid, True, False)
     else:  # difference
-        handle_side(a_rings, cross_a, a_vkeys, b_prep, False, False)
-        handle_side(b_rings, cross_b, b_vkeys, a_prep, True, True)
+        handle_side(a_rings, cross_a, a_vkeys, b_prep, b_avoid, False, False)
+        handle_side(b_rings, cross_b, b_vkeys, a_prep, a_avoid, True, True)
 
     if not found and not whole and not kept:
         return []
