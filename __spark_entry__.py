@@ -5620,6 +5620,315 @@ def _oracle_geo_sessions() -> str:
 # ---------------------------------------------------------------------------
 
 
+_ASOF_TOL_US = 6 * 3600 * 1_000_000  # 6 h attribution window
+_CONV_TOL_US = 12 * 3600 * 1_000_000  # 12 h conversion window
+
+
+def _q_event_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of attribution: every purchase event matched to the most
+    recent same-user non-purchase event within 6 h (inclusive ties),
+    per-row output.  operators/asof.py plans this as the union-and-
+    carry single-shuffle window, never a non-equi nested loop; the
+    DuckDB twin uses the engine's own native ASOF LEFT JOIN — a
+    structurally independent implementation of the same semantics.
+    Pseudo-time stream (geo_noise.TS_US_SQL) keeps both engines on
+    exact integer microseconds."""
+    from pyspark.sql import Window
+
+    from geo_spark.operators.asof import asof_join
+    from geo_spark.operators.geo_noise import with_time_noise
+
+    ev = with_time_noise(_t(spark, sf_dir, "events"), "event_id")
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    # unique right (user, ts): keep max event_id — the same rule both
+    # engines apply, so tie outcomes never depend on ASOF arbitration
+    w = Window.partitionBy("user_id", "ts_us").orderBy(
+        F.col("event_id").desc()
+    )
+    right = (
+        ev.where(F.col("event_type") != "purchase")
+        .select("user_id", "ts_us", "event_id", "event_type")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    out = asof_join(
+        left,
+        right,
+        keys=["user_id"],
+        left_ts="ts_us",
+        right_ts="ts_us",
+        right_cols=["event_id", "event_type"],
+        tolerance=_ASOF_TOL_US,
+    )
+    return out.select(
+        "event_id",
+        F.col("r_event_id").alias("src_event_id"),
+        F.col("r_event_type").alias("src_event_type"),
+        (F.col("ts_us") - F.col("r_ts_us")).alias("gap_us"),
+    ).orderBy("event_id")
+
+
+def _oracle_event_asof() -> str:
+    from geo_spark.operators.geo_noise import TS_US_SQL
+
+    ts = TS_US_SQL.format(id="event_id")
+    return f"""
+        WITH ev AS (SELECT event_id, user_id, event_type,
+                           {ts} AS ts_us
+                    FROM events),
+        l AS (SELECT event_id, user_id, ts_us FROM ev
+              WHERE event_type = 'purchase'),
+        r0 AS (SELECT user_id, ts_us, event_id, event_type,
+                      row_number() OVER (PARTITION BY user_id, ts_us
+                                         ORDER BY event_id DESC) AS rn
+               FROM ev WHERE event_type <> 'purchase'),
+        r AS (SELECT user_id, ts_us, event_id, event_type
+              FROM r0 WHERE rn = 1)
+        SELECT l.event_id,
+               CASE WHEN l.ts_us - r.ts_us <= {_ASOF_TOL_US}
+                    THEN r.event_id END AS src_event_id,
+               CASE WHEN l.ts_us - r.ts_us <= {_ASOF_TOL_US}
+                    THEN r.event_type END AS src_event_type,
+               CASE WHEN l.ts_us - r.ts_us <= {_ASOF_TOL_US}
+                    THEN l.ts_us - r.ts_us END AS gap_us
+        FROM l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
+        ORDER BY l.event_id
+    """
+
+
+def _q_click_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of compose: every click matched to the user's NEXT
+    purchase within 12 h (forward direction), rolled up per user into
+    click count, conversions, converted cents, and an integer ppm
+    conversion rate.  The DuckDB twin drives its native backward-only
+    ASOF JOIN on negated timestamps (l.-ts >= r.-ts <=> r.ts >= l.ts)
+    — same semantics, independent machinery."""
+    from pyspark.sql import Window
+
+    from geo_spark.operators.asof import asof_join
+    from geo_spark.operators.geo_noise import with_time_noise
+
+    ev = with_time_noise(_t(spark, sf_dir, "events"), "event_id")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_us"
+    )
+    w = Window.partitionBy("user_id", "ts_us").orderBy(F.col("event_id"))
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", "ts_us", "event_id", "value")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    j = asof_join(
+        clicks,
+        purchases,
+        keys=["user_id"],
+        left_ts="ts_us",
+        right_ts="ts_us",
+        right_cols=["event_id", "value"],
+        direction="forward",
+        tolerance=_CONV_TOL_US,
+    )
+    agg = j.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.count("r_event_id").alias("n_conv"),
+        F.coalesce(
+            F.sum(F.floor(F.col("r_value") * 100).cast("long")), F.lit(0)
+        ).alias("conv_cents"),
+    )
+    return agg.select(
+        "user_id",
+        "n_clicks",
+        "n_conv",
+        "conv_cents",
+        F.expr("CAST(n_conv * 1000000 DIV n_clicks AS BIGINT)").alias(
+            "conv_ppm"
+        ),
+    ).orderBy("user_id")
+
+
+def _oracle_click_conversion() -> str:
+    from geo_spark.operators.geo_noise import TS_US_SQL
+
+    ts = TS_US_SQL.format(id="event_id")
+    return f"""
+        WITH ev AS (SELECT event_id, user_id, event_type, value,
+                           {ts} AS ts_us
+                    FROM events),
+        l AS (SELECT event_id, user_id, ts_us, -ts_us AS nts FROM ev
+              WHERE event_type = 'click'),
+        r0 AS (SELECT user_id, ts_us, -ts_us AS nts, event_id, value,
+                      row_number() OVER (PARTITION BY user_id, ts_us
+                                         ORDER BY event_id) AS rn
+               FROM ev WHERE event_type = 'purchase'),
+        r AS (SELECT user_id, ts_us, nts, event_id, value
+              FROM r0 WHERE rn = 1),
+        m AS (SELECT l.user_id, l.event_id,
+                     CASE WHEN r.ts_us - l.ts_us <= {_CONV_TOL_US}
+                          THEN r.event_id END AS conv_id,
+                     CASE WHEN r.ts_us - l.ts_us <= {_CONV_TOL_US}
+                          THEN CAST(FLOOR(r.value * 100) AS BIGINT)
+                          END AS cents
+              FROM l ASOF LEFT JOIN r
+                ON l.user_id = r.user_id AND l.nts >= r.nts),
+        agg AS (SELECT user_id, count(*) AS n_clicks,
+                       count(conv_id) AS n_conv,
+                       coalesce(sum(cents), 0) AS conv_cents
+                FROM m GROUP BY user_id)
+        SELECT user_id, CAST(n_clicks AS BIGINT) AS n_clicks,
+               CAST(n_conv AS BIGINT) AS n_conv,
+               CAST(conv_cents AS BIGINT) AS conv_cents,
+               CAST(n_conv * 1000000 // n_clicks AS BIGINT) AS conv_ppm
+        FROM agg ORDER BY user_id
+    """
+
+
+_RANGE_BAND = 4_194_304  # 2^22 cents ≈ the per-priority decile width / 1.2
+
+
+def _q_price_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join: per-priority price-decile intervals (built
+    from orders' own cents range with pure integer arithmetic) matched
+    against every OTHER priority's orders — "whose orders fall in my
+    price bands".  operators/asof.py:range_join plans it as bucket
+    explode + equi-join + residual BETWEEN instead of a nested loop;
+    the oracle is the brute BETWEEN join."""
+    from geo_spark.operators.asof import range_join
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("p_prio"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("pc"),
+    )
+    rng = o.groupBy("p_prio").agg(
+        F.min("pc").alias("mn"), F.max("pc").alias("mx")
+    )
+    iv = (
+        rng.select(
+            F.col("p_prio").alias("i_prio"),
+            "mn",
+            "mx",
+            F.explode(F.sequence(F.lit(0), F.lit(9))).alias("dk"),
+        )
+        .select(
+            "i_prio",
+            F.col("dk").cast("long").alias("dk"),
+            (F.col("mn") + F.expr("(mx - mn) * dk div 10")).alias("lo"),
+            F.when(F.col("dk") == 9, F.col("mx"))
+            .otherwise(
+                F.col("mn") + F.expr("(mx - mn) * (dk + 1) div 10") - 1
+            )
+            .alias("hi"),
+        )
+    )
+    j = range_join(o, iv, "pc", "lo", "hi", _RANGE_BAND)
+    return (
+        j.where(F.col("p_prio") != F.col("i_prio"))
+        .groupBy("i_prio", "dk")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("pc").alias("sum_cents"),
+        )
+        .orderBy("i_prio", "dk")
+    )
+
+
+def _oracle_price_range_join() -> str:
+    return """
+        WITH o AS (SELECT o_orderkey, o_orderpriority AS prio,
+                          CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS pc
+                   FROM orders),
+        rng AS (SELECT prio, min(pc) AS mn, max(pc) AS mx
+                FROM o GROUP BY prio),
+        ks AS (SELECT unnest(range(10)) AS k),
+        iv AS (SELECT rng.prio AS i_prio, CAST(ks.k AS BIGINT) AS dk,
+                      mn + (mx - mn) * k // 10 AS lo,
+                      CASE WHEN k = 9 THEN mx
+                           ELSE mn + (mx - mn) * (k + 1) // 10 - 1
+                      END AS hi
+               FROM rng, ks)
+        SELECT iv.i_prio, iv.dk,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(o.pc) AS BIGINT) AS sum_cents
+        FROM o JOIN iv
+          ON o.pc BETWEEN iv.lo AND iv.hi AND o.prio <> iv.i_prio
+        GROUP BY iv.i_prio, iv.dk
+        ORDER BY iv.i_prio, iv.dk
+    """
+
+
+# synthetic per-event item id: integer LCG mix then a 3000-item catalog
+# — event segments share ~1/3 of their items, so pairwise Jaccard is
+# neither ~0 nor ~1 (the same replayable-integer rule as geo_noise)
+_ITEM_SQL = "(((event_id * 48271 + 11) % 4294967296) % 3000)"
+_KMV_PAIR_K = 64
+
+
+def _q_segment_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch set operations: pairwise item-set overlap
+    between event-type segments from merged KMV sketches
+    (operators/sketches.py:kmv_pair_similarity) — |K ∩ A ∩ B| / |K|
+    Jaccard and the kth-min union estimator, all integer fixed-point,
+    so the approximate operator gets an exact relational oracle."""
+    from geo_spark.operators.sketches import kmv_pair_similarity
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("seg"),
+        F.expr(_ITEM_SQL).alias("item"),
+    )
+    return kmv_pair_similarity(ev, "seg", "item", k=_KMV_PAIR_K).orderBy(
+        "g1", "g2"
+    )
+
+
+def _oracle_segment_overlap_kmv() -> str:
+    from geo_spark.operators.sketches import kmv_hash_sql
+
+    h = kmv_hash_sql(_ITEM_SQL)
+    k = _KMV_PAIR_K
+    return f"""
+        WITH src AS (SELECT event_type AS g, {h} AS h FROM events),
+        d AS (SELECT DISTINCT g, h FROM src),
+        r AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h)
+                     AS rn
+              FROM d),
+        kept AS (SELECT g, h FROM r WHERE rn <= {k}),
+        gs AS (SELECT DISTINCT g FROM kept),
+        pairs AS (SELECT a.g AS g1, b.g AS g2
+                  FROM gs a JOIN gs b ON a.g < b.g),
+        u AS (SELECT DISTINCT p.g1, p.g2, kk.h
+              FROM pairs p JOIN kept kk ON kk.g = p.g1 OR kk.g = p.g2),
+        ur AS (SELECT g1, g2, h,
+                      row_number() OVER (PARTITION BY g1, g2
+                                         ORDER BY h) AS rn,
+                      count(*) OVER (PARTITION BY g1, g2) AS un
+               FROM u),
+        topk AS (SELECT * FROM ur WHERE rn <= {k}),
+        flags AS (SELECT t.g1, t.g2, t.h, t.un,
+                         CASE WHEN k1.h IS NOT NULL AND k2.h IS NOT NULL
+                              THEN 1 ELSE 0 END AS m
+                  FROM topk t
+                  LEFT JOIN kept k1 ON k1.g = t.g1 AND k1.h = t.h
+                  LEFT JOIN kept k2 ON k2.g = t.g2 AND k2.h = t.h),
+        agg AS (SELECT g1, g2, count(*) AS k_used, sum(m) AS matches,
+                       max(h) AS kth, max(un) AS un
+                FROM flags GROUP BY g1, g2)
+        SELECT g1, g2, CAST(k_used AS BIGINT) AS k_used,
+               CAST(matches AS BIGINT) AS matches,
+               CAST(matches * 1000000 // k_used AS BIGINT)
+                 AS est_jaccard_ppm,
+               CAST(CASE WHEN un < {k} THEN un
+                         ELSE ({k - 1} * 4294967296) // kth
+                    END AS BIGINT) AS est_union
+        FROM agg ORDER BY g1, g2
+    """
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: spatial tile-count pipeline over events at sf0.001."""
     return _q_s2_tile_faceij_l8(spark, SF_DEFAULT)
@@ -5681,6 +5990,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cluster_profiles": _q_cluster_profiles,
         "q_link_pagerank": _q_link_pagerank,
         "q_geo_sessions": _q_geo_sessions,
+        "q_event_asof": _q_event_asof,
+        "q_click_conversion": _q_click_conversion,
+        "q_price_range_join": _q_price_range_join,
+        "q_segment_overlap_kmv": _q_segment_overlap_kmv,
         "q_tile_focal_mean": _q_tile_focal_mean,
         "q_bm25_scores": _q_bm25_scores,
         "q_dissolve_counts": _q_dissolve_counts,
@@ -5750,6 +6063,10 @@ def oracle_sql() -> dict[str, str]:
         "q_cluster_profiles": _oracle_cluster_profiles(),
         "q_link_pagerank": _oracle_link_pagerank(),
         "q_geo_sessions": _oracle_geo_sessions(),
+        "q_event_asof": _oracle_event_asof(),
+        "q_click_conversion": _oracle_click_conversion(),
+        "q_price_range_join": _oracle_price_range_join(),
+        "q_segment_overlap_kmv": _oracle_segment_overlap_kmv(),
         "q_tile_focal_mean": _oracle_tile_focal_mean(),
         "q_bm25_scores": _oracle_bm25_scores(),
         "q_dissolve_counts": _oracle_dissolve_counts(),

@@ -76,6 +76,76 @@ def sampled_group_median(
     )
 
 
+def kmv_pair_similarity(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+    hash_sql: str | None = None,
+) -> DataFrame:
+    """(g1, g2, k_used, matches, est_jaccard_ppm, est_union): pairwise
+    set-similarity between every two groups' value sets, estimated from
+    merged KMV sketches — the mergeability that makes KMV usable at
+    100 TB (ship one k-array per group, never the value sets).
+
+    Estimator (Beyer et al., "On synopses for distinct-value estimation
+    under multiset operations"): K = the k smallest of the UNION of the
+    two sketches (which equals the k smallest of the union of the full
+    sets — the KMV merge property); Jaccard ≈ |K ∩ A ∩ B| / |K|, and
+    the union size reuses the kth-min estimator on K.  All integer
+    arithmetic (ppm fixed-point, floor div), so the approximate
+    operator has an exact SQL oracle.
+
+    Scale shape: the sketch build is kmv_distinct's distinct-shuffle +
+    rank-k window; each group then collapses to ONE row holding a
+    ≤k-long sorted array, and the pair enumeration is an all-pairs join
+    over those one-row-per-group sketches (inherently quadratic in
+    group count — bound the group domain or pre-filter candidate pairs
+    upstream; the arrays, not the data, are what's joined)."""
+    h = F.expr((hash_sql or KMV_HASH_SQL).format(v=value_col))
+    d = df.select(group_col, h.alias("_h")).distinct()
+    w = Window.partitionBy(group_col).orderBy("_h")
+    kept = d.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") <= k
+    )
+    arrs = kept.groupBy(group_col).agg(
+        F.sort_array(F.collect_list("_h")).alias("_arr")
+    )
+    a = arrs.select(F.col(group_col).alias("g1"), F.col("_arr").alias("_a1"))
+    b = arrs.select(F.col(group_col).alias("g2"), F.col("_arr").alias("_a2"))
+    pairs = a.join(b, F.col("g1") < F.col("g2"))
+    union_all = F.array_sort(F.array_union(F.col("_a1"), F.col("_a2")))
+    staged = pairs.select(
+        "g1",
+        "g2",
+        F.slice(union_all, 1, k).alias("_topk"),
+        F.size(union_all).cast("long").alias("_un"),
+        F.array_intersect(F.col("_a1"), F.col("_a2")).alias("_inter"),
+    ).select(
+        "g1",
+        "g2",
+        F.size("_topk").cast("long").alias("k_used"),
+        F.size(F.array_intersect(F.col("_topk"), F.col("_inter")))
+        .cast("long")
+        .alias("matches"),
+        F.element_at(F.col("_topk"), F.size("_topk")).alias("_kth"),
+        F.col("_un"),
+    )
+    return staged.select(
+        "g1",
+        "g2",
+        "k_used",
+        "matches",
+        F.expr("CAST(matches * 1000000 DIV k_used AS BIGINT)").alias(
+            "est_jaccard_ppm"
+        ),
+        F.when(F.col("_un") < k, F.col("_un"))
+        .otherwise(F.expr(f"({k - 1} * {_KMV_RANGE}) div _kth"))
+        .cast("long")
+        .alias("est_union"),
+    )
+
+
 def kmv_distinct(
     df: DataFrame,
     group_cols: list[str],

@@ -72,3 +72,67 @@ def F_col_id():
     from pyspark.sql import functions as F
 
     return F.col("id")
+
+
+def _pair_spec(vals_a, vals_b, k):
+    """Pure-python replay of the merged-KMV pair estimator spec."""
+    ha = set(np.unique(_hash(np.unique(vals_a))).tolist())
+    hb = set(np.unique(_hash(np.unique(vals_b))).tolist())
+    ka = set(sorted(ha)[:k])
+    kb = set(sorted(hb)[:k])
+    union = sorted(ka | kb)
+    topk = union[:k]
+    k_used = len(topk)
+    matches = sum(1 for h in topk if h in ka and h in kb)
+    est_j = matches * 1_000_000 // k_used
+    if len(union) < k:
+        est_u = len(union)
+    else:
+        est_u = ((k - 1) * 4294967296) // topk[-1]
+    return k_used, matches, est_j, est_u
+
+
+def test_kmv_pair_similarity_matches_spec(spark):
+    from geo_spark.operators.sketches import kmv_pair_similarity
+
+    rng = np.random.default_rng(7)
+    groups = {
+        "a": rng.integers(0, 900, 1500),
+        "b": rng.integers(300, 1200, 1500),
+        "c": rng.integers(0, 40, 200),  # below k: exact tier
+    }
+    rows = [(g, int(v)) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "grp string, item long")
+    k = 64
+    got = {
+        (r["g1"], r["g2"]): (
+            r["k_used"],
+            r["matches"],
+            r["est_jaccard_ppm"],
+            r["est_union"],
+        )
+        for r in kmv_pair_similarity(df, "grp", "item", k=k).collect()
+    }
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+    for g1, g2 in got:
+        assert got[(g1, g2)] == _pair_spec(groups[g1], groups[g2], k), (
+            g1,
+            g2,
+        )
+
+
+def test_kmv_pair_jaccard_accuracy(spark):
+    from geo_spark.operators.sketches import kmv_pair_similarity
+
+    rng = np.random.default_rng(11)
+    a = np.unique(rng.integers(0, 2000, 3000))
+    b = np.unique(rng.integers(1000, 3000, 3000))
+    truth = len(np.intersect1d(a, b)) / len(np.union1d(a, b))
+    rows = [("a", int(v)) for v in a] + [("b", int(v)) for v in b]
+    df = spark.createDataFrame(rows, "grp string, item long")
+    row = kmv_pair_similarity(df, "grp", "item", k=256).collect()[0]
+    est = row["est_jaccard_ppm"] / 1e6
+    assert abs(est - truth) < 3.0 / np.sqrt(256) + 0.02
+    assert abs(row["est_union"] - len(np.union1d(a, b))) < 0.25 * len(
+        np.union1d(a, b)
+    )
