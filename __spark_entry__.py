@@ -5929,6 +5929,79 @@ def _oracle_segment_overlap_kmv() -> str:
     """
 
 
+_KM_KC = 8
+_KM_ITERS = 2
+
+
+def _q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quantized k-means over the embeddings table
+    (operators/kmeans.py): md5-bottom-kc data-sampled init, integer
+    distances and centroid means, argmin ties to the lowest centroid.
+    Per-row final assignment (vec_id, cidx, dist) — the DuckDB twin
+    unrolls both Lloyd iterations as CTEs over an UNNEST'd dim table
+    and matches every integer distance bitwise."""
+    from geo_spark.operators.kmeans import kmeans_embed
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = kmeans_embed(
+        emb, "vec_id", "embedding", kc=_KM_KC, iters=_KM_ITERS
+    )
+    return out.select(
+        "vec_id", F.col("cidx").cast("long").alias("cidx"), "dist"
+    ).orderBy("vec_id")
+
+
+def _oracle_embed_kmeans() -> str:
+    kc = _KM_KC
+    parts = [
+        f"""
+        WITH ux AS (SELECT vec_id, unnest(embedding) AS x,
+                           generate_subscripts(embedding, 1) AS dim
+                    FROM embeddings),
+        q AS (SELECT vec_id, dim,
+                     CAST(FLOOR((CAST(x AS DOUBLE) + 1.0e0) * 1000000e0)
+                          AS BIGINT) AS qv
+              FROM ux),
+        seeds0 AS (SELECT vec_id, md5(CAST(vec_id AS VARCHAR)) AS m
+                   FROM embeddings ORDER BY m, vec_id LIMIT {kc}),
+        seeds AS (SELECT vec_id,
+                         row_number() OVER (ORDER BY m, vec_id) - 1
+                           AS cidx
+                  FROM seeds0),
+        cent0 AS (SELECT s.cidx, q.dim, q.qv AS cv
+                  FROM seeds s JOIN q USING (vec_id))"""
+    ]
+    for t in range(_KM_ITERS):
+        parts.append(
+            f""",
+        d{t} AS (SELECT q.vec_id, c.cidx,
+                        sum((q.qv - c.cv) * (q.qv - c.cv)) AS dist
+                 FROM q JOIN cent{t} c USING (dim)
+                 GROUP BY q.vec_id, c.cidx),
+        a{t} AS (SELECT vec_id, cidx, dist,
+                        row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY dist, cidx) AS rn
+                 FROM d{t}),
+        asg{t} AS (SELECT vec_id, cidx, dist FROM a{t} WHERE rn = 1)"""
+        )
+        if t < _KM_ITERS - 1:
+            parts.append(
+                f""",
+        cent{t + 1} AS (SELECT a.cidx, q.dim,
+                               sum(q.qv) // count(*) AS cv
+                        FROM asg{t} a JOIN q USING (vec_id)
+                        GROUP BY a.cidx, q.dim)"""
+            )
+    last = _KM_ITERS - 1
+    parts.append(
+        f"""
+        SELECT vec_id, CAST(cidx AS BIGINT) AS cidx,
+               CAST(dist AS BIGINT) AS dist
+        FROM asg{last} ORDER BY vec_id"""
+    )
+    return "".join(parts)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: spatial tile-count pipeline over events at sf0.001."""
     return _q_s2_tile_faceij_l8(spark, SF_DEFAULT)
@@ -5991,6 +6064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_link_pagerank": _q_link_pagerank,
         "q_geo_sessions": _q_geo_sessions,
         "q_event_asof": _q_event_asof,
+        "q_embed_kmeans": _q_embed_kmeans,
         "q_click_conversion": _q_click_conversion,
         "q_price_range_join": _q_price_range_join,
         "q_segment_overlap_kmv": _q_segment_overlap_kmv,
@@ -6064,6 +6138,7 @@ def oracle_sql() -> dict[str, str]:
         "q_link_pagerank": _oracle_link_pagerank(),
         "q_geo_sessions": _oracle_geo_sessions(),
         "q_event_asof": _oracle_event_asof(),
+        "q_embed_kmeans": _oracle_embed_kmeans(),
         "q_click_conversion": _oracle_click_conversion(),
         "q_price_range_join": _oracle_price_range_join(),
         "q_segment_overlap_kmv": _oracle_segment_overlap_kmv(),
