@@ -5951,8 +5951,9 @@ def _q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
-def _oracle_embed_kmeans() -> str:
-    kc = _KM_KC
+def _kmeans_cte(kc: int, iters: int) -> tuple[str, str]:
+    """(with_block, final_table): the unrolled Lloyd CTE chain shared
+    by every kmeans-based oracle."""
     parts = [
         f"""
         WITH ux AS (SELECT vec_id, unnest(embedding) AS x,
@@ -5971,7 +5972,7 @@ def _oracle_embed_kmeans() -> str:
         cent0 AS (SELECT s.cidx, q.dim, q.qv AS cv
                   FROM seeds s JOIN q USING (vec_id))"""
     ]
-    for t in range(_KM_ITERS):
+    for t in range(iters):
         parts.append(
             f""",
         d{t} AS (SELECT q.vec_id, c.cidx,
@@ -5984,7 +5985,7 @@ def _oracle_embed_kmeans() -> str:
                  FROM d{t}),
         asg{t} AS (SELECT vec_id, cidx, dist FROM a{t} WHERE rn = 1)"""
         )
-        if t < _KM_ITERS - 1:
+        if t < iters - 1:
             parts.append(
                 f""",
         cent{t + 1} AS (SELECT a.cidx, q.dim,
@@ -5992,14 +5993,58 @@ def _oracle_embed_kmeans() -> str:
                         FROM asg{t} a JOIN q USING (vec_id)
                         GROUP BY a.cidx, q.dim)"""
             )
-    last = _KM_ITERS - 1
-    parts.append(
-        f"""
+    return "".join(parts), f"asg{iters - 1}"
+
+
+def _oracle_embed_kmeans() -> str:
+    with_block, final = _kmeans_cte(_KM_KC, _KM_ITERS)
+    return f"""{with_block}
         SELECT vec_id, CAST(cidx AS BIGINT) AS cidx,
                CAST(dist AS BIGINT) AS dist
-        FROM asg{last} ORDER BY vec_id"""
+        FROM {final} ORDER BY vec_id"""
+
+
+_KM_QUOTA = 12
+
+
+def _q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed certificate: k-means topic clusters -> per-cluster
+    md5-rank quota sample — diversity-balanced subset selection for
+    corpus mixing (every cluster contributes at most _KM_QUOTA docs,
+    selected by the deterministic hash-rank rule the mixture-sampling
+    family uses).  One DuckDB oracle replays Lloyd + the windowed draw
+    end to end, certifying the embedding and sampling halves compose."""
+    from pyspark.sql import Window
+
+    from geo_spark.operators.kmeans import kmeans_embed
+
+    emb = _t(spark, sf_dir, "embeddings")
+    asg = kmeans_embed(emb, "vec_id", "embedding", kc=_KM_KC, iters=_KM_ITERS)
+    w = Window.partitionBy("cidx").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
     )
-    return "".join(parts)
+    return (
+        asg.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= _KM_QUOTA)
+        .select(
+            "vec_id", F.col("cidx").cast("long").alias("cidx"), "dist"
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _oracle_cluster_balanced_sample() -> str:
+    with_block, final = _kmeans_cte(_KM_KC, _KM_ITERS)
+    return f"""{with_block},
+        ranked AS (SELECT vec_id, cidx, dist,
+                          row_number() OVER (
+                            PARTITION BY cidx
+                            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                          ) AS rn
+                   FROM {final})
+        SELECT vec_id, CAST(cidx AS BIGINT) AS cidx,
+               CAST(dist AS BIGINT) AS dist
+        FROM ranked WHERE rn <= {_KM_QUOTA} ORDER BY vec_id"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -6065,6 +6110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_geo_sessions": _q_geo_sessions,
         "q_event_asof": _q_event_asof,
         "q_embed_kmeans": _q_embed_kmeans,
+        "q_cluster_balanced_sample": _q_cluster_balanced_sample,
         "q_click_conversion": _q_click_conversion,
         "q_price_range_join": _q_price_range_join,
         "q_segment_overlap_kmv": _q_segment_overlap_kmv,
@@ -6139,6 +6185,7 @@ def oracle_sql() -> dict[str, str]:
         "q_geo_sessions": _oracle_geo_sessions(),
         "q_event_asof": _oracle_event_asof(),
         "q_embed_kmeans": _oracle_embed_kmeans(),
+        "q_cluster_balanced_sample": _oracle_cluster_balanced_sample(),
         "q_click_conversion": _oracle_click_conversion(),
         "q_price_range_join": _oracle_price_range_join(),
         "q_segment_overlap_kmv": _oracle_segment_overlap_kmv(),
