@@ -43,6 +43,7 @@ HEADLINE_QUERIES = [
     "q_weighted_sample",  # A-ES weighted draw, partial WindowGroupLimit
     "q_event_map_match",  # GPS snap: covering candidates + argmin refine
     "q_zonal_stats",  # raster->vector zonal aggregation per cap zone
+    "q_event_asof",  # as-of attribution: union-and-carry single shuffle
 ]
 
 
