@@ -6047,6 +6047,51 @@ def _oracle_cluster_balanced_sample() -> str:
         FROM ranked WHERE rn <= {_KM_QUOTA} ORDER BY vec_id"""
 
 
+def _q_token_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-20 token bigrams by association lift
+    (PMI's ratio in integer ppm — the log dropped so the ranking is
+    engine-portable; operators/text.py:token_lift).  Adjacency comes
+    from a per-doc lead window, never a token self-join; the oracle
+    rebuilds pairs with a positional self-join — different machinery,
+    same definition."""
+    from geo_spark.operators.text import token_lift
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_lift(docs, min_count=5, k=20)
+
+
+def _oracle_token_lift() -> str:
+    return """
+        WITH toks AS (SELECT doc_id,
+                             generate_subscripts(
+                               string_split(lower(text), ' '), 1) AS pos,
+                             unnest(string_split(lower(text), ' ')) AS term
+                      FROM documents),
+        pairs AS (SELECT t1.term AS a, t2.term AS b
+                  FROM toks t1 JOIN toks t2
+                    ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+                  WHERE length(t1.term) > 0 AND length(t2.term) > 0),
+        big AS (SELECT a, b, count(*) AS c_ab FROM pairs GROUP BY a, b),
+        uni AS (SELECT term AS t, count(*) AS c FROM toks
+                WHERE length(term) > 0 GROUP BY term),
+        nu AS (SELECT CAST(sum(c) AS BIGINT) AS n_uni FROM uni),
+        nb AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n_big FROM big),
+        j AS (SELECT big.a, big.b, CAST(c_ab AS BIGINT) AS c_ab,
+                     CAST(ua.c AS BIGINT) AS c_a,
+                     CAST(ub.c AS BIGINT) AS c_b,
+                     (((CAST(c_ab AS BIGINT) * n_uni)
+                        // CAST(ua.c AS BIGINT)) * 1000000
+                        // CAST(ub.c AS BIGINT)) * n_uni // n_big
+                       AS lift_ppm
+              FROM big
+              JOIN uni ua ON ua.t = big.a
+              JOIN uni ub ON ub.t = big.b, nu, nb
+              WHERE c_ab >= 5)
+        SELECT a, b, c_ab, c_a, c_b, CAST(lift_ppm AS BIGINT) AS lift_ppm
+        FROM j ORDER BY lift_ppm DESC, a, b LIMIT 20
+    """
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: spatial tile-count pipeline over events at sf0.001."""
     return _q_s2_tile_faceij_l8(spark, SF_DEFAULT)
@@ -6074,6 +6119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_link_hits": _q_link_hits,
         "q_quality_weighted_sample": _q_quality_weighted_sample,
         "q_tfidf_topk": _q_tfidf_topk,
+        "q_token_lift": _q_token_lift,
         "q_trail_traffic": _q_trail_traffic,
         "q_zonal_stats": _q_zonal_stats,
         "q_trail_crossing_components": _q_trail_crossing_components,
@@ -6163,6 +6209,7 @@ def oracle_sql() -> dict[str, str]:
         "q_link_hits": _oracle_link_hits(),
         "q_quality_weighted_sample": _oracle_quality_weighted_sample(),
         "q_tfidf_topk": _oracle_tfidf_topk(),
+        "q_token_lift": _oracle_token_lift(),
         "q_trail_traffic": _oracle_trail_traffic(),
         "q_zonal_stats": _oracle_zonal_stats(),
         "q_trail_crossing_components": _oracle_trail_crossing_components(),

@@ -455,3 +455,66 @@ def bm25_scores(
         )
     )
     return scored.groupBy(key).agg(F.sum("part").alias("bm25"))
+
+
+def token_lift(
+    docs: DataFrame,
+    min_count: int = 5,
+    k: int = 20,
+    key: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k token bigrams by association lift — PMI's ratio
+    p(ab) / (p(a)·p(b)) in integer ppm fixed-point WITHOUT the log, so
+    the collocation miner stays bitwise engine-portable (ln is the only
+    non-replayable piece of PMI; the log is monotone, so the RANKING is
+    PMI's ranking exactly).
+
+    lift_ppm is computed in a FIXED division order (each step bounded
+    so int64 never overflows at corpus scale ~1e9 tokens; beyond that,
+    shard-local scaling applies):
+
+        s1 = (c_ab * n_uni) div c_a          -- <= n_uni
+        s2 = (s1 * 1000000) div c_b          -- <= n_uni * 1e6
+        lift_ppm = (s2 * n_uni) div n_big    -- ~ lift * 1e6
+
+    Scale shape: adjacency via ONE per-doc lead window (positions come
+    free from posexplode — no token self-join), then two count
+    shuffles (bigrams, unigrams) with map-side combine; the corpus
+    totals are 1-row broadcasts and the global top-k sorts only the
+    min_count-filtered aggregate."""
+    toks = docs.select(
+        F.col(key),
+        F.posexplode(F.split(F.lower(F.col(text_col)), " ", -1)).alias(
+            "_pos", "_term"
+        ),
+    )
+    w = Window.partitionBy(key).orderBy("_pos")
+    pairs = toks.withColumn("_nxt", F.lead("_term").over(w)).where(
+        (F.length("_term") > 0) & (F.length("_nxt") > 0)
+    )
+    big = pairs.groupBy(
+        F.col("_term").alias("a"), F.col("_nxt").alias("b")
+    ).agg(F.count(F.lit(1)).alias("c_ab"))
+    uni = (
+        toks.where(F.length("_term") > 0)
+        .groupBy(F.col("_term").alias("t"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_uni = uni.agg(F.sum("c").alias("n_uni"))
+    n_big = big.agg(F.sum("c_ab").alias("n_big"))
+    j = (
+        big.where(F.col("c_ab") >= min_count)
+        .join(uni.select(F.col("t").alias("a"), F.col("c").alias("c_a")), "a")
+        .join(uni.select(F.col("t").alias("b"), F.col("c").alias("c_b")), "b")
+        .join(F.broadcast(n_uni))
+        .join(F.broadcast(n_big))
+    )
+    lift = F.expr(
+        "(((c_ab * n_uni) div c_a) * 1000000 div c_b) * n_uni div n_big"
+    )
+    return (
+        j.select("a", "b", "c_ab", "c_a", "c_b", lift.alias("lift_ppm"))
+        .orderBy(F.col("lift_ppm").desc(), "a", "b")
+        .limit(k)
+    )
