@@ -6047,6 +6047,153 @@ def _oracle_cluster_balanced_sample() -> str:
         FROM ranked WHERE rn <= {_KM_QUOTA} ORDER BY vec_id"""
 
 
+_RESAMPLE_STEP_US = 3_600_000_000  # 1 h grid
+
+
+def _q_trajectory_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed certificate: trajectory resampling to a fixed 1 h time
+    grid — backward + forward as-of joins bracket every grid tick with
+    its neighboring pings, then pure-IEEE linear interpolation (the
+    only float ops are +,-,*,/ on identical inputs, so no rounding is
+    needed for the hash gate).  Grid ticks are integer multiples of
+    the step inside [first, last] ping per user, so both brackets
+    always exist; a tick landing exactly on a ping degenerates to that
+    ping (nts == pts guard).  One DuckDB oracle replays grid
+    generation + both ASOF directions + the interpolation."""
+    from pyspark.sql import Window
+
+    from geo_spark.operators.asof import asof_join
+    from geo_spark.operators.geo_noise import (
+        LNG_D_SQL,
+        SINLAT_SQL,
+        with_time_noise,
+    )
+
+    step = _RESAMPLE_STEP_US
+    ev = with_time_noise(_t(spark, sf_dir, "events"), "event_id").select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.expr(SINLAT_SQL.format(id="event_id")).alias("sinlat"),
+        F.expr(LNG_D_SQL.format(id="event_id")).alias("lng"),
+    )
+    b = ev.groupBy("user_id").agg(
+        F.min("ts_us").alias("mn"), F.max("ts_us").alias("mx")
+    )
+    grid = (
+        b.select(
+            "user_id",
+            (F.expr(f"(mn + {step - 1}) div {step}") * step).alias("gs"),
+            (F.expr(f"mx div {step}") * step).alias("ge"),
+        )
+        .where(F.col("gs") <= F.col("ge"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("gs"), F.col("ge"), F.lit(step))
+            ).alias("gts"),
+        )
+    )
+    # dedup pings per (user, ts) with the direction-matched rule so the
+    # oracle's ASOF never arbitrates a tie
+    wb = Window.partitionBy("user_id", "ts_us").orderBy(
+        F.col("event_id").desc()
+    )
+    wf = Window.partitionBy("user_id", "ts_us").orderBy(F.col("event_id"))
+    rb = (
+        ev.withColumn("_rn", F.row_number().over(wb))
+        .where(F.col("_rn") == 1)
+        .select("user_id", "ts_us", "sinlat", "lng")
+    )
+    rf = (
+        ev.withColumn("_rn", F.row_number().over(wf))
+        .where(F.col("_rn") == 1)
+        .select("user_id", "ts_us", "sinlat", "lng")
+    )
+    p = asof_join(
+        grid, rb, ["user_id"], "gts", "ts_us", ["sinlat", "lng"], prefix="p_"
+    )
+    n = asof_join(
+        p,
+        rf,
+        ["user_id"],
+        "gts",
+        "ts_us",
+        ["sinlat", "lng"],
+        direction="forward",
+        prefix="n_",
+    )
+    frac = (F.col("gts") - F.col("p_ts_us")).cast("double") / (
+        F.col("n_ts_us") - F.col("p_ts_us")
+    ).cast("double")
+    interp = lambda a, bcol: F.when(  # noqa: E731
+        F.col("n_ts_us") > F.col("p_ts_us"),
+        F.col(a) + (F.col(bcol) - F.col(a)) * frac,
+    ).otherwise(F.col(a))
+    return n.select(
+        "user_id",
+        "gts",
+        interp("p_sinlat", "n_sinlat").alias("sinlat"),
+        interp("p_lng", "n_lng").alias("lng"),
+    ).orderBy("user_id", "gts")
+
+
+def _oracle_trajectory_resample() -> str:
+    from geo_spark.operators.geo_noise import (
+        LNG_D_SQL,
+        SINLAT_SQL,
+        TS_US_SQL,
+    )
+
+    ts = TS_US_SQL.format(id="event_id")
+    lat = SINLAT_SQL.format(id="event_id")
+    lng = LNG_D_SQL.format(id="event_id")
+    step = _RESAMPLE_STEP_US
+    return f"""
+        WITH ev AS (SELECT event_id, user_id, {ts} AS ts_us,
+                           {lat} AS sinlat, {lng} AS lng
+                    FROM events),
+        b AS (SELECT user_id, min(ts_us) AS mn, max(ts_us) AS mx
+              FROM ev GROUP BY user_id),
+        gb AS (SELECT user_id,
+                      ((mn + {step - 1}) // {step}) * {step} AS gs,
+                      (mx // {step}) * {step} AS ge
+               FROM b),
+        grid AS (SELECT user_id,
+                        unnest(range(gs, ge + 1, {step})) AS gts
+                 FROM gb WHERE gs <= ge),
+        rb AS (SELECT user_id, ts_us, sinlat, lng FROM (
+                 SELECT *, row_number() OVER (PARTITION BY user_id, ts_us
+                                              ORDER BY event_id DESC) AS rn
+                 FROM ev) WHERE rn = 1),
+        rf AS (SELECT user_id, ts_us, -ts_us AS nts0, sinlat, lng FROM (
+                 SELECT *, row_number() OVER (PARTITION BY user_id, ts_us
+                                              ORDER BY event_id) AS rn
+                 FROM ev) WHERE rn = 1),
+        p AS (SELECT g.user_id, g.gts, r.ts_us AS pts,
+                     r.sinlat AS plat, r.lng AS plng
+              FROM grid g ASOF JOIN rb r
+                ON g.user_id = r.user_id AND g.gts >= r.ts_us),
+        n AS (SELECT g.user_id, g.gts, r.ts_us AS nts,
+                     r.sinlat AS nlat, r.lng AS nlng
+              FROM grid g ASOF JOIN rf r
+                ON g.user_id = r.user_id AND -g.gts >= r.nts0)
+        SELECT p.user_id, p.gts,
+               CASE WHEN n.nts > p.pts
+                    THEN p.plat + (n.nlat - p.plat)
+                         * (CAST(p.gts - p.pts AS DOUBLE)
+                            / CAST(n.nts - p.pts AS DOUBLE))
+                    ELSE p.plat END AS sinlat,
+               CASE WHEN n.nts > p.pts
+                    THEN p.plng + (n.nlng - p.plng)
+                         * (CAST(p.gts - p.pts AS DOUBLE)
+                            / CAST(n.nts - p.pts AS DOUBLE))
+                    ELSE p.plng END AS lng
+        FROM p JOIN n ON p.user_id = n.user_id AND p.gts = n.gts
+        ORDER BY p.user_id, p.gts
+    """
+
+
 def _q_token_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation mining: top-20 token bigrams by association lift
     (PMI's ratio in integer ppm — the log dropped so the ranking is
@@ -6120,6 +6267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_weighted_sample": _q_quality_weighted_sample,
         "q_tfidf_topk": _q_tfidf_topk,
         "q_token_lift": _q_token_lift,
+        "q_trajectory_resample": _q_trajectory_resample,
         "q_trail_traffic": _q_trail_traffic,
         "q_zonal_stats": _q_zonal_stats,
         "q_trail_crossing_components": _q_trail_crossing_components,
@@ -6210,6 +6358,7 @@ def oracle_sql() -> dict[str, str]:
         "q_quality_weighted_sample": _oracle_quality_weighted_sample(),
         "q_tfidf_topk": _oracle_tfidf_topk(),
         "q_token_lift": _oracle_token_lift(),
+        "q_trajectory_resample": _oracle_trajectory_resample(),
         "q_trail_traffic": _oracle_trail_traffic(),
         "q_zonal_stats": _oracle_zonal_stats(),
         "q_trail_crossing_components": _oracle_trail_crossing_components(),

@@ -45,6 +45,23 @@ _U3 = "(CAST(({id} * 1539316589 + 98765) % 4294967296 AS DOUBLE) / 4294967296e0)
 TS_US_SQL = f"CAST(FLOOR({_U3} * 2592000000000e0) AS BIGINT)"
 
 
+# Pure-DOUBLE variants of the coordinate streams (the same e0 trick as
+# _U3): every op is IEEE +,-,*,/ on identical inputs, so Spark and
+# DuckDB agree BITWISE — no trig, no decimal scales.  SINLAT is the
+# z-coordinate (sin of latitude): a legitimate position coordinate that
+# avoids asin(), which is NOT in the suite's replayable-op set.
+_U1_D = (
+    "(CAST(({id} * 2654435761 + 12345) % 4294967296 AS DOUBLE)"
+    " / 4294967296e0)"
+)
+_U2_D = (
+    "(CAST(({id} * 2246822519 + 54321) % 4294967296 AS DOUBLE)"
+    " / 4294967296e0)"
+)
+SINLAT_SQL = f"(2.0e0 * {_U1_D} - 1.0e0)"
+LNG_D_SQL = f"(360.0e0 * {_U2_D} - 180.0e0)"
+
+
 def with_time_noise(df: DataFrame, id_col: str) -> DataFrame:
     """Adds a deterministic ``ts_us`` epoch-microsecond column."""
     return df.withColumn("ts_us", F.expr(TS_US_SQL.format(id=id_col)))
