@@ -4364,6 +4364,36 @@ def _oracle_cosine_topk() -> str:
     """
 
 
+def _q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: top-3 most cosine-similar vectors with a
+    DIFFERENT label per query (operators/similarity.py:hard_negatives)
+    — the contrastive-training counterpart of q_cosine_topk, same
+    gated-brute GEMM tier with a label mask."""
+    from geo_spark.operators.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return hard_negatives(emb, 3).orderBy("vec_id", "rank")
+
+
+def _oracle_hard_negatives() -> str:
+    return """
+        WITH d AS (
+          SELECT a.vec_id AS qa, b.vec_id AS qb,
+                 list_dot_product(a.embedding, b.embedding) /
+                 (sqrt(list_dot_product(a.embedding, a.embedding)) *
+                  sqrt(list_dot_product(b.embedding, b.embedding))) AS sim
+          FROM embeddings a, embeddings b
+          WHERE a.label <> b.label
+        ),
+        r AS (SELECT qa, qb,
+                     row_number() OVER (PARTITION BY qa
+                                        ORDER BY sim DESC, qb) rk
+              FROM d)
+        SELECT qa AS vec_id, qb AS nb_id, CAST(rk AS INT) AS rank
+        FROM r WHERE rk <= 3 ORDER BY vec_id, rank
+    """
+
+
 def _q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (operators/similarity.py:{sample_codebooks,
     pq_encode,cosine_topk_pq}): data-sampled codebooks (the deterministic
@@ -6280,6 +6310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_line_dedup": _q_line_dedup,
         "q_lang_guess": _q_lang_guess,
         "q_cosine_topk": _q_cosine_topk,
+        "q_hard_negatives": _q_hard_negatives,
         "q_pq_ann": _q_pq_ann,
         "q_embed_near_dup": _q_embed_near_dup,
         "q_minhash_lsh_pairs": _q_minhash_lsh_pairs,
@@ -6402,6 +6433,7 @@ def oracle_sql() -> dict[str, str]:
         "q_line_dedup": _oracle_line_dedup(),
         "q_lang_guess": _oracle_lang_guess(),
         "q_cosine_topk": _oracle_cosine_topk(),
+        "q_hard_negatives": _oracle_hard_negatives(),
         "q_pq_ann": _oracle_pq_ann(),
         "q_embed_near_dup": _oracle_embed_near_dup(),
         "q_interval_sweep": _oracle_interval_sweep(),

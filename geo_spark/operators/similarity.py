@@ -616,3 +616,69 @@ def cosine_topk_pq(
         .where(F.col("rank") <= k)
         .select(query_key, "nb_id", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def hard_negatives(
+    df: DataFrame,
+    k: int,
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    max_corpus_rows: int = BRUTE_FORCE_MAX_CORPUS,
+) -> DataFrame:
+    """(key, nb_id, rank): for every vector, the k most cosine-similar
+    vectors with a DIFFERENT label — hard-negative mining for
+    contrastive training (the highest-similarity cross-label pairs are
+    the informative negatives).  Ties break by ascending corpus key,
+    the cosine_topk_brute convention.
+
+    Same gated-brute tier as cosine_topk_brute (one GEMM per Arrow
+    batch against a broadcast corpus); at corpus sizes past the gate,
+    run the LSH bucket join (cosine_topk_lsh) and apply the label mask
+    at the rerank — the mask only ever REMOVES candidates, so the
+    banding recall analysis carries over unchanged."""
+    rows = df.select(key, vec_col, label_col).limit(
+        max_corpus_rows + 1
+    ).collect()
+    if len(rows) > max_corpus_rows:
+        raise ValueError(
+            f"hard_negatives: corpus exceeds {max_corpus_rows} rows; "
+            "use cosine_topk_lsh with a label-mask rerank."
+        )
+    cids = np.array([r[0] for r in rows], dtype=np.int64)
+    clab = np.array([r[2] for r in rows])
+    cmat = _normalize_rows(np.array([r[1] for r in rows], dtype=np.float64))
+
+    src = df.select(key, vec_col, label_col)
+    key_type = src.schema[key].dataType.simpleString()
+    schema = f"{key} {key_type}, nb_id long, rank int"
+
+    def fn(batches):
+        for pdf in batches:
+            q = _normalize_rows(
+                np.array(list(pdf[vec_col]), dtype=np.float64)
+            )
+            sims = q @ cmat.T
+            qlab = pdf[label_col].to_numpy()
+            same = qlab[:, None] == clab[None, :]
+            sims = np.where(same, -np.inf, sims)
+            qids = pdf[key].to_numpy()
+            order = np.lexsort(
+                (np.broadcast_to(cids, sims.shape), -sims), axis=1
+            )
+            n_valid = (~same).sum(axis=1)
+            out_q, out_nb, out_rk = [], [], []
+            for i in range(len(pdf)):
+                kk = min(k, int(n_valid[i]))
+                out_q.append(np.repeat(qids[i], kk))
+                out_nb.append(cids[order[i, :kk]])
+                out_rk.append(np.arange(1, kk + 1, dtype=np.int32))
+            yield pd.DataFrame(
+                {
+                    key: np.concatenate(out_q),
+                    "nb_id": np.concatenate(out_nb),
+                    "rank": np.concatenate(out_rk),
+                }
+            )
+
+    return src.mapInPandas(fn, schema)

@@ -77,3 +77,29 @@ def test_kmeans_inertia_monotone(spark):
     for a, b in zip(totals, totals[1:]):
         assert b <= a * 1.000001 + 90 * 2, totals
     assert totals[-1] < totals[0]
+
+
+def test_hard_negatives_masks_own_label(spark):
+    from geo_spark.operators.similarity import hard_negatives
+
+    rng = np.random.default_rng(3)
+    n, dim = 60, 6
+    vecs = rng.normal(size=(n, dim))
+    labels = [f"l{j % 4}" for j in range(n)]
+    rows = [
+        (j, [float(x) for x in vecs[j]], labels[j]) for j in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    got = {}
+    for r in hard_negatives(df, 2).collect():
+        got.setdefault(r["vec_id"], []).append((r["rank"], r["nb_id"]))
+    nv = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = nv @ nv.T
+    for j in range(n):
+        s = sims[j].copy()
+        s[[i for i in range(n) if labels[i] == labels[j]]] = -np.inf
+        order = np.lexsort((np.arange(n), -s))[:2]
+        assert [nb for _, nb in sorted(got[j])] == list(order), j
+        assert all(labels[nb] != labels[j] for _, nb in got[j])
