@@ -2461,33 +2461,11 @@ def _oracle_boolean_counts() -> str:
     """
 
 
-def _oracle_boolean_areas() -> str:
-    """Convex boolean-op areas re-derived in SQL: intersection polygon =
-    {A-verts in B} + {B-verts in A} + great-circle edge crossings,
-    angularly ordered around its centroid, l'Huilier triangle-fan area;
-    union/difference by inclusion-exclusion.  Valid because every
-    fixture pair is two overlapping convex loops (single-ring results,
-    n_loops = 1 with >= 2 proper crossings)."""
-    from geo_spark.sources.layers import regular_loop_vertices
-
-    def vert_rows():
-        rows = []
-        for c, (la, ln) in enumerate(_BOOL_CITIES):
-            va = regular_loop_vertices(la, ln, 0.03, 24)
-            vb = regular_loop_vertices(la + 1.0, ln + 0.5, 0.03, 24)
-            for side, v in (("a", va), ("b", vb)):
-                n = len(v)
-                for k in range(n):
-                    p, q = v[k], v[(k + 1) % n]
-                    rows.append(
-                        f"({c}, '{side}', {k}, {p[0]!r}, {p[1]!r}, {p[2]!r}, "
-                        f"{q[0]!r}, {q[1]!r}, {q[2]!r})"
-                    )
-        return ", ".join(rows)
-
-    return f"""
-        WITH vr(c, side, k, px0, py0, pz0, qx0, qy0, qz0) AS (VALUES {vert_rows()}),
-ve AS (
+# Convex-pair spherical-overlay chain, shared by every convex-area
+# oracle: input CTE vr(c, side, k, px0..qz0) of edge rows per pair c
+# and sides a/b; yields iarea(c, ai) — intersection area (absent when
+# disjoint) — and rarea(c, side, ar) — full ring areas.
+_CONVEX_CHAIN_SQL = """ve AS (
   SELECT c, side, k,
          CAST(px0 AS DOUBLE) AS px, CAST(py0 AS DOUBLE) AS py, CAST(pz0 AS DOUBLE) AS pz,
          CAST(qx0 AS DOUBLE) AS qx, CAST(qy0 AS DOUBLE) AS qy, CAST(qz0 AS DOUBLE) AS qz
@@ -2607,7 +2585,36 @@ rarea AS (
            * tan(0.5*(0.5*(sa+sb+sc) - sa))
            * tan(0.5*(0.5*(sa+sb+sc) - sb))
            * tan(0.5*(0.5*(sa+sb+sc) - sc)))))) AS ar
-  FROM rtri GROUP BY c, side),
+  FROM rtri GROUP BY c, side)"""
+
+
+def _oracle_boolean_areas() -> str:
+    """Convex boolean-op areas re-derived in SQL: intersection polygon =
+    {A-verts in B} + {B-verts in A} + great-circle edge crossings,
+    angularly ordered around its centroid, l'Huilier triangle-fan area;
+    union/difference by inclusion-exclusion.  Valid because every
+    fixture pair is two overlapping convex loops (single-ring results,
+    n_loops = 1 with >= 2 proper crossings)."""
+    from geo_spark.sources.layers import regular_loop_vertices
+
+    def vert_rows():
+        rows = []
+        for c, (la, ln) in enumerate(_BOOL_CITIES):
+            va = regular_loop_vertices(la, ln, 0.03, 24)
+            vb = regular_loop_vertices(la + 1.0, ln + 0.5, 0.03, 24)
+            for side, v in (("a", va), ("b", vb)):
+                n = len(v)
+                for k in range(n):
+                    p, q = v[k], v[(k + 1) % n]
+                    rows.append(
+                        f"({c}, '{side}', {k}, {p[0]!r}, {p[1]!r}, {p[2]!r}, "
+                        f"{q[0]!r}, {q[1]!r}, {q[2]!r})"
+                    )
+        return ", ".join(rows)
+
+    return f"""
+        WITH vr(c, side, k, px0, py0, pz0, qx0, qy0, qz0) AS (VALUES {vert_rows()}),
+{_CONVEX_CHAIN_SQL},
 ops(i, op) AS (VALUES (1, 'union'), (2, 'intersection'), (3, 'difference'))
 SELECT CAST(ia.c*3 + i AS BIGINT) AS pair_id, op,
        CAST(1 AS INT) AS n_loops,
@@ -6224,6 +6231,97 @@ def _oracle_trajectory_resample() -> str:
     """
 
 
+def _areal_fixture():
+    """(c, tgt_id, value_cents, a_verts, b_verts) per same-city
+    src × tgt pair: 4 partial overlaps, 1 contained, 1 disjoint per
+    city — the three share regimes of areal interpolation."""
+    from geo_spark.sources.layers import regular_loop_vertices
+
+    offsets = [
+        ("ne", 0.03, 0.03, 0.03),
+        ("nw", 0.03, -0.03, 0.03),
+        ("se", -0.03, 0.03, 0.03),
+        ("sw", -0.03, -0.03, 0.03),
+        ("in", 0.0, 0.0, 0.015),
+        ("far", 1.0, 1.0, 0.03),
+    ]
+    rows = []
+    c = 0
+    for ci, (la, ln) in enumerate(_BOOL_CITIES):
+        a = regular_loop_vertices(la, ln, 0.05, 12)
+        val = (ci + 1) * 100_000
+        for name, dla, dln, rad in offsets:
+            b = regular_loop_vertices(la + dla, ln + dln, rad, 12)
+            rows.append((c, f"c{ci}_{name}", val, a, b))
+            c += 1
+    return rows
+
+
+def _q_areal_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Areal interpolation (operators/constructive.py:areal_interpolate):
+    each source polygon's value splits across target polygons by exact
+    spherical intersection-area share (ppm floor, then integer
+    allocation).  The oracle replays the convex overlay + l'Huilier
+    fan areas with the shared _CONVEX_CHAIN_SQL — the same independent
+    machinery that certifies q_boolean_areas."""
+    from geo_spark.operators.constructive import areal_interpolate
+
+    _ensure_pyfiles(spark)
+    rows = [
+        (
+            c,
+            tgt,
+            val,
+            [[float(x) for x in p] for p in a],
+            [[float(x) for x in p] for p in b],
+        )
+        for c, tgt, val, a, b in _areal_fixture()
+    ]
+    pairs = spark.createDataFrame(
+        rows,
+        "src_id long, tgt_id string, value_cents long, "
+        "a_verts array<array<double>>, b_verts array<array<double>>",
+    )
+    return areal_interpolate(pairs).orderBy("tgt_id")
+
+
+def _oracle_areal_interp() -> str:
+    fixture = _areal_fixture()
+    edge_rows = []
+    meta_rows = []
+    for c, tgt, val, a, b in fixture:
+        meta_rows.append(f"({c}, '{tgt}', {val})")
+        for side, v in (("a", a), ("b", b)):
+            n = len(v)
+            for k in range(n):
+                p, q = v[k], v[(k + 1) % n]
+                edge_rows.append(
+                    f"({c}, '{side}', {k}, {p[0]!r}, {p[1]!r}, {p[2]!r}, "
+                    f"{q[0]!r}, {q[1]!r}, {q[2]!r})"
+                )
+    edges = ", ".join(edge_rows)
+    meta = ", ".join(meta_rows)
+    return f"""
+        WITH vr(c, side, k, px0, py0, pz0, qx0, qy0, qz0) AS
+          (VALUES {edges}),
+        pm(c, tgt_id, value_cents) AS (VALUES {meta}),
+{_CONVEX_CHAIN_SQL},
+        shares AS (
+          SELECT pm.c, pm.tgt_id, pm.value_cents,
+                 CAST(FLOOR(COALESCE(ia.ai, 0.0) / ra.ar * 1000000e0)
+                      AS BIGINT) AS share_ppm
+          FROM pm
+          JOIN rarea ra ON ra.c = pm.c AND ra.side = 'a'
+          LEFT JOIN iarea ia ON ia.c = pm.c)
+        SELECT tgt_id,
+               CAST(sum(CASE WHEN share_ppm > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_src,
+               CAST(sum(value_cents * share_ppm // 1000000) AS BIGINT)
+                 AS alloc
+        FROM shares GROUP BY tgt_id ORDER BY tgt_id
+    """
+
+
 def _q_token_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation mining: top-20 token bigrams by association lift
     (PMI's ratio in integer ppm — the log dropped so the ranking is
@@ -6359,6 +6457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_polygon_polygon_join": _q_polygon_polygon_join,
         "q_polyline_simplify": _q_polyline_simplify,
         "q_boolean_areas": _q_boolean_areas,
+        "q_areal_interp": _q_areal_interp,
         "q_boolean_counts": _q_boolean_counts,
         "q_polygon_boolean_counts": _q_polygon_boolean_counts,
         "q_raster_vector": _q_raster_vector,
@@ -6451,6 +6550,7 @@ def oracle_sql() -> dict[str, str]:
         "q_polyline_simplify": _oracle_polyline_simplify(),
         "q_boolean_counts": _oracle_boolean_counts(),
         "q_boolean_areas": _oracle_boolean_areas(),
+        "q_areal_interp": _oracle_areal_interp(),
         "q_raster_vector": _oracle_raster_vector(),
         "q_polygon_boolean_counts": _oracle_polygon_boolean_counts(),
     }

@@ -164,3 +164,48 @@ def dissolve(
         ]
     )
     return geoms.groupBy(group_col).applyInPandas(fold, schema)
+
+
+def areal_interpolate(pairs: DataFrame) -> DataFrame:
+    """pairs(src_id, tgt_id, a_verts, b_verts, value_cents) ->
+    (tgt_id, n_src, alloc): area-weighted value transfer between
+    polygon layers (areal/dasymetric interpolation — census counts
+    onto grid cells, crawl volume onto admin zones).  Each source's
+    value is split across targets by
+
+        share_ppm = floor(area(A ∩ B) / area(A) * 1e6)
+        alloc    += value_cents * share_ppm div 1e6
+
+    — ONE float->int floor per pair, integer arithmetic after, so the
+    result is engine-replayable (the float inputs agree cross-engine
+    to ~1e-12 relative, far from the 1e-6 floor grid).
+
+    Scale shape: per-pair kernel calls are embarrassingly parallel
+    over the pair table (no shuffle), one hash aggregate by target.
+    Candidate pairs come from the covering join upstream (the same
+    pattern as geom_join) — disjoint pairs cost one kernel call and
+    contribute 0, so pruning them early is a perf, not correctness,
+    concern."""
+    inter = boolean_area_udf(
+        F.col("a_verts"), F.col("b_verts"), F.lit("intersection")
+    )
+    from geo_spark.operators.measures_ops import loop_area_udf
+
+    staged = pairs.withColumn("_ai", inter["area"]).withColumn(
+        "_aa", loop_area_udf(F.col("a_verts"))
+    )
+    share = F.floor(F.col("_ai") / F.col("_aa") * F.lit(1_000_000.0)).cast(
+        "long"
+    )
+    contrib = F.expr("value_cents * _share div 1000000")
+    return (
+        staged.withColumn("_share", share)
+        .withColumn("_c", contrib)
+        .groupBy("tgt_id")
+        .agg(
+            F.sum(F.when(F.col("_share") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_src"),
+            F.sum("_c").alias("alloc"),
+        )
+    )
