@@ -2510,7 +2510,14 @@ iv AS (
   SELECT c, px, py, pz FROM cxn),
 -- centroid frame per city
 ic AS (
-  SELECT c, SUM(px) AS gx, SUM(py) AS gy, SUM(pz) AS gz FROM iv GROUP BY c),
+  -- exact integer sums: parallel float SUM is order-nondeterministic,
+  -- and iord is evaluated once per side of the ipair self-join — an
+  -- inconsistent centroid frame between the two evaluations scrambles
+  -- the cyclic pairing (symmetric rings put a vertex at exactly +-pi)
+  SELECT c, SUM(CAST(FLOOR(px*1e15) AS HUGEINT))/1e15 AS gx,
+         SUM(CAST(FLOOR(py*1e15) AS HUGEINT))/1e15 AS gy,
+         SUM(CAST(FLOOR(pz*1e15) AS HUGEINT))/1e15 AS gz
+  FROM iv GROUP BY c),
 icn AS (
   SELECT c, gx/sqrt(gx*gx+gy*gy+gz*gz) AS mx, gy/sqrt(gx*gx+gy*gy+gz*gz) AS my,
          gz/sqrt(gx*gx+gy*gy+gz*gz) AS mz
@@ -2567,7 +2574,9 @@ iarea AS (
   FROM itri GROUP BY c),
 -- full ring areas for each side (fan from ring centroid, natural order)
 rc AS (
-  SELECT c, side, SUM(px) AS gx, SUM(py) AS gy, SUM(pz) AS gz
+  SELECT c, side, SUM(CAST(FLOOR(px*1e15) AS HUGEINT))/1e15 AS gx,
+         SUM(CAST(FLOOR(py*1e15) AS HUGEINT))/1e15 AS gy,
+         SUM(CAST(FLOOR(pz*1e15) AS HUGEINT))/1e15 AS gz
   FROM ve GROUP BY c, side),
 rcn AS (
   SELECT c, side, gx/sqrt(gx*gx+gy*gy+gz*gz) AS mx,
@@ -6237,13 +6246,17 @@ def _areal_fixture():
     city — the three share regimes of areal interpolation."""
     from geo_spark.sources.layers import regular_loop_vertices
 
+    # radii are RADIANS (0.05 rad ≈ 2.9 deg); degree offsets sized so
+    # the ne/nw/se/sw pairs overlap partially (center distance ~3.5 deg
+    # within (r_a - r_b, r_a + r_b) ≈ (1.2, 4.6) deg), "in" is strictly
+    # contained, "far" is genuinely disjoint (zero-allocation path)
     offsets = [
-        ("ne", 0.03, 0.03, 0.03),
-        ("nw", 0.03, -0.03, 0.03),
-        ("se", -0.03, 0.03, 0.03),
-        ("sw", -0.03, -0.03, 0.03),
+        ("ne", 2.5, 2.5, 0.03),
+        ("nw", 2.5, -2.5, 0.03),
+        ("se", -2.5, 2.5, 0.03),
+        ("sw", -2.5, -2.5, 0.03),
         ("in", 0.0, 0.0, 0.015),
-        ("far", 1.0, 1.0, 0.03),
+        ("far", 10.0, 10.0, 0.03),
     ]
     rows = []
     c = 0

@@ -12,11 +12,12 @@ from geo_spark.sources.layers import regular_loop_vertices
 def _pairs(spark):
     a = [[float(x) for x in p] for p in regular_loop_vertices(40.0, -74.0, 0.05, 12)]
     rows = []
+    # radii are RADIANS (0.05 rad ≈ 2.9 deg of arc) — offsets in degrees
     for i, (name, dla, dln, rad) in enumerate(
         [
-            ("part", 0.03, 0.03, 0.03),
+            ("part", 2.5, 2.5, 0.03),
             ("cont", 0.0, 0.0, 0.015),
-            ("far", 2.0, 2.0, 0.03),
+            ("far", 10.0, 10.0, 0.03),
         ]
     ):
         b = [
