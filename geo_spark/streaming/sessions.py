@@ -103,3 +103,36 @@ def sessionize(
         "append",
         GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def session_counts_native(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """The built-in twin of :func:`sessionize` for the plain time-gap
+    rule: ``F.session_window`` + watermark — Catalyst's own merging
+    session state (no Python, no custom state schema).  Use this
+    whenever the break rule is gap-only; the applyInPandasWithState
+    operator above exists for rules the built-in can't express (the
+    geotag counters here, teleport hops in operators/sessionize.py).
+
+    Output: (key, session_start, session_end, n_events) where
+    session_end is last-event-time + gap (the session_window
+    convention).  In append mode a session emits once the watermark
+    passes its close — a drained finite source needs one late flush
+    row to advance the watermark past the last real session."""
+    w = F.session_window(F.col(ts_col), f"{gap_minutes} minutes")
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col), w)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key_col,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
