@@ -6335,6 +6335,66 @@ def _oracle_areal_interp() -> str:
     """
 
 
+_WINNOW_K = 8
+_WINNOW_W = 4
+_WINNOW_MAXDF = 50
+_WINNOW_MIN_SHARED = 20
+
+
+def _q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style winnowing dedup (operators/dedup.py:winnow_pairs):
+    per-window minimum k-gram md5 fingerprints (value-selection
+    variant — fixed-length hex makes lexicographic min numeric min,
+    keeping the whole operator native SQL), stop-gram df filter as the
+    join's skew valve, pairs sharing >= 20 fingerprints (the near-dup band in this corpus).  The oracle
+    replays gram/window/min/df/join from first principles."""
+    from geo_spark.operators.dedup import winnow_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        winnow_pairs(
+            docs,
+            min_shared=_WINNOW_MIN_SHARED,
+            kgram=_WINNOW_K,
+            window=_WINNOW_W,
+            max_df=_WINNOW_MAXDF,
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _oracle_winnow_pairs() -> str:
+    k, w = _WINNOW_K, _WINNOW_W
+    return f"""
+        WITH grams AS (
+          SELECT doc_id, text,
+                 unnest(range(1, length(text) - {k - 1} + 1)) AS pos
+          FROM documents WHERE length(text) >= {k}),
+        h AS (SELECT doc_id, pos,
+                     md5(substring(text, CAST(pos AS INT), {k})) AS h
+              FROM grams),
+        mw AS (SELECT doc_id, pos,
+                      min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS BETWEEN CURRENT ROW
+                                   AND {w - 1} FOLLOWING) AS fp,
+                      max(pos) OVER (PARTITION BY doc_id) AS np
+               FROM h),
+        fps AS (SELECT DISTINCT doc_id, fp FROM mw
+                WHERE pos <= np - {w - 1}),
+        dfc AS (SELECT fp, count(*) AS dfn FROM fps GROUP BY fp),
+        kept AS (SELECT f.doc_id, f.fp FROM fps f
+                 JOIN dfc USING (fp) WHERE dfc.dfn <= {_WINNOW_MAXDF}),
+        pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                         count(*) AS n_shared
+                  FROM kept a JOIN kept b
+                    ON a.fp = b.fp AND a.doc_id < b.doc_id
+                  GROUP BY a.doc_id, b.doc_id)
+        SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared
+        FROM pairs WHERE n_shared >= {_WINNOW_MIN_SHARED}
+        ORDER BY id_a, id_b
+    """
+
+
 def _q_token_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation mining: top-20 token bigrams by association lift
     (PMI's ratio in integer ppm — the log dropped so the ranking is
@@ -6416,6 +6476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_domain_boilerplate": _q_domain_boilerplate,
         "q_dtw_anchor_cost": _q_dtw_anchor_cost,
         "q_exact_dedup": _q_exact_dedup,
+        "q_winnow_pairs": _q_winnow_pairs,
         "q_ngram_dedup_pairs": _q_ngram_dedup_pairs,
         "q_doc_quality": _q_doc_quality,
         "q_line_dedup": _q_line_dedup,
@@ -6509,6 +6570,7 @@ def oracle_sql() -> dict[str, str]:
         "q_domain_boilerplate": _oracle_domain_boilerplate(),
         "q_dtw_anchor_cost": _oracle_dtw_anchor_cost(),
         "q_exact_dedup": _oracle_exact_dedup(),
+        "q_winnow_pairs": _oracle_winnow_pairs(),
         "q_ngram_dedup_pairs": _oracle_ngram_dedup_pairs(),
         "q_minhash_lsh_pairs": _oracle_minhash_lsh_pairs(),
         "q_simhash_pairs": _oracle_simhash_pairs(),

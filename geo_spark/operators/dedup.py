@@ -492,3 +492,81 @@ def line_dedup(
             F.coalesce("text_clean", F.lit("")).alias("text_clean"),
         )
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    kgram: int = 8,
+    window: int = 4,
+    key: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(key, fp): winnowed document fingerprints — the MOSS scheme
+    (Schleimer/Wilkerson/Aiken, "Winnowing: local algorithms for
+    document fingerprinting").  Hash every character k-gram, slide a
+    window of ``window`` consecutive hashes, keep each window's
+    minimum, dedup.  Guarantee: any shared substring of length
+    >= kgram + window - 1 yields at least one shared fingerprint.
+
+    This variant selects by VALUE (min md5 hex per window — fixed
+    length, so lexicographic min == numeric min), which keeps the
+    whole operator native SQL in any engine; positional tie rules
+    don't change the fingerprint SET.
+
+    Scale shape: the gram table is O(total chars) skinny rows; one
+    per-doc window (single shuffle) + distinct.  Downstream joins
+    should drop fingerprints appearing in many docs (stop-grams) —
+    see winnow_pairs(max_df=...), the skew valve."""
+    n_g = F.length(F.col(text_col)) - (kgram - 1)
+    grams = docs.where(n_g >= 1).select(
+        F.col(key),
+        F.explode(F.sequence(F.lit(1), n_g)).alias("pos"),
+        F.col(text_col),
+    )
+    h = F.md5(F.expr(f"substring({text_col}, pos, {kgram})"))
+    w = (
+        Window.partitionBy(key)
+        .orderBy("pos")
+        .rowsBetween(0, window - 1)
+    )
+    hashed = grams.select(F.col(key), F.col("pos"), h.alias("_h"))
+    n_w = Window.partitionBy(key)
+    fps = (
+        hashed.withColumn("_fp", F.min("_h").over(w))
+        .withColumn("_np", F.max("pos").over(n_w))
+        .where(F.col("pos") <= F.col("_np") - (window - 1))
+        .select(F.col(key), F.col("_fp").alias("fp"))
+        .distinct()
+    )
+    return fps
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    min_shared: int = 2,
+    kgram: int = 8,
+    window: int = 4,
+    max_df: int | None = None,
+    key: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id_a, id_b, n_shared): document pairs sharing >= min_shared
+    winnowed fingerprints (id_a < id_b).  ``max_df`` drops
+    fingerprints present in more than that many docs before the
+    self-join — boilerplate grams are both noise and the join's hot
+    keys, so the quality filter IS the skew fix."""
+    fps = winnow_fingerprints(docs, kgram, window, key, text_col)
+    if max_df is not None:
+        df_t = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
+        fps = (
+            fps.join(df_t, "fp").where(F.col("_df") <= max_df).drop("_df")
+        )
+    a = fps.select(F.col(key).alias("id_a"), "fp")
+    b = fps.select(F.col(key).alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
