@@ -6335,6 +6335,35 @@ def _oracle_areal_interp() -> str:
     """
 
 
+def _q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage fuzzy join (operators/dedup.py:fuzzy_pairs):
+    all document-title pairs within edit distance 4, q-gram blocking
+    (lossless by the q-gram lemma at these lengths) + native
+    levenshtein refine.  Oracle is the brute all-pairs levenshtein."""
+    from geo_spark.operators.dedup import fuzzy_pairs
+
+    titles = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr("substring(text, 1, 24)").alias("title")
+    )
+    return fuzzy_pairs(
+        titles, max_dist=4, q=4, key="doc_id", text_col="title"
+    ).orderBy("id_a", "id_b")
+
+
+def _oracle_fuzzy_pairs() -> str:
+    return """
+        WITH t AS (SELECT doc_id, substring(text, 1, 24) AS s
+                   FROM documents),
+        f AS (SELECT * FROM t WHERE length(s) >= 20)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+        FROM f a JOIN f b ON a.doc_id < b.doc_id
+        WHERE abs(length(a.s) - length(b.s)) <= 4
+          AND levenshtein(a.s, b.s) <= 4
+        ORDER BY id_a, id_b
+    """
+
+
 _WINNOW_K = 8
 _WINNOW_W = 4
 _WINNOW_MAXDF = 50
@@ -6477,6 +6506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dtw_anchor_cost": _q_dtw_anchor_cost,
         "q_exact_dedup": _q_exact_dedup,
         "q_winnow_pairs": _q_winnow_pairs,
+        "q_fuzzy_pairs": _q_fuzzy_pairs,
         "q_ngram_dedup_pairs": _q_ngram_dedup_pairs,
         "q_doc_quality": _q_doc_quality,
         "q_line_dedup": _q_line_dedup,
@@ -6571,6 +6601,7 @@ def oracle_sql() -> dict[str, str]:
         "q_dtw_anchor_cost": _oracle_dtw_anchor_cost(),
         "q_exact_dedup": _oracle_exact_dedup(),
         "q_winnow_pairs": _oracle_winnow_pairs(),
+        "q_fuzzy_pairs": _oracle_fuzzy_pairs(),
         "q_ngram_dedup_pairs": _oracle_ngram_dedup_pairs(),
         "q_minhash_lsh_pairs": _oracle_minhash_lsh_pairs(),
         "q_simhash_pairs": _oracle_simhash_pairs(),

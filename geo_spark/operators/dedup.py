@@ -570,3 +570,65 @@ def winnow_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    max_dist: int,
+    q: int = 4,
+    key: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, dist): record-linkage fuzzy join — all pairs within
+    ``max_dist`` edit distance, q-gram blocking + native levenshtein
+    refine (both stay JVM-side; no Python anywhere).
+
+    Losslessness (the q-gram lemma): an edit destroys at most q grams,
+    so two strings of length >= q*(max_dist+1) within max_dist edits
+    share at least one q-gram — the operator filters shorter strings
+    out (their all-pairs fallback belongs upstream).  ``max_df`` drops
+    hot blocking grams — the skew valve, at the documented cost of
+    recall on pairs that share ONLY stop-grams (exactness requires
+    max_df=None).
+
+    Scale shape: gram explode -> distinct (key, gram) -> equi-join ->
+    distinct candidate pairs -> length prefilter -> one levenshtein per
+    candidate.  Blocking quality is corpus-dependent: on text with
+    heavy shared vocabulary the candidate set degrades toward
+    all-pairs, and max_df (or a rarest-k-grams-per-doc selection) is
+    the dial that restores it."""
+    base = df.select(F.col(key), F.col(text_col).alias("_s")).where(
+        F.length("_s") >= q * (max_dist + 1)
+    )
+    n_g = F.length("_s") - (q - 1)
+    grams = (
+        base.select(
+            F.col(key), F.explode(F.sequence(F.lit(1), n_g)).alias("pos"), "_s"
+        )
+        .select(F.col(key), F.expr(f"substring(_s, pos, {q})").alias("g"))
+        .distinct()
+    )
+    if max_df is not None:
+        dfc = grams.groupBy("g").agg(F.count(F.lit(1)).alias("_df"))
+        grams = grams.join(dfc, "g").where(F.col("_df") <= max_df).drop("_df")
+    a = grams.select(F.col(key).alias("id_a"), "g")
+    b = grams.select(F.col(key).alias("id_b"), "g")
+    cand = (
+        a.join(b, "g")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ta = base.select(F.col(key).alias("id_a"), F.col("_s").alias("_sa"))
+    tb = base.select(F.col(key).alias("id_b"), F.col("_s").alias("_sb"))
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .where(
+            F.abs(F.length("_sa") - F.length("_sb")) <= max_dist
+        )
+        .withColumn("dist", F.levenshtein("_sa", "_sb"))
+        .where(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
+    )

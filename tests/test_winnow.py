@@ -66,3 +66,46 @@ def test_winnow_max_df_drops_boilerplate(spark):
     without = winnow_pairs(df, min_shared=1, kgram=K, window=W).count()
     assert without == 45  # all pairs share the boilerplate
     assert with_filter == 0  # stop-gram filter kills the hot key
+
+
+def test_fuzzy_pairs_matches_brute(spark):
+    import itertools
+
+    def lev(a, b):
+        m, n = len(a), len(b)
+        d = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, n + 1):
+                cur = min(
+                    d[j] + 1,
+                    d[j - 1] + 1,
+                    prev + (a[i - 1] != b[j - 1]),
+                )
+                prev, d[j] = d[j], cur
+        return d[n]
+
+    rng = np.random.default_rng(41)
+    base = "the quick brown fox jump"
+    strs = []
+    for i in range(30):
+        s = list(base)
+        for _ in range(rng.integers(0, 6)):
+            p = rng.integers(0, len(s))
+            s[p] = chr(ord("a") + rng.integers(0, 26))
+        strs.append("".join(s))
+    from geo_spark.operators.dedup import fuzzy_pairs
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(strs)], "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in fuzzy_pairs(df, max_dist=3, q=4).collect()
+    }
+    want = {
+        (i, j): lev(strs[i], strs[j])
+        for i, j in itertools.combinations(range(30), 2)
+        if lev(strs[i], strs[j]) <= 3
+    }
+    assert got == want
