@@ -6335,6 +6335,67 @@ def _oracle_areal_interp() -> str:
     """
 
 
+_TRI_STREAMS = [(1, 1), (1, 2), (48271, 11), (69621, 7)]
+
+
+def _q_link_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting with degree-ordered orientation
+    (operators/linkgraph.py:triangle_counts) over a deterministic
+    event-id graph: two ring streams (+1, +2 — every consecutive triple
+    closes) plus two LCG streams for irregular degree.  The oracle
+    replays canonicalize -> degrees -> orientation -> wedge join ->
+    closing join relationally."""
+    from geo_spark.operators.linkgraph import triangle_counts
+
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    n = ev.count()
+    edges = None
+    for a, b in _TRI_STREAMS:
+        e = ev.select(
+            F.col("event_id").alias("src"),
+            ((F.col("event_id") * a + b) % n).alias("dst"),
+        )
+        edges = e if edges is None else edges.unionByName(e)
+    return triangle_counts(edges).orderBy("node")
+
+
+def _oracle_link_triangles() -> str:
+    streams = " UNION ALL ".join(
+        f"SELECT event_id AS src, (event_id * {a} + {b}) % nn.n AS dst "
+        "FROM events, nn"
+        for a, b in _TRI_STREAMS
+    )
+    return f"""
+        WITH nn AS (SELECT count(*) AS n FROM events),
+        raw AS ({streams}),
+        und AS (SELECT DISTINCT least(src, dst) AS u,
+                       greatest(src, dst) AS v
+                FROM raw WHERE src <> dst),
+        deg AS (SELECT n, count(*) AS d FROM (
+                  SELECT u AS n FROM und
+                  UNION ALL SELECT v AS n FROM und) GROUP BY n),
+        ori AS (SELECT CASE WHEN du < dv OR (du = dv AND u < v)
+                            THEN u ELSE v END AS a,
+                       CASE WHEN du < dv OR (du = dv AND u < v)
+                            THEN v ELSE u END AS b,
+                       CASE WHEN du < dv OR (du = dv AND u < v)
+                            THEN dv ELSE du END AS db
+                FROM und
+                JOIN deg d1 ON d1.n = und.u
+                JOIN deg d2 ON d2.n = und.v,
+                LATERAL (SELECT d1.d AS du, d2.d AS dv) t),
+        tris AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                 FROM ori e1 JOIN ori e2 ON e1.a = e2.a
+                 AND (e1.db < e2.db OR (e1.db = e2.db AND e1.b < e2.b))
+                 JOIN ori e3 ON e3.a = e1.b AND e3.b = e2.b),
+        corners AS (SELECT x AS node FROM tris
+                    UNION ALL SELECT y FROM tris
+                    UNION ALL SELECT z FROM tris)
+        SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+        FROM corners GROUP BY node ORDER BY node
+    """
+
+
 def _q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Record-linkage fuzzy join (operators/dedup.py:fuzzy_pairs):
     all document-title pairs within edit distance 4, q-gram blocking
@@ -6507,6 +6568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_exact_dedup": _q_exact_dedup,
         "q_winnow_pairs": _q_winnow_pairs,
         "q_fuzzy_pairs": _q_fuzzy_pairs,
+        "q_link_triangles": _q_link_triangles,
         "q_ngram_dedup_pairs": _q_ngram_dedup_pairs,
         "q_doc_quality": _q_doc_quality,
         "q_line_dedup": _q_line_dedup,
@@ -6602,6 +6664,7 @@ def oracle_sql() -> dict[str, str]:
         "q_exact_dedup": _oracle_exact_dedup(),
         "q_winnow_pairs": _oracle_winnow_pairs(),
         "q_fuzzy_pairs": _oracle_fuzzy_pairs(),
+        "q_link_triangles": _oracle_link_triangles(),
         "q_ngram_dedup_pairs": _oracle_ngram_dedup_pairs(),
         "q_minhash_lsh_pairs": _oracle_minhash_lsh_pairs(),
         "q_simhash_pairs": _oracle_simhash_pairs(),
