@@ -6335,6 +6335,77 @@ def _oracle_areal_interp() -> str:
     """
 
 
+_MAD_K = 128
+
+
+def _q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection composed from two sampled-median
+    passes (operators/sketches.py:sampled_group_median): per event
+    type, median -> absolute deviations -> MAD -> events with
+    |v - med| > 3·MAD.  Every statistic is a SELECTED row's value and
+    the deviations are IEEE +,-,abs chains, so the filter decision is
+    bitwise engine-portable; one DuckDB oracle replays both median
+    stages and the cut."""
+    from geo_spark.operators.sketches import sampled_group_median
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    med = sampled_group_median(
+        ev, ["event_type"], "value", "event_id", k=_MAD_K
+    ).select("event_type", F.col("median").alias("_med"))
+    dev = ev.join(med, "event_type").withColumn(
+        "_dev", F.abs(F.col("value") - F.col("_med"))
+    )
+    mad = sampled_group_median(
+        dev, ["event_type"], "_dev", "event_id", k=_MAD_K
+    ).select("event_type", F.col("median").alias("_mad"))
+    return (
+        dev.join(mad, "event_type")
+        .where(F.col("_dev") > F.lit(3.0) * F.col("_mad"))
+        .select("event_id", "event_type")
+        .orderBy("event_id")
+    )
+
+
+def _oracle_value_outliers() -> str:
+    k = _MAD_K
+    return f"""
+        WITH ev AS (SELECT event_id, event_type, value FROM events),
+        k1 AS (SELECT event_type, event_id, value,
+                      row_number() OVER (PARTITION BY event_type
+                        ORDER BY md5(CAST(event_id AS VARCHAR)), event_id)
+                        AS rn
+               FROM ev),
+        r1 AS (SELECT event_type, value,
+                      row_number() OVER (PARTITION BY event_type
+                        ORDER BY value, event_id) AS vr,
+                      count(*) OVER (PARTITION BY event_type) AS m
+               FROM k1 WHERE rn <= {k}),
+        med AS (SELECT event_type, value AS med FROM r1
+                WHERE vr = CAST(ceil(m / 2.0) AS BIGINT)),
+        dev AS (SELECT e.event_id, e.event_type,
+                       abs(e.value - med.med) AS dv
+                FROM ev e JOIN med USING (event_type)),
+        k2 AS (SELECT event_type, event_id, dv,
+                      row_number() OVER (PARTITION BY event_type
+                        ORDER BY md5(CAST(event_id AS VARCHAR)), event_id)
+                        AS rn
+               FROM dev),
+        r2 AS (SELECT event_type, dv,
+                      row_number() OVER (PARTITION BY event_type
+                        ORDER BY dv, event_id) AS vr,
+                      count(*) OVER (PARTITION BY event_type) AS m
+               FROM k2 WHERE rn <= {k}),
+        mad AS (SELECT event_type, dv AS mad FROM r2
+                WHERE vr = CAST(ceil(m / 2.0) AS BIGINT))
+        SELECT d.event_id, d.event_type
+        FROM dev d JOIN mad USING (event_type)
+        WHERE d.dv > 3.0 * mad.mad
+        ORDER BY d.event_id
+    """
+
+
 _TRI_STREAMS = [(1, 1), (1, 2), (48271, 11), (69621, 7)]
 
 
@@ -6569,6 +6640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_winnow_pairs": _q_winnow_pairs,
         "q_fuzzy_pairs": _q_fuzzy_pairs,
         "q_link_triangles": _q_link_triangles,
+        "q_value_outliers": _q_value_outliers,
         "q_ngram_dedup_pairs": _q_ngram_dedup_pairs,
         "q_doc_quality": _q_doc_quality,
         "q_line_dedup": _q_line_dedup,
@@ -6665,6 +6737,7 @@ def oracle_sql() -> dict[str, str]:
         "q_winnow_pairs": _oracle_winnow_pairs(),
         "q_fuzzy_pairs": _oracle_fuzzy_pairs(),
         "q_link_triangles": _oracle_link_triangles(),
+        "q_value_outliers": _oracle_value_outliers(),
         "q_ngram_dedup_pairs": _oracle_ngram_dedup_pairs(),
         "q_minhash_lsh_pairs": _oracle_minhash_lsh_pairs(),
         "q_simhash_pairs": _oracle_simhash_pairs(),
