@@ -6335,6 +6335,169 @@ def _oracle_areal_interp() -> str:
     """
 
 
+def _q_od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin-destination flow matrix — the canonical mobility
+    aggregate: per-user geo-sessions (operators/sessionize.py:
+    with_session_ids, the per-event half of the sessionizer), each
+    session's first/last event snaps to its level-4 tile, flows
+    grouped by (origin tile, destination tile).  One oracle replays
+    segmentation -> endpoint selection -> quadratic-projection tiling
+    end to end."""
+    from pyspark.sql import Window
+
+    from geo_spark.functions.s2 import s2_cellid, s2_face_ij
+    from geo_spark.operators.geo_noise import with_geo_noise, with_time_noise
+    from geo_spark.operators.sessionize import with_session_ids
+
+    ev = with_time_noise(
+        with_geo_noise(_t(spark, sf_dir, "events"), "event_id"), "event_id"
+    )
+    s = with_session_ids(
+        ev,
+        _SESS_GAP_S,
+        _SESS_JUMP_RAD,
+        tiebreak_col="event_id",
+    )
+    wa = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts_us", "event_id"
+    )
+    wd = Window.partitionBy("user_id", "session_id").orderBy(
+        F.col("ts_us").desc(), F.col("event_id").desc()
+    )
+    ranked = s.select(
+        "user_id",
+        "session_id",
+        "lat",
+        "lng",
+        F.row_number().over(wa).alias("_ra"),
+        F.row_number().over(wd).alias("_rd"),
+    )
+    ends = ranked.where((F.col("_ra") == 1) | (F.col("_rd") == 1)).select(
+        "user_id",
+        "session_id",
+        F.when(F.col("_ra") == 1, F.lit("o")).otherwise(F.lit("d")).alias(
+            "role"
+        ),
+        "lat",
+        "lng",
+    )
+    # single-event sessions: the one row is both origin and destination
+    both = ends.unionByName(
+        ranked.where((F.col("_ra") == 1) & (F.col("_rd") == 1)).select(
+            "user_id",
+            "session_id",
+            F.lit("d").alias("role"),
+            "lat",
+            "lng",
+        )
+    )
+    enc = both.withColumn(
+        "fij", s2_face_ij(s2_cellid(F.col("lat"), F.col("lng")))
+    ).select(
+        "user_id",
+        "session_id",
+        "role",
+        F.col("fij.face").cast("long").alias("face"),
+        F.shiftright(F.col("fij.i"), 26).alias("ti"),
+        F.shiftright(F.col("fij.j"), 26).alias("tj"),
+    )
+    o = enc.where(F.col("role") == "o").select(
+        "user_id",
+        "session_id",
+        F.col("face").alias("o_face"),
+        F.col("ti").alias("o_ti"),
+        F.col("tj").alias("o_tj"),
+    )
+    d = enc.where(F.col("role") == "d").select(
+        "user_id",
+        "session_id",
+        F.col("face").alias("d_face"),
+        F.col("ti").alias("d_ti"),
+        F.col("tj").alias("d_tj"),
+    )
+    return (
+        o.join(d, ["user_id", "session_id"])
+        .groupBy("o_face", "o_ti", "o_tj", "d_face", "d_ti", "d_tj")
+        .agg(F.count(F.lit(1)).alias("flows"))
+        .orderBy("o_face", "o_ti", "o_tj", "d_face", "d_ti", "d_tj")
+    )
+
+
+def _oracle_od_matrix() -> str:
+    from geo_spark.kernel.regions import chord2_from_angle
+    from geo_spark.operators.geo_noise import (
+        LAT_SQL,
+        LNG_SQL,
+        TS_US_SQL,
+        duckdb_face_ij_query,
+    )
+
+    lat = LAT_SQL.format(id="event_id")
+    lng = LNG_SQL.format(id="event_id")
+    ts = TS_US_SQL.format(id="event_id")
+    gap_us = int(round(_SESS_GAP_S * 1_000_000))
+    jump2 = chord2_from_angle(_SESS_JUMP_RAD)
+    ends_src = f"""
+        WITH pts AS (SELECT user_id, event_id, {ts} AS ts_us,
+                            {lat} AS lat, {lng} AS lng
+                     FROM events),
+        xyz AS (SELECT user_id, event_id, ts_us, lat, lng,
+                       cos(radians(lng))*cos(radians(lat)) AS x,
+                       sin(radians(lng))*cos(radians(lat)) AS y,
+                       sin(radians(lat)) AS z
+                FROM pts),
+        lagd AS (SELECT *,
+                        lag(x) OVER w AS px, lag(y) OVER w AS py,
+                        lag(z) OVER w AS pz, lag(ts_us) OVER w AS pts
+                 FROM xyz
+                 WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        brk AS (SELECT *,
+                       CASE WHEN pts IS NULL
+                              OR ts_us - pts > {gap_us}
+                              OR (x-px)*(x-px) + (y-py)*(y-py)
+                                 + (z-pz)*(z-pz) > {jump2!r}
+                            THEN 1 ELSE 0 END AS b
+                FROM lagd),
+        sess AS (SELECT *,
+                        SUM(b) OVER (PARTITION BY user_id
+                                     ORDER BY ts_us, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_id
+                 FROM brk),
+        rk AS (SELECT *,
+                      row_number() OVER (PARTITION BY user_id, session_id
+                                         ORDER BY ts_us, event_id) AS ra,
+                      row_number() OVER (PARTITION BY user_id, session_id
+                                         ORDER BY ts_us DESC, event_id DESC)
+                        AS rd
+               FROM sess)
+        SELECT user_id, session_id, 'o' AS role, lat, lng
+        FROM rk WHERE ra = 1
+        UNION ALL
+        SELECT user_id, session_id, 'd' AS role, lat, lng
+        FROM rk WHERE rd = 1
+    """
+    fij = duckdb_face_ij_query(ends_src)
+    return f"""
+        WITH enc AS (
+          SELECT user_id, session_id, role,
+                 CAST(face AS BIGINT) AS face,
+                 i // 67108864 AS ti, j // 67108864 AS tj
+          FROM ({fij})
+        ),
+        o AS (SELECT user_id, session_id, face AS o_face, ti AS o_ti,
+                     tj AS o_tj
+              FROM enc WHERE role = 'o'),
+        d AS (SELECT user_id, session_id, face AS d_face, ti AS d_ti,
+                     tj AS d_tj
+              FROM enc WHERE role = 'd')
+        SELECT o_face, o_ti, o_tj, d_face, d_ti, d_tj,
+               CAST(count(*) AS BIGINT) AS flows
+        FROM o JOIN d USING (user_id, session_id)
+        GROUP BY o_face, o_ti, o_tj, d_face, d_ti, d_tj
+        ORDER BY o_face, o_ti, o_tj, d_face, d_ti, d_tj
+    """
+
+
 _MAD_K = 128
 
 
@@ -6641,6 +6804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fuzzy_pairs": _q_fuzzy_pairs,
         "q_link_triangles": _q_link_triangles,
         "q_value_outliers": _q_value_outliers,
+        "q_od_matrix": _q_od_matrix,
         "q_ngram_dedup_pairs": _q_ngram_dedup_pairs,
         "q_doc_quality": _q_doc_quality,
         "q_line_dedup": _q_line_dedup,
@@ -6738,6 +6902,7 @@ def oracle_sql() -> dict[str, str]:
         "q_fuzzy_pairs": _oracle_fuzzy_pairs(),
         "q_link_triangles": _oracle_link_triangles(),
         "q_value_outliers": _oracle_value_outliers(),
+        "q_od_matrix": _oracle_od_matrix(),
         "q_ngram_dedup_pairs": _oracle_ngram_dedup_pairs(),
         "q_minhash_lsh_pairs": _oracle_minhash_lsh_pairs(),
         "q_simhash_pairs": _oracle_simhash_pairs(),

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from geo_spark.kernel.regions import chord2_from_angle
 
 
-def geo_sessionize(
+def with_session_ids(
     events: DataFrame,
     gap_s: float,
     jump_rad: float,
@@ -40,13 +40,11 @@ def geo_sessionize(
     latlng: tuple[str, str] = ("lat", "lng"),
     tiebreak_col: str | None = None,
 ) -> DataFrame:
-    """One row per (user, session): (user, session_id, n_events,
-    start_us, end_us, travel) where travel is the summed great-circle
-    length (radians) of intra-session hops.
-
-    ``tiebreak_col`` makes the within-user order total when timestamps
-    can collide — without a total order the lag pairing (hence the
-    segmentation) is nondeterministic across runs and engines."""
+    """Per-event session assignment: the input's keep columns plus
+    (x, y, z, _brk, session_id) — the reusable first half of
+    :func:`geo_sessionize`, for consumers that need per-event session
+    membership (OD matrices, per-session endpoints) rather than the
+    rolled-up summary.  One shuffle (the per-user lag window)."""
     gap_us = int(round(gap_s * 1_000_000))
     jump2 = chord2_from_angle(jump_rad)
 
@@ -60,6 +58,7 @@ def geo_sessionize(
         events.select(*keep, *latlng)
         .select(
             *keep,
+            *latlng,
             (F.cos(ln) * F.cos(la)).alias("x"),
             (F.sin(ln) * F.cos(la)).alias("y"),
             F.sin(la).alias("z"),
@@ -80,8 +79,34 @@ def geo_sessionize(
         | (hop2 > F.lit(jump2)),
         F.lit(1),
     ).otherwise(F.lit(0))
-    sessioned = base.withColumn("_brk", brk).withColumn(
+    return base.withColumn("_brk", brk).withColumn(
         "session_id", F.sum("_brk").over(w)
+    )
+
+
+def geo_sessionize(
+    events: DataFrame,
+    gap_s: float,
+    jump_rad: float,
+    user_col: str = "user_id",
+    ts_us_col: str = "ts_us",
+    latlng: tuple[str, str] = ("lat", "lng"),
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """One row per (user, session): (user, session_id, n_events,
+    start_us, end_us, travel) where travel is the summed great-circle
+    length (radians) of intra-session hops.
+
+    ``tiebreak_col`` makes the within-user order total when timestamps
+    can collide — without a total order the lag pairing (hence the
+    segmentation) is nondeterministic across runs and engines."""
+    sessioned = with_session_ids(
+        events, gap_s, jump_rad, user_col, ts_us_col, latlng, tiebreak_col
+    )
+    hop2 = (
+        (F.col("x") - F.col("_px")) * (F.col("x") - F.col("_px"))
+        + (F.col("y") - F.col("_py")) * (F.col("y") - F.col("_py"))
+        + (F.col("z") - F.col("_pz")) * (F.col("z") - F.col("_pz"))
     )
     # intra-session hop length (0 at session starts)
     hop_len = F.when(
