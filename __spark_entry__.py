@@ -6764,6 +6764,101 @@ def _oracle_token_lift() -> str:
     """
 
 
+_CMS_DEPTH, _CMS_WIDTH, _CMS_T = 3, 64, 12
+
+
+def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy hitters (operators/sketches.py:cms_heavy_hitters):
+    per event_type, the user buckets (user_id % 97) appearing >= 12
+    times — sketch probe keeps a guaranteed superset (CMS never
+    under-counts), exact refine makes the output exact.  width=64
+    forces real collisions at sf0.01 so est_count > n_exact somewhere.
+    The oracle replays salt-hash -> counters -> min-probe -> survivors
+    -> exact counts from first principles."""
+    from geo_spark.operators.sketches import cms_heavy_hitters
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 97).alias("item")
+    )
+    return cms_heavy_hitters(
+        ev, ["event_type"], "item",
+        threshold=_CMS_T, depth=_CMS_DEPTH, width=_CMS_WIDTH,
+    ).orderBy("event_type", "item")
+
+
+def _oracle_heavy_hitters() -> str:
+    from geo_spark.operators.sketches import md5_mod_duckdb_sql
+
+    hs = [
+        md5_mod_duckdb_sql("item", f"cms{d}", _CMS_WIDTH)
+        for d in range(_CMS_DEPTH)
+    ]
+    sk_union = " UNION ALL ".join(
+        f"SELECT event_type, {d} AS d, {h} AS bucket FROM src"
+        for d, h in enumerate(hs)
+    )
+    pr_union = " UNION ALL ".join(
+        f"SELECT event_type, item, {d} AS d, {h} AS bucket FROM items"
+        for d, h in enumerate(hs)
+    )
+    return f"""
+        WITH src AS (SELECT event_type, user_id % 97 AS item FROM events),
+        sk AS (SELECT event_type, d, bucket, count(*) AS cnt
+               FROM ({sk_union}) GROUP BY 1, 2, 3),
+        items AS (SELECT DISTINCT event_type, item FROM src),
+        probes AS ({pr_union}),
+        est AS (SELECT p.event_type, p.item,
+                       CAST(min(sk.cnt) AS BIGINT) AS est_count
+                FROM probes p
+                JOIN sk ON sk.event_type = p.event_type
+                       AND sk.d = p.d AND sk.bucket = p.bucket
+                GROUP BY 1, 2
+                HAVING min(sk.cnt) >= {_CMS_T}),
+        ex AS (SELECT s.event_type, s.item,
+                      CAST(count(*) AS BIGINT) AS n_exact
+               FROM src s
+               JOIN est e ON e.event_type = s.event_type
+                         AND e.item = s.item
+               GROUP BY 1, 2
+               HAVING count(*) >= {_CMS_T})
+        SELECT ex.event_type, ex.item, est.est_count, ex.n_exact
+        FROM ex JOIN est ON est.event_type = ex.event_type
+                        AND est.item = ex.item
+        ORDER BY ex.event_type, ex.item
+    """
+
+
+def _q_bloom_semi_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered exact semi-join
+    (operators/sketches.py:bloom_semi_join): orders of customers whose
+    custkey % 13 == 0 — the probe side packs into a 2^16-bit literal
+    filter (8 KiB), the big-side scan is pure codegen bit tests, the
+    exact refine guarantees the Bloom FP rate never reaches the output.
+    The oracle is the definitionally exact IN semi-join — which is the
+    operator's contract."""
+    from geo_spark.operators.sketches import bloom_semi_join
+
+    orders = _t(spark, sf_dir, "orders")
+    probe = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 13 == 0)
+        .select("c_custkey")
+    )
+    out = bloom_semi_join(
+        orders, "o_custkey", probe, "c_custkey", bits_log2=16, n_hashes=4
+    )
+    return out.select("o_orderkey", "o_custkey").orderBy("o_orderkey")
+
+
+def _oracle_bloom_semi_orders() -> str:
+    return """
+        SELECT o_orderkey, o_custkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_custkey % 13 = 0)
+        ORDER BY o_orderkey
+    """
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: spatial tile-count pipeline over events at sf0.001."""
     return _q_s2_tile_faceij_l8(spark, SF_DEFAULT)
@@ -6840,6 +6935,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_price_range_join": _q_price_range_join,
         "q_segment_overlap_kmv": _q_segment_overlap_kmv,
         "q_tile_focal_mean": _q_tile_focal_mean,
+        "q_heavy_hitters": _q_heavy_hitters,
+        "q_bloom_semi_orders": _q_bloom_semi_orders,
         "q_bm25_scores": _q_bm25_scores,
         "q_dissolve_counts": _q_dissolve_counts,
         "q_domain_stats": _q_domain_stats,
@@ -6923,6 +7020,8 @@ def oracle_sql() -> dict[str, str]:
         "q_price_range_join": _oracle_price_range_join(),
         "q_segment_overlap_kmv": _oracle_segment_overlap_kmv(),
         "q_tile_focal_mean": _oracle_tile_focal_mean(),
+        "q_heavy_hitters": _oracle_heavy_hitters(),
+        "q_bloom_semi_orders": _oracle_bloom_semi_orders(),
         "q_bm25_scores": _oracle_bm25_scores(),
         "q_dissolve_counts": _oracle_dissolve_counts(),
         "q_domain_stats": _oracle_domain_stats(),

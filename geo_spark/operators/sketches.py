@@ -146,6 +146,198 @@ def kmv_pair_similarity(
     )
 
 
+def md5_mod_sql(value_expr: str, salt: str, mod: int) -> str:
+    """Deterministic salted hash as Spark SQL: the first 13 hex chars
+    (52 bits) of ``md5(salt || ':' || value)`` reduced mod ``mod``.
+    Engine-portable by the same rule as AES_PRIORITY_SQL
+    (operators/sampling.py): the hex->int conversion and % are exact
+    integer arithmetic; DuckDB twin in :func:`md5_mod_duckdb_sql`."""
+    return (
+        f"(cast(conv(substring(md5(concat('{salt}:', "
+        f"cast({value_expr} as string))), 1, 13), 16, 10) as bigint)"
+        f" % {mod})"
+    )
+
+
+def md5_mod_duckdb_sql(value_expr: str, salt: str, mod: int) -> str:
+    """DuckDB twin of :func:`md5_mod_sql` (no conv(): exact hex-digit
+    extraction, mirroring sampling.weighted_priority_sql)."""
+    digits = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(concat('{salt}:', "
+        f"CAST({value_expr} AS VARCHAR))), {i + 1}, 1)) - 1)"
+        f" * {16 ** (12 - i)}"
+        for i in range(13)
+    )
+    return f"(({digits}) % {mod})"
+
+
+def cms_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    item_col: str,
+    depth: int = 3,
+    width: int = 256,
+) -> DataFrame:
+    """(group_cols..., d, bucket, cnt): Count-Min sketch counters — per
+    group, ``depth`` independent md5-salted hash rows of ``width``
+    buckets (Cormode/Muthukrishnan, "An improved data stream summary:
+    the count-min sketch and its applications").
+
+    Mergeability is the 100 TB story: counters add coordinate-wise, so
+    partial aggregation happens map-side and cross-partition /
+    cross-window merges ship depth x width integers per group, never
+    item domains.  In pure batch an exact groupBy-count is the same
+    single shuffle — the sketch earns its keep as bounded streaming
+    state (streaming/sketches.py twin) and as the prefilter of
+    :func:`cms_heavy_hitters`.  Plan: one explode(depth) + one partial
+    aggregated shuffle, zero Python."""
+    d_bucket = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    F.expr(
+                        md5_mod_sql(item_col, f"cms{d}", width)
+                    ).alias("bucket"),
+                )
+                for d in range(depth)
+            ]
+        )
+    ).alias("_db")
+    return (
+        df.select(*group_cols, d_bucket)
+        .select(*group_cols, "_db.d", "_db.bucket")
+        .groupBy(*group_cols, "d", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    group_cols: list[str],
+    item_col: str,
+    threshold: int,
+    depth: int = 3,
+    width: int = 256,
+) -> DataFrame:
+    """(group_cols..., item, est_count, n_exact): per-group heavy
+    hitters — items whose true count >= ``threshold`` — found by
+    probing the Count-Min sketch and exact-counting only survivors.
+
+    CMS never under-counts (est >= true always: every occurrence lands
+    in all of the item's ``depth`` counters), so the sketch cut keeps a
+    SUPERSET of the true heavies and the exact refine makes the output
+    exact — the same sketch-prefilter + exact-refine contract the LSH
+    dedup tiers follow.  est_count is min over rows (the CMS read).
+
+    Scale shape: sketch build (fixed-size per group) + distinct-item
+    probe join against depth*width counters + exact count of survivors
+    only.  When the candidate item domain is externally known (event
+    types, probe vocabularies), feed it upstream and the probe pass
+    touches only those."""
+    sk = cms_sketch(df, group_cols, item_col, depth=depth, width=width)
+    items = df.select(*group_cols, item_col).distinct()
+    probes = items.select(
+        *group_cols,
+        item_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        F.expr(
+                            md5_mod_sql(item_col, f"cms{d}", width)
+                        ).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("_db"),
+    ).select(*group_cols, item_col, "_db.d", "_db.bucket")
+    est = (
+        probes.join(sk, [*group_cols, "d", "bucket"])
+        .groupBy(*group_cols, item_col)
+        .agg(F.min("cnt").alias("est_count"))
+        .where(F.col("est_count") >= threshold)
+    )
+    exact = (
+        df.join(est.select(*group_cols, item_col), [*group_cols, item_col], "left_semi")
+        .groupBy(*group_cols, item_col)
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .where(F.col("n_exact") >= threshold)
+    )
+    return exact.join(est, [*group_cols, item_col]).select(
+        *group_cols, item_col, "est_count", "n_exact"
+    )
+
+
+def bloom_semi_join(
+    big: DataFrame,
+    big_col: str,
+    probe: DataFrame,
+    probe_col: str,
+    bits_log2: int = 16,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """Exact ``big SEMI JOIN probe`` with a Bloom-filter prefilter on
+    the big side — the deterministic, oracle-replayable analog of the
+    runtime bloom filters Spark's AQE plants for selective joins.
+
+    The probe side's values set ``n_hashes`` md5-salted bit positions
+    in a 2^bits_log2-bit filter; the filter is aggregated to ONE row of
+    packed 64-bit words, collected (8 KiB at the default — the same
+    fixed-size-aggregate driver hop kmeans takes for centroids) and
+    inlined as a literal array, so the big-side scan filters with pure
+    codegen bit tests and NO shuffle or Python.  Bloom filters have no
+    false negatives (all k positions of a member are set by
+    construction), so prefilter + exact semi-join refine == exact
+    semi-join; false positives only cost refine work (~0.4%% at 16 bits
+    / 4 hashes / <=5k probe values).  At larger probe cardinalities
+    raise bits_log2 (the array literal stays executor-local); beyond
+    literal-friendly sizes the same words table broadcast-joins on
+    word index."""
+    m = 1 << bits_log2
+    pos_exprs = [
+        md5_mod_sql(probe_col, f"bl{j}", m) for j in range(n_hashes)
+    ]
+    words_rows = (
+        probe.select(
+            F.explode(
+                F.array(*[F.expr(p).cast("long") for p in pos_exprs])
+            ).alias("_pos")
+        )
+        .select(
+            F.expr("_pos div 64").alias("_w"),
+            F.expr(
+                "shiftleft(cast(1 as bigint), cast(_pos % 64 as int))"
+            ).alias("_b"),
+        )
+        .groupBy("_w")
+        .agg(F.expr("bit_or(_b)").alias("_word"))
+        .collect()
+    )
+    words = [0] * (m // 64)
+    for r in words_rows:
+        words[int(r["_w"])] = int(r["_word"])
+    arr = F.array(*[F.lit(w).cast("long") for w in words])
+    cond = None
+    for j in range(n_hashes):
+        p_sql = md5_mod_sql(big_col, f"bl{j}", m)
+        word = F.element_at(
+            arr, F.expr(f"cast(({p_sql}) div 64 + 1 as int)")
+        )
+        bit = F.expr(
+            f"shiftleft(cast(1 as bigint), cast(({p_sql}) % 64 as int))"
+        )
+        hit = word.bitwiseAND(bit) != F.lit(0).cast("long")
+        cond = hit if cond is None else (cond & hit)
+    cand = big.where(cond)
+    pr = probe.select(F.col(probe_col).alias("_pv")).distinct()
+    return cand.join(
+        pr, F.col(big_col) == F.col("_pv"), "left_semi"
+    )
+
+
 def kmv_distinct(
     df: DataFrame,
     group_cols: list[str],

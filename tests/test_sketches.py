@@ -136,3 +136,118 @@ def test_kmv_pair_jaccard_accuracy(spark):
     assert abs(row["est_union"] - len(np.union1d(a, b))) < 0.25 * len(
         np.union1d(a, b)
     )
+
+
+def _md5_mod(v, salt: str, mod: int) -> int:
+    import hashlib
+
+    h = hashlib.md5(f"{salt}:{v}".encode()).hexdigest()[:13]
+    return int(h, 16) % mod
+
+
+def test_md5_mod_sql_matches_python(spark):
+    from geo_spark.operators.sketches import md5_mod_sql
+
+    df = spark.createDataFrame([(i,) for i in range(50)], "v long")
+    got = [
+        r["h"]
+        for r in df.select(
+            F_expr(md5_mod_sql("v", "s7", 997)).alias("h")
+        ).orderBy("v").collect()
+    ]
+    assert got == [_md5_mod(i, "s7", 997) for i in range(50)]
+
+
+def test_md5_mod_duckdb_twin():
+    import duckdb
+
+    from geo_spark.operators.sketches import md5_mod_duckdb_sql
+
+    expr = md5_mod_duckdb_sql("v", "s7", 997)
+    got = duckdb.sql(
+        f"SELECT {expr} AS h FROM (SELECT unnest(range(50)) AS v) ORDER BY v"
+    ).fetchall()
+    assert [g[0] for g in got] == [_md5_mod(i, "s7", 997) for i in range(50)]
+
+
+def _cms_spec(rows, depth, width):
+    """Pure-python CMS: dict[(grp, d, bucket)] -> count."""
+    c = {}
+    for g, it in rows:
+        for d in range(depth):
+            b = _md5_mod(it, f"cms{d}", width)
+            c[(g, d, b)] = c.get((g, d, b), 0) + 1
+    return c
+
+
+def test_cms_sketch_matches_spec(spark):
+    from geo_spark.operators.sketches import cms_sketch
+
+    rng = np.random.default_rng(5)
+    rows = [("g", int(v)) for v in rng.integers(0, 30, 500)] + [
+        ("h", int(v)) for v in rng.integers(0, 10, 200)
+    ]
+    df = spark.createDataFrame(rows, "grp string, item long")
+    got = {
+        (r["grp"], r["d"], r["bucket"]): r["cnt"]
+        for r in cms_sketch(df, ["grp"], "item", depth=3, width=64).collect()
+    }
+    assert got == _cms_spec(rows, 3, 64)
+
+
+def test_cms_heavy_hitters_exact_and_superset(spark):
+    """Output == true heavy hitters (exact counts), and est >= exact."""
+    from collections import Counter
+
+    from geo_spark.operators.sketches import cms_heavy_hitters
+
+    rng = np.random.default_rng(9)
+    # skewed: a few hot items over a wide tail (forces collisions at
+    # width=32 so est > exact somewhere, yet output must stay exact)
+    vals = list(rng.zipf(1.6, 4000) % 500)
+    rows = [("g", int(v)) for v in vals]
+    truth = {
+        it: n for it, n in Counter(int(v) for v in vals).items() if n >= 50
+    }
+    df = spark.createDataFrame(rows, "grp string, item long")
+    got = {
+        r["item"]: (r["est_count"], r["n_exact"])
+        for r in cms_heavy_hitters(
+            df, ["grp"], "item", threshold=50, depth=3, width=32
+        ).collect()
+    }
+    assert {k: v[1] for k, v in got.items()} == truth
+    assert all(est >= ex for est, ex in got.values())
+
+
+def test_bloom_semi_join_exact_and_fp_bound(spark):
+    from geo_spark.operators.sketches import bloom_semi_join
+
+    big = spark.createDataFrame([(i,) for i in range(20000)], "k long")
+    probe = spark.createDataFrame(
+        [(i * 7,) for i in range(500)], "pk long"
+    )
+    out = bloom_semi_join(big, "k", probe, "pk", bits_log2=14, n_hashes=4)
+    got = sorted(r["k"] for r in out.collect())
+    want = sorted({i * 7 for i in range(500)} & set(range(20000)))
+    assert got == want  # no false negatives, refine removes positives
+
+
+def test_bloom_prefilter_selectivity(spark):
+    """The literal-array prefilter alone (before refine) passes members
+    plus a small FP fraction — the scan-side work bound."""
+    from geo_spark.operators.sketches import bloom_semi_join
+
+    big = spark.createDataFrame([(i,) for i in range(20000)], "k long")
+    probe = spark.createDataFrame([(i,) for i in range(500)], "pk long")
+    out = bloom_semi_join(big, "k", probe, "pk", bits_log2=16, n_hashes=4)
+    # exactness (above) plus: with m=2^16, n=500, k=4 the classic FP
+    # rate (1-e^{-kn/m})^k ~ 1.2e-6 -- candidate count == member count
+    # almost surely; assert the refine output size as the contract
+    assert out.count() == 500
+
+
+def F_expr(s):
+    from pyspark.sql import functions as F
+
+    return F.expr(s)
