@@ -6764,6 +6764,57 @@ def _oracle_token_lift() -> str:
     """
 
 
+_BFS_STREAMS = [(48271, 11), (69621, 7)]
+_BFS_HOPS = 4
+
+
+def _q_link_seed_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source bounded BFS (operators/linkgraph.py:seed_distances):
+    hop distance from a seed whitelist (event_id % 997 == 0) along a
+    deterministic directed LCG link graph — the TrustRank-style
+    seed-propagation signal.  The oracle is a recursive CTE taking
+    min(dist) over all <=4-hop paths: a structurally different
+    definition of the same quantity (path enumeration vs frontier
+    labeling)."""
+    from geo_spark.operators.linkgraph import seed_distances
+
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    n = ev.count()
+    edges = None
+    for a, b in _BFS_STREAMS:
+        e = ev.select(
+            F.col("event_id").alias("src"),
+            ((F.col("event_id") * a + b) % n).alias("dst"),
+        )
+        edges = e if edges is None else edges.unionByName(e)
+    seeds = ev.where(F.col("event_id") % 997 == 0).select(
+        F.col("event_id").alias("id")
+    )
+    return seed_distances(edges, seeds, max_hops=_BFS_HOPS).orderBy("node")
+
+
+def _oracle_link_seed_distance() -> str:
+    streams = " UNION ALL ".join(
+        f"SELECT event_id AS src, (event_id * {a} + {b}) % nn.n AS dst "
+        "FROM events, nn"
+        for a, b in _BFS_STREAMS
+    )
+    return f"""
+        WITH RECURSIVE nn AS (SELECT count(*) AS n FROM events),
+        e AS (SELECT DISTINCT src, dst FROM ({streams}) WHERE src <> dst),
+        r AS (
+            SELECT event_id AS node, 0 AS dist FROM events
+            WHERE event_id % 997 = 0
+            UNION
+            SELECT e.dst AS node, r.dist + 1 AS dist
+            FROM r JOIN e ON e.src = r.node
+            WHERE r.dist < {_BFS_HOPS}
+        )
+        SELECT node, CAST(min(dist) AS BIGINT) AS dist
+        FROM r GROUP BY node ORDER BY node
+    """
+
+
 _CMS_DEPTH, _CMS_WIDTH, _CMS_T = 3, 64, 12
 
 
@@ -6935,6 +6986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_price_range_join": _q_price_range_join,
         "q_segment_overlap_kmv": _q_segment_overlap_kmv,
         "q_tile_focal_mean": _q_tile_focal_mean,
+        "q_link_seed_distance": _q_link_seed_distance,
         "q_heavy_hitters": _q_heavy_hitters,
         "q_bloom_semi_orders": _q_bloom_semi_orders,
         "q_bm25_scores": _q_bm25_scores,
@@ -7020,6 +7072,7 @@ def oracle_sql() -> dict[str, str]:
         "q_price_range_join": _oracle_price_range_join(),
         "q_segment_overlap_kmv": _oracle_segment_overlap_kmv(),
         "q_tile_focal_mean": _oracle_tile_focal_mean(),
+        "q_link_seed_distance": _oracle_link_seed_distance(),
         "q_heavy_hitters": _oracle_heavy_hitters(),
         "q_bloom_semi_orders": _oracle_bloom_semi_orders(),
         "q_bm25_scores": _oracle_bm25_scores(),

@@ -257,3 +257,55 @@ def triangle_counts(
         .unionAll(tris.select(F.col("z").alias("node")))
     )
     return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
+
+
+def seed_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    seed_key: str = "id",
+) -> DataFrame:
+    """(node, dist): minimum hop count from the seed set along directed
+    edges, bounded at ``max_hops`` — multi-source BFS, the "trust
+    distance" signal (TrustRank's seed-propagation skeleton: distance
+    from a vetted whitelist ranks crawl frontiers and weighs documents).
+
+    Frontier BFS, not Bellman-Ford: each round expands ONLY the nodes
+    first reached last round (equi-join frontier x edges -> distinct ->
+    anti-join against everything already labeled), so a node is visited
+    once and the round's shuffle is proportional to the frontier, never
+    to the accumulated result — the property that keeps round cost flat
+    when 100 TB of graph has bounded expansion.  ``max_hops`` bounds
+    the loop with zero driver actions (the whole plan stays lazy);
+    distances are exact because BFS labels at first reach.  Lineage is
+    cut per round (localCheckpoint), same protocol as pagerank/HITS.
+    """
+    e = (
+        edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+        .where(F.col("_src") != F.col("_dst"))
+        .distinct()
+        .persist()
+    )
+    dist = (
+        seeds.select(F.col(seed_key).alias("_n"))
+        .distinct()
+        .withColumn("_d", F.lit(0).cast("long"))
+        .localCheckpoint()
+    )
+    frontier = dist
+    for h in range(1, max_hops + 1):
+        reached = (
+            e.join(frontier, F.col("_src") == F.col("_n"))
+            .select(F.col("_dst").alias("_n"))
+            .distinct()
+            .withColumn("_d", F.lit(h).cast("long"))
+        )
+        new = reached.join(
+            dist.select("_n"), "_n", "left_anti"
+        ).localCheckpoint()
+        dist = dist.unionByName(new).localCheckpoint()
+        frontier = new
+    e.unpersist()
+    return dist.select(F.col("_n").alias("node"), F.col("_d").alias("dist"))

@@ -67,3 +67,64 @@ def test_tol_early_stop_still_correct(spark):
     edge_list = [(i, (i + 1) % n) for i in range(n)]
     got = _spark_pagerank(spark, n, edge_list, 10, tol=1e-9)
     assert np.allclose(got, np.full(n, 1.0 / n), atol=1e-12)
+
+
+def _numpy_bfs(edge_list, seeds, max_hops):
+    from collections import deque
+
+    adj = {}
+    for s, t in edge_list:
+        if s != t:
+            adj.setdefault(s, set()).add(t)
+    dist = {s: 0 for s in seeds}
+    q = deque(seeds)
+    while q:
+        u = q.popleft()
+        if dist[u] >= max_hops:
+            continue
+        for v in adj.get(u, ()):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    return dist
+
+
+def _spark_bfs(spark, edge_list, seeds, max_hops):
+    from geo_spark.operators.linkgraph import seed_distances
+
+    e = spark.createDataFrame(
+        [(int(s), int(t)) for s, t in edge_list], "src long, dst long"
+    )
+    sd = spark.createDataFrame([(int(s),) for s in seeds], "id long")
+    return {
+        r["node"]: r["dist"]
+        for r in seed_distances(e, sd, max_hops=max_hops).collect()
+    }
+
+
+def test_seed_distances_chain_and_bound(spark):
+    # 0->1->2->3->4; seed {0}, max_hops=3: node 4 unlabeled
+    edges = [(i, i + 1) for i in range(4)]
+    got = _spark_bfs(spark, edges, [0], 3)
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_seed_distances_multi_source_min(spark):
+    # two seeds racing to node 2: min wins; direction respected
+    edges = [(0, 1), (1, 2), (5, 2), (2, 0)]
+    got = _spark_bfs(spark, edges, [0, 5], 2)
+    assert got == {0: 0, 5: 0, 1: 1, 2: 1}
+
+
+def test_seed_distances_random_differential(spark):
+    rng = np.random.default_rng(23)
+    for seed in range(3):
+        rng = np.random.default_rng(100 + seed)
+        edges = [
+            (int(a), int(b))
+            for a, b in rng.integers(0, 60, (200, 2))
+        ]
+        seeds = sorted({int(s) for s in rng.integers(0, 60, 4)})
+        want = _numpy_bfs(edges, seeds, 3)
+        got = _spark_bfs(spark, edges, seeds, 3)
+        assert got == want, seed
