@@ -6764,6 +6764,37 @@ def _oracle_token_lift() -> str:
     """
 
 
+def _q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IR index build (operators/text.py:inverted_index): per term with
+    df >= 5, document frequency + the gap-encoded ascending posting
+    list as a comma string.  Spark computes gaps with an array
+    transform after one collect_list shuffle; the oracle computes them
+    with a lag window + ordered string_agg — different machinery, same
+    byte-exact postings."""
+    from geo_spark.operators.text import inverted_index
+
+    docs = _t(spark, sf_dir, "documents")
+    return inverted_index(docs, min_df=5).orderBy("term")
+
+
+def _oracle_inverted_index() -> str:
+    return """
+        WITH toks AS (SELECT DISTINCT doc_id,
+                             unnest(string_split(lower(text), ' ')) AS term
+                      FROM documents),
+        t AS (SELECT term, doc_id FROM toks WHERE length(term) > 0),
+        gaps AS (SELECT term, doc_id,
+                        doc_id - coalesce(lag(doc_id) OVER (
+                            PARTITION BY term ORDER BY doc_id), 0) AS gap
+                 FROM t),
+        g AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+                     string_agg(CAST(gap AS VARCHAR), ','
+                                ORDER BY doc_id) AS postings
+              FROM gaps GROUP BY term)
+        SELECT term, df, postings FROM g WHERE df >= 5 ORDER BY term
+    """
+
+
 _BFS_STREAMS = [(48271, 11), (69621, 7)]
 _BFS_HOPS = 4
 
@@ -6986,6 +7017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_price_range_join": _q_price_range_join,
         "q_segment_overlap_kmv": _q_segment_overlap_kmv,
         "q_tile_focal_mean": _q_tile_focal_mean,
+        "q_inverted_index": _q_inverted_index,
         "q_link_seed_distance": _q_link_seed_distance,
         "q_heavy_hitters": _q_heavy_hitters,
         "q_bloom_semi_orders": _q_bloom_semi_orders,
@@ -7072,6 +7104,7 @@ def oracle_sql() -> dict[str, str]:
         "q_price_range_join": _oracle_price_range_join(),
         "q_segment_overlap_kmv": _oracle_segment_overlap_kmv(),
         "q_tile_focal_mean": _oracle_tile_focal_mean(),
+        "q_inverted_index": _oracle_inverted_index(),
         "q_link_seed_distance": _oracle_link_seed_distance(),
         "q_heavy_hitters": _oracle_heavy_hitters(),
         "q_bloom_semi_orders": _oracle_bloom_semi_orders(),

@@ -518,3 +518,53 @@ def token_lift(
         .orderBy(F.col("lift_ppm").desc(), "a", "b")
         .limit(k)
     )
+
+
+def inverted_index(
+    docs: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+) -> DataFrame:
+    """(term, df, postings): the classic IR index build — per term, its
+    document frequency and the ascending posting list GAP-ENCODED as a
+    comma-joined string (first entry is the raw id, the rest are deltas
+    — the layout real posting lists compress, since gaps are small and
+    varint/PForDelta-friendly downstream).
+
+    Scale shape: tokenize -> distinct (term, doc) -> ONE groupBy(term)
+    with sort_array(collect_list(...)) — a single shuffle; the gap
+    transform and join are per-row array ops in codegen, no Python and
+    no window.  Posting lists of web-scale hot terms ("the") are the
+    skew risk: ``min_df`` trims the long tail, and hot-term rows carry
+    one big array each — cap or df-bucket upstream when a term's
+    postings exceed executor row budgets (the standard shard-by-doc
+    partitioned-index layout at 100 TB: build per doc-shard indexes,
+    postings stay shard-local and readers merge)."""
+    toks = (
+        docs.select(
+            F.col(key).alias("_doc"),
+            F.explode(F.split(F.lower(F.col(text_col)), " ", -1)).alias(
+                "term"
+            ),
+        )
+        .where(F.length("term") > 0)
+        .distinct()
+    )
+    grouped = toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sort_array(F.collect_list("_doc")).alias("_arr"),
+    )
+    gaps = F.transform(
+        F.col("_arr"),
+        lambda x, i: (
+            x
+            - F.when(i == 0, F.lit(0).cast("long")).otherwise(
+                F.element_at(F.col("_arr"), i.cast("int"))
+            )
+        ).cast("string"),
+    )
+    return (
+        grouped.where(F.col("df") >= min_df)
+        .select("term", "df", F.array_join(gaps, ",").alias("postings"))
+    )

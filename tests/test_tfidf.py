@@ -47,3 +47,40 @@ def test_tfidf_scores_match_numpy(spark):
     for r in out:
         assert r["df"] < 9
         assert math.log(9 / r["df"]) > 0
+
+
+def test_inverted_index_gap_encoding(spark):
+    from geo_spark.operators.text import inverted_index
+
+    docs = spark.createDataFrame(
+        [
+            (3, "the cat sat"),
+            (10, "THE dog"),
+            (25, "cat naps the"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["term"]: (r["df"], r["postings"])
+        for r in inverted_index(docs).collect()
+    }
+    assert got["the"] == (3, "3,7,15")  # 3, 10, 25 gap-encoded
+    assert got["cat"] == (2, "3,22")
+    assert got["dog"] == (1, "10")
+    assert got["sat"] == (1, "3")
+    assert got["naps"] == (1, "25")
+
+
+def test_inverted_index_min_df_and_dups(spark):
+    from geo_spark.operators.text import inverted_index
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a  b"), (4, "b")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["term"]: r["postings"]
+        for r in inverted_index(docs, min_df=2).collect()
+    }
+    # duplicate in-doc terms collapse; empty split tokens dropped
+    assert got == {"a": "1,1", "b": "1,1,2"}
