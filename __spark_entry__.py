@@ -6764,6 +6764,137 @@ def _oracle_token_lift() -> str:
     """
 
 
+def _rg_centroids() -> list[tuple[int, float, float, float]]:
+    """Normalized vertex-mean centroid per _PIP_LOOPS zone, computed
+    once in numpy and inlined as identical double literals on BOTH
+    engines (the float-discipline rule: compared arithmetic runs on
+    identical inputs)."""
+    import numpy as np
+
+    from geo_spark.kernel.pip import latlng_text_to_xyz
+
+    out = []
+    for g, t in _PIP_LOOPS:
+        v = latlng_text_to_xyz(t)
+        c = v.mean(axis=0)
+        c = c / np.linalg.norm(c)
+        out.append((g, float(c[0]), float(c[1]), float(c[2])))
+    return out
+
+
+def _q_reverse_geocode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse geocoding: every event gets a zone — by PIP membership
+    when inside a _PIP_LOOPS polygon (method 'pip'), else the nearest
+    zone centroid by chord distance (method 'knn') — the classic
+    admin-area assignment compose (PIP join -> anti-join -> broadcast
+    nearest-centroid argmin; partial-aggregatable struct-min, the
+    mapmatch selection shape).  One covering join + one broadcast
+    NLJ over 3 centroids; no Python.  Oracle replays the convex
+    edge-sign PIP and a row_number argmin independently."""
+    from geo_spark.kernel.pip import latlng_text_to_xyz
+    from geo_spark.kernel.regions import LoopRegion
+    from geo_spark.operators.spatial_join import build_layer, spatial_join
+
+    layer = build_layer(
+        spark,
+        [
+            (g, LoopRegion.from_vertices(latlng_text_to_xyz(t)))
+            for g, t in _PIP_LOOPS
+        ],
+        max_cells=12,
+    )
+    ev = _events_with_cells(spark, sf_dir)
+    hits = spatial_join(ev, layer, point_key="event_id", latlng=("lat", "lng"))
+    pip = (
+        hits.groupBy("event_id")
+        .agg(F.min("geom_id").cast("long").alias("zone"))
+        .withColumn("method", F.lit("pip"))
+    )
+    misses = ev.join(pip.select("event_id"), "event_id", "left_anti")
+    cdf = spark.createDataFrame(
+        _rg_centroids(), "czone long, cx double, cy double, cz double"
+    )
+    rad = F.radians
+    m = misses.select(
+        "event_id",
+        (F.cos(rad("lng")) * F.cos(rad("lat"))).alias("x"),
+        (F.sin(rad("lng")) * F.cos(rad("lat"))).alias("y"),
+        F.sin(rad("lat")).alias("z"),
+    )
+    d = m.join(F.broadcast(cdf)).select(
+        "event_id",
+        F.struct(
+            (
+                (F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))
+                + (F.col("y") - F.col("cy")) * (F.col("y") - F.col("cy"))
+                + (F.col("z") - F.col("cz")) * (F.col("z") - F.col("cz"))
+            ).alias("chord2"),
+            F.col("czone").alias("zone"),
+        ).alias("_s"),
+    )
+    near = (
+        d.groupBy("event_id")
+        .agg(F.min("_s").alias("_m"))
+        .select("event_id", F.col("_m.zone").alias("zone"))
+        .withColumn("method", F.lit("knn"))
+    )
+    return pip.unionByName(near).orderBy("event_id")
+
+
+def _oracle_reverse_geocode() -> str:
+    import numpy as np
+
+    from geo_spark.kernel.pip import latlng_text_to_xyz
+    from geo_spark.operators.geo_noise import LAT_SQL, LNG_SQL
+
+    lat = LAT_SQL.format(id="event_id")
+    lng = LNG_SQL.format(id="event_id")
+    rows = []
+    for g, t in _PIP_LOOPS:
+        v = latlng_text_to_xyz(t)
+        for k in range(len(v)):
+            n = np.cross(v[k], v[(k + 1) % len(v)])
+            rows.append(
+                f"({g}, {float(n[0])!r}, {float(n[1])!r}, {float(n[2])!r})"
+            )
+    norms = ", ".join(rows)
+    cents = ", ".join(
+        f"({g}, {cx!r}, {cy!r}, {cz!r})"
+        for g, cx, cy, cz in _rg_centroids()
+    )
+    return f"""
+        WITH pts AS (SELECT event_id, {lat} AS lat, {lng} AS lng FROM events),
+        xyz AS (SELECT event_id,
+                       cos(radians(lng))*cos(radians(lat)) AS x,
+                       sin(radians(lng))*cos(radians(lat)) AS y,
+                       sin(radians(lat)) AS z
+                FROM pts),
+        norms(geom_id, nx, ny, nz) AS (VALUES {norms}),
+        inz AS (SELECT geom_id, event_id
+                FROM xyz, norms
+                GROUP BY geom_id, event_id
+                HAVING MIN(nx*x + ny*y + nz*z) > 0),
+        pip AS (SELECT event_id, CAST(min(geom_id) AS BIGINT) AS zone
+                FROM inz GROUP BY event_id),
+        cents(czone, cx, cy, cz) AS (VALUES {cents}),
+        miss AS (SELECT * FROM xyz
+                 WHERE event_id NOT IN (SELECT event_id FROM pip)),
+        d AS (SELECT event_id, czone,
+                     (x-cx)*(x-cx) + (y-cy)*(y-cy) + (z-cz)*(z-cz)
+                         AS chord2
+              FROM miss, cents),
+        r AS (SELECT event_id, czone,
+                     row_number() OVER (PARTITION BY event_id
+                                        ORDER BY chord2, czone) AS rk
+              FROM d)
+        SELECT event_id, zone, 'pip' AS method FROM pip
+        UNION ALL
+        SELECT event_id, CAST(czone AS BIGINT) AS zone, 'knn' AS method
+        FROM r WHERE rk = 1
+        ORDER BY event_id
+    """
+
+
 def _q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IR index build (operators/text.py:inverted_index): per term with
     df >= 5, document frequency + the gap-encoded ascending posting
@@ -7017,6 +7148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_price_range_join": _q_price_range_join,
         "q_segment_overlap_kmv": _q_segment_overlap_kmv,
         "q_tile_focal_mean": _q_tile_focal_mean,
+        "q_reverse_geocode": _q_reverse_geocode,
         "q_inverted_index": _q_inverted_index,
         "q_link_seed_distance": _q_link_seed_distance,
         "q_heavy_hitters": _q_heavy_hitters,
@@ -7104,6 +7236,7 @@ def oracle_sql() -> dict[str, str]:
         "q_price_range_join": _oracle_price_range_join(),
         "q_segment_overlap_kmv": _oracle_segment_overlap_kmv(),
         "q_tile_focal_mean": _oracle_tile_focal_mean(),
+        "q_reverse_geocode": _oracle_reverse_geocode(),
         "q_inverted_index": _oracle_inverted_index(),
         "q_link_seed_distance": _oracle_link_seed_distance(),
         "q_heavy_hitters": _oracle_heavy_hitters(),
