@@ -77,3 +77,93 @@ def stream_tile_kmv(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+CMS_OUTPUT_SCHEMA = "grp string, item long, est_count long"
+CMS_STATE_SCHEMA = "counters array<long>"
+
+
+def stream_cms_estimates(
+    stream: DataFrame,
+    probe_items: list[int],
+    depth: int = 3,
+    width: int = 256,
+    group_col: str = "grp",
+    item_col: str = "item",
+) -> DataFrame:
+    """Streaming Count-Min twin of operators/sketches.cms_sketch: state
+    per group is the depth x width counter matrix (flattened long array
+    — FIXED size no matter how many distinct items flow through, the
+    CMS contract), incremented per micro-batch inside
+    ``applyInPandasWithState``.  Each update emits the refreshed
+    estimate (min over rows) for every ``probe_items`` entry, so on a
+    drained source the final row per (group, item) equals the batch
+    sketch's probe read bit-for-bit (asserted in tests).
+
+    The (d, bucket) positions are computed UPSTREAM by the same
+    md5_mod_sql expressions batch uses — one hash definition, shared;
+    probe positions are precomputed driver-side with hashlib (pinned
+    equal to the SQL hash in tests/test_sketches.py)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from geo_spark.operators.sketches import md5_mod_sql
+
+    pos = stream.select(
+        F.col(group_col).alias("grp"),
+        F.explode(
+            F.array(
+                *[
+                    F.expr(
+                        f"cast({d} * {width} + "
+                        f"{md5_mod_sql(item_col, f'cms{d}', width)} as long)"
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("flat"),
+    )
+
+    probe_pos = {
+        int(it): [
+            d * width
+            + int(
+                hashlib.md5(f"cms{d}:{int(it)}".encode()).hexdigest()[:13],
+                16,
+            )
+            % width
+            for d in range(depth)
+        ]
+        for it in probe_items
+    }
+
+    def fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        batch = pd.concat(list(pdfs))
+        counters = np.zeros(depth * width, dtype=np.int64)
+        if state.exists:
+            (old,) = state.get
+            counters += np.asarray(old, dtype=np.int64)
+        counters += np.bincount(
+            batch["flat"].to_numpy(np.int64), minlength=depth * width
+        )
+        state.update((counters.tolist(),))
+        items = sorted(probe_pos)
+        ests = [int(counters[probe_pos[it]].min()) for it in items]
+        yield pd.DataFrame(
+            {
+                "grp": [key[0]] * len(items),
+                "item": items,
+                "est_count": ests,
+            }
+        )
+
+    return pos.groupBy("grp").applyInPandasWithState(
+        fn,
+        CMS_OUTPUT_SCHEMA,
+        CMS_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

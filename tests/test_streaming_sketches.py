@@ -63,3 +63,67 @@ def test_stream_matches_batch(spark, tmp_path):
         r = grp.iloc[0]
         got[int(tile)] = (int(r["n_kept"]), int(r["est_distinct"]))
     assert got == want
+
+
+def _md5_mod(v, salt: str, mod: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(f"{salt}:{v}".encode()).hexdigest()[:13], 16) % mod
+
+
+def test_stream_cms_matches_batch_sketch(spark, tmp_path):
+    """Drained streaming CMS == the batch sketch probed at the same
+    items (batch sketch itself is pinned to the python spec in
+    test_sketches.py)."""
+    from geo_spark.streaming.sketches import stream_cms_estimates
+
+    depth, width = 3, 64
+    rng = np.random.default_rng(31)
+    pdf = pd.DataFrame(
+        {
+            "grp": np.where(rng.integers(0, 2, 3000) == 0, "a", "b"),
+            "item": rng.zipf(1.7, 3000).astype(np.int64) % 40,
+        }
+    )
+    probe = sorted(set(pdf["item"].tolist()))
+    src = str(tmp_path / "cms_src")
+    spark.createDataFrame(pdf).repartition(5).write.parquet(src)
+    static = spark.read.parquet(src)
+
+    # batch truth: python CMS replay (== cms_sketch by its own test)
+    counters = {}
+    for g, it in pdf.itertuples(index=False):
+        for d in range(depth):
+            kk = (g, d, _md5_mod(int(it), f"cms{d}", width))
+            counters[kk] = counters.get(kk, 0) + 1
+    want = {
+        (g, it): min(
+            counters.get((g, d, _md5_mod(int(it), f"cms{d}", width)), 0)
+            for d in range(depth)
+        )
+        for g in ("a", "b")
+        for it in probe
+    }
+
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = (
+        stream_cms_estimates(stream, probe, depth=depth, width=width)
+        .writeStream.format("memory")
+        .queryName("cms_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "cms_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql("SELECT * FROM cms_stream").toPandas()
+    q.stop()
+    # counters only grow: final state per (grp, item) = max est seen
+    got = (
+        rows.groupby(["grp", "item"])["est_count"].max().to_dict()
+    )
+    assert got == want
