@@ -3730,6 +3730,47 @@ def _oracle_unigram_nll() -> str:
     """
 
 
+def _q_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-conditional BIGRAM NLL per document (Laplace-smoothed
+    transitions — flags word-salad that unigram NLL can't); integer
+    fixed-point per bigram type, so the DuckDB twin (positional lag
+    window instead of Spark's in-row array transform) matches bit for
+    bit."""
+    from geo_spark.operators.text import bigram_nll
+
+    return bigram_nll(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def _oracle_bigram_nll() -> str:
+    return """
+        WITH arrs AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, ' +'),
+                             x -> length(x) > 0) AS arr
+          FROM documents),
+        toks AS (SELECT doc_id, generate_subscripts(arr, 1) AS pos,
+                        unnest(arr) AS w
+                 FROM arrs),
+        pairs AS (SELECT doc_id, w,
+                         lag(w) OVER (PARTITION BY doc_id
+                                      ORDER BY pos) AS p
+                  FROM toks),
+        bg AS (SELECT p, w, count(*) AS c FROM pairs
+               WHERE p IS NOT NULL GROUP BY p, w),
+        pv AS (SELECT p, sum(c) AS cp FROM bg GROUP BY p),
+        vv AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v FROM toks),
+        lp AS (SELECT bg.p, bg.w,
+                      CAST(FLOOR(ln(CAST(bg.c + 1 AS DOUBLE)
+                                    / (CAST(pv.cp AS DOUBLE) + vv.v))
+                                 * 1e6) AS BIGINT) AS lp
+               FROM bg JOIN pv USING (p), vv)
+        SELECT pr.doc_id, COUNT(*) AS n_bigrams,
+               CAST(-SUM(lp.lp) AS BIGINT) AS nll_x1e6
+        FROM pairs pr JOIN lp ON lp.p = pr.p AND lp.w = pr.w
+        GROUP BY pr.doc_id ORDER BY pr.doc_id
+    """
+
+
 def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language concat-and-chunk packing into 2048-token bins:
     each document's token span and bin range in the shard stream."""
@@ -7128,6 +7169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_budget_sample": _q_token_budget_sample,
         "q_pack_sequences": _q_pack_sequences,
         "q_unigram_nll": _q_unigram_nll,
+        "q_bigram_nll": _q_bigram_nll,
         "q_farthest_cities": _q_farthest_cities,
         "q_corpus_pipeline": _q_corpus_pipeline,
         "q_geo_stratified_dedup": _q_geo_stratified_dedup,
@@ -7250,6 +7292,7 @@ def oracle_sql() -> dict[str, str]:
         "q_token_budget_sample": _oracle_token_budget_sample(),
         "q_pack_sequences": _oracle_pack_sequences(),
         "q_unigram_nll": _oracle_unigram_nll(),
+        "q_bigram_nll": _oracle_bigram_nll(),
         "q_farthest_cities": _oracle_farthest_cities(),
         "q_corpus_pipeline": _oracle_corpus_pipeline(),
         "q_geo_stratified_dedup": _oracle_geo_stratified_dedup(),

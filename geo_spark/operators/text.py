@@ -568,3 +568,67 @@ def inverted_index(
         grouped.where(F.col("df") >= min_df)
         .select("term", "df", F.array_join(gaps, ",").alias("postings"))
     )
+
+
+def bigram_nll(
+    docs: DataFrame, key: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(key, n_bigrams, nll_x1e6): per-document bigram negative
+    log-likelihood under the corpus's own Laplace-smoothed bigram model
+    p(w|prev) = (c(prev,w) + 1) / (c(prev) + V) — the order-sensitive
+    upgrade of :func:`unigram_nll` (word-salad documents share the
+    unigram distribution but not the transitions).
+
+    Same scale/portability discipline as unigram_nll: bigram pairs come
+    from an in-row array transform (no window, no self-join), counts
+    are two map-side-combined shuffles, the log term is fixed-pointed
+    per bigram TYPE before the per-doc integer sum (partition-order
+    invariant), and the model tables are vocabulary-sized broadcasts.
+    Documents with <2 tokens emit no row."""
+    tk = F.filter(
+        F.split(F.col(text_col), " +"), lambda x: F.length(x) > 0
+    )
+    pair_arr = F.when(
+        F.size(tk) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tk) - 2),
+            lambda i: F.struct(
+                F.element_at(tk, (i + 1).cast("int")).alias("p"),
+                F.element_at(tk, (i + 2).cast("int")).alias("w"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<p:string,w:string>>"))
+    pairs = docs.select(
+        F.col(key), F.explode(pair_arr).alias("_pr")
+    ).select(F.col(key), F.col("_pr.p").alias("p"), F.col("_pr.w").alias("w"))
+    bg = pairs.groupBy("p", "w").agg(F.count(F.lit(1)).alias("c"))
+    pv = bg.groupBy("p").agg(F.sum("c").alias("cp"))
+    vocab = (
+        docs.select(F.explode(tk).alias("_w"))
+        .agg(F.countDistinct("_w").cast("double").alias("v"))
+    )
+    lp = (
+        bg.join(pv, "p")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "p",
+            "w",
+            F.floor(
+                F.log(
+                    (F.col("c") + 1).cast("double")
+                    / (F.col("cp").cast("double") + F.col("v"))
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("lp"),
+        )
+    )
+    return (
+        pairs.join(F.broadcast(lp), ["p", "w"])
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (-F.sum("lp")).alias("nll_x1e6"),
+        )
+    )

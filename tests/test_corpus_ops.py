@@ -528,3 +528,42 @@ def test_pq_recall_and_rerank(spark):
         hits += len(w & g)
         total += k
     assert hits / total >= 0.9, hits / total
+
+
+def test_bigram_nll_matches_python_spec(spark):
+    import math
+    from collections import Counter
+
+    from geo_spark.operators.text import bigram_nll
+
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the cat the cat the",
+        3: "dog",  # single token: no row
+        4: "  spaced   out  tokens ",
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    toks = {k: [w for w in t.split(" ") if w] for k, t in texts.items()}
+    prs = {
+        k: list(zip(ws[:-1], ws[1:])) for k, ws in toks.items() if len(ws) > 1
+    }
+    bg = Counter(p for ps in prs.values() for p in ps)
+    cp = Counter()
+    for (p, _), c in bg.items():
+        cp[p] += c
+    vocab = len({w for ws in toks.values() for w in ws})
+    lp = {
+        pw: math.floor(math.log((c + 1) / (cp[pw[0]] + float(vocab))) * 1e6)
+        for pw, c in bg.items()
+    }
+    want = {
+        k: (len(ps), -sum(lp[p] for p in ps)) for k, ps in prs.items()
+    }
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["nll_x1e6"])
+        for r in bigram_nll(docs).collect()
+    }
+    assert got == want
+    assert 3 not in got
