@@ -3730,6 +3730,33 @@ def _oracle_unigram_nll() -> str:
     """
 
 
+def _q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    streams (operators/sessionize.py:transition_matrix) — counts and
+    floor-ppm row-normalized probabilities; (ts, event_id) gives a
+    total order so the lag pairing is deterministic."""
+    from geo_spark.operators.sessionize import transition_matrix
+
+    ev = _t(spark, sf_dir, "events")
+    return transition_matrix(ev).orderBy("prev_state", "state")
+
+
+def _oracle_markov_transitions() -> str:
+    return """
+        WITH pr AS (SELECT event_type AS state,
+                           lag(event_type) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev_state
+                    FROM events),
+        cnt AS (SELECT prev_state, state, count(*) AS n
+                FROM pr WHERE prev_state IS NOT NULL
+                GROUP BY prev_state, state)
+        SELECT prev_state, state, CAST(n AS BIGINT) AS n,
+               CAST((n * 1000000) // SUM(n) OVER (PARTITION BY prev_state)
+                    AS BIGINT) AS p_ppm
+        FROM cnt ORDER BY prev_state, state
+    """
+
+
 def _q_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-conditional BIGRAM NLL per document (Laplace-smoothed
     transitions — flags word-salad that unigram NLL can't); integer
@@ -7170,6 +7197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_sequences": _q_pack_sequences,
         "q_unigram_nll": _q_unigram_nll,
         "q_bigram_nll": _q_bigram_nll,
+        "q_markov_transitions": _q_markov_transitions,
         "q_farthest_cities": _q_farthest_cities,
         "q_corpus_pipeline": _q_corpus_pipeline,
         "q_geo_stratified_dedup": _q_geo_stratified_dedup,
@@ -7293,6 +7321,7 @@ def oracle_sql() -> dict[str, str]:
         "q_pack_sequences": _oracle_pack_sequences(),
         "q_unigram_nll": _oracle_unigram_nll(),
         "q_bigram_nll": _oracle_bigram_nll(),
+        "q_markov_transitions": _oracle_markov_transitions(),
         "q_farthest_cities": _oracle_farthest_cities(),
         "q_corpus_pipeline": _oracle_corpus_pipeline(),
         "q_geo_stratified_dedup": _oracle_geo_stratified_dedup(),

@@ -124,3 +124,41 @@ def geo_sessionize(
             F.sum("_hop").alias("travel"),
         )
     )
+
+
+def transition_matrix(
+    events: DataFrame,
+    user_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    state_col: str = "event_type",
+) -> DataFrame:
+    """(prev_state, state, n, p_ppm): first-order Markov transition
+    counts and probabilities over per-user ordered event streams — the
+    clickstream-modeling primitive (next-page prediction, funnel drop
+    analysis).  p_ppm = n * 1e6 div row-total: integer floor, engine-
+    portable.
+
+    Scale shape: ONE per-user window shuffle for the lag, then a
+    groupBy over the |states|^2-sized transition table; the per-prev
+    normalization runs as a window over that already-tiny aggregate
+    (no second full-data shuffle).  Deterministic given a total
+    per-user order — pass a tiebreak column in ``order_cols`` when
+    timestamps can collide."""
+    w = Window.partitionBy(user_col).orderBy(*order_cols)
+    pr = (
+        events.select(user_col, *order_cols, state_col)
+        .withColumn("_prev", F.lag(state_col).over(w))
+        .where(F.col("_prev").isNotNull())
+    )
+    cnt = pr.groupBy(
+        F.col("_prev").alias("prev_state"),
+        F.col(state_col).alias("state"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = Window.partitionBy("prev_state")
+    return (
+        cnt.withColumn("_tot", F.sum("n").over(tot))
+        .withColumn(
+            "p_ppm", F.expr("(n * 1000000) div _tot").cast("long")
+        )
+        .drop("_tot")
+    )

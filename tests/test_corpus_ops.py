@@ -567,3 +567,26 @@ def test_bigram_nll_matches_python_spec(spark):
     }
     assert got == want
     assert 3 not in got
+
+
+def test_transition_matrix_spec(spark):
+    from geo_spark.operators.sessionize import transition_matrix
+
+    rows = [
+        # user 1: a -> b -> a -> a
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (1, 4, "a"),
+        # user 2: b -> a (cross-user pairs must NOT count)
+        (2, 1, "b"), (2, 2, "a"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts long, event_type string")
+    got = {
+        (r["prev_state"], r["state"]): (r["n"], r["p_ppm"])
+        for r in transition_matrix(
+            ev, order_cols=("ts",)
+        ).collect()
+    }
+    assert got == {
+        ("a", "b"): (1, 500000),
+        ("a", "a"): (1, 500000),
+        ("b", "a"): (2, 1000000),
+    }
