@@ -3730,6 +3730,46 @@ def _oracle_unigram_nll() -> str:
     """
 
 
+def _q_trending_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-life-decayed per-tile trending scores
+    (operators/tiling.py:decayed_tile_counts): exponential decay kept
+    exact by power-of-two scaling — the sum is an integer, so the
+    oracle (arithmetic quadkey digits + BIGINT shifts) matches
+    bit-for-bit where a float decay sum could not."""
+    from geo_spark.operators.geo_noise import with_geo_noise, with_time_noise
+
+    ev = with_time_noise(
+        with_geo_noise(_t(spark, sf_dir, "events"), "event_id"), "event_id"
+    )
+    from geo_spark.operators.tiling import decayed_tile_counts
+
+    return decayed_tile_counts(ev, zoom=4, half_life_days=2).orderBy("qk")
+
+
+def _oracle_trending_tiles() -> str:
+    from geo_spark.functions.webgrid import mercator_xy_sql, quadkey_sql_text
+    from geo_spark.operators.geo_noise import LAT_SQL, LNG_SQL, TS_US_SQL
+
+    lat = LAT_SQL.format(id="event_id")
+    lng = LNG_SQL.format(id="event_id")
+    ts = TS_US_SQL.format(id="event_id")
+    x, y = mercator_xy_sql("lat", "lng", 4)
+    qk = quadkey_sql_text("tx", "ty", 4)
+    return f"""
+        WITH pts AS (SELECT event_id, {lat} AS lat, {lng} AS lng,
+                            {ts} AS ts_us
+                     FROM events),
+        t AS (SELECT {x} AS tx, {y} AS ty, ts_us FROM pts),
+        q AS (SELECT {qk} AS qk,
+                     (CAST(1 AS BIGINT) <<
+                      CAST((ts_us // 86400000000) // 2 AS INT)) AS w
+              FROM t)
+        SELECT qk, COUNT(*) AS n_events,
+               CAST(SUM(w) AS BIGINT) AS score_x2w
+        FROM q GROUP BY qk ORDER BY qk
+    """
+
+
 def _q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over per-user event-type
     streams (operators/sessionize.py:transition_matrix) — counts and
@@ -7198,6 +7238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_unigram_nll": _q_unigram_nll,
         "q_bigram_nll": _q_bigram_nll,
         "q_markov_transitions": _q_markov_transitions,
+        "q_trending_tiles": _q_trending_tiles,
         "q_farthest_cities": _q_farthest_cities,
         "q_corpus_pipeline": _q_corpus_pipeline,
         "q_geo_stratified_dedup": _q_geo_stratified_dedup,
@@ -7322,6 +7363,7 @@ def oracle_sql() -> dict[str, str]:
         "q_unigram_nll": _oracle_unigram_nll(),
         "q_bigram_nll": _oracle_bigram_nll(),
         "q_markov_transitions": _oracle_markov_transitions(),
+        "q_trending_tiles": _oracle_trending_tiles(),
         "q_farthest_cities": _oracle_farthest_cities(),
         "q_corpus_pipeline": _oracle_corpus_pipeline(),
         "q_geo_stratified_dedup": _oracle_geo_stratified_dedup(),

@@ -146,3 +146,40 @@ def quadkey_pyramid(
         .agg(F.sum("cnt").alias("cnt"))
         .select(F.col("zoom").cast("int").alias("zoom"), F.col("qk_pre").alias("qk"), "cnt")
     )
+
+
+def decayed_tile_counts(
+    events: DataFrame,
+    zoom: int = 4,
+    half_life_days: int = 1,
+    ts_us_col: str = "ts_us",
+    latlng: tuple[str, str] = ("lat", "lng"),
+) -> DataFrame:
+    """(qk, n_events, score_x2w): per-tile trending score under
+    exponential half-life decay, kept EXACT by scaling: each event at
+    day d contributes 2^(d div half_life_days), so
+    ``score_x2w / 2^(D div half_life_days)`` is the classic decayed
+    count at horizon day D — but the stored sum is an INTEGER (powers
+    of two), partition-order invariant and engine-portable, where a
+    float decay sum is neither.  Fits bigint for horizons up to ~40
+    half-lives per count magnitude; beyond that, rebase periodically
+    (subtract the min day — the standard decayed-counter trick).
+
+    Scale shape: ONE map-side-combined groupBy over codegen quadkey +
+    shift exprs; no window, no Python."""
+    from geo_spark.functions.webgrid import quadkey_from_latlng
+
+    la, ln = latlng
+    qk = quadkey_from_latlng(F.col(la), F.col(ln), zoom)
+    w = F.expr(
+        f"shiftleft(cast(1 as bigint), "
+        f"cast(({ts_us_col} div 86400000000) div {half_life_days} as int))"
+    )
+    return (
+        events.select(qk.alias("qk"), w.alias("_w"))
+        .groupBy("qk")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("_w").alias("score_x2w"),
+        )
+    )

@@ -389,3 +389,24 @@ def test_tile_focal_mean_matches_numpy(spark):
                         s += int(grid[(tx + dx) % n, ny])
             want[(tx, ty)] = int(np.floor(s * 1_000_000 / 9))
     assert got == want
+
+
+def test_decayed_tile_counts_exact_scaling(spark):
+    """score_x2w == sum of 2^(day div hl); n_events independent."""
+    from geo_spark.operators.tiling import decayed_tile_counts
+
+    day = 86_400_000_000
+    rows = [
+        # same tile (0,0): days 0, 1, 3 with hl=2 -> 2^0 + 2^0 + 2^1 = 4
+        (10.0, 10.0, 0 * day),
+        (10.0, 10.0, 1 * day + 5),
+        (10.0, 10.0, 3 * day + 1),
+        # different tile: day 4 -> 2^2 = 4
+        (-40.0, -120.0, 4 * day),
+    ]
+    ev = spark.createDataFrame(rows, "lat double, lng double, ts_us long")
+    got = {
+        r["qk"]: (r["n_events"], r["score_x2w"])
+        for r in decayed_tile_counts(ev, zoom=3, half_life_days=2).collect()
+    }
+    assert sorted(got.values()) == [(1, 4), (3, 4)]
