@@ -44,6 +44,9 @@ HEADLINE_QUERIES = [
     "q_event_map_match",  # GPS snap: covering candidates + argmin refine
     "q_zonal_stats",  # raster->vector zonal aggregation per cap zone
     "q_event_asof",  # as-of attribution: union-and-carry single shuffle
+    "q_trending_tiles",  # decayed trending: one map-combined shuffle
+    "q_heavy_hitters",  # Count-Min probe + exact refine
+    "q_reverse_geocode",  # PIP assign + broadcast nearest-centroid fallback
 ]
 
 
