@@ -6890,15 +6890,9 @@ def _rg_centroids() -> list[tuple[int, float, float, float]]:
     return out
 
 
-def _q_reverse_geocode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reverse geocoding: every event gets a zone — by PIP membership
-    when inside a _PIP_LOOPS polygon (method 'pip'), else the nearest
-    zone centroid by chord distance (method 'knn') — the classic
-    admin-area assignment compose (PIP join -> anti-join -> broadcast
-    nearest-centroid argmin; partial-aggregatable struct-min, the
-    mapmatch selection shape).  One covering join + one broadcast
-    NLJ over 3 centroids; no Python.  Oracle replays the convex
-    edge-sign PIP and a row_number argmin independently."""
+def _rg_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_id, zone, method): the reverse-geocode assignment chain,
+    shared by _q_reverse_geocode and the per-zone transition compose."""
     from geo_spark.kernel.pip import latlng_text_to_xyz
     from geo_spark.kernel.regions import LoopRegion
     from geo_spark.operators.spatial_join import build_layer, spatial_join
@@ -6946,10 +6940,44 @@ def _q_reverse_geocode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", F.col("_m.zone").alias("zone"))
         .withColumn("method", F.lit("knn"))
     )
-    return pip.unionByName(near).orderBy("event_id")
+    return pip.unionByName(near)
 
 
-def _oracle_reverse_geocode() -> str:
+def _q_reverse_geocode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse geocoding: every event gets a zone — by PIP membership
+    when inside a _PIP_LOOPS polygon (method 'pip'), else the nearest
+    zone centroid by chord distance (method 'knn') — the classic
+    admin-area assignment compose (PIP join -> anti-join -> broadcast
+    nearest-centroid argmin; partial-aggregatable struct-min, the
+    mapmatch selection shape).  One covering join + one broadcast
+    NLJ over 3 centroids; no Python.  Oracle replays the convex
+    edge-sign PIP and a row_number argmin independently."""
+    return _rg_assign(spark, sf_dir).orderBy("event_id")
+
+
+def _q_zone_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-6 composition certificate: reverse geocoding composed
+    with the Markov transition matrix — per ZONE, the per-user
+    event-type transition counts/probabilities, where the zone comes
+    from the PIP+kNN assignment chain.  ONE DuckDB oracle replays
+    geocode -> scoped lag pairing -> floor-ppm normalization end to
+    end (the geo and sequence halves composing)."""
+    from geo_spark.operators.sessionize import transition_matrix
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    zoned = ev.join(
+        _rg_assign(spark, sf_dir).select("event_id", "zone"), "event_id"
+    )
+    return transition_matrix(zoned, scope_cols=("zone",)).orderBy(
+        "zone", "prev_state", "state"
+    )
+
+
+def _rg_zone_cte() -> str:
+    """WITH-body producing zones(event_id, zone, method) — the oracle
+    twin of _rg_assign, shared by both reverse-geocode oracles."""
     import numpy as np
 
     from geo_spark.kernel.pip import latlng_text_to_xyz
@@ -6971,7 +6999,7 @@ def _oracle_reverse_geocode() -> str:
         for g, cx, cy, cz in _rg_centroids()
     )
     return f"""
-        WITH pts AS (SELECT event_id, {lat} AS lat, {lng} AS lng FROM events),
+        pts AS (SELECT event_id, {lat} AS lat, {lng} AS lng FROM events),
         xyz AS (SELECT event_id,
                        cos(radians(lng))*cos(radians(lat)) AS x,
                        sin(radians(lng))*cos(radians(lat)) AS y,
@@ -6994,12 +7022,40 @@ def _oracle_reverse_geocode() -> str:
         r AS (SELECT event_id, czone,
                      row_number() OVER (PARTITION BY event_id
                                         ORDER BY chord2, czone) AS rk
-              FROM d)
-        SELECT event_id, zone, 'pip' AS method FROM pip
-        UNION ALL
-        SELECT event_id, CAST(czone AS BIGINT) AS zone, 'knn' AS method
-        FROM r WHERE rk = 1
-        ORDER BY event_id
+              FROM d),
+        zones AS (
+            SELECT event_id, zone, 'pip' AS method FROM pip
+            UNION ALL
+            SELECT event_id, CAST(czone AS BIGINT) AS zone,
+                   'knn' AS method
+            FROM r WHERE rk = 1)
+    """
+
+
+def _oracle_reverse_geocode() -> str:
+    return f"""
+        WITH {_rg_zone_cte()}
+        SELECT event_id, zone, method FROM zones ORDER BY event_id
+    """
+
+
+def _oracle_zone_transitions() -> str:
+    return f"""
+        WITH {_rg_zone_cte()},
+        ev AS (SELECT e.user_id, e.ts, e.event_id, e.event_type, z.zone
+               FROM events e JOIN zones z USING (event_id)),
+        pr AS (SELECT zone, event_type AS state,
+                      lag(event_type) OVER (PARTITION BY zone, user_id
+                        ORDER BY ts, event_id) AS prev_state
+               FROM ev),
+        cnt AS (SELECT zone, prev_state, state, count(*) AS n
+                FROM pr WHERE prev_state IS NOT NULL
+                GROUP BY zone, prev_state, state)
+        SELECT zone, prev_state, state, CAST(n AS BIGINT) AS n,
+               CAST((n * 1000000) //
+                    SUM(n) OVER (PARTITION BY zone, prev_state)
+                    AS BIGINT) AS p_ppm
+        FROM cnt ORDER BY zone, prev_state, state
     """
 
 
@@ -7260,6 +7316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_segment_overlap_kmv": _q_segment_overlap_kmv,
         "q_tile_focal_mean": _q_tile_focal_mean,
         "q_reverse_geocode": _q_reverse_geocode,
+        "q_zone_transitions": _q_zone_transitions,
         "q_inverted_index": _q_inverted_index,
         "q_link_seed_distance": _q_link_seed_distance,
         "q_heavy_hitters": _q_heavy_hitters,
@@ -7348,6 +7405,7 @@ def oracle_sql() -> dict[str, str]:
         "q_segment_overlap_kmv": _oracle_segment_overlap_kmv(),
         "q_tile_focal_mean": _oracle_tile_focal_mean(),
         "q_reverse_geocode": _oracle_reverse_geocode(),
+        "q_zone_transitions": _oracle_zone_transitions(),
         "q_inverted_index": _oracle_inverted_index(),
         "q_link_seed_distance": _oracle_link_seed_distance(),
         "q_heavy_hitters": _oracle_heavy_hitters(),

@@ -131,6 +131,7 @@ def transition_matrix(
     user_col: str = "user_id",
     order_cols: tuple[str, ...] = ("ts", "event_id"),
     state_col: str = "event_type",
+    scope_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(prev_state, state, n, p_ppm): first-order Markov transition
     counts and probabilities over per-user ordered event streams — the
@@ -143,18 +144,23 @@ def transition_matrix(
     normalization runs as a window over that already-tiny aggregate
     (no second full-data shuffle).  Deterministic given a total
     per-user order — pass a tiebreak column in ``order_cols`` when
-    timestamps can collide."""
-    w = Window.partitionBy(user_col).orderBy(*order_cols)
+    timestamps can collide.  ``scope_cols`` computes an independent
+    matrix per scope (e.g. per geographic zone): sequence partitioning
+    and normalization both pick up the scope, so consecutive-in-scope
+    events pair even when other scopes' events intervene (documented
+    semantics)."""
+    w = Window.partitionBy(*scope_cols, user_col).orderBy(*order_cols)
     pr = (
-        events.select(user_col, *order_cols, state_col)
+        events.select(*scope_cols, user_col, *order_cols, state_col)
         .withColumn("_prev", F.lag(state_col).over(w))
         .where(F.col("_prev").isNotNull())
     )
     cnt = pr.groupBy(
+        *scope_cols,
         F.col("_prev").alias("prev_state"),
         F.col(state_col).alias("state"),
     ).agg(F.count(F.lit(1)).alias("n"))
-    tot = Window.partitionBy("prev_state")
+    tot = Window.partitionBy(*scope_cols, "prev_state")
     return (
         cnt.withColumn("_tot", F.sum("n").over(tot))
         .withColumn(
