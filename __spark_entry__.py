@@ -3770,6 +3770,52 @@ def _oracle_trending_tiles() -> str:
     """
 
 
+def _q_tile_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile-day spike detection (operators/tiling.py:tile_day_anomalies):
+    trailing-3-day RANGE-frame baseline (gaps handled without grid
+    densification) + the integer rule cnt*2 >= prev*3.  Oracle replays
+    quadkey digits, the RANGE window, and the comparison."""
+    from geo_spark.operators.geo_noise import with_geo_noise, with_time_noise
+    from geo_spark.operators.tiling import tile_day_anomalies
+
+    ev = with_time_noise(
+        with_geo_noise(_t(spark, sf_dir, "events"), "event_id"), "event_id"
+    )
+    return tile_day_anomalies(ev, zoom=2, window_days=3).orderBy(
+        "qk", "day"
+    )
+
+
+def _oracle_tile_anomalies() -> str:
+    from geo_spark.functions.webgrid import mercator_xy_sql, quadkey_sql_text
+    from geo_spark.operators.geo_noise import LAT_SQL, LNG_SQL, TS_US_SQL
+
+    lat = LAT_SQL.format(id="event_id")
+    lng = LNG_SQL.format(id="event_id")
+    ts = TS_US_SQL.format(id="event_id")
+    x, y = mercator_xy_sql("lat", "lng", 2)
+    qk = quadkey_sql_text("tx", "ty", 2)
+    return f"""
+        WITH pts AS (SELECT event_id, {lat} AS lat, {lng} AS lng,
+                            {ts} AS ts_us
+                     FROM events),
+        t AS (SELECT {x} AS tx, {y} AS ty, ts_us // 86400000000 AS day
+              FROM pts),
+        daily AS (SELECT {qk} AS qk, day, count(*) AS cnt
+                  FROM t GROUP BY 1, 2),
+        base AS (SELECT qk, day, CAST(cnt AS BIGINT) AS cnt,
+                        CAST(coalesce(SUM(cnt) OVER (
+                            PARTITION BY qk ORDER BY day
+                            RANGE BETWEEN 3 PRECEDING AND 1 PRECEDING),
+                          0) AS BIGINT) AS prev
+                 FROM daily)
+        SELECT qk, day, cnt, prev,
+               CAST(CASE WHEN prev > 0 AND cnt * 2 >= prev * 3
+                         THEN 1 ELSE 0 END AS INT) AS is_spike
+        FROM base ORDER BY qk, day
+    """
+
+
 def _q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over per-user event-type
     streams (operators/sessionize.py:transition_matrix) — counts and
@@ -7295,6 +7341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bigram_nll": _q_bigram_nll,
         "q_markov_transitions": _q_markov_transitions,
         "q_trending_tiles": _q_trending_tiles,
+        "q_tile_anomalies": _q_tile_anomalies,
         "q_farthest_cities": _q_farthest_cities,
         "q_corpus_pipeline": _q_corpus_pipeline,
         "q_geo_stratified_dedup": _q_geo_stratified_dedup,
@@ -7422,6 +7469,7 @@ def oracle_sql() -> dict[str, str]:
         "q_bigram_nll": _oracle_bigram_nll(),
         "q_markov_transitions": _oracle_markov_transitions(),
         "q_trending_tiles": _oracle_trending_tiles(),
+        "q_tile_anomalies": _oracle_tile_anomalies(),
         "q_farthest_cities": _oracle_farthest_cities(),
         "q_corpus_pipeline": _oracle_corpus_pipeline(),
         "q_geo_stratified_dedup": _oracle_geo_stratified_dedup(),

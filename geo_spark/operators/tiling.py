@@ -9,7 +9,7 @@ quadtree prefix, which is what the DuckDB oracles verify independently.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from geo_spark.functions import sql as s2sql
@@ -182,4 +182,52 @@ def decayed_tile_counts(
             F.count(F.lit(1)).alias("n_events"),
             F.sum("_w").alias("score_x2w"),
         )
+    )
+
+
+def tile_day_anomalies(
+    events: DataFrame,
+    zoom: int = 4,
+    window_days: int = 3,
+    ts_us_col: str = "ts_us",
+    latlng: tuple[str, str] = ("lat", "lng"),
+) -> DataFrame:
+    """(qk, day, cnt, prev, is_spike): per tile-day event counts with a
+    trailing ``window_days`` baseline and an integer spike rule
+    cnt*2 >= prev*3 (i.e. the day runs at >= 1.5x the whole trailing
+    window) — the monitoring/alerting rollup.
+
+    The baseline window uses a RANGE frame over the integer day key
+    (RANGE BETWEEN w PRECEDING AND 1 PRECEDING), so EMPTY days gap
+    correctly without densifying the tile x day grid — the trap a ROWS
+    frame would hit (3 *rows* back is not 3 *days* back when days are
+    missing).  Plan: one map-combined (tile, day) groupBy, then the
+    window over the already-aggregated (small) table; all-integer
+    comparisons, engine-portable."""
+    from geo_spark.functions.webgrid import quadkey_from_latlng
+
+    la, ln = latlng
+    qk = quadkey_from_latlng(F.col(la), F.col(ln), zoom)
+    day = F.expr(f"{ts_us_col} div 86400000000")
+    daily = (
+        events.select(qk.alias("qk"), day.alias("day"))
+        .groupBy("qk", "day")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("qk")
+        .orderBy("day")
+        .rangeBetween(-window_days, -1)
+    )
+    return daily.select(
+        "qk",
+        "day",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("prev"),
+    ).withColumn(
+        "is_spike",
+        (
+            (F.col("prev") > 0)
+            & (F.col("cnt") * 2 >= F.col("prev") * 3)
+        ).cast("int"),
     )

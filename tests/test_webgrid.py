@@ -410,3 +410,43 @@ def test_decayed_tile_counts_exact_scaling(spark):
         for r in decayed_tile_counts(ev, zoom=3, half_life_days=2).collect()
     }
     assert sorted(got.values()) == [(1, 4), (3, 4)]
+
+
+def test_tile_day_anomalies_range_frame_gaps(spark):
+    """The RANGE frame must skip over missing days, not count rows."""
+    from geo_spark.operators.tiling import tile_day_anomalies
+
+    day = 86_400_000_000
+    rows = []
+    # one tile: day 0 x2, day 1 x1, day 5 x9 (days 2-4 empty)
+    rows += [(10.0, 10.0, 0 * day)] * 2
+    rows += [(10.0, 10.0, 1 * day)] * 1
+    rows += [(10.0, 10.0, 5 * day)] * 9
+    ev = spark.createDataFrame(rows, "lat double, lng double, ts_us long")
+    got = {
+        r["day"]: (r["cnt"], r["prev"], r["is_spike"])
+        for r in tile_day_anomalies(ev, zoom=3, window_days=3).collect()
+    }
+    assert got[0] == (2, 0, 0)  # no baseline yet
+    assert got[1] == (1, 2, 0)  # prev = day0 only
+    # day 5's 3-day RANGE window is days 2-4: all empty -> prev 0
+    # (a ROWS frame would wrongly see days 0-1 here)
+    assert got[5] == (9, 0, 0)
+
+
+def test_tile_day_anomalies_spike_rule(spark):
+    from geo_spark.operators.tiling import tile_day_anomalies
+
+    day = 86_400_000_000
+    rows = []
+    rows += [(10.0, 10.0, 0 * day)] * 2
+    rows += [(10.0, 10.0, 1 * day)] * 2
+    rows += [(10.0, 10.0, 2 * day)] * 6  # prev=4, 6*2 >= 4*3 -> spike
+    rows += [(10.0, 10.0, 3 * day)] * 2  # prev=10, no spike
+    ev = spark.createDataFrame(rows, "lat double, lng double, ts_us long")
+    got = {
+        r["day"]: (r["prev"], r["is_spike"])
+        for r in tile_day_anomalies(ev, zoom=3, window_days=3).collect()
+    }
+    assert got[2] == (4, 1)
+    assert got[3] == (10, 0)
