@@ -1437,6 +1437,91 @@ def _oracle_dtw_anchor_cost() -> str:
     """
 
 
+def _q_frechet_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete Fréchet distance of each user trail against the
+    single-point anchor (kernel/alignment.py:frechet_distance — the
+    dog-leash min-max metric; general-chain DP differentially tested in
+    tests/test_alignment.py).  With a one-vertex target every coupling
+    matches all trail vertices to the anchor, so the min-max collapses
+    to MAX(vertex->anchor distance) — independently computable in SQL.
+    Buckets at 0.05 like the DTW twin."""
+    import numpy as np
+
+    from geo_spark.kernel import cellid as ck
+    from geo_spark.operators.alignment_ops import frechet_pair_costs
+    from geo_spark.operators.geo_noise import with_geo_noise
+
+    ev = with_geo_noise(_t(spark, sf_dir, "events"), "event_id")
+    pdf = (
+        ev.select("user_id", "ts", "event_id", "lat", "lng")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+        .groupby("user_id")
+        .head(6)
+    )
+    chains: dict[int, np.ndarray] = {}
+    for uid, g in pdf.groupby("user_id"):
+        if len(g) < 2:
+            continue
+        x, y, z = ck.latlng_to_xyz(
+            g["lat"].to_numpy(np.float64), g["lng"].to_numpy(np.float64)
+        )
+        chains[int(uid)] = np.stack([x, y, z], axis=1)
+    ax, ay, az = ck.latlng_to_xyz(
+        np.float64(_DTW_ANCHOR[0]), np.float64(_DTW_ANCHOR[1])
+    )
+    anchor_id = -1
+    chains[anchor_id] = np.array([[float(ax), float(ay), float(az)]])
+    pairs = spark.createDataFrame(
+        [(uid, anchor_id) for uid in sorted(chains) if uid != anchor_id],
+        "aid long, bid long",
+    )
+    return (
+        frechet_pair_costs(pairs, chains)
+        .select(
+            F.col("aid").alias("user_id"),
+            F.floor(F.col("frechet_cost") / F.lit(0.05))
+            .cast("long")
+            .alias("frechet_bucket"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def _oracle_frechet_anchor() -> str:
+    import numpy as np
+
+    from geo_spark.kernel import cellid as ck
+    from geo_spark.operators.geo_noise import LAT_SQL, LNG_SQL
+
+    lat = LAT_SQL.format(id="event_id")
+    lng = LNG_SQL.format(id="event_id")
+    ax, ay, az = ck.latlng_to_xyz(
+        np.float64(_DTW_ANCHOR[0]), np.float64(_DTW_ANCHOR[1])
+    )
+    return f"""
+        WITH ranked AS (SELECT user_id, ts, event_id,
+                               row_number() OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id) AS rk,
+                               count(*) OVER (PARTITION BY user_id) AS cnt
+                        FROM events),
+        pts AS (SELECT user_id, rk, {lat} AS lat, {lng} AS lng
+                FROM ranked WHERE rk <= 6 AND cnt >= 2),
+        xyz AS (SELECT user_id,
+                       cos(radians(lng))*cos(radians(lat)) AS px,
+                       sin(radians(lng))*cos(radians(lat)) AS py,
+                       sin(radians(lat)) AS pz
+                FROM pts)
+        SELECT user_id,
+               CAST(FLOOR(MAX(sqrt(
+                   (px - {float(ax)!r})*(px - {float(ax)!r})
+                 + (py - {float(ay)!r})*(py - {float(ay)!r})
+                 + (pz - {float(az)!r})*(pz - {float(az)!r}))) / 0.05) AS BIGINT)
+                   AS frechet_bucket
+        FROM xyz GROUP BY user_id ORDER BY user_id
+    """
+
+
 def _q_knn_ring_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN over a 5000-target layer — above BRUTE_FORCE_MAX_TARGETS, so
     this exercises the cell-ring expansion path (with the mid-flight
@@ -7317,6 +7402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_chunk_documents": _q_chunk_documents,
         "q_domain_boilerplate": _q_domain_boilerplate,
         "q_dtw_anchor_cost": _q_dtw_anchor_cost,
+        "q_frechet_anchor": _q_frechet_anchor,
         "q_exact_dedup": _q_exact_dedup,
         "q_winnow_pairs": _q_winnow_pairs,
         "q_fuzzy_pairs": _q_fuzzy_pairs,
@@ -7425,6 +7511,7 @@ def oracle_sql() -> dict[str, str]:
         "q_chunk_documents": _oracle_chunk_documents(),
         "q_domain_boilerplate": _oracle_domain_boilerplate(),
         "q_dtw_anchor_cost": _oracle_dtw_anchor_cost(),
+        "q_frechet_anchor": _oracle_frechet_anchor(),
         "q_exact_dedup": _oracle_exact_dedup(),
         "q_winnow_pairs": _oracle_winnow_pairs(),
         "q_fuzzy_pairs": _oracle_fuzzy_pairs(),

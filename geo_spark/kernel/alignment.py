@@ -256,3 +256,42 @@ def medoid_index(chains: list[np.ndarray], approx_radius: int | None = None) -> 
             totals[i] += cost
             totals[j] += cost
     return int(np.argmin(totals))
+
+
+def frechet_distance(a: np.ndarray, b: np.ndarray) -> float:
+    """Discrete Fréchet distance (the min over couplings of the MAX
+    pair distance — the dog-leash metric), by the same antidiagonal
+    sweep as :func:`exact_alignment_cost` with (+, min) replaced by
+    (max, min): F(i,j) = max(c[i,j], min(F(i-1,j), F(i,j-1),
+    F(i-1,j-1))).  O(N*M) time, O(min diagonal) space.
+
+    Relation pinned in tests: frechet <= dtw cost for the same pair
+    (a min-sum over a path dominates the min-max)."""
+    c = pairwise_chordal(a, b)
+    n, m = c.shape
+    prev2: np.ndarray | None = None
+    prev: np.ndarray | None = None
+    for k in range(n + m - 1):
+        i_lo = max(0, k - m + 1)
+        i_hi = min(n - 1, k)
+        i = np.arange(i_lo, i_hi + 1)
+        j = k - i
+        cur = c[i, j].copy()
+        if k > 0:
+            p_lo = max(0, k - m)
+            up = np.full(len(i), _INF)
+            mask = i > 0
+            up[mask] = prev[(i[mask] - 1) - p_lo]
+            left = np.full(len(i), _INF)
+            mask = j > 0
+            left[mask] = prev[i[mask] - p_lo]
+            best = np.minimum(up, left)
+            if k >= 2:
+                pp_lo = max(0, k - 1 - m)
+                diag = np.full(len(i), _INF)
+                mask = (i > 0) & (j > 0)
+                diag[mask] = prev2[(i[mask] - 1) - pp_lo]
+                best = np.minimum(best, diag)
+            cur = np.maximum(cur, best)
+        prev2, prev = prev, cur
+    return float(prev[-1])

@@ -66,6 +66,36 @@ def dtw_pair_costs(
     )
 
 
+def frechet_pair_costs(
+    pairs: DataFrame,
+    chains: dict[int, np.ndarray],
+) -> DataFrame:
+    """(aid, bid, frechet_cost): discrete Fréchet distance per candidate
+    pair — same gated closure/mapInPandas shape as :func:`dtw_pair_costs`
+    (kernel/alignment.py:frechet_distance)."""
+    from geo_spark.kernel.alignment import frechet_distance
+
+    chain_map = {int(k): np.asarray(v, dtype=np.float64) for k, v in chains.items()}
+
+    def fn(batches):
+        for pdf in batches:
+            costs = [
+                frechet_distance(chain_map[int(a)], chain_map[int(b)])
+                for a, b in zip(pdf["aid"].to_numpy(), pdf["bid"].to_numpy())
+            ]
+            yield pd.DataFrame(
+                {
+                    "aid": pdf["aid"].astype("int64"),
+                    "bid": pdf["bid"].astype("int64"),
+                    "frechet_cost": pd.Series(costs, dtype="float64"),
+                }
+            )
+
+    return pairs.select("aid", "bid").mapInPandas(
+        fn, "aid long, bid long, frechet_cost double"
+    )
+
+
 def dtw_medoid_per_group(
     trajs: DataFrame,
     group_col: str = "group",
@@ -122,4 +152,4 @@ def dtw_medoid_per_group(
     return trajs.groupBy(group_col).applyInPandas(fn, out_schema)
 
 
-__all__ = ["dtw_pair_costs", "dtw_medoid_per_group", "medoid_index", "MAX_GROUP_TRAJS"]
+__all__ = ["dtw_pair_costs", "frechet_pair_costs", "dtw_medoid_per_group", "medoid_index", "MAX_GROUP_TRAJS"]

@@ -136,3 +136,54 @@ class TestMedoid:
         want = int(np.argmin(totals))
         assert medoid_index(chains) == want
         assert medoid_index(chains, approx_radius=16) == want
+
+
+def _brute_frechet(a, b):
+    import functools
+
+    from geo_spark.kernel.alignment import pairwise_chordal
+
+    c = pairwise_chordal(a, b)
+    n, m = c.shape
+
+    @functools.lru_cache(None)
+    def f(i, j):
+        if i == 0 and j == 0:
+            return c[0, 0]
+        opts = []
+        if i > 0:
+            opts.append(f(i - 1, j))
+        if j > 0:
+            opts.append(f(i, j - 1))
+        if i > 0 and j > 0:
+            opts.append(f(i - 1, j - 1))
+        return max(c[i, j], min(opts))
+
+    return f(n - 1, m - 1)
+
+
+def test_frechet_matches_brute_recursion():
+    from geo_spark.kernel.alignment import (
+        exact_alignment_cost,
+        frechet_distance,
+    )
+
+    rng = np.random.default_rng(7)
+    for t in range(60):
+        a = rng.normal(size=(int(rng.integers(1, 10)), 3))
+        b = rng.normal(size=(int(rng.integers(1, 10)), 3))
+        got = frechet_distance(a, b)
+        assert abs(got - _brute_frechet(a, b)) < 1e-12, t
+        # a min-sum over any coupling dominates its max term
+        assert got <= exact_alignment_cost(a, b) + 1e-12
+
+
+def test_frechet_identity_and_single_point():
+    from geo_spark.kernel.alignment import frechet_distance
+
+    a = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]])
+    assert frechet_distance(a, a) == 0.0
+    # one-point anchor: collapses to max vertex distance
+    anchor = np.array([[1.0, 0.0, 0.0]])
+    want = max(np.linalg.norm(v - anchor[0]) for v in a)
+    assert abs(frechet_distance(a, anchor) - want) < 1e-15
