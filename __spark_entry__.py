@@ -3855,6 +3855,60 @@ def _oracle_trending_tiles() -> str:
     """
 
 
+def _q_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-based stay-point extraction
+    (operators/sessionize.py:stay_points): per-user maximal same-tile
+    runs with dwell >= 6h.  Oracle replays tile digits + lag/run-sum
+    windows + the rollup."""
+    from geo_spark.operators.geo_noise import with_geo_noise, with_time_noise
+    from geo_spark.operators.sessionize import stay_points
+
+    ev = with_time_noise(
+        with_geo_noise(_t(spark, sf_dir, "events"), "event_id"), "event_id"
+    )
+    return stay_points(
+        ev, zoom=2, min_duration_us=6 * 3_600_000_000
+    ).orderBy("user_id", "stay_idx")
+
+
+def _oracle_stay_points() -> str:
+    from geo_spark.functions.webgrid import mercator_xy_sql, quadkey_sql_text
+    from geo_spark.operators.geo_noise import LAT_SQL, LNG_SQL, TS_US_SQL
+
+    lat = LAT_SQL.format(id="event_id")
+    lng = LNG_SQL.format(id="event_id")
+    ts = TS_US_SQL.format(id="event_id")
+    x, y = mercator_xy_sql("lat", "lng", 2)
+    qk = quadkey_sql_text("tx", "ty", 2)
+    return f"""
+        WITH pts AS (SELECT event_id, user_id, {lat} AS lat, {lng} AS lng,
+                            {ts} AS ts_us
+                     FROM events),
+        t AS (SELECT user_id, event_id, ts_us, {x} AS tx, {y} AS ty
+              FROM pts),
+        q AS (SELECT user_id, event_id, ts_us, {qk} AS qk FROM t),
+        lagd AS (SELECT *, lag(qk) OVER (PARTITION BY user_id
+                                         ORDER BY ts_us, event_id) AS pqk
+                 FROM q),
+        brk AS (SELECT *, CASE WHEN pqk IS NULL OR pqk <> qk
+                               THEN 1 ELSE 0 END AS b
+                FROM lagd),
+        runs AS (SELECT *, SUM(b) OVER (PARTITION BY user_id
+                                        ORDER BY ts_us, event_id
+                                        ROWS UNBOUNDED PRECEDING)
+                           AS stay_idx
+                 FROM brk),
+        agg AS (SELECT user_id, CAST(stay_idx AS BIGINT) AS stay_idx,
+                       min(qk) AS qk,
+                       CAST(count(*) AS BIGINT) AS n_events,
+                       CAST(min(ts_us) AS BIGINT) AS start_us,
+                       CAST(max(ts_us) - min(ts_us) AS BIGINT) AS dur_us
+                FROM runs GROUP BY user_id, stay_idx)
+        SELECT * FROM agg WHERE dur_us >= {6 * 3_600_000_000}
+        ORDER BY user_id, stay_idx
+    """
+
+
 def _q_tile_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tile-day spike detection (operators/tiling.py:tile_day_anomalies):
     trailing-3-day RANGE-frame baseline (gaps handled without grid
@@ -7428,6 +7482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_markov_transitions": _q_markov_transitions,
         "q_trending_tiles": _q_trending_tiles,
         "q_tile_anomalies": _q_tile_anomalies,
+        "q_stay_points": _q_stay_points,
         "q_farthest_cities": _q_farthest_cities,
         "q_corpus_pipeline": _q_corpus_pipeline,
         "q_geo_stratified_dedup": _q_geo_stratified_dedup,
@@ -7557,6 +7612,7 @@ def oracle_sql() -> dict[str, str]:
         "q_markov_transitions": _oracle_markov_transitions(),
         "q_trending_tiles": _oracle_trending_tiles(),
         "q_tile_anomalies": _oracle_tile_anomalies(),
+        "q_stay_points": _oracle_stay_points(),
         "q_farthest_cities": _oracle_farthest_cities(),
         "q_corpus_pipeline": _oracle_corpus_pipeline(),
         "q_geo_stratified_dedup": _oracle_geo_stratified_dedup(),

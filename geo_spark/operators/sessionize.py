@@ -168,3 +168,56 @@ def transition_matrix(
         )
         .drop("_tot")
     )
+
+
+def stay_points(
+    events: DataFrame,
+    zoom: int = 6,
+    min_duration_us: int = 3_600_000_000,
+    user_col: str = "user_id",
+    ts_us_col: str = "ts_us",
+    latlng: tuple[str, str] = ("lat", "lng"),
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """(user_id, stay_idx, qk, n_events, start_us, dur_us): grid-based
+    stay-point detection — maximal runs of consecutive events (per-user
+    time order) inside the SAME web-mercator tile, kept when the dwell
+    time reaches ``min_duration_us`` (the grid variant of Li et al.'s
+    stay-point extraction; the anchor-radius variant is inherently
+    sequential, the grid rule is pure windows).
+
+    Plan: one per-user lag window flags tile changes, a running sum
+    numbers runs, and the rollup groups by (user, run) — the window and
+    the groupBy share the user hash partitioning, so the full data
+    shuffles once.  All-integer output."""
+    from geo_spark.functions.webgrid import quadkey_from_latlng
+
+    la, ln = latlng
+    w = Window.partitionBy(user_col).orderBy(ts_us_col, tiebreak_col)
+    tiled = events.select(
+        user_col,
+        ts_us_col,
+        tiebreak_col,
+        quadkey_from_latlng(F.col(la), F.col(ln), zoom).alias("qk"),
+    )
+    runs = (
+        tiled.withColumn("_pqk", F.lag("qk").over(w))
+        .withColumn(
+            "_brk",
+            F.when(
+                F.col("_pqk").isNull() | (F.col("_pqk") != F.col("qk")),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("stay_idx", F.sum("_brk").over(w))
+    )
+    return (
+        runs.groupBy(user_col, "stay_idx")
+        .agg(
+            F.min("qk").alias("qk"),  # constant within a run
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_us_col).alias("start_us"),
+            (F.max(ts_us_col) - F.min(ts_us_col)).alias("dur_us"),
+        )
+        .where(F.col("dur_us") >= min_duration_us)
+    )

@@ -590,3 +590,30 @@ def test_transition_matrix_spec(spark):
         ("a", "a"): (1, 500000),
         ("b", "a"): (2, 1000000),
     }
+
+
+def test_stay_points_runs_and_threshold(spark):
+    from geo_spark.operators.sessionize import stay_points
+
+    h = 3_600_000_000
+    rows = [
+        # user 1: tile A for 7h (stay), hop to far tile for 1h (no),
+        # back to A for 8h (separate stay)
+        (1, 1, 10.0, 10.0, 0 * h),
+        (1, 2, 10.0, 10.0, 7 * h),
+        (1, 3, -40.0, -120.0, 8 * h),
+        (1, 4, 10.0, 10.0, 9 * h),
+        (1, 5, 10.0, 10.0, 17 * h),
+        # user 2: single event (dur 0, filtered)
+        (2, 6, 10.0, 10.0, 0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, lat double, lng double, ts_us long"
+    )
+    got = [
+        (r["user_id"], r["stay_idx"], r["n_events"], r["dur_us"])
+        for r in stay_points(ev, zoom=3, min_duration_us=6 * h)
+        .orderBy("user_id", "stay_idx")
+        .collect()
+    ]
+    assert got == [(1, 1, 2, 7 * h), (1, 3, 2, 8 * h)]
