@@ -3855,6 +3855,58 @@ def _oracle_trending_tiles() -> str:
     """
 
 
+def _q_pca_projections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant-direction projections over the embeddings table
+    (operators/pca.py: quantized power iteration, 2 rounds, all-ones
+    start).  Every intermediate is exact integer arithmetic, so the
+    DuckDB oracle replays quantize -> floor-center -> two matvec
+    rounds (HUGEINT sums) -> truncating rescale -> projections and
+    matches bit for bit."""
+    from geo_spark.operators.pca import pca_projections
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pca_projections(emb, dim=64, iterations=2).orderBy("vec_id")
+
+
+def _oracle_pca_projections() -> str:
+    def matvec(cte_v: str, name_dot: str, name_w: str, name_v: str) -> str:
+        return f"""
+        {name_dot} AS (SELECT vec_id,
+                              SUM(CAST(cx AS HUGEINT) * {cte_v}) AS dot
+                       FROM c {"JOIN v1 ON v1.d = c.d" if cte_v == "v1.v" else ""}
+                       GROUP BY vec_id),
+        {name_w} AS (SELECT c.d,
+                            SUM(CAST(cx AS HUGEINT) * {name_dot}.dot) AS w
+                     FROM c JOIN {name_dot} USING (vec_id) GROUP BY c.d),
+        mx_{name_v} AS (SELECT MAX(ABS(w)) AS mx FROM {name_w}),
+        {name_v} AS (SELECT d,
+                            CASE WHEN w >= 0
+                                 THEN (ABS(w) * 1000000) // mx
+                                 ELSE -((ABS(w) * 1000000) // mx)
+                            END AS v
+                     FROM {name_w}, mx_{name_v})"""
+
+    return f"""
+        WITH e AS (SELECT vec_id,
+                          generate_subscripts(embedding, 1) - 1 AS d,
+                          unnest(embedding) AS x
+                   FROM embeddings),
+        q AS (SELECT vec_id, d,
+                     CAST(floor((CAST(x AS DOUBLE) + 1.0) * 1000000)
+                          AS BIGINT) AS qx
+              FROM e),
+        m AS (SELECT d, SUM(qx) // COUNT(*) AS md FROM q GROUP BY d),
+        c AS (SELECT vec_id, q.d, qx - md AS cx
+              FROM q JOIN m ON m.d = q.d),
+        {matvec("1000000", "d1", "w1", "v1")},
+        {matvec("v1.v", "d2", "w2", "v2")},
+        p AS (SELECT vec_id, SUM(CAST(cx AS HUGEINT) * v2.v) AS proj
+              FROM c JOIN v2 ON v2.d = c.d GROUP BY vec_id)
+        SELECT vec_id, CAST(proj AS BIGINT) AS proj
+        FROM p ORDER BY vec_id
+    """
+
+
 def _q_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid-based stay-point extraction
     (operators/sessionize.py:stay_points): per-user maximal same-tile
@@ -7483,6 +7535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_trending_tiles": _q_trending_tiles,
         "q_tile_anomalies": _q_tile_anomalies,
         "q_stay_points": _q_stay_points,
+        "q_pca_projections": _q_pca_projections,
         "q_farthest_cities": _q_farthest_cities,
         "q_corpus_pipeline": _q_corpus_pipeline,
         "q_geo_stratified_dedup": _q_geo_stratified_dedup,
@@ -7613,6 +7666,7 @@ def oracle_sql() -> dict[str, str]:
         "q_trending_tiles": _oracle_trending_tiles(),
         "q_tile_anomalies": _oracle_tile_anomalies(),
         "q_stay_points": _oracle_stay_points(),
+        "q_pca_projections": _oracle_pca_projections(),
         "q_farthest_cities": _oracle_farthest_cities(),
         "q_corpus_pipeline": _oracle_corpus_pipeline(),
         "q_geo_stratified_dedup": _oracle_geo_stratified_dedup(),
