@@ -3907,6 +3907,75 @@ def _oracle_pca_projections() -> str:
     """
 
 
+def _q_pca_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition certificate: PCA projections -> top-25 |proj| rank
+    (the embedding outlier screen — vectors extreme along the dominant
+    direction are mislabeled/degenerate candidates).  One oracle
+    replays the whole integer chain plus the rank cut."""
+    from pyspark.sql import Window
+
+    from geo_spark.operators.pca import pca_projections
+
+    emb = _t(spark, sf_dir, "embeddings")
+    proj = pca_projections(emb, dim=64, iterations=2)
+    w = Window.orderBy(F.abs("proj").desc(), "vec_id")
+    return (
+        proj.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 25)
+        .orderBy("rk")
+    )
+
+
+def _oracle_pca_outliers() -> str:
+    inner = _oracle_pca_projections()
+    return f"""
+        WITH base AS ({inner}),
+        ranked AS (SELECT vec_id, proj,
+                          row_number() OVER (ORDER BY ABS(proj) DESC,
+                                             vec_id) AS rk
+                   FROM base)
+        SELECT vec_id, proj, CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= 25 ORDER BY rk
+    """
+
+
+def _q_funnel_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 per-user event-type trigrams (funnel mining): two lead
+    windows over the per-user total order, counts, deterministic
+    (count desc, lexicographic) top-k."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("a"),
+            F.lead("event_type", 1).over(w).alias("b"),
+            F.lead("event_type", 2).over(w).alias("c"),
+        )
+        .where(F.col("c").isNotNull())
+        .groupBy("a", "b", "c")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return tri.orderBy(F.col("n").desc(), "a", "b", "c").limit(10)
+
+
+def _oracle_funnel_trigrams() -> str:
+    return """
+        WITH tri AS (SELECT event_type AS a,
+                            lead(event_type, 1) OVER w AS b,
+                            lead(event_type, 2) OVER w AS c
+                     FROM events
+                     WINDOW w AS (PARTITION BY user_id
+                                  ORDER BY ts, event_id)),
+        cnt AS (SELECT a, b, c, count(*) AS n FROM tri
+                WHERE c IS NOT NULL GROUP BY a, b, c)
+        SELECT a, b, c, CAST(n AS BIGINT) AS n
+        FROM cnt ORDER BY n DESC, a, b, c LIMIT 10
+    """
+
+
 def _q_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid-based stay-point extraction
     (operators/sessionize.py:stay_points): per-user maximal same-tile
@@ -7536,6 +7605,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tile_anomalies": _q_tile_anomalies,
         "q_stay_points": _q_stay_points,
         "q_pca_projections": _q_pca_projections,
+        "q_pca_outliers": _q_pca_outliers,
+        "q_funnel_trigrams": _q_funnel_trigrams,
         "q_farthest_cities": _q_farthest_cities,
         "q_corpus_pipeline": _q_corpus_pipeline,
         "q_geo_stratified_dedup": _q_geo_stratified_dedup,
@@ -7667,6 +7738,8 @@ def oracle_sql() -> dict[str, str]:
         "q_tile_anomalies": _oracle_tile_anomalies(),
         "q_stay_points": _oracle_stay_points(),
         "q_pca_projections": _oracle_pca_projections(),
+        "q_pca_outliers": _oracle_pca_outliers(),
+        "q_funnel_trigrams": _oracle_funnel_trigrams(),
         "q_farthest_cities": _oracle_farthest_cities(),
         "q_corpus_pipeline": _oracle_corpus_pipeline(),
         "q_geo_stratified_dedup": _oracle_geo_stratified_dedup(),
