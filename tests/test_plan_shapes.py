@@ -143,3 +143,65 @@ def test_line_dedup_plan_native_and_combined(spark):
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan or "partial" in plan.lower()
+
+
+def test_stay_points_single_exchange(spark):
+    """The lag window and the (user, run) rollup must share the user
+    hash partitioning — one full-data Exchange total."""
+    from geo_spark.operators.sessionize import stay_points
+
+    ev = spark.createDataFrame(
+        [(1, 1, 10.0, 10.0, 0)],
+        "user_id long, event_id long, lat double, lng double, ts_us long",
+    )
+    plan = _plan_of(stay_points(ev, zoom=3))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Python" not in plan and "MapInPandas" not in plan
+
+
+def test_transition_matrix_no_python_two_exchanges(spark):
+    """One window exchange over the data + the count aggregate; the
+    ppm normalization must reuse the tiny aggregate, never reshuffle
+    the input."""
+    from geo_spark.operators.sessionize import transition_matrix
+
+    ev = spark.createDataFrame(
+        [(1, 1, "a")], "user_id long, ts long, event_type string"
+    )
+    plan = _plan_of(transition_matrix(ev, order_cols=("ts",)))
+    assert "Python" not in plan
+    # window(user) + groupBy(prev,state) + window(prev_state): 3 hash
+    # exchanges max, all over the aggregate-or-smaller tables
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_bloom_prefilter_no_join_before_refine(spark):
+    """The bloom stage must be a pure Filter over the scan (literal
+    array bit tests) — the only join in the plan is the exact refine,
+    and it must be broadcast, not shuffled."""
+    from geo_spark.operators.sketches import bloom_semi_join
+
+    big = spark.range(1000).select(F_col("id").alias("k"))
+    probe = spark.range(100).select((F_col("id") * 3).alias("pk"))
+    plan = _plan_of(bloom_semi_join(big, "k", probe, "pk", bits_log2=12))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Python" not in plan
+
+
+def test_decayed_tile_counts_single_aggregate(spark):
+    from geo_spark.operators.tiling import decayed_tile_counts
+
+    ev = spark.createDataFrame(
+        [(10.0, 10.0, 0)], "lat double, lng double, ts_us long"
+    )
+    plan = _plan_of(decayed_tile_counts(ev, zoom=3))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert "Python" not in plan
+
+
+def F_col(name):
+    from pyspark.sql import functions as F
+
+    return F.col(name)
