@@ -3907,6 +3907,106 @@ def _oracle_pca_projections() -> str:
     """
 
 
+def _q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per level-1 quadkey tile (the WAU
+    rollup): each (tile, user, day) activity row contributes to the 7
+    trailing window ends, so the count is an exact distinct over a
+    window-id explode — the standard sliding-distinct shape (distinct
+    first, THEN the x7 explode, so the multiplier hits the deduped
+    activity table, not the raw events)."""
+    from geo_spark.functions.webgrid import quadkey_from_latlng
+    from geo_spark.operators.geo_noise import with_geo_noise, with_time_noise
+
+    ev = with_time_noise(
+        with_geo_noise(_t(spark, sf_dir, "events"), "event_id"), "event_id"
+    )
+    act = (
+        ev.select(
+            quadkey_from_latlng(F.col("lat"), F.col("lng"), 1).alias("qk"),
+            "user_id",
+            F.expr("ts_us div 86400000000").alias("day"),
+        )
+        .distinct()
+    )
+    windows = act.select(
+        "qk",
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + 6)
+        ).alias("wend"),
+    ).distinct()
+    return (
+        windows.groupBy("qk", "wend")
+        .agg(F.count(F.lit(1)).alias("wau"))
+        .where((F.col("wend") >= 6) & (F.col("wend") <= 29))
+        .orderBy("qk", "wend")
+    )
+
+
+def _oracle_rolling_active_users() -> str:
+    from geo_spark.functions.webgrid import mercator_xy_sql, quadkey_sql_text
+    from geo_spark.operators.geo_noise import LAT_SQL, LNG_SQL, TS_US_SQL
+
+    lat = LAT_SQL.format(id="event_id")
+    lng = LNG_SQL.format(id="event_id")
+    ts = TS_US_SQL.format(id="event_id")
+    x, y = mercator_xy_sql("lat", "lng", 1)
+    qk = quadkey_sql_text("tx", "ty", 1)
+    return f"""
+        WITH pts AS (SELECT event_id, user_id, {lat} AS lat, {lng} AS lng,
+                            {ts} AS ts_us
+                     FROM events),
+        t AS (SELECT user_id, ts_us // 86400000000 AS day,
+                     {x} AS tx, {y} AS ty
+              FROM pts),
+        act AS (SELECT DISTINCT {qk} AS qk, user_id, day FROM t),
+        win AS (SELECT DISTINCT qk, user_id, day + o.o AS wend
+                FROM act, (SELECT unnest(range(0, 7)) AS o) o)
+        SELECT qk, CAST(wend AS BIGINT) AS wend,
+               CAST(count(*) AS BIGINT) AS wau
+        FROM win WHERE wend BETWEEN 6 AND 29
+        GROUP BY qk, wend ORDER BY qk, wend
+    """
+
+
+def _q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention-cohort table: users grouped by first-active
+    week, counted (exact distinct) at each week offset they return.
+    Two shuffles: per-user min (map-combined), then the cohort x offset
+    distinct-count over the deduped (user, week) activity table."""
+    from geo_spark.operators.geo_noise import with_time_noise
+
+    ev = with_time_noise(_t(spark, sf_dir, "events"), "event_id")
+    act = ev.select(
+        "user_id", F.expr("ts_us div 604800000000").alias("week")
+    ).distinct()
+    first = act.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    return (
+        act.join(first, "user_id")
+        .select("cohort", (F.col("week") - F.col("cohort")).alias("offset"), "user_id")
+        .groupBy("cohort", "offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort", "offset")
+    )
+
+
+def _oracle_retention_cohorts() -> str:
+    from geo_spark.operators.geo_noise import TS_US_SQL
+
+    ts = TS_US_SQL.format(id="event_id")
+    return f"""
+        WITH act AS (SELECT DISTINCT user_id,
+                            ({ts}) // 604800000000 AS week
+                     FROM events),
+        fw AS (SELECT user_id, min(week) AS cohort FROM act
+               GROUP BY user_id)
+        SELECT cohort, week - cohort AS offset,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM act JOIN fw USING (user_id)
+        GROUP BY cohort, offset ORDER BY cohort, offset
+    """
+
+
 def _q_pca_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composition certificate: PCA projections -> top-25 |proj| rank
     (the embedding outlier screen — vectors extreme along the dominant
@@ -7606,6 +7706,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stay_points": _q_stay_points,
         "q_pca_projections": _q_pca_projections,
         "q_pca_outliers": _q_pca_outliers,
+        "q_rolling_active_users": _q_rolling_active_users,
+        "q_retention_cohorts": _q_retention_cohorts,
         "q_funnel_trigrams": _q_funnel_trigrams,
         "q_farthest_cities": _q_farthest_cities,
         "q_corpus_pipeline": _q_corpus_pipeline,
@@ -7739,6 +7841,8 @@ def oracle_sql() -> dict[str, str]:
         "q_stay_points": _oracle_stay_points(),
         "q_pca_projections": _oracle_pca_projections(),
         "q_pca_outliers": _oracle_pca_outliers(),
+        "q_rolling_active_users": _oracle_rolling_active_users(),
+        "q_retention_cohorts": _oracle_retention_cohorts(),
         "q_funnel_trigrams": _oracle_funnel_trigrams(),
         "q_farthest_cities": _oracle_farthest_cities(),
         "q_corpus_pipeline": _oracle_corpus_pipeline(),
