@@ -3983,10 +3983,14 @@ def _q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     first = act.groupBy("user_id").agg(F.min("week").alias("cohort"))
     return (
         act.join(first, "user_id")
-        .select("cohort", (F.col("week") - F.col("cohort")).alias("offset"), "user_id")
-        .groupBy("cohort", "offset")
+        .select(
+            "cohort",
+            (F.col("week") - F.col("cohort")).alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort", "week_offset")
         .agg(F.count(F.lit(1)).alias("n_users"))
-        .orderBy("cohort", "offset")
+        .orderBy("cohort", "week_offset")
     )
 
 
@@ -4000,10 +4004,10 @@ def _oracle_retention_cohorts() -> str:
                      FROM events),
         fw AS (SELECT user_id, min(week) AS cohort FROM act
                GROUP BY user_id)
-        SELECT cohort, week - cohort AS offset,
+        SELECT cohort, week - cohort AS week_offset,
                CAST(count(*) AS BIGINT) AS n_users
         FROM act JOIN fw USING (user_id)
-        GROUP BY cohort, offset ORDER BY cohort, offset
+        GROUP BY cohort, week_offset ORDER BY cohort, week_offset
     """
 
 
