@@ -3907,6 +3907,40 @@ def _oracle_pca_projections() -> str:
     """
 
 
+def _q_geofence_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geofence ENTER/EXIT detection
+    (operators/sessionize.py:zone_crossings) composed over the
+    reverse-geocode zone assignment: per user (ts, event_id order),
+    every event whose zone differs from the previous one.  Oracle =
+    zone CTE + lag window."""
+    from geo_spark.operators.sessionize import zone_crossings
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    zoned = ev.join(
+        _rg_assign(spark, sf_dir).select("event_id", "zone"), "event_id"
+    )
+    return (
+        zone_crossings(zoned, order_cols=("ts", "event_id"))
+        .select("user_id", "event_id", "from_zone", "to_zone")
+        .orderBy("user_id", "event_id")
+    )
+
+
+def _oracle_geofence_crossings() -> str:
+    return f"""
+        WITH {_rg_zone_cte()},
+        ev AS (SELECT e.user_id, e.ts, e.event_id, z.zone
+               FROM events e JOIN zones z USING (event_id)),
+        lagd AS (SELECT user_id, event_id, zone,
+                        lag(zone) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS pz
+                 FROM ev)
+        SELECT user_id, event_id, pz AS from_zone, zone AS to_zone
+        FROM lagd WHERE pz IS NOT NULL AND pz <> zone
+        ORDER BY user_id, event_id
+    """
+
+
 def _q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day active users per level-1 quadkey tile (the WAU
     rollup): each (tile, user, day) activity row contributes to the 7
@@ -7710,6 +7744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stay_points": _q_stay_points,
         "q_pca_projections": _q_pca_projections,
         "q_pca_outliers": _q_pca_outliers,
+        "q_geofence_crossings": _q_geofence_crossings,
         "q_rolling_active_users": _q_rolling_active_users,
         "q_retention_cohorts": _q_retention_cohorts,
         "q_funnel_trigrams": _q_funnel_trigrams,
@@ -7845,6 +7880,7 @@ def oracle_sql() -> dict[str, str]:
         "q_stay_points": _oracle_stay_points(),
         "q_pca_projections": _oracle_pca_projections(),
         "q_pca_outliers": _oracle_pca_outliers(),
+        "q_geofence_crossings": _oracle_geofence_crossings(),
         "q_rolling_active_users": _oracle_rolling_active_users(),
         "q_retention_cohorts": _oracle_retention_cohorts(),
         "q_funnel_trigrams": _oracle_funnel_trigrams(),

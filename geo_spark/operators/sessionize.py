@@ -221,3 +221,34 @@ def stay_points(
         )
         .where(F.col("dur_us") >= min_duration_us)
     )
+
+
+def zone_crossings(
+    events: DataFrame,
+    zone_col: str = "zone",
+    user_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+) -> DataFrame:
+    """(user_id, order_cols..., from_zone, to_zone): the geofence
+    ENTER/EXIT stream — rows where the per-user zone (from any upstream
+    assignment: PIP join, reverse geocode, tiling) differs from the
+    previous event's zone.  First events emit nothing (no prior zone).
+
+    One per-user lag window; pure codegen.  The streaming twin
+    (streaming/geofence.py) carries one (ts, zone) row per user and
+    emits the same rows on an in-order drained source."""
+    w = Window.partitionBy(user_col).orderBy(*order_cols)
+    return (
+        events.select(user_col, *order_cols, zone_col)
+        .withColumn("_prev", F.lag(zone_col).over(w))
+        .where(
+            F.col("_prev").isNotNull()
+            & (F.col("_prev") != F.col(zone_col))
+        )
+        .select(
+            user_col,
+            *order_cols,
+            F.col("_prev").alias("from_zone"),
+            F.col(zone_col).alias("to_zone"),
+        )
+    )
