@@ -3907,6 +3907,99 @@ def _oracle_pca_projections() -> str:
     """
 
 
+_FLOOD_Z, _FLOOD_HOPS = 4, 5
+
+
+def _q_tile_flood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo-graph composition certificate: hop-distance flood fill over
+    the OCCUPIED-tile adjacency graph (8-neighbor, x wraps at the
+    antimeridian, y clamps) from the single hottest tile — the
+    raster-connectivity question (how far does the dense region
+    extend?) answered by composing the tile rollup, the focal-style
+    neighbor explode, and seed_distances' frontier BFS.  Oracle =
+    tile replay + recursive-CTE min-hop."""
+    from geo_spark.operators.geo_noise import with_geo_noise
+    from geo_spark.operators.linkgraph import seed_distances
+    from geo_spark.functions.webgrid import mercator_xy_cols
+
+    n = 1 << _FLOOD_Z
+    ev = with_geo_noise(_t(spark, sf_dir, "events"), "event_id")
+    x, y = mercator_xy_cols(F.col("lat"), F.col("lng"), _FLOOD_Z)
+    occ = (
+        ev.select(x.alias("tx"), y.alias("ty"))
+        .groupBy("tx", "ty")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    ).localCheckpoint()
+    seeds = (
+        occ.orderBy(F.col("cnt").desc(), "tx", "ty")
+        .limit(1)
+        .select((F.col("tx") * n + F.col("ty")).alias("id"))
+    )
+    offsets = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+                if (dx, dy) != (0, 0)
+            ]
+        )
+    )
+    nbr = occ.select("tx", "ty", offsets.alias("o")).select(
+        (F.col("tx") * n + F.col("ty")).alias("src"),
+        (((F.col("tx") + F.col("o.dx") + n) % n)).alias("nx"),
+        (F.col("ty") + F.col("o.dy")).alias("ny"),
+    ).where((F.col("ny") >= 0) & (F.col("ny") < n))
+    edges = nbr.join(
+        occ.select(F.col("tx").alias("nx"), F.col("ty").alias("ny")),
+        ["nx", "ny"],
+        "semi",
+    ).select("src", (F.col("nx") * n + F.col("ny")).alias("dst"))
+    return seed_distances(edges, seeds, max_hops=_FLOOD_HOPS).orderBy(
+        "node"
+    )
+
+
+def _oracle_tile_flood() -> str:
+    from geo_spark.functions.webgrid import mercator_xy_sql
+    from geo_spark.operators.geo_noise import LAT_SQL, LNG_SQL
+
+    n = 1 << _FLOOD_Z
+    lat = LAT_SQL.format(id="event_id")
+    lng = LNG_SQL.format(id="event_id")
+    x, y = mercator_xy_sql("lat", "lng", _FLOOD_Z)
+    offs = ", ".join(
+        f"({dx}, {dy})"
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+        if (dx, dy) != (0, 0)
+    )
+    return f"""
+        WITH RECURSIVE pts AS (SELECT event_id, {lat} AS lat, {lng} AS lng
+                               FROM events),
+        occ AS (SELECT {x} AS tx, {y} AS ty, count(*) AS cnt
+                FROM pts GROUP BY 1, 2),
+        sd AS (SELECT tx * {n} + ty AS id FROM occ
+               ORDER BY cnt DESC, tx, ty LIMIT 1),
+        o(dx, dy) AS (VALUES {offs}),
+        e AS (SELECT a.tx * {n} + a.ty AS src,
+                     b.tx * {n} + b.ty AS dst
+              FROM occ a, o
+              JOIN occ b
+                ON b.tx = (a.tx + o.dx + {n}) % {n}
+               AND b.ty = a.ty + o.dy),
+        r AS (
+            SELECT id AS node, 0 AS dist FROM sd
+            UNION
+            SELECT e.dst AS node, r.dist + 1 AS dist
+            FROM r JOIN e ON e.src = r.node
+            WHERE r.dist < {_FLOOD_HOPS}
+        )
+        SELECT node, CAST(min(dist) AS BIGINT) AS dist
+        FROM r GROUP BY node ORDER BY node
+    """
+
+
 def _q_geofence_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geofence ENTER/EXIT detection
     (operators/sessionize.py:zone_crossings) composed over the
@@ -7745,6 +7838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pca_projections": _q_pca_projections,
         "q_pca_outliers": _q_pca_outliers,
         "q_geofence_crossings": _q_geofence_crossings,
+        "q_tile_flood": _q_tile_flood,
         "q_rolling_active_users": _q_rolling_active_users,
         "q_retention_cohorts": _q_retention_cohorts,
         "q_funnel_trigrams": _q_funnel_trigrams,
@@ -7881,6 +7975,7 @@ def oracle_sql() -> dict[str, str]:
         "q_pca_projections": _oracle_pca_projections(),
         "q_pca_outliers": _oracle_pca_outliers(),
         "q_geofence_crossings": _oracle_geofence_crossings(),
+        "q_tile_flood": _oracle_tile_flood(),
         "q_rolling_active_users": _oracle_rolling_active_users(),
         "q_retention_cohorts": _oracle_retention_cohorts(),
         "q_funnel_trigrams": _oracle_funnel_trigrams(),
