@@ -3907,6 +3907,43 @@ def _oracle_pca_projections() -> str:
     """
 
 
+def _q_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth binning (feature preprocessing): each event's decile
+    of `value` within its event_type, computed from the exact rank —
+    decile = (rank-1)*10 div count, deterministic under the
+    (value, event_id) total order.  NOT ntile(): ntile's remainder
+    distribution is engine-specific; the rank formula is portable."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    c = Window.partitionBy("event_type")
+    return (
+        ev.select("event_id", "event_type", "value")
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(c))
+        .select(
+            "event_id",
+            "event_type",
+            F.expr("((_rn - 1) * 10) div _n").cast("long").alias("decile"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def _oracle_value_deciles() -> str:
+    return """
+        WITH r AS (SELECT event_id, event_type,
+                          row_number() OVER (PARTITION BY event_type
+                                             ORDER BY value, event_id) AS rn,
+                          count(*) OVER (PARTITION BY event_type) AS n
+                   FROM events)
+        SELECT event_id, event_type,
+               CAST(((rn - 1) * 10) // n AS BIGINT) AS decile
+        FROM r ORDER BY event_id
+    """
+
+
 _FLOOD_Z, _FLOOD_HOPS = 4, 5
 
 
@@ -7839,6 +7876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pca_outliers": _q_pca_outliers,
         "q_geofence_crossings": _q_geofence_crossings,
         "q_tile_flood": _q_tile_flood,
+        "q_value_deciles": _q_value_deciles,
         "q_rolling_active_users": _q_rolling_active_users,
         "q_retention_cohorts": _q_retention_cohorts,
         "q_funnel_trigrams": _q_funnel_trigrams,
@@ -7976,6 +8014,7 @@ def oracle_sql() -> dict[str, str]:
         "q_pca_outliers": _oracle_pca_outliers(),
         "q_geofence_crossings": _oracle_geofence_crossings(),
         "q_tile_flood": _oracle_tile_flood(),
+        "q_value_deciles": _oracle_value_deciles(),
         "q_rolling_active_users": _oracle_rolling_active_users(),
         "q_retention_cohorts": _oracle_retention_cohorts(),
         "q_funnel_trigrams": _oracle_funnel_trigrams(),
