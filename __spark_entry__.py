@@ -3907,6 +3907,100 @@ def _oracle_pca_projections() -> str:
     """
 
 
+def _q_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN graph construction: pairs where each vector is in the
+    OTHER's cosine top-5 — the symmetrized kNN graph clustering and
+    manifold methods start from (mutuality filters the hub/asymmetry
+    noise of raw kNN).  Composes cosine_topk with a self-join on the
+    reversed edge; oracle replays both directions."""
+    from geo_spark.operators.similarity import cosine_topk_brute
+
+    emb = _t(spark, sf_dir, "embeddings")
+    t = cosine_topk_brute(emb, emb, 5).select("vec_id", "nb_id", "rank")
+    a = t.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("nb_id").alias("id_b"),
+        F.col("rank").alias("rank_ab"),
+    )
+    b = t.select(
+        F.col("nb_id").alias("id_a"),
+        F.col("vec_id").alias("id_b"),
+        F.col("rank").alias("rank_ba"),
+    )
+    return (
+        a.join(b, ["id_a", "id_b"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _oracle_mutual_knn() -> str:
+    return """
+        WITH d AS (
+          SELECT a.vec_id AS qa, b.vec_id AS qb,
+                 list_dot_product(a.embedding, b.embedding) /
+                 (sqrt(list_dot_product(a.embedding, a.embedding)) *
+                  sqrt(list_dot_product(b.embedding, b.embedding))) AS sim
+          FROM embeddings a, embeddings b
+          WHERE a.vec_id <> b.vec_id
+        ),
+        r AS (SELECT qa, qb,
+                     row_number() OVER (PARTITION BY qa
+                                        ORDER BY sim DESC, qb) rk
+              FROM d),
+        t AS (SELECT qa, qb, rk FROM r WHERE rk <= 5)
+        SELECT t1.qa AS id_a, t1.qb AS id_b,
+               CAST(t1.rk AS INT) AS rank_ab,
+               CAST(t2.rk AS INT) AS rank_ba
+        FROM t t1 JOIN t t2 ON t2.qa = t1.qb AND t2.qb = t1.qa
+        WHERE t1.qa < t1.qb ORDER BY id_a, id_b
+    """
+
+
+def _q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 interval build: the per-user event-type change log
+    becomes validity intervals [valid_from, valid_to) via one lead
+    window — the warehousing primitive behind every dimension-history
+    table (as-of joins then probe these intervals).  Consecutive
+    duplicate states collapse first (lag filter), so intervals are
+    maximal."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("_prev", F.lag("event_type").over(w))
+        .where(F.col("_prev").isNull() | (F.col("_prev") != F.col("event_type")))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        changes.select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w2).alias("valid_to"),
+        )
+        .orderBy("user_id", "valid_from")
+    )
+
+
+def _oracle_scd2_intervals() -> str:
+    return """
+        WITH lagd AS (SELECT user_id, event_id, ts, event_type,
+                             lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+                      FROM events),
+        ch AS (SELECT user_id, event_id, ts, event_type FROM lagd
+               WHERE prev IS NULL OR prev <> event_type)
+        SELECT user_id, event_type AS state, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS valid_to
+        FROM ch ORDER BY user_id, valid_from
+    """
+
+
 def _q_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth binning (feature preprocessing): each event's decile
     of `value` within its event_type, computed from the exact rank —
@@ -7877,6 +7971,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_geofence_crossings": _q_geofence_crossings,
         "q_tile_flood": _q_tile_flood,
         "q_value_deciles": _q_value_deciles,
+        "q_scd2_intervals": _q_scd2_intervals,
+        "q_mutual_knn": _q_mutual_knn,
         "q_rolling_active_users": _q_rolling_active_users,
         "q_retention_cohorts": _q_retention_cohorts,
         "q_funnel_trigrams": _q_funnel_trigrams,
@@ -8015,6 +8111,8 @@ def oracle_sql() -> dict[str, str]:
         "q_geofence_crossings": _oracle_geofence_crossings(),
         "q_tile_flood": _oracle_tile_flood(),
         "q_value_deciles": _oracle_value_deciles(),
+        "q_scd2_intervals": _oracle_scd2_intervals(),
+        "q_mutual_knn": _oracle_mutual_knn(),
         "q_rolling_active_users": _oracle_rolling_active_users(),
         "q_retention_cohorts": _oracle_retention_cohorts(),
         "q_funnel_trigrams": _oracle_funnel_trigrams(),
