@@ -3907,6 +3907,67 @@ def _oracle_pca_projections() -> str:
     """
 
 
+def _q_radius_gyration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user mobility radius of gyration
+    (operators/sessionize.py:radius_of_gyration): mean squared chordal
+    deviation from the centroid in exact shifted-integer arithmetic
+    (HUGEINT/DECIMAL sums, truncating division on non-negative
+    operands) — bit-portable where float variance accumulation is
+    partition-order dependent.  Coordinates come from the pure-double
+    noise streams (SINLAT/LNG_D): the asin-based lat stream diverges
+    ~1e-11 across engines, which flips ~2e-5 of the 1e-8-quantum
+    floors (measured) — the same lesson q_trajectory_resample pinned."""
+    from geo_spark.operators.geo_noise import LNG_D_SQL, SINLAT_SQL
+    from geo_spark.operators.sessionize import radius_of_gyration
+
+    sinlat = SINLAT_SQL.format(id="event_id")
+    lngd = LNG_D_SQL.format(id="event_id")
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(sinlat).alias("z"),
+        F.expr(f"sqrt(1.0e0 - ({sinlat}) * ({sinlat}))").alias("_cl"),
+        F.expr(f"radians({lngd})").alias("_lr"),
+    ).select(
+        "user_id",
+        (F.cos(F.col("_lr")) * F.col("_cl")).alias("x"),
+        (F.sin(F.col("_lr")) * F.col("_cl")).alias("y"),
+        "z",
+    )
+    return radius_of_gyration(ev, xyz=("x", "y", "z")).orderBy("user_id")
+
+
+def _oracle_radius_gyration() -> str:
+    from geo_spark.operators.geo_noise import LNG_D_SQL, SINLAT_SQL
+
+    sinlat = SINLAT_SQL.format(id="event_id")
+    lngd = LNG_D_SQL.format(id="event_id")
+    s = 100_000_000
+    return f"""
+        WITH pts AS (SELECT event_id, user_id, ({sinlat}) AS z,
+                            sqrt(1.0e0 - ({sinlat}) * ({sinlat})) AS cl,
+                            radians({lngd}) AS lr
+                     FROM events),
+        q AS (SELECT user_id,
+                     CAST(floor((cos(lr)*cl + 1) * {s}) AS BIGINT) AS qx,
+                     CAST(floor((sin(lr)*cl + 1) * {s}) AS BIGINT) AS qy,
+                     CAST(floor((z + 1) * {s}) AS BIGINT) AS qz
+              FROM pts),
+        m AS (SELECT user_id, count(*) AS n,
+                     SUM(qx) // count(*) AS mx,
+                     SUM(qy) // count(*) AS my,
+                     SUM(qz) // count(*) AS mz
+              FROM q GROUP BY user_id),
+        d AS (SELECT q.user_id, m.n,
+                     CAST((qx-mx) AS HUGEINT)*(qx-mx)
+                   + CAST((qy-my) AS HUGEINT)*(qy-my)
+                   + CAST((qz-mz) AS HUGEINT)*(qz-mz) AS d2
+              FROM q JOIN m USING (user_id))
+        SELECT user_id, CAST(max(n) AS BIGINT) AS n_events,
+               CAST(SUM(d2) // max(n) AS BIGINT) AS msd_q
+        FROM d GROUP BY user_id ORDER BY user_id
+    """
+
+
 def _q_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual-kNN graph construction: pairs where each vector is in the
     OTHER's cosine top-5 — the symmetrized kNN graph clustering and
@@ -7973,6 +8034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_value_deciles": _q_value_deciles,
         "q_scd2_intervals": _q_scd2_intervals,
         "q_mutual_knn": _q_mutual_knn,
+        "q_radius_gyration": _q_radius_gyration,
         "q_rolling_active_users": _q_rolling_active_users,
         "q_retention_cohorts": _q_retention_cohorts,
         "q_funnel_trigrams": _q_funnel_trigrams,
@@ -8113,6 +8175,7 @@ def oracle_sql() -> dict[str, str]:
         "q_value_deciles": _oracle_value_deciles(),
         "q_scd2_intervals": _oracle_scd2_intervals(),
         "q_mutual_knn": _oracle_mutual_knn(),
+        "q_radius_gyration": _oracle_radius_gyration(),
         "q_rolling_active_users": _oracle_rolling_active_users(),
         "q_retention_cohorts": _oracle_retention_cohorts(),
         "q_funnel_trigrams": _oracle_funnel_trigrams(),

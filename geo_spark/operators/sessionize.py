@@ -252,3 +252,75 @@ def zone_crossings(
             F.col(zone_col).alias("to_zone"),
         )
     )
+
+
+def radius_of_gyration(
+    events: DataFrame,
+    user_col: str = "user_id",
+    latlng: tuple[str, str] = ("lat", "lng"),
+    qscale: int = 100_000_000,
+    xyz: tuple[str, str, str] | None = None,
+) -> DataFrame:
+    """(user_id, n_events, msd_q): per-user mean squared chordal
+    deviation from the centroid — the mobility radius-of-gyration
+    statistic (Gonzalez et al., "Understanding individual human
+    mobility patterns"), kept exact-integer: unit-sphere coords
+    quantize to floor(c * qscale), the centroid is the floor-mean, and
+    the mean squared deviation is a DECIMAL(38)-summed integer divided
+    by n (truncating) — engine-portable where float variance
+    accumulation is partition-order dependent.
+
+    Plan: two groupBy(user) aggregates with a join between them — all
+    three hash-partition on the same key, so the full data shuffles
+    once and the rest reuses the partitioning; zero Python."""
+    # +1 shift keeps every quantity non-negative so truncating (Spark
+    # div) and flooring (DuckDB //) division agree; both engines
+    # evaluate the identical IEEE expression, and the shift perturbs
+    # deviations by at most one quantum (1e-8 of a chord) — far below
+    # anything the statistic is used for.  ``xyz`` bypasses the trig
+    # when unit coordinates are already available — cross-engine
+    # oracles should prefer it: the quantization floor tolerates the
+    # ~1 ulp cos/sin divergence between engines (~1e-4 flips at 1e-15
+    # quanta, measured), but NOT upstream chains like asin whose
+    # divergence reaches ~1e-11.
+    if xyz is not None:
+        cx, cy, cz = (F.col(c) for c in xyz)
+    else:
+        la, ln = (F.radians(F.col(c)) for c in latlng)
+        cx, cy, cz = F.cos(ln) * F.cos(la), F.sin(ln) * F.cos(la), F.sin(la)
+    q = events.select(
+        user_col,
+        F.floor((cx + 1) * qscale).cast("long").alias("qx"),
+        F.floor((cy + 1) * qscale).cast("long").alias("qy"),
+        F.floor((cz + 1) * qscale).cast("long").alias("qz"),
+    )
+    m = q.groupBy(user_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.expr("sum(qx) div count(1)").alias("mx"),
+        F.expr("sum(qy) div count(1)").alias("my"),
+        F.expr("sum(qz) div count(1)").alias("mz"),
+    )
+    d2 = (
+        q.join(m, user_col)
+        .select(
+            user_col,
+            "_n",
+            (
+                (F.col("qx") - F.col("mx")) * (F.col("qx") - F.col("mx"))
+                + (F.col("qy") - F.col("my")) * (F.col("qy") - F.col("my"))
+                + (F.col("qz") - F.col("mz")) * (F.col("qz") - F.col("mz"))
+            ).alias("_d2"),
+        )
+    )
+    return (
+        d2.groupBy(user_col)
+        .agg(
+            F.max("_n").alias("n_events"),
+            F.sum(F.col("_d2").cast("decimal(38,0)")).alias("_s"),
+        )
+        .select(
+            user_col,
+            "n_events",
+            F.expr("CAST(_s div n_events AS BIGINT)").alias("msd_q"),
+        )
+    )
