@@ -3907,6 +3907,80 @@ def _oracle_pca_projections() -> str:
     """
 
 
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _q_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational-surface parity: PIVOT — per-user event-type count
+    matrix via Spark's pivot() with an explicit value list (explicit
+    values keep the plan single-pass; inference adds a distinct scan).
+    Oracle is conditional aggregation (the engine-portable spelling of
+    the same operator)."""
+    ev = _t(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _PIVOT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in _PIVOT_TYPES],
+    ).orderBy("user_id")
+
+
+def _oracle_event_pivot() -> str:
+    cols = ",\n               ".join(
+        f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT)"
+        f" AS n_{t}"
+        for t in _PIVOT_TYPES
+    )
+    return f"""
+        SELECT user_id,
+               {cols}
+        FROM events GROUP BY user_id ORDER BY user_id
+    """
+
+
+def _q_week_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational-surface parity: INTERSECT / EXCEPT — users active on
+    both the first and the last activity DAY, minus users who errored
+    on day 0 (set ops over distinct user sets)."""
+    from geo_spark.operators.geo_noise import with_time_noise
+
+    ev = with_time_noise(_t(spark, sf_dir, "events"), "event_id")
+    daily = ev.select(
+        "user_id",
+        F.expr("ts_us div 86400000000").alias("day"),
+        "event_type",
+    )
+    d0 = daily.where(F.col("day") == 0).select("user_id").distinct()
+    d29 = daily.where(F.col("day") == 29).select("user_id").distinct()
+    err0 = (
+        daily.where((F.col("event_type") == "error") & (F.col("day") == 0))
+        .select("user_id")
+        .distinct()
+    )
+    return d0.intersect(d29).exceptAll(err0).orderBy("user_id")
+
+
+def _oracle_week_intersect() -> str:
+    from geo_spark.operators.geo_noise import TS_US_SQL
+
+    ts = TS_US_SQL.format(id="event_id")
+    return f"""
+        WITH daily AS (SELECT user_id, ({ts}) // 86400000000 AS day,
+                              event_type
+                       FROM events)
+        SELECT user_id FROM daily WHERE day = 0
+        INTERSECT
+        SELECT user_id FROM daily WHERE day = 29
+        EXCEPT
+        SELECT user_id FROM daily
+        WHERE event_type = 'error' AND day = 0
+        ORDER BY user_id
+    """
+
+
 def _q_radius_gyration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user mobility radius of gyration
     (operators/sessionize.py:radius_of_gyration): mean squared chordal
@@ -8035,6 +8109,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_scd2_intervals": _q_scd2_intervals,
         "q_mutual_knn": _q_mutual_knn,
         "q_radius_gyration": _q_radius_gyration,
+        "q_event_pivot": _q_event_pivot,
+        "q_week_intersect": _q_week_intersect,
         "q_rolling_active_users": _q_rolling_active_users,
         "q_retention_cohorts": _q_retention_cohorts,
         "q_funnel_trigrams": _q_funnel_trigrams,
@@ -8176,6 +8252,8 @@ def oracle_sql() -> dict[str, str]:
         "q_scd2_intervals": _oracle_scd2_intervals(),
         "q_mutual_knn": _oracle_mutual_knn(),
         "q_radius_gyration": _oracle_radius_gyration(),
+        "q_event_pivot": _oracle_event_pivot(),
+        "q_week_intersect": _oracle_week_intersect(),
         "q_rolling_active_users": _oracle_rolling_active_users(),
         "q_retention_cohorts": _oracle_retention_cohorts(),
         "q_funnel_trigrams": _oracle_funnel_trigrams(),
