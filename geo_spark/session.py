@@ -24,6 +24,27 @@ def ensure_pyfiles(spark: SparkSession) -> None:
         return
     zpath = os.path.join(tempfile.gettempdir(), "geo_spark_pyfiles.zip")
     srcs = sorted(pathlib.Path(_PKG_DIR).rglob("*.py"))
+    if not srcs:
+        # The package itself is imported from a --py-files zip (spark-
+        # submit deployment): there are no loose sources to rebuild
+        # from, and the launcher already ships the archive to
+        # executors.  Re-add the enclosing zip defensively (harmless if
+        # already distributed) and stop — rglob on a zip path is empty,
+        # and the rebuild below would crash on max() of nothing.
+        archive = _PKG_DIR
+        while archive and not os.path.isfile(archive):
+            parent = os.path.dirname(archive)
+            if parent == archive:
+                archive = ""
+                break
+            archive = parent
+        if archive.endswith(".zip"):
+            try:
+                sc.addPyFile(archive)
+            except Exception:
+                pass
+        sc._geo_spark_shipped = True
+        return
     newest = max(p.stat().st_mtime for p in srcs)
     if not os.path.exists(zpath) or os.path.getmtime(zpath) <= newest:
         tmp = zpath + ".tmp"
