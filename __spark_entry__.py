@@ -3907,6 +3907,91 @@ def _oracle_pca_projections() -> str:
     """
 
 
+def _q_event_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational-surface parity: CUBE — event counts with all
+    subtotals over (event_type, day-decade bucket), disambiguating
+    grouping-set nulls with grouping_id (verified bit-compatible with
+    DuckDB's GROUPING(): leftmost column is the most-significant
+    bit)."""
+    from geo_spark.operators.geo_noise import with_time_noise
+
+    ev = with_time_noise(_t(spark, sf_dir, "events"), "event_id")
+    base = ev.select(
+        "event_type", F.expr("ts_us div 864000000000").alias("decade")
+    )
+    return (
+        base.cube("event_type", "decade")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+        .orderBy("gid", "event_type", "decade")
+    )
+
+
+def _oracle_event_cube() -> str:
+    from geo_spark.operators.geo_noise import TS_US_SQL
+
+    ts = TS_US_SQL.format(id="event_id")
+    return f"""
+        WITH base AS (SELECT event_type,
+                             ({ts}) // 864000000000 AS decade
+                      FROM events)
+        SELECT event_type, decade, CAST(count(*) AS BIGINT) AS cnt,
+               CAST(GROUPING(event_type, decade) AS BIGINT) AS gid
+        FROM base GROUP BY CUBE(event_type, decade)
+        ORDER BY gid, event_type, decade
+    """
+
+
+def _q_customer_order_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational-surface parity: FULL OUTER JOIN with null-producing
+    rows on BOTH sides (even customers x every-third order), rolled up
+    to per-side match flags so the null semantics are what's hashed."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 2 == 0)
+        .select("c_custkey")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 3 == 0)
+        .select("o_orderkey", "o_custkey")
+    )
+    j = cust.join(orders, cust.c_custkey == orders.o_custkey, "full_outer")
+    return (
+        j.select(
+            F.coalesce("c_custkey", F.lit(-1)).alias("cust_side"),
+            F.when(F.col("c_custkey").isNull(), 1).otherwise(0).alias("no_cust"),
+            F.when(F.col("o_orderkey").isNull(), 1).otherwise(0).alias("no_order"),
+        )
+        .groupBy("cust_side")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("no_cust").cast("long").alias("n_no_cust"),
+            F.sum("no_order").cast("long").alias("n_no_order"),
+        )
+        .orderBy("cust_side")
+    )
+
+
+def _oracle_customer_order_outer() -> str:
+    return """
+        WITH c AS (SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0),
+        o AS (SELECT o_orderkey, o_custkey FROM orders
+              WHERE o_orderkey % 3 = 0),
+        j AS (SELECT c.c_custkey, o.o_orderkey
+              FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey)
+        SELECT coalesce(c_custkey, -1) AS cust_side,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_no_cust,
+               CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_no_order
+        FROM j GROUP BY cust_side ORDER BY cust_side
+    """
+
+
 _PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -8110,6 +8195,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mutual_knn": _q_mutual_knn,
         "q_radius_gyration": _q_radius_gyration,
         "q_event_pivot": _q_event_pivot,
+        "q_event_cube": _q_event_cube,
+        "q_customer_order_outer": _q_customer_order_outer,
         "q_week_intersect": _q_week_intersect,
         "q_rolling_active_users": _q_rolling_active_users,
         "q_retention_cohorts": _q_retention_cohorts,
@@ -8253,6 +8340,8 @@ def oracle_sql() -> dict[str, str]:
         "q_mutual_knn": _oracle_mutual_knn(),
         "q_radius_gyration": _oracle_radius_gyration(),
         "q_event_pivot": _oracle_event_pivot(),
+        "q_event_cube": _oracle_event_cube(),
+        "q_customer_order_outer": _oracle_customer_order_outer(),
         "q_week_intersect": _oracle_week_intersect(),
         "q_rolling_active_users": _oracle_rolling_active_users(),
         "q_retention_cohorts": _oracle_retention_cohorts(),
