@@ -192,12 +192,12 @@ def main() -> None:
         f"{report['jvm_tile']['low_sec']}s | {report['jvm_tile']['high_sec']}s | "
         f"{report['jvm_tile']['speedup']}x | {report['jvm_tile']['efficiency']} |\n"
     )
-    with open(baseline) as f:
-        content = f.read()
-    if marker in content:
-        content = content[: content.index(marker) - 1]
-    with open(baseline, "w") as f:
-        f.write(content + section)
+    # APPEND, never truncate: earlier sections (notably the multi-JVM
+    # below-the-wall protocol, the authoritative N->4N evidence) must
+    # survive re-measures — truncating at the first marker once wiped
+    # them (session-6 incident).
+    with open(baseline, "a") as f:
+        f.write(section)
 
 
 if __name__ == "__main__":
