@@ -46,7 +46,14 @@ def synth_media(spark, n: int, partitions: int = 8) -> DataFrame:
             rows = []
             for i, kind in zip(ids, kinds):
                 rng = np.random.default_rng(int(i) + 1000)
-                payload = rng.integers(0, 256, 256, dtype=np.uint8).tobytes()
+                if kind == "image":
+                    # REAL encoded payload: a seeded 32x24 RGB raster
+                    # as an actual BMP file, so the decode path is a
+                    # genuine parser, not a fake
+                    img = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+                    payload = encode_bmp(img)
+                else:
+                    payload = rng.integers(0, 256, 256, dtype=np.uint8).tobytes()
                 rows.append(
                     (
                         int(i),
@@ -87,10 +94,92 @@ def _decode_fake(payload: bytes, width: int, height: int) -> np.ndarray:
     return np.tile(raw, reps)[:need].reshape(max(height, 1), max(width, 1))
 
 
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(H,W,3) uint8 RGB -> uncompressed 24-bit BI_RGB BMP bytes
+    (bottom-up rows, 4-byte-padded strides — the classic Windows
+    layout).  Pure numpy/struct: no codec libraries involved, so the
+    REAL decode path below is exercisable in any container."""
+    import struct
+
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape[:2]
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    stride = row + pad
+    header = struct.pack("<2sIHHI", b"BM", 54 + stride * h, 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 2835, 2835, 0, 0
+    )
+    bgr = img[..., ::-1]
+    body = bytearray()
+    zeros = b"\x00" * pad
+    for y in range(h - 1, -1, -1):
+        body += bgr[y].tobytes() + zeros
+    return header + info + bytes(body)
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BI_RGB BMP -> (H,W,3) uint8 RGB.  Handles
+    bottom-up (height>0) and top-down (height<0) row order and padded
+    strides; anything else raises (this is a codec for the engine's
+    own fixtures plus the overwhelmingly common 24-bit case, not a
+    full BMP suite)."""
+    import struct
+
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (offset,) = struct.unpack_from("<I", data, 10)
+    hdr_size, w, h = struct.unpack_from("<Iii", data, 14)
+    planes, bpp = struct.unpack_from("<HH", data, 26)
+    (compression,) = struct.unpack_from("<I", data, 30)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP: bpp={bpp} compression={compression}")
+    flip = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    raw = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=offset)
+    rows = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if flip:
+        rows = rows[::-1]
+    return rows[..., ::-1].copy()  # BGR -> RGB
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(H,W,3) uint8 RGB -> binary PPM (P6)."""
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape[:2]
+    return f"P6\n{w} {h}\n255\n".encode() + img.tobytes()
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    """Binary PPM (P6, maxval 255) -> (H,W,3) uint8 RGB."""
+    if data[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # header = three whitespace-separated tokens after the magic
+    # (comments unsupported — fixture-grade)
+    parts = data[2:].split(None, 3)
+    w, h, maxval = int(parts[0]), int(parts[1]), int(parts[2])
+    if maxval != 255:
+        raise ValueError("only maxval 255 supported")
+    body = parts[3] if len(parts) > 3 else b""
+    raw = np.frombuffer(body, dtype=np.uint8, count=w * h * 3)
+    return raw.reshape(h, w, 3).copy()
+
+
 def decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
-    if HAVE_CODECS:  # pragma: no cover
-        raise NotImplementedError("real codec path not wired in this container")
-    return _decode_fake(payload, width, height)
+    """payload -> (H,W) uint8 grayscale.  REAL decoders for the two
+    library-free formats (BMP via :func:`decode_bmp`, PPM via
+    :func:`decode_ppm` — dispatched on magic bytes, grayscaled by
+    integer channel mean); other formats fall back to the
+    deterministic fake so the pipeline stays runnable where PIL/ffmpeg
+    are absent."""
+    if payload[:2] == b"BM":
+        rgb = decode_bmp(payload)
+    elif payload[:2] == b"P6":
+        rgb = decode_ppm(payload)
+    else:
+        return _decode_fake(payload, width, height)
+    return (rgb.astype(np.uint16).sum(axis=2) // 3).astype(np.uint8)
 
 
 def image_features(media: DataFrame, resize_to: int = 8) -> DataFrame:
