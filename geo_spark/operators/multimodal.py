@@ -1,13 +1,15 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing is real — schemas, Arrow batch shapes,
-``mapInPandas`` fan-out, partition sizing — while the actual codec calls
-are stubbed behind :data:`HAVE_CODECS` (PIL/ffmpeg are not in this
-container).  With ``deterministic_fake=True`` the decode produces a
-seeded synthetic raster/waveform from the payload bytes, so the full
-pipeline (decode -> feature-extract -> resize / frame-sample ->
-aggregate) runs end-to-end and is testable; swapping in a real codec
-changes one function.
+``mapInPandas`` fan-out, partition sizing — and since round 3 the image
+decode is REAL for the two library-free formats: uncompressed 24-bit
+BMP and binary PPM are parsed by pure numpy/struct codecs in this
+module (round-trip + top-down/padding tests), and the fixture media
+table carries actual encoded BMP files.  Compressed formats
+(JPEG/PNG/video) still dispatch to the deterministic fake when
+PIL/ffmpeg are absent (:data:`HAVE_CODECS`) — swapping in a real codec
+changes one function, and the downstream pipeline (feature-extract ->
+resize / frame-sample -> aggregate) is identical either way.
 
 Batch discipline: media rows are fat (MBs), so operators re-partition by
 byte budget, not row count — ``partitions_for_bytes`` — and every UDF
