@@ -1,19 +1,11 @@
-"""Streaming exact deduplication: the continuous twin of
-operators/dedup.exact_dedup's survivor selection, using the engine's
-OWN stateful operator (`dropDuplicatesWithinWatermark`) — the
-use-the-built-in rule (streaming/sessions.py): when structured
-streaming already ships the stateful primitive, wrap it, don't rebuild
-it in applyInPandasWithState.
+"""Streaming exact dedup: first-seen-wins over a pages/documents stream.
 
-Semantics differ from batch by design and are stated here: batch
-exact_dedup keeps the MIN key per content group over the whole corpus;
-the streaming pass keeps the FIRST-SEEN key per content digest inside
-the watermark horizon (state for a digest is dropped once the watermark
-passes it — the bound that makes infinite streams feasible).  On a
-drained in-order source where each duplicate group arrives within one
-horizon, the set of SURVIVING digests is identical; which key survives
-can differ (first-seen vs min) — both sides of that contract are
-asserted in tests/test_streaming_dedup.py.
+``dropDuplicatesWithinWatermark`` on the content digest — unlike plain
+``dropDuplicates`` (whose state is only evicted when the event-time
+column is part of the key set), it evicts each digest once it falls
+behind the watermark, so state stays bounded on a continuous stream:
+re-crawled duplicates inside the horizon are dropped in-flight, older
+re-crawls are handled by the batch fingerprint join (operators/dedup.py).
 """
 
 from __future__ import annotations
@@ -23,20 +15,25 @@ from pyspark.sql import functions as F
 
 
 def stream_exact_dedup(
-    docs: DataFrame,
-    watermark_delay: str = "10 minutes",
-    key: str = "doc_id",
+    pages: DataFrame,
+    ts_col: str = "warc_ts",
     text_col: str = "text",
-    ts_col: str = "ts",
+    watermark: str = "2 hours",
 ) -> DataFrame:
-    """docs(key, text, ts) stream -> one row per distinct content
-    digest within the watermark horizon: (text_md5, keep_id, ts)."""
+    """Distinct-content rows (first occurrence per md5 within the
+    watermark horizon)."""
+    digested = pages.withColumn("text_md5", F.md5(F.col(text_col)))
+    return digested.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["text_md5"]
+    )
+
+
+def run_dedup_available_now(result: DataFrame, query_name: str, checkpoint: str):
     return (
-        docs.select(
-            F.md5(F.col(text_col)).alias("text_md5"),
-            F.col(key).alias("keep_id"),
-            F.col(ts_col),
-        )
-        .withWatermark(ts_col, watermark_delay)
-        .dropDuplicatesWithinWatermark(["text_md5"])
+        result.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
     )

@@ -1,7 +1,8 @@
-"""Streaming exact dedup (built-in dropDuplicatesWithinWatermark):
-drained output has exactly one row per distinct content digest, the
-digest set equals batch exact_dedup's, and every surviving key belongs
-to its digest's group."""
+"""Streaming exact dedup (streaming/dedup.py, built on
+dropDuplicatesWithinWatermark — in the engine since round 2; this adds
+the batch-equivalence contract): drained output has exactly one row
+per distinct content digest, the digest set equals batch exact_dedup's,
+and every surviving key belongs to its digest's group."""
 
 from __future__ import annotations
 
@@ -43,7 +44,7 @@ def test_stream_exact_dedup_matches_batch_digests(spark, tmp_path):
         .parquet(src)
     )
     q = (
-        stream_exact_dedup(stream, watermark_delay="1 hour")
+        stream_exact_dedup(stream, ts_col="ts", watermark="1 hour")
         .writeStream.format("memory")
         .queryName("dd_stream")
         .outputMode("append")
@@ -54,7 +55,7 @@ def test_stream_exact_dedup_matches_batch_digests(spark, tmp_path):
     q.awaitTermination(300)
     rows = spark.sql("SELECT * FROM dd_stream").collect()
     q.stop()
-    got = {r["text_md5"]: r["keep_id"] for r in rows}
+    got = {r["text_md5"]: r["doc_id"] for r in rows}
     assert len(rows) == len(got)  # one row per digest
     assert set(got) == set(batch)  # same surviving content set
     for digest, kid in got.items():  # survivor from the right group
