@@ -3907,6 +3907,36 @@ def _oracle_pca_projections() -> str:
     """
 
 
+def _q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC container round trip (sources/warc.py): documents are
+    packed into spec-shaped WARC/1.0 blobs (Content-Length framing) and
+    parsed BACK by the byte-level parser; output is (uri, n_bytes,
+    body_md5) per record.  The oracle never parses bytes — it
+    re-derives every row relationally from the same documents table,
+    so the parser's extraction is certified byte-identical per url
+    (the north rule's per-row invariant)."""
+    from geo_spark.sources.warc import parse_warc, synth_warc_blobs
+
+    docs = _t(spark, sf_dir, "documents")
+    recs = parse_warc(synth_warc_blobs(docs, per_blob=16))
+    return recs.select(
+        "uri",
+        F.octet_length(F.col("body").cast("string")).cast("long").alias("n_bytes"),
+        F.md5("body").alias("body_md5"),
+    ).orderBy("uri")
+
+
+def _oracle_warc_extract() -> str:
+    from geo_spark.sources.warc import URI_PREFIX
+
+    return f"""
+        SELECT '{URI_PREFIX}' || CAST(doc_id AS VARCHAR) AS uri,
+               CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+               md5(text) AS body_md5
+        FROM documents ORDER BY uri
+    """
+
+
 def _q_event_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relational-surface parity: CUBE — event counts with all
     subtotals over (event_type, day-decade bucket), disambiguating
@@ -8196,6 +8226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_radius_gyration": _q_radius_gyration,
         "q_event_pivot": _q_event_pivot,
         "q_event_cube": _q_event_cube,
+        "q_warc_extract": _q_warc_extract,
         "q_customer_order_outer": _q_customer_order_outer,
         "q_week_intersect": _q_week_intersect,
         "q_rolling_active_users": _q_rolling_active_users,
@@ -8341,6 +8372,7 @@ def oracle_sql() -> dict[str, str]:
         "q_radius_gyration": _oracle_radius_gyration(),
         "q_event_pivot": _oracle_event_pivot(),
         "q_event_cube": _oracle_event_cube(),
+        "q_warc_extract": _oracle_warc_extract(),
         "q_customer_order_outer": _oracle_customer_order_outer(),
         "q_week_intersect": _oracle_week_intersect(),
         "q_rolling_active_users": _oracle_rolling_active_users(),
