@@ -3907,6 +3907,71 @@ def _oracle_pca_projections() -> str:
     """
 
 
+def _q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-policy filtering (operators/webcorpus.py:parse_robots +
+    robots_filter): 20 synthesized robots.txt BODIES are parsed by the
+    real line parser and applied to 500 urls by REP longest-match.
+    The oracle never parses text — it derives the same rule table from
+    the construction arithmetic and replays the longest-match rank, so
+    the parser + policy engine are certified end to end."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    ks = docs.select((F.col("doc_id") % 20).alias("k")).distinct()
+    robots = ks.select(
+        F.concat(F.lit("d"), F.col("k"), F.lit(".example")).alias("domain"),
+        F.concat(
+            F.lit("User-agent: *\n"),
+            F.lit("Disallow: /p"), (F.col("k") % 7), F.lit("\n"),
+            F.when(
+                F.col("k") % 2 == 0,
+                F.concat(F.lit("Allow: /p"), F.col("k") % 7, F.lit("/q\n")),
+            ).otherwise(F.lit("")),
+            F.when(F.col("k") % 3 == 0, F.lit("Disallow: /\n")).otherwise(
+                F.lit("")
+            ),
+        ).alias("robots_txt"),
+    )
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("d"), F.col("doc_id") % 20, F.lit(".example")).alias(
+            "domain"
+        ),
+        F.concat(
+            F.lit("/p"), F.col("doc_id") % 9, F.lit("/q"), F.col("doc_id") % 4
+        ).alias("path"),
+    )
+    from geo_spark.operators.webcorpus import parse_robots, robots_filter
+
+    return robots_filter(urls, parse_robots(robots)).orderBy("doc_id")
+
+
+def _oracle_robots_filter() -> str:
+    return """
+        WITH ks AS (SELECT DISTINCT doc_id % 20 AS k FROM documents),
+        rules AS (
+            SELECT 'd' || k || '.example' AS domain,
+                   '/p' || (k % 7) AS prefix, 0 AS allow FROM ks
+            UNION ALL
+            SELECT 'd' || k || '.example',
+                   '/p' || (k % 7) || '/q', 1 FROM ks WHERE k % 2 = 0
+            UNION ALL
+            SELECT 'd' || k || '.example', '/', 0 FROM ks WHERE k % 3 = 0
+        ),
+        urls AS (SELECT doc_id,
+                        'd' || (doc_id % 20) || '.example' AS domain,
+                        '/p' || (doc_id % 9) || '/q' || (doc_id % 4) AS path
+                 FROM documents),
+        m AS (SELECT u.doc_id, u.domain, u.path, r.allow,
+                     row_number() OVER (PARTITION BY u.doc_id
+                       ORDER BY length(r.prefix) DESC, r.allow DESC) AS rk
+              FROM urls u JOIN rules r ON r.domain = u.domain
+              WHERE substring(u.path, 1, length(r.prefix)) = r.prefix)
+        SELECT u.doc_id, u.domain, u.path,
+               CAST(coalesce(m.allow, 1) AS BIGINT) AS allowed
+        FROM urls u LEFT JOIN m ON m.doc_id = u.doc_id AND m.rk = 1
+        ORDER BY u.doc_id
+    """
+
+
 def _q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC container round trip (sources/warc.py): documents are
     packed into spec-shaped WARC/1.0 blobs (Content-Length framing) and
@@ -8227,6 +8292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_event_pivot": _q_event_pivot,
         "q_event_cube": _q_event_cube,
         "q_warc_extract": _q_warc_extract,
+        "q_robots_filter": _q_robots_filter,
         "q_customer_order_outer": _q_customer_order_outer,
         "q_week_intersect": _q_week_intersect,
         "q_rolling_active_users": _q_rolling_active_users,
@@ -8373,6 +8439,7 @@ def oracle_sql() -> dict[str, str]:
         "q_event_pivot": _oracle_event_pivot(),
         "q_event_cube": _oracle_event_cube(),
         "q_warc_extract": _oracle_warc_extract(),
+        "q_robots_filter": _oracle_robots_filter(),
         "q_customer_order_outer": _oracle_customer_order_outer(),
         "q_week_intersect": _oracle_week_intersect(),
         "q_rolling_active_users": _oracle_rolling_active_users(),

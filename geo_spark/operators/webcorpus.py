@@ -170,3 +170,72 @@ def url_dedup(pages: DataFrame, url: str = "url", id_col: str = "doc_id") -> Dat
             F.count(F.lit(1)).alias("dup_cnt"),
         )
     )
+
+
+def parse_robots(
+    robots: DataFrame, domain_col: str = "domain", text_col: str = "robots_txt"
+) -> DataFrame:
+    """(domain, prefix, allow, rule_len): parse robots.txt bodies into
+    path-prefix rules — the crawl-policy half every fetch pipeline
+    needs.  Scope (documented): the global `User-agent: *` group form,
+    Allow/Disallow directives, no wildcards/$ anchors (the original
+    1994 REP; Google-extension wildcards would need a regex compile
+    step on the same rule table).
+
+    Pure native SQL: split lines -> regexp_extract the directive ->
+    keep non-empty paths.  One explode of the (small) robots table."""
+    lines = robots.select(
+        F.col(domain_col).alias("domain"),
+        F.explode(F.split(F.col(text_col), "\n", -1)).alias("_ln"),
+    )
+    d = F.regexp_extract(F.col("_ln"), r"^(Allow|Disallow):\s*(\S+)\s*$", 1)
+    p = F.regexp_extract(F.col("_ln"), r"^(Allow|Disallow):\s*(\S+)\s*$", 2)
+    return (
+        lines.select(
+            "domain",
+            d.alias("_d"),
+            p.alias("prefix"),
+        )
+        .where((F.col("_d") != "") & (F.col("prefix") != ""))
+        .select(
+            "domain",
+            "prefix",
+            F.when(F.col("_d") == "Allow", F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("allow"),
+            F.length("prefix").cast("long").alias("rule_len"),
+        )
+    )
+
+
+def robots_filter(
+    urls: DataFrame,
+    rules: DataFrame,
+    domain_col: str = "domain",
+    path_col: str = "path",
+) -> DataFrame:
+    """(urls..., allowed): apply parsed robots rules by the REP
+    longest-match rule — the most specific (longest) matching prefix
+    decides; on equal length Allow wins (Google's documented
+    tiebreak); no matching rule means allowed.
+
+    Plan: equi-join on domain (rules tables are domain-sized —
+    broadcastable), prefix test in codegen, one per-url struct-max
+    instead of a rank window (partial-aggregatable)."""
+    matched = (
+        urls.join(F.broadcast(rules), domain_col)
+        .where(
+            F.expr(
+                f"substring({path_col}, 1, length(prefix)) = prefix"
+            )
+        )
+        .groupBy(*urls.columns)
+        .agg(
+            F.max(F.struct("rule_len", "allow")).alias("_best")
+        )
+        .select(*urls.columns, F.col("_best.allow").alias("_aw"))
+    )
+    return urls.join(matched, urls.columns, "left").select(
+        *urls.columns,
+        F.coalesce(F.col("_aw"), F.lit(1)).cast("long").alias("allowed"),
+    )

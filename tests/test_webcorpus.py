@@ -112,3 +112,70 @@ def test_plan_is_udf_free(urls_df):
     )
     plan2 = stats._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan2 and "ArrowEvalPython" not in plan2
+
+
+def test_parse_robots_and_filter_longest_match(spark):
+    from geo_spark.operators.webcorpus import parse_robots, robots_filter
+
+    robots = spark.createDataFrame(
+        [
+            (
+                "a.com",
+                "User-agent: *\nDisallow: /private\nAllow: /private/ok\n"
+                "# comment\nDisallow: /tmp\n",
+            ),
+            ("b.com", "User-agent: *\nAllow: /\nDisallow: /x\n"),
+            ("c.com", "User-agent: *\n"),  # no rules
+        ],
+        "domain string, robots_txt string",
+    )
+    rules = parse_robots(robots)
+    got_rules = {
+        (r["domain"], r["prefix"]): (r["allow"], r["rule_len"])
+        for r in rules.collect()
+    }
+    assert got_rules == {
+        ("a.com", "/private"): (0, 8),
+        ("a.com", "/private/ok"): (1, 11),
+        ("a.com", "/tmp"): (0, 4),
+        ("b.com", "/"): (1, 1),
+        ("b.com", "/x"): (0, 2),
+    }
+
+    urls = spark.createDataFrame(
+        [
+            ("a.com", "/private/ok/page"),  # longest match = Allow
+            ("a.com", "/private/no"),       # Disallow /private
+            ("a.com", "/public"),           # no rule -> allowed
+            ("b.com", "/x/y"),              # /x (len 2) beats / (len 1)
+            ("b.com", "/y"),                # only / matches -> allow
+            ("c.com", "/anything"),         # no rules at all
+        ],
+        "domain string, path string",
+    )
+    got = {
+        (r["domain"], r["path"]): r["allowed"]
+        for r in robots_filter(urls, rules).collect()
+    }
+    assert got == {
+        ("a.com", "/private/ok/page"): 1,
+        ("a.com", "/private/no"): 0,
+        ("a.com", "/public"): 1,
+        ("b.com", "/x/y"): 0,
+        ("b.com", "/y"): 1,
+        ("c.com", "/anything"): 1,
+    }
+
+
+def test_robots_equal_length_allow_wins(spark):
+    from geo_spark.operators.webcorpus import parse_robots, robots_filter
+
+    robots = spark.createDataFrame(
+        [("d.com", "Allow: /dup\nDisallow: /dup\n")],
+        "domain string, robots_txt string",
+    )
+    urls = spark.createDataFrame(
+        [("d.com", "/dup/page")], "domain string, path string"
+    )
+    got = robots_filter(urls, parse_robots(robots)).collect()[0]
+    assert got["allowed"] == 1  # tie -> Allow (struct-max on (len, allow))
