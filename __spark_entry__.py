@@ -3907,6 +3907,53 @@ def _oracle_pca_projections() -> str:
     """
 
 
+def _q_html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML outlink extraction: anchor-laced pages are built from the
+    documents table, hrefs extracted with regexp_extract_all (native,
+    codegen — no Python), hosts resolved with the RFC-3986 host rule,
+    and the host-level link graph rolled up.  The oracle re-derives
+    targets from the construction arithmetic, certifying the EXTRACTION
+    against ground truth rather than against another regex."""
+    from geo_spark.operators.webcorpus import host_col
+
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><body><p>"),
+        F.col("text"),
+        F.lit('</p><a href="https://d'),
+        F.col("doc_id") % 50,
+        F.lit('.example/x">a</a> <a href="https://d'),
+        (F.col("doc_id") * 7 + 1) % 50,
+        F.lit('.example/y">b</a></body></html>'),
+    )
+    pages = docs.select("doc_id", html.alias("html"))
+    links = pages.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all("html", F.lit('href="([^"]+)"'), F.lit(1))
+        ).alias("href"),
+    )
+    return (
+        links.select(host_col(F.col("href")).alias("target_host"))
+        .groupBy("target_host")
+        .agg(F.count(F.lit(1)).alias("n_inlinks"))
+        .orderBy("target_host")
+    )
+
+
+def _oracle_html_links() -> str:
+    return """
+        WITH t AS (
+            SELECT 'd' || (doc_id % 50) || '.example' AS target_host
+            FROM documents
+            UNION ALL
+            SELECT 'd' || ((doc_id * 7 + 1) % 50) || '.example'
+            FROM documents)
+        SELECT target_host, CAST(count(*) AS BIGINT) AS n_inlinks
+        FROM t GROUP BY target_host ORDER BY target_host
+    """
+
+
 def _q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-policy filtering (operators/webcorpus.py:parse_robots +
     robots_filter): 20 synthesized robots.txt BODIES are parsed by the
@@ -8293,6 +8340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_event_cube": _q_event_cube,
         "q_warc_extract": _q_warc_extract,
         "q_robots_filter": _q_robots_filter,
+        "q_html_links": _q_html_links,
         "q_customer_order_outer": _q_customer_order_outer,
         "q_week_intersect": _q_week_intersect,
         "q_rolling_active_users": _q_rolling_active_users,
@@ -8440,6 +8488,7 @@ def oracle_sql() -> dict[str, str]:
         "q_event_cube": _oracle_event_cube(),
         "q_warc_extract": _oracle_warc_extract(),
         "q_robots_filter": _oracle_robots_filter(),
+        "q_html_links": _oracle_html_links(),
         "q_customer_order_outer": _oracle_customer_order_outer(),
         "q_week_intersect": _oracle_week_intersect(),
         "q_rolling_active_users": _oracle_rolling_active_users(),
