@@ -219,23 +219,31 @@ def robots_filter(
     decides; on equal length Allow wins (Google's documented
     tiebreak); no matching rule means allowed.
 
-    Plan: equi-join on domain (rules tables are domain-sized —
-    broadcastable), prefix test in codegen, one per-url struct-max
-    instead of a rank window (partial-aggregatable)."""
-    matched = (
-        urls.join(F.broadcast(rules), domain_col)
-        .where(
-            F.expr(
-                f"substring({path_col}, 1, length(prefix)) = prefix"
-            )
-        )
-        .groupBy(*urls.columns)
-        .agg(
-            F.max(F.struct("rule_len", "allow")).alias("_best")
-        )
-        .select(*urls.columns, F.col("_best.allow").alias("_aw"))
+    Plan: ONE broadcast LEFT join (rules tables are domain-sized;
+    prefix test inside the join condition) + one per-url struct-max
+    aggregate (partial-aggregatable, no rank window, no second join —
+    unmatched urls ride through as whole-null structs that max()
+    skips)."""
+    r = rules.select(
+        F.col("domain").alias("_rd"), "prefix", "allow", "rule_len"
     )
-    return urls.join(matched, urls.columns, "left").select(
-        *urls.columns,
-        F.coalesce(F.col("_aw"), F.lit(1)).cast("long").alias("allowed"),
+    cond = (F.col(domain_col) == F.col("_rd")) & F.expr(
+        f"substring({path_col}, 1, length(prefix)) = prefix"
+    )
+    best = F.max(
+        F.when(
+            F.col("rule_len").isNotNull(),
+            F.struct("rule_len", "allow"),
+        )
+    ).alias("_best")
+    return (
+        urls.join(F.broadcast(r), cond, "left")
+        .groupBy(*urls.columns)
+        .agg(best)
+        .select(
+            *urls.columns,
+            F.coalesce(F.col("_best.allow"), F.lit(1))
+            .cast("long")
+            .alias("allowed"),
+        )
     )

@@ -205,3 +205,31 @@ def F_col(name):
     from pyspark.sql import functions as F
 
     return F.col(name)
+
+
+def test_robots_filter_broadcasts_rules(spark):
+    from geo_spark.operators.webcorpus import parse_robots, robots_filter
+
+    robots = spark.createDataFrame(
+        [("a.com", "Disallow: /x\n")], "domain string, robots_txt string"
+    )
+    urls = spark.createDataFrame(
+        [("a.com", "/x/1")], "domain string, path string"
+    )
+    plan = _plan_of(robots_filter(urls, parse_robots(robots)))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_warc_parse_single_python_stage(spark):
+    from geo_spark.sources.warc import parse_warc, synth_warc_blobs
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(8)], "doc_id long, text string"
+    )
+    plan = _plan_of(parse_warc(synth_warc_blobs(docs, per_blob=4)))
+    # exactly one Arrow stage for the parser itself (the synthesizer's
+    # applyInPandas is the second); no shuffle between them beyond the
+    # blob groupBy
+    assert plan.count("MapInPandas") == 1
+    assert plan.count("FlatMapGroupsInPandas") == 1
