@@ -3907,6 +3907,104 @@ def _oracle_pca_projections() -> str:
     """
 
 
+def _q_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-6 webtext composition certificate — the crawl pipeline
+    end to end: WARC blobs are PARSED byte-level (sources/warc.py),
+    record uris map to (domain, path), the robots policy engine
+    (parse_robots + robots_filter over real robots.txt text) drops
+    disallowed urls, exact content dedup keeps the min-id survivor per
+    body digest, and the kept set rolls up per domain.  ONE DuckDB
+    oracle replays every stage relationally from the documents table —
+    no byte parsing, no text parsing — certifying the whole chain's
+    composition, the webtext twin of q_corpus_pipeline /
+    q_geo_stratified_dedup."""
+    from geo_spark.operators.webcorpus import parse_robots, robots_filter
+    from geo_spark.sources.warc import parse_warc, synth_warc_blobs
+
+    docs = _t(spark, sf_dir, "documents")
+    recs = parse_warc(synth_warc_blobs(docs, per_blob=16))
+    urls = recs.select(
+        F.regexp_extract("uri", r"([0-9]+)$", 1).cast("long").alias("k"),
+        F.md5("body").alias("body_md5"),
+    ).select(
+        "k",
+        "body_md5",
+        F.concat(F.lit("d"), F.col("k") % 20, F.lit(".example")).alias(
+            "domain"
+        ),
+        F.concat(
+            F.lit("/p"), F.col("k") % 9, F.lit("/q"), F.col("k") % 4
+        ).alias("path"),
+    )
+    ks = docs.select((F.col("doc_id") % 20).alias("k")).distinct()
+    robots = ks.select(
+        F.concat(F.lit("d"), F.col("k"), F.lit(".example")).alias("domain"),
+        F.concat(
+            F.lit("User-agent: *\n"),
+            F.lit("Disallow: /p"), (F.col("k") % 7), F.lit("\n"),
+            F.when(
+                F.col("k") % 2 == 0,
+                F.concat(F.lit("Allow: /p"), F.col("k") % 7, F.lit("/q\n")),
+            ).otherwise(F.lit("")),
+            F.when(F.col("k") % 3 == 0, F.lit("Disallow: /\n")).otherwise(
+                F.lit("")
+            ),
+        ).alias("robots_txt"),
+    )
+    allowed = robots_filter(urls, parse_robots(robots)).where(
+        F.col("allowed") == 1
+    )
+    keep = allowed.groupBy("body_md5").agg(F.min("k").alias("keep_k"))
+    kept = allowed.withColumnRenamed("body_md5", "bmd5").join(
+        keep,
+        (F.col("bmd5") == F.col("body_md5")) & (F.col("k") == F.col("keep_k")),
+    )
+    return (
+        kept.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.countDistinct("bmd5").alias("n_digests"),
+        )
+        .orderBy("domain")
+    )
+
+
+def _oracle_crawl_pipeline() -> str:
+    return """
+        WITH urls AS (SELECT doc_id AS k, md5(text) AS body_md5,
+                             'd' || (doc_id % 20) || '.example' AS domain,
+                             '/p' || (doc_id % 9) || '/q' || (doc_id % 4)
+                                 AS path
+                      FROM documents),
+        ks AS (SELECT DISTINCT doc_id % 20 AS k FROM documents),
+        rules AS (
+            SELECT 'd' || k || '.example' AS domain,
+                   '/p' || (k % 7) AS prefix, 0 AS allow FROM ks
+            UNION ALL
+            SELECT 'd' || k || '.example',
+                   '/p' || (k % 7) || '/q', 1 FROM ks WHERE k % 2 = 0
+            UNION ALL
+            SELECT 'd' || k || '.example', '/', 0 FROM ks WHERE k % 3 = 0
+        ),
+        m AS (SELECT u.k, u.domain, u.body_md5, r.allow,
+                     row_number() OVER (PARTITION BY u.k
+                       ORDER BY length(r.prefix) DESC, r.allow DESC) AS rk
+              FROM urls u JOIN rules r ON r.domain = u.domain
+              WHERE substring(u.path, 1, length(r.prefix)) = r.prefix),
+        allowed AS (SELECT u.k, u.domain, u.body_md5
+                    FROM urls u LEFT JOIN m ON m.k = u.k AND m.rk = 1
+                    WHERE coalesce(m.allow, 1) = 1),
+        keep AS (SELECT body_md5, min(k) AS keep_k FROM allowed
+                 GROUP BY body_md5),
+        kept AS (SELECT a.domain, a.body_md5
+                 FROM allowed a JOIN keep
+                   ON keep.body_md5 = a.body_md5 AND a.k = keep.keep_k)
+        SELECT domain, CAST(count(*) AS BIGINT) AS n_kept,
+               CAST(count(DISTINCT body_md5) AS BIGINT) AS n_digests
+        FROM kept GROUP BY domain ORDER BY domain
+    """
+
+
 def _q_html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML outlink extraction: anchor-laced pages are built from the
     documents table, hrefs extracted with regexp_extract_all (native,
@@ -8341,6 +8439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_warc_extract": _q_warc_extract,
         "q_robots_filter": _q_robots_filter,
         "q_html_links": _q_html_links,
+        "q_crawl_pipeline": _q_crawl_pipeline,
         "q_customer_order_outer": _q_customer_order_outer,
         "q_week_intersect": _q_week_intersect,
         "q_rolling_active_users": _q_rolling_active_users,
@@ -8489,6 +8588,7 @@ def oracle_sql() -> dict[str, str]:
         "q_warc_extract": _oracle_warc_extract(),
         "q_robots_filter": _oracle_robots_filter(),
         "q_html_links": _oracle_html_links(),
+        "q_crawl_pipeline": _oracle_crawl_pipeline(),
         "q_customer_order_outer": _oracle_customer_order_outer(),
         "q_week_intersect": _oracle_week_intersect(),
         "q_rolling_active_users": _oracle_rolling_active_users(),
