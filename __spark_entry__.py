@@ -3907,6 +3907,84 @@ def _oracle_pca_projections() -> str:
     """
 
 
+def _q_link_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank (operators/linkgraph.py:trustrank): personalized
+    PageRank from the q_link_seed_distance whitelist (event_id % 997
+    == 0) over the same directed LCG graph — the spam-demotion signal
+    whose BFS skeleton q_link_seed_distance certified.  3 iterations,
+    damping 0.85; ROUND-x1e12 scaling per the q_link_pagerank ULP
+    note; unreachable nodes score exactly 0 and survive the hash."""
+    from geo_spark.operators.linkgraph import trustrank
+
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    n = ev.count()
+    edges = None
+    for a, b in _BFS_STREAMS:
+        e = ev.select(
+            F.col("event_id").alias("src"),
+            ((F.col("event_id") * a + b) % n).alias("dst"),
+        )
+        edges = e if edges is None else edges.unionByName(e)
+    seeds = ev.where(F.col("event_id") % 997 == 0).select(
+        F.col("event_id").alias("id")
+    )
+    tr = trustrank(edges, ev, seeds, iterations=3, node_key="event_id")
+    return tr.select(
+        "event_id",
+        F.round(F.col("trust") * 1e12).cast("long").alias("trust_x1e12"),
+    ).orderBy("event_id")
+
+
+def _oracle_link_trustrank() -> str:
+    links = " UNION ALL ".join(
+        f"SELECT id AS src, (id * {a} + {b}) % (SELECT n FROM n) AS dst"
+        " FROM nodes"
+        for a, b in _BFS_STREAMS
+    )
+    d = 0.85
+    steps = []
+    prev = "r0"
+    for i in range(1, 4):
+        steps.append(
+            f"""c{i} AS (
+          SELECT e.dst AS id, SUM(r._rank / e.deg) AS c
+          FROM edges e JOIN {prev} r ON r.id = e.src
+          GROUP BY e.dst),
+        dm{i} AS (
+          SELECT COALESCE(SUM(r._rank), 0.0) AS dm
+          FROM {prev} r LEFT JOIN outdeg o ON o.src = r.id
+          WHERE o.src IS NULL),
+        r{i} AS (
+          SELECT nd.id,
+                 (1.0 - {d}) * nd.v
+                 + {d} * (COALESCE(c.c, 0.0) + dm{i}.dm * nd.v) AS _rank
+          FROM nodes nd CROSS JOIN dm{i}
+          LEFT JOIN c{i} c ON c.id = nd.id)"""
+        )
+        prev = f"r{i}"
+    steps_sql = ",\n        ".join(steps)
+    return f"""
+        WITH base AS (SELECT event_id AS id FROM events),
+        ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS ns FROM base
+               WHERE id % 997 = 0),
+        nodes AS (SELECT id,
+                         CASE WHEN id % 997 = 0 THEN 1.0 / (SELECT ns FROM ns)
+                              ELSE 0.0 END AS v
+                  FROM base),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+        raw_edges AS ({links}),
+        dedup AS (SELECT DISTINCT src, dst FROM raw_edges WHERE src != dst),
+        outdeg AS (SELECT src, COUNT(*) AS deg FROM dedup GROUP BY src),
+        edges AS (SELECT e.src, e.dst, o.deg
+                  FROM dedup e JOIN outdeg o ON o.src = e.src),
+        r0 AS (SELECT id, v AS _rank FROM nodes),
+        {steps_sql}
+        SELECT id AS event_id,
+               CAST(ROUND(_rank * 1e12) AS BIGINT) AS trust_x1e12
+        FROM {prev} ORDER BY event_id
+    """
+
+
 def _q_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-6 webtext composition certificate — the crawl pipeline
     end to end: WARC blobs are PARSED byte-level (sources/warc.py),
@@ -8440,6 +8518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_robots_filter": _q_robots_filter,
         "q_html_links": _q_html_links,
         "q_crawl_pipeline": _q_crawl_pipeline,
+        "q_link_trustrank": _q_link_trustrank,
         "q_customer_order_outer": _q_customer_order_outer,
         "q_week_intersect": _q_week_intersect,
         "q_rolling_active_users": _q_rolling_active_users,
@@ -8589,6 +8668,7 @@ def oracle_sql() -> dict[str, str]:
         "q_robots_filter": _oracle_robots_filter(),
         "q_html_links": _oracle_html_links(),
         "q_crawl_pipeline": _oracle_crawl_pipeline(),
+        "q_link_trustrank": _oracle_link_trustrank(),
         "q_customer_order_outer": _oracle_customer_order_outer(),
         "q_week_intersect": _oracle_week_intersect(),
         "q_rolling_active_users": _oracle_rolling_active_users(),

@@ -128,3 +128,43 @@ def test_seed_distances_random_differential(spark):
         want = _numpy_bfs(edges, seeds, 3)
         got = _spark_bfs(spark, edges, seeds, 3)
         assert got == want, seed
+
+
+def _numpy_trustrank(n, edge_list, seeds, iters, d=0.85):
+    edges = sorted(set((s, t) for s, t in edge_list if s != t))
+    outdeg = np.zeros(n)
+    for s, _ in edges:
+        outdeg[s] += 1
+    v = np.zeros(n)
+    v[list(seeds)] = 1.0 / len(seeds)
+    r = v.copy()
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        for s, t in edges:
+            contrib[t] += r[s] / outdeg[s]
+        dangling = r[outdeg == 0].sum()
+        r = (1.0 - d) * v + d * (contrib + dangling * v)
+    return r
+
+
+def test_trustrank_matches_numpy_and_zeroes_unreachable(spark):
+    from geo_spark.operators.linkgraph import trustrank
+
+    rng = np.random.default_rng(77)
+    n = 40
+    # component A: nodes 0..19 wired densely; component B: 20..39
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 20, (80, 2))]
+    edges += [(int(a) + 20, int(b) + 20) for a, b in rng.integers(0, 20, (80, 2))]
+    seeds = [0, 3, 7]  # all in component A
+    want = _numpy_trustrank(n, edges, seeds, 3)
+    e = spark.createDataFrame(edges, "src long, dst long")
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    sd = spark.createDataFrame([(s,) for s in seeds], "id long")
+    got = {
+        r["id"]: r["trust"]
+        for r in trustrank(e, nodes, sd, iterations=3).collect()
+    }
+    for i in range(n):
+        assert abs(got[i] - want[i]) < 1e-12, i
+    # component B never receives teleport or links -> exactly 0
+    assert all(got[i] == 0.0 for i in range(20, 40))
