@@ -3985,6 +3985,49 @@ def _oracle_link_trustrank() -> str:
     """
 
 
+def _q_trust_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-family composition certificate: TrustRank scores feed an
+    Efraimidis-Spirakis weighted draw — 10 events per event_type,
+    likelihood proportional to link trust (+1 so unreachable nodes
+    stay drawable) — the crawl-prioritization pattern (fetch what the
+    trusted web points at).  ONE oracle chains the unrolled trustrank
+    replay into the exact A-ES priority replay."""
+    from geo_spark.operators.sampling import weighted_sample
+
+    tr = _q_link_trustrank(spark, sf_dir)  # (event_id, trust_x1e12)
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type")
+    weighted = ev.join(tr, "event_id").select(
+        "event_id",
+        "event_type",
+        (F.col("trust_x1e12") + 1).alias("w"),
+    )
+    return weighted_sample(
+        weighted, "event_type", 10, weight_col="w", key="event_id"
+    ).orderBy("event_type", "rank")
+
+
+def _oracle_trust_weighted_sample() -> str:
+    from geo_spark.operators.sampling import weighted_priority_sql
+
+    inner = _oracle_link_trustrank()
+    k = weighted_priority_sql("event_id", "w")
+    return f"""
+        WITH tr AS ({inner}),
+        weighted AS (SELECT e.event_type, tr.event_id,
+                            tr.trust_x1e12 + 1 AS w
+                     FROM events e JOIN tr USING (event_id)),
+        pri AS (SELECT event_type, event_id, w,
+                       {k} AS k
+                FROM weighted),
+        r AS (SELECT event_type, event_id, w,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                                        ORDER BY k DESC, event_id) AS rnk
+              FROM pri)
+        SELECT event_type, event_id, w AS weight, CAST(rnk AS INT) AS rank
+        FROM r WHERE rnk <= 10 ORDER BY event_type, rank
+    """
+
+
 def _q_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-6 webtext composition certificate — the crawl pipeline
     end to end: WARC blobs are PARSED byte-level (sources/warc.py),
@@ -8519,6 +8562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_html_links": _q_html_links,
         "q_crawl_pipeline": _q_crawl_pipeline,
         "q_link_trustrank": _q_link_trustrank,
+        "q_trust_weighted_sample": _q_trust_weighted_sample,
         "q_customer_order_outer": _q_customer_order_outer,
         "q_week_intersect": _q_week_intersect,
         "q_rolling_active_users": _q_rolling_active_users,
@@ -8669,6 +8713,7 @@ def oracle_sql() -> dict[str, str]:
         "q_html_links": _oracle_html_links(),
         "q_crawl_pipeline": _oracle_crawl_pipeline(),
         "q_link_trustrank": _oracle_link_trustrank(),
+        "q_trust_weighted_sample": _oracle_trust_weighted_sample(),
         "q_customer_order_outer": _oracle_customer_order_outer(),
         "q_week_intersect": _oracle_week_intersect(),
         "q_rolling_active_users": _oracle_rolling_active_users(),
