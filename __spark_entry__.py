@@ -4160,6 +4160,79 @@ def _q_html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation (the classic off-page relevance signal:
+    a target is described by the text of links POINTING at it): anchors
+    are extracted from the html fixture with one regexp (href + inner
+    text captured together, codegen), then per target host the most
+    common anchor token wins (count desc, token asc).  Construction-
+    derived oracle again: ground truth, not regex-vs-regex."""
+    from geo_spark.operators.webcorpus import host_col
+
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><body><p>"),
+        F.col("text"),
+        F.lit('</p><a href="https://d'),
+        F.col("doc_id") % 50,
+        F.lit('.example/x">w'),
+        F.col("doc_id") % 13,
+        F.lit('</a> <a href="https://d'),
+        (F.col("doc_id") * 7 + 1) % 50,
+        F.lit('.example/y">w'),
+        (F.col("doc_id") * 3 + 2) % 13,
+        F.lit("</a></body></html>"),
+    )
+    pages = docs.select("doc_id", html.alias("html"))
+    pairs = pages.select(
+        F.explode(
+            F.regexp_extract_all(
+                "html", F.lit('<a href="([^"]+)">([^<]+)</a>'), F.lit(0)
+            )
+        ).alias("a")
+    ).select(
+        F.regexp_extract("a", '<a href="([^"]+)">([^<]+)</a>', 1).alias("href"),
+        F.regexp_extract("a", '<a href="([^"]+)">([^<]+)</a>', 2).alias("anchor"),
+    )
+    counts = (
+        pairs.select(host_col(F.col("href")).alias("target_host"), "anchor")
+        .groupBy("target_host", "anchor")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("target_host").orderBy(
+        F.col("n").desc(), F.col("anchor")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("target_host", F.col("anchor").alias("top_anchor"), "n")
+        .orderBy("target_host")
+    )
+
+
+def _oracle_anchor_text() -> str:
+    return """
+        WITH pairs AS (
+            SELECT 'd' || (doc_id % 50) || '.example' AS target_host,
+                   'w' || (doc_id % 13) AS anchor
+            FROM documents
+            UNION ALL
+            SELECT 'd' || ((doc_id * 7 + 1) % 50) || '.example',
+                   'w' || ((doc_id * 3 + 2) % 13)
+            FROM documents),
+        cnt AS (SELECT target_host, anchor, count(*) AS n
+                FROM pairs GROUP BY target_host, anchor),
+        r AS (SELECT target_host, anchor, n,
+                     row_number() OVER (PARTITION BY target_host
+                       ORDER BY n DESC, anchor) AS rk
+              FROM cnt)
+        SELECT target_host, anchor AS top_anchor, CAST(n AS BIGINT) AS n
+        FROM r WHERE rk = 1 ORDER BY target_host
+    """
+
+
 def _oracle_html_links() -> str:
     return """
         WITH t AS (
@@ -8560,6 +8633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_warc_extract": _q_warc_extract,
         "q_robots_filter": _q_robots_filter,
         "q_html_links": _q_html_links,
+        "q_anchor_text": _q_anchor_text,
         "q_crawl_pipeline": _q_crawl_pipeline,
         "q_link_trustrank": _q_link_trustrank,
         "q_trust_weighted_sample": _q_trust_weighted_sample,
@@ -8711,6 +8785,7 @@ def oracle_sql() -> dict[str, str]:
         "q_warc_extract": _oracle_warc_extract(),
         "q_robots_filter": _oracle_robots_filter(),
         "q_html_links": _oracle_html_links(),
+        "q_anchor_text": _oracle_anchor_text(),
         "q_crawl_pipeline": _oracle_crawl_pipeline(),
         "q_link_trustrank": _oracle_link_trustrank(),
         "q_trust_weighted_sample": _oracle_trust_weighted_sample(),
