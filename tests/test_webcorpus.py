@@ -179,3 +179,19 @@ def test_robots_equal_length_allow_wins(spark):
     )
     got = robots_filter(urls, parse_robots(robots)).collect()[0]
     assert got["allowed"] == 1  # tie -> Allow (struct-max on (len, allow))
+
+
+def test_parse_robots_crlf_line_endings(spark):
+    """Real robots.txt files arrive with CRLF: the \\s*$ tail must
+    absorb the carriage return and keep it out of the prefix."""
+    from geo_spark.operators.webcorpus import parse_robots
+
+    robots = spark.createDataFrame(
+        [("e.com", "User-agent: *\r\nDisallow: /a\r\nAllow: /a/b\r\n")],
+        "domain string, robots_txt string",
+    )
+    got = {
+        (r["prefix"], r["allow"]): r["rule_len"]
+        for r in parse_robots(robots).collect()
+    }
+    assert got == {("/a", 0): 2, ("/a/b", 1): 4}
