@@ -47,6 +47,9 @@ HEADLINE_QUERIES = [
     "q_trending_tiles",  # decayed trending: one map-combined shuffle
     "q_heavy_hitters",  # Count-Min probe + exact refine
     "q_reverse_geocode",  # PIP assign + broadcast nearest-centroid fallback
+    "q_crawl_pipeline",  # WARC parse -> robots policy -> dedup -> rollup
+    "q_link_trustrank",  # personalized PageRank, one shuffle/iter
+    "q_bigram_nll",  # corpus bigram LM scoring, integer fixed-point
 ]
 
 

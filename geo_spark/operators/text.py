@@ -585,21 +585,24 @@ def bigram_nll(
     per bigram TYPE before the per-doc integer sum (partition-order
     invariant), and the model tables are vocabulary-sized broadcasts.
     Documents with <2 tokens emit no row."""
+    # Build the bigram array with TWO whole-array slices zipped, never
+    # per-element element_at(tk, i): higher-order-function lambdas run
+    # interpreted without common-subexpression elimination, so indexing
+    # the tk EXPRESSION inside the lambda re-ran split+filter once per
+    # element — O(tokens^2) string work per document (11.5s at sf0.1 in
+    # the bench suite; the zip shape cut the operator to ~2-4s there,
+    # now bounded by its two token-table shuffles).
     tk = F.filter(
         F.split(F.col(text_col), " +"), lambda x: F.length(x) > 0
     )
-    pair_arr = F.when(
-        F.size(tk) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(tk) - 2),
-            lambda i: F.struct(
-                F.element_at(tk, (i + 1).cast("int")).alias("p"),
-                F.element_at(tk, (i + 2).cast("int")).alias("w"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<p:string,w:string>>"))
-    pairs = docs.select(
-        F.col(key), F.explode(pair_arr).alias("_pr")
+    toks = docs.select(F.col(key), tk.alias("_tk"))
+    npairs = F.greatest(F.size("_tk") - 1, F.lit(0))
+    zipped = F.arrays_zip(
+        F.slice("_tk", 1, npairs).alias("p"),
+        F.expr("slice(_tk, 2, greatest(size(_tk) - 1, 0))").alias("w"),
+    )
+    pairs = toks.select(
+        F.col(key), F.explode(zipped).alias("_pr")
     ).select(F.col(key), F.col("_pr.p").alias("p"), F.col("_pr.w").alias("w"))
     bg = pairs.groupBy("p", "w").agg(F.count(F.lit(1)).alias("c"))
     pv = bg.groupBy("p").agg(F.sum("c").alias("cp"))
