@@ -590,8 +590,8 @@ def bigram_nll(
     # interpreted without common-subexpression elimination, so indexing
     # the tk EXPRESSION inside the lambda re-ran split+filter once per
     # element — O(tokens^2) string work per document (11.5s at sf0.1 in
-    # the bench suite; the zip shape cut the operator to ~2-4s there,
-    # now bounded by its two token-table shuffles).
+    # the bench suite; the zip shape measures 0.83s there, bounded by
+    # its two token-table shuffles).
     tk = F.filter(
         F.split(F.col(text_col), " +"), lambda x: F.length(x) > 0
     )
