@@ -4311,6 +4311,92 @@ def _oracle_robots_filter() -> str:
     """
 
 
+def _q_robots_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-policy filtering with the RFC 9309 wildcard extension
+    (operators/webcorpus.py:robots_pattern_col): synthesized robots
+    bodies carry `*` runs and `$` end anchors, the real line parser
+    compiles them to anchored regexes in native SQL, and longest-match
+    (specificity = raw rule length, wildcards included) decides.  The
+    oracle derives the same raw rules AND the same compiled regexes
+    from the construction arithmetic — parser + compiler + policy are
+    certified end to end, with the regex match replayed on RE2."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    ks = docs.select((F.col("doc_id") % 20).alias("k")).distinct()
+    robots = ks.select(
+        F.concat(F.lit("d"), F.col("k"), F.lit(".example")).alias("domain"),
+        F.concat(
+            F.lit("User-agent: *\n"),
+            F.lit("Disallow: /p"), (F.col("k") % 7), F.lit("*/q\n"),
+            F.when(
+                F.col("k") % 2 == 0,
+                F.concat(
+                    F.lit("Allow: /p"), F.col("k") % 7,
+                    F.lit("*/q"), F.col("k") % 3, F.lit("\n"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("k") % 3 == 0,
+                F.concat(F.lit("Disallow: /*.t"), F.col("k") % 5, F.lit("$\n")),
+            ).otherwise(F.lit("")),
+        ).alias("robots_txt"),
+    )
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("d"), F.col("doc_id") % 20, F.lit(".example")).alias(
+            "domain"
+        ),
+        F.concat(
+            F.lit("/p"), F.col("doc_id") % 9, F.lit("x/q"),
+            F.col("doc_id") % 4,
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit(".t"), F.col("doc_id") % 7),
+            ).otherwise(F.lit("")),
+        ).alias("path"),
+    )
+    from geo_spark.operators.webcorpus import parse_robots, robots_filter
+
+    return robots_filter(
+        urls, parse_robots(robots, wildcards=True), wildcards=True
+    ).orderBy("doc_id")
+
+
+def _oracle_robots_wildcard() -> str:
+    return r"""
+        WITH ks AS (SELECT DISTINCT doc_id % 20 AS k FROM documents),
+        rules AS (
+            SELECT 'd' || k || '.example' AS domain,
+                   '/p' || (k % 7) || '*/q' AS raw,
+                   '^/p' || (k % 7) || '.*/q' AS pat, 0 AS allow FROM ks
+            UNION ALL
+            SELECT 'd' || k || '.example',
+                   '/p' || (k % 7) || '*/q' || (k % 3),
+                   '^/p' || (k % 7) || '.*/q' || (k % 3), 1
+            FROM ks WHERE k % 2 = 0
+            UNION ALL
+            SELECT 'd' || k || '.example',
+                   '/*.t' || (k % 5) || '$',
+                   '^/.*\.t' || (k % 5) || '$', 0
+            FROM ks WHERE k % 3 = 0
+        ),
+        urls AS (SELECT doc_id,
+                        'd' || (doc_id % 20) || '.example' AS domain,
+                        '/p' || (doc_id % 9) || 'x/q' || (doc_id % 4) ||
+                        (CASE WHEN doc_id % 5 = 0
+                              THEN '.t' || (doc_id % 7) ELSE '' END) AS path
+                 FROM documents),
+        m AS (SELECT u.doc_id, r.allow,
+                     row_number() OVER (PARTITION BY u.doc_id
+                       ORDER BY length(r.raw) DESC, r.allow DESC) AS rk
+              FROM urls u JOIN rules r ON r.domain = u.domain
+              WHERE regexp_matches(u.path, r.pat))
+        SELECT u.doc_id, u.domain, u.path,
+               CAST(coalesce(m.allow, 1) AS BIGINT) AS allowed
+        FROM urls u LEFT JOIN m ON m.doc_id = u.doc_id AND m.rk = 1
+        ORDER BY u.doc_id
+    """
+
+
 def _q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC container round trip (sources/warc.py): documents are
     packed into spec-shaped WARC/1.0 blobs (Content-Length framing) and
@@ -8632,6 +8718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_event_cube": _q_event_cube,
         "q_warc_extract": _q_warc_extract,
         "q_robots_filter": _q_robots_filter,
+        "q_robots_wildcard": _q_robots_wildcard,
         "q_html_links": _q_html_links,
         "q_anchor_text": _q_anchor_text,
         "q_crawl_pipeline": _q_crawl_pipeline,
@@ -8784,6 +8871,7 @@ def oracle_sql() -> dict[str, str]:
         "q_event_cube": _oracle_event_cube(),
         "q_warc_extract": _oracle_warc_extract(),
         "q_robots_filter": _oracle_robots_filter(),
+        "q_robots_wildcard": _oracle_robots_wildcard(),
         "q_html_links": _oracle_html_links(),
         "q_anchor_text": _oracle_anchor_text(),
         "q_crawl_pipeline": _oracle_crawl_pipeline(),

@@ -172,15 +172,49 @@ def url_dedup(pages: DataFrame, url: str = "url", id_col: str = "doc_id") -> Dat
     )
 
 
+def robots_pattern_col(prefix: Column) -> Column:
+    """Compile a REP rule path that may carry Google-extension
+    wildcards (``*`` = any char run) and a trailing ``$`` end anchor
+    into an anchored regex, entirely in native SQL:
+
+    1. a trailing ``$`` (only there is it an anchor) is split off,
+    2. every regex metachar EXCEPT ``*`` is backslash-escaped,
+    3. ``*`` becomes ``.*``,
+    4. the result is ``^``-anchored (REP rules match from the start of
+       the path) and the end anchor re-appended if present.
+
+    The emitted constructs (escaped literals, ``.*``, ``^``/``$``)
+    behave identically under Java regex (Spark ``rlike``) and RE2
+    (DuckDB ``regexp_matches``), which is what lets the contract
+    oracle replay matching on the other engine."""
+    has_end = prefix.endswith("$")
+    body = F.when(
+        has_end, F.substr(prefix, F.lit(1), F.length(prefix) - F.lit(1))
+    ).otherwise(prefix)
+    esc = F.regexp_replace(body, "([.^$+?(){}\\[\\]|\\\\])", "\\\\$1")
+    return F.concat(
+        F.lit("^"),
+        F.regexp_replace(esc, "\\*", ".*"),
+        F.when(has_end, F.lit("$")).otherwise(F.lit("")),
+    )
+
+
 def parse_robots(
-    robots: DataFrame, domain_col: str = "domain", text_col: str = "robots_txt"
+    robots: DataFrame,
+    domain_col: str = "domain",
+    text_col: str = "robots_txt",
+    wildcards: bool = False,
 ) -> DataFrame:
-    """(domain, prefix, allow, rule_len): parse robots.txt bodies into
-    path-prefix rules — the crawl-policy half every fetch pipeline
-    needs.  Scope (documented): the global `User-agent: *` group form,
-    Allow/Disallow directives, no wildcards/$ anchors (the original
-    1994 REP; Google-extension wildcards would need a regex compile
-    step on the same rule table).
+    """(domain, prefix, allow, rule_len[, pattern]): parse robots.txt
+    bodies into path rules — the crawl-policy half every fetch
+    pipeline needs.  Scope (documented): the global `User-agent: *`
+    group form, Allow/Disallow directives.  With ``wildcards=False``
+    rules are plain prefixes (the original 1994 REP); with
+    ``wildcards=True`` each rule also gets a ``pattern`` column —
+    ``robots_pattern_col``'s compiled regex honoring ``*`` and a
+    trailing ``$`` (the Google extension, REP RFC 9309 §2.2.3).
+    ``rule_len`` is always the raw rule text length (wildcard chars
+    included), the specificity key RFC 9309 longest-match uses.
 
     Pure native SQL: split lines -> regexp_extract the directive ->
     keep non-empty paths.  One explode of the (small) robots table."""
@@ -190,7 +224,7 @@ def parse_robots(
     )
     d = F.regexp_extract(F.col("_ln"), r"^(Allow|Disallow):\s*(\S+)\s*$", 1)
     p = F.regexp_extract(F.col("_ln"), r"^(Allow|Disallow):\s*(\S+)\s*$", 2)
-    return (
+    out = (
         lines.select(
             "domain",
             d.alias("_d"),
@@ -206,6 +240,9 @@ def parse_robots(
             F.length("prefix").cast("long").alias("rule_len"),
         )
     )
+    if wildcards:
+        out = out.withColumn("pattern", robots_pattern_col(F.col("prefix")))
+    return out
 
 
 def robots_filter(
@@ -213,23 +250,29 @@ def robots_filter(
     rules: DataFrame,
     domain_col: str = "domain",
     path_col: str = "path",
+    wildcards: bool = False,
 ) -> DataFrame:
     """(urls..., allowed): apply parsed robots rules by the REP
-    longest-match rule — the most specific (longest) matching prefix
+    longest-match rule — the most specific (longest) matching rule
     decides; on equal length Allow wins (Google's documented
-    tiebreak); no matching rule means allowed.
+    tiebreak); no matching rule means allowed.  With
+    ``wildcards=True`` the rules table must carry the compiled
+    ``pattern`` column (``parse_robots(..., wildcards=True)``) and
+    matching is the anchored-regex test instead of the prefix test.
 
-    Plan: ONE broadcast LEFT join (rules tables are domain-sized;
-    prefix test inside the join condition) + one per-url struct-max
-    aggregate (partial-aggregatable, no rank window, no second join —
-    unmatched urls ride through as whole-null structs that max()
-    skips)."""
-    r = rules.select(
-        F.col("domain").alias("_rd"), "prefix", "allow", "rule_len"
-    )
-    cond = (F.col(domain_col) == F.col("_rd")) & F.expr(
-        f"substring({path_col}, 1, length(prefix)) = prefix"
-    )
+    Plan: ONE broadcast LEFT join (rules tables are domain-sized; the
+    match test rides inside the join condition — with the domain
+    equality present it stays a broadcast HASH join, the regex is just
+    the residual predicate) + one per-url struct-max aggregate
+    (partial-aggregatable, no rank window, no second join — unmatched
+    urls ride through as whole-null structs that max() skips)."""
+    rcols = ["prefix", "allow", "rule_len"] + (["pattern"] if wildcards else [])
+    r = rules.select(F.col("domain").alias("_rd"), *rcols)
+    if wildcards:
+        match = F.expr(f"{path_col} rlike pattern")
+    else:
+        match = F.expr(f"substring({path_col}, 1, length(prefix)) = prefix")
+    cond = (F.col(domain_col) == F.col("_rd")) & match
     best = F.max(
         F.when(
             F.col("rule_len").isNotNull(),

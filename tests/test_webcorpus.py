@@ -195,3 +195,108 @@ def test_parse_robots_crlf_line_endings(spark):
         for r in parse_robots(robots).collect()
     }
     assert got == {("/a", 0): 2, ("/a/b", 1): 4}
+
+
+def test_robots_pattern_compile(spark):
+    """Wildcard compile: * -> .*, trailing $ -> anchor, every other
+    regex metachar escaped, always ^-anchored."""
+    from geo_spark.operators.webcorpus import robots_pattern_col
+
+    df = spark.createDataFrame(
+        [("/a/b",), ("/*.tmp$",), ("/p*q",), ("/x$y",), ("/d(1)+.z$",)],
+        "prefix string",
+    )
+    got = dict(
+        (r["prefix"], r["pat"])
+        for r in df.select(
+            "prefix", robots_pattern_col(F.col("prefix")).alias("pat")
+        ).collect()
+    )
+    assert got == {
+        "/a/b": "^/a/b",
+        "/*.tmp$": "^/.*\\.tmp$",
+        "/p*q": "^/p.*q",
+        # $ mid-string is a literal and must be escaped
+        "/x$y": "^/x\\$y",
+        "/d(1)+.z$": "^/d\\(1\\)\\+\\.z$",
+    }
+
+
+def test_robots_filter_wildcards(spark):
+    """REP RFC 9309 wildcard semantics: * spans any char run, trailing
+    $ pins the match to the path end, specificity = raw rule length."""
+    from geo_spark.operators.webcorpus import parse_robots, robots_filter
+
+    robots = spark.createDataFrame(
+        [
+            (
+                "w.com",
+                "User-agent: *\n"
+                "Disallow: /*.tmp$\n"      # block only true .tmp suffixes
+                "Disallow: /p*/q\n"        # block /p<anything>/q...
+                "Allow: /private/ok*\n"    # longer than Disallow below
+                "Disallow: /private\n",
+            ),
+        ],
+        "domain string, robots_txt string",
+    )
+    rules = parse_robots(robots, wildcards=True)
+    urls = spark.createDataFrame(
+        [
+            ("w.com", "/a/b.tmp"),        # matches /*.tmp$ -> blocked
+            ("w.com", "/a/b.tmpx"),       # $ anchor fails -> allowed
+            ("w.com", "/p123/q/page"),    # /p*/q -> blocked
+            ("w.com", "/pq"),             # needs '/q' after the run -> allowed
+            ("w.com", "/private/ok/x"),   # Allow (len 12) beats Disallow (8)
+            ("w.com", "/private/no"),     # only Disallow /private -> blocked
+            ("w.com", "/other"),          # no rule -> allowed
+        ],
+        "domain string, path string",
+    )
+    got = {
+        r["path"]: r["allowed"]
+        for r in robots_filter(urls, rules, wildcards=True).collect()
+    }
+    assert got == {
+        "/a/b.tmp": 0,
+        "/a/b.tmpx": 1,
+        "/p123/q/page": 0,
+        "/pq": 1,
+        "/private/ok/x": 1,
+        "/private/no": 0,
+        "/other": 1,
+    }
+
+
+def test_robots_wildcard_plain_rules_unchanged(spark):
+    """A rule set with no wildcard chars must classify identically
+    through the plain-prefix tier and the compiled-regex tier."""
+    from geo_spark.operators.webcorpus import parse_robots, robots_filter
+
+    robots = spark.createDataFrame(
+        [
+            ("a.com", "User-agent: *\nDisallow: /private\nAllow: /private/ok\n"),
+            ("b.com", "User-agent: *\nAllow: /\nDisallow: /x\n"),
+        ],
+        "domain string, robots_txt string",
+    )
+    urls = spark.createDataFrame(
+        [
+            ("a.com", "/private/ok/page"),
+            ("a.com", "/private/no"),
+            ("b.com", "/x/y"),
+            ("b.com", "/y"),
+        ],
+        "domain string, path string",
+    )
+    plain = {
+        (r["domain"], r["path"]): r["allowed"]
+        for r in robots_filter(urls, parse_robots(robots)).collect()
+    }
+    wild = {
+        (r["domain"], r["path"]): r["allowed"]
+        for r in robots_filter(
+            urls, parse_robots(robots, wildcards=True), wildcards=True
+        ).collect()
+    }
+    assert plain == wild
