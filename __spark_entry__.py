@@ -3907,6 +3907,75 @@ def _oracle_pca_projections() -> str:
     """
 
 
+def _q_pca_second(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 principal projections (operators/pca.py:pca_projections2):
+    the first direction by quantized power iteration, the second by
+    exact-integer Hotelling deflation (c2 = c - sign·(|proj1·v|//Σv²))
+    and the same iteration on the deflated rows.  The oracle replays
+    the ENTIRE chain — quantize, floor-center, two matvec rounds,
+    rescale, projections, integer deflation, two more matvec rounds —
+    in HUGEINT CTEs and matches both projections bit for bit."""
+    from geo_spark.operators.pca import pca_projections2
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pca_projections2(emb, dim=64, iterations=2).orderBy("vec_id")
+
+
+def _oracle_pca_second() -> str:
+    def matvec(src: str, vexpr: str, join: str, tag: str) -> str:
+        return f"""
+        d{tag} AS (SELECT vec_id,
+                          SUM(CAST(cx AS HUGEINT) * {vexpr}) AS dot
+                   FROM {src} {join} GROUP BY vec_id),
+        w{tag} AS (SELECT {src}.d,
+                          SUM(CAST(cx AS HUGEINT) * d{tag}.dot) AS w
+                   FROM {src} JOIN d{tag} USING (vec_id)
+                   GROUP BY {src}.d),
+        mx{tag} AS (SELECT MAX(ABS(w)) AS mx FROM w{tag}),
+        v{tag} AS (SELECT d,
+                          CASE WHEN w >= 0
+                               THEN (ABS(w) * 1000000) // mx
+                               ELSE -((ABS(w) * 1000000) // mx)
+                          END AS v
+                   FROM w{tag}, mx{tag})"""
+
+    return f"""
+        WITH e AS (SELECT vec_id,
+                          generate_subscripts(embedding, 1) - 1 AS d,
+                          unnest(embedding) AS x
+                   FROM embeddings),
+        q AS (SELECT vec_id, d,
+                     CAST(floor((CAST(x AS DOUBLE) + 1.0) * 1000000)
+                          AS BIGINT) AS qx
+              FROM e),
+        m AS (SELECT d, SUM(qx) // COUNT(*) AS md FROM q GROUP BY d),
+        c AS (SELECT vec_id, q.d, qx - md AS cx
+              FROM q JOIN m ON m.d = q.d),
+        {matvec("c", "1000000", "", "a1")},
+        {matvec("c", "va1.v", "JOIN va1 ON va1.d = c.d", "a2")},
+        p1 AS (SELECT vec_id, SUM(CAST(cx AS HUGEINT) * va2.v) AS proj
+               FROM c JOIN va2 ON va2.d = c.d GROUP BY vec_id),
+        v2sq AS (SELECT SUM(CAST(v AS HUGEINT) * v) AS s FROM va2),
+        c2 AS (SELECT c.vec_id, c.d,
+                      cx - (CASE WHEN p.proj * v.v >= 0
+                                 THEN (ABS(p.proj * v.v)
+                                       // (SELECT s FROM v2sq))
+                                 ELSE -(ABS(p.proj * v.v)
+                                        // (SELECT s FROM v2sq))
+                            END) AS cx
+               FROM c JOIN va2 v ON v.d = c.d
+                      JOIN p1 p ON p.vec_id = c.vec_id),
+        {matvec("c2", "1000000", "", "b1")},
+        {matvec("c2", "vb1.v", "JOIN vb1 ON vb1.d = c2.d", "b2")},
+        p2 AS (SELECT vec_id, SUM(CAST(cx AS HUGEINT) * vb2.v) AS proj
+               FROM c2 JOIN vb2 ON vb2.d = c2.d GROUP BY vec_id)
+        SELECT p1.vec_id, CAST(p1.proj AS BIGINT) AS proj1,
+               CAST(p2.proj AS BIGINT) AS proj2
+        FROM p1 JOIN p2 ON p2.vec_id = p1.vec_id
+        ORDER BY p1.vec_id
+    """
+
+
 def _q_link_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TrustRank (operators/linkgraph.py:trustrank): personalized
     PageRank from the q_link_seed_distance whitelist (event_id % 997
@@ -8707,6 +8776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tile_anomalies": _q_tile_anomalies,
         "q_stay_points": _q_stay_points,
         "q_pca_projections": _q_pca_projections,
+        "q_pca_second": _q_pca_second,
         "q_pca_outliers": _q_pca_outliers,
         "q_geofence_crossings": _q_geofence_crossings,
         "q_tile_flood": _q_tile_flood,
@@ -8860,6 +8930,7 @@ def oracle_sql() -> dict[str, str]:
         "q_tile_anomalies": _oracle_tile_anomalies(),
         "q_stay_points": _oracle_stay_points(),
         "q_pca_projections": _oracle_pca_projections(),
+        "q_pca_second": _oracle_pca_second(),
         "q_pca_outliers": _oracle_pca_outliers(),
         "q_geofence_crossings": _oracle_geofence_crossings(),
         "q_tile_flood": _oracle_tile_flood(),
