@@ -167,3 +167,111 @@ def stream_cms_estimates(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+HH_OUTPUT_SCHEMA = "grp string, item long, est_count long"
+HH_STATE_SCHEMA = (
+    "counters array<long>, cand array<long>, cand_pos array<long>"
+)
+
+
+def stream_cms_heavy_hitters(
+    stream: DataFrame,
+    threshold: int,
+    depth: int = 3,
+    width: int = 256,
+    candidate_cap: int = 1024,
+    group_col: str = "grp",
+    item_col: str = "item",
+) -> DataFrame:
+    """Streaming heavy-hitter emission with candidate tracking — the
+    streaming twin of operators/sketches.cms_heavy_hitters' sketch cut.
+
+    State per group stays FIXED-SIZE: the depth x width Count-Min
+    counters plus a bounded candidate list (items whose CMS estimate
+    has reached ``threshold``, with their probe positions so absent
+    items keep re-estimating).  Every micro-batch increments the
+    counters, folds the batch's items into the candidate pool, drops
+    candidates below threshold (none ever leave — CMS estimates are
+    monotone nondecreasing — the drop only prunes batch items that
+    never qualified), and emits (grp, item, est_count) for every
+    tracked candidate ("update" semantics).
+
+    Guarantees (the cms_heavy_hitters contract, shifted to streams):
+    every TRUE heavy hitter (exact count >= threshold) is tracked by
+    the batch of its last occurrence — at that point est >= its full
+    exact count >= threshold — so the drained candidate set is a
+    superset of the true heavies, and a downstream exact refine makes
+    the pipeline exact (asserted against batch cms_heavy_hitters in
+    tests).  Estimates equal the batch sketch's probe reads bit-for-bit
+    on a drained source.  ``candidate_cap`` is the memory valve: if
+    more than cap candidates qualify, the top cap by (est desc, item
+    asc) are kept and the superset guarantee degrades to top-cap —
+    size the cap to eps-heavy-hitter theory (true heavies <= 1/eps
+    when threshold = eps*N, plus CMS collision slack)."""
+    import hashlib  # noqa: F401  (parity with stream_cms_estimates imports)
+
+    from pyspark.sql import functions as F
+
+    from geo_spark.operators.sketches import md5_mod_sql
+
+    pos = stream.select(
+        F.col(group_col).alias("grp"),
+        F.col(item_col).cast("long").alias("item"),
+        F.array(
+            *[
+                F.expr(
+                    f"cast({d} * {width} + "
+                    f"{md5_mod_sql(item_col, f'cms{d}', width)} as long)"
+                )
+                for d in range(depth)
+            ]
+        ).alias("pos"),
+    )
+
+    def fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        batch = pd.concat(list(pdfs))
+        counters = np.zeros(depth * width, dtype=np.int64)
+        tracked: dict[int, list[int]] = {}
+        if state.exists:
+            old_counters, cand, cand_pos = state.get
+            counters += np.asarray(old_counters, dtype=np.int64)
+            for i, it in enumerate(cand):
+                tracked[int(it)] = [
+                    int(p) for p in cand_pos[i * depth : (i + 1) * depth]
+                ]
+        flat = np.concatenate(batch["pos"].to_numpy()).astype(np.int64)
+        counters += np.bincount(flat, minlength=depth * width)
+        for it, ps in zip(batch["item"], batch["pos"]):
+            tracked.setdefault(int(it), [int(p) for p in ps])
+        ests = {
+            it: int(counters[ps].min()) for it, ps in tracked.items()
+        }
+        keep = sorted(
+            (it for it, e in ests.items() if e >= threshold),
+            key=lambda it: (-ests[it], it),
+        )[:candidate_cap]
+        keep.sort()
+        state.update(
+            (
+                counters.tolist(),
+                keep,
+                [p for it in keep for p in tracked[it]],
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "grp": [key[0]] * len(keep),
+                "item": keep,
+                "est_count": [ests[it] for it in keep],
+            }
+        )
+
+    return pos.groupBy("grp").applyInPandasWithState(
+        fn,
+        HH_OUTPUT_SCHEMA,
+        HH_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

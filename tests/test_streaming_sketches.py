@@ -127,3 +127,89 @@ def test_stream_cms_matches_batch_sketch(spark, tmp_path):
         rows.groupby(["grp", "item"])["est_count"].max().to_dict()
     )
     assert got == want
+
+
+def test_stream_cms_heavy_hitters_drained(spark, tmp_path):
+    """Drained streaming heavy-hitter candidates: (1) ests equal the
+    batch sketch probe reads, (2) candidates are a superset of the true
+    heavies, (3) candidates + exact refine == batch cms_heavy_hitters
+    output exactly."""
+    from geo_spark.operators.sketches import cms_heavy_hitters
+    from geo_spark.streaming.sketches import stream_cms_heavy_hitters
+
+    depth, width, threshold = 3, 32, 60
+    rng = np.random.default_rng(47)
+    pdf = pd.DataFrame(
+        {
+            "grp": np.where(rng.integers(0, 2, 4000) == 0, "a", "b"),
+            "item": rng.zipf(1.5, 4000).astype(np.int64) % 50,
+        }
+    )
+    src = str(tmp_path / "hh_src")
+    spark.createDataFrame(pdf).repartition(6).write.parquet(src)
+    static = spark.read.parquet(src)
+
+    want_exact = {
+        (r["grp"], r["item"]): (r["est_count"], r["n_exact"])
+        for r in cms_heavy_hitters(
+            static, ["grp"], "item", threshold, depth=depth, width=width
+        ).collect()
+    }
+    assert want_exact  # fixture produces real heavies
+
+    # batch probe reads via the python CMS replay
+    counters = {}
+    for g, it in pdf.itertuples(index=False):
+        for d in range(depth):
+            kk = (g, d, _md5_mod(int(it), f"cms{d}", width))
+            counters[kk] = counters.get(kk, 0) + 1
+
+    def probe(g, it):
+        return min(
+            counters.get((g, d, _md5_mod(int(it), f"cms{d}", width)), 0)
+            for d in range(depth)
+        )
+
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = (
+        stream_cms_heavy_hitters(
+            stream, threshold, depth=depth, width=width
+        )
+        .writeStream.format("memory")
+        .queryName("hh_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "hh_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql("SELECT * FROM hh_stream").toPandas()
+    q.stop()
+
+    # final row per (grp, item) = max est (monotone)
+    cand = (
+        rows.groupby(["grp", "item"])["est_count"].max().to_dict()
+    )
+    # (1) drained ests == batch probe reads
+    for (g, it), est in cand.items():
+        assert est == probe(g, int(it)), (g, it)
+        assert est >= threshold
+    # (2) superset of true heavies
+    true_counts = pdf.groupby(["grp", "item"]).size()
+    heavies = {
+        (g, int(it))
+        for (g, it), c in true_counts.items()
+        if c >= threshold
+    }
+    assert heavies <= set(cand)
+    # (3) exact refine over candidates == batch heavy hitters
+    refined = {}
+    for (g, it), est in cand.items():
+        n = int(true_counts.get((g, it), 0))
+        if n >= threshold:
+            refined[(g, int(it))] = (est, n)
+    assert refined == want_exact
