@@ -3647,6 +3647,48 @@ def _oracle_ngram_dedup_pairs() -> str:
     """
 
 
+def _q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-containment (operators/dedup.py:
+    containment_pairs): directed (src, dst) pairs with
+    |S(src)∩S(dst)|/|S(src)| >= 0.5 over 8-char shingles — the
+    quote/boilerplate-inclusion detector Jaccard can't express — WITH
+    the max_df=50 stop-shingle valve on, so the oracle certifies the
+    skew-guarded production path (263 hot shingles dropped at sf0.01),
+    not just the exact tier."""
+    from geo_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        _t(spark, sf_dir, "documents"), n=8, threshold=0.5, max_df=50
+    ).orderBy("src", "dst")
+
+
+def _oracle_containment_pairs() -> str:
+    return """
+        WITH sh0 AS (
+          SELECT DISTINCT doc_id, s
+          FROM documents,
+               UNNEST(list_transform(range(1, greatest(length(text)-7, 1)+1),
+                                     i -> substr(text, i, 8))) AS t(s)
+        ),
+        dfreq AS (SELECT s, count(*) AS df FROM sh0 GROUP BY s),
+        sh AS (SELECT sh0.doc_id, sh0.s
+               FROM sh0 JOIN dfreq USING (s) WHERE dfreq.df <= 50),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS shared
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id != b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT src, dst, shared, ss.n AS n_src, sd.n AS n_dst,
+               CAST(shared AS DOUBLE) / ss.n AS containment
+        FROM pairs
+        JOIN sizes ss ON ss.doc_id = src
+        JOIN sizes sd ON sd.doc_id = dst
+        WHERE CAST(shared AS DOUBLE) / ss.n >= 0.5
+        ORDER BY src, dst
+    """
+
+
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster resolution over the exact-Jaccard pair graph:
     connected components by min-label propagation + pointer jumping;
@@ -8756,6 +8798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_value_outliers": _q_value_outliers,
         "q_od_matrix": _q_od_matrix,
         "q_ngram_dedup_pairs": _q_ngram_dedup_pairs,
+        "q_containment_pairs": _q_containment_pairs,
         "q_doc_quality": _q_doc_quality,
         "q_line_dedup": _q_line_dedup,
         "q_lang_guess": _q_lang_guess,
@@ -8890,6 +8933,7 @@ def oracle_sql() -> dict[str, str]:
         "q_value_outliers": _oracle_value_outliers(),
         "q_od_matrix": _oracle_od_matrix(),
         "q_ngram_dedup_pairs": _oracle_ngram_dedup_pairs(),
+        "q_containment_pairs": _oracle_containment_pairs(),
         "q_minhash_lsh_pairs": _oracle_minhash_lsh_pairs(),
         "q_simhash_pairs": _oracle_simhash_pairs(),
         "q_hex_tile_counts": _oracle_hex_tile_counts(),

@@ -120,6 +120,70 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    n: int = 8,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+    key: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Directed near-containment pairs: (src, dst) where
+    |S(src) ∩ S(dst)| / |S(src)| >= threshold over distinct n-char
+    shingles — the ASYMMETRIC cousin of :func:`ngram_jaccard_pairs`.
+    Jaccard misses the quote/boilerplate case (a short document wholly
+    embedded in a long one scores low symmetric similarity but
+    containment ~1); this operator is how a corpus pipeline finds
+    quoted sources, syndicated fragments, and template inclusion.
+
+    ``max_df`` is the skew/scale valve: shingles present in more than
+    ``max_df`` documents are dropped BEFORE the join (stop-shingles —
+    the same df guard winnow_pairs uses), bounding the hottest shuffle
+    key's fan-out at the cost of redefining the universe: with the
+    valve on, sizes AND intersections both use the filtered shingle
+    sets ("effective vocabulary" semantics — self-consistent, and what
+    the oracle replays).  ``None`` keeps exact semantics.
+
+    Output: (src, dst, shared, n_src, n_dst, containment), src != dst,
+    both directions (containment is directional by construction)."""
+    sh = (
+        docs.select(
+            F.col(key).alias("_id"),
+            F.explode(shingle_expr(text_col, n)).alias("s"),
+        )
+        .distinct()
+    )
+    if max_df is not None:
+        keep = (
+            sh.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= max_df)
+            .select("s")
+        )
+        sh = sh.join(keep, "s", "left_semi")
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("_id").alias("src"), "s")
+    b = sh.select(F.col("_id").alias("dst"), "s")
+    pairs = (
+        a.join(b, "s")
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    ssrc = sizes.select(F.col("_id").alias("src"), F.col("n_sh").alias("n_src"))
+    sdst = sizes.select(F.col("_id").alias("dst"), F.col("n_sh").alias("n_dst"))
+    return (
+        pairs.join(ssrc, "src")
+        .join(sdst, "dst")
+        .withColumn(
+            "containment",
+            F.col("shared").cast("double") / F.col("n_src"),
+        )
+        .where(F.col("containment") >= threshold)
+        .select("src", "dst", "shared", "n_src", "n_dst", "containment")
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     probes: DataFrame,

@@ -617,3 +617,54 @@ def test_stay_points_runs_and_threshold(spark):
         .collect()
     ]
     assert got == [(1, 1, 2, 7 * h), (1, 3, 2, 8 * h)]
+
+
+def test_containment_pairs_quote_detection(spark):
+    """A short doc embedded verbatim in a long one: containment(short
+    in long) ~ 1 while the reverse (and Jaccard) stay low; exact values
+    checked against a python shingle replay."""
+    from geo_spark.operators.dedup import containment_pairs
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    long_doc = (
+        "completely unrelated preamble text here and then "
+        + quote
+        + " followed by a very long unrelated tail that goes on and on "
+        "with more and more filler words to dilute the overlap badly"
+    )
+    other = "nothing in common with anything else at all in this text"
+    rows = [(0, quote), (1, long_doc), (2, other)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def shingles(t, n=8):
+        return {t[i : i + n] for i in range(max(len(t) - n + 1, 1))}
+
+    want = {}
+    ss = {i: shingles(t) for i, t in rows}
+    for a, sa in ss.items():
+        for b, sb in ss.items():
+            if a == b:
+                continue
+            c = len(sa & sb) / len(sa)
+            if c >= 0.5:
+                want[(a, b)] = (len(sa & sb), len(sa), len(sb))
+    got = {
+        (r["src"], r["dst"]): (r["shared"], r["n_src"], r["n_dst"])
+        for r in containment_pairs(df, n=8, threshold=0.5).collect()
+    }
+    assert got == want
+    assert (0, 1) in got and (1, 0) not in got  # asymmetric by design
+
+
+def test_containment_max_df_valve(spark):
+    """With max_df=1, any shingle shared by 2+ docs is a stop-shingle:
+    identical docs lose ALL their shingles and produce no pairs, and
+    sizes shrink consistently (effective-vocabulary semantics)."""
+    from geo_spark.operators.dedup import containment_pairs
+
+    df = spark.createDataFrame(
+        [(0, "abcdefghijkl"), (1, "abcdefghijkl"), (2, "zzzzyyyyxxxxw")],
+        "doc_id long, text string",
+    )
+    assert containment_pairs(df, n=8, threshold=0.1).count() == 2
+    assert containment_pairs(df, n=8, threshold=0.1, max_df=1).count() == 0
