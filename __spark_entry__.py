@@ -4096,6 +4096,71 @@ def _oracle_link_trustrank() -> str:
     """
 
 
+def _q_link_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection (operators/linkgraph.py:label_propagation):
+    2 rounds of synchronous min-tiebreak label propagation over the
+    same directed LCG graph the pagerank/trustrank/BFS family uses
+    (symmetrized inside the operator).  Deterministic by construction
+    (fixed rounds + smallest-label tiebreak), so the oracle unrolls
+    both rounds relationally — neighbor-label counts, argmax via
+    (cnt DESC, label ASC) rank, isolated nodes carried by LEFT JOIN —
+    and matches every node's label exactly."""
+    from geo_spark.operators.linkgraph import label_propagation
+
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    n = ev.count()
+    edges = None
+    for a, b in _BFS_STREAMS:
+        e = ev.select(
+            F.col("event_id").alias("src"),
+            ((F.col("event_id") * a + b) % n).alias("dst"),
+        )
+        edges = e if edges is None else edges.unionByName(e)
+    nodes = ev.select(F.col("event_id").alias("id"))
+    lp = label_propagation(edges, nodes, iterations=2)
+    return lp.select(
+        F.col("id").alias("event_id"), "label"
+    ).orderBy("event_id")
+
+
+def _oracle_link_communities() -> str:
+    links = " UNION ALL ".join(
+        f"SELECT id AS src, (id * {a} + {b}) % (SELECT n FROM n) AS dst"
+        " FROM base"
+        for a, b in _BFS_STREAMS
+    )
+    rounds = []
+    prev = "l0"
+    for i in range(1, 3):
+        rounds.append(
+            f"""c{i} AS (SELECT u.s AS id, l.label, count(*) AS cnt
+                  FROM und u JOIN {prev} l ON l.id = u.d
+                  GROUP BY 1, 2),
+        b{i} AS (SELECT id, label FROM (
+                  SELECT id, label,
+                         row_number() OVER (PARTITION BY id
+                           ORDER BY cnt DESC, label ASC) AS rk
+                  FROM c{i}) WHERE rk = 1),
+        l{i} AS (SELECT {prev}.id,
+                        coalesce(b{i}.label, {prev}.label) AS label
+                 FROM {prev} LEFT JOIN b{i} USING (id))"""
+        )
+        prev = f"l{i}"
+    rounds_sql = ",\n        ".join(rounds)
+    return f"""
+        WITH base AS (SELECT event_id AS id FROM events),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+        raw_edges AS ({links}),
+        e AS (SELECT DISTINCT src, dst FROM raw_edges WHERE src != dst),
+        und AS (SELECT src AS s, dst AS d FROM e
+                UNION
+                SELECT dst AS s, src AS d FROM e),
+        l0 AS (SELECT id, id AS label FROM base),
+        {rounds_sql}
+        SELECT id AS event_id, label FROM {prev} ORDER BY event_id
+    """
+
+
 def _q_trust_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-family composition certificate: TrustRank scores feed an
     Efraimidis-Spirakis weighted draw — 10 events per event_type,
@@ -8836,6 +8901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_anchor_text": _q_anchor_text,
         "q_crawl_pipeline": _q_crawl_pipeline,
         "q_link_trustrank": _q_link_trustrank,
+        "q_link_communities": _q_link_communities,
         "q_trust_weighted_sample": _q_trust_weighted_sample,
         "q_customer_order_outer": _q_customer_order_outer,
         "q_week_intersect": _q_week_intersect,
@@ -8991,6 +9057,7 @@ def oracle_sql() -> dict[str, str]:
         "q_anchor_text": _oracle_anchor_text(),
         "q_crawl_pipeline": _oracle_crawl_pipeline(),
         "q_link_trustrank": _oracle_link_trustrank(),
+        "q_link_communities": _oracle_link_communities(),
         "q_trust_weighted_sample": _oracle_trust_weighted_sample(),
         "q_customer_order_outer": _oracle_customer_order_outer(),
         "q_week_intersect": _oracle_week_intersect(),

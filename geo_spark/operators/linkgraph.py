@@ -392,3 +392,66 @@ def seed_distances(
         frontier = new
     e.unpersist()
     return dist.select(F.col("_n").alias("node"), F.col("_d").alias("dist"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iterations: int = 3,
+    node_key: str = "id",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node_key, label): community detection by SYNCHRONOUS label
+    propagation (Raghavan et al. 2007) made fully deterministic —
+    labels start as node ids; each round every node adopts the most
+    frequent label among its undirected neighbors, ties broken by the
+    SMALLEST label; isolated nodes keep theirs.  A fixed iteration
+    count plus the deterministic tiebreak is what makes an otherwise
+    order-sensitive heuristic replayable on any engine/partitioning
+    (the kmeans/pagerank portability discipline) — classic async LPA
+    is not even self-reproducible.
+
+    Scale shape per round: one edges x labels equi-join (shuffle ~
+    |E|), one (node, label) count aggregate (map-side combined), one
+    struct-max argmax per node — no windows, no driver actions;
+    lineage cut per round (localCheckpoint).  Degree skew rides the
+    same AQE story as pagerank's contribution join.
+    """
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .where(F.col("_s") != F.col("_d"))
+        .distinct()
+    )
+    und = (
+        e.unionByName(
+            e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d"))
+        )
+        .distinct()
+        .persist()
+    )
+    base = nodes.select(F.col(node_key).alias("_n")).distinct()
+    labels = base.withColumn("_l", F.col("_n")).localCheckpoint()
+    for _ in range(iterations):
+        nb = und.join(
+            labels.select(F.col("_n").alias("_d"), "_l"), "_d"
+        ).select(F.col("_s").alias("_n"), "_l")
+        cnt = nb.groupBy("_n", "_l").agg(F.count(F.lit(1)).alias("_c"))
+        best = (
+            cnt.groupBy("_n")
+            .agg(
+                F.max(
+                    F.struct(F.col("_c"), (-F.col("_l")).alias("_neg"))
+                ).alias("_b")
+            )
+            .select("_n", (-F.col("_b._neg")).alias("_new"))
+        )
+        labels = (
+            labels.join(best, "_n", "left")
+            .select("_n", F.coalesce("_new", "_l").alias("_l"))
+            .localCheckpoint()
+        )
+    und.unpersist()
+    return labels.select(
+        F.col("_n").alias(node_key), F.col("_l").alias("label")
+    )

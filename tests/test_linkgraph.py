@@ -7,6 +7,8 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
+from pyspark.sql import functions as F
+
 from geo_spark.operators.linkgraph import pagerank
 
 
@@ -168,3 +170,86 @@ def test_trustrank_matches_numpy_and_zeroes_unreachable(spark):
         assert abs(got[i] - want[i]) < 1e-12, i
     # component B never receives teleport or links -> exactly 0
     assert all(got[i] == 0.0 for i in range(20, 40))
+
+
+def _lpa_python(n, edge_list, iterations):
+    """Synchronous min-tiebreak LPA replay (exact spec)."""
+    und = set()
+    for s, d in edge_list:
+        if s != d:
+            und.add((s, d))
+            und.add((d, s))
+    nbrs = {}
+    for s, d in und:
+        nbrs.setdefault(s, []).append(d)
+    labels = {i: i for i in range(n)}
+    for _ in range(iterations):
+        new = {}
+        for i in range(n):
+            ns = nbrs.get(i)
+            if not ns:
+                new[i] = labels[i]
+                continue
+            cnt = {}
+            for j in ns:
+                cnt[labels[j]] = cnt.get(labels[j], 0) + 1
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[i] = best[0]
+        labels = new
+    return labels
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two 5-cliques joined by one bridge edge: LPA labels each clique
+    with its min id."""
+    from geo_spark.operators.linkgraph import label_propagation
+
+    edges = [(a, b) for a in range(5) for b in range(5) if a != b]
+    edges += [(a, b) for a in range(5, 10) for b in range(5, 10) if a != b]
+    edges.append((4, 5))
+    e = spark.createDataFrame(edges, "src long, dst long")
+    nodes = spark.range(10).select(F.col("id"))
+    got = {
+        r["id"]: r["label"]
+        for r in label_propagation(e, nodes, iterations=3).collect()
+    }
+    assert got == _lpa_python(10, edges, 3)
+    assert set(got[i] for i in range(5)) == {0}
+    assert set(got[i] for i in range(5, 10)) == {5}
+
+
+def test_label_propagation_random_matches_python(spark):
+    from geo_spark.operators.linkgraph import label_propagation
+
+    rng = np.random.default_rng(23)
+    n = 60
+    for seed in range(3):
+        rng = np.random.default_rng(23 + seed)
+        edges = [
+            (int(a), int(b))
+            for a, b in rng.integers(0, n, (150, 2))
+        ]
+        e = spark.createDataFrame(edges, "src long, dst long")
+        nodes = spark.range(n).select(F.col("id"))
+        got = {
+            r["id"]: r["label"]
+            for r in label_propagation(e, nodes, iterations=2).collect()
+        }
+        assert got == _lpa_python(n, edges, 2), seed
+
+
+def test_label_propagation_isolated_nodes_keep_label(spark):
+    from geo_spark.operators.linkgraph import label_propagation
+
+    e = spark.createDataFrame([(0, 1)], "src long, dst long")
+    nodes = spark.range(4).select(F.col("id"))
+    got = {
+        r["id"]: r["label"]
+        for r in label_propagation(e, nodes, iterations=3).collect()
+    }
+    assert got[2] == 2 and got[3] == 3
+    # the 2-node pair oscillates under SYNCHRONOUS propagation (swap
+    # each round) — that's the spec, replayed exactly:
+    assert {k: got[k] for k in (0, 1)} == {
+        k: v for k, v in _lpa_python(4, [(0, 1)], 3).items() if k < 2
+    }
