@@ -3949,6 +3949,55 @@ def _oracle_pca_projections() -> str:
     """
 
 
+def _q_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct users per event_type
+    (operators/sketches.py:hll_distinct, p=6 -> 64 max-merge
+    registers).  Every step is exact integer arithmetic — 52-bit md5
+    hash, register split, leading-zero rank via length(bin(w)),
+    power-of-two harmonic sum, pre-scaled integer bias constant — so
+    the oracle replays hash -> registers -> estimator and matches the
+    ESTIMATE bit-for-bit (the kmv_distinct portability contract on the
+    harmonic-mean estimator)."""
+    from geo_spark.operators.sketches import hll_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    return hll_distinct(ev, ["event_type"], "user_id", p=6).orderBy(
+        "event_type"
+    )
+
+
+def _oracle_hll_users() -> str:
+    from geo_spark.operators.sketches import _hll_alpha_ppm, md5_52_duckdb_sql
+
+    p = 6
+    m = 1 << p
+    r1 = 52 - p + 1  # rank ceiling / shift base
+    pow_top = 1 << r1
+    alpha_n = (_hll_alpha_ppm(m) * m * m * pow_top) // 1_000_000
+    h = md5_52_duckdb_sql("user_id", "hll")
+    return f"""
+        WITH hashed AS (SELECT event_type, {h} AS h FROM events),
+        parts AS (SELECT event_type, h % {m} AS j, h // {m} AS w
+                  FROM hashed),
+        ranked AS (SELECT event_type, j,
+                          CASE WHEN w = 0 THEN {r1}
+                               ELSE {r1} - length(bin(w)) END AS rnk
+                   FROM parts),
+        regs AS (SELECT event_type, j, MAX(rnk) AS reg
+                 FROM ranked GROUP BY 1, 2),
+        agg AS (SELECT event_type,
+                       CAST(count(*) AS BIGINT) AS n_regs,
+                       SUM((CAST(1 AS BIGINT) << ({r1} - reg)))
+                         AS s_present
+                FROM regs GROUP BY 1)
+        SELECT event_type, n_regs,
+               CAST({alpha_n} //
+                    (s_present + ({m} - n_regs) * {pow_top})
+                    AS BIGINT) AS est_distinct
+        FROM agg ORDER BY event_type
+    """
+
+
 def _q_pca_second(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-2 principal projections (operators/pca.py:pca_projections2):
     the first direction by quantized power iteration, the second by
@@ -8933,6 +8982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_inverted_index": _q_inverted_index,
         "q_link_seed_distance": _q_link_seed_distance,
         "q_heavy_hitters": _q_heavy_hitters,
+        "q_hll_users": _q_hll_users,
         "q_bloom_semi_orders": _q_bloom_semi_orders,
         "q_bm25_scores": _q_bm25_scores,
         "q_dissolve_counts": _q_dissolve_counts,
@@ -9024,6 +9074,7 @@ def oracle_sql() -> dict[str, str]:
         "q_inverted_index": _oracle_inverted_index(),
         "q_link_seed_distance": _oracle_link_seed_distance(),
         "q_heavy_hitters": _oracle_heavy_hitters(),
+        "q_hll_users": _oracle_hll_users(),
         "q_bloom_semi_orders": _oracle_bloom_semi_orders(),
         "q_bm25_scores": _oracle_bm25_scores(),
         "q_dissolve_counts": _oracle_dissolve_counts(),

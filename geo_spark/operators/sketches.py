@@ -363,3 +363,114 @@ def kmv_distinct(
         F.expr(f"({k - 1} * {_KMV_RANGE}) div kth_hash")
     )
     return agg.withColumn("est_distinct", est.cast("long"))
+
+
+def md5_52_sql(value_expr: str, salt: str) -> str:
+    """Full 52-bit salted md5 hash as Spark SQL (the md5_mod_sql value
+    before the modulus — register sketches need the whole word to
+    split into (bucket, leading-zero payload))."""
+    return (
+        f"cast(conv(substring(md5(concat('{salt}:', "
+        f"cast({value_expr} as string))), 1, 13), 16, 10) as bigint)"
+    )
+
+
+def md5_52_duckdb_sql(value_expr: str, salt: str) -> str:
+    """DuckDB twin of :func:`md5_52_sql` (exact hex-digit expansion)."""
+    digits = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(concat('{salt}:', "
+        f"CAST({value_expr} AS VARCHAR))), {i + 1}, 1)) - 1)"
+        f" * {16 ** (12 - i)}"
+        for i in range(13)
+    )
+    return f"({digits})"
+
+
+def _hll_alpha_ppm(m: int) -> int:
+    """Standard HLL bias constant in parts-per-million (Flajolet et
+    al. 2007): fixed small-m values, the asymptotic formula above."""
+    if m == 16:
+        return 673_000
+    if m == 32:
+        return 697_000
+    if m == 64:
+        return 709_000
+    return int(721_300 * m / (m + 1.079))
+
+
+def hll_registers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p: int = 6,
+) -> DataFrame:
+    """(group_cols..., j, reg): HyperLogLog registers — per group,
+    2^p max-rank cells over the 52-bit salted md5 hash (register j =
+    h mod 2^p, rank = leading zeros of the remaining 52-p bits + 1).
+
+    This is the MAX-merge mergeable summary, complementing
+    kmv_distinct's k-MIN family: registers combine by coordinate-wise
+    max, so partial aggregation is map-side, cross-partition merges
+    ship 2^p bytes-worth of cells per group, and the same state is a
+    natural streaming aggregate.  Rank extraction is exact integer +
+    string SQL (bit_length via length(bin(w)) — identical in DuckDB),
+    no floats anywhere."""
+    m = 1 << p
+    r_bits = 52 - p
+    h = F.expr(md5_52_sql(value_col, "hll"))
+    base = df.select(*group_cols, h.alias("_h"))
+    w = F.expr(f"_h div {m}")
+    rank = (
+        F.when(w == 0, F.lit(r_bits + 1))
+        .otherwise(F.lit(r_bits + 1) - F.length(F.bin(w)))
+        .cast("long")
+    )
+    return (
+        base.select(
+            *group_cols,
+            (F.col("_h") % m).alias("j"),
+            rank.alias("_rank"),
+        )
+        .groupBy(*group_cols, "j")
+        .agg(F.max("_rank").alias("reg"))
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p: int = 6,
+) -> DataFrame:
+    """(group_cols..., n_regs, est_distinct): HyperLogLog distinct
+    estimate per group, every step exact integer arithmetic so a SQL
+    oracle replays it bit-for-bit (the kmv_distinct portability
+    contract, applied to the harmonic-mean estimator):
+
+      S   = Σ_j 2^(R+1-reg_j)  (empty registers contribute 2^(R+1);
+                                computed as (m - n_regs)·2^(R+1))
+      est = ALPHA_N // S        (ALPHA_N = (α_ppm·m²·2^(R+1)) // 10^6,
+                                 the bias constant pre-scaled to an
+                                 exact int64 literal driver-side)
+
+    The raw estimator only (no small/large-range corrections): at the
+    corpus scales this engine targets the linear-counting regime is
+    the job of kmv_distinct, and keeping one exact formula is what
+    buys the oracle."""
+    m = 1 << p
+    r_bits = 52 - p
+    pow_top = 1 << (r_bits + 1)
+    alpha_n = (_hll_alpha_ppm(m) * m * m * pow_top) // 1_000_000
+    regs = hll_registers(df, group_cols, value_col, p=p)
+    agg = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_regs"),
+        F.sum(
+            F.expr(f"shiftleft(cast(1 as bigint), {r_bits + 1} - reg)")
+        ).alias("_s_present"),
+    )
+    s = F.col("_s_present") + (m - F.col("n_regs")) * F.lit(pow_top)
+    return agg.withColumn("_s", s).select(
+        *group_cols,
+        "n_regs",
+        F.expr(f"cast({alpha_n} as bigint) div _s").alias("est_distinct"),
+    )

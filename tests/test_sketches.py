@@ -5,6 +5,7 @@ WindowGroupLimit below the exchange)."""
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from geo_spark.operators.sketches import KMV_HASH_SQL, kmv_distinct
 
@@ -251,3 +252,79 @@ def F_expr(s):
     from pyspark.sql import functions as F
 
     return F.expr(s)
+
+
+def _hll_python(values, p=6):
+    """Exact python replay of the HLL integer spec."""
+    import hashlib
+
+    from geo_spark.operators.sketches import _hll_alpha_ppm
+
+    m = 1 << p
+    r_bits = 52 - p
+    pow_top = 1 << (r_bits + 1)
+    regs = {}
+    for v in values:
+        h = int(hashlib.md5(f"hll:{v}".encode()).hexdigest()[:13], 16)
+        j, w = h % m, h // m
+        rank = r_bits + 1 if w == 0 else r_bits + 1 - w.bit_length()
+        regs[j] = max(regs.get(j, 0), rank)
+    s = sum(1 << (r_bits + 1 - r) for r in regs.values())
+    s += (m - len(regs)) * pow_top
+    alpha_n = (_hll_alpha_ppm(m) * m * m * pow_top) // 1_000_000
+    return len(regs), alpha_n // s
+
+
+def test_hll_matches_python_spec(spark):
+    from geo_spark.operators.sketches import hll_distinct
+
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame(
+        {
+            "grp": np.where(rng.integers(0, 2, 3000) == 0, "a", "b"),
+            "v": rng.integers(0, 800, 3000).astype(np.int64),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = {
+        r["grp"]: (r["n_regs"], r["est_distinct"])
+        for r in hll_distinct(df, ["grp"], "v", p=6).collect()
+    }
+    want = {
+        g: _hll_python(sub["v"].tolist())
+        for g, sub in pdf.groupby("grp")
+    }
+    assert got == want
+
+
+def test_hll_accuracy_over_cardinalities():
+    """Raw-estimator error within ~3 standard errors (1.04/sqrt(m))
+    once past the linear-counting regime."""
+    for true_n in (500, 2000, 10000):
+        _, est = _hll_python(range(true_n), p=6)
+        rel = abs(est - true_n) / true_n
+        assert rel < 3 * 1.04 / (64 ** 0.5), (true_n, est)
+
+
+def test_hll_registers_max_merge(spark):
+    """Register tables of two halves max-merge to the whole's table —
+    THE mergeability contract (what ships between partitions/windows)."""
+    from geo_spark.operators.sketches import hll_registers
+
+    vals = list(range(1000))
+    half1 = spark.createDataFrame(
+        [(0, v) for v in vals[:500]], "grp long, v long"
+    )
+    half2 = spark.createDataFrame(
+        [(0, v) for v in vals[500:]], "grp long, v long"
+    )
+    whole = spark.createDataFrame(
+        [(0, v) for v in vals], "grp long, v long"
+    )
+    r1 = {r["j"]: r["reg"] for r in hll_registers(half1, ["grp"], "v").collect()}
+    r2 = {r["j"]: r["reg"] for r in hll_registers(half2, ["grp"], "v").collect()}
+    rw = {r["j"]: r["reg"] for r in hll_registers(whole, ["grp"], "v").collect()}
+    merged = {
+        j: max(r1.get(j, 0), r2.get(j, 0)) for j in set(r1) | set(r2)
+    }
+    assert merged == rw
