@@ -3647,6 +3647,20 @@ def _oracle_ngram_dedup_pairs() -> str:
     """
 
 
+def _q_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact Jaccard join (operators/dedup.py:
+    jaccard_pairs_prefix): the PPJoin candidate scheme — rarest-first
+    prefixes as the only join keys, in-row array_intersect verify —
+    with output PROVABLY identical to the naive shingle self-join.
+    The oracle is _oracle_ngram_dedup_pairs verbatim: same answer,
+    different (much cheaper) physical plan is exactly the claim."""
+    from geo_spark.operators.dedup import jaccard_pairs_prefix
+
+    return jaccard_pairs_prefix(
+        _t(spark, sf_dir, "documents"), n=8, threshold=0.3
+    ).orderBy("da", "db")
+
+
 def _q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric near-containment (operators/dedup.py:
     containment_pairs): directed (src, dst) pairs with
@@ -8913,6 +8927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_od_matrix": _q_od_matrix,
         "q_ngram_dedup_pairs": _q_ngram_dedup_pairs,
         "q_containment_pairs": _q_containment_pairs,
+        "q_prefix_jaccard_pairs": _q_prefix_jaccard_pairs,
         "q_doc_quality": _q_doc_quality,
         "q_line_dedup": _q_line_dedup,
         "q_lang_guess": _q_lang_guess,
@@ -9050,6 +9065,7 @@ def oracle_sql() -> dict[str, str]:
         "q_od_matrix": _oracle_od_matrix(),
         "q_ngram_dedup_pairs": _oracle_ngram_dedup_pairs(),
         "q_containment_pairs": _oracle_containment_pairs(),
+        "q_prefix_jaccard_pairs": _oracle_ngram_dedup_pairs(),
         "q_minhash_lsh_pairs": _oracle_minhash_lsh_pairs(),
         "q_simhash_pairs": _oracle_simhash_pairs(),
         "q_hex_tile_counts": _oracle_hex_tile_counts(),

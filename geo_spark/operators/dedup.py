@@ -120,6 +120,90 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_pairs_prefix(
+    docs: DataFrame,
+    n: int = 8,
+    threshold: float = 0.3,
+    key: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard >= threshold pairs via PREFIX FILTERING
+    (Chaudhuri et al. 2006 / PPJoin, Xiao et al. 2008) — same output
+    as :func:`ngram_jaccard_pairs`, radically cheaper plan at scale.
+
+    Why: the naive shingle self-join shuffles EVERY (doc, shingle) pair
+    and its hot-shingle fan-out is quadratic in document frequency.
+    Prefix filtering rests on a lossless theorem: order each doc's
+    shingles by a global canonical order (ascending document
+    frequency, rarest first — ties by shingle text) and keep only the
+    first |S| - ceil(t*|S|) + 1 of them; two sets with Jaccard >= t
+    MUST share a prefix shingle.  So the join runs over prefixes only
+    (the rarest slivers of each document — the hot head of the Zipf
+    curve never becomes a join key), and verification happens IN-ROW:
+    candidates join back to the full distinct-shingle ARRAYS and
+    ``array_intersect`` computes the exact overlap with zero
+    additional shuffle fan-out.
+
+    Output: (da, db, shared, na, nb, jaccard), da < db — bit-identical
+    to ngram_jaccard_pairs (asserted in tests; the contract query
+    shares its oracle verbatim, which is the point)."""
+    arr = docs.select(
+        F.col(key).alias("_id"),
+        F.array_sort(shingle_expr(text_col, n)).alias("_sh"),
+    )
+    arr = arr.withColumn("_n", F.array_size("_sh"))
+    ex = arr.select("_id", "_n", F.explode("_sh").alias("s"))
+    dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy("_id").orderBy("_df", "s")
+    prefix = (
+        ex.join(dfreq, "s")
+        .withColumn("_rk", F.row_number().over(w))
+        .where(
+            F.col("_rk")
+            <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
+        )
+        .select("_id", "s")
+    )
+    cand = (
+        prefix.select(F.col("_id").alias("da"), "s")
+        .join(prefix.select(F.col("_id").alias("db"), "s"), "s")
+        .where(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+    )
+    a = arr.select(
+        F.col("_id").alias("da"),
+        F.col("_sh").alias("_sa"),
+        F.col("_n").alias("na"),
+    )
+    b = arr.select(
+        F.col("_id").alias("db"),
+        F.col("_sh").alias("_sb"),
+        F.col("_n").alias("nb"),
+    )
+    return (
+        cand.join(a, "da")
+        .join(b, "db")
+        .withColumn(
+            "shared", F.array_size(F.array_intersect("_sa", "_sb"))
+        )
+        .withColumn(
+            "jaccard",
+            F.col("shared").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("shared")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select(
+            "da",
+            "db",
+            F.col("shared").cast("long").alias("shared"),
+            F.col("na").cast("long").alias("na"),
+            F.col("nb").cast("long").alias("nb"),
+            "jaccard",
+        )
+    )
+
+
 def containment_pairs(
     docs: DataFrame,
     n: int = 8,
