@@ -5110,6 +5110,74 @@ def _oracle_tile_flood() -> str:
     """
 
 
+_MORAN_Z = 6
+
+
+def _q_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Moran's I spatial autocorrelation
+    (operators/tiling.py:morans_i) over per-tile event counts at
+    mercator z=6 with queen weights — the one-number answer to "is
+    the event surface spatially clustered?".  Exact-integer spec
+    (d_i = N·v_i − S, ppm floor with the sign-split truncating
+    division), so the oracle replays tiling -> deviations ->
+    neighbor-pair sum -> ppm in HUGEINT and matches bit-for-bit."""
+    from geo_spark.functions.webgrid import mercator_xy_cols
+    from geo_spark.operators.geo_noise import with_geo_noise
+    from geo_spark.operators.tiling import morans_i
+
+    ev = with_geo_noise(_t(spark, sf_dir, "events"), "event_id")
+    x, y = mercator_xy_cols(F.col("lat"), F.col("lng"), _MORAN_Z)
+    occ = (
+        ev.select(x.alias("tx"), y.alias("ty"))
+        .groupBy("tx", "ty")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return morans_i(occ, _MORAN_Z)
+
+
+def _oracle_morans_i() -> str:
+    from geo_spark.functions.webgrid import mercator_xy_sql
+    from geo_spark.operators.geo_noise import LAT_SQL, LNG_SQL
+
+    n = 1 << _MORAN_Z
+    lat = LAT_SQL.format(id="event_id")
+    lng = LNG_SQL.format(id="event_id")
+    x, y = mercator_xy_sql("lat", "lng", _MORAN_Z)
+    offs = ", ".join(
+        f"({dx}, {dy})"
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+        if (dx, dy) != (0, 0)
+    )
+    return f"""
+        WITH pts AS (SELECT event_id, {lat} AS lat, {lng} AS lng
+                     FROM events),
+        occ AS (SELECT {x} AS tx, {y} AS ty, count(*) AS v
+                FROM pts GROUP BY 1, 2),
+        tot AS (SELECT CAST(count(*) AS HUGEINT) AS nn,
+                       CAST(sum(v) AS HUGEINT) AS ss FROM occ),
+        d AS (SELECT tx, ty,
+                     (SELECT nn FROM tot) * v - (SELECT ss FROM tot) AS d
+              FROM occ),
+        den AS (SELECT SUM(d * d) AS den FROM d),
+        o(dx, dy) AS (VALUES {offs}),
+        pairs AS (SELECT a.d AS d_src, b.d AS d_dst
+                  FROM d a, o
+                  JOIN d b ON b.tx = (a.tx + o.dx + {n}) % {n}
+                          AND b.ty = a.ty + o.dy),
+        numw AS (SELECT SUM(d_src * d_dst) AS num,
+                        CAST(count(*) AS HUGEINT) AS w FROM pairs)
+        SELECT CAST((SELECT nn FROM tot) AS BIGINT) AS n_tiles,
+               CAST(w AS BIGINT) AS w_pairs,
+               CAST(CASE WHEN num >= 0
+                    THEN (num * (SELECT nn FROM tot) * 1000000)
+                         // (w * den)
+                    ELSE -((-num * (SELECT nn FROM tot) * 1000000)
+                           // (w * den)) END AS BIGINT) AS i_ppm
+        FROM numw, den
+    """
+
+
 def _q_geofence_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geofence ENTER/EXIT detection
     (operators/sessionize.py:zone_crossings) composed over the
@@ -8952,6 +9020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pca_outliers": _q_pca_outliers,
         "q_geofence_crossings": _q_geofence_crossings,
         "q_tile_flood": _q_tile_flood,
+        "q_morans_i": _q_morans_i,
         "q_value_deciles": _q_value_deciles,
         "q_scd2_intervals": _q_scd2_intervals,
         "q_mutual_knn": _q_mutual_knn,
@@ -9111,6 +9180,7 @@ def oracle_sql() -> dict[str, str]:
         "q_pca_outliers": _oracle_pca_outliers(),
         "q_geofence_crossings": _oracle_geofence_crossings(),
         "q_tile_flood": _oracle_tile_flood(),
+        "q_morans_i": _oracle_morans_i(),
         "q_value_deciles": _oracle_value_deciles(),
         "q_scd2_intervals": _oracle_scd2_intervals(),
         "q_mutual_knn": _oracle_mutual_knn(),

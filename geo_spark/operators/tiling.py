@@ -231,3 +231,101 @@ def tile_day_anomalies(
             & (F.col("cnt") * 2 >= F.col("prev") * 3)
         ).cast("int"),
     )
+
+
+def morans_i(
+    occ: DataFrame,
+    z: int,
+    x_col: str = "tx",
+    y_col: str = "ty",
+    value_col: str = "cnt",
+) -> DataFrame:
+    """One row (n_tiles, w_pairs, i_ppm): GLOBAL Moran's I — the
+    standard spatial-autocorrelation statistic (is the value surface
+    clustered, random, or dispersed?) — over occupied web-mercator
+    tiles with binary queen (8-neighbor) weights, x wrapping at the
+    antimeridian and y clamped (the q_tile_flood adjacency).
+
+    Exact-integer formulation (the engine's portability discipline):
+    with N tiles, S = Σv, let d_i = N·v_i − S (so d_i = N·(v_i − v̄)
+    with no fraction).  Then
+
+        I = (N/W) · Σ_{ij adjacent} d_i d_j / Σ_i d_i²
+
+    — the N² from the deviations cancels — and the output is the ppm
+    floor  i_ppm = sign(num)·(|N·Σd_i d_j·10⁶| // (W·Σd_i²))  computed
+    in DECIMAL(38)/HUGEINT, truncating division on a non-negative
+    numerator only (the _rescale rule), so Spark and the SQL oracle
+    agree bit-for-bit.  I > 0 means clustering (hot tiles neighbor hot
+    tiles), ≈ −1/(N−1)·1e6 random, < that dispersed.
+
+    Scale shape: one total aggregate, one 8-way neighbor explode +
+    equi-join on tile keys (never a cross join), two skinny decimal
+    sums.  Emits W (adjacency-pair count) so callers can detect the
+    degenerate no-adjacency grid (i_ppm NULL)."""
+    n = 1 << z
+    base = occ.select(
+        F.col(x_col).alias("tx"),
+        F.col(y_col).alias("ty"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).alias("nn"), F.sum("v").alias("ss")
+    )
+    d = base.crossJoin(F.broadcast(tot)).select(
+        "tx", "ty", (F.col("nn") * F.col("v") - F.col("ss")).alias("d")
+    )
+    den = d.agg(
+        F.sum(
+            F.expr("cast(d as decimal(38,0)) * cast(d as decimal(38,0))")
+        ).alias("den")
+    )
+    offsets = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+                if (dx, dy) != (0, 0)
+            ]
+        )
+    )
+    nbr = (
+        d.select("tx", "ty", "d", offsets.alias("o"))
+        .select(
+            ((F.col("tx") + F.col("o.dx") + n) % n).alias("nx"),
+            (F.col("ty") + F.col("o.dy")).alias("ny"),
+            F.col("d").alias("d_src"),
+        )
+        .where((F.col("ny") >= 0) & (F.col("ny") < n))
+    )
+    pairs = nbr.join(
+        d.select(
+            F.col("tx").alias("nx"),
+            F.col("ty").alias("ny"),
+            F.col("d").alias("d_dst"),
+        ),
+        ["nx", "ny"],
+    )
+    numw = pairs.agg(
+        F.sum(
+            F.expr(
+                "cast(d_src as decimal(38,0)) * cast(d_dst as decimal(38,0))"
+            )
+        ).alias("num"),
+        F.count(F.lit(1)).alias("w"),
+    )
+    return (
+        tot.crossJoin(den)
+        .crossJoin(numw)
+        .select(
+            F.col("nn").cast("long").alias("n_tiles"),
+            F.col("w").cast("long").alias("w_pairs"),
+            F.expr(
+                "cast(CASE WHEN num >= 0"
+                " THEN (num * nn * 1000000) div (w * den)"
+                " ELSE -((-num * nn * 1000000) div (w * den)) END"
+                " as bigint)"
+            ).alias("i_ppm"),
+        )
+    )

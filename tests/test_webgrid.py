@@ -450,3 +450,97 @@ def test_tile_day_anomalies_spike_rule(spark):
     }
     assert got[2] == (4, 1)
     assert got[3] == (10, 0)
+
+
+def _morans_python(tiles, z):
+    """Exact integer replay of the morans_i spec."""
+    n = 1 << z
+    occ = dict(tiles)  # {(tx,ty): v}
+    nn = len(occ)
+    ss = sum(occ.values())
+    d = {k: nn * v - ss for k, v in occ.items()}
+    den = sum(x * x for x in d.values())
+    num = 0
+    w = 0
+    for (tx, ty), ds in d.items():
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if (dx, dy) == (0, 0):
+                    continue
+                k = ((tx + dx + n) % n, ty + dy)
+                if k[1] < 0 or k[1] >= n or k not in d:
+                    continue
+                num += ds * d[k]
+                w += 1
+    if w == 0 or den == 0:
+        return nn, w, None
+    t = num * nn * 1_000_000
+    i_ppm = abs(t) // (w * den)
+    return nn, w, i_ppm if t >= 0 else -i_ppm
+
+
+def test_morans_i_matches_python_and_signs(spark):
+    from geo_spark.operators.tiling import morans_i
+
+    z = 4
+    # clustered surface: one hot 3x3 block in a cold field
+    clustered = [
+        ((tx, ty), 100 if 4 <= tx <= 6 and 4 <= ty <= 6 else 1)
+        for tx in range(10)
+        for ty in range(10)
+    ]
+    # checkerboard: perfect dispersion
+    checker = [
+        ((tx, ty), 100 if (tx + ty) % 2 == 0 else 1)
+        for tx in range(10)
+        for ty in range(10)
+    ]
+    rng = np.random.default_rng(3)
+    random_grid = [
+        ((tx, ty), int(rng.integers(1, 50)))
+        for tx in range(12)
+        for ty in range(12)
+    ]
+    for name, tiles in (
+        ("clustered", clustered),
+        ("checker", checker),
+        ("random", random_grid),
+    ):
+        df = spark.createDataFrame(
+            [(tx, ty, v) for (tx, ty), v in tiles],
+            "tx long, ty long, cnt long",
+        )
+        got = morans_i(df, z).collect()[0]
+        nn, w, want = _morans_python(tiles, z)
+        assert (got["n_tiles"], got["w_pairs"], got["i_ppm"]) == (
+            nn,
+            w,
+            want,
+        ), name
+    # sign sanity: clustered strongly positive; the checkerboard is
+    # only mildly negative under QUEEN weights (its 4 diagonal
+    # neighbors share the checker color and cancel most of the 4
+    # rook neighbors' anti-correlation — rook weights would give -1)
+    assert _morans_python(clustered, z)[2] > 200_000
+    assert _morans_python(checker, z)[2] < 0
+
+
+def test_morans_i_wraps_antimeridian(spark):
+    """Tiles at tx=0 and tx=2^z-1 are neighbors (x wraps): two hot
+    columns at the seam behave like one cluster."""
+    from geo_spark.operators.tiling import morans_i
+
+    z = 3
+    n = 1 << z
+    tiles = [
+        ((tx, ty), 50 if tx in (0, n - 1) else 1)
+        for tx in range(n)
+        for ty in range(4)
+    ]
+    df = spark.createDataFrame(
+        [(tx, ty, v) for (tx, ty), v in tiles], "tx long, ty long, cnt long"
+    )
+    got = morans_i(df, z).collect()[0]
+    nn, w, want = _morans_python(tiles, z)
+    assert (got["n_tiles"], got["w_pairs"], got["i_ppm"]) == (nn, w, want)
+    assert want > 0  # the wrap makes the seam one positive cluster
