@@ -275,3 +275,78 @@ def stream_cms_heavy_hitters(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+HLL_OUTPUT_SCHEMA = "grp string, n_regs long, est_distinct long"
+HLL_STATE_SCHEMA = "js array<long>, regs array<long>"
+
+
+def stream_hll_distinct(
+    stream: DataFrame,
+    p: int = 6,
+    group_col: str = "grp",
+    value_col: str = "v",
+) -> DataFrame:
+    """Streaming HyperLogLog twin of operators/sketches.hll_distinct:
+    state per group is the occupied (j, reg) register pairs (bounded by
+    2^p cells — the HLL contract), MAX-merged per micro-batch inside
+    ``applyInPandasWithState``; each update emits the refreshed
+    integer estimate, so on a drained source the final row per group
+    equals the batch operator bit-for-bit (asserted in tests).
+
+    The (j, rank) pair is computed UPSTREAM by the same md5_52_sql +
+    bin-length expressions batch uses — one hash definition, shared
+    (the stream_cms_estimates discipline)."""
+    from pyspark.sql import functions as F
+
+    from geo_spark.operators.sketches import _hll_alpha_ppm, md5_52_sql
+
+    m = 1 << p
+    r_bits = 52 - p
+    pow_top = 1 << (r_bits + 1)
+    alpha_n = (_hll_alpha_ppm(m) * m * m * pow_top) // 1_000_000
+
+    h = F.expr(md5_52_sql(value_col, "hll"))
+    base = stream.select(F.col(group_col).alias("grp"), h.alias("_h"))
+    w = F.expr(f"_h div {m}")
+    rank = (
+        F.when(w == 0, F.lit(r_bits + 1))
+        .otherwise(F.lit(r_bits + 1) - F.length(F.bin(w)))
+        .cast("long")
+    )
+    pos = base.select(
+        "grp", (F.col("_h") % m).alias("j"), rank.alias("rnk")
+    )
+
+    def fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        batch = pd.concat(list(pdfs))
+        regs: dict[int, int] = {}
+        if state.exists:
+            js, rs = state.get
+            regs = dict(zip((int(x) for x in js), (int(x) for x in rs)))
+        for j, r in zip(
+            batch["j"].to_numpy(np.int64), batch["rnk"].to_numpy(np.int64)
+        ):
+            j = int(j)
+            if r > regs.get(j, 0):
+                regs[j] = int(r)
+        js = sorted(regs)
+        state.update((js, [regs[j] for j in js]))
+        s = sum(1 << (r_bits + 1 - regs[j]) for j in js)
+        s += (m - len(js)) * pow_top
+        yield pd.DataFrame(
+            {
+                "grp": [key[0]],
+                "n_regs": [len(js)],
+                "est_distinct": [alpha_n // s],
+            }
+        )
+
+    return pos.groupBy("grp").applyInPandasWithState(
+        fn,
+        HLL_OUTPUT_SCHEMA,
+        HLL_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -213,3 +213,49 @@ def test_stream_cms_heavy_hitters_drained(spark, tmp_path):
         if n >= threshold:
             refined[(g, int(it))] = (est, n)
     assert refined == want_exact
+
+
+def test_stream_hll_matches_batch(spark, tmp_path):
+    """Drained streaming HLL == batch hll_distinct row-for-row (max
+    merge across micro-batches is the state path being certified)."""
+    from geo_spark.operators.sketches import hll_distinct
+    from geo_spark.streaming.sketches import stream_hll_distinct
+
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame(
+        {
+            "grp": np.where(rng.integers(0, 2, 5000) == 0, "a", "b"),
+            "v": rng.integers(0, 1200, 5000).astype(np.int64),
+        }
+    )
+    src = str(tmp_path / "hll_src")
+    spark.createDataFrame(pdf).repartition(6).write.parquet(src)
+    static = spark.read.parquet(src)
+    want = {
+        r["grp"]: (r["n_regs"], r["est_distinct"])
+        for r in hll_distinct(static, ["grp"], "v", p=6).collect()
+    }
+
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = (
+        stream_hll_distinct(stream, p=6)
+        .writeStream.format("memory")
+        .queryName("hll_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "hll_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql("SELECT * FROM hll_stream").toPandas()
+    q.stop()
+    # state only grows: final row per group = max n_regs then max est
+    got = {}
+    for g, grp in rows.groupby("grp"):
+        r = grp.sort_values(["n_regs", "est_distinct"]).iloc[-1]
+        got[g] = (int(r["n_regs"]), int(r["est_distinct"]))
+    assert got == want
