@@ -4636,6 +4636,63 @@ def _oracle_robots_wildcard() -> str:
     """
 
 
+def _q_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery (operators/webcorpus.py:parse_sitemap):
+    per-domain urlset XML bodies are SYNTHESIZED from the documents
+    table (multi-line entries, every third entry missing <lastmod>),
+    then parsed back by the real regex parser.  The oracle derives
+    (domain, loc, lastmod) straight from the construction arithmetic —
+    the parser is certified against ground truth, never against
+    another parser (the WARC/robots discipline)."""
+    from geo_spark.operators.webcorpus import parse_sitemap
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    k = F.col("doc_id") % 20
+    lastmod = F.when(
+        F.col("doc_id") % 3 != 0,
+        F.concat(
+            F.lit("<lastmod>2026-01-"),
+            F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+            F.lit("</lastmod>"),
+        ),
+    ).otherwise(F.lit(""))
+    entry = F.concat(
+        F.lit("<url>\n    <loc>https://d"), k,
+        F.lit(".example/p"), F.col("doc_id"),
+        F.lit("</loc>"), lastmod, F.lit("\n  </url>"),
+    )
+    sitemaps = (
+        docs.select(
+            F.concat(F.lit("d"), k, F.lit(".example")).alias("domain"),
+            entry.alias("_e"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.concat(
+                F.lit('<?xml version="1.0"?>\n<urlset>\n  '),
+                F.array_join(
+                    F.array_sort(F.collect_list("_e")), "\n  "
+                ),
+                F.lit("\n</urlset>"),
+            ).alias("sitemap_xml")
+        )
+    )
+    return parse_sitemap(sitemaps).orderBy("loc")
+
+
+def _oracle_sitemap_extract() -> str:
+    return """
+        SELECT 'd' || (doc_id % 20) || '.example' AS domain,
+               'https://d' || (doc_id % 20) || '.example/p' || doc_id
+                 AS loc,
+               CASE WHEN doc_id % 3 != 0
+                    THEN '2026-01-' ||
+                         lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                    ELSE '' END AS lastmod
+        FROM documents ORDER BY loc
+    """
+
+
 def _q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC container round trip (sources/warc.py): documents are
     packed into spec-shaped WARC/1.0 blobs (Content-Length framing) and
@@ -9030,6 +9087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_warc_extract": _q_warc_extract,
         "q_robots_filter": _q_robots_filter,
         "q_robots_wildcard": _q_robots_wildcard,
+        "q_sitemap_extract": _q_sitemap_extract,
         "q_html_links": _q_html_links,
         "q_anchor_text": _q_anchor_text,
         "q_crawl_pipeline": _q_crawl_pipeline,
@@ -9190,6 +9248,7 @@ def oracle_sql() -> dict[str, str]:
         "q_warc_extract": _oracle_warc_extract(),
         "q_robots_filter": _oracle_robots_filter(),
         "q_robots_wildcard": _oracle_robots_wildcard(),
+        "q_sitemap_extract": _oracle_sitemap_extract(),
         "q_html_links": _oracle_html_links(),
         "q_anchor_text": _oracle_anchor_text(),
         "q_crawl_pipeline": _oracle_crawl_pipeline(),

@@ -290,3 +290,37 @@ def robots_filter(
             .alias("allowed"),
         )
     )
+
+
+def parse_sitemap(
+    sitemaps: DataFrame,
+    domain_col: str = "domain",
+    xml_col: str = "sitemap_xml",
+) -> DataFrame:
+    """(domain, loc, lastmod): parse sitemap XML bodies (the
+    sitemaps.org urlset form) into one row per <url> entry — the
+    crawl-discovery companion to parse_robots.  <lastmod> is optional
+    per entry ('' when absent; it drives recrawl scheduling).
+
+    Native SQL only: one regexp_extract_all over the body splits the
+    <url> blocks ([\\s\\S]*? so entries may span lines), then per-block
+    regexp_extract pulls loc/lastmod — codegen end to end, one explode
+    of the (small, per-domain) sitemap table, the parse_robots scale
+    shape.  Scope: no <sitemapindex> recursion (an index file is just
+    another explode of the same shape), no namespace handling."""
+    entries = sitemaps.select(
+        F.col(domain_col).alias("domain"),
+        F.explode(
+            F.expr(
+                f"regexp_extract_all({xml_col}, "
+                "'<url>([\\\\s\\\\S]*?)</url>', 1)"
+            )
+        ).alias("_e"),
+    )
+    return entries.select(
+        "domain",
+        F.regexp_extract(F.col("_e"), "<loc>([^<]*)</loc>", 1).alias("loc"),
+        F.regexp_extract(
+            F.col("_e"), "<lastmod>([^<]*)</lastmod>", 1
+        ).alias("lastmod"),
+    ).where(F.col("loc") != "")

@@ -300,3 +300,28 @@ def test_robots_wildcard_plain_rules_unchanged(spark):
         ).collect()
     }
     assert plain == wild
+
+
+def test_parse_sitemap(spark):
+    from geo_spark.operators.webcorpus import parse_sitemap
+
+    xml = (
+        '<?xml version="1.0"?>\n<urlset>\n'
+        "  <url>\n    <loc>https://a.com/1</loc>\n"
+        "    <lastmod>2026-01-05</lastmod>\n  </url>\n"
+        "  <url><loc>https://a.com/2</loc></url>\n"
+        "  <url><lastmod>2026-01-06</lastmod></url>\n"  # no loc: dropped
+        "</urlset>"
+    )
+    df = spark.createDataFrame(
+        [("a.com", xml), ("b.com", "<urlset></urlset>")],
+        "domain string, sitemap_xml string",
+    )
+    got = {
+        (r["domain"], r["loc"]): r["lastmod"]
+        for r in parse_sitemap(df).collect()
+    }
+    assert got == {
+        ("a.com", "https://a.com/1"): "2026-01-05",
+        ("a.com", "https://a.com/2"): "",
+    }
