@@ -4693,6 +4693,111 @@ def _oracle_sitemap_extract() -> str:
     """
 
 
+def _q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-7 WEBTEXT composition certificate: crawl-frontier
+    construction — sitemap-discovered URLs (parse_sitemap over
+    synthesized urlset XML) run through the WILDCARD robots policy
+    (parse_robots(wildcards=True) + longest-match regex filter), then
+    rolled up per domain to (n_discovered, n_allowed).  ONE oracle
+    replays both constructions and the regex longest-match end to end
+    — the q_crawl_pipeline discipline applied to the session-7
+    operators composing."""
+    from geo_spark.operators.webcorpus import (
+        parse_robots,
+        parse_sitemap,
+        robots_filter,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    k = F.col("doc_id") % 20
+    entry = F.concat(
+        F.lit("<url><loc>https://d"), k, F.lit(".example/p"),
+        F.col("doc_id") % 9, F.lit("x/q"), F.col("doc_id") % 4,
+        F.lit("-"), F.col("doc_id"),  # unique path per doc (dup rows
+        F.lit("</loc></url>"),        # would collapse in the rollup)
+    )
+    sitemaps = (
+        docs.select(
+            F.concat(F.lit("d"), k, F.lit(".example")).alias("domain"),
+            entry.alias("_e"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.concat(
+                F.lit("<urlset>"),
+                F.array_join(F.array_sort(F.collect_list("_e")), "\n"),
+                F.lit("</urlset>"),
+            ).alias("sitemap_xml")
+        )
+    )
+    ks = docs.select(k.alias("k")).distinct()
+    robots = ks.select(
+        F.concat(F.lit("d"), F.col("k"), F.lit(".example")).alias("domain"),
+        F.concat(
+            F.lit("User-agent: *\n"),
+            F.lit("Disallow: /p"), (F.col("k") % 7), F.lit("*/q\n"),
+            F.when(
+                F.col("k") % 2 == 0,
+                F.concat(
+                    F.lit("Allow: /p"), F.col("k") % 7,
+                    F.lit("*/q"), F.col("k") % 3, F.lit("\n"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("robots_txt"),
+    )
+    urls = parse_sitemap(sitemaps).select(
+        "domain",
+        F.regexp_replace(
+            F.col("loc"), "^https://[^/]*", ""
+        ).alias("path"),
+    )
+    allowed = robots_filter(
+        urls, parse_robots(robots, wildcards=True), wildcards=True
+    )
+    return (
+        allowed.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_discovered"),
+            F.sum("allowed").alias("n_allowed"),
+        )
+        .orderBy("domain")
+    )
+
+
+def _oracle_crawl_frontier() -> str:
+    return r"""
+        WITH ks AS (SELECT DISTINCT doc_id % 20 AS k FROM documents),
+        urls AS (SELECT 'd' || (doc_id % 20) || '.example' AS domain,
+                        doc_id % 20 AS k,
+                        '/p' || (doc_id % 9) || 'x/q' || (doc_id % 4)
+                          || '-' || doc_id AS path
+                 FROM documents),
+        rules AS (
+            SELECT k, '/p' || (k % 7) || '*/q' AS raw,
+                   '^/p' || (k % 7) || '.*/q' AS pat, 0 AS allow FROM ks
+            UNION ALL
+            SELECT k, '/p' || (k % 7) || '*/q' || (k % 3),
+                   '^/p' || (k % 7) || '.*/q' || (k % 3), 1
+            FROM ks WHERE k % 2 = 0
+        ),
+        m AS (SELECT u.domain, u.path, r.allow,
+                     row_number() OVER (
+                       PARTITION BY u.domain, u.path
+                       ORDER BY length(r.raw) DESC, r.allow DESC) AS rk
+              FROM urls u JOIN rules r ON r.k = u.k
+              WHERE regexp_matches(u.path, r.pat)),
+        verdicts AS (SELECT u.domain, u.path,
+                            coalesce(m.allow, 1) AS allowed
+                     FROM urls u
+                     LEFT JOIN m ON m.domain = u.domain
+                                AND m.path = u.path AND m.rk = 1)
+        SELECT domain,
+               CAST(count(*) AS BIGINT) AS n_discovered,
+               CAST(sum(allowed) AS BIGINT) AS n_allowed
+        FROM verdicts GROUP BY domain ORDER BY domain
+    """
+
+
 def _q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC container round trip (sources/warc.py): documents are
     packed into spec-shaped WARC/1.0 blobs (Content-Length framing) and
@@ -9088,6 +9193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_robots_filter": _q_robots_filter,
         "q_robots_wildcard": _q_robots_wildcard,
         "q_sitemap_extract": _q_sitemap_extract,
+        "q_crawl_frontier": _q_crawl_frontier,
         "q_html_links": _q_html_links,
         "q_anchor_text": _q_anchor_text,
         "q_crawl_pipeline": _q_crawl_pipeline,
@@ -9249,6 +9355,7 @@ def oracle_sql() -> dict[str, str]:
         "q_robots_filter": _oracle_robots_filter(),
         "q_robots_wildcard": _oracle_robots_wildcard(),
         "q_sitemap_extract": _oracle_sitemap_extract(),
+        "q_crawl_frontier": _oracle_crawl_frontier(),
         "q_html_links": _oracle_html_links(),
         "q_anchor_text": _oracle_anchor_text(),
         "q_crawl_pipeline": _oracle_crawl_pipeline(),
