@@ -5340,6 +5340,75 @@ def _oracle_morans_i() -> str:
     """
 
 
+def _q_local_morans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISA hot/cold-spot map (operators/tiling.py:local_morans): the
+    per-tile companion of q_morans_i — local Moran's I in the same
+    exact-integer ppm spec plus the HH/LL/HL/LH quadrant labels.
+    Oracle replays deviations -> neighbor lag -> per-tile ppm ->
+    quadrant CASE in HUGEINT, bit-for-bit including the NULL/''
+    no-neighbor edge."""
+    from geo_spark.functions.webgrid import mercator_xy_cols
+    from geo_spark.operators.geo_noise import with_geo_noise
+    from geo_spark.operators.tiling import local_morans
+
+    ev = with_geo_noise(_t(spark, sf_dir, "events"), "event_id")
+    x, y = mercator_xy_cols(F.col("lat"), F.col("lng"), _MORAN_Z)
+    occ = (
+        ev.select(x.alias("tx"), y.alias("ty"))
+        .groupBy("tx", "ty")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return local_morans(occ, _MORAN_Z).orderBy("tx", "ty")
+
+
+def _oracle_local_morans() -> str:
+    from geo_spark.functions.webgrid import mercator_xy_sql
+    from geo_spark.operators.geo_noise import LAT_SQL, LNG_SQL
+
+    n = 1 << _MORAN_Z
+    lat = LAT_SQL.format(id="event_id")
+    lng = LNG_SQL.format(id="event_id")
+    x, y = mercator_xy_sql("lat", "lng", _MORAN_Z)
+    offs = ", ".join(
+        f"({dx}, {dy})"
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+        if (dx, dy) != (0, 0)
+    )
+    num = "(d.d * lag.lag * (SELECT nn FROM tot) * 1000000)"
+    return f"""
+        WITH pts AS (SELECT event_id, {lat} AS lat, {lng} AS lng
+                     FROM events),
+        occ AS (SELECT {x} AS tx, {y} AS ty, count(*) AS v
+                FROM pts GROUP BY 1, 2),
+        tot AS (SELECT CAST(count(*) AS HUGEINT) AS nn,
+                       CAST(sum(v) AS HUGEINT) AS ss FROM occ),
+        d AS (SELECT tx, ty,
+                     (SELECT nn FROM tot) * v - (SELECT ss FROM tot) AS d
+              FROM occ),
+        den AS (SELECT SUM(d * d) AS den FROM d),
+        o(dx, dy) AS (VALUES {offs}),
+        lag AS (SELECT a.tx, a.ty, SUM(b.d) AS lag
+                FROM d a, o
+                JOIN d b ON b.tx = (a.tx + o.dx + {n}) % {n}
+                        AND b.ty = a.ty + o.dy
+                GROUP BY a.tx, a.ty)
+        SELECT d.tx, d.ty,
+               CAST(CASE WHEN lag.lag IS NULL THEN NULL
+                    WHEN {num} >= 0
+                    THEN {num} // (SELECT den FROM den)
+                    ELSE -((-{num}) // (SELECT den FROM den))
+                    END AS BIGINT) AS i_ppm,
+               CASE WHEN lag.lag IS NULL OR d.d = 0 OR lag.lag = 0
+                    THEN ''
+                    WHEN d.d > 0 AND lag.lag > 0 THEN 'HH'
+                    WHEN d.d < 0 AND lag.lag < 0 THEN 'LL'
+                    WHEN d.d > 0 THEN 'HL' ELSE 'LH' END AS quadrant
+        FROM d LEFT JOIN lag ON lag.tx = d.tx AND lag.ty = d.ty
+        ORDER BY d.tx, d.ty
+    """
+
+
 def _q_geofence_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geofence ENTER/EXIT detection
     (operators/sessionize.py:zone_crossings) composed over the
@@ -9183,6 +9252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_geofence_crossings": _q_geofence_crossings,
         "q_tile_flood": _q_tile_flood,
         "q_morans_i": _q_morans_i,
+        "q_local_morans": _q_local_morans,
         "q_value_deciles": _q_value_deciles,
         "q_scd2_intervals": _q_scd2_intervals,
         "q_mutual_knn": _q_mutual_knn,
@@ -9345,6 +9415,7 @@ def oracle_sql() -> dict[str, str]:
         "q_geofence_crossings": _oracle_geofence_crossings(),
         "q_tile_flood": _oracle_tile_flood(),
         "q_morans_i": _oracle_morans_i(),
+        "q_local_morans": _oracle_local_morans(),
         "q_value_deciles": _oracle_value_deciles(),
         "q_scd2_intervals": _oracle_scd2_intervals(),
         "q_mutual_knn": _oracle_mutual_knn(),

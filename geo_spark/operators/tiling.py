@@ -329,3 +329,98 @@ def morans_i(
             ).alias("i_ppm"),
         )
     )
+
+
+def local_morans(
+    occ: DataFrame,
+    z: int,
+    x_col: str = "tx",
+    y_col: str = "ty",
+    value_col: str = "cnt",
+) -> DataFrame:
+    """(tx, ty, i_ppm, quadrant): LOCAL Moran's I (Anselin's LISA) per
+    occupied tile — where the global statistic says "the surface is
+    clustered", the local one says *which tiles* are the clusters:
+
+        I_i = N · d_i · Σ_{j adjacent} d_j / Σ_k d_k²
+
+    (d_i = N·v_i − S as in :func:`morans_i`; same queen adjacency,
+    same exact-integer ppm floor with the sign-split division).
+    ``quadrant`` is the LISA cluster map label from the signs of d_i
+    and the neighbor sum: HH hot spot, LL cold spot, HL hot outlier in
+    a cold field, LH the reverse; tiles with zero deviation or no
+    neighbors get ''.
+
+    Scale shape: identical joins to morans_i plus one per-tile
+    neighbor-sum aggregate — everything stays keyed by tile, no
+    cross join, broadcast only of the 1-row totals."""
+    n = 1 << z
+    base = occ.select(
+        F.col(x_col).alias("tx"),
+        F.col(y_col).alias("ty"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).alias("nn"), F.sum("v").alias("ss")
+    )
+    d = base.crossJoin(F.broadcast(tot)).select(
+        "tx", "ty", (F.col("nn") * F.col("v") - F.col("ss")).alias("d")
+    )
+    den = d.agg(
+        F.sum(
+            F.expr("cast(d as decimal(38,0)) * cast(d as decimal(38,0))")
+        ).alias("den")
+    )
+    offsets = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+                if (dx, dy) != (0, 0)
+            ]
+        )
+    )
+    nbr = (
+        d.select("tx", "ty", offsets.alias("o"))
+        .select(
+            "tx",
+            "ty",
+            ((F.col("tx") + F.col("o.dx") + n) % n).alias("nx"),
+            (F.col("ty") + F.col("o.dy")).alias("ny"),
+        )
+        .where((F.col("ny") >= 0) & (F.col("ny") < n))
+    )
+    nsum = (
+        nbr.join(
+            d.select(
+                F.col("tx").alias("nx"),
+                F.col("ty").alias("ny"),
+                F.col("d").alias("d_nbr"),
+            ),
+            ["nx", "ny"],
+        )
+        .groupBy("tx", "ty")
+        .agg(F.sum("d_nbr").alias("lag"))
+    )
+    out = (
+        d.join(nsum, ["tx", "ty"], "left")
+        .crossJoin(F.broadcast(tot.select("nn")))
+        .crossJoin(F.broadcast(den))
+    )
+    num = "cast(d as decimal(38,0)) * cast(lag as decimal(38,0)) * nn * 1000000"
+    return out.select(
+        "tx",
+        "ty",
+        F.expr(
+            f"cast(CASE WHEN lag IS NULL THEN NULL"
+            f" WHEN ({num}) >= 0 THEN ({num}) div den"
+            f" ELSE -((-({num})) div den) END as bigint)"
+        ).alias("i_ppm"),
+        F.expr(
+            "CASE WHEN lag IS NULL OR d = 0 OR lag = 0 THEN ''"
+            " WHEN d > 0 AND lag > 0 THEN 'HH'"
+            " WHEN d < 0 AND lag < 0 THEN 'LL'"
+            " WHEN d > 0 THEN 'HL' ELSE 'LH' END"
+        ).alias("quadrant"),
+    )

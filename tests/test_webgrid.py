@@ -544,3 +544,69 @@ def test_morans_i_wraps_antimeridian(spark):
     nn, w, want = _morans_python(tiles, z)
     assert (got["n_tiles"], got["w_pairs"], got["i_ppm"]) == (nn, w, want)
     assert want > 0  # the wrap makes the seam one positive cluster
+
+
+def _local_morans_python(tiles, z):
+    n = 1 << z
+    occ = dict(tiles)
+    nn = len(occ)
+    ss = sum(occ.values())
+    d = {k: nn * v - ss for k, v in occ.items()}
+    den = sum(x * x for x in d.values())
+    out = {}
+    for (tx, ty), di in d.items():
+        lag = None
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if (dx, dy) == (0, 0):
+                    continue
+                k = ((tx + dx + n) % n, ty + dy)
+                if k[1] < 0 or k[1] >= n or k not in d:
+                    continue
+                lag = (lag or 0) + d[k]
+        if lag is None:
+            out[(tx, ty)] = (None, "")
+            continue
+        t = di * lag * nn * 1_000_000
+        ip = abs(t) // den
+        ip = ip if t >= 0 else -ip
+        if di == 0 or lag == 0:
+            q = ""
+        elif di > 0 and lag > 0:
+            q = "HH"
+        elif di < 0 and lag < 0:
+            q = "LL"
+        elif di > 0:
+            q = "HL"
+        else:
+            q = "LH"
+        out[(tx, ty)] = (ip, q)
+    return out
+
+
+def test_local_morans_matches_python_and_quadrants(spark):
+    from geo_spark.operators.tiling import local_morans
+
+    z = 4
+    # hot block + one isolated hot outlier in a cold field, plus a
+    # detached tile with no neighbors at all
+    tiles = [
+        ((tx, ty), 100 if 2 <= tx <= 4 and 2 <= ty <= 4 else 1)
+        for tx in range(8)
+        for ty in range(8)
+    ]
+    tiles.append(((12, 12), 100))  # isolated: no occupied neighbors
+    df = spark.createDataFrame(
+        [(tx, ty, v) for (tx, ty), v in tiles], "tx long, ty long, cnt long"
+    )
+    got = {
+        (r["tx"], r["ty"]): (r["i_ppm"], r["quadrant"])
+        for r in local_morans(df, z).collect()
+    }
+    want = _local_morans_python(tiles, z)
+    assert got == want
+    assert got[(3, 3)][1] == "HH"      # block core: hot in hot
+    assert got[(0, 0)][1] == "LL"      # far field: cold in cold
+    assert got[(12, 12)] == (None, "")  # no neighbors
+    # block-adjacent cold tiles are LH (cold next to hot)
+    assert got[(1, 3)][1] == "LH"
