@@ -5409,6 +5409,57 @@ def _oracle_local_morans() -> str:
     """
 
 
+def _q_type_colocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial co-location mining (operators/tiling.py:
+    colocation_lift): per event-type pair, tile-presence lift in exact
+    ppm at mercator z=5 — the geospatial twin of q_token_lift's
+    integer-PMI.  Oracle replays tiling -> distinct presence ->
+    tile-keyed pair join -> ppm lift."""
+    from geo_spark.functions.webgrid import mercator_xy_cols
+    from geo_spark.operators.geo_noise import with_geo_noise
+    from geo_spark.operators.tiling import colocation_lift
+
+    ev = with_geo_noise(_t(spark, sf_dir, "events"), "event_id")
+    x, y = mercator_xy_cols(F.col("lat"), F.col("lng"), 5)
+    pts = ev.select(
+        x.alias("tx"), y.alias("ty"), "event_type"
+    )
+    return colocation_lift(pts, 5).orderBy("type_a", "type_b")
+
+
+def _oracle_type_colocation() -> str:
+    from geo_spark.functions.webgrid import mercator_xy_sql
+    from geo_spark.operators.geo_noise import LAT_SQL, LNG_SQL
+
+    lat = LAT_SQL.format(id="event_id")
+    lng = LNG_SQL.format(id="event_id")
+    x, y = mercator_xy_sql("lat", "lng", 5)
+    return f"""
+        WITH pts AS (SELECT event_id, event_type,
+                            {lat} AS lat, {lng} AS lng FROM events),
+        occ AS (SELECT DISTINCT {x} AS tx, {y} AS ty, event_type AS t
+                FROM pts),
+        per_t AS (SELECT t, count(*) AS n_t FROM occ GROUP BY t),
+        nt AS (SELECT count(*) AS n_tiles
+               FROM (SELECT DISTINCT tx, ty FROM occ)),
+        pairs AS (SELECT a.t AS type_a, b.t AS type_b, count(*) AS n_ab
+                  FROM occ a JOIN occ b
+                    ON a.tx = b.tx AND a.ty = b.ty AND a.t < b.t
+                  GROUP BY 1, 2)
+        SELECT type_a, type_b,
+               CAST(na.n_t AS BIGINT) AS n_a,
+               CAST(nb.n_t AS BIGINT) AS n_b,
+               CAST(n_ab AS BIGINT) AS n_ab,
+               CAST((SELECT n_tiles FROM nt) AS BIGINT) AS n_tiles,
+               CAST((n_ab * (SELECT n_tiles FROM nt) * 1000000)
+                    // (na.n_t * nb.n_t) AS BIGINT) AS lift_ppm
+        FROM pairs
+        JOIN per_t na ON na.t = type_a
+        JOIN per_t nb ON nb.t = type_b
+        ORDER BY type_a, type_b
+    """
+
+
 def _q_geofence_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geofence ENTER/EXIT detection
     (operators/sessionize.py:zone_crossings) composed over the
@@ -9253,6 +9304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tile_flood": _q_tile_flood,
         "q_morans_i": _q_morans_i,
         "q_local_morans": _q_local_morans,
+        "q_type_colocation": _q_type_colocation,
         "q_value_deciles": _q_value_deciles,
         "q_scd2_intervals": _q_scd2_intervals,
         "q_mutual_knn": _q_mutual_knn,
@@ -9416,6 +9468,7 @@ def oracle_sql() -> dict[str, str]:
         "q_tile_flood": _oracle_tile_flood(),
         "q_morans_i": _oracle_morans_i(),
         "q_local_morans": _oracle_local_morans(),
+        "q_type_colocation": _oracle_type_colocation(),
         "q_value_deciles": _oracle_value_deciles(),
         "q_scd2_intervals": _oracle_scd2_intervals(),
         "q_mutual_knn": _oracle_mutual_knn(),

@@ -424,3 +424,64 @@ def local_morans(
             " WHEN d > 0 THEN 'HL' ELSE 'LH' END"
         ).alias("quadrant"),
     )
+
+
+def colocation_lift(
+    pts: DataFrame,
+    z: int,
+    type_col: str = "event_type",
+    x_col: str = "tx",
+    y_col: str = "ty",
+) -> DataFrame:
+    """(type_a, type_b, n_a, n_b, n_ab, n_tiles, lift_ppm): spatial
+    co-location mining — for every unordered pair of event types, how
+    much more often they share a tile than independence predicts:
+
+        lift = P(a ∧ b) / (P(a)·P(b))
+             = n_ab · n_tiles / (n_a · n_b)        (tile-presence counts)
+
+    emitted as the exact ppm floor (n_ab·n_tiles·10⁶) // (n_a·n_b) —
+    the spatial cousin of text.token_lift (same bounded-denominator
+    integer-PMI trick: the log is dropped, monotone, so the RANKING is
+    the association ranking).  lift > 1e6 means attraction, < 1e6
+    avoidance.
+
+    Scale shape: one distinct (tile, type) projection, one self-join
+    keyed by tile (fan-out bounded by types-per-tile, never by row
+    count — the degree-bounded wedge trick from triangle_counts), one
+    pair aggregate + two broadcast-size per-type joins."""
+    occ = pts.select(
+        F.col(x_col), F.col(y_col), F.col(type_col).alias("t")
+    ).distinct()
+    per_type = occ.groupBy("t").agg(F.count(F.lit(1)).alias("n_t"))
+    n_tiles = occ.select(x_col, y_col).distinct().count()
+    a = occ.select(x_col, y_col, F.col("t").alias("type_a"))
+    b = occ.select(x_col, y_col, F.col("t").alias("type_b"))
+    pairs = (
+        a.join(b, [x_col, y_col])
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    na = per_type.select(
+        F.col("t").alias("type_a"), F.col("n_t").alias("n_a")
+    )
+    nb = per_type.select(
+        F.col("t").alias("type_b"), F.col("n_t").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.lit(n_tiles).cast("long").alias("n_tiles"),
+            F.expr(
+                f"(n_ab * {n_tiles} * cast(1000000 as bigint))"
+                " div (n_a * n_b)"
+            ).alias("lift_ppm"),
+        )
+    )

@@ -610,3 +610,47 @@ def test_local_morans_matches_python_and_quadrants(spark):
     assert got[(12, 12)] == (None, "")  # no neighbors
     # block-adjacent cold tiles are LH (cold next to hot)
     assert got[(1, 3)][1] == "LH"
+
+
+def test_colocation_lift_matches_python(spark):
+    from geo_spark.operators.tiling import colocation_lift
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(400):
+        tx, ty = int(rng.integers(0, 6)), int(rng.integers(0, 6))
+        t = ["buy", "view", "click"][int(rng.integers(0, 3))]
+        rows.append((tx, ty, t))
+    # force attraction: 'pair_x' and 'pair_y' always share tiles
+    for tx in range(3):
+        rows += [(tx, 9, "pair_x"), (tx, 9, "pair_y")]
+    df = spark.createDataFrame(rows, "tx long, ty long, event_type string")
+    occ = {(tx, ty, t) for tx, ty, t in rows}
+    tiles = {(tx, ty) for tx, ty, _ in occ}
+    per_t = {}
+    for tx, ty, t in occ:
+        per_t[t] = per_t.get(t, 0) + 1
+    from collections import defaultdict
+
+    by_tile = defaultdict(set)
+    for tx, ty, t in occ:
+        by_tile[(tx, ty)].add(t)
+    n_ab = defaultdict(int)
+    for ts in by_tile.values():
+        ts = sorted(ts)
+        for i in range(len(ts)):
+            for j in range(i + 1, len(ts)):
+                n_ab[(ts[i], ts[j])] += 1
+    want = {
+        k: (per_t[k[0]], per_t[k[1]], v, len(tiles),
+            (v * len(tiles) * 1_000_000) // (per_t[k[0]] * per_t[k[1]]))
+        for k, v in n_ab.items()
+    }
+    got = {
+        (r["type_a"], r["type_b"]): (
+            r["n_a"], r["n_b"], r["n_ab"], r["n_tiles"], r["lift_ppm"]
+        )
+        for r in colocation_lift(df, 4).collect()
+    }
+    assert got == want
+    assert got[("pair_x", "pair_y")][4] > 1_000_000  # attraction
