@@ -2,17 +2,18 @@
 
 The Spark-side plumbing is real — schemas, Arrow batch shapes,
 ``mapInPandas`` fan-out, partition sizing — and since round 3 the image
-decode is REAL for the three library-free formats: uncompressed 24-bit
-BMP, binary PPM, and (new this round) PNG — a full chunk-walking
-decoder over stdlib zlib with CRC verification and all five scanline
-filters, plus a matching encoder — all pure numpy/struct codecs in
-this module (round-trip tests per filter type), and the fixture media
-table carries actual encoded BMP and PNG files.  Formats that
-genuinely need external codecs (JPEG/video) still dispatch to the
-deterministic fake when PIL/ffmpeg are absent (:data:`HAVE_CODECS`) —
-swapping in a real codec changes one function, and the downstream
-pipeline (feature-extract -> resize / frame-sample -> aggregate) is
-identical either way.
+decode is REAL for the four library-free formats: uncompressed 24-bit
+BMP, binary PPM, PNG (full chunk-walking decoder over stdlib zlib with
+CRC verification and all five scanline filters, plus a matching
+encoder), and GIF87a/89a (real LZW with growing code widths and
+dictionary resets, interlace, local/global palettes) — all pure
+numpy/struct codecs in this module (round-trip tested per variant),
+and the fixture media table carries actual encoded BMP and PNG files.
+Formats that genuinely need external codecs (JPEG/video) still
+dispatch to the deterministic fake when PIL/ffmpeg are absent
+(:data:`HAVE_CODECS`) — swapping in a real codec changes one function,
+and the downstream pipeline (feature-extract -> resize / frame-sample
+-> aggregate) is identical either way.
 
 Batch discipline: media rows are fat (MBs), so operators re-partition by
 byte budget, not row count — ``partitions_for_bytes`` — and every UDF
@@ -325,6 +326,206 @@ def decode_png(data: bytes) -> np.ndarray:
     return px[..., :3].copy()
 
 
+def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
+    """GIF-flavor LZW: LSB-first bit packing, CLEAR/EOI codes, code
+    width grows at dictionary size, dictionary reset at 4096."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out_bits: list[tuple[int, int]] = []  # (code, width)
+
+    def fresh():
+        return {(i,): i for i in range(clear)}, eoi + 1, min_code_size + 1
+
+    table, next_code, width = fresh()
+    out_bits.append((clear, width))
+    seq: tuple[int, ...] = ()
+    for px in indices.tolist():
+        cand = seq + (px,)
+        if cand in table:
+            seq = cand
+            continue
+        out_bits.append((table[seq], width))
+        table[cand] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code >= 4096:
+            out_bits.append((clear, width))
+            table, next_code, width = fresh()
+        seq = (px,)
+    if seq:
+        out_bits.append((table[seq], width))
+    out_bits.append((eoi, width))
+    # LSB-first packing
+    acc = 0
+    nbits = 0
+    data = bytearray()
+    for code, w in out_bits:
+        acc |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        data.append(acc & 0xFF)
+    return bytes(data)
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_px: int) -> np.ndarray:
+    """Inverse of :func:`_lzw_encode` (tolerates any conformant GIF
+    stream, incl. deferred clear codes)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    acc = 0
+    nbits = 0
+    pos = 0
+    width = min_code_size + 1
+    table: list[tuple[int, ...]] = [(i,) for i in range(clear)] + [(), ()]
+    prev: tuple[int, ...] | None = None
+    out: list[int] = []
+    while len(out) < n_px:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("LZW stream truncated")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [(i,) for i in range(clear)] + [(), ()]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + (entry[0],))
+        elif code == len(table):
+            entry = prev + (prev[0],)
+            table.append(entry)
+        else:
+            raise ValueError("corrupt LZW code")
+        out.extend(entry)
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        prev = entry
+    return np.array(out[:n_px], dtype=np.uint8)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def encode_gif(
+    img: np.ndarray, interlace: bool = False
+) -> bytes:
+    """(H,W,3) uint8 RGB -> single-frame GIF89a with an adaptive
+    palette (exact if the image has <= 256 distinct colors, else
+    raises — this codec is for fixture/thumbnail payloads, matching
+    the BMP/PNG scope statements).  Real LZW compression
+    (:func:`_lzw_encode`) and optional interlaced row order, so the
+    decoder's deinterlace path is round-trip testable."""
+    import struct
+
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape[:2]
+    flat = img.reshape(-1, 3)
+    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError("more than 256 distinct colors")
+    bits = max(2, int(np.ceil(np.log2(max(len(palette), 2)))))
+    table_size = 1 << bits
+    pal_bytes = palette.tobytes() + b"\x00" * (3 * (table_size - len(palette)))
+    idx = inverse.astype(np.uint8).reshape(h, w)
+    if interlace:
+        order = [
+            y for start, step in _GIF_INTERLACE_PASSES
+            for y in range(start, h, step)
+        ]
+        idx = idx[order]
+    head = b"GIF89a" + struct.pack(
+        "<HHBBB", w, h, 0x80 | ((bits - 1) << 4) | (bits - 1), 0, 0
+    )
+    imgd = struct.pack(
+        "<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlace else 0
+    )
+    lzw = _lzw_encode(idx.ravel(), bits)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    blocks += b"\x00"
+    return (
+        head + pal_bytes + imgd + bytes([bits]) + bytes(blocks) + b"\x3b"
+    )
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """Single-frame GIF87a/89a -> (H,W,3) uint8 RGB.  Real parser:
+    logical screen + color tables, extension blocks skipped, LZW
+    decompression (:func:`_lzw_decode`) with growing code widths and
+    dictionary resets, interlaced row reorder.  First image frame
+    only; anything structurally off raises (fixture-grade scope, like
+    the other codecs here)."""
+    import struct
+
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(data, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(data):
+        b = data[pos]
+        pos += 1
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b == 0x2C:
+            left, top, w, h, ipacked = struct.unpack_from("<HHHHB", data, pos)
+            pos += 9
+            table = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                table = np.frombuffer(data, np.uint8, 3 * n, pos).reshape(n, 3)
+                pos += 3 * n
+            if table is None:
+                raise ValueError("no color table")
+            min_code = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while data[pos]:
+                ln = data[pos]
+                lzw += data[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = _lzw_decode(bytes(lzw), min_code, w * h).reshape(h, w)
+            if ipacked & 0x40:  # interlaced
+                order = [
+                    y for start, step in _GIF_INTERLACE_PASSES
+                    for y in range(start, h, step)
+                ]
+                out = np.zeros_like(idx)
+                out[order] = idx
+                idx = out
+            return table[idx]
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+    raise ValueError("no image frame found")
+
+
 def decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
     """payload -> (H,W) uint8 grayscale.  REAL decoders for the two
     library-free formats (BMP via :func:`decode_bmp`, PPM via
@@ -338,6 +539,8 @@ def decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
         rgb = decode_ppm(payload)
     elif payload[:8] == b"\x89PNG\r\n\x1a\n":
         rgb = decode_png(payload)
+    elif payload[:6] in (b"GIF87a", b"GIF89a"):
+        rgb = decode_gif(payload)
     else:
         return _decode_fake(payload, width, height)
     return (rgb.astype(np.uint16).sum(axis=2) // 3).astype(np.uint8)

@@ -198,3 +198,53 @@ def test_decode_image_dispatches_png():
     gray = decode_image(encode_png(img, filter_type=4), 7, 6)
     want = (img.astype(np.uint16).sum(axis=2) // 3).astype(np.uint8)
     np.testing.assert_array_equal(gray, want)
+
+
+def test_gif_round_trip():
+    from geo_spark.operators.multimodal import decode_gif, encode_gif
+
+    rng = np.random.default_rng(41)
+    # constrained palette (<=256 colors): quantized random raster
+    img = (rng.integers(0, 4, (15, 21, 3)) * 80).astype(np.uint8)
+    data = encode_gif(img)
+    assert data[:6] == b"GIF89a" and data[-1:] == b"\x3b"
+    np.testing.assert_array_equal(decode_gif(data), img)
+
+
+def test_gif_interlaced_round_trip():
+    from geo_spark.operators.multimodal import decode_gif, encode_gif
+
+    rng = np.random.default_rng(43)
+    img = (rng.integers(0, 8, (23, 9, 3)) * 30).astype(np.uint8)
+    np.testing.assert_array_equal(
+        decode_gif(encode_gif(img, interlace=True)), img
+    )
+
+
+def test_gif_lzw_dictionary_growth():
+    """A big low-entropy image forces code-width growth and (via the
+    4096 cap) dictionary resets inside one stream."""
+    from geo_spark.operators.multimodal import decode_gif, encode_gif
+
+    rng = np.random.default_rng(47)
+    img = (rng.integers(0, 2, (120, 130, 3)) * 255).astype(np.uint8)
+    np.testing.assert_array_equal(decode_gif(encode_gif(img)), img)
+
+
+def test_gif_too_many_colors_raises():
+    from geo_spark.operators.multimodal import encode_gif
+
+    rng = np.random.default_rng(49)
+    img = rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="256"):
+        encode_gif(img)
+
+
+def test_decode_image_dispatches_gif():
+    from geo_spark.operators.multimodal import decode_image, encode_gif
+
+    rng = np.random.default_rng(53)
+    img = (rng.integers(0, 5, (8, 9, 3)) * 60).astype(np.uint8)
+    gray = decode_image(encode_gif(img), 9, 8)
+    want = (img.astype(np.uint16).sum(axis=2) // 3).astype(np.uint8)
+    np.testing.assert_array_equal(gray, want)
