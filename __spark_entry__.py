@@ -4798,6 +4798,42 @@ def _oracle_crawl_frontier() -> str:
     """
 
 
+def _q_html_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> visible text extraction (operators/webcorpus.py:
+    html_text_col), certified by INVERSION: each document's text is
+    entity-escaped and wrapped in a full synthetic page (head, title,
+    a script whose body contains fake tags, style, entities), then
+    the codegen extraction chain must return title + text
+    BYTE-IDENTICALLY — the north rule's per-url extracted-text
+    invariant, hashed directly (no md5 shortcut: the text column
+    itself is compared)."""
+    from geo_spark.operators.webcorpus import html_text_col
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    esc = F.col("text")
+    for a, b in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")):
+        esc = F.replace(esc, F.lit(a), F.lit(b))
+    html = F.concat(
+        F.lit("<html>\n<head><title>Doc "), F.col("doc_id"),
+        F.lit("</title><script type=\"text/javascript\">"
+              "if (1 < 2) { alert(\"<p>not content</p>\"); }"
+              "</script><style>.c{color:red}</style></head>\n"
+              "<body>\n<p>"),
+        esc,
+        F.lit("</p>\n</body></html>"),
+    )
+    return docs.select(
+        "doc_id", html_text_col(html).alias("txt")
+    ).orderBy("doc_id")
+
+
+def _oracle_html_text() -> str:
+    return """
+        SELECT doc_id, 'Doc ' || doc_id || ' ' || text AS txt
+        FROM documents ORDER BY doc_id
+    """
+
+
 def _q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC container round trip (sources/warc.py): documents are
     packed into spec-shaped WARC/1.0 blobs (Content-Length framing) and
@@ -9316,6 +9352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_robots_wildcard": _q_robots_wildcard,
         "q_sitemap_extract": _q_sitemap_extract,
         "q_crawl_frontier": _q_crawl_frontier,
+        "q_html_text": _q_html_text,
         "q_html_links": _q_html_links,
         "q_anchor_text": _q_anchor_text,
         "q_crawl_pipeline": _q_crawl_pipeline,
@@ -9480,6 +9517,7 @@ def oracle_sql() -> dict[str, str]:
         "q_robots_wildcard": _oracle_robots_wildcard(),
         "q_sitemap_extract": _oracle_sitemap_extract(),
         "q_crawl_frontier": _oracle_crawl_frontier(),
+        "q_html_text": _oracle_html_text(),
         "q_html_links": _oracle_html_links(),
         "q_anchor_text": _oracle_anchor_text(),
         "q_crawl_pipeline": _oracle_crawl_pipeline(),

@@ -324,3 +324,38 @@ def parse_sitemap(
             F.col("_e"), "<lastmod>([^<]*)</lastmod>", 1
         ).alias("lastmod"),
     ).where(F.col("loc") != "")
+
+
+def html_text_col(html: Column) -> Column:
+    """Visible text of an HTML document as ONE codegen regexp chain —
+    the extraction step of the north rule's "byte-identical extracted
+    text per url" invariant:
+
+    1. <script>/<style> blocks removed wholesale (their text is not
+       content; (?is) = case-insensitive dotall, with a backreference
+       so <script> never closes a <style>),
+    2. every remaining tag -> a space (tags are word boundaries:
+       ``a<br>b`` must not fuse),
+    3. the five core entities decoded, ``&amp;`` LAST (so
+       ``&amp;lt;`` correctly yields the literal text ``&lt;``),
+    4. whitespace runs collapsed to single spaces, ends trimmed.
+
+    Deliberately not a DOM parser: at 10^12 pages the extractor must
+    be a streaming byte transform (this chain is whole-stage codegen,
+    zero Python, no allocation proportional to tree depth), and the
+    contract query certifies it by INVERSION — synthesized pages wrap
+    known text, extraction must return it byte-identically."""
+    x = F.regexp_replace(
+        html, "(?is)<(script|style)[^>]*>.*?</\\1\\s*>", " "
+    )
+    x = F.regexp_replace(x, "<[^>]*>", " ")
+    for ent, ch in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&nbsp;", " "),
+        ("&amp;", "&"),
+    ):
+        x = F.replace(x, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(x, "\\s+", " "))

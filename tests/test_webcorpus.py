@@ -325,3 +325,51 @@ def test_parse_sitemap(spark):
         ("a.com", "https://a.com/1"): "2026-01-05",
         ("a.com", "https://a.com/2"): "",
     }
+
+
+def test_html_text_extraction(spark):
+    from geo_spark.operators.webcorpus import html_text_col
+
+    cases = [
+        (
+            "<html><head><title>T</title><script>if(1<2){x();}</script>"
+            "<style>.a{color:red}</style></head>\n<body><p>hello"
+            "<br>world</p>\n<div>a &amp; b &lt;tag&gt;</div></body></html>",
+            "T hello world a & b <tag>",
+        ),
+        ("no markup at all", "no markup at all"),
+        ("<p>&amp;lt; stays literal</p>", "&lt; stays literal"),
+        ("<SCRIPT>upper case</SCRIPT>ok", "ok"),
+        ("a\n\n  b\tc", "a b c"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "html string")
+    got = [
+        r["txt"]
+        for r in df.select(html_text_col(F.col("html")).alias("txt")).collect()
+    ]
+    assert got == [w for _, w in cases]
+
+
+def test_html_text_inversion_property(spark):
+    """escape -> wrap in a full page -> extract == original text."""
+    from geo_spark.operators.webcorpus import html_text_col
+
+    texts = [
+        "plain words only",
+        "has & ampersand and <angle> brackets",
+        'quotes " and \' apostrophes',
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    esc = F.col("t")
+    for a, b in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")):
+        esc = F.replace(esc, F.lit(a), F.lit(b))
+    html = F.concat(
+        F.lit("<html><head><script>var x = '<p>';</script></head><body><p>"),
+        esc,
+        F.lit("</p></body></html>"),
+    )
+    got = [
+        r["txt"]
+        for r in df.select(html_text_col(html).alias("txt")).collect()
+    ]
+    assert got == texts
