@@ -4012,6 +4012,35 @@ def _oracle_hll_users() -> str:
     """
 
 
+def _q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact order-statistic quantiles by histogram SELECTION
+    (operators/sketches.py:exact_quantiles): two aggregate rounds +
+    a window over only the target buckets, NO global sort — the
+    oracle IS the global sort (row_number over all values), so the
+    query certifies the selection plan returns the same rows the
+    sort would (the q_prefix_jaccard_pairs same-answer-cheaper-plan
+    pattern)."""
+    from geo_spark.operators.sketches import exact_quantiles
+
+    ev = _t(spark, sf_dir, "events")
+    return exact_quantiles(
+        ev, "value", (250_000, 500_000, 750_000, 900_000)
+    ).orderBy("q_ppm")
+
+
+def _oracle_exact_quantiles() -> str:
+    return """
+        WITH v AS (SELECT value AS v FROM events WHERE value IS NOT NULL),
+        n AS (SELECT count(*) AS n FROM v),
+        o AS (SELECT v, row_number() OVER (ORDER BY v) - 1 AS rn FROM v),
+        qs(q_ppm) AS (VALUES (250000), (500000), (750000), (900000))
+        SELECT CAST(q_ppm AS BIGINT) AS q_ppm, o.v AS value
+        FROM qs JOIN o
+          ON o.rn = (q_ppm * ((SELECT n FROM n) - 1)) // 1000000
+        ORDER BY q_ppm
+    """
+
+
 def _q_pca_second(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-2 principal projections (operators/pca.py:pca_projections2):
     the first direction by quantized power iteration, the second by
@@ -9390,6 +9419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_link_seed_distance": _q_link_seed_distance,
         "q_heavy_hitters": _q_heavy_hitters,
         "q_hll_users": _q_hll_users,
+        "q_exact_quantiles": _q_exact_quantiles,
         "q_bloom_semi_orders": _q_bloom_semi_orders,
         "q_bm25_scores": _q_bm25_scores,
         "q_dissolve_counts": _q_dissolve_counts,
@@ -9483,6 +9513,7 @@ def oracle_sql() -> dict[str, str]:
         "q_link_seed_distance": _oracle_link_seed_distance(),
         "q_heavy_hitters": _oracle_heavy_hitters(),
         "q_hll_users": _oracle_hll_users(),
+        "q_exact_quantiles": _oracle_exact_quantiles(),
         "q_bloom_semi_orders": _oracle_bloom_semi_orders(),
         "q_bm25_scores": _oracle_bm25_scores(),
         "q_dissolve_counts": _oracle_dissolve_counts(),

@@ -328,3 +328,36 @@ def test_hll_registers_max_merge(spark):
         j: max(r1.get(j, 0), r2.get(j, 0)) for j in set(r1) | set(r2)
     }
     assert merged == rw
+
+
+def test_exact_quantiles_differential(spark):
+    """Histogram-selection quantiles == the sorted-array order
+    statistic, on uniform, skewed, and duplicate-heavy data."""
+    from geo_spark.operators.sketches import exact_quantiles
+
+    rng = np.random.default_rng(71)
+    cases = [
+        rng.uniform(-5, 5, 4000),
+        np.exp(rng.normal(0, 2, 3000)),           # heavy right tail
+        np.repeat(rng.uniform(0, 1, 20), 150),    # massive duplicates
+    ]
+    qs = (100_000, 250_000, 500_000, 750_000, 990_000)
+    for i, v in enumerate(cases):
+        df = spark.createDataFrame([(float(x),) for x in v], "value double")
+        got = {
+            r["q_ppm"]: r["value"]
+            for r in exact_quantiles(df, "value", qs, buckets=64).collect()
+        }
+        s = np.sort(v)
+        want = {q: float(s[(q * (len(v) - 1)) // 1_000_000]) for q in qs}
+        assert got == want, i
+
+
+def test_exact_quantiles_degenerate(spark):
+    from geo_spark.operators.sketches import exact_quantiles
+
+    df = spark.createDataFrame([(3.5,)] * 50, "value double")
+    got = exact_quantiles(df, "value", (500_000,)).collect()
+    assert got[0]["value"] == 3.5
+    one = spark.createDataFrame([(7.0,)], "value double")
+    assert exact_quantiles(one, "value", (0, 1_000_000)).count() == 2
