@@ -1,8 +1,23 @@
-"""Distinct-counting sketches for grouped rollups.
+"""Mergeable sketches + selection statistics for grouped rollups.
 
-KMV (K-Minimum-Values): per group, keep the k smallest *distinct* hash
-values of the counted column; if fewer than k survive the count is
-exact, otherwise the classic estimator ``(k-1) / kth_min_normalized``
+The family, by merge operator — what ships across partitions/windows
+is always a fixed-size summary, never the value set:
+
+* KMV (k-MIN merge): distinct counts + pairwise set similarity
+  (`kmv_distinct`, `kmv_pair_similarity`).
+* HyperLogLog (register MAX merge): distinct counts at O(2^p) cells
+  (`hll_registers`, `hll_distinct`) — estimator kept exact-integer.
+* Count-Min (counter ADD merge): frequencies + exact-refined heavy
+  hitters (`cms_sketch`, `cms_heavy_hitters`).
+* Bloom (bit OR merge): prefiltered exact semi-joins
+  (`bloom_semi_join`).
+* Selection statistics (no estimator at all — the answer is a chosen
+  input row): `sampled_group_median`, `exact_quantiles` (global
+  order statistics by histogram selection, no global sort).
+
+KMV background: per group, keep the k smallest *distinct* hash values
+of the counted column; if fewer than k survive the count is exact,
+otherwise the classic estimator ``(k-1) / kth_min_normalized``
 (Bar-Yossef et al., "Counting distinct elements in a data stream").
 This is the primitive behind "distinct users per tile" over 100 TB:
 the shuffled state per group is k values, not the value set.
