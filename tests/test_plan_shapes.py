@@ -233,3 +233,78 @@ def test_warc_parse_single_python_stage(spark):
     # blob groupBy
     assert plan.count("MapInPandas") == 1
     assert plan.count("FlatMapGroupsInPandas") == 1
+
+
+def test_robots_wildcard_filter_stays_broadcast_hash(spark):
+    """The regex tier must keep the plain tier's plan: domain equality
+    drives a broadcast HASH join; the rlike rides as the residual
+    condition (a lost equi-key would degrade to nested-loop)."""
+    from geo_spark.operators.webcorpus import parse_robots, robots_filter
+
+    robots = spark.createDataFrame(
+        [("a.com", "Disallow: /x*/y$\n")], "domain string, robots_txt string"
+    )
+    urls = spark.createDataFrame(
+        [("a.com", "/x1/y")], "domain string, path string"
+    )
+    plan = _plan_of(
+        robots_filter(urls, parse_robots(robots, wildcards=True), wildcards=True)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_morans_colocation_no_cartesian_no_python(spark):
+    from pyspark.sql import functions as F
+
+    from geo_spark.operators.tiling import colocation_lift, local_morans, morans_i
+
+    occ = spark.createDataFrame(
+        [(x, y, x + y + 1) for x in range(4) for y in range(4)],
+        "tx long, ty long, cnt long",
+    )
+    for df in (morans_i(occ, 4), local_morans(occ, 4)):
+        plan = _plan_of(df)
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    pts = spark.createDataFrame(
+        [(x, y, "t%d" % (x % 2)) for x in range(4) for y in range(3)],
+        "tx long, ty long, event_type string",
+    )
+    plan = _plan_of(colocation_lift(pts, 4))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_containment_and_prefix_jaccard_python_free(spark):
+    from geo_spark.operators.dedup import containment_pairs, jaccard_pairs_prefix
+
+    docs = spark.createDataFrame(
+        [(i, "abcdefghijkl mnopqr" + str(i)) for i in range(6)],
+        "doc_id long, text string",
+    )
+    for df in (
+        containment_pairs(docs, n=8, threshold=0.5, max_df=4),
+        jaccard_pairs_prefix(docs, n=8, threshold=0.5),
+    ):
+        plan = _plan_of(df)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+
+
+def test_hll_and_cms_partial_aggregation(spark):
+    """Sketch builds must map-side combine: two HashAggregate nodes
+    around the exchange (the mergeability story made visible)."""
+    from geo_spark.operators.sketches import cms_sketch, hll_registers
+
+    df = spark.createDataFrame(
+        [("a", i % 7) for i in range(50)], "grp string, v long"
+    )
+    for out in (
+        hll_registers(df, ["grp"], "v", p=4),
+        cms_sketch(df, ["grp"], "v", depth=2, width=16),
+    ):
+        plan = _plan_of(out)
+        assert plan.count("HashAggregate") >= 2
+        assert "BatchEvalPython" not in plan
