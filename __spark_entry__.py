@@ -5474,6 +5474,75 @@ def _oracle_local_morans() -> str:
     """
 
 
+def _q_tile_contours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isoline extraction (operators/tiling.py:contour_segments):
+    marching squares over the z=6 event-count raster at threshold 8 —
+    the raster -> vector direction, emitting level-set segments in
+    exact half-unit integer coordinates.  The oracle replays block
+    domain -> 4 corner joins -> mask -> the 16-case segment table (as
+    a VALUES join generated from the SAME _MS_SEGMENTS dict) — table
+    and replay can't drift apart."""
+    from geo_spark.functions.webgrid import mercator_xy_cols
+    from geo_spark.operators.geo_noise import with_geo_noise
+    from geo_spark.operators.tiling import contour_segments
+
+    ev = with_geo_noise(_t(spark, sf_dir, "events"), "event_id")
+    x, y = mercator_xy_cols(F.col("lat"), F.col("lng"), _MORAN_Z)
+    occ = (
+        ev.select(x.alias("tx"), y.alias("ty"))
+        .groupBy("tx", "ty")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return contour_segments(occ, 8).orderBy(
+        "bx", "by", "x1", "y1", "x2", "y2"
+    )
+
+
+def _oracle_tile_contours() -> str:
+    from geo_spark.functions.webgrid import mercator_xy_sql
+    from geo_spark.operators.geo_noise import LAT_SQL, LNG_SQL
+    from geo_spark.operators.tiling import _MS_SEGMENTS
+
+    lat = LAT_SQL.format(id="event_id")
+    lng = LNG_SQL.format(id="event_id")
+    x, y = mercator_xy_sql("lat", "lng", _MORAN_Z)
+    seg_rows = ", ".join(
+        f"({m}, {x1}, {y1}, {x2}, {y2})"
+        for m, segs in _MS_SEGMENTS.items()
+        for (x1, y1), (x2, y2) in segs
+    )
+    corner = (
+        "CASE WHEN coalesce(c{i}.v, 0) >= 8 THEN {w} ELSE 0 END"
+    )
+    mask = " + ".join(
+        corner.format(i=i, w=1 << i) for i in range(4)
+    )
+    return f"""
+        WITH pts AS (SELECT event_id, {lat} AS lat, {lng} AS lng
+                     FROM events),
+        occ AS (SELECT {x} AS tx, {y} AS ty, count(*) AS v
+                FROM pts GROUP BY 1, 2),
+        o(dx, dy) AS (VALUES (0, 0), (-1, 0), (0, -1), (-1, -1)),
+        blocks AS (SELECT DISTINCT tx + dx AS bx, ty + dy AS by
+                   FROM occ, o),
+        m AS (SELECT b.bx, b.by, ({mask}) AS mask
+              FROM blocks b
+              LEFT JOIN occ c0 ON c0.tx = b.bx AND c0.ty = b.by
+              LEFT JOIN occ c1 ON c1.tx = b.bx + 1 AND c1.ty = b.by
+              LEFT JOIN occ c2 ON c2.tx = b.bx AND c2.ty = b.by + 1
+              LEFT JOIN occ c3 ON c3.tx = b.bx + 1 AND c3.ty = b.by + 1),
+        segs(mask, sx1, sy1, sx2, sy2) AS (VALUES {seg_rows})
+        SELECT m.bx, m.by, CAST(m.mask AS BIGINT) AS mask,
+               CAST(m.bx * 2 + s.sx1 AS BIGINT) AS x1,
+               CAST(m.by * 2 + s.sy1 AS BIGINT) AS y1,
+               CAST(m.bx * 2 + s.sx2 AS BIGINT) AS x2,
+               CAST(m.by * 2 + s.sy2 AS BIGINT) AS y2
+        FROM m JOIN segs s ON s.mask = m.mask
+        WHERE m.mask > 0 AND m.mask < 15
+        ORDER BY bx, by, x1, y1, x2, y2
+    """
+
+
 def _q_type_colocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spatial co-location mining (operators/tiling.py:
     colocation_lift): per event-type pair, tile-presence lift in exact
@@ -9370,6 +9439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_morans_i": _q_morans_i,
         "q_local_morans": _q_local_morans,
         "q_type_colocation": _q_type_colocation,
+        "q_tile_contours": _q_tile_contours,
         "q_value_deciles": _q_value_deciles,
         "q_scd2_intervals": _q_scd2_intervals,
         "q_mutual_knn": _q_mutual_knn,
@@ -9537,6 +9607,7 @@ def oracle_sql() -> dict[str, str]:
         "q_morans_i": _oracle_morans_i(),
         "q_local_morans": _oracle_local_morans(),
         "q_type_colocation": _oracle_type_colocation(),
+        "q_tile_contours": _oracle_tile_contours(),
         "q_value_deciles": _oracle_value_deciles(),
         "q_scd2_intervals": _oracle_scd2_intervals(),
         "q_mutual_knn": _oracle_mutual_knn(),

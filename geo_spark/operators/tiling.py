@@ -485,3 +485,109 @@ def colocation_lift(
             ).alias("lift_ppm"),
         )
     )
+
+
+# Marching-squares segment table: case -> list of (corner-pair,
+# corner-pair) segments, each endpoint the midpoint of a block edge.
+# Corners: bit0=TL(0,0) bit1=TR(1,0) bit2=BL(0,1) bit3=BR(1,1)
+# (x right, y down); edges by midpoint in HALF-UNIT block coords (x2
+# integers): top=(1,0) left=(0,1) right=(2,1) bottom=(1,2).  A segment
+# crosses exactly the edges whose two corners straddle the threshold.
+# Saddles under this bit order are 6 (TR+BL) and 9 (TL+BR); both use
+# the fixed two-corner-isolating convention (no center disambiguation,
+# which would need a float average) so the output is deterministic.
+_MS_SEGMENTS = {
+    1: [((0, 1), (1, 0))],                       # TL
+    2: [((1, 0), (2, 1))],                       # TR
+    3: [((0, 1), (2, 1))],                       # top row
+    4: [((0, 1), (1, 2))],                       # BL
+    5: [((1, 0), (1, 2))],                       # left column
+    6: [((1, 0), (2, 1)), ((0, 1), (1, 2))],     # saddle TR/BL
+    7: [((1, 2), (2, 1))],                       # all but BR
+    8: [((1, 2), (2, 1))],                       # BR
+    9: [((0, 1), (1, 0)), ((1, 2), (2, 1))],     # saddle TL/BR
+    10: [((1, 0), (1, 2))],                      # right column
+    11: [((0, 1), (1, 2))],                      # all but BL
+    12: [((0, 1), (2, 1))],                      # bottom row
+    13: [((1, 0), (2, 1))],                      # all but TR
+    14: [((0, 1), (1, 0))],                      # all but TL
+}
+
+
+def contour_segments(
+    occ: DataFrame,
+    threshold: int,
+    x_col: str = "tx",
+    y_col: str = "ty",
+    value_col: str = "cnt",
+) -> DataFrame:
+    """(bx, by, mask, x1, y1, x2, y2): isoline extraction — marching
+    squares over the tile-count raster at an integer threshold, the
+    raster -> vector direction of the engine's raster story (zonal
+    stats / boundary trace are vector -> raster -> vector; this emits
+    the level-set polyline segments a heatmap contour layer draws).
+
+    Each 2x2 block of tile corners gets a 4-bit mask (bit set = corner
+    count >= threshold); the 16-case table emits 0-2 segments whose
+    endpoints are block-edge midpoints, in HALF-UNIT integer
+    coordinates (x2 scale — exact, no floats anywhere).  Saddle cases
+    5/10 use the fixed standard orientation (deterministic; center
+    disambiguation would need a float average).  Unoccupied tiles
+    count 0.
+
+    Scale shape: block domain = 4-way shifted union of occupied tiles
+    (distinct), then ONE left join per corner against the occupied
+    table (4 equi-joins, each keyed by tile — no neighborhood
+    explode), mask + segments in codegen.  Output rows only for
+    boundary blocks (mask not 0/15)."""
+    base = occ.select(
+        F.col(x_col).alias("x"),
+        F.col(y_col).alias("y"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    blocks = None
+    for dx in (0, -1):
+        for dy in (0, -1):
+            b = base.select(
+                (F.col("x") + dx).alias("bx"), (F.col("y") + dy).alias("by")
+            )
+            blocks = b if blocks is None else blocks.unionByName(b)
+    blocks = blocks.distinct()
+    cur = blocks
+    for bit, (dx, dy) in enumerate(((0, 0), (1, 0), (0, 1), (1, 1))):
+        c = base.select(
+            (F.col("x") - dx).alias("bx"),
+            (F.col("y") - dy).alias("by"),
+            F.col("v").alias(f"_v{bit}"),
+        )
+        cur = cur.join(c, ["bx", "by"], "left")
+    mask = None
+    for bit in range(4):
+        m = F.when(
+            F.coalesce(F.col(f"_v{bit}"), F.lit(0)) >= threshold,
+            F.lit(1 << bit),
+        ).otherwise(F.lit(0))
+        mask = m if mask is None else mask + m
+    masked = cur.select("bx", "by", mask.cast("long").alias("mask")).where(
+        (F.col("mask") > 0) & (F.col("mask") < 15)
+    )
+    seg_struct = F.expr(
+        "CASE mask "
+        + " ".join(
+            f"WHEN {m} THEN array({', '.join(f'struct({x1}L as x1, {y1}L as y1, {x2}L as x2, {y2}L as y2)' for (x1, y1), (x2, y2) in segs)})"
+            for m, segs in _MS_SEGMENTS.items()
+        )
+        + " END"
+    )
+    return (
+        masked.select("bx", "by", "mask", F.explode(seg_struct).alias("_s"))
+        .select(
+            "bx",
+            "by",
+            "mask",
+            (F.col("bx") * 2 + F.col("_s.x1")).alias("x1"),
+            (F.col("by") * 2 + F.col("_s.y1")).alias("y1"),
+            (F.col("bx") * 2 + F.col("_s.x2")).alias("x2"),
+            (F.col("by") * 2 + F.col("_s.y2")).alias("y2"),
+        )
+    )

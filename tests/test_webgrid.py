@@ -654,3 +654,90 @@ def test_colocation_lift_matches_python(spark):
     }
     assert got == want
     assert got[("pair_x", "pair_y")][4] > 1_000_000  # attraction
+
+
+def _contour_python(tiles, threshold):
+    from geo_spark.operators.tiling import _MS_SEGMENTS
+
+    occ = dict(tiles)
+    blocks = set()
+    for (x, y) in occ:
+        for dx in (0, -1):
+            for dy in (0, -1):
+                blocks.add((x + dx, y + dy))
+    out = set()
+    for bx, by in blocks:
+        mask = 0
+        for bit, (dx, dy) in enumerate(((0, 0), (1, 0), (0, 1), (1, 1))):
+            if occ.get((bx + dx, by + dy), 0) >= threshold:
+                mask |= 1 << bit
+        if mask in (0, 15):
+            continue
+        for (x1, y1), (x2, y2) in _MS_SEGMENTS[mask]:
+            out.add((bx, by, mask, bx * 2 + x1, by * 2 + y1,
+                     bx * 2 + x2, by * 2 + y2))
+    return out
+
+
+def test_contour_matches_python_and_single_tile(spark):
+    from geo_spark.operators.tiling import contour_segments
+
+    # single hot tile -> a 4-segment diamond around it
+    tiles = [((5, 5), 10)]
+    df = spark.createDataFrame(
+        [(x, y, v) for (x, y), v in tiles], "tx long, ty long, cnt long"
+    )
+    got = {
+        (r["bx"], r["by"], r["mask"], r["x1"], r["y1"], r["x2"], r["y2"])
+        for r in contour_segments(df, 5).collect()
+    }
+    want = _contour_python(tiles, 5)
+    assert got == want and len(got) == 4
+
+    # random raster incl. saddle-producing patterns
+    rng = np.random.default_rng(29)
+    tiles = [
+        ((int(x), int(y)), int(v))
+        for x, y, v in zip(
+            rng.integers(0, 12, 250),
+            rng.integers(0, 12, 250),
+            rng.integers(1, 20, 250),
+        )
+    ]
+    dedup = {}
+    for k, v in tiles:
+        dedup[k] = v
+    tiles = list(dedup.items())
+    df = spark.createDataFrame(
+        [(x, y, v) for (x, y), v in tiles], "tx long, ty long, cnt long"
+    )
+    got = {
+        (r["bx"], r["by"], r["mask"], r["x1"], r["y1"], r["x2"], r["y2"])
+        for r in contour_segments(df, 10).collect()
+    }
+    want = _contour_python(tiles, 10)
+    assert got == want
+
+
+def test_contour_segments_chain_evenly():
+    """Every cut edge is shared by exactly two blocks in the emitted
+    domain, so each segment endpoint must occur an EVEN number of
+    times — the invariant that makes the segments chainable into
+    closed isolines."""
+    rng = np.random.default_rng(31)
+    tiles = {}
+    for x, y, v in zip(
+        rng.integers(0, 10, 200),
+        rng.integers(0, 10, 200),
+        rng.integers(1, 30, 200),
+    ):
+        tiles[(int(x), int(y))] = int(v)
+    segs = _contour_python(list(tiles.items()), 15)
+    from collections import Counter
+
+    ends = Counter()
+    for _, _, _, x1, y1, x2, y2 in segs:
+        ends[(x1, y1)] += 1
+        ends[(x2, y2)] += 1
+    assert segs
+    assert all(c % 2 == 0 for c in ends.values()), ends
