@@ -5543,6 +5543,93 @@ def _oracle_tile_contours() -> str:
     """
 
 
+def _q_contour_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo-graph composition certificate: the marching-squares
+    segments chain into CLOSED loops (every endpoint is shared by
+    exactly two segments — the parity invariant tested in
+    test_webgrid), so connected components over the endpoint graph
+    (operators/dedup.py:dedup_clusters — min-label + pointer jumping)
+    yield the isoline census: one row per closed contour with its
+    vertex count.  Oracle = the contour replay chained into a
+    recursive-CTE transitive closure."""
+    from geo_spark.functions.webgrid import mercator_xy_cols
+    from geo_spark.operators.dedup import dedup_clusters
+    from geo_spark.operators.geo_noise import with_geo_noise
+    from geo_spark.operators.tiling import contour_segments
+
+    ev = with_geo_noise(_t(spark, sf_dir, "events"), "event_id")
+    x, y = mercator_xy_cols(F.col("lat"), F.col("lng"), _MORAN_Z)
+    occ = (
+        ev.select(x.alias("tx"), y.alias("ty"))
+        .groupBy("tx", "ty")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    segs = contour_segments(occ, 8)
+    enc = lambda xc, yc: (F.col(xc) + 4) * 1_000_000 + (F.col(yc) + 4)
+    pairs = segs.select(
+        enc("x1", "y1").alias("da"), enc("x2", "y2").alias("db")
+    )
+    comp = dedup_clusters(pairs)
+    return (
+        comp.groupBy("rep")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .select(F.col("rep").alias("loop_id"), "n_points")
+        .orderBy("loop_id")
+    )
+
+
+def _oracle_contour_loops() -> str:
+    from geo_spark.functions.webgrid import mercator_xy_sql
+    from geo_spark.operators.geo_noise import LAT_SQL, LNG_SQL
+    from geo_spark.operators.tiling import _MS_SEGMENTS
+
+    lat = LAT_SQL.format(id="event_id")
+    lng = LNG_SQL.format(id="event_id")
+    x, y = mercator_xy_sql("lat", "lng", _MORAN_Z)
+    seg_rows = ", ".join(
+        f"({m}, {x1}, {y1}, {x2}, {y2})"
+        for m, segs in _MS_SEGMENTS.items()
+        for (x1, y1), (x2, y2) in segs
+    )
+    mask = " + ".join(
+        f"CASE WHEN coalesce(c{i}.v, 0) >= 8 THEN {1 << i} ELSE 0 END"
+        for i in range(4)
+    )
+    return f"""
+        WITH RECURSIVE pts AS (SELECT event_id, {lat} AS lat,
+                                      {lng} AS lng FROM events),
+        occ AS (SELECT {x} AS tx, {y} AS ty, count(*) AS v
+                FROM pts GROUP BY 1, 2),
+        o(dx, dy) AS (VALUES (0, 0), (-1, 0), (0, -1), (-1, -1)),
+        blocks AS (SELECT DISTINCT tx + dx AS bx, ty + dy AS by
+                   FROM occ, o),
+        m AS (SELECT b.bx, b.by, ({mask}) AS mask
+              FROM blocks b
+              LEFT JOIN occ c0 ON c0.tx = b.bx AND c0.ty = b.by
+              LEFT JOIN occ c1 ON c1.tx = b.bx + 1 AND c1.ty = b.by
+              LEFT JOIN occ c2 ON c2.tx = b.bx AND c2.ty = b.by + 1
+              LEFT JOIN occ c3 ON c3.tx = b.bx + 1 AND c3.ty = b.by + 1),
+        sg(mask, sx1, sy1, sx2, sy2) AS (VALUES {seg_rows}),
+        segp AS (SELECT (m.bx * 2 + s.sx1 + 4) * 1000000
+                          + (m.by * 2 + s.sy1 + 4) AS p1,
+                        (m.bx * 2 + s.sx2 + 4) * 1000000
+                          + (m.by * 2 + s.sy2 + 4) AS p2
+                 FROM m JOIN sg s ON s.mask = m.mask
+                 WHERE m.mask > 0 AND m.mask < 15),
+        edges AS (SELECT p1 AS u, p2 AS v FROM segp
+                  UNION SELECT p2, p1 FROM segp),
+        r AS (
+            SELECT u AS id, u AS lbl FROM edges
+            UNION
+            SELECT e.v AS id, r.lbl
+            FROM r JOIN edges e ON e.u = r.id
+        ),
+        comp AS (SELECT id, min(lbl) AS rep FROM r GROUP BY id)
+        SELECT rep AS loop_id, CAST(count(*) AS BIGINT) AS n_points
+        FROM comp GROUP BY rep ORDER BY loop_id
+    """
+
+
 def _q_type_colocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spatial co-location mining (operators/tiling.py:
     colocation_lift): per event-type pair, tile-presence lift in exact
@@ -9440,6 +9527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_local_morans": _q_local_morans,
         "q_type_colocation": _q_type_colocation,
         "q_tile_contours": _q_tile_contours,
+        "q_contour_loops": _q_contour_loops,
         "q_value_deciles": _q_value_deciles,
         "q_scd2_intervals": _q_scd2_intervals,
         "q_mutual_knn": _q_mutual_knn,
@@ -9608,6 +9696,7 @@ def oracle_sql() -> dict[str, str]:
         "q_local_morans": _oracle_local_morans(),
         "q_type_colocation": _oracle_type_colocation(),
         "q_tile_contours": _oracle_tile_contours(),
+        "q_contour_loops": _oracle_contour_loops(),
         "q_value_deciles": _oracle_value_deciles(),
         "q_scd2_intervals": _oracle_scd2_intervals(),
         "q_mutual_knn": _oracle_mutual_knn(),
