@@ -4863,6 +4863,73 @@ def _oracle_html_text() -> str:
     """
 
 
+def _q_robots_directives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scheduler-facing robots directives (operators/webcorpus.py:
+    parse_robots_directives): Crawl-delay parsed to exact integer
+    milliseconds (string-split decimal, no float round-trip) and
+    sorted-distinct Sitemap URLs, from synthesized bodies — every
+    fourth domain lacks a delay (NULL), every fifth lacks sitemaps
+    (empty).  Construction oracle re-derives both from the k
+    arithmetic."""
+    from geo_spark.operators.webcorpus import parse_robots_directives
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    ks = docs.select((F.col("doc_id") % 20).alias("k")).distinct()
+    k = F.col("k")
+    delay_line = F.when(
+        k % 4 != 3,
+        F.concat(
+            F.lit("Crawl-delay: "), k % 7, F.lit("."), k % 10, F.lit("\n")
+        ),
+    ).otherwise(F.lit(""))
+    sm_lines = [
+        F.when(
+            (k % 5 != 0) & (F.lit(j) <= k % 3),
+            F.concat(
+                F.lit("Sitemap: https://d"), k,
+                F.lit(f".example/sm{j}.xml\n"),
+            ),
+        ).otherwise(F.lit(""))
+        for j in range(3)
+    ]
+    robots = ks.select(
+        F.concat(F.lit("d"), k, F.lit(".example")).alias("domain"),
+        F.concat(
+            F.lit("User-agent: *\nDisallow: /private\n"),
+            delay_line, *sm_lines,
+        ).alias("robots_txt"),
+    )
+    out = parse_robots_directives(robots)
+    return out.select(
+        "domain",
+        "crawl_delay_ms",
+        F.array_size("sitemaps").cast("long").alias("n_sitemaps"),
+        F.array_join("sitemaps", ",").alias("sitemaps_csv"),
+    ).orderBy("domain")
+
+
+def _oracle_robots_directives() -> str:
+    return """
+        WITH ks AS (SELECT DISTINCT doc_id % 20 AS k FROM documents),
+        js(j) AS (VALUES (0), (1), (2)),
+        sm AS (SELECT k, j FROM ks, js
+               WHERE k % 5 != 0 AND j <= k % 3),
+        smj AS (SELECT k,
+                       string_agg('https://d' || k || '.example/sm' || j
+                                  || '.xml', ',' ORDER BY j) AS sms,
+                       count(*) AS n
+                FROM sm GROUP BY k)
+        SELECT 'd' || k || '.example' AS domain,
+               CASE WHEN k % 4 != 3
+                    THEN CAST((k % 7) * 1000 + (k % 10) * 100 AS BIGINT)
+                    ELSE NULL END AS crawl_delay_ms,
+               CAST(coalesce(smj.n, 0) AS BIGINT) AS n_sitemaps,
+               coalesce(smj.sms, '') AS sitemaps_csv
+        FROM ks LEFT JOIN smj USING (k)
+        ORDER BY domain
+    """
+
+
 def _q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC container round trip (sources/warc.py): documents are
     packed into spec-shaped WARC/1.0 blobs (Content-Length framing) and
@@ -9538,6 +9605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_robots_filter": _q_robots_filter,
         "q_robots_wildcard": _q_robots_wildcard,
         "q_sitemap_extract": _q_sitemap_extract,
+        "q_robots_directives": _q_robots_directives,
         "q_crawl_frontier": _q_crawl_frontier,
         "q_html_text": _q_html_text,
         "q_html_links": _q_html_links,
@@ -9707,6 +9775,7 @@ def oracle_sql() -> dict[str, str]:
         "q_robots_filter": _oracle_robots_filter(),
         "q_robots_wildcard": _oracle_robots_wildcard(),
         "q_sitemap_extract": _oracle_sitemap_extract(),
+        "q_robots_directives": _oracle_robots_directives(),
         "q_crawl_frontier": _oracle_crawl_frontier(),
         "q_html_text": _oracle_html_text(),
         "q_html_links": _oracle_html_links(),

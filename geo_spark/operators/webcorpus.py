@@ -359,3 +359,51 @@ def html_text_col(html: Column) -> Column:
     ):
         x = F.replace(x, F.lit(ent), F.lit(ch))
     return F.trim(F.regexp_replace(x, "\\s+", " "))
+
+
+def parse_robots_directives(
+    robots: DataFrame, domain_col: str = "domain", text_col: str = "robots_txt"
+) -> DataFrame:
+    """(domain, crawl_delay_ms, sitemaps): the non-rule robots.txt
+    directives the crawl SCHEDULER consumes — Crawl-delay (seconds,
+    fractional allowed; emitted as exact milliseconds via integer
+    parsing of the decimal text, NO float round-trip) and Sitemap URLs
+    (absolute, may repeat; kept sorted-distinct).  Missing directives
+    -> NULL delay / empty array.  Rule parsing stays in parse_robots;
+    this is one more pass over the same (small) exploded line table.
+
+    The ms conversion: seconds '12.34' splits at '.', integer part
+    *1000 plus the fraction left-padded... rather: fraction text
+    truncated/padded to 3 digits — '0.5' -> 500, '2' -> 2000,
+    '1.2345' -> 1234 — all string+integer SQL, engine-portable."""
+    lines = robots.select(
+        F.col(domain_col).alias("domain"),
+        F.explode(F.split(F.col(text_col), "\n", -1)).alias("_ln"),
+    )
+    delay_txt = F.regexp_extract(
+        F.col("_ln"), r"^[Cc]rawl-[Dd]elay:\s*([0-9]+(?:\.[0-9]+)?)\s*$", 1
+    )
+    sitemap = F.regexp_extract(
+        F.col("_ln"), r"^[Ss]itemap:\s*(\S+)\s*$", 1
+    )
+    parts = F.split(delay_txt, "\\.")
+    # F.get (0-based) returns NULL out of bounds even under ANSI mode
+    intpart = F.get(parts, 0).cast("long") * 1000
+    frac = F.rpad(
+        F.substring(F.coalesce(F.get(parts, 1), F.lit("")), 1, 3),
+        3,
+        "0",
+    ).cast("long")
+    delay_ms = F.when(delay_txt != "", intpart + frac)
+    return (
+        lines.select("domain", delay_ms.alias("_d"), sitemap.alias("_s"))
+        .groupBy("domain")
+        .agg(
+            F.min("_d").alias("crawl_delay_ms"),
+            F.array_sort(
+                F.array_distinct(
+                    F.filter(F.collect_list("_s"), lambda s: s != "")
+                )
+            ).alias("sitemaps"),
+        )
+    )

@@ -373,3 +373,33 @@ def test_html_text_inversion_property(spark):
         for r in df.select(html_text_col(html).alias("txt")).collect()
     ]
     assert got == texts
+
+
+def test_parse_robots_directives(spark):
+    from geo_spark.operators.webcorpus import parse_robots_directives
+
+    robots = spark.createDataFrame(
+        [
+            (
+                "a.com",
+                "User-agent: *\nDisallow: /x\nCrawl-delay: 2.5\n"
+                "Sitemap: https://a.com/s1.xml\n"
+                "Sitemap: https://a.com/s2.xml\n"
+                "Sitemap: https://a.com/s1.xml\n",  # dup collapsed
+            ),
+            ("b.com", "crawl-delay: 10\n"),          # case-insensitive, int
+            ("c.com", "Crawl-delay: 0.12345\n"),     # truncation to ms
+            ("d.com", "User-agent: *\nDisallow: /\n"),  # nothing
+        ],
+        "domain string, robots_txt string",
+    )
+    got = {
+        r["domain"]: (r["crawl_delay_ms"], list(r["sitemaps"]))
+        for r in parse_robots_directives(robots).collect()
+    }
+    assert got == {
+        "a.com": (2500, ["https://a.com/s1.xml", "https://a.com/s2.xml"]),
+        "b.com": (10000, []),
+        "c.com": (123, []),
+        "d.com": (None, []),
+    }
