@@ -4930,6 +4930,70 @@ def _oracle_robots_directives() -> str:
     """
 
 
+def _q_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness scheduler composition: the parsed Crawl-delay
+    (q_robots_directives' bodies) drives per-domain fetch slots —
+    URL rank within its domain (deterministic doc_id order) times the
+    domain's delay (default 1000 ms when absent) = scheduled_ms; the
+    final shape every crawl frontier executor consumes.  One window
+    over the domain partition; oracle replays directive arithmetic +
+    row_number."""
+    from pyspark.sql import Window
+
+    from geo_spark.operators.webcorpus import parse_robots_directives
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    ks = docs.select((F.col("doc_id") % 20).alias("k")).distinct()
+    k = F.col("k")
+    delay_line = F.when(
+        k % 4 != 3,
+        F.concat(
+            F.lit("Crawl-delay: "), k % 7, F.lit("."), k % 10, F.lit("\n")
+        ),
+    ).otherwise(F.lit(""))
+    robots = ks.select(
+        F.concat(F.lit("d"), k, F.lit(".example")).alias("domain"),
+        F.concat(F.lit("User-agent: *\n"), delay_line).alias("robots_txt"),
+    )
+    delays = parse_robots_directives(robots).select(
+        "domain", "crawl_delay_ms"
+    )
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("d"), F.col("doc_id") % 20, F.lit(".example")).alias(
+            "domain"
+        ),
+    )
+    w = Window.partitionBy("domain").orderBy("doc_id")
+    return (
+        urls.join(F.broadcast(delays), "domain")
+        .withColumn("_rk", F.row_number().over(w) - 1)
+        .select(
+            "doc_id",
+            "domain",
+            (
+                F.col("_rk")
+                * F.coalesce(F.col("crawl_delay_ms"), F.lit(1000))
+            ).cast("long").alias("scheduled_ms"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_fetch_schedule() -> str:
+    return """
+        SELECT doc_id,
+               'd' || (doc_id % 20) || '.example' AS domain,
+               CAST((row_number() OVER (PARTITION BY doc_id % 20
+                                        ORDER BY doc_id) - 1)
+                    * (CASE WHEN (doc_id % 20) % 4 != 3
+                            THEN ((doc_id % 20) % 7) * 1000
+                                 + ((doc_id % 20) % 10) * 100
+                            ELSE 1000 END) AS BIGINT) AS scheduled_ms
+        FROM documents ORDER BY doc_id
+    """
+
+
 def _q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC container round trip (sources/warc.py): documents are
     packed into spec-shaped WARC/1.0 blobs (Content-Length framing) and
@@ -9606,6 +9670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_robots_wildcard": _q_robots_wildcard,
         "q_sitemap_extract": _q_sitemap_extract,
         "q_robots_directives": _q_robots_directives,
+        "q_fetch_schedule": _q_fetch_schedule,
         "q_crawl_frontier": _q_crawl_frontier,
         "q_html_text": _q_html_text,
         "q_html_links": _q_html_links,
@@ -9776,6 +9841,7 @@ def oracle_sql() -> dict[str, str]:
         "q_robots_wildcard": _oracle_robots_wildcard(),
         "q_sitemap_extract": _oracle_sitemap_extract(),
         "q_robots_directives": _oracle_robots_directives(),
+        "q_fetch_schedule": _oracle_fetch_schedule(),
         "q_crawl_frontier": _oracle_crawl_frontier(),
         "q_html_text": _oracle_html_text(),
         "q_html_links": _oracle_html_links(),
