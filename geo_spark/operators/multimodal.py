@@ -541,6 +541,10 @@ def decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
         rgb = decode_png(payload)
     elif payload[:6] in (b"GIF87a", b"GIF89a"):
         rgb = decode_gif(payload)
+    elif payload[:2] == b"\xff\xd8":
+        from geo_spark.operators.jpeg import decode_jpeg
+
+        rgb = decode_jpeg(payload)
     else:
         return _decode_fake(payload, width, height)
     return (rgb.astype(np.uint16).sum(axis=2) // 3).astype(np.uint8)
