@@ -2,18 +2,20 @@
 
 The Spark-side plumbing is real — schemas, Arrow batch shapes,
 ``mapInPandas`` fan-out, partition sizing — and since round 3 the image
-decode is REAL for the four library-free formats: uncompressed 24-bit
-BMP, binary PPM, PNG (full chunk-walking decoder over stdlib zlib with
-CRC verification and all five scanline filters, plus a matching
-encoder), and GIF87a/89a (real LZW with growing code widths and
-dictionary resets, interlace, local/global palettes) — all pure
-numpy/struct codecs in this module (round-trip tested per variant),
-and the fixture media table carries actual encoded BMP and PNG files.
-Formats that genuinely need external codecs (JPEG/video) still
-dispatch to the deterministic fake when PIL/ffmpeg are absent
-(:data:`HAVE_CODECS`) — swapping in a real codec changes one function,
-and the downstream pipeline (feature-extract -> resize / frame-sample
--> aggregate) is identical either way.
+decode is REAL for five library-free formats: uncompressed 24-bit BMP,
+binary PPM, PNG (full chunk-walking decoder over stdlib zlib with CRC
+verification and all five scanline filters, plus a matching encoder),
+GIF87a/89a (real LZW with growing code widths and dictionary resets,
+interlace, local/global palettes), and baseline JPEG
+(operators/jpeg.py: DCT, quality-scaled quantization, frequency-built
+canonical Huffman — lossy, so its contract is bounded error +
+bit-exact determinism) — all pure numpy/struct codecs (round-trip
+tested per variant), and the fixture media table rotates actual
+encoded BMP/PNG/JPEG files.  Only video frame decode still needs an
+external library and dispatches to the deterministic fake when ffmpeg
+is absent (:data:`HAVE_CODECS`) — swapping in a real codec changes one
+function, and the downstream pipeline (feature-extract -> resize /
+frame-sample -> aggregate) is identical either way.
 
 Batch discipline: media rows are fat (MBs), so operators re-partition by
 byte budget, not row count — ``partitions_for_bytes`` — and every UDF
@@ -54,16 +56,21 @@ def synth_media(spark, n: int, partitions: int = 8) -> DataFrame:
                 rng = np.random.default_rng(int(i) + 1000)
                 if kind == "image":
                     # REAL encoded payload: a seeded 32x24 RGB raster
-                    # as an actual BMP or PNG file (alternating, PNG
-                    # cycling through filter types), so the decode path
-                    # is a genuine parser, not a fake
+                    # as an actual BMP, PNG, or JPEG file (rotating;
+                    # PNG cycles filter types), so the decode path is
+                    # a genuine parser, not a fake
                     img = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
-                    if (int(i) // 3) % 2 == 0:
+                    rot = (int(i) // 3) % 3
+                    if rot == 0:
                         payload = encode_bmp(img)
-                    else:
+                    elif rot == 1:
                         payload = encode_png(
-                            img, filter_type=(int(i) // 6) % 5
+                            img, filter_type=(int(i) // 9) % 5
                         )
+                    else:
+                        from geo_spark.operators.jpeg import encode_jpeg
+
+                        payload = encode_jpeg(img, quality=95)
                 else:
                     payload = rng.integers(0, 256, 256, dtype=np.uint8).tobytes()
                 rows.append(
