@@ -71,8 +71,21 @@ def synth_media(spark, n: int, partitions: int = 8) -> DataFrame:
                         from geo_spark.operators.jpeg import encode_jpeg
 
                         payload = encode_jpeg(img, quality=95)
+                elif kind == "audio":
+                    # REAL RIFF/WAVE payload: 256 seeded int16 samples
+                    payload = encode_wav(
+                        rng.integers(-32768, 32768, 256).astype(np.int16),
+                        16000,
+                    )
                 else:
-                    payload = rng.integers(0, 256, 256, dtype=np.uint8).tobytes()
+                    # REAL MJPEG AVI payload: 12 seeded 16x16 frames
+                    payload = encode_avi_mjpeg(
+                        [
+                            rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+                            for _ in range(12)
+                        ],
+                        fps=10,
+                    )
                 rows.append(
                     (
                         int(i),
@@ -598,7 +611,9 @@ def image_features(media: DataFrame, resize_to: int = 8) -> DataFrame:
 
 
 def audio_features(media: DataFrame, n_bands: int = 4) -> DataFrame:
-    """audio rows -> coarse band energies of the (fake) waveform."""
+    """audio rows -> coarse band energies.  RIFF/WAVE payloads get a
+    REAL PCM decode (:func:`decode_wav`); raw byte payloads keep the
+    deterministic fallback interpretation."""
     src = media.where(F.col("kind") == "audio").select(
         "media_id", "payload", "sample_rate"
     )
@@ -607,9 +622,16 @@ def audio_features(media: DataFrame, n_bands: int = 4) -> DataFrame:
         for pdf in batches:
             out = []
             for r in pdf.itertuples():
-                wave = (
-                    np.frombuffer(r.payload, dtype=np.uint8).astype(np.float64) - 128.0
-                )
+                if r.payload[:4] == b"RIFF" and r.payload[8:12] == b"WAVE":
+                    _, samples = decode_wav(r.payload)
+                    wave = samples.astype(np.float64)
+                else:
+                    wave = (
+                        np.frombuffer(r.payload, dtype=np.uint8).astype(
+                            np.float64
+                        )
+                        - 128.0
+                    )
                 spec = np.abs(np.fft.rfft(wave))
                 bands = np.array_split(spec, n_bands)
                 out.append(
@@ -623,8 +645,11 @@ def audio_features(media: DataFrame, n_bands: int = 4) -> DataFrame:
 
 
 def video_frame_sample(media: DataFrame, every: int = 4) -> DataFrame:
-    """video rows -> one exploded row per sampled frame index (the shape a
-    real frame extractor produces; frame payloads stubbed to stats)."""
+    """video rows -> one exploded row per sampled frame index.  MJPEG
+    AVI payloads get REAL container walking + per-frame JPEG decode
+    (:func:`decode_avi_mjpeg` — unsampled frames are never decoded,
+    which is the point of stride sampling at scale); raw byte payloads
+    keep the deterministic stat fallback."""
     src = media.where(F.col("kind") == "video").select(
         "media_id", "payload", "n_frames"
     )
@@ -633,6 +658,12 @@ def video_frame_sample(media: DataFrame, every: int = 4) -> DataFrame:
         for pdf in batches:
             out = []
             for r in pdf.itertuples():
+                if r.payload[:4] == b"RIFF" and r.payload[8:12] == b"AVI ":
+                    for fi, frame in decode_avi_mjpeg(r.payload, every=every):
+                        out.append(
+                            (r.media_id, fi, float(frame.mean()))
+                        )
+                    continue
                 raw = np.frombuffer(r.payload, dtype=np.uint8)
                 for fi in range(0, int(r.n_frames), every):
                     chunk = raw[fi::every]
@@ -640,3 +671,122 @@ def video_frame_sample(media: DataFrame, every: int = 4) -> DataFrame:
             yield pd.DataFrame(out, columns=["media_id", "frame_idx", "frame_mean"])
 
     return src.mapInPandas(fn, "media_id long, frame_idx int, frame_mean double")
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """int16 mono PCM -> RIFF/WAVE bytes (the canonical uncompressed
+    audio container — parsing it IS real audio decode)."""
+    import struct
+
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
+    """RIFF/WAVE PCM -> (sample_rate, int16 mono samples).  16-bit
+    mono PCM only (what the engine emits; stereo/float raise)."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAVE payload")
+    pos = 12
+    rate = None
+    pcm = None
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (ln,) = struct.unpack_from("<I", data, pos + 4)
+        payload = data[pos + 8 : pos + 8 + ln]
+        if tag == b"fmt ":
+            audio_fmt, channels, rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", payload, 0
+            )
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                raise ValueError("only 16-bit mono PCM supported")
+        elif tag == b"data":
+            pcm = np.frombuffer(payload, dtype="<i2")
+        pos += 8 + ln + (ln & 1)  # RIFF even padding
+    if rate is None or pcm is None:
+        raise ValueError("missing fmt/data chunk")
+    return int(rate), pcm
+
+
+def encode_avi_mjpeg(frames: list, fps: int = 10) -> bytes:
+    """List of (H,W,3) uint8 frames -> minimal MJPEG AVI (each frame a
+    real baseline JPEG from operators/jpeg.py inside '00dc' chunks) —
+    a genuine video container + codec path with zero external libs."""
+    import struct
+
+    from geo_spark.operators.jpeg import encode_jpeg
+
+    h, w = frames[0].shape[:2]
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return tag + struct.pack("<I", len(payload)) + payload + (
+            b"\x00" if len(payload) & 1 else b""
+        )
+
+    def lst(kind: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", kind + payload)
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps, 0, 0, 0x10, len(frames), 0, 1, 0, w, h,
+        0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"MJPG", 0, 0, 0, 0, 1, fps, 0, len(frames),
+        0, 0xFFFFFFFF, 0, 0, 0, int(w), int(h),
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(
+        b"movi",
+        b"".join(chunk(b"00dc", encode_jpeg(f, quality=92)) for f in frames),
+    )
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_mjpeg(data: bytes, every: int = 1) -> list:
+    """MJPEG AVI -> list of (frame_index, (H,W,3) uint8) for every
+    ``every``-th frame — real frame SAMPLING: unsampled frames are
+    never JPEG-decoded (the point of stride sampling at 100 TB)."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+
+    from geo_spark.operators.jpeg import decode_jpeg
+
+    out = []
+    fi = 0
+
+    def walk(buf: bytes) -> None:
+        nonlocal fi
+        pos = 0
+        while pos + 8 <= len(buf):
+            tag = buf[pos : pos + 4]
+            (ln,) = struct.unpack_from("<I", buf, pos + 4)
+            payload = buf[pos + 8 : pos + 8 + ln]
+            if tag == b"LIST":
+                walk(payload[4:])
+            elif tag in (b"00dc", b"00db"):
+                if fi % every == 0:
+                    out.append((fi, decode_jpeg(payload)))
+                fi += 1
+            pos += 8 + ln + (ln & 1)
+
+    walk(data[12:])
+    return out

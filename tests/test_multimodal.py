@@ -248,3 +248,63 @@ def test_decode_image_dispatches_gif():
     gray = decode_image(encode_gif(img), 9, 8)
     want = (img.astype(np.uint16).sum(axis=2) // 3).astype(np.uint8)
     np.testing.assert_array_equal(gray, want)
+
+
+def test_wav_round_trip():
+    from geo_spark.operators.multimodal import decode_wav, encode_wav
+
+    rng = np.random.default_rng(61)
+    s = rng.integers(-32768, 32768, 500).astype(np.int16)
+    rate, out = decode_wav(encode_wav(s, 22050))
+    assert rate == 22050
+    np.testing.assert_array_equal(out, s)
+    with pytest.raises(ValueError, match="WAVE"):
+        decode_wav(b"RIFFxxxxJUNK")
+
+
+def test_avi_mjpeg_round_trip_and_stride():
+    from geo_spark.operators.multimodal import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+
+    frames = [
+        np.full((16, 16, 3), 30 * i, dtype=np.uint8) for i in range(8)
+    ]
+    data = encode_avi_mjpeg(frames, fps=5)
+    assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
+    got = decode_avi_mjpeg(data, every=3)
+    assert [i for i, _ in got] == [0, 3, 6]
+    for i, f in got:
+        assert f.shape == (16, 16, 3)
+        assert abs(float(f.mean()) - 30 * i) <= 3, i
+
+
+def test_audio_video_features_on_real_containers(spark):
+    """The fixture table now carries real WAV + MJPEG-AVI payloads; the
+    feature operators must take the real-decode branch and match a
+    local decode of the same payloads."""
+    from geo_spark.operators.multimodal import (
+        decode_avi_mjpeg,
+        decode_wav,
+    )
+
+    media = synth_media(spark, 12, partitions=3)
+    rows = {r["media_id"]: r for r in media.collect()}
+    aud = {r["media_id"]: r for r in audio_features(media).collect()}
+    for mid, r in rows.items():
+        if r["kind"] != "audio":
+            continue
+        _, samples = decode_wav(bytes(r["payload"]))
+        assert aud[mid]["n_samples"] == len(samples) == 256
+    vid = {}
+    for r in video_frame_sample(media, every=4).collect():
+        vid.setdefault(r["media_id"], {})[r["frame_idx"]] = r["frame_mean"]
+    for mid, r in rows.items():
+        if r["kind"] != "video":
+            continue
+        want = {
+            fi: float(f.mean())
+            for fi, f in decode_avi_mjpeg(bytes(r["payload"]), every=4)
+        }
+        assert vid[mid] == want and set(want) == {0, 4, 8}
