@@ -10,12 +10,15 @@ interlace, local/global palettes), and baseline JPEG
 (operators/jpeg.py: DCT, quality-scaled quantization, frequency-built
 canonical Huffman — lossy, so its contract is bounded error +
 bit-exact determinism) — all pure numpy/struct codecs (round-trip
-tested per variant), and the fixture media table rotates actual
-encoded BMP/PNG/JPEG files.  Only video frame decode still needs an
-external library and dispatches to the deterministic fake when ffmpeg
-is absent (:data:`HAVE_CODECS`) — swapping in a real codec changes one
-function, and the downstream pipeline (feature-extract -> resize /
-frame-sample -> aggregate) is identical either way.
+tested per variant).  AUDIO and VIDEO are real too: RIFF/WAVE PCM
+parsing and MJPEG-AVI container walking with per-frame JPEG decode
+(stride sampling never decodes unsampled frames).  The fixture media
+table carries actual encoded BMP/PNG/JPEG images, WAV audio, and
+MJPEG-AVI video.  The deterministic fake remains only as the fallback
+for unrecognized raw byte blobs (and the :data:`HAVE_CODECS` guard
+marks where a PIL/ffmpeg-backed path would slot in for formats beyond
+this set, e.g. H.264) — the downstream pipeline (feature-extract ->
+resize / frame-sample -> aggregate) is identical either way.
 
 Batch discipline: media rows are fat (MBs), so operators re-partition by
 byte budget, not row count — ``partitions_for_bytes`` — and every UDF
