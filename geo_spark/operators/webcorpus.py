@@ -95,19 +95,19 @@ def url_normalize_col(url: Column) -> Column:
     (case-significant).  One regexp_replace chain, fully codegen."""
     # strip fragment
     u = F.regexp_replace(url, "#.*$", "")
-    # lowercase scheme://host prefix (group 0 = 'scheme://host[:port]')
-    pref0 = F.regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)", 0)
-    rest = F.substr(u, F.length(pref0) + F.lit(1), F.length(u))
+    # split at the end of 'scheme://host[:port]' with one anchored
+    # regex (group 2 = the rest) — no length arithmetic, so the whole
+    # builder renders back to parseable SQL for register_sql's
+    # CREATE FUNCTION export
+    split_re = "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)([\\s\\S]*)$"
+    pref0 = F.regexp_extract(u, split_re, 1)
+    rest = F.regexp_extract(u, split_re, 2)
     pref = F.lower(pref0)
     # default ports off the (now lowercased) prefix
-    pref = F.when(
-        pref.startswith("http://") & pref.endswith(":80"),
-        F.substr(pref, F.lit(1), F.length(pref) - F.lit(3)),
-    ).when(
-        pref.startswith("https://") & pref.endswith(":443"),
-        F.substr(pref, F.lit(1), F.length(pref) - F.lit(4)),
-    ).otherwise(pref)
-    return F.concat(pref, rest)
+    pref = F.regexp_replace(pref, "^(http://.*):80$", "$1")
+    pref = F.regexp_replace(pref, "^(https://.*):443$", "$1")
+    # no scheme://host prefix -> pass through untouched
+    return F.when(pref0 == "", u).otherwise(F.concat(pref, rest))
 
 
 def registered_domain_col(host: Column) -> Column:
@@ -188,9 +188,9 @@ def robots_pattern_col(prefix: Column) -> Column:
     (DuckDB ``regexp_matches``), which is what lets the contract
     oracle replay matching on the other engine."""
     has_end = prefix.endswith("$")
-    body = F.when(
-        has_end, F.substr(prefix, F.lit(1), F.length(prefix) - F.lit(1))
-    ).otherwise(prefix)
+    # strip only a TRAILING $ (regexp, no length arithmetic — keeps
+    # the builder renderable as SQL text for register_sql)
+    body = F.regexp_replace(prefix, "\\$$", "")
     esc = F.regexp_replace(body, "([.^$+?(){}\\[\\]|\\\\])", "\\\\$1")
     return F.concat(
         F.lit("^"),

@@ -133,3 +133,57 @@ def test_webgrid_sql_fns_inline_into_codegen(reg):
     # raw quantize/gather expressions — no ScalaUDF / PythonUDF wrapper
     assert "*(1)" in plan and "substring(0123456789bcdefghjkmnpqrstuvwxyz" in plan
     assert "UDF" not in plan
+
+
+def test_webtext_sql_functions(spark):
+    """The webcorpus Column builders, reachable from pure spark.sql —
+    same Catalyst tree, so same results as the DataFrame surface."""
+    from geo_spark.functions.register import register_sql
+
+    register_sql(spark)
+    row = spark.sql(
+        "SELECT web_host('https://WWW.Example.CO.UK:443/p#f') AS h,"
+        "       url_canon('HTTPS://WWW.Example.com:443/P?q=1#frag') AS c,"
+        "       registered_domain('www.example.co.uk') AS d,"
+        "       html_text('<p>a &amp; b</p><script>no()</script>') AS t,"
+        "       robots_pattern('/*.tmp$') AS rp"
+    ).collect()[0]
+    assert row["h"] == "www.example.co.uk"
+    assert row["c"] == "https://www.example.com/P?q=1"
+    assert row["d"] == "example.co.uk"
+    assert row["t"] == "a & b"
+    assert row["rp"] == "^/.*\\.tmp$"
+
+
+def test_webtext_sql_twins_match_column_builders(spark):
+    """url_canon / registered_domain keep hand-written SQL bodies (the
+    ColumnNode renderer emits unparseable '=(a,b)' comparisons) — this
+    is the drift guard: both surfaces must agree on a sample covering
+    every branch."""
+    from pyspark.sql import functions as F
+
+    from geo_spark.functions.register import register_sql
+    from geo_spark.operators.webcorpus import (
+        registered_domain_col,
+        url_normalize_col,
+    )
+
+    register_sql(spark)
+    urls = [
+        "https://WWW.Ex.com:443/P?q=1#f",
+        "http://A.B.co.uk:80/x",
+        "HTTP://h:80",
+        "not a url at all",
+        "ftp://Host:21/z",
+    ]
+    hosts = ["www.example.co.uk", "a.b.c.com.au", "plain", "x.y", "e.org"]
+    df = spark.createDataFrame(list(zip(urls, hosts)), "url string, host string")
+    rows = df.select(
+        url_normalize_col(F.col("url")).alias("c1"),
+        F.expr("url_canon(url)").alias("c2"),
+        registered_domain_col(F.col("host")).alias("d1"),
+        F.expr("registered_domain(host)").alias("d2"),
+    ).collect()
+    for r in rows:
+        assert r["c1"] == r["c2"], (r["c1"], r["c2"])
+        assert r["d1"] == r["d2"], (r["d1"], r["d2"])
