@@ -3703,6 +3703,52 @@ def _oracle_containment_pairs() -> str:
     """
 
 
+def _q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring spans (operators/dedup.py:dup_spans,
+    the Lee-et-al suffix-array dedup re-expressed as rolling-gram
+    runs): maximal per-document character intervals whose every
+    30-gram occurs >= 2 times corpus-wide.  Oracle replays positional
+    md5 grams -> corpus counts -> flagged positions -> (pos - rank)
+    run grouping."""
+    from geo_spark.operators.dedup import dup_spans
+
+    out = dup_spans(_t(spark, sf_dir, "documents"), gram_len=30)
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("span_len").cast("long").alias("span_len"),
+    ).orderBy("doc_id", "span_start")
+
+
+def _oracle_dup_spans() -> str:
+    L = 30
+    return f"""
+        WITH g AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                 md5(substr(text, i, {L})) AS g
+          FROM documents,
+               UNNEST(list_transform(
+                 range(1, greatest(length(text)-{L}+1, 1)+1), x -> x))
+               AS t(i)
+          WHERE length(text) >= {L}
+        ),
+        cnt AS (SELECT g, count(*) AS c FROM g GROUP BY g),
+        f AS (SELECT doc_id, pos FROM g
+              WHERE g IN (SELECT g FROM cnt WHERE c >= 2)),
+        runs AS (SELECT doc_id, pos,
+                        pos - row_number() OVER (PARTITION BY doc_id
+                                                 ORDER BY pos) AS run
+                 FROM f)
+        SELECT doc_id,
+               CAST(min(pos) AS BIGINT) AS span_start,
+               CAST(max(pos) + {L} - 1 AS BIGINT) AS span_end,
+               CAST(max(pos) + {L} - min(pos) AS BIGINT) AS span_len
+        FROM runs GROUP BY doc_id, run
+        ORDER BY doc_id, span_start
+    """
+
+
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster resolution over the exact-Jaccard pair graph:
     connected components by min-label propagation + pointer jumping;
@@ -9630,6 +9676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngram_dedup_pairs": _q_ngram_dedup_pairs,
         "q_containment_pairs": _q_containment_pairs,
         "q_prefix_jaccard_pairs": _q_prefix_jaccard_pairs,
+        "q_dup_spans": _q_dup_spans,
         "q_doc_quality": _q_doc_quality,
         "q_line_dedup": _q_line_dedup,
         "q_lang_guess": _q_lang_guess,
@@ -9779,6 +9826,7 @@ def oracle_sql() -> dict[str, str]:
         "q_ngram_dedup_pairs": _oracle_ngram_dedup_pairs(),
         "q_containment_pairs": _oracle_containment_pairs(),
         "q_prefix_jaccard_pairs": _oracle_ngram_dedup_pairs(),
+        "q_dup_spans": _oracle_dup_spans(),
         "q_minhash_lsh_pairs": _oracle_minhash_lsh_pairs(),
         "q_simhash_pairs": _oracle_simhash_pairs(),
         "q_hex_tile_counts": _oracle_hex_tile_counts(),

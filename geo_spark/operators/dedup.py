@@ -780,3 +780,70 @@ def fuzzy_pairs(
         .where(F.col("dist") <= max_dist)
         .select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
     )
+
+
+def dup_spans(
+    docs: DataFrame,
+    gram_len: int = 50,
+    min_count: int = 2,
+    key: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(key, span_start, span_end, span_len): maximal EXACT duplicated
+    character spans per document — every length-``gram_len`` window
+    inside a reported span occurs at least ``min_count`` times in the
+    whole corpus.  This is the exact-substring dedup of Lee et al.
+    ("Deduplicating Training Data Makes Language Models Better"),
+    whose suffix-array construction is replaced by a Spark-native
+    rolling-gram pipeline: the gram table IS the relevant slice of the
+    suffix array (fixed-depth prefixes), and maximal spans fall out of
+    a per-document run merge instead of LCP walking.
+
+    Plan: one positional gram explode (md5(gram) so the shuffle key is
+    16 bytes regardless of gram_len), one corpus-wide gram count
+    (map-side combined), a semi-join back to flag duplicated
+    positions, then the stay_points run trick — consecutive flagged
+    positions collapse via (pos - row_number) run keys, one window +
+    one aggregate per doc.  Spans of overlapping duplicated grams
+    merge automatically (positions are consecutive).  1-based
+    character offsets, span_end inclusive.
+
+    Skew/scale notes: the gram count's hot keys are boilerplate — the
+    same Zipf head every shingle op here faces; partial aggregation
+    absorbs it.  At 100 TB, gram_len=50 with a min_count prefilter on
+    the count table keeps the flag join small (only duplicated grams
+    ship back)."""
+    pos_grams = docs.select(
+        F.col(key).alias("_id"),
+        F.length(text_col).alias("_len"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(length({text_col})-{gram_len}+1, 1)),"
+                f" i -> md5(substr({text_col}, i, {gram_len})))"
+            )
+        ).alias("_p0", "g"),
+    ).where(F.col("_len") >= gram_len).select(
+        "_id", (F.col("_p0") + 1).alias("pos"), "g"
+    )
+    hot = (
+        pos_grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .where(F.col("_c") >= min_count)
+        .select("g")
+    )
+    flagged = pos_grams.join(hot, "g", "left_semi")
+    w = Window.partitionBy("_id").orderBy("pos")
+    runs = flagged.withColumn(
+        "_run", F.col("pos") - F.row_number().over(w)
+    )
+    return (
+        runs.groupBy("_id", "_run")
+        .agg(F.min("pos").alias("span_start"), F.max("pos").alias("_last"))
+        .select(
+            F.col("_id").alias(key),
+            "span_start",
+            (F.col("_last") + gram_len - 1).alias("span_end"),
+            (F.col("_last") + gram_len - F.col("span_start"))
+            .alias("span_len"),
+        )
+    )

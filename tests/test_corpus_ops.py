@@ -719,3 +719,76 @@ def test_prefix_jaccard_random_texts(spark):
     }
     assert got == want
     assert want  # near-dups guarantee non-trivial pairs
+
+
+def _dup_spans_python(texts, gram_len, min_count=2):
+    """Exact replay: corpus gram counts -> flagged positions -> maximal
+    runs."""
+    from collections import Counter
+
+    grams = Counter()
+    for t in texts.values():
+        for p in range(len(t) - gram_len + 1):
+            grams[t[p : p + gram_len]] += 1
+    out = set()
+    for did, t in texts.items():
+        flagged = [
+            p + 1
+            for p in range(len(t) - gram_len + 1)
+            if grams[t[p : p + gram_len]] >= min_count
+        ]
+        run_start = None
+        prev = None
+        for p in flagged + [None]:
+            if p is not None and prev is not None and p == prev + 1:
+                prev = p
+                continue
+            if prev is not None:
+                out.add(
+                    (did, run_start, prev + gram_len - 1,
+                     prev + gram_len - run_start)
+                )
+            run_start, prev = p, p
+    return out
+
+
+def test_dup_spans_quote_and_self_repeat(spark):
+    from geo_spark.operators.dedup import dup_spans
+
+    boiler = "SHARED BOILERPLATE SENTENCE THAT REPEATS EXACTLY!"
+    texts = {
+        0: "unique head aaaa " + boiler + " unique tail bbbb",
+        1: "other document " + boiler + " entirely different end",
+        2: "no duplication anywhere in this one at all, promise",
+        3: "selfselfselfselfselfselfselfselfselfselfselfselfself",  # self-repeat
+    }
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    L = 20
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_len"])
+        for r in dup_spans(df, gram_len=L).collect()
+    }
+    want = _dup_spans_python(texts, L)
+    assert got == want
+    # the boilerplate span is found in both docs 0 and 1, not in 2
+    assert any(d == 0 for d, *_ in got)
+    assert any(d == 1 for d, *_ in got)
+    assert not any(d == 2 for d, *_ in got)
+    assert any(d == 3 for d, *_ in got)  # self-repetition counts
+
+
+def test_dup_spans_random_fixture(spark, docs):
+    from geo_spark.operators.dedup import dup_spans
+
+    texts = {
+        r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()
+    }
+    L = 30
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_len"])
+        for r in dup_spans(docs, gram_len=L).collect()
+    }
+    assert got == _dup_spans_python(texts, L)
+    assert got  # word-salad corpus has real duplicated spans
