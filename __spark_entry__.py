@@ -3749,6 +3749,97 @@ def _oracle_dup_spans() -> str:
     """
 
 
+def _q_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full exact-substring dedup PASS: dup_spans finds maximal
+    duplicated 30-gram intervals, remove_spans merges overlaps and
+    splices them out — output (doc_id, clean_md5, n_removed), the
+    cleaned corpus every doc keeps.  ONE oracle replays grams ->
+    counts -> runs -> interval UNION (running-max window) ->
+    complement gaps -> ordered string_agg -> md5: the Lee-et-al
+    cleaning transformation certified end to end."""
+    from geo_spark.operators.dedup import dup_spans, remove_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    spans = dup_spans(docs, gram_len=30)
+    out = remove_spans(docs, spans)
+    return out.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        "n_removed",
+    ).orderBy("doc_id")
+
+
+def _oracle_span_cut() -> str:
+    L = 30
+    return f"""
+        WITH g AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                 md5(substr(text, i, {L})) AS g
+          FROM documents,
+               UNNEST(list_transform(
+                 range(1, greatest(length(text)-{L}+1, 1)+1), x -> x))
+               AS t(i)
+          WHERE length(text) >= {L}
+        ),
+        cnt AS (SELECT g, count(*) AS c FROM g GROUP BY g),
+        f AS (SELECT doc_id, pos FROM g
+              WHERE g IN (SELECT g FROM cnt WHERE c >= 2)),
+        runs AS (SELECT doc_id, pos,
+                        pos - row_number() OVER (PARTITION BY doc_id
+                                                 ORDER BY pos) AS run
+                 FROM f),
+        spans AS (SELECT doc_id, min(pos) AS s, max(pos) + {L} - 1 AS e
+                  FROM runs GROUP BY doc_id, run),
+        m0 AS (SELECT doc_id, s, e,
+                      max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS pmax
+               FROM spans),
+        m1 AS (SELECT doc_id, s, e,
+                      CASE WHEN pmax IS NULL OR s > pmax + 1
+                           THEN 1 ELSE 0 END AS newg
+               FROM m0),
+        m2 AS (SELECT doc_id, s, e,
+                      SUM(newg) OVER (PARTITION BY doc_id
+                                      ORDER BY s, e) AS grp
+               FROM m1),
+        mg AS (SELECT doc_id, min(s) AS s, max(e) AS e
+               FROM m2 GROUP BY doc_id, grp),
+        base AS (SELECT doc_id, text,
+                        CAST(length(text) AS BIGINT) AS len
+                 FROM documents),
+        jn AS (SELECT b.doc_id, b.text, b.len, mg.s, mg.e
+               FROM base b LEFT JOIN mg USING (doc_id)),
+        gaps AS (SELECT doc_id, text,
+                        coalesce(lag(e) OVER (PARTITION BY doc_id
+                                              ORDER BY s, e) + 1, 1)
+                          AS gs,
+                        coalesce(s - 1, len) AS ge
+                 FROM jn),
+        pieces AS (
+          SELECT doc_id, gs AS p,
+                 CASE WHEN ge >= gs
+                      THEN substr(text, CAST(gs AS INT),
+                                  CAST(ge - gs + 1 AS INT))
+                      ELSE '' END AS piece
+          FROM gaps
+          UNION ALL
+          SELECT doc_id, max(e) + 1,
+                 CASE WHEN max(e) < min(len)
+                      THEN substr(min(text), CAST(max(e) + 1 AS INT),
+                                  CAST(min(len) - max(e) AS INT))
+                      ELSE '' END
+          FROM jn WHERE s IS NOT NULL GROUP BY doc_id
+        ),
+        asm AS (SELECT doc_id, string_agg(piece, '' ORDER BY p) AS clean
+                FROM pieces GROUP BY doc_id)
+        SELECT b.doc_id, md5(asm.clean) AS clean_md5,
+               CAST(b.len - length(asm.clean) AS BIGINT) AS n_removed
+        FROM base b JOIN asm USING (doc_id)
+        ORDER BY b.doc_id
+    """
+
+
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster resolution over the exact-Jaccard pair graph:
     connected components by min-label propagation + pointer jumping;
@@ -9677,6 +9768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_containment_pairs": _q_containment_pairs,
         "q_prefix_jaccard_pairs": _q_prefix_jaccard_pairs,
         "q_dup_spans": _q_dup_spans,
+        "q_span_cut": _q_span_cut,
         "q_doc_quality": _q_doc_quality,
         "q_line_dedup": _q_line_dedup,
         "q_lang_guess": _q_lang_guess,
@@ -9827,6 +9919,7 @@ def oracle_sql() -> dict[str, str]:
         "q_containment_pairs": _oracle_containment_pairs(),
         "q_prefix_jaccard_pairs": _oracle_ngram_dedup_pairs(),
         "q_dup_spans": _oracle_dup_spans(),
+        "q_span_cut": _oracle_span_cut(),
         "q_minhash_lsh_pairs": _oracle_minhash_lsh_pairs(),
         "q_simhash_pairs": _oracle_simhash_pairs(),
         "q_hex_tile_counts": _oracle_hex_tile_counts(),

@@ -847,3 +847,111 @@ def dup_spans(
             .alias("span_len"),
         )
     )
+
+
+def remove_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(key, clean_text, n_removed): cut character intervals out of
+    each document — the transformation half of exact-substring dedup
+    (dup_spans finds the intervals, this removes them; chained, they
+    are the Lee-et-al cleaning pass).
+
+    Overlap-safe: adjacent dup_spans runs can still overlap in
+    CHARACTER space (a 1-position flag gap leaves gram_len-1 shared
+    characters), so spans are first merged into their interval UNION
+    (running-max-of-end window, the SCD2/stay-points shape), then the
+    kept text is the ordered concatenation of complement gaps — one
+    window + one substring per gap + one sorted aggregate, all native
+    SQL; documents with no spans pass through via LEFT join.  1-based
+    inclusive intervals, matching dup_spans."""
+    s = spans.select(
+        F.col(key).alias("_id"),
+        F.col("span_start").cast("long").alias("s"),
+        F.col("span_end").cast("long").alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    merged = (
+        s.withColumn("_pmax", F.max("e").over(w_prev))
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_pmax").isNull() | (F.col("s") > F.col("_pmax") + 1),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "_grp",
+            F.sum("_new").over(
+                Window.partitionBy("_id").orderBy("s", "e")
+            ),
+        )
+        .groupBy("_id", "_grp")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    )
+    base = docs.select(
+        F.col(key).alias("_id"),
+        F.col(text_col).alias("_t"),
+        F.length(text_col).cast("long").alias("_len"),
+    )
+    j = base.join(merged, "_id", "left")
+    w_lag = Window.partitionBy("_id").orderBy("s", "e")
+    gaps = j.withColumn(
+        "_gap_start", F.coalesce(F.lag("e").over(w_lag) + 1, F.lit(1))
+    ).withColumn("_gap_end", F.coalesce(F.col("s") - 1, F.col("_len")))
+    # each row contributes the gap BEFORE its span; the tail gap after
+    # the last span is contributed by a per-doc max aggregate below
+    pieces = gaps.select(
+        "_id",
+        F.col("_gap_start").alias("p"),
+        F.when(
+            F.col("_gap_end") >= F.col("_gap_start"),
+            F.expr("substr(_t, _gap_start, _gap_end - _gap_start + 1)"),
+        ).otherwise(F.lit("")).alias("piece"),
+    )
+    tails = (
+        j.where(F.col("s").isNotNull())
+        .groupBy("_id")
+        .agg(F.max("e").alias("_last_e"), F.first("_t").alias("_t"),
+             F.first("_len").alias("_len"))
+        .select(
+            "_id",
+            (F.col("_last_e") + 1).alias("p"),
+            F.when(
+                F.col("_last_e") < F.col("_len"),
+                F.expr("substr(_t, _last_e + 1, _len - _last_e)"),
+            ).otherwise(F.lit("")).alias("piece"),
+        )
+    )
+    assembled = (
+        pieces.unionByName(tails)
+        .groupBy("_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("p", "piece"))
+                    ),
+                    lambda x: x["piece"],
+                ),
+                "",
+            ).alias("clean_text")
+        )
+    )
+    return (
+        base.join(assembled, "_id")
+        .select(
+            F.col("_id").alias(key),
+            "clean_text",
+            (F.col("_len") - F.length("clean_text"))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

@@ -792,3 +792,64 @@ def test_dup_spans_random_fixture(spark, docs):
     }
     assert got == _dup_spans_python(texts, L)
     assert got  # word-salad corpus has real duplicated spans
+
+
+def test_remove_spans_cuts_and_merges_overlaps(spark):
+    from geo_spark.operators.dedup import remove_spans
+
+    docs = spark.createDataFrame(
+        [(0, "abcdefghijklmnop"), (1, "untouched doc"), (2, "xxxxyyyy")],
+        "doc_id long, text string",
+    )
+    spans = spark.createDataFrame(
+        [
+            (0, 3, 6), (0, 5, 9),    # overlap -> merged [3,9]
+            (0, 12, 13),
+            (2, 1, 8),               # whole doc removed
+        ],
+        "doc_id long, span_start long, span_end long",
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in remove_spans(docs, spans).collect()
+    }
+    assert got[0] == ("ab" + "jk" + "nop", 9)
+    assert got[1] == ("untouched doc", 0)
+    assert got[2] == ("", 8)
+
+
+def test_dup_spans_then_remove_round_trip(spark, docs):
+    """Composition: cutting the dup_spans intervals must remove every
+    flagged gram position (no 30-gram in the cleaned corpus-wide
+    multiset count drops below the visibility of the replay) — checked
+    by python replay of the full chain."""
+    from geo_spark.operators.dedup import dup_spans, remove_spans
+
+    L = 30
+    spans = dup_spans(docs, gram_len=L)
+    cleaned = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in remove_spans(docs, spans).collect()
+    }
+    texts = {
+        r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()
+    }
+    want_spans = _dup_spans_python(texts, L)
+    for did, t in texts.items():
+        ivs = sorted(
+            (s, e) for d, s, e, _ in want_spans if d == did
+        )
+        merged = []
+        for s, e in ivs:
+            if merged and s <= merged[-1][1] + 1:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        keep = []
+        p = 1
+        for s, e in merged:
+            keep.append(t[p - 1 : s - 1])
+            p = e + 1
+        keep.append(t[p - 1 :])
+        want = "".join(keep)
+        assert cleaned[did] == (want, len(t) - len(want)), did
