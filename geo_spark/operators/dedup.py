@@ -1,17 +1,30 @@
 """Deduplication operators for training-data pipelines.
 
-Four tiers, cheapest-first — the standard web-corpus dedup ladder:
+The web-corpus dedup ladder, cheapest-first:
 
 - :func:`exact_dedup` — md5-of-text hash groupBy (full-content dupes).
+- :func:`dup_spans` / :func:`remove_spans` — exact duplicated
+  SUBSTRING detection and removal (the Lee-et-al suffix-array pass as
+  rolling-gram runs + interval-union splice).
+- :func:`line_dedup` — CCNet-style per-line boilerplate removal.
 - :func:`ngram_jaccard_pairs` — exact character-n-gram Jaccard via a
   shingle equi-join; the ground truth the approximate tiers are
   tested against.  All native SQL (explode + groupBy), no UDF.
+- :func:`jaccard_pairs_prefix` — the same exact semantics via PPJoin
+  prefix filtering (lossless; wins on template-heavy corpora).
+- :func:`containment_pairs` — asymmetric |A∩B|/|A| inclusion
+  (quote/boilerplate detection Jaccard can't express).
 - :func:`minhash_lsh_pairs` — MinHash signatures + banded LSH: shingle
   -> 64 minhashes -> b bands joined on band value -> candidate pairs,
   then exact-Jaccard rerank.  The scale path: candidate generation is
   an equi-join on (band_id, band_hash), never all-pairs.
 - :func:`simhash64` / :func:`simhash_pairs` — 64-bit SimHash with
   Hamming-radius candidate generation by table rotation.
+- :func:`winnow_fingerprints` / :func:`fuzzy_pairs` — MOSS winnowing
+  and q-gram-blocked edit-distance linkage.
+- :func:`dedup_clusters` — pair graph -> connected components
+  (min-label + pointer jumping); :func:`decontaminate` — eval-set
+  leakage removal via broadcast shingle semi-join.
 
 Hashes are deterministic splitmix64 over shingle bytes (no Python
 ``hash``; stable across executors and runs).
