@@ -3703,6 +3703,83 @@ def _oracle_containment_pairs() -> str:
     """
 
 
+def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary training (operators/text.py:bpe_train): 8 merges
+    over the documents corpus — word-count trick, deterministic argmax
+    (count DESC, pair ASC), greedy left-to-right application with the
+    self-pair run-parity rule.  The oracle unrolls ALL EIGHT
+    iterations relationally: lead() pairs -> weighted count -> LIMIT 1
+    argmax -> hit/parity-selection windows -> consume+reindex, eight
+    times — the sequential algorithm certified step by step."""
+    from geo_spark.operators.text import bpe_train
+
+    return bpe_train(
+        _t(spark, sf_dir, "documents"), n_merges=8
+    ).orderBy("step")
+
+
+def _oracle_bpe_merges(n_merges: int = 8) -> str:
+    steps = []
+    finals = []
+    for s in range(1, n_merges + 1):
+        steps.append(f"""
+        p{s} AS MATERIALIZED (SELECT w, cnt, idx, tok,
+                        lead(tok) OVER (PARTITION BY w ORDER BY idx)
+                          AS nxt
+                 FROM t{s - 1}),
+        c{s} AS (SELECT tok AS a, nxt AS b, SUM(cnt) AS n
+                 FROM p{s} WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        win{s} AS MATERIALIZED (SELECT a, b, n FROM c{s}
+                   ORDER BY n DESC, a, b LIMIT 1),
+        g{s} AS (SELECT w, cnt, idx, tok, nxt,
+                        CASE WHEN tok = (SELECT a FROM win{s})
+                              AND nxt = (SELECT b FROM win{s})
+                             THEN 1 ELSE 0 END AS hit
+                 FROM p{s}),
+        q{s} AS (SELECT w, cnt, idx, tok, nxt, hit,
+                        CASE WHEN hit = 1 AND
+                             (idx - coalesce(
+                                max(CASE WHEN hit = 0 THEN idx END)
+                                  OVER (PARTITION BY w ORDER BY idx
+                                        ROWS UNBOUNDED PRECEDING),
+                                0)) % 2 = 1
+                             THEN 1 ELSE 0 END AS sel
+                 FROM g{s}),
+        r{s} AS (SELECT w, cnt, idx, tok, nxt, sel,
+                        coalesce(lag(sel) OVER (PARTITION BY w
+                                                ORDER BY idx), 0)
+                          AS consumed
+                 FROM q{s}),
+        t{s} AS MATERIALIZED (SELECT w, cnt,
+                        row_number() OVER (PARTITION BY w
+                                           ORDER BY idx) AS idx,
+                        CASE WHEN sel = 1 THEN tok || nxt
+                             ELSE tok END AS tok
+                 FROM r{s} WHERE consumed = 0)""")
+        finals.append(
+            f"SELECT {s} AS step, a AS left_tok, b AS right_tok,"
+            f" a || b AS merged, CAST(n AS BIGINT) AS pair_count"
+            f" FROM win{s}"
+        )
+    return f"""
+        WITH w0 AS (
+          SELECT w, count(*) AS cnt FROM (
+            SELECT unnest(string_split_regex(lower(text), ' +')) AS w
+            FROM documents)
+          WHERE w != '' GROUP BY w),
+        t0 AS (SELECT w, cnt, CAST(i AS BIGINT) AS idx,
+                      substr(w, i, 1) AS tok
+               FROM w0,
+                    UNNEST(list_transform(range(1, length(w)+1),
+                                          x -> x)) AS u(i)),
+        {','.join(steps)}
+        SELECT CAST(step AS BIGINT) AS step, left_tok, right_tok,
+               merged, pair_count
+        FROM ({' UNION ALL '.join(finals)})
+        ORDER BY step
+    """
+
+
 def _q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-substring spans (operators/dedup.py:dup_spans,
     the Lee-et-al suffix-array dedup re-expressed as rolling-gram
@@ -9769,6 +9846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_prefix_jaccard_pairs": _q_prefix_jaccard_pairs,
         "q_dup_spans": _q_dup_spans,
         "q_span_cut": _q_span_cut,
+        "q_bpe_merges": _q_bpe_merges,
         "q_doc_quality": _q_doc_quality,
         "q_line_dedup": _q_line_dedup,
         "q_lang_guess": _q_lang_guess,
@@ -9920,6 +9998,7 @@ def oracle_sql() -> dict[str, str]:
         "q_prefix_jaccard_pairs": _oracle_ngram_dedup_pairs(),
         "q_dup_spans": _oracle_dup_spans(),
         "q_span_cut": _oracle_span_cut(),
+        "q_bpe_merges": _oracle_bpe_merges(),
         "q_minhash_lsh_pairs": _oracle_minhash_lsh_pairs(),
         "q_simhash_pairs": _oracle_simhash_pairs(),
         "q_hex_tile_counts": _oracle_hex_tile_counts(),

@@ -635,3 +635,97 @@ def bigram_nll(
             (-F.sum("lp")).alias("nll_x1e6"),
         )
     )
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """(step, left_tok, right_tok, merged, pair_count): train a BPE
+    merge table on the corpus — the tokenizer-construction pass every
+    LLM data pipeline runs (Sennrich et al. 2016), distributed.
+
+    Determinism contract: argmax pair by (weighted count DESC, left
+    ASC, right ASC); within a word, merges apply GREEDILY left to
+    right — for self-pairs (a,a) inside runs like "aaa" only every
+    other occurrence merges, selected by run-distance parity (the
+    overlap rule real BPE implementations apply scan-wise, expressed
+    relationally so the oracle can replay it).
+
+    Scale shape: the classic word-count trick — identical words
+    collapse to (word, cnt) FIRST, so the iteration state is the
+    token table of the VOCABULARY (chars of distinct words), not the
+    corpus.  Each merge step is ONE pass over that table inside a
+    single word-partitioned sort: lead() pair, weighted count (one
+    skinny aggregate + driver argmax of one row), greedy-selection
+    windows (run-distance parity + lag(consumed)), re-index; lineage
+    cut per step.  n_merges driver rounds total — exactly the
+    algorithm's sequential nature, nothing more."""
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col(text_col)), " +")).alias("w")
+        )
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tokens = (
+        words.select(
+            "w",
+            "cnt",
+            F.posexplode(F.split(F.col("w"), "(?!^)")).alias("_i", "tok"),
+        )
+        # Spark split(limit=-1) keeps the trailing empty token the
+        # end-of-string lookahead produces — drop it (it is always
+        # last, so idx stays consecutive)
+        .where(F.col("tok") != "")
+        .select("w", "cnt", (F.col("_i") + 1).alias("idx"), "tok")
+    )
+    tokens = tokens.localCheckpoint()
+
+    spark = docs.sparkSession
+    w_word = Window.partitionBy("w").orderBy("idx")
+    out = []
+    for step in range(1, n_merges + 1):
+        p = tokens.withColumn("nxt", F.lead("tok").over(w_word))
+        top = (
+            p.where(F.col("nxt").isNotNull())
+            .groupBy("tok", "nxt")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.col("n").desc(), "tok", "nxt")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, n = top[0]["tok"], top[0]["nxt"], int(top[0]["n"])
+        out.append((step, a, b, a + b, n))
+        hit = (F.col("tok") == a) & (F.col("nxt") == b)
+        last_miss = F.max(
+            F.when(~hit, F.col("idx"))
+        ).over(w_word.rowsBetween(Window.unboundedPreceding, 0))
+        sel = hit & (
+            (F.col("idx") - F.coalesce(last_miss, F.lit(0))) % 2 == 1
+        )
+        staged = p.withColumn("_sel", sel).withColumn(
+            "_consumed",
+            F.coalesce(F.lag("_sel").over(w_word), F.lit(False)),
+        )
+        tokens = (
+            staged.where(~F.col("_consumed"))
+            .select(
+                "w",
+                "cnt",
+                F.row_number().over(w_word).alias("idx"),
+                F.when(F.col("_sel"), F.concat("tok", "nxt"))
+                .otherwise(F.col("tok"))
+                .alias("tok"),
+            )
+            .localCheckpoint()
+        )
+    return spark.createDataFrame(
+        out,
+        "step long, left_tok string, right_tok string, "
+        "merged string, pair_count long",
+    )
