@@ -3780,6 +3780,39 @@ def _oracle_bpe_merges(n_merges: int = 8) -> str:
     """
 
 
+def _q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE application (operators/text.py:bpe_token_counts): per-doc
+    token counts under the 8-merge vocabulary trained on the same
+    corpus — the number token-budget sampling and packing consume.
+    The oracle re-runs the full unrolled training chain to the final
+    token table, counts tokens per word, and joins back through each
+    document's word multiset."""
+    from geo_spark.operators.text import bpe_token_counts
+
+    return bpe_token_counts(
+        _t(spark, sf_dir, "documents"), n_merges=8
+    ).orderBy("doc_id")
+
+
+def _oracle_bpe_tokenize(n_merges: int = 8) -> str:
+    base = _oracle_bpe_merges(n_merges)
+    # reuse the generated WITH chain; swap the final SELECT for the
+    # per-word token-count join (the chain text ends at the finals
+    # union — cut at the last generated CTE)
+    head, _sep, _tail = base.rpartition("SELECT CAST(step AS BIGINT)")
+    return f"""{head.rstrip()},
+        pw AS (SELECT w, count(*) AS ntok FROM t{n_merges} GROUP BY w),
+        dw AS (SELECT doc_id, w FROM (
+                 SELECT doc_id,
+                        unnest(string_split_regex(lower(text), ' +')) AS w
+                 FROM documents)
+               WHERE w != '')
+        SELECT doc_id, CAST(SUM(ntok) AS BIGINT) AS n_tokens
+        FROM dw JOIN pw USING (w)
+        GROUP BY doc_id ORDER BY doc_id
+    """
+
+
 def _q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-substring spans (operators/dedup.py:dup_spans,
     the Lee-et-al suffix-array dedup re-expressed as rolling-gram
@@ -9847,6 +9880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dup_spans": _q_dup_spans,
         "q_span_cut": _q_span_cut,
         "q_bpe_merges": _q_bpe_merges,
+        "q_bpe_tokenize": _q_bpe_tokenize,
         "q_doc_quality": _q_doc_quality,
         "q_line_dedup": _q_line_dedup,
         "q_lang_guess": _q_lang_guess,
@@ -9999,6 +10033,7 @@ def oracle_sql() -> dict[str, str]:
         "q_dup_spans": _oracle_dup_spans(),
         "q_span_cut": _oracle_span_cut(),
         "q_bpe_merges": _oracle_bpe_merges(),
+        "q_bpe_tokenize": _oracle_bpe_tokenize(),
         "q_minhash_lsh_pairs": _oracle_minhash_lsh_pairs(),
         "q_simhash_pairs": _oracle_simhash_pairs(),
         "q_hex_tile_counts": _oracle_hex_tile_counts(),

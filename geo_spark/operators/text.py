@@ -729,3 +729,88 @@ def bpe_train(
         "step long, left_tok string, right_tok string, "
         "merged string, pair_count long",
     )
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    n_merges: int = 8,
+    key: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(key, n_tokens): per-document token count under the
+    ``n_merges``-step BPE vocabulary trained by :func:`bpe_train` on
+    the SAME corpus — the application half of tokenizer construction
+    (the number every token-budget sampler and packing stage consumes;
+    composes bpe_train with the word-count trick: per-WORD token
+    lengths from the final token table join back to the documents'
+    word multiset, so the expensive merge loop never touches the
+    corpus, only the vocabulary)."""
+    # retrain to obtain the final per-word segmentation (the loop in
+    # bpe_train; the word-count trick makes this vocabulary-sized)
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col(text_col)), " +")).alias("w")
+        )
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tokens = (
+        words.select(
+            "w",
+            "cnt",
+            F.posexplode(F.split(F.col("w"), "(?!^)")).alias("_i", "tok"),
+        )
+        .where(F.col("tok") != "")
+        .select("w", "cnt", (F.col("_i") + 1).alias("idx"), "tok")
+        .localCheckpoint()
+    )
+    w_word = Window.partitionBy("w").orderBy("idx")
+    for _ in range(n_merges):
+        p = tokens.withColumn("nxt", F.lead("tok").over(w_word))
+        top = (
+            p.where(F.col("nxt").isNotNull())
+            .groupBy("tok", "nxt")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.col("n").desc(), "tok", "nxt")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b = top[0]["tok"], top[0]["nxt"]
+        hit = (F.col("tok") == a) & (F.col("nxt") == b)
+        last_miss = F.max(
+            F.when(~hit, F.col("idx"))
+        ).over(w_word.rowsBetween(Window.unboundedPreceding, 0))
+        sel = hit & (
+            (F.col("idx") - F.coalesce(last_miss, F.lit(0))) % 2 == 1
+        )
+        staged = p.withColumn("_sel", sel).withColumn(
+            "_consumed",
+            F.coalesce(F.lag("_sel").over(w_word), F.lit(False)),
+        )
+        tokens = (
+            staged.where(~F.col("_consumed"))
+            .select(
+                "w",
+                "cnt",
+                F.row_number().over(w_word).alias("idx"),
+                F.when(F.col("_sel"), F.concat("tok", "nxt"))
+                .otherwise(F.col("tok"))
+                .alias("tok"),
+            )
+            .localCheckpoint()
+        )
+    per_word = tokens.groupBy("w").agg(
+        F.count(F.lit(1)).alias("_ntok")
+    )
+    doc_words = docs.select(
+        F.col(key),
+        F.explode(F.split(F.lower(F.col(text_col)), " +")).alias("w"),
+    ).where(F.col("w") != "")
+    return (
+        doc_words.join(per_word, "w")
+        .groupBy(key)
+        .agg(F.sum("_ntok").cast("long").alias("n_tokens"))
+    )
