@@ -3813,6 +3813,64 @@ def _oracle_bpe_tokenize(n_merges: int = 8) -> str:
     """
 
 
+def _q_nb_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes (operators/text.py:nb_classify):
+    trained on the documents table's own lang labels, classifying
+    every document — Laplace likelihoods fixed-pointed per (class,
+    word) so scores are exact integer sums; argmax ties to the
+    smallest label.  Oracle replays counts -> logs -> broadcast score
+    join -> rank argmax (the unigram_nll float-discipline precedent
+    for the per-term ln floor)."""
+    from geo_spark.operators.text import nb_classify
+
+    return nb_classify(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def _oracle_nb_lang() -> str:
+    return """
+        WITH dw AS (SELECT doc_id, y, w FROM (
+                      SELECT doc_id, lang AS y,
+                             unnest(string_split_regex(lower(text), ' +'))
+                               AS w
+                      FROM documents)
+                    WHERE w != ''),
+        cw AS (SELECT y, w, count(*) AS cnt FROM dw GROUP BY 1, 2),
+        v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM dw),
+        tot AS (SELECT y, SUM(cnt) AS tot FROM cw GROUP BY y),
+        nd AS (SELECT lang AS y, count(*) AS n FROM documents GROUP BY 1),
+        ndall AS (SELECT count(*) AS n FROM documents),
+        priors AS (SELECT y,
+                          CAST(floor(ln(CAST(n AS DOUBLE)
+                                        / (SELECT n FROM ndall)) * 1e6)
+                               AS BIGINT) AS prior
+                   FROM nd),
+        lp AS (SELECT y, w,
+                      CAST(floor(ln((cnt + 1)
+                                    / CAST(tot + (SELECT v FROM v)
+                                           AS DOUBLE)) * 1e6)
+                           AS BIGINT) AS lp
+               FROM cw JOIN tot USING (y)),
+        lp0 AS (SELECT y,
+                       CAST(floor(ln(1.0 / (tot + (SELECT v FROM v)))
+                                  * 1e6) AS BIGINT) AS lp0
+                FROM tot),
+        scored AS (SELECT d.doc_id, c.y,
+                          SUM(coalesce(lp.lp, c.lp0)) AS wsum
+                   FROM (SELECT doc_id, w FROM dw) d
+                   CROSS JOIN lp0 c
+                   LEFT JOIN lp ON lp.y = c.y AND lp.w = d.w
+                   GROUP BY 1, 2),
+        ts AS (SELECT doc_id, scored.y, wsum + priors.prior AS score
+               FROM scored JOIN priors ON priors.y = scored.y),
+        r AS (SELECT doc_id, y, score,
+                     row_number() OVER (PARTITION BY doc_id
+                       ORDER BY score DESC, y) AS rk
+              FROM ts)
+        SELECT doc_id, y AS pred, CAST(score AS BIGINT) AS score_x1e6
+        FROM r WHERE rk = 1 ORDER BY doc_id
+    """
+
+
 def _q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-substring spans (operators/dedup.py:dup_spans,
     the Lee-et-al suffix-array dedup re-expressed as rolling-gram
@@ -9881,6 +9939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_span_cut": _q_span_cut,
         "q_bpe_merges": _q_bpe_merges,
         "q_bpe_tokenize": _q_bpe_tokenize,
+        "q_nb_lang": _q_nb_lang,
         "q_doc_quality": _q_doc_quality,
         "q_line_dedup": _q_line_dedup,
         "q_lang_guess": _q_lang_guess,
@@ -10034,6 +10093,7 @@ def oracle_sql() -> dict[str, str]:
         "q_span_cut": _oracle_span_cut(),
         "q_bpe_merges": _oracle_bpe_merges(),
         "q_bpe_tokenize": _oracle_bpe_tokenize(),
+        "q_nb_lang": _oracle_nb_lang(),
         "q_minhash_lsh_pairs": _oracle_minhash_lsh_pairs(),
         "q_simhash_pairs": _oracle_simhash_pairs(),
         "q_hex_tile_counts": _oracle_hex_tile_counts(),

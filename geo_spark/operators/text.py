@@ -814,3 +814,103 @@ def bpe_token_counts(
         .groupBy(key)
         .agg(F.sum("_ntok").cast("long").alias("n_tokens"))
     )
+
+
+def nb_classify(
+    docs: DataFrame,
+    label_col: str = "lang",
+    key: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(key, pred, score_x1e6): multinomial Naive Bayes — train on the
+    corpus's own labels, classify every document — the classic cheap
+    document classifier every curation pipeline keeps around (domain
+    tagging, quality routing).  Laplace-smoothed per-class word
+    likelihoods; log terms fixed-pointed per (class, word) BEFORE
+    summing (floor(ln p · 1e6) — the unigram_nll discipline, so the
+    per-doc score is an exact integer sum and the argmax is
+    engine-portable); argmax ties break to the smallest label.
+
+    Scale shape: (1) per-(class, word) counts — one map-combined
+    aggregate over the exploded corpus; (2) the model (vocab x classes
+    + per-class unseen default) broadcasts; (3) scoring is one
+    broadcast join + per-doc aggregate; (4) argmax via struct-max.
+    Train and apply are one pass each — no iteration."""
+    words = docs.select(
+        F.col(key),
+        F.col(label_col).alias("_y"),
+        F.explode(F.split(F.lower(F.col(text_col)), " +")).alias("w"),
+    ).where(F.col("w") != "")
+    cls_word = words.groupBy("_y", "w").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    vocab_n = words.select("w").distinct().count()
+    totals = cls_word.groupBy("_y").agg(F.sum("cnt").alias("tot"))
+    priors = (
+        docs.groupBy(F.col(label_col).alias("_y"))
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .crossJoin(
+            docs.agg(F.count(F.lit(1)).alias("ndall"))
+        )
+        .select(
+            "_y",
+            F.floor(F.log(F.col("nd") / F.col("ndall")) * 1e6)
+            .cast("long")
+            .alias("prior_x1e6"),
+        )
+    )
+    lp = (
+        cls_word.join(totals, "_y")
+        .select(
+            "_y",
+            "w",
+            F.floor(
+                F.log((F.col("cnt") + 1) / (F.col("tot") + vocab_n)) * 1e6
+            )
+            .cast("long")
+            .alias("lp"),
+        )
+    )
+    lp0 = totals.select(
+        "_y",
+        F.floor(F.log(1.0 / (F.col("tot") + vocab_n)) * 1e6)
+        .cast("long")
+        .alias("lp0"),
+    )
+    # score every (doc, class): word terms via left join, unseen ->
+    # the class default
+    classes = priors.select("_y", "prior_x1e6").join(
+        F.broadcast(lp0), "_y"
+    )
+    dw = words.select(key, "w")
+    scored = (
+        dw.crossJoin(F.broadcast(classes.select("_y", "lp0")))
+        .join(F.broadcast(lp), ["_y", "w"], "left")
+        .groupBy(key, "_y")
+        .agg(
+            F.sum(F.coalesce(F.col("lp"), F.col("lp0"))).alias("_wsum")
+        )
+    )
+    total_score = (
+        scored.join(F.broadcast(priors), "_y")
+        .select(
+            key,
+            "_y",
+            (F.col("_wsum") + F.col("prior_x1e6")).alias("score"),
+        )
+    )
+    # argmax via a rank window — the candidate table is only
+    # n_docs x n_classes rows, and (score DESC, label ASC) encodes the
+    # deterministic tiebreak directly
+    w_doc = Window.partitionBy(key).orderBy(
+        F.col("score").desc(), F.col("_y").asc()
+    )
+    return (
+        total_score.withColumn("_rk", F.row_number().over(w_doc))
+        .where(F.col("_rk") == 1)
+        .select(
+            key,
+            F.col("_y").alias("pred"),
+            F.col("score").cast("long").alias("score_x1e6"),
+        )
+    )
