@@ -4970,6 +4970,106 @@ def _oracle_robots_wildcard() -> str:
     """
 
 
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (operators/webcorpus.py:scrub_pii): synthetic
+    emails / IPv4s / phone runs are injected into the documents text
+    (which is verified digit- and @-free, so the construction fully
+    determines every match), the three-pass redaction runs, and the
+    oracle derives the expected cleaned text DIRECTLY from the
+    construction — the regexes are certified against ground truth,
+    never against another regex engine."""
+    from geo_spark.operators.webcorpus import scrub_pii
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"), F.col("doc_id"),
+            F.lit("@m"), F.col("doc_id") % 7, F.lit(".example or 10.0."),
+            F.col("doc_id") % 250, F.lit("."), F.col("doc_id") % 100,
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" tel +"), F.col("doc_id") % 9,
+                    F.lit("55 010 12"), F.col("doc_id") % 10,
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = scrub_pii(injected)
+    return out.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        "n_email",
+        "n_ip",
+        "n_phone",
+    ).orderBy("doc_id")
+
+
+def _oracle_pii_scrub() -> str:
+    return """
+        SELECT doc_id,
+               md5(text || ' contact <EMAIL> or <IP>' ||
+                   CASE WHEN doc_id % 3 = 0 THEN ' tel <PHONE>'
+                        ELSE '' END) AS clean_md5,
+               CAST(1 AS BIGINT) AS n_email,
+               CAST(1 AS BIGINT) AS n_ip,
+               CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                    AS BIGINT) AS n_phone
+        FROM documents ORDER BY doc_id
+    """
+
+
+def _q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test splits (operators/webcorpus.py:
+    split_assign): synthetic Common-Crawl URLs -> registered domain ->
+    md5 bucket -> 90/5/5 — every page of a domain lands in one split.
+    Oracle replays host extraction, the public-suffix label rule, and
+    the 13-hex-digit md5 bucket arithmetic."""
+    from geo_spark.operators.webcorpus import split_assign, synthetic_url_sql
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    urls = docs.withColumn(
+        "url", F.expr(synthetic_url_sql("doc_id"))
+    )
+    return split_assign(urls).select("doc_id", "split").orderBy("doc_id")
+
+
+def _oracle_split_assign() -> str:
+    from geo_spark.operators.webcorpus import (
+        MULTI_LABEL_SUFFIXES,
+        synthetic_url_sql,
+    )
+
+    url = synthetic_url_sql("doc_id")
+    host = (
+        f"lower(regexp_extract({url},"
+        " '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)', 1))"
+    )
+    labels = f"string_split({host}, '.')"
+    n = f"len({labels})"
+    last2 = f"array_to_string({labels}[{n} - 1 : {n}], '.')"
+    last3 = f"array_to_string({labels}[{n} - 2 : {n}], '.')"
+    in_list = ", ".join(f"'{s}'" for s in MULTI_LABEL_SUFFIXES)
+    dom = f"""(CASE WHEN {n} <= 2 THEN {host}
+                WHEN {last2} IN ({in_list}) THEN {last3}
+                ELSE {last2} END)"""
+    digits = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({dom}), {i + 1}, 1)) - 1)"
+        f" * {16 ** (12 - i)}"
+        for i in range(13)
+    )
+    bucket = f"(({digits}) % 100)"
+    return f"""
+        SELECT doc_id,
+               CASE WHEN {bucket} < 90 THEN 'train'
+                    WHEN {bucket} < 95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents ORDER BY doc_id
+    """
+
+
 def _q_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap discovery (operators/webcorpus.py:parse_sitemap):
     per-domain urlset XML bodies are SYNTHESIZED from the documents
@@ -9981,6 +10081,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sitemap_extract": _q_sitemap_extract,
         "q_robots_directives": _q_robots_directives,
         "q_fetch_schedule": _q_fetch_schedule,
+        "q_pii_scrub": _q_pii_scrub,
+        "q_split_assign": _q_split_assign,
         "q_crawl_frontier": _q_crawl_frontier,
         "q_html_text": _q_html_text,
         "q_html_links": _q_html_links,
@@ -10157,6 +10259,8 @@ def oracle_sql() -> dict[str, str]:
         "q_sitemap_extract": _oracle_sitemap_extract(),
         "q_robots_directives": _oracle_robots_directives(),
         "q_fetch_schedule": _oracle_fetch_schedule(),
+        "q_pii_scrub": _oracle_pii_scrub(),
+        "q_split_assign": _oracle_split_assign(),
         "q_crawl_frontier": _oracle_crawl_frontier(),
         "q_html_text": _oracle_html_text(),
         "q_html_links": _oracle_html_links(),

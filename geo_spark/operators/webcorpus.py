@@ -407,3 +407,65 @@ def parse_robots_directives(
             ).alias("sitemaps"),
         )
     )
+
+
+# PII patterns, shared verbatim with oracles (RE2/Java-compatible).
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_IPV4_RE = (
+    "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+)
+# leading + sits between two non-word chars, so \b can't anchor it —
+# alternate on an explicit '+' instead
+PII_PHONE_RE = "(?:\\+|\\b)[0-9][0-9()\\- ]{7,}[0-9]\\b"
+
+
+def scrub_pii(
+    docs: DataFrame, text_col: str = "text", out_col: str = "clean_text"
+) -> DataFrame:
+    """Redact emails / IPv4 addresses / phone-number-shaped runs to
+    typed placeholder tokens — the PII-scrubbing stage every public
+    corpus release runs.  Three codegen regexp_replace passes in a
+    fixed order (emails first: an address contains digit runs a naive
+    phone pattern would eat).  Also emits per-kind redaction counts
+    (the audit metric) via the same patterns, so counting and
+    replacement can't drift apart."""
+    t = F.col(text_col)
+    n_email = F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), 0))
+    t1 = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    n_ip = F.size(F.regexp_extract_all(t1, F.lit(PII_IPV4_RE), 0))
+    t2 = F.regexp_replace(t1, PII_IPV4_RE, "<IP>")
+    n_phone = F.size(F.regexp_extract_all(t2, F.lit(PII_PHONE_RE), 0))
+    t3 = F.regexp_replace(t2, PII_PHONE_RE, "<PHONE>")
+    return docs.withColumns(
+        {
+            out_col: t3,
+            "n_email": n_email.cast("long"),
+            "n_ip": n_ip.cast("long"),
+            "n_phone": n_phone.cast("long"),
+        }
+    )
+
+
+def split_assign(
+    docs: DataFrame,
+    url_col: str = "url",
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> DataFrame:
+    """(docs..., split): deterministic train/val/test assignment keyed
+    by REGISTERED DOMAIN — the leakage-safe rule: near-duplicate and
+    templated pages live on the same domain, so splitting by document
+    would leak them across sets; hashing the domain puts every page
+    of a site in ONE split.  md5-prefix bucket in [0,100) (the
+    engine's portable-hash discipline, replayable in any SQL engine);
+    [0,train) -> train, [train,train+val) -> val, rest -> test."""
+    dom = registered_domain_col(host_col(F.col(url_col)))
+    bucket = (
+        F.conv(F.substring(F.md5(dom), 1, 13), 16, 10).cast("long") % 100
+    )
+    return docs.withColumn(
+        "split",
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test"),
+    )

@@ -403,3 +403,48 @@ def test_parse_robots_directives(spark):
         "c.com": (123, []),
         "d.com": (None, []),
     }
+
+
+def test_scrub_pii_kinds_and_order(spark):
+    from geo_spark.operators.webcorpus import scrub_pii
+
+    rows = [
+        (0, "mail bob.smith+x@ex-ample.co.uk now"),
+        (1, "server at 10.0.255.7 port"),
+        (2, "call +1 (555) 123-4567 today"),
+        (3, "a@b.io and 1.2.3.4 and 555 123 4567 ok"),
+        (4, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_email"], r["n_ip"], r["n_phone"])
+        for r in scrub_pii(df).collect()
+    }
+    assert got[0] == ("mail <EMAIL> now", 1, 0, 0)
+    assert got[1] == ("server at <IP> port", 0, 1, 0)
+    assert got[2] == ("call <PHONE> today", 0, 0, 1)
+    assert got[3] == ("<EMAIL> and <IP> and <PHONE> ok", 1, 1, 1)
+    assert got[4] == ("nothing sensitive here", 0, 0, 0)
+
+
+def test_split_assign_domain_keyed(spark):
+    """Every page of a domain lands in ONE split (the leakage-safety
+    property), and ratios are roughly honored over many domains."""
+    from geo_spark.operators.webcorpus import split_assign
+
+    rows = [
+        (i, f"https://www.site{i % 200}.com/p/{i}") for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = split_assign(df).select("doc_id", "url", "split").collect()
+    by_domain = {}
+    counts = {"train": 0, "val": 0, "test": 0}
+    for r in out:
+        d = r["url"].split("/")[2]
+        by_domain.setdefault(d, set()).add(r["split"])
+        counts[r["split"]] += 1
+    assert all(len(s) == 1 for s in by_domain.values())
+    assert counts["train"] > 1400 and counts["test"] < 400
+    # determinism
+    again = {r["doc_id"]: r["split"] for r in split_assign(df).collect()}
+    assert all(again[r["doc_id"]] == r["split"] for r in out)
