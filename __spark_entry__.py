@@ -4008,6 +4008,61 @@ def _oracle_span_cut() -> str:
     """
 
 
+def _q_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-7 capstone certificate — the corpus RELEASE pass:
+    exact-substring dedup (dup_spans -> remove_spans), a quality gate
+    on the cleaned text (>= 50 chars survive), leakage-safe domain
+    splits (split_assign over the synthetic URLs), and the per-split
+    release manifest (docs, chars, removed-chars).  ONE oracle chains
+    the span-cut replay, the length gate, and the md5 bucket
+    arithmetic end to end."""
+    from geo_spark.operators.dedup import dup_spans, remove_spans
+    from geo_spark.operators.webcorpus import (
+        split_assign,
+        synthetic_url_sql,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    cleaned = remove_spans(docs, dup_spans(docs, gram_len=30))
+    kept = cleaned.where(F.length("clean_text") >= 50)
+    urls = kept.withColumn("url", F.expr(synthetic_url_sql("doc_id")))
+    split = split_assign(urls)
+    return (
+        split.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("clean_text")).cast("long").alias("total_chars"),
+            F.sum("n_removed").cast("long").alias("chars_removed"),
+        )
+        .orderBy("split")
+    )
+
+
+def _oracle_release_manifest() -> str:
+    span_cut = _oracle_span_cut()
+    # reuse the span-cut WITH chain up to its final select
+    head, _sep, _tail = span_cut.rpartition("SELECT b.doc_id, md5(asm.clean)")
+    split_sql = _oracle_split_assign()
+    # extract the CASE bucket expression from the split oracle
+    case_start = split_sql.index("CASE WHEN")
+    case_end = split_sql.index("END AS split") + 3
+    split_case = split_sql[case_start:case_end]
+    return f"""{head.rstrip().rstrip(',')},
+        cleaned AS (SELECT b.doc_id, asm.clean,
+                           b.len - length(asm.clean) AS n_removed
+                    FROM base b JOIN asm USING (doc_id)),
+        kept AS (SELECT * FROM cleaned WHERE length(clean) >= 50),
+        labeled AS (SELECT doc_id, clean, n_removed,
+                           {split_case} AS split
+                    FROM kept)
+        SELECT split,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(length(clean)) AS BIGINT) AS total_chars,
+               CAST(sum(n_removed) AS BIGINT) AS chars_removed
+        FROM labeled GROUP BY split ORDER BY split
+    """
+
+
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster resolution over the exact-Jaccard pair graph:
     connected components by min-label propagation + pointer jumping;
@@ -10037,6 +10092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_prefix_jaccard_pairs": _q_prefix_jaccard_pairs,
         "q_dup_spans": _q_dup_spans,
         "q_span_cut": _q_span_cut,
+        "q_release_manifest": _q_release_manifest,
         "q_bpe_merges": _q_bpe_merges,
         "q_bpe_tokenize": _q_bpe_tokenize,
         "q_nb_lang": _q_nb_lang,
@@ -10193,6 +10249,7 @@ def oracle_sql() -> dict[str, str]:
         "q_prefix_jaccard_pairs": _oracle_ngram_dedup_pairs(),
         "q_dup_spans": _oracle_dup_spans(),
         "q_span_cut": _oracle_span_cut(),
+        "q_release_manifest": _oracle_release_manifest(),
         "q_bpe_merges": _oracle_bpe_merges(),
         "q_bpe_tokenize": _oracle_bpe_tokenize(),
         "q_nb_lang": _oracle_nb_lang(),
