@@ -9486,6 +9486,41 @@ def _oracle_value_outliers() -> str:
     """
 
 
+def _q_event_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type Pareto frontier of events minimizing (value, ts) —
+    "cheapest and earliest" tradeoffs (operators/skyline.py:skyline2d:
+    distinct pairs -> equal-width bin prefix-min prefilter -> exact
+    strictly-preceding running-min window -> broadcast join back).
+    The oracle is first-principles NOT EXISTS dominance — structurally
+    independent of the bin machinery, so the prefilter's exact-safety
+    claim is certified, not assumed.  No arithmetic touches the
+    compared value/ts columns (raw parquet doubles/timestamps), so the
+    hash compare is byte-stable across engines."""
+    from geo_spark.operators.skyline import skyline2d
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value", "ts"
+    )
+    sky = skyline2d(ev, "value", "ts", by=["event_type"], buckets=256)
+    return sky.select("event_type", "event_id", "value", "ts").orderBy(
+        "event_type", "event_id"
+    )
+
+
+def _oracle_event_skyline() -> str:
+    return """
+        WITH p AS (SELECT event_id, event_type, value, ts FROM events)
+        SELECT a.event_type, a.event_id, a.value, a.ts
+        FROM p a
+        WHERE NOT EXISTS (
+          SELECT 1 FROM p b
+          WHERE b.event_type = a.event_type
+            AND b.value <= a.value AND b.ts <= a.ts
+            AND (b.value < a.value OR b.ts < a.ts))
+        ORDER BY a.event_type, a.event_id
+    """
+
+
 _TRI_STREAMS = [(1, 1), (1, 2), (48271, 11), (69621, 7)]
 
 
@@ -10086,6 +10121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fuzzy_pairs": _q_fuzzy_pairs,
         "q_link_triangles": _q_link_triangles,
         "q_value_outliers": _q_value_outliers,
+        "q_event_skyline": _q_event_skyline,
         "q_od_matrix": _q_od_matrix,
         "q_ngram_dedup_pairs": _q_ngram_dedup_pairs,
         "q_containment_pairs": _q_containment_pairs,
@@ -10243,6 +10279,7 @@ def oracle_sql() -> dict[str, str]:
         "q_fuzzy_pairs": _oracle_fuzzy_pairs(),
         "q_link_triangles": _oracle_link_triangles(),
         "q_value_outliers": _oracle_value_outliers(),
+        "q_event_skyline": _oracle_event_skyline(),
         "q_od_matrix": _oracle_od_matrix(),
         "q_ngram_dedup_pairs": _oracle_ngram_dedup_pairs(),
         "q_containment_pairs": _oracle_containment_pairs(),
