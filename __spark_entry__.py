@@ -9523,6 +9523,79 @@ def _oracle_event_skyline() -> str:
 
 _TRI_STREAMS = [(1, 1), (1, 2), (48271, 11), (69621, 7)]
 
+# degree-skewed deterministic graph for peeling ops: two quadratic
+# streams (non-uniform in-degree), one affine stream, one contraction
+# stream (id div 7 -> hubs).  All non-negative, so Spark's truncating
+# div and DuckDB's flooring // agree.
+_CORE_SQL_STREAMS = [
+    "(event_id * event_id + 1) % {n}",
+    "(event_id * event_id + 3) % {n}",
+    "(event_id * 5 + 2) % {n}",
+    "event_id // 7",
+]
+_KCORE_K = 5
+_KCORE_ROUNDS = 10
+
+
+def _core_edges(spark: SparkSession, sf_dir: str):
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    n = ev.count()
+    edges = None
+    for tpl in _CORE_SQL_STREAMS:
+        expr = tpl.format(n=n).replace("//", "div")
+        e = ev.select(
+            F.col("event_id").alias("src"),
+            F.expr(expr).cast("long").alias("dst"),
+        )
+        edges = e if edges is None else edges.unionByName(e)
+    return edges
+
+
+def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core of a degree-skewed deterministic event graph
+    (operators/linkgraph.py:kcore): simultaneous-peeling rounds to the
+    unique fixed point (k=5 peels this fixture over 6 shrinking rounds
+    + 1 confirming round and keeps a ~3.8k-node core).  The oracle unrolls the SAME confluent rounds
+    as materialized CTEs — degree agg + two endpoint joins per round —
+    and reads the surviving degrees."""
+    from geo_spark.operators.linkgraph import kcore
+
+    return kcore(_core_edges(spark, sf_dir), k=_KCORE_K).orderBy("node")
+
+
+def _oracle_kcore() -> str:
+    streams = " UNION ALL ".join(
+        f"SELECT event_id AS src, {tpl.format(n='nn.n')} AS dst "
+        "FROM events, nn"
+        for tpl in _CORE_SQL_STREAMS
+    )
+    rounds = []
+    for r in range(_KCORE_ROUNDS):
+        prev = "e0" if r == 0 else f"e{r}"
+        rounds.append(
+            f"""d{r} AS MATERIALIZED (
+              SELECT n, count(*) AS d FROM (
+                SELECT u AS n FROM {prev} UNION ALL SELECT v FROM {prev})
+              GROUP BY n),
+            k{r} AS MATERIALIZED (SELECT n FROM d{r} WHERE d >= {_KCORE_K}),
+            e{r + 1} AS MATERIALIZED (
+              SELECT c.u, c.v FROM {prev} c
+              JOIN k{r} a ON c.u = a.n JOIN k{r} b ON c.v = b.n)"""
+        )
+    chain = ",\n".join(rounds)
+    last = f"e{_KCORE_ROUNDS}"
+    return f"""
+        WITH nn AS (SELECT count(*) AS n FROM events),
+        raw AS ({streams}),
+        e0 AS MATERIALIZED (
+          SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+          FROM raw WHERE src <> dst),
+        {chain}
+        SELECT n AS node, count(*) AS core_deg FROM (
+          SELECT u AS n FROM {last} UNION ALL SELECT v FROM {last})
+        GROUP BY n ORDER BY node
+    """
+
 
 def _q_link_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting with degree-ordered orientation
@@ -10120,6 +10193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_winnow_pairs": _q_winnow_pairs,
         "q_fuzzy_pairs": _q_fuzzy_pairs,
         "q_link_triangles": _q_link_triangles,
+        "q_kcore": _q_kcore,
         "q_value_outliers": _q_value_outliers,
         "q_event_skyline": _q_event_skyline,
         "q_od_matrix": _q_od_matrix,
@@ -10278,6 +10352,7 @@ def oracle_sql() -> dict[str, str]:
         "q_winnow_pairs": _oracle_winnow_pairs(),
         "q_fuzzy_pairs": _oracle_fuzzy_pairs(),
         "q_link_triangles": _oracle_link_triangles(),
+        "q_kcore": _oracle_kcore(),
         "q_value_outliers": _oracle_value_outliers(),
         "q_event_skyline": _oracle_event_skyline(),
         "q_od_matrix": _oracle_od_matrix(),

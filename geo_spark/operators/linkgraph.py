@@ -455,3 +455,66 @@ def label_propagation(
     return labels.select(
         F.col("_n").alias(node_key), F.col("_l").alias("label")
     )
+
+
+def _und_degrees(und: DataFrame) -> DataFrame:
+    return (
+        und.select(F.col("u").alias("n"))
+        .unionAll(und.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 64,
+) -> DataFrame:
+    """(node, core_deg): the k-core of the undirected simple graph —
+    the (unique) maximal subgraph where every node keeps degree >= k
+    after directions, duplicates, and self-loops collapse.  Spam-farm
+    and boilerplate-hub detection on web link graphs reach for this
+    before anything iterative-numeric: cores survive, tendrils peel.
+
+    Iterative peeling: each round simultaneously removes every node of
+    degree < k and the edges touching it; the fixed point is reached
+    when an entire round removes nothing.  Simultaneous removal makes
+    the rounds confluent (the k-core is order-independent), so the
+    result is engine/partitioning-portable and a fixed unrolling of
+    the same rounds replays it relationally.
+
+    Scale shape per round: one map-combined degree aggregate + two
+    left-semi hash joins (keep-set is |nodes| and shrinking, and only
+    node ids cross the wire), ONE driver action (the surviving-edge
+    count that tests the fixed point), lineage cut per round
+    (localCheckpoint).  Rounds needed = peeling depth of the graph
+    (degeneracy ordering length), typically O(log n) on web graphs;
+    ``max_rounds`` is a runaway bound, not a tuning knob."""
+    cur = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_edges = cur.count()
+    for _ in range(max_rounds):
+        keep = _und_degrees(cur).where(F.col("d") >= k).select("n")
+        nxt = (
+            cur.join(keep.select(F.col("n").alias("u")), "u", "left_semi")
+            .join(keep.select(F.col("n").alias("v")), "v", "left_semi")
+            .localCheckpoint()
+        )
+        n_edges = nxt.count()
+        cur = nxt
+        if n_edges == prev_edges:
+            break
+        prev_edges = n_edges
+    return _und_degrees(cur).select(
+        F.col("n").alias("node"), F.col("d").alias("core_deg")
+    )

@@ -253,3 +253,68 @@ def test_label_propagation_isolated_nodes_keep_label(spark):
     assert {k: got[k] for k in (0, 1)} == {
         k: v for k, v in _lpa_python(4, [(0, 1)], 3).items() if k < 2
     }
+
+
+def _brute_kcore(edge_list, k):
+    """Python peel-to-fixpoint oracle on an undirected simple graph."""
+    und = {tuple(sorted(e)) for e in edge_list if e[0] != e[1]}
+    while True:
+        deg = {}
+        for u, v in und:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        drop = {n for n, d in deg.items() if d < k}
+        if not drop:
+            return deg
+        und = {(u, v) for u, v in und if u not in drop and v not in drop}
+
+
+def _run_kcore(spark, edge_list, k):
+    from geo_spark.operators.linkgraph import kcore
+
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edge_list], "src long, dst long"
+    )
+    return {
+        r["node"]: r["core_deg"] for r in kcore(df, k=k).collect()
+    }
+
+
+def test_kcore_clique_survives_tree_peels(spark):
+    clique = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    tree = [(100 + i, 100 + 2 * i + 1) for i in range(10)] + [
+        (100 + i, 100 + 2 * i + 2) for i in range(10)
+    ]
+    got = _run_kcore(spark, clique + tree, k=3)
+    # the 5-clique is a 4-core; every tree node peels (trees are 1-degenerate)
+    assert got == {i: 4 for i in range(5)}
+
+
+def test_kcore_star_peels_to_empty(spark):
+    star = [(0, i) for i in range(1, 30)]
+    assert _run_kcore(spark, star, k=2) == {}
+
+
+def test_kcore_random_differential(spark):
+    rng = np.random.default_rng(23)
+    n = 120
+    edges = [
+        (int(a), int(b))
+        for a, b in zip(rng.integers(0, n, 700), rng.integers(0, n, 700))
+    ]
+    # duplicates + reversed duplicates + self-loops must all collapse
+    edges += [(b, a) for a, b in edges[:50]] + [(7, 7), (9, 9)]
+    for k in (2, 3, 5, 8):
+        assert _run_kcore(spark, edges, k) == _brute_kcore(edges, k)
+
+
+def test_kcore_nested_cores(spark):
+    # a 6-clique glued by one edge to a 4-clique: k=3 keeps both,
+    # k=5 keeps only the 6-clique with its internal degrees
+    six = [(i, j) for i in range(6) for j in range(i + 1, 6)]
+    four = [(10 + i, 10 + j) for i in range(4) for j in range(i + 1, 4)]
+    glue = [(0, 10)]
+    edges = six + four + glue
+    assert _run_kcore(spark, edges, 3) == _brute_kcore(edges, 3)
+    got5 = _run_kcore(spark, edges, 5)
+    assert got5 == {i: 5 for i in range(6)}
