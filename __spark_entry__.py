@@ -9486,6 +9486,57 @@ def _oracle_value_outliers() -> str:
     """
 
 
+_COCITE_MAX_DF = 16
+_COCITE_MIN_COMMON = 2
+
+
+def _q_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-citation "related pages" pairs over the REVERSED skewed
+    event graph (hub citers exist there: out-degrees 3..111), so the
+    max_df=16 stop-citer valve actively drops 232 prolific citers at
+    sf0.01 (operators/linkgraph.py:cocitation_pairs).  The oracle
+    replays valve -> wedge self-join -> pair count -> degree joins
+    relationally; integer-only outputs."""
+    from geo_spark.operators.linkgraph import cocitation_pairs
+
+    edges = _core_edges(spark, sf_dir).select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    return cocitation_pairs(
+        edges, min_common=_COCITE_MIN_COMMON, max_df=_COCITE_MAX_DF
+    ).orderBy("a", "b")
+
+
+def _oracle_cocitation() -> str:
+    streams = " UNION ALL ".join(
+        f"SELECT event_id AS src, {tpl.format(n='nn.n')} AS dst "
+        "FROM events, nn"
+        for tpl in _CORE_SQL_STREAMS
+    )
+    return f"""
+        WITH nn AS (SELECT count(*) AS n FROM events),
+        raw AS ({streams}),
+        e AS MATERIALIZED (
+          SELECT DISTINCT dst AS s, src AS t FROM raw WHERE src <> dst),
+        outdeg AS (SELECT s, count(*) AS od FROM e GROUP BY s),
+        ok AS MATERIALIZED (
+          SELECT e.s, e.t FROM e JOIN outdeg USING (s)
+          WHERE od <= {_COCITE_MAX_DF}),
+        cited AS (SELECT t, count(*) AS c FROM ok GROUP BY t),
+        pairs AS (
+          SELECT l.t AS a, r.t AS b, count(*) AS n_common
+          FROM ok l JOIN ok r ON l.s = r.s AND l.t < r.t
+          GROUP BY l.t, r.t)
+        SELECT p.a, p.b, p.n_common,
+               ca.c AS cited_a, cb.c AS cited_b
+        FROM pairs p
+        JOIN cited ca ON p.a = ca.t
+        JOIN cited cb ON p.b = cb.t
+        WHERE p.n_common >= {_COCITE_MIN_COMMON}
+        ORDER BY p.a, p.b
+    """
+
+
 def _q_event_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type Pareto frontier of events minimizing (value, ts) —
     "cheapest and earliest" tradeoffs (operators/skyline.py:skyline2d:
@@ -10194,6 +10245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fuzzy_pairs": _q_fuzzy_pairs,
         "q_link_triangles": _q_link_triangles,
         "q_kcore": _q_kcore,
+        "q_cocitation": _q_cocitation,
         "q_value_outliers": _q_value_outliers,
         "q_event_skyline": _q_event_skyline,
         "q_od_matrix": _q_od_matrix,
@@ -10353,6 +10405,7 @@ def oracle_sql() -> dict[str, str]:
         "q_fuzzy_pairs": _oracle_fuzzy_pairs(),
         "q_link_triangles": _oracle_link_triangles(),
         "q_kcore": _oracle_kcore(),
+        "q_cocitation": _oracle_cocitation(),
         "q_value_outliers": _oracle_value_outliers(),
         "q_event_skyline": _oracle_event_skyline(),
         "q_od_matrix": _oracle_od_matrix(),

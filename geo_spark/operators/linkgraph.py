@@ -518,3 +518,61 @@ def kcore(
     return _und_degrees(cur).select(
         F.col("n").alias("node"), F.col("d").alias("core_deg")
     )
+
+
+def cocitation_pairs(
+    edges: DataFrame,
+    min_common: int = 2,
+    max_df: int | None = None,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(a, b, n_common, cited_a, cited_b): co-citation "related pages"
+    pairs — a < b cited together by at least ``min_common`` common
+    citers (Small 1973; swap src/dst upstream for bibliographic
+    coupling over shared references).  ``cited_*`` are the in-degrees
+    within the retained edge set, so consumers can form Jaccard or
+    cosine scores from integers alone.
+
+    The quadratic hazard is the prolific citer: a src with out-degree
+    d contributes d*(d-1)/2 wedges.  ``max_df`` is the stop-citer
+    valve (the max_df stop-shingle rule of operators/dedup.py applied
+    to the link graph): srcs citing more than ``max_df`` targets are
+    excluded from evidence ENTIRELY (both the wedge join and the
+    cited_* degrees), which bounds per-key fanout at max_df**2 and
+    keeps the semantics replayable — the oracle applies the same rule.
+
+    Plan: distinct + out-degree agg + one self-equi-join on src
+    (fanout-bounded) + one map-combined pair count + two hash joins
+    against the |V|-sized degree table (deliberately NOT broadcast —
+    AQE may still choose to at small scale); all codegen, no windows."""
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).where(
+        F.col("s") != F.col("t")
+    ).distinct()
+    if max_df is not None:
+        od = e.groupBy("s").agg(F.count(F.lit(1)).alias("od"))
+        e = (
+            e.join(od.where(F.col("od") <= max_df).select("s"), "s", "left_semi")
+        )
+    cited = e.groupBy("t").agg(F.count(F.lit(1)).alias("cited"))
+    left = e.select("s", F.col("t").alias("a"))
+    right = e.select("s", F.col("t").alias("b"))
+    pairs = (
+        left.join(right, "s")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .where(F.col("n_common") >= min_common)
+    )
+    out = (
+        pairs.join(
+            cited.select(F.col("t").alias("a"), F.col("cited").alias("cited_a")),
+            "a",
+        )
+        .join(
+            cited.select(F.col("t").alias("b"), F.col("cited").alias("cited_b")),
+            "b",
+        )
+        .select("a", "b", "n_common", "cited_a", "cited_b")
+    )
+    return out

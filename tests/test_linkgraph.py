@@ -318,3 +318,64 @@ def test_kcore_nested_cores(spark):
     assert _run_kcore(spark, edges, 3) == _brute_kcore(edges, 3)
     got5 = _run_kcore(spark, edges, 5)
     assert got5 == {i: 5 for i in range(6)}
+
+
+def _brute_cocitation(edge_list, min_common, max_df):
+    e = {(s, t) for s, t in edge_list if s != t}
+    if max_df is not None:
+        od = {}
+        for s, _ in e:
+            od[s] = od.get(s, 0) + 1
+        e = {(s, t) for s, t in e if od[s] <= max_df}
+    cited = {}
+    for _, t in e:
+        cited[t] = cited.get(t, 0) + 1
+    from collections import defaultdict
+
+    outs = defaultdict(set)
+    for s, t in e:
+        outs[s].add(t)
+    pairs = defaultdict(int)
+    for s, ts in outs.items():
+        ts = sorted(ts)
+        for i in range(len(ts)):
+            for j in range(i + 1, len(ts)):
+                pairs[(ts[i], ts[j])] += 1
+    return {
+        (a, b): (c, cited[a], cited[b])
+        for (a, b), c in pairs.items()
+        if c >= min_common
+    }
+
+
+def test_cocitation_random_differential(spark):
+    from geo_spark.operators.linkgraph import cocitation_pairs
+
+    rng = np.random.default_rng(31)
+    edges = [
+        (int(a), int(b))
+        for a, b in zip(rng.integers(0, 40, 400), rng.integers(0, 40, 400))
+    ] + [(5, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for max_df in (None, 6):
+        got = {
+            (r["a"], r["b"]): (r["n_common"], r["cited_a"], r["cited_b"])
+            for r in cocitation_pairs(df, min_common=2, max_df=max_df).collect()
+        }
+        assert got == _brute_cocitation(edges, 2, max_df)
+
+
+def test_cocitation_valve_drops_hub_evidence(spark):
+    from geo_spark.operators.linkgraph import cocitation_pairs
+
+    # citer 0 cites 10 targets (hub); citers 1,2 cite {100, 101}
+    edges = [(0, 100 + i) for i in range(10)]
+    edges += [(1, 100), (1, 101), (2, 100), (2, 101)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r["a"], r["b"]): (r["n_common"], r["cited_a"], r["cited_b"])
+        for r in cocitation_pairs(df, min_common=2, max_df=5).collect()
+    }
+    # hub 0's evidence is gone: pair (100,101) counted by citers 1,2
+    # only, and cited degrees exclude the hub's citations too
+    assert got == {(100, 101): (2, 2, 2)}
