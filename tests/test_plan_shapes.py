@@ -339,3 +339,20 @@ def test_substring_dedup_and_bpe_python_free(spark):
     )
     p = _plan_of(words)
     assert "BatchEvalPython" not in p and "CartesianProduct" not in p
+
+
+def test_kcore_cocitation_python_free_no_cartesian(spark):
+    from geo_spark.operators.linkgraph import cocitation_pairs, kcore
+
+    edges = spark.range(200).selectExpr(
+        "id as src", "(id * id + 1) % 200 as dst"
+    )
+    plan = _plan_of(kcore(edges, k=2, max_rounds=2))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    plan = _plan_of(cocitation_pairs(edges, min_common=2, max_df=8))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the wedge self-join must be an equi-join on the citer key
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
