@@ -9486,6 +9486,108 @@ def _oracle_value_outliers() -> str:
     """
 
 
+def _q_core_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-family composition certificate: rank the spam-resistant
+    core — k-core peeling (linkgraph.kcore, k=5) selects the ~3.8k
+    mutually-connected nodes of the skewed graph, then PageRank
+    (3 iterations, damping 0.85) runs on the DIRECTED edges restricted
+    to core endpoints.  The restriction creates genuinely dangling
+    nodes (core nodes whose outlinks all left the core), so the
+    dangling-mass redistribution path is exercised under composition.
+    ONE oracle chains the 10-round peel, the directed restriction, and
+    the 3 unrolled power steps; ROUND-x1e12 rank scaling per the
+    q_link_pagerank float-granule discipline."""
+    from geo_spark.operators.linkgraph import kcore, pagerank
+
+    edges = _core_edges(spark, sf_dir)
+    core = kcore(edges, k=_KCORE_K).select("node")
+    restricted = (
+        edges.join(core.select(F.col("node").alias("src")), "src", "left_semi")
+        .join(core.select(F.col("node").alias("dst")), "dst", "left_semi")
+    )
+    pr = pagerank(
+        restricted,
+        core,
+        iterations=_PR_ITERS,
+        damping=_PR_DAMPING,
+        node_key="node",
+    )
+    return pr.select(
+        "node",
+        F.round(F.col("rank") * 1e12, 0).cast("long").alias("rank_x1e12"),
+    ).orderBy("node")
+
+
+def _oracle_core_rank() -> str:
+    streams = " UNION ALL ".join(
+        f"SELECT event_id AS src, {tpl.format(n='nn.n')} AS dst "
+        "FROM events, nn"
+        for tpl in _CORE_SQL_STREAMS
+    )
+    peel = []
+    for r in range(_KCORE_ROUNDS):
+        prev = f"e{r}"
+        peel.append(
+            f"""d{r} AS MATERIALIZED (
+              SELECT n, count(*) AS d FROM (
+                SELECT u AS n FROM {prev} UNION ALL SELECT v FROM {prev})
+              GROUP BY n),
+            k{r} AS MATERIALIZED (SELECT n FROM d{r} WHERE d >= {_KCORE_K}),
+            e{r + 1} AS MATERIALIZED (
+              SELECT c.u, c.v FROM {prev} c
+              JOIN k{r} a ON c.u = a.n JOIN k{r} b ON c.v = b.n)"""
+        )
+    peel_sql = ",\n        ".join(peel)
+    last = f"e{_KCORE_ROUNDS}"
+    d = _PR_DAMPING
+    steps = []
+    prev = "r0"
+    for i in range(1, _PR_ITERS + 1):
+        steps.append(
+            f"""c{i} AS (
+          SELECT e.dst AS id, SUM(r._rank / e.deg) AS c
+          FROM pedges e JOIN {prev} r ON r.id = e.src
+          GROUP BY e.dst),
+        dm{i} AS (
+          SELECT COALESCE(SUM(r._rank), 0.0) AS dm
+          FROM {prev} r LEFT JOIN poutdeg o ON o.src = r.id
+          WHERE o.src IS NULL),
+        r{i} AS (
+          SELECT nd.id,
+                 (1.0 - {d}) / (SELECT cn FROM cn)
+                 + {d} * (COALESCE(c.c, 0.0)
+                          + dm{i}.dm / (SELECT cn FROM cn)) AS _rank
+          FROM core nd CROSS JOIN dm{i}
+          LEFT JOIN c{i} c ON c.id = nd.id)"""
+        )
+        prev = f"r{i}"
+    steps_sql = ",\n        ".join(steps)
+    return f"""
+        WITH nn AS (SELECT count(*) AS n FROM events),
+        raw AS ({streams}),
+        e0 AS MATERIALIZED (
+          SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+          FROM raw WHERE src <> dst),
+        {peel_sql},
+        core AS MATERIALIZED (
+          SELECT DISTINCT n AS id FROM (
+            SELECT u AS n FROM {last} UNION ALL SELECT v FROM {last})),
+        cn AS (SELECT CAST(count(*) AS BIGINT) AS cn FROM core),
+        pdedup AS MATERIALIZED (
+          SELECT DISTINCT r.src, r.dst FROM raw r
+          JOIN core a ON r.src = a.id JOIN core b ON r.dst = b.id
+          WHERE r.src <> r.dst),
+        poutdeg AS (SELECT src, COUNT(*) AS deg FROM pdedup GROUP BY src),
+        pedges AS (SELECT e.src, e.dst, o.deg
+                   FROM pdedup e JOIN poutdeg o ON o.src = e.src),
+        r0 AS (SELECT id, 1.0 / (SELECT cn FROM cn) AS _rank FROM core),
+        {steps_sql}
+        SELECT id AS node,
+               CAST(ROUND(_rank * 1e12) AS BIGINT) AS rank_x1e12
+        FROM {prev} ORDER BY node
+    """
+
+
 _COCITE_MAX_DF = 16
 _COCITE_MIN_COMMON = 2
 
@@ -10246,6 +10348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_link_triangles": _q_link_triangles,
         "q_kcore": _q_kcore,
         "q_cocitation": _q_cocitation,
+        "q_core_rank": _q_core_rank,
         "q_value_outliers": _q_value_outliers,
         "q_event_skyline": _q_event_skyline,
         "q_od_matrix": _q_od_matrix,
@@ -10406,6 +10509,7 @@ def oracle_sql() -> dict[str, str]:
         "q_link_triangles": _oracle_link_triangles(),
         "q_kcore": _oracle_kcore(),
         "q_cocitation": _oracle_cocitation(),
+        "q_core_rank": _oracle_core_rank(),
         "q_value_outliers": _oracle_value_outliers(),
         "q_event_skyline": _oracle_event_skyline(),
         "q_od_matrix": _oracle_od_matrix(),
