@@ -8283,6 +8283,57 @@ def _oracle_zonal_stats() -> str:
 _FOCAL_ZOOM = 7
 
 
+_KDE_RADIUS = 2
+
+
+def _q_tile_kde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Separable binomial-kernel density (operators/tiling.py:tile_kde)
+    over zoom-7 mercator tiles, radius 2 (kernel 1,4,6,4,1): two 1-D
+    convolution passes on the occupied-tile table.  The oracle applies
+    the NON-separated 2-D product kernel in one cross join, so the
+    hash match certifies the separability identity, not a replay of
+    the same pass order.  Integer weights end to end — no float in any
+    compared column."""
+    from geo_spark.operators.geo_noise import with_geo_noise
+    from geo_spark.operators.tiling import tile_kde
+
+    ev = with_geo_noise(_t(spark, sf_dir, "events"), "event_id")
+    return tile_kde(ev, _FOCAL_ZOOM, radius=_KDE_RADIUS).orderBy("tx", "ty")
+
+
+def _oracle_tile_kde() -> str:
+    from math import comb
+
+    from geo_spark.functions.webgrid import mercator_xy_sql
+    from geo_spark.operators.geo_noise import LAT_SQL, LNG_SQL
+
+    zoom = _FOCAL_ZOOM
+    n = 1 << zoom
+    r = _KDE_RADIUS
+    lat = LAT_SQL.format(id="event_id")
+    lng = LNG_SQL.format(id="event_id")
+    x, y = mercator_xy_sql("lat", "lng", zoom)
+    offs = ",".join(
+        f"({j - r},{comb(2 * r, j)})" for j in range(2 * r + 1)
+    )
+    return f"""
+        WITH pts AS (SELECT {lat} AS lat, {lng} AS lng FROM events),
+        tiles AS (SELECT {x} AS tx, {y} AS ty FROM pts),
+        base AS (SELECT tx, ty, COUNT(*) AS cnt FROM tiles GROUP BY tx, ty),
+        offs(d, w) AS (VALUES {offs}),
+        contrib AS (
+          SELECT ((b.tx + ox.d) + {n}) % {n} AS nx, b.ty + oy.d AS ny,
+                 SUM(b.cnt * ox.w * oy.w) AS density
+          FROM base b CROSS JOIN offs ox CROSS JOIN offs oy
+          WHERE b.ty + oy.d >= 0 AND b.ty + oy.d < {n}
+          GROUP BY 1, 2)
+        SELECT c.nx AS tx, c.ny AS ty, CAST(c.density AS BIGINT) AS density
+        FROM contrib c
+        WHERE EXISTS (SELECT 1 FROM base b WHERE b.tx = c.nx AND b.ty = c.ny)
+        ORDER BY tx, ty
+    """
+
+
 def _q_tile_focal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster-algebra focal (3x3) mean over the zoom-7 web-mercator tile
     grid (heatmap smoothing): events collapse to occupied tiles first
@@ -10437,6 +10488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_price_range_join": _q_price_range_join,
         "q_segment_overlap_kmv": _q_segment_overlap_kmv,
         "q_tile_focal_mean": _q_tile_focal_mean,
+        "q_tile_kde": _q_tile_kde,
         "q_reverse_geocode": _q_reverse_geocode,
         "q_zone_transitions": _q_zone_transitions,
         "q_inverted_index": _q_inverted_index,
@@ -10541,6 +10593,7 @@ def oracle_sql() -> dict[str, str]:
         "q_price_range_join": _oracle_price_range_join(),
         "q_segment_overlap_kmv": _oracle_segment_overlap_kmv(),
         "q_tile_focal_mean": _oracle_tile_focal_mean(),
+        "q_tile_kde": _oracle_tile_kde(),
         "q_reverse_geocode": _oracle_reverse_geocode(),
         "q_zone_transitions": _oracle_zone_transitions(),
         "q_inverted_index": _oracle_inverted_index(),

@@ -741,3 +741,61 @@ def test_contour_segments_chain_evenly():
         ends[(x2, y2)] += 1
     assert segs
     assert all(c % 2 == 0 for c in ends.values()), ends
+
+
+def test_tile_kde_matches_numpy_2d_kernel(spark):
+    """Separable binomial KDE == dense numpy 2-D product-kernel
+    convolution with x wraparound and y edge clamp (the separability
+    identity), incl. points hugging the antimeridian and poles."""
+    from math import comb
+
+    import pandas as pd
+
+    from geo_spark.kernel import webgrid as W
+    from geo_spark.operators.tiling import tile_kde
+
+    rng = np.random.default_rng(43)
+    n_pts = 4000
+    lat = np.degrees(np.arcsin(rng.uniform(-1, 1, n_pts)))
+    lng = rng.uniform(-180.0, 180.0, n_pts)
+    # force mass onto the wrap/clamp boundaries
+    lat[:50] = 85.0
+    lat[50:100] = -85.0
+    lng[100:150] = 179.99
+    lng[150:200] = -179.99
+    zoom, radius = 4, 2
+    n = 1 << zoom
+    w = [comb(2 * radius, j) for j in range(2 * radius + 1)]
+    df = spark.createDataFrame(pd.DataFrame({"lat": lat, "lng": lng}))
+    got = {
+        (r["tx"], r["ty"]): r["density"]
+        for r in tile_kde(df, zoom, radius=radius).collect()
+    }
+    x, y = W.mercator_tile(lat, lng, zoom)
+    grid = np.zeros((n, n), dtype=np.int64)
+    np.add.at(grid, (x, y), 1)
+    want = {}
+    for tx in range(n):
+        for ty in range(n):
+            if grid[tx, ty] == 0:
+                continue
+            s = 0
+            for i in range(-radius, radius + 1):
+                for j in range(-radius, radius + 1):
+                    ny = ty + j
+                    if 0 <= ny < n:
+                        s += int(grid[(tx + i) % n, ny]) * w[i + radius] * w[j + radius]
+            want[(tx, ty)] = s
+    assert got == want
+
+
+def test_tile_kde_plan_python_free(spark):
+    from geo_spark.operators.tiling import tile_kde
+
+    df = spark.range(100).selectExpr(
+        "cast(id % 60 - 30 as double) as lat",
+        "cast(id % 300 - 150 as double) as lng",
+    )
+    plan = tile_kde(df, 5)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
