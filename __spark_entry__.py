@@ -9639,6 +9639,67 @@ def _oracle_core_rank() -> str:
     """
 
 
+_WPATH_ROUNDS = 6
+_WPATH_SEED_MOD = 997
+_WPATH_W = "1 + (src + dst) % 9"
+
+
+def _q_weighted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest paths (linkgraph.weighted_distances): 6
+    delta-frontier Bellman-Ford rounds from the event_id % 997 == 0
+    seed set over the skewed graph with integer weights
+    1 + (src+dst) % 9.  The contract is "exact for every shortest
+    path of <= 6 edges" — round-replayable for ANY round count, so the
+    oracle unrolls 6 FULL simultaneous-relaxation rounds (structurally
+    different from the operator's delta frontier: their equality IS
+    the delta-stepping correctness argument).  Integer min-sums; no
+    float anywhere."""
+    from geo_spark.operators.linkgraph import weighted_distances
+
+    edges = _core_edges(spark, sf_dir).withColumn("w", F.expr(_WPATH_W))
+    seeds = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_id") % _WPATH_SEED_MOD == 0)
+        .select(F.col("event_id").alias("id"))
+    )
+    return weighted_distances(edges, seeds, rounds=_WPATH_ROUNDS).orderBy(
+        "node"
+    )
+
+
+def _oracle_weighted_paths() -> str:
+    streams = " UNION ALL ".join(
+        f"SELECT event_id AS src, {tpl.format(n='nn.n')} AS dst "
+        "FROM events, nn"
+        for tpl in _CORE_SQL_STREAMS
+    )
+    rounds = []
+    for r in range(_WPATH_ROUNDS):
+        rounds.append(
+            f"""c{r} AS MATERIALIZED (
+              SELECT e.dst AS n, min(d._d + e.w) AS c
+              FROM wedges e JOIN d{r} d ON d.n = e.src
+              GROUP BY e.dst),
+            d{r + 1} AS MATERIALIZED (
+              SELECT COALESCE(d.n, c.n) AS n,
+                     COALESCE(LEAST(d._d, c.c), d._d, c.c) AS _d
+              FROM d{r} d FULL OUTER JOIN c{r} c ON d.n = c.n)"""
+        )
+    chain = ",\n        ".join(rounds)
+    return f"""
+        WITH nn AS (SELECT count(*) AS n FROM events),
+        raw AS ({streams}),
+        wedges AS MATERIALIZED (
+          SELECT src, dst, min({_WPATH_W}) AS w
+          FROM raw WHERE src <> dst GROUP BY src, dst),
+        d0 AS (SELECT event_id AS n, CAST(0 AS BIGINT) AS _d FROM events
+               WHERE event_id % {_WPATH_SEED_MOD} = 0),
+        {chain}
+        SELECT n AS node, CAST(_d AS BIGINT) AS dist
+        FROM d{_WPATH_ROUNDS} ORDER BY node
+    """
+
+
 _COCITE_MAX_DF = 16
 _COCITE_MIN_COMMON = 2
 
@@ -10400,6 +10461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kcore": _q_kcore,
         "q_cocitation": _q_cocitation,
         "q_core_rank": _q_core_rank,
+        "q_weighted_paths": _q_weighted_paths,
         "q_value_outliers": _q_value_outliers,
         "q_event_skyline": _q_event_skyline,
         "q_od_matrix": _q_od_matrix,
@@ -10562,6 +10624,7 @@ def oracle_sql() -> dict[str, str]:
         "q_kcore": _oracle_kcore(),
         "q_cocitation": _oracle_cocitation(),
         "q_core_rank": _oracle_core_rank(),
+        "q_weighted_paths": _oracle_weighted_paths(),
         "q_value_outliers": _oracle_value_outliers(),
         "q_event_skyline": _oracle_event_skyline(),
         "q_od_matrix": _oracle_od_matrix(),

@@ -576,3 +576,73 @@ def cocitation_pairs(
         .select("a", "b", "n_common", "cited_a", "cited_b")
     )
     return out
+
+
+def weighted_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    seed_key: str = "id",
+) -> DataFrame:
+    """(node, dist): minimum total edge weight from the seed set along
+    directed edges, after ``rounds`` Bellman-Ford relaxation rounds —
+    the weighted generalization of ``seed_distances`` (latency-weighted
+    crawl distance, click-cost attribution, route cost over a road
+    graph).  Weights must be non-negative INTEGERS (milliseconds,
+    meters — quantize upstream): integer min-sums are engine-portable
+    with no float discipline at all.
+
+    Unlike hop BFS, a weighted label can IMPROVE after first reach, so
+    the frontier trick needs a delta twist: each round relaxes only
+    edges out of nodes whose label improved last round (delta
+    frontier), merges candidate labels with the incumbent via a
+    min-aggregate, and the new frontier is the rows that beat their
+    incumbent.  After r rounds every shortest path of <= r edges is
+    exact (Bellman-Ford invariant); ``rounds`` >= the weighted-path
+    hop diameter gives the fixed point.  Zero driver actions — the
+    caller picks ``rounds`` (unrolled lazy plan, lineage cut per
+    round), exactly the replayability contract the oracle needs.
+    Parallel edges collapse to their min weight first."""
+    e = (
+        edges.select(
+            F.col(src).alias("_src"),
+            F.col(dst).alias("_dst"),
+            F.col(weight).cast("long").alias("_w"),
+        )
+        .where(F.col("_src") != F.col("_dst"))
+        .groupBy("_src", "_dst")
+        .agg(F.min("_w").alias("_w"))
+        .persist()
+    )
+    dist = (
+        seeds.select(F.col(seed_key).alias("_n"))
+        .distinct()
+        .withColumn("_d", F.lit(0).cast("long"))
+        .localCheckpoint()
+    )
+    frontier = dist
+    for _ in range(rounds):
+        cand = (
+            e.join(frontier, F.col("_src") == F.col("_n"))
+            .groupBy(F.col("_dst").alias("_n"))
+            .agg(F.min(F.col("_d") + F.col("_w")).alias("_c"))
+        )
+        merged = dist.join(cand, "_n", "full_outer").select(
+            "_n",
+            F.coalesce(
+                F.least(F.col("_d"), F.col("_c")), F.col("_d"), F.col("_c")
+            ).alias("_d2"),
+            "_d",
+        )
+        improved = merged.where(
+            F.col("_d").isNull() | (F.col("_d2") < F.col("_d"))
+        ).select("_n", F.col("_d2").alias("_d"))
+        dist = merged.select(
+            "_n", F.col("_d2").alias("_d")
+        ).localCheckpoint()
+        frontier = improved.localCheckpoint()
+    e.unpersist()
+    return dist.select(F.col("_n").alias("node"), F.col("_d").alias("dist"))

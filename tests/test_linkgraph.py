@@ -379,3 +379,73 @@ def test_cocitation_valve_drops_hub_evidence(spark):
     # hub 0's evidence is gone: pair (100,101) counted by citers 1,2
     # only, and cited degrees exclude the hub's citations too
     assert got == {(100, 101): (2, 2, 2)}
+
+
+def _brute_dijkstra(edge_list, seeds):
+    import heapq
+    from collections import defaultdict
+
+    adj = defaultdict(dict)
+    for s, t, w in edge_list:
+        if s != t and (t not in adj[s] or w < adj[s][t]):
+            adj[s][t] = w
+    dist = {s: 0 for s in seeds}
+    pq = [(0, s) for s in seeds]
+    heapq.heapify(pq)
+    while pq:
+        d, u = heapq.heappop(pq)
+        if d > dist.get(u, float("inf")):
+            continue
+        for v, w in adj[u].items():
+            nd = d + w
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    return dist
+
+
+def test_weighted_distances_random_differential(spark):
+    from geo_spark.operators.linkgraph import weighted_distances
+
+    rng = np.random.default_rng(37)
+    n = 60
+    edges = [
+        (int(a), int(b), int(w))
+        for a, b, w in zip(
+            rng.integers(0, n, 400),
+            rng.integers(0, n, 400),
+            rng.integers(1, 20, 400),
+        )
+    ]
+    # parallel edges with different weights: min must win
+    edges += [(0, 1, 100), (0, 1, 2)]
+    seeds = [0, 7]
+    edf = spark.createDataFrame(edges, "src long, dst long, w long")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "id long")
+    got = {
+        r["node"]: r["dist"]
+        for r in weighted_distances(edf, sdf, rounds=n).collect()
+    }
+    assert got == _brute_dijkstra(edges, seeds)
+
+
+def test_weighted_distances_improvement_after_first_reach(spark):
+    from geo_spark.operators.linkgraph import weighted_distances
+
+    # direct heavy edge 0->3 (w=10) is reached in round 1; the light
+    # 3-hop chain 0->1->2->3 (w=3) must REPLACE it in later rounds —
+    # the case hop-BFS first-reach labeling gets wrong
+    edges = [(0, 3, 10), (0, 1, 1), (1, 2, 1), (2, 3, 1)]
+    edf = spark.createDataFrame(edges, "src long, dst long, w long")
+    sdf = spark.createDataFrame([(0,)], "id long")
+    got = {
+        r["node"]: r["dist"]
+        for r in weighted_distances(edf, sdf, rounds=4).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+    # with rounds=1 the heavy edge's label stands (Bellman-Ford bound)
+    got1 = {
+        r["node"]: r["dist"]
+        for r in weighted_distances(edf, sdf, rounds=1).collect()
+    }
+    assert got1[3] == 10
