@@ -9700,6 +9700,78 @@ def _oracle_weighted_paths() -> str:
     """
 
 
+_REDIR_ROUNDS = 4
+
+
+def _q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution (linkgraph.resolve_redirects):
+    pointer jumping over a functional redirect graph built from
+    event_id — chains u -> u-1 down to multiples of 16 (terminals,
+    up to 15 hops) plus a 2-cycle at every multiple of 1024 (u <->
+    u+1, with the 14 nodes above feeding INTO the cycle — the
+    crawler's redirect-loop trap).  rounds=4 follows min(16, chain)
+    edges in 4 shuffles.  The oracle walks the SAME map one edge at a
+    time for 16 linear steps — the doubling/linear structural
+    equality IS the pointer-jumping correctness argument.  Integer
+    ids, integer hops, boolean resolved; no float anywhere."""
+    from geo_spark.operators.linkgraph import resolve_redirects
+
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    n = ev.count()
+    a = ev.where(F.col("event_id") % 16 != 0).select(
+        F.col("event_id").alias("src"),
+        (F.col("event_id") - 1).alias("dst"),
+    )
+    b = ev.where(
+        (F.col("event_id") % 1024 == 0) & (F.col("event_id") + 1 < n)
+    ).select(
+        F.col("event_id").alias("src"),
+        (F.col("event_id") + 1).alias("dst"),
+    )
+    return resolve_redirects(
+        a.unionByName(b), rounds=_REDIR_ROUNDS
+    ).orderBy("node")
+
+
+def _oracle_redirect_resolve() -> str:
+    # s0 already walks edge #1; s1..s{2^R - 1} walk the rest of the
+    # 2^R-edge budget one at a time
+    steps = []
+    for s in range(1, 2**_REDIR_ROUNDS):
+        steps.append(
+            f"""s{s} AS MATERIALIZED (
+              SELECT node, COALESCE(f.dst, t) AS t,
+                     h + CASE WHEN f.dst IS NULL THEN 0 ELSE 1 END AS h
+              FROM s{s - 1} LEFT JOIN f ON f.src = s{s - 1}.t)"""
+        )
+    chain = ",\n        ".join(steps)
+    last = 2**_REDIR_ROUNDS - 1
+    return f"""
+        WITH nn AS (SELECT count(*) AS n FROM events),
+        raw AS (
+          SELECT event_id AS src, event_id - 1 AS dst FROM events
+          WHERE event_id % 16 <> 0
+          UNION ALL
+          SELECT event_id, event_id + 1 FROM events, nn
+          WHERE event_id % 1024 = 0 AND event_id + 1 < nn.n),
+        f AS MATERIALIZED (
+          SELECT src, min(dst) AS dst FROM raw
+          WHERE src <> dst GROUP BY src),
+        nodes AS MATERIALIZED (
+          SELECT src AS node FROM f UNION SELECT dst FROM f),
+        s0 AS MATERIALIZED (
+          SELECT nodes.node AS node, COALESCE(f.dst, nodes.node) AS t,
+                 CASE WHEN f.dst IS NULL THEN 0 ELSE 1 END AS h
+          FROM nodes LEFT JOIN f ON f.src = nodes.node),
+        {chain}
+        SELECT s{last}.node AS node, s{last}.t AS target,
+               CAST(s{last}.h AS BIGINT) AS hops,
+               (f.src IS NULL) AS resolved
+        FROM s{last} LEFT JOIN f ON f.src = s{last}.t
+        ORDER BY node
+    """
+
+
 _COCITE_MAX_DF = 16
 _COCITE_MIN_COMMON = 2
 
@@ -10462,6 +10534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cocitation": _q_cocitation,
         "q_core_rank": _q_core_rank,
         "q_weighted_paths": _q_weighted_paths,
+        "q_redirect_resolve": _q_redirect_resolve,
         "q_value_outliers": _q_value_outliers,
         "q_event_skyline": _q_event_skyline,
         "q_od_matrix": _q_od_matrix,
@@ -10625,6 +10698,7 @@ def oracle_sql() -> dict[str, str]:
         "q_cocitation": _oracle_cocitation(),
         "q_core_rank": _oracle_core_rank(),
         "q_weighted_paths": _oracle_weighted_paths(),
+        "q_redirect_resolve": _oracle_redirect_resolve(),
         "q_value_outliers": _oracle_value_outliers(),
         "q_event_skyline": _oracle_event_skyline(),
         "q_od_matrix": _oracle_od_matrix(),

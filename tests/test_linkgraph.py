@@ -449,3 +449,71 @@ def test_weighted_distances_improvement_after_first_reach(spark):
         for r in weighted_distances(edf, sdf, rounds=1).collect()
     }
     assert got1[3] == 10
+
+
+def _brute_resolve(edge_list, rounds):
+    f = {}
+    for s, t in edge_list:
+        if s != t and (s not in f or t < f[s]):
+            f[s] = t
+    nodes = set(f) | set(f.values())
+    out = {}
+    for n in sorted(nodes):
+        t, h = n, 0
+        for _ in range(2**rounds):
+            if t not in f:
+                break
+            t, h = f[t], h + 1
+        out[n] = (t, h, t not in f)
+    return out
+
+
+def test_resolve_redirects_random_differential(spark):
+    from geo_spark.operators.linkgraph import resolve_redirects
+
+    rng = np.random.default_rng(11)
+    n = 80
+    edges = [
+        (int(a), int(b))
+        for a, b in zip(rng.integers(0, n, 150), rng.integers(0, n, 150))
+    ]
+    # parallel out-edges: min destination must win; self-loop dropped
+    edges += [(0, 70), (0, 5), (3, 3)]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: (r["target"], r["hops"], r["resolved"])
+        for r in resolve_redirects(edf, rounds=3).collect()
+    }
+    assert got == _brute_resolve(edges, 3)
+
+
+def test_resolve_redirects_chain_cycle_feeder(spark):
+    from geo_spark.operators.linkgraph import resolve_redirects
+
+    # chain 4->3->2->1->0 (terminal 0); 2-cycle 10<->11 with feeder
+    # 12->11; over-budget chain 20..26 -> 27 needs 7 hops (> 2^2=4)
+    edges = (
+        [(i, i - 1) for i in range(1, 5)]
+        + [(10, 11), (11, 10), (12, 11)]
+        + [(20 + i, 21 + i) for i in range(7)]
+    )
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: (r["target"], r["hops"], r["resolved"])
+        for r in resolve_redirects(edf, rounds=2).collect()
+    }
+    assert got[4] == (0, 4, True)
+    assert got[0] == (0, 0, True)  # terminal resolves to itself
+    # cycle members: 4 edges walked, still on the cycle, unresolved
+    assert got[10] == (10, 4, False)
+    assert got[11] == (11, 4, False)
+    assert got[12] == (10, 4, False)  # feeder lands inside the cycle
+    # over-budget acyclic chain: deterministic 4-edge iterate, flagged
+    assert got[20] == (24, 4, False)
+    assert got[23] == (27, 4, True)  # within budget resolves
+    # rounds=3 (2^3=8) resolves the whole 7-hop chain
+    got3 = {
+        r["node"]: (r["target"], r["hops"], r["resolved"])
+        for r in resolve_redirects(edf, rounds=3).collect()
+    }
+    assert got3[20] == (27, 7, True)
