@@ -9667,7 +9667,10 @@ def _q_weighted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_weighted_paths() -> str:
+def _wpath_with_body() -> str:
+    """Shared WITH-clause body: 6 unrolled simultaneous-relaxation
+    rounds ending at d{_WPATH_ROUNDS} (n, _d) — used by the
+    weighted-paths oracle and the isochrone composition oracle."""
     streams = " UNION ALL ".join(
         f"SELECT event_id AS src, {tpl.format(n='nn.n')} AS dst "
         "FROM events, nn"
@@ -9686,15 +9689,19 @@ def _oracle_weighted_paths() -> str:
               FROM d{r} d FULL OUTER JOIN c{r} c ON d.n = c.n)"""
         )
     chain = ",\n        ".join(rounds)
-    return f"""
-        WITH nn AS (SELECT count(*) AS n FROM events),
+    return f"""nn AS (SELECT count(*) AS n FROM events),
         raw AS ({streams}),
         wedges AS MATERIALIZED (
           SELECT src, dst, min({_WPATH_W}) AS w
           FROM raw WHERE src <> dst GROUP BY src, dst),
         d0 AS (SELECT event_id AS n, CAST(0 AS BIGINT) AS _d FROM events
                WHERE event_id % {_WPATH_SEED_MOD} = 0),
-        {chain}
+        {chain}"""
+
+
+def _oracle_weighted_paths() -> str:
+    return f"""
+        WITH {_wpath_with_body()}
         SELECT n AS node, CAST(_d AS BIGINT) AS dist
         FROM d{_WPATH_ROUNDS} ORDER BY node
     """
@@ -9769,6 +9776,86 @@ def _oracle_redirect_resolve() -> str:
                (f.src IS NULL) AS resolved
         FROM s{last} LEFT JOIN f ON f.src = s{last}.t
         ORDER BY node
+    """
+
+
+_ISO_BAND = 16
+_ISO_GH = 2
+
+
+def _q_isochrone_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isochrone tile map — the graph half COMPOSED with the tiling
+    half under one certificate: weighted shortest-path distances from
+    the seed set (delta-frontier Bellman-Ford, q_weighted_paths'
+    fixture) land on each reached node's geo position, get a byte-
+    exact geohash-2 tile and an integer distance band (dist div 16,
+    non-negative so Spark div == DuckDB //), and roll up to
+    (tile, band) reach counts — the "how far does influence travel
+    from the seeds, on the map" product (crawl-latency heatmaps,
+    service-area isochrones over a road graph).  The oracle chains
+    the full 6-round relaxation unroll INTO the direct-bit-gather
+    geohash chain and the same band arithmetic — one certificate for
+    the composition, not just the stages.  Distances and counts are
+    exact integers; the geohash quantization is the q_geohash_rollup
+    proven-portable path."""
+    from geo_spark.functions.webgrid import geohash_col
+    from geo_spark.operators.geo_noise import with_geo_noise
+    from geo_spark.operators.linkgraph import weighted_distances
+
+    edges = _core_edges(spark, sf_dir).withColumn("w", F.expr(_WPATH_W))
+    seeds = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_id") % _WPATH_SEED_MOD == 0)
+        .select(F.col("event_id").alias("id"))
+    )
+    dist = weighted_distances(edges, seeds, rounds=_WPATH_ROUNDS)
+    pts = with_geo_noise(_t(spark, sf_dir, "events"), "event_id").select(
+        F.col("event_id").alias("node"),
+        geohash_col(F.col("lat"), F.col("lng"), _ISO_GH).alias("gh2"),
+    )
+    return (
+        dist.join(pts, "node")
+        .select("gh2", F.expr(f"dist div {_ISO_BAND}").alias("band"), "dist", "node")
+        .groupBy("gh2", "band")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("node").alias("min_node"),
+            F.sum("dist").alias("sum_dist"),
+        )
+        .orderBy("gh2", "band")
+    )
+
+
+def _oracle_isochrone_tiles() -> str:
+    from geo_spark.functions.webgrid import geohash_char_sql
+    from geo_spark.kernel.webgrid import _geohash_bits
+    from geo_spark.operators.geo_noise import LAT_SQL, LNG_SQL
+
+    lng_bits, lat_bits = _geohash_bits(_ISO_GH)
+    lat = LAT_SQL.format(id="event_id")
+    lng = LNG_SQL.format(id="event_id")
+    chars = geohash_char_sql("lng_q", "lat_q", _ISO_GH)
+    return f"""
+        WITH {_wpath_with_body()},
+        dist AS MATERIALIZED (
+          SELECT n AS node, CAST(_d AS BIGINT) AS dist
+          FROM d{_WPATH_ROUNDS}),
+        pts AS (
+          SELECT event_id, {lat} AS lat, {lng} AS lng FROM events),
+        q AS (
+          SELECT event_id,
+                 GREATEST(0, LEAST({(1 << lat_bits) - 1},
+                   CAST(FLOOR((lat + 90.0) / 180.0 * {float(1 << lat_bits)!r}) AS BIGINT))) AS lat_q,
+                 GREATEST(0, LEAST({(1 << lng_bits) - 1},
+                   CAST(FLOOR((lng + 180.0) / 360.0 * {float(1 << lng_bits)!r}) AS BIGINT))) AS lng_q
+          FROM pts),
+        gh AS (SELECT event_id, {' || '.join(chars)} AS gh2 FROM q)
+        SELECT gh.gh2 AS gh2, dist.dist // {_ISO_BAND} AS band,
+               COUNT(*) AS cnt, MIN(dist.node) AS min_node,
+               CAST(SUM(dist.dist) AS BIGINT) AS sum_dist
+        FROM dist JOIN gh ON gh.event_id = dist.node
+        GROUP BY gh.gh2, dist.dist // {_ISO_BAND}
+        ORDER BY gh2, band
     """
 
 
@@ -10535,6 +10622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_core_rank": _q_core_rank,
         "q_weighted_paths": _q_weighted_paths,
         "q_redirect_resolve": _q_redirect_resolve,
+        "q_isochrone_tiles": _q_isochrone_tiles,
         "q_value_outliers": _q_value_outliers,
         "q_event_skyline": _q_event_skyline,
         "q_od_matrix": _q_od_matrix,
@@ -10699,6 +10787,7 @@ def oracle_sql() -> dict[str, str]:
         "q_core_rank": _oracle_core_rank(),
         "q_weighted_paths": _oracle_weighted_paths(),
         "q_redirect_resolve": _oracle_redirect_resolve(),
+        "q_isochrone_tiles": _oracle_isochrone_tiles(),
         "q_value_outliers": _oracle_value_outliers(),
         "q_event_skyline": _oracle_event_skyline(),
         "q_od_matrix": _oracle_od_matrix(),
