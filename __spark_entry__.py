@@ -9018,6 +9018,76 @@ def _oracle_embed_kmeans() -> str:
         FROM {final} ORDER BY vec_id"""
 
 
+_KCENTER_K = 8
+
+
+def _q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset picks over the embeddings table
+    (operators/coreset.py:kcenter_select): 8 Gonzalez farthest-point
+    selections under the integer-quantized distance contract, ties to
+    the smallest id.  The oracle unrolls the same 7 argmax/min-merge
+    steps as MATERIALIZED CTEs over the (vec_id, dim, qv) long form —
+    the operator computes distances inside codegen array lambdas, the
+    oracle as dim-join aggregates, so the two sides share only the
+    greedy rule.  r2 values are exact integers (quantized units)."""
+    from geo_spark.operators.coreset import kcenter_select
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        kcenter_select(emb, "vec_id", "embedding", k=_KCENTER_K)
+        .select("pick_order", F.col("id").alias("vec_id"), "r2")
+        .orderBy("pick_order")
+    )
+
+
+def _oracle_kcenter_coreset() -> str:
+    steps = []
+    for s in range(1, _KCENTER_K):
+        steps.append(
+            f"""p{s} AS MATERIALIZED (
+              SELECT vec_id AS pid, best AS r2 FROM best{s - 1}
+              ORDER BY best DESC, vec_id LIMIT 1),
+            best{s} AS MATERIALIZED (
+              SELECT b.vec_id, least(b.best, d.d) AS best
+              FROM best{s - 1} b JOIN (
+                SELECT q.vec_id,
+                       sum((q.qv - c.qv) * (q.qv - c.qv)) AS d
+                FROM q JOIN q c ON c.dim = q.dim
+                  AND c.vec_id = (SELECT pid FROM p{s})
+                GROUP BY q.vec_id) d USING (vec_id)
+              WHERE b.vec_id <> (SELECT pid FROM p{s}))"""
+        )
+    chain = ",\n        ".join(steps)
+    picks = " UNION ALL ".join(
+        f"SELECT CAST({s} AS BIGINT) AS pick_order, pid AS vec_id,"
+        f" CAST(r2 AS BIGINT) AS r2 FROM p{s}"
+        for s in range(1, _KCENTER_K)
+    )
+    return f"""
+        WITH ux AS (SELECT vec_id, unnest(embedding) AS x,
+                           generate_subscripts(embedding, 1) AS dim
+                    FROM embeddings),
+        q AS MATERIALIZED (
+          SELECT vec_id, dim,
+                 CAST(FLOOR((CAST(x AS DOUBLE) + 1.0e0) * 1000000e0)
+                      AS BIGINT) AS qv
+          FROM ux),
+        p0 AS MATERIALIZED (SELECT min(vec_id) AS pid FROM q),
+        best0 AS MATERIALIZED (
+          SELECT q.vec_id, sum((q.qv - c.qv) * (q.qv - c.qv)) AS best
+          FROM q JOIN q c ON c.dim = q.dim
+            AND c.vec_id = (SELECT pid FROM p0)
+          WHERE q.vec_id <> (SELECT pid FROM p0)
+          GROUP BY q.vec_id),
+        {chain}
+        SELECT CAST(0 AS BIGINT) AS pick_order, pid AS vec_id,
+               CAST(0 AS BIGINT) AS r2
+        FROM p0
+        UNION ALL {picks}
+        ORDER BY pick_order
+    """
+
+
 _KM_QUOTA = 12
 
 
@@ -10623,6 +10693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_weighted_paths": _q_weighted_paths,
         "q_redirect_resolve": _q_redirect_resolve,
         "q_isochrone_tiles": _q_isochrone_tiles,
+        "q_kcenter_coreset": _q_kcenter_coreset,
         "q_value_outliers": _q_value_outliers,
         "q_event_skyline": _q_event_skyline,
         "q_od_matrix": _q_od_matrix,
@@ -10788,6 +10859,7 @@ def oracle_sql() -> dict[str, str]:
         "q_weighted_paths": _oracle_weighted_paths(),
         "q_redirect_resolve": _oracle_redirect_resolve(),
         "q_isochrone_tiles": _oracle_isochrone_tiles(),
+        "q_kcenter_coreset": _oracle_kcenter_coreset(),
         "q_value_outliers": _oracle_value_outliers(),
         "q_event_skyline": _oracle_event_skyline(),
         "q_od_matrix": _oracle_od_matrix(),
