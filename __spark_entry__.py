@@ -9088,6 +9088,94 @@ def _oracle_kcenter_coreset() -> str:
     """
 
 
+def _q_coreset_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coreset COVERAGE certificate — the k-center picks composed
+    with a nearest-pick assignment of the whole table: every vector
+    joins the 8-row pick set (broadcast), takes the argmin integer
+    distance (ties to the smaller pick_order), and rolls up to
+    (pick_order, pick id, members, realized covering radius^2).  The
+    max over max_d2 is the actual k-center objective the greedy
+    2-approximates; certifying it end-to-end proves the picks AND the
+    assignment compose (the cluster-profiles pattern applied to the
+    coreset family).  One oracle splices the 7-step greedy unroll
+    into a dim-join distance matrix + argmin window."""
+    from geo_spark.operators.coreset import kcenter_select
+    from geo_spark.operators.kmeans import _quantize_vec
+
+    emb = _t(spark, sf_dir, "embeddings")
+    picks = kcenter_select(emb, "vec_id", "embedding", k=_KCENTER_K)
+    base = emb.select(
+        "vec_id", _quantize_vec("embedding", 1.0, 1_000_000.0).alias("_q")
+    )
+    pvec = picks.join(
+        base.select(F.col("vec_id").alias("id"), F.col("_q").alias("_c")),
+        "id",
+    ).select("pick_order", "id", "_c")
+    d = base.join(F.broadcast(pvec)).select(
+        "vec_id",
+        "pick_order",
+        "id",
+        F.aggregate(
+            F.zip_with(
+                F.col("_q"), F.col("_c"), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("_d"),
+    )
+    best = d.groupBy("vec_id").agg(
+        F.min(F.struct(F.col("_d"), F.col("pick_order"), F.col("id"))).alias(
+            "_b"
+        )
+    )
+    return (
+        best.select(
+            F.col("_b.pick_order").alias("pick_order"),
+            F.col("_b.id").alias("pick_id"),
+            F.col("_b._d").alias("_d"),
+        )
+        .groupBy("pick_order", "pick_id")
+        .agg(
+            F.count(F.lit(1)).alias("members"),
+            F.max("_d").alias("max_d2"),
+        )
+        .orderBy("pick_order")
+    )
+
+
+def _oracle_coreset_coverage() -> str:
+    inner = _oracle_kcenter_coreset()
+    return f"""
+        WITH picks AS MATERIALIZED ({inner}),
+        ux AS (SELECT vec_id, unnest(embedding) AS x,
+                      generate_subscripts(embedding, 1) AS dim
+               FROM embeddings),
+        q2 AS MATERIALIZED (
+          SELECT vec_id, dim,
+                 CAST(FLOOR((CAST(x AS DOUBLE) + 1.0e0) * 1000000e0)
+                      AS BIGINT) AS qv
+          FROM ux),
+        dmat AS (
+          SELECT q2.vec_id, p.pick_order, p.vec_id AS pick_id,
+                 sum((q2.qv - c.qv) * (q2.qv - c.qv)) AS d
+          FROM q2
+          JOIN picks p ON true
+          JOIN q2 c ON c.vec_id = p.vec_id AND c.dim = q2.dim
+          GROUP BY q2.vec_id, p.pick_order, p.vec_id),
+        argmin AS (
+          SELECT vec_id, pick_order, pick_id, d,
+                 row_number() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY d, pick_order, pick_id) AS rn
+          FROM dmat)
+        SELECT pick_order, pick_id, COUNT(*) AS members,
+               CAST(MAX(d) AS BIGINT) AS max_d2
+        FROM argmin WHERE rn = 1
+        GROUP BY pick_order, pick_id
+        ORDER BY pick_order
+    """
+
+
 _KM_QUOTA = 12
 
 
@@ -10694,6 +10782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_redirect_resolve": _q_redirect_resolve,
         "q_isochrone_tiles": _q_isochrone_tiles,
         "q_kcenter_coreset": _q_kcenter_coreset,
+        "q_coreset_coverage": _q_coreset_coverage,
         "q_value_outliers": _q_value_outliers,
         "q_event_skyline": _q_event_skyline,
         "q_od_matrix": _q_od_matrix,
@@ -10860,6 +10949,7 @@ def oracle_sql() -> dict[str, str]:
         "q_redirect_resolve": _oracle_redirect_resolve(),
         "q_isochrone_tiles": _oracle_isochrone_tiles(),
         "q_kcenter_coreset": _oracle_kcenter_coreset(),
+        "q_coreset_coverage": _oracle_coreset_coverage(),
         "q_value_outliers": _oracle_value_outliers(),
         "q_event_skyline": _oracle_event_skyline(),
         "q_od_matrix": _oracle_od_matrix(),
