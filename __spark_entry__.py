@@ -9937,6 +9937,52 @@ def _oracle_redirect_resolve() -> str:
     """
 
 
+def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-recrawl snapshot diff (webcorpus.snapshot_diff):
+    two deterministic snapshots of the documents table — OLD drops
+    doc_id % 7 == 0 (those become 'added'), NEW drops doc_id % 5 == 0
+    ('removed') and rewrites text for doc_id % 3 == 0 ('changed' via
+    md5 content fingerprints); everything else 'unchanged'.  The
+    full-outer join classification is replayed by the oracle from the
+    same construction rules — both engines compute md5 over identical
+    bytes, so fingerprint equality is byte-exact."""
+    from geo_spark.operators.webcorpus import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 7 != 0).select(
+        F.col("doc_id"), F.md5(F.col("text")).alias("fp")
+    )
+    new = docs.where(F.col("doc_id") % 5 != 0).select(
+        F.col("doc_id"),
+        F.md5(
+            F.when(
+                F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit("!"))
+            ).otherwise(F.col("text"))
+        ).alias("fp"),
+    )
+    return snapshot_diff(old, new, key="doc_id").orderBy("doc_id")
+
+
+def _oracle_snapshot_diff() -> str:
+    return """
+        WITH old AS (
+          SELECT doc_id, md5(text) AS fp FROM documents
+          WHERE doc_id % 7 <> 0),
+        new AS (
+          SELECT doc_id,
+                 md5(CASE WHEN doc_id % 3 = 0 THEN text || '!'
+                          ELSE text END) AS fp
+          FROM documents WHERE doc_id % 5 <> 0)
+        SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.fp IS NULL THEN 'added'
+                    WHEN n.fp IS NULL THEN 'removed'
+                    WHEN o.fp <> n.fp THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+        ORDER BY doc_id
+    """
+
+
 _ISO_BAND = 16
 _ISO_GH = 2
 
@@ -10780,6 +10826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_core_rank": _q_core_rank,
         "q_weighted_paths": _q_weighted_paths,
         "q_redirect_resolve": _q_redirect_resolve,
+        "q_snapshot_diff": _q_snapshot_diff,
         "q_isochrone_tiles": _q_isochrone_tiles,
         "q_kcenter_coreset": _q_kcenter_coreset,
         "q_coreset_coverage": _q_coreset_coverage,
@@ -10947,6 +10994,7 @@ def oracle_sql() -> dict[str, str]:
         "q_core_rank": _oracle_core_rank(),
         "q_weighted_paths": _oracle_weighted_paths(),
         "q_redirect_resolve": _oracle_redirect_resolve(),
+        "q_snapshot_diff": _oracle_snapshot_diff(),
         "q_isochrone_tiles": _oracle_isochrone_tiles(),
         "q_kcenter_coreset": _oracle_kcenter_coreset(),
         "q_coreset_coverage": _oracle_coreset_coverage(),

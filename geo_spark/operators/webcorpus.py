@@ -469,3 +469,38 @@ def split_assign(
         .when(bucket < train_pct + val_pct, "val")
         .otherwise("test"),
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str = "url",
+    fp: str = "fp",
+) -> DataFrame:
+    """(key, status): classify every url across two crawl snapshots —
+    'added' (new only), 'removed' (old only), 'changed' (present in
+    both, content fingerprint differs), 'unchanged' — the incremental
+    recrawl planner's core table (fetch budget goes to added+changed;
+    removed rows tombstone downstream corpora).  Keys are assumed
+    unique per snapshot (run url_dedup upstream).
+
+    One full-outer hash join on the key over skinny (key, fp) rows is
+    the whole plan.  At 10^12-row scale both snapshots live in the
+    same Iceberg layout bucketed by url hash, so the join co-locates
+    without a shuffle; unbucketed inputs pay one exchange of two
+    narrow columns each — never of the page payloads (project the
+    fingerprint BEFORE the join, which this operator enforces by
+    selecting only (key, fp))."""
+    o = old.select(F.col(key).alias("_k"), F.col(fp).alias("_of"))
+    n = new.select(F.col(key).alias("_k"), F.col(fp).alias("_nf"))
+    return (
+        o.join(n, "_k", "full_outer")
+        .select(
+            F.col("_k").alias(key),
+            F.when(F.col("_of").isNull(), F.lit("added"))
+            .when(F.col("_nf").isNull(), F.lit("removed"))
+            .when(F.col("_of") != F.col("_nf"), F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+            .alias("status"),
+        )
+    )

@@ -448,3 +448,40 @@ def test_split_assign_domain_keyed(spark):
     # determinism
     again = {r["doc_id"]: r["split"] for r in split_assign(df).collect()}
     assert all(again[r["doc_id"]] == r["split"] for r in out)
+
+
+def test_snapshot_diff_statuses(spark):
+    from geo_spark.operators.webcorpus import snapshot_diff
+
+    old = spark.createDataFrame(
+        [("a", "h1"), ("b", "h2"), ("c", "h3")], "url string, fp string"
+    )
+    new = spark.createDataFrame(
+        [("b", "h2"), ("c", "hX"), ("d", "h4")], "url string, fp string"
+    )
+    got = {r["url"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert got == {
+        "a": "removed",
+        "b": "unchanged",
+        "c": "changed",
+        "d": "added",
+    }
+
+
+def test_snapshot_diff_no_payload_in_plan(spark, tmp_path):
+    from geo_spark.operators.webcorpus import snapshot_diff
+
+    # the wide payload column must be pruned at the parquet scan
+    old = spark.createDataFrame(
+        [("a", "h1", "BIGOLD")], "url string, fp string, html string"
+    )
+    new = spark.createDataFrame(
+        [("a", "h1", "BIGNEW")], "url string, fp string, html string"
+    )
+    po, pn = str(tmp_path / "old"), str(tmp_path / "new")
+    old.write.parquet(po)
+    new.write.parquet(pn)
+    out = snapshot_diff(spark.read.parquet(po), spark.read.parquet(pn))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "html" not in plan  # ReadSchema carries only url, fp
+    assert out.collect()[0]["status"] == "unchanged"
