@@ -9937,6 +9937,90 @@ def _oracle_redirect_resolve() -> str:
     """
 
 
+_TMPL_MIN = 2
+# engine-portable path synthesis: calendar trap / paginated product /
+# static page / tag listing (CAST AS BIGINT coerces in both engines,
+# the synthetic_url_sql precedent)
+_TMPL_PATH_SQL = (
+    "(CASE {id} % 4"
+    " WHEN 0 THEN '/2024/' || CAST({id} % 12 + 1 AS BIGINT) || '/'"
+    "   || CAST({id} % 28 + 1 AS BIGINT) || '/post-' || CAST({id} AS BIGINT)"
+    " WHEN 1 THEN '/product/' || CAST({id} AS BIGINT)"
+    "   || '/reviews?page=' || CAST({id} % 50 AS BIGINT)"
+    " WHEN 2 THEN '/about'"
+    " ELSE '/tag/t' || CAST({id} % 5 AS BIGINT) || '/' || CAST({id} AS BIGINT)"
+    " END)"
+)
+
+
+def _q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL path-template mining (webcorpus.url_templates): synthetic
+    hosts (the proven-portable synthetic_url_sql construction) get
+    calendar-trap / paginated-product / static / tag paths; digit
+    runs generalize to '{N}' and (registered domain, template) counts
+    surface the traps.  Pure codegen (two regexps + one map-combined
+    count); the oracle re-derives host -> registered domain through
+    the independent string_split chain and applies the same
+    generalization with DuckDB's global-flag regexp_replace."""
+    from geo_spark.operators.webcorpus import (
+        host_col,
+        synthetic_url_sql,
+        url_templates,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    pages = ev.select(
+        F.concat(
+            F.lit("https://"),
+            host_col(F.expr(synthetic_url_sql("event_id"))),
+            F.expr(_TMPL_PATH_SQL.format(id="event_id")),
+        ).alias("url")
+    )
+    return url_templates(pages, min_count=_TMPL_MIN).orderBy(
+        "domain", "template"
+    )
+
+
+def _oracle_url_templates() -> str:
+    from geo_spark.operators.webcorpus import (
+        HOST_RE,
+        MULTI_LABEL_SUFFIXES,
+        synthetic_url_sql,
+    )
+
+    suffixes = ", ".join(f"'{s}'" for s in MULTI_LABEL_SUFFIXES)
+    path = _TMPL_PATH_SQL.format(id="event_id")
+    return f"""
+        WITH u AS (
+          SELECT 'https://'
+                 || lower(regexp_extract({synthetic_url_sql('event_id')},
+                                         '{HOST_RE}', 1))
+                 || {path} AS url
+          FROM events),
+        h AS (
+          SELECT lower(regexp_extract(url, '{HOST_RE}', 1)) AS host,
+                 regexp_replace(
+                   regexp_extract(url,
+                     '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)', 1),
+                   '[0-9]+', '{{N}}', 'g') AS template
+          FROM u),
+        parts AS (SELECT *, string_split(host, '.') AS labels FROM h),
+        d AS (
+          SELECT template,
+                 CASE WHEN len(labels) <= 2 THEN host
+                      WHEN array_to_string(labels[-2:], '.') IN ({suffixes})
+                           AND len(labels) >= 3
+                        THEN array_to_string(labels[-3:], '.')
+                      ELSE array_to_string(labels[-2:], '.')
+                 END AS domain
+          FROM parts)
+        SELECT domain, template, COUNT(*) AS n_urls
+        FROM d GROUP BY domain, template
+        HAVING COUNT(*) >= {_TMPL_MIN}
+        ORDER BY domain, template
+    """
+
+
 def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-recrawl snapshot diff (webcorpus.snapshot_diff):
     two deterministic snapshots of the documents table — OLD drops
@@ -10827,6 +10911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_weighted_paths": _q_weighted_paths,
         "q_redirect_resolve": _q_redirect_resolve,
         "q_snapshot_diff": _q_snapshot_diff,
+        "q_url_templates": _q_url_templates,
         "q_isochrone_tiles": _q_isochrone_tiles,
         "q_kcenter_coreset": _q_kcenter_coreset,
         "q_coreset_coverage": _q_coreset_coverage,
@@ -10995,6 +11080,7 @@ def oracle_sql() -> dict[str, str]:
         "q_weighted_paths": _oracle_weighted_paths(),
         "q_redirect_resolve": _oracle_redirect_resolve(),
         "q_snapshot_diff": _oracle_snapshot_diff(),
+        "q_url_templates": _oracle_url_templates(),
         "q_isochrone_tiles": _oracle_isochrone_tiles(),
         "q_kcenter_coreset": _oracle_kcenter_coreset(),
         "q_coreset_coverage": _oracle_coreset_coverage(),

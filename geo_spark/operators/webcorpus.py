@@ -504,3 +504,37 @@ def snapshot_diff(
             .alias("status"),
         )
     )
+
+
+# path+query of a URL (fragment excluded) — group 1
+PATH_QUERY_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)"
+
+
+def url_templates(
+    pages: DataFrame,
+    url: str = "url",
+    min_count: int = 1,
+) -> DataFrame:
+    """(domain, template, n_urls): URL path templates per registered
+    domain — every digit run in the path+query generalizes to '{N}'
+    ('/2024/7/14/post-9' -> '/{N}/{N}/{N}/post-{N}') and identical
+    templates aggregate.  The crawler-trap detector (calendar and
+    pagination explosions surface as ONE template with a huge
+    n_urls), site-structure miner, and dedup-key generator of a
+    Common-Crawl-scale frontier.
+
+    Pure codegen: two regexps (path extract, digit generalize) + one
+    map-combined (domain, template) count — templates are LOW
+    cardinality by construction (that is the point), so the shuffle
+    carries the aggregated template table, not urls.  Fragments are
+    excluded (never sent to servers); query strings are kept (?page=
+    IS the trap signature)."""
+    dom = registered_domain_col(host_col(F.col(url)))
+    path = F.regexp_extract(F.col(url), PATH_QUERY_RE, 1)
+    tmpl = F.regexp_replace(path, "[0-9]+", "{N}")
+    return (
+        pages.select(dom.alias("domain"), tmpl.alias("template"))
+        .groupBy("domain", "template")
+        .agg(F.count(F.lit(1)).alias("n_urls"))
+        .where(F.col("n_urls") >= F.lit(min_count))
+    )

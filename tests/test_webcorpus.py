@@ -485,3 +485,44 @@ def test_snapshot_diff_no_payload_in_plan(spark, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "html" not in plan  # ReadSchema carries only url, fp
     assert out.collect()[0]["status"] == "unchanged"
+
+
+def test_url_templates(spark):
+    from geo_spark.operators.webcorpus import url_templates
+
+    rows = (
+        [(f"https://www.acme.com/2024/{m}/1/post-{m * 31}",) for m in range(1, 7)]
+        + [("https://www.acme.com/about",)]
+        + [(f"https://shop.acme.com/p/{i}?page={i % 3}",) for i in range(4)]
+        + [("https://blog.globex.co.uk/tag/x",)] * 2
+    )
+    df = spark.createDataFrame(rows, "url string")
+    got = {
+        (r["domain"], r["template"]): r["n_urls"]
+        for r in url_templates(df, min_count=2).collect()
+    }
+    # calendar trap collapses to one template with the big count
+    assert got == {
+        ("acme.com", "/{N}/{N}/{N}/post-{N}"): 6,
+        ("acme.com", "/p/{N}?page={N}"): 4,
+        ("globex.co.uk", "/tag/x"): 2,
+    }
+    # min_count=1 keeps the singleton '/about'
+    all_t = {
+        (r["domain"], r["template"])
+        for r in url_templates(df, min_count=1).collect()
+    }
+    assert ("acme.com", "/about") in all_t
+
+
+def test_url_templates_fragment_excluded(spark):
+    from geo_spark.operators.webcorpus import url_templates
+
+    df = spark.createDataFrame(
+        [("https://a.com/x/1#sec-2",), ("https://a.com/x/9#sec-5",)],
+        "url string",
+    )
+    got = {
+        r["template"]: r["n_urls"] for r in url_templates(df).collect()
+    }
+    assert got == {"/x/{N}": 2}
