@@ -1,0 +1,74 @@
+"""Streaming crawl change detection: the continuous twin of
+operators/webcorpus.snapshot_diff.
+
+State per url is the LAST SEEN content fingerprint — one short string,
+so state is bounded by the url universe (the streaming analog of the
+batch diff's join build side), never by fetch history.  Each arriving
+fetch emits its change status against the stored fingerprint:
+'added' on first sighting, then 'changed' or 'unchanged'.  'removed'
+is unobservable in a fetch stream (absence is not an event) — the
+batch snapshot_diff owns tombstones.
+
+In-order contract per url (the streaming/asof.py rule): within a url,
+fetches arrive with non-decreasing ts across micro-batches; order
+INSIDE a micro-batch is irrelevant because the batch is sorted before
+the sweep.  Re-fetches of one url within a batch each get a status
+against the running fingerprint, exactly as if they had arrived in
+separate batches — the property the drained-equivalence test pins.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_SCHEMA = "fp string"
+
+
+def stream_change_detect(
+    fetches: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts_us",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """fetches(url, ts_us, fp) stream -> (url, ts_us, status) rows,
+    status in {'added', 'changed', 'unchanged'}."""
+    src = fetches.select(
+        F.col(url_col).alias("url"),
+        F.col(ts_col).cast("long").alias("ts_us"),
+        F.col(fp_col).alias("fp"),
+    )
+    out_schema = "url string, ts_us long, status string"
+
+    def fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        batch = pd.concat(list(pdfs)).sort_values(
+            ["ts_us", "fp"], kind="mergesort"
+        )
+        prev = state.get[0] if state.exists else None
+        statuses = []
+        for fp in batch["fp"]:
+            if prev is None:
+                statuses.append("added")
+            elif fp != prev:
+                statuses.append("changed")
+            else:
+                statuses.append("unchanged")
+            prev = fp
+        out = batch[["url", "ts_us"]].copy()
+        out["status"] = statuses
+        state.update((str(prev),))
+        yield out
+
+    return src.groupBy("url").applyInPandasWithState(
+        fn,
+        out_schema,
+        STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
