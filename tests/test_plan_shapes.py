@@ -356,3 +356,45 @@ def test_kcore_cocitation_python_free_no_cartesian(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # the wedge self-join must be an equi-join on the citer key
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_session9_graph_ops_python_free_no_cartesian(spark):
+    """weighted_distances / resolve_redirects / url_templates /
+    snapshot_diff: equi-joins and map-combined aggregates only — no
+    CartesianProduct, no BroadcastNestedLoopJoin, no Python nodes."""
+    from pyspark.sql import functions as F
+
+    from geo_spark.operators.linkgraph import (
+        resolve_redirects,
+        weighted_distances,
+    )
+    from geo_spark.operators.webcorpus import snapshot_diff, url_templates
+
+    n = 500
+    ev = spark.range(n).withColumnRenamed("id", "src")
+    edges = ev.select(
+        "src",
+        ((F.col("src") * 7 + 3) % n).alias("dst"),
+        (F.col("src") % 9 + 1).alias("w"),
+    )
+    seeds = spark.range(5).withColumnRenamed("id", "id")
+    for df in (
+        weighted_distances(edges, seeds, rounds=2),
+        resolve_redirects(edges, rounds=2),
+        url_templates(
+            spark.range(200).select(
+                F.concat(
+                    F.lit("https://a.com/p/"), F.col("id")
+                ).alias("url")
+            )
+        ),
+        snapshot_diff(
+            edges.select(F.col("src").alias("url"), F.col("w").cast("string").alias("fp")),
+            edges.select(F.col("src").alias("url"), F.col("dst").cast("string").alias("fp")),
+        ),
+    ):
+        plan = _plan_of(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
