@@ -9937,6 +9937,73 @@ def _oracle_redirect_resolve() -> str:
     """
 
 
+def _q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-domain link graph with reciprocity
+    (webcorpus.host_graph): outlink edges synthesized from event_id
+    (src = synth url of the id, dst = synth url of (id*5+2) mod n —
+    the q_kcore contraction stream reused as a url graph), collapsed
+    to weighted domain->domain edges with mutual-link flags.  The
+    oracle re-derives both endpoint domains through the independent
+    string_split chain and tests reciprocity with a LEFT JOIN on the
+    reversed key."""
+    from geo_spark.operators.webcorpus import host_graph, synthetic_url_sql
+
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    n = ev.count()
+    # materialize the synthesized url edges (input prep, same rule as
+    # bench.py's pages table): two full synthetic-url CASE chains plus
+    # two registered-domain chains in ONE projection overflow janino's
+    # 64 KB method limit and drop the stage to interpreted execution —
+    # the localCheckpoint makes the operator's own stage start from
+    # url strings and stay inside whole-stage codegen
+    links = ev.select(
+        F.expr(synthetic_url_sql("event_id")).alias("src_url"),
+        F.expr(
+            synthetic_url_sql(f"((event_id * 5 + 2) % {n})")
+        ).alias("dst_url"),
+    ).localCheckpoint()
+    return host_graph(links).orderBy("src_domain", "dst_domain")
+
+
+def _oracle_host_graph() -> str:
+    from geo_spark.operators.webcorpus import (
+        HOST_RE,
+        MULTI_LABEL_SUFFIXES,
+        synthetic_url_sql,
+    )
+
+    suffixes = ", ".join(f"'{s}'" for s in MULTI_LABEL_SUFFIXES)
+
+    def dom(url_expr: str) -> str:
+        return f"""(
+          SELECT CASE WHEN len(l) <= 2 THEN h
+                      WHEN array_to_string(l[-2:], '.') IN ({suffixes})
+                           AND len(l) >= 3
+                        THEN array_to_string(l[-3:], '.')
+                      ELSE array_to_string(l[-2:], '.') END
+          FROM (SELECT lower(regexp_extract({url_expr}, '{HOST_RE}', 1)) AS h,
+                       string_split(lower(regexp_extract({url_expr},
+                         '{HOST_RE}', 1)), '.') AS l)
+        )"""
+
+    src = synthetic_url_sql("event_id")
+    dst = synthetic_url_sql("((event_id * 5 + 2) % nn.n)")
+    return f"""
+        WITH nn AS (SELECT count(*) AS n FROM events),
+        e AS (
+          SELECT {dom(src)} AS sd, {dom(dst)} AS dd
+          FROM events, nn),
+        g AS MATERIALIZED (
+          SELECT sd, dd, COUNT(*) AS n_links
+          FROM e WHERE sd <> dd GROUP BY sd, dd)
+        SELECT g.sd AS src_domain, g.dd AS dst_domain, g.n_links,
+               CAST(CASE WHEN r.sd IS NULL THEN 0 ELSE 1 END
+                    AS INTEGER) AS reciprocal
+        FROM g LEFT JOIN g r ON r.sd = g.dd AND r.dd = g.sd
+        ORDER BY src_domain, dst_domain
+    """
+
+
 _TMPL_MIN = 2
 # engine-portable path synthesis: calendar trap / paginated product /
 # static page / tag listing (CAST AS BIGINT coerces in both engines,
@@ -10912,6 +10979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_redirect_resolve": _q_redirect_resolve,
         "q_snapshot_diff": _q_snapshot_diff,
         "q_url_templates": _q_url_templates,
+        "q_host_graph": _q_host_graph,
         "q_isochrone_tiles": _q_isochrone_tiles,
         "q_kcenter_coreset": _q_kcenter_coreset,
         "q_coreset_coverage": _q_coreset_coverage,
@@ -11081,6 +11149,7 @@ def oracle_sql() -> dict[str, str]:
         "q_redirect_resolve": _oracle_redirect_resolve(),
         "q_snapshot_diff": _oracle_snapshot_diff(),
         "q_url_templates": _oracle_url_templates(),
+        "q_host_graph": _oracle_host_graph(),
         "q_isochrone_tiles": _oracle_isochrone_tiles(),
         "q_kcenter_coreset": _oracle_kcenter_coreset(),
         "q_coreset_coverage": _oracle_coreset_coverage(),

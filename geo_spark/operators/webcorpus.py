@@ -538,3 +538,43 @@ def url_templates(
         .agg(F.count(F.lit(1)).alias("n_urls"))
         .where(F.col("n_urls") >= F.lit(min_count))
     )
+
+
+def host_graph(
+    links: DataFrame,
+    src_url: str = "src_url",
+    dst_url: str = "dst_url",
+) -> DataFrame:
+    """(src_domain, dst_domain, n_links, reciprocal): the registered-
+    domain link graph — url->url outlink edges collapse to weighted
+    domain->domain edges; intra-domain edges drop (navigation noise,
+    and the majority of raw outlinks); ``reciprocal`` = 1 when the
+    reverse domain edge also exists (mutual linking — the strongest
+    spam/endorsement discriminator at host level, and what TrustRank
+    seed audits read first).
+
+    Scale shape: ONE map-combined (src_domain, dst_domain) count over
+    the url edges — the only full-data shuffle, carrying two short
+    strings per row; the reciprocity test is a self hash join of the
+    aggregated DOMAIN graph (orders of magnitude smaller than the url
+    graph) on the reversed key.  Domain derivation is the pure-codegen
+    regexp/array chain (host -> registered domain), zero Python."""
+    s = registered_domain_col(host_col(F.col(src_url)))
+    d = registered_domain_col(host_col(F.col(dst_url)))
+    g = (
+        links.select(s.alias("src_domain"), d.alias("dst_domain"))
+        .where(F.col("src_domain") != F.col("dst_domain"))
+        .groupBy("src_domain", "dst_domain")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+    rev = g.select(
+        F.col("dst_domain").alias("src_domain"),
+        F.col("src_domain").alias("dst_domain"),
+        F.lit(1).alias("_r"),
+    )
+    return g.join(rev, ["src_domain", "dst_domain"], "left").select(
+        "src_domain",
+        "dst_domain",
+        "n_links",
+        F.coalesce(F.col("_r"), F.lit(0)).cast("int").alias("reciprocal"),
+    )

@@ -526,3 +526,25 @@ def test_url_templates_fragment_excluded(spark):
         r["template"]: r["n_urls"] for r in url_templates(df).collect()
     }
     assert got == {"/x/{N}": 2}
+
+
+def test_host_graph_reciprocity(spark):
+    from geo_spark.operators.webcorpus import host_graph
+
+    rows = [
+        ("https://www.a.com/1", "https://cdn.b.org/x"),  # a->b (twice,
+        ("https://blog.a.com/2", "https://www.b.org/y"),  # two hosts)
+        ("https://www.b.org/z", "https://www.a.com/h"),  # b->a (recip)
+        ("https://www.a.com/3", "https://shop.c.co.uk/p"),  # a->c 1-way
+        ("https://www.a.com/4", "https://cdn.a.com/img"),  # intra: drop
+    ]
+    df = spark.createDataFrame(rows, "src_url string, dst_url string")
+    got = {
+        (r["src_domain"], r["dst_domain"]): (r["n_links"], r["reciprocal"])
+        for r in host_graph(df).collect()
+    }
+    assert got == {
+        ("a.com", "b.org"): (2, 1),
+        ("b.org", "a.com"): (1, 1),
+        ("a.com", "c.co.uk"): (1, 0),
+    }
