@@ -9965,17 +9965,14 @@ def _q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_graph(links).orderBy("src_domain", "dst_domain")
 
 
-def _oracle_host_graph() -> str:
-    from geo_spark.operators.webcorpus import (
-        HOST_RE,
-        MULTI_LABEL_SUFFIXES,
-        synthetic_url_sql,
-    )
+def _domain_of_url_sql(url_expr: str) -> str:
+    """DuckDB scalar subquery: registered domain of a url expression
+    via the independent string_split chain (shared by the host-graph
+    and domain-rank oracles)."""
+    from geo_spark.operators.webcorpus import HOST_RE, MULTI_LABEL_SUFFIXES
 
     suffixes = ", ".join(f"'{s}'" for s in MULTI_LABEL_SUFFIXES)
-
-    def dom(url_expr: str) -> str:
-        return f"""(
+    return f"""(
           SELECT CASE WHEN len(l) <= 2 THEN h
                       WHEN array_to_string(l[-2:], '.') IN ({suffixes})
                            AND len(l) >= 3
@@ -9986,21 +9983,118 @@ def _oracle_host_graph() -> str:
                          '{HOST_RE}', 1)), '.') AS l)
         )"""
 
-    src = synthetic_url_sql("event_id")
-    dst = synthetic_url_sql("((event_id * 5 + 2) % nn.n)")
-    return f"""
-        WITH nn AS (SELECT count(*) AS n FROM events),
+
+def _host_graph_with_body() -> str:
+    """Shared WITH-clause body ending at g(sd, dd, n_links)."""
+    from geo_spark.operators.webcorpus import synthetic_url_sql
+
+    src = _domain_of_url_sql(synthetic_url_sql("event_id"))
+    dst = _domain_of_url_sql(
+        synthetic_url_sql("((event_id * 5 + 2) % nn.n)")
+    )
+    return f"""nn AS (SELECT count(*) AS n FROM events),
         e AS (
-          SELECT {dom(src)} AS sd, {dom(dst)} AS dd
+          SELECT {src} AS sd, {dst} AS dd
           FROM events, nn),
         g AS MATERIALIZED (
           SELECT sd, dd, COUNT(*) AS n_links
-          FROM e WHERE sd <> dd GROUP BY sd, dd)
+          FROM e WHERE sd <> dd GROUP BY sd, dd)"""
+
+
+def _oracle_host_graph() -> str:
+    return f"""
+        WITH {_host_graph_with_body()}
         SELECT g.sd AS src_domain, g.dd AS dst_domain, g.n_links,
                CAST(CASE WHEN r.sd IS NULL THEN 0 ELSE 1 END
                     AS INTEGER) AS reciprocal
         FROM g LEFT JOIN g r ON r.sd = g.dd AND r.dd = g.sd
         ORDER BY src_domain, dst_domain
+    """
+
+
+_DR_ITERS = 3
+_DR_DAMPING = 0.85
+
+
+def _q_domain_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level PageRank — the webcorpus half COMPOSED with the
+    linkgraph half: the q_host_graph url edges collapse to the
+    registered-domain graph, and 3 power-iteration steps (teleport +
+    dangling mass, the q_link_pagerank spec on STRING node keys) rank
+    the domains.  Host-level rank is how production crawl frontiers
+    and TrustRank seed audits actually run (url-level graphs are too
+    big to iterate exactly); certifying the chain proves the domain
+    collapse and the iteration compose.  ROUND-x1e12 scaling per the
+    PageRank ULP-granule note."""
+    from geo_spark.operators.linkgraph import pagerank
+    from geo_spark.operators.webcorpus import host_graph, synthetic_url_sql
+
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    n = ev.count()
+    links = ev.select(
+        F.expr(synthetic_url_sql("event_id")).alias("src_url"),
+        F.expr(
+            synthetic_url_sql(f"((event_id * 5 + 2) % {n})")
+        ).alias("dst_url"),
+    ).localCheckpoint()
+    g = host_graph(links)
+    edges = g.select(
+        F.col("src_domain").alias("src"), F.col("dst_domain").alias("dst")
+    )
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    r = pagerank(
+        edges, nodes, iterations=_DR_ITERS, damping=_DR_DAMPING
+    )
+    return r.select(
+        F.col("id").alias("domain"),
+        F.round(F.col("rank") * F.lit(1e12)).cast("long").alias(
+            "rank_x1e12"
+        ),
+    ).orderBy("domain")
+
+
+def _oracle_domain_rank() -> str:
+    d = _DR_DAMPING
+    steps = []
+    prev = "r0"
+    for i in range(1, _DR_ITERS + 1):
+        steps.append(
+            f"""c{i} AS (
+          SELECT e.dst AS id, SUM(r._rank / e.deg) AS c
+          FROM edges e JOIN {prev} r ON r.id = e.src
+          GROUP BY e.dst),
+        dm{i} AS (
+          SELECT COALESCE(SUM(r._rank), 0.0) AS dm
+          FROM {prev} r LEFT JOIN outdeg o ON o.src = r.id
+          WHERE o.src IS NULL),
+        r{i} AS (
+          SELECT nd.id,
+                 (1.0 - {d}) / (SELECT dn FROM dn)
+                 + {d} * (COALESCE(c.c, 0.0)
+                          + dm{i}.dm / (SELECT dn FROM dn)) AS _rank
+          FROM dnodes nd CROSS JOIN dm{i}
+          LEFT JOIN c{i} c ON c.id = nd.id)"""
+        )
+        prev = f"r{i}"
+    steps_sql = ",\n        ".join(steps)
+    return f"""
+        WITH {_host_graph_with_body()},
+        dedup AS (SELECT DISTINCT sd AS src, dd AS dst FROM g),
+        dnodes AS MATERIALIZED (
+          SELECT src AS id FROM dedup UNION SELECT dst FROM dedup),
+        dn AS (SELECT CAST(COUNT(*) AS BIGINT) AS dn FROM dnodes),
+        outdeg AS (SELECT src, COUNT(*) AS deg FROM dedup GROUP BY src),
+        edges AS (SELECT e.src, e.dst, o.deg
+                  FROM dedup e JOIN outdeg o ON o.src = e.src),
+        r0 AS (SELECT id, 1.0 / (SELECT dn FROM dn) AS _rank FROM dnodes),
+        {steps_sql}
+        SELECT id AS domain,
+               CAST(ROUND(_rank * 1e12) AS BIGINT) AS rank_x1e12
+        FROM {prev} ORDER BY domain
     """
 
 
@@ -10980,6 +11074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_snapshot_diff": _q_snapshot_diff,
         "q_url_templates": _q_url_templates,
         "q_host_graph": _q_host_graph,
+        "q_domain_rank": _q_domain_rank,
         "q_isochrone_tiles": _q_isochrone_tiles,
         "q_kcenter_coreset": _q_kcenter_coreset,
         "q_coreset_coverage": _q_coreset_coverage,
@@ -11150,6 +11245,7 @@ def oracle_sql() -> dict[str, str]:
         "q_snapshot_diff": _oracle_snapshot_diff(),
         "q_url_templates": _oracle_url_templates(),
         "q_host_graph": _oracle_host_graph(),
+        "q_domain_rank": _oracle_domain_rank(),
         "q_isochrone_tiles": _oracle_isochrone_tiles(),
         "q_kcenter_coreset": _oracle_kcenter_coreset(),
         "q_coreset_coverage": _oracle_coreset_coverage(),

@@ -50,6 +50,9 @@ HEADLINE_QUERIES = [
     "q_crawl_pipeline",  # WARC parse -> robots policy -> dedup -> rollup
     "q_link_trustrank",  # personalized PageRank, one shuffle/iter
     "q_bigram_nll",  # corpus bigram LM scoring, integer fixed-point
+    "q_weighted_paths",  # delta-frontier Bellman-Ford, frontier-sized rounds
+    "q_redirect_resolve",  # pointer jumping, O(log chain) self-joins
+    "q_host_graph",  # domain-pair count + reciprocity self-join
 ]
 
 
