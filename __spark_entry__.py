@@ -7129,6 +7129,53 @@ def _oracle_tfidf_topk() -> str:
     """
 
 
+_TFDOT_MIN = 2
+_TFDOT_MAXDF = 250
+
+
+def _q_tf_dot_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF dot-product similarity join (text.tf_dot_pairs):
+    document pairs whose integer term-frequency dot product >= 2
+    through an inverted-index posting join with the max_df=250
+    stop-term valve — ACTIVE on this fixture (the corpus vocabulary
+    is small and stop-heavy: raising max_df to 400 admits the
+    ubiquitous terms and explodes 24 pairs to 124k, the quadratic
+    hazard the valve exists for).  The oracle
+    recomputes every surviving dot product from unnested token
+    counts — integer-exact, no cosine floats in the compared
+    columns."""
+    from geo_spark.operators.text import tf_dot_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return tf_dot_pairs(
+        docs, min_dot=_TFDOT_MIN, max_df=_TFDOT_MAXDF
+    ).orderBy("a", "b")
+
+
+def _oracle_tf_dot_pairs() -> str:
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(text), ' +')) AS term
+          FROM documents),
+        t AS MATERIALIZED (
+          SELECT doc_id, term, COUNT(*) AS tf
+          FROM toks WHERE len(term) > 0 GROUP BY 1, 2),
+        rare AS (
+          SELECT term FROM t GROUP BY term
+          HAVING COUNT(*) <= {_TFDOT_MAXDF}),
+        p AS MATERIALIZED (
+          SELECT t.doc_id, t.term, t.tf FROM t JOIN rare USING (term))
+        SELECT p1.doc_id AS a, p2.doc_id AS b,
+               CAST(SUM(p1.tf * p2.tf) AS BIGINT) AS dot
+        FROM p p1 JOIN p p2
+          ON p1.term = p2.term AND p1.doc_id < p2.doc_id
+        GROUP BY p1.doc_id, p2.doc_id
+        HAVING SUM(p1.tf * p2.tf) >= {_TFDOT_MIN}
+        ORDER BY a, b
+    """
+
+
 def _q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed corpus-curation certificate: repetition signals ->
     quality gate (drop docs whose top 2-gram claims > 10% of chars) ->
@@ -11075,6 +11122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_url_templates": _q_url_templates,
         "q_host_graph": _q_host_graph,
         "q_domain_rank": _q_domain_rank,
+        "q_tf_dot_pairs": _q_tf_dot_pairs,
         "q_isochrone_tiles": _q_isochrone_tiles,
         "q_kcenter_coreset": _q_kcenter_coreset,
         "q_coreset_coverage": _q_coreset_coverage,
@@ -11246,6 +11294,7 @@ def oracle_sql() -> dict[str, str]:
         "q_url_templates": _oracle_url_templates(),
         "q_host_graph": _oracle_host_graph(),
         "q_domain_rank": _oracle_domain_rank(),
+        "q_tf_dot_pairs": _oracle_tf_dot_pairs(),
         "q_isochrone_tiles": _oracle_isochrone_tiles(),
         "q_kcenter_coreset": _oracle_kcenter_coreset(),
         "q_coreset_coverage": _oracle_coreset_coverage(),

@@ -914,3 +914,57 @@ def nb_classify(
             F.col("score").cast("long").alias("score_x1e6"),
         )
     )
+
+
+def tf_dot_pairs(
+    docs: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    min_dot: int = 2,
+    max_df: int = 64,
+) -> DataFrame:
+    """(a, b, dot): document pairs (a < b) with the exact INTEGER
+    term-frequency dot product sum_t tf_a(t)*tf_b(t) >= ``min_dot`` —
+    the sparse similarity join behind cosine retrieval, run through an
+    inverted index instead of dense vectors (the only way it exists at
+    corpus scale).  Raw-count dot products stay integer-exact across
+    engines; normalize to cosine downstream if ranking needs it (the
+    per-doc norms are a cheap second aggregate).
+
+    Scale shape — the dedup stop-shingle discipline on term postings:
+    terms with document frequency > ``max_df`` are dropped BEFORE the
+    posting self-join (stop terms carry negligible cosine weight and
+    ALL the quadratic hazard), so per-term fanout is bounded at
+    max_df^2.  The join is a posting-list equi-join on the term, then
+    one map-combined (a, b) sum.  Tokens are lowercased
+    whitespace-split words (the module's tfidf convention)."""
+    tf = (
+        docs.select(
+            F.col(key).alias("_id"),
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), " +"),
+                    lambda x: F.length(x) > 0,
+                )
+            ).alias("_t"),
+        )
+        .groupBy("_id", "_t")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    rare = (
+        tf.groupBy("_t")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") <= F.lit(max_df))
+        .select("_t")
+    )
+    p = tf.join(rare, "_t")
+    q = p.select(
+        F.col("_t"), F.col("_id").alias("_b"), F.col("_tf").alias("_tfb")
+    )
+    return (
+        p.join(q, "_t")
+        .where(F.col("_id") < F.col("_b"))
+        .groupBy(F.col("_id").alias("a"), F.col("_b").alias("b"))
+        .agg(F.sum(F.col("_tf") * F.col("_tfb")).alias("dot"))
+        .where(F.col("dot") >= F.lit(min_dot))
+    )
