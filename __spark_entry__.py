@@ -7129,6 +7129,66 @@ def _oracle_tfidf_topk() -> str:
     """
 
 
+_COTRAVEL_MIN = 3
+
+
+def _q_co_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-travel (convoy) detection — the spacetime join COMPOSED
+    with user attribution: event pairs within 500 km and 2 h
+    (q_spacetime_pairs' certified banded join) map to their user
+    pairs, and user pairs with >= 3 distinct co-occurrences survive
+    (contact tracing, ride-share detection, convoy mining).  The
+    oracle chains the first-principles range-join spacetime twin into
+    the same user rollup — banding, neighbor topology, dedup AND the
+    attribution all checked in one certificate.  Integer counts."""
+    from geo_spark.operators.geo_noise import with_geo_noise, with_time_noise
+    from geo_spark.operators.spacetime import spacetime_join
+
+    ev = with_time_noise(
+        with_geo_noise(_t(spark, sf_dir, "events"), "event_id"), "event_id"
+    )
+    pairs = spacetime_join(
+        ev, _ST_RADIUS_RAD, _ST_WINDOW_S, key="event_id", ts_col="ts_us"
+    )
+    users = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    ua = users.select(
+        F.col("event_id").alias("a"), F.col("user_id").alias("_ua")
+    )
+    ub = users.select(
+        F.col("event_id").alias("b"), F.col("user_id").alias("_ub")
+    )
+    return (
+        pairs.join(ua, "a")
+        .join(ub, "b")
+        .where(F.col("_ua") != F.col("_ub"))
+        .select(
+            F.least("_ua", "_ub").alias("ua"),
+            F.greatest("_ua", "_ub").alias("ub"),
+        )
+        .groupBy("ua", "ub")
+        .agg(F.count(F.lit(1)).alias("n_meet"))
+        .where(F.col("n_meet") >= _COTRAVEL_MIN)
+        .orderBy("ua", "ub")
+    )
+
+
+def _oracle_co_travel() -> str:
+    return f"""
+        WITH sp AS MATERIALIZED ({_oracle_spacetime_pairs()}),
+        up AS (
+          SELECT least(ea.user_id, eb.user_id) AS ua,
+                 greatest(ea.user_id, eb.user_id) AS ub
+          FROM sp
+          JOIN events ea ON ea.event_id = sp.a
+          JOIN events eb ON eb.event_id = sp.b
+          WHERE ea.user_id <> eb.user_id)
+        SELECT ua, ub, COUNT(*) AS n_meet
+        FROM up GROUP BY ua, ub
+        HAVING COUNT(*) >= {_COTRAVEL_MIN}
+        ORDER BY ua, ub
+    """
+
+
 _TFDOT_MIN = 2
 _TFDOT_MAXDF = 250
 
@@ -11123,6 +11183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_host_graph": _q_host_graph,
         "q_domain_rank": _q_domain_rank,
         "q_tf_dot_pairs": _q_tf_dot_pairs,
+        "q_co_travel": _q_co_travel,
         "q_isochrone_tiles": _q_isochrone_tiles,
         "q_kcenter_coreset": _q_kcenter_coreset,
         "q_coreset_coverage": _q_coreset_coverage,
@@ -11295,6 +11356,7 @@ def oracle_sql() -> dict[str, str]:
         "q_host_graph": _oracle_host_graph(),
         "q_domain_rank": _oracle_domain_rank(),
         "q_tf_dot_pairs": _oracle_tf_dot_pairs(),
+        "q_co_travel": _oracle_co_travel(),
         "q_isochrone_tiles": _oracle_isochrone_tiles(),
         "q_kcenter_coreset": _oracle_kcenter_coreset(),
         "q_coreset_coverage": _oracle_coreset_coverage(),
