@@ -7129,6 +7129,52 @@ def _oracle_tfidf_topk() -> str:
     """
 
 
+def _q_blocklist_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level blocklist screening (text.blocklist_hits): the
+    blocklist is carved deterministically out of the corpus's own
+    vocabulary (distinct tokens whose md5 hex starts with a/b/c — a
+    scale-independent rule both engines replay), broadcast, and
+    equi-joined against the token stream; per-doc hit counts,
+    distinct-term counts, and the alphabetically first term as
+    evidence.  The oracle recomputes everything from unnested
+    tokens."""
+    from geo_spark.operators.text import blocklist_hits
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("text")), " +"),
+                    lambda x: F.length(x) > 0,
+                )
+            ).alias("term")
+        )
+        .distinct()
+        .where(F.substring(F.md5(F.col("term")), 1, 1).isin("a", "b", "c"))
+    )
+    return blocklist_hits(docs, vocab).orderBy("doc_id")
+
+
+def _oracle_blocklist_hits() -> str:
+    return """
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(text), ' +')) AS t
+          FROM documents),
+        tk AS MATERIALIZED (
+          SELECT doc_id, t FROM toks WHERE len(t) > 0),
+        bl AS (
+          SELECT DISTINCT t FROM tk
+          WHERE substring(md5(t), 1, 1) IN ('a', 'b', 'c'))
+        SELECT tk.doc_id, COUNT(*) AS n_hits,
+               COUNT(DISTINCT tk.t) AS n_terms,
+               MIN(tk.t) AS first_term
+        FROM tk JOIN bl USING (t)
+        GROUP BY tk.doc_id ORDER BY doc_id
+    """
+
+
 _COTRAVEL_MIN = 3
 
 
@@ -11184,6 +11230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_domain_rank": _q_domain_rank,
         "q_tf_dot_pairs": _q_tf_dot_pairs,
         "q_co_travel": _q_co_travel,
+        "q_blocklist_hits": _q_blocklist_hits,
         "q_isochrone_tiles": _q_isochrone_tiles,
         "q_kcenter_coreset": _q_kcenter_coreset,
         "q_coreset_coverage": _q_coreset_coverage,
@@ -11357,6 +11404,7 @@ def oracle_sql() -> dict[str, str]:
         "q_domain_rank": _oracle_domain_rank(),
         "q_tf_dot_pairs": _oracle_tf_dot_pairs(),
         "q_co_travel": _oracle_co_travel(),
+        "q_blocklist_hits": _oracle_blocklist_hits(),
         "q_isochrone_tiles": _oracle_isochrone_tiles(),
         "q_kcenter_coreset": _oracle_kcenter_coreset(),
         "q_coreset_coverage": _oracle_coreset_coverage(),

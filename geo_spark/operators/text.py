@@ -968,3 +968,101 @@ def tf_dot_pairs(
         .agg(F.sum(F.col("_tf") * F.col("_tfb")).alias("dot"))
         .where(F.col("dot") >= F.lit(min_dot))
     )
+
+
+def compression_ratio(
+    docs: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+) -> DataFrame:
+    """(key, raw_len, zlib_len, ratio_x1000): per-document zlib
+    compression ratio — the classic redundancy quality signal
+    (Gopher/FineWeb-style filters drop documents that compress too
+    WELL: boilerplate, keyword stuffing, generated spam — and ones
+    that barely compress at all: binary junk, encrypted blobs).
+    ``ratio_x1000`` = floor(1000 * compressed / raw) keeps the
+    compared value integer.
+
+    zlib with a FIXED level and strategy is deterministic for given
+    bytes, so the signal is replayable — but it is not expressible in
+    SQL, so this operator is certified by a python-replay
+    differential (stdlib zlib on the same utf-8 bytes), not a DuckDB
+    oracle; the honest-weaker-check note the multimodal codecs carry.
+    Arrow-batched mapInPandas (stdlib zlib is C-speed; the Python tax
+    is per-BATCH, not per-row); only (key, text) cross into Python
+    and only (key, 3 ints) come back."""
+    import pyarrow as pa
+
+    out_schema = (
+        f"{key} long, raw_len long, zlib_len long, ratio_x1000 long"
+    )
+
+    def fn(batches):
+        import zlib
+
+        for b in batches:
+            keys = b.column(key).to_pylist()
+            texts = b.column(text_col).to_pylist()
+            raw, comp, ratio = [], [], []
+            for t in texts:
+                data = (t or "").encode("utf-8")
+                c = len(zlib.compress(data, level))
+                raw.append(len(data))
+                comp.append(c)
+                ratio.append(1000 * c // len(data) if data else 0)
+            yield pa.RecordBatch.from_pydict(
+                {
+                    key: keys,
+                    "raw_len": raw,
+                    "zlib_len": comp,
+                    "ratio_x1000": ratio,
+                }
+            )
+
+    return docs.select(key, text_col).mapInArrow(fn, out_schema)
+
+
+def blocklist_hits(
+    docs: DataFrame,
+    terms: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    term_col: str = "term",
+) -> DataFrame:
+    """(key, n_hits, n_terms, first_term): documents matched against a
+    term blocklist (toxicity lists, spam lexicons, PII keywords) at
+    the TOKEN level — the thousands-of-terms regime where compiling a
+    giant alternation regex is both slow and wrong (no word
+    boundaries).  n_hits counts total occurrences, n_terms the
+    distinct blocklist terms present, first_term the alphabetically
+    smallest (deterministic evidence sample).  Only documents with at
+    least one hit return — the common case is a tiny fraction, so the
+    output is filter-shaped.
+
+    Scale shape: tokens explode once (the corpus-wide token stream
+    every other text operator already pays), the blocklist broadcasts
+    (it is KB-sized against a 100 TB corpus), and ONE map-combined
+    per-doc aggregate closes it.  No regex whose cost grows with the
+    list, no Python."""
+    toks = docs.select(
+        F.col(key).alias("_id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), " +"),
+                lambda x: F.length(x) > 0,
+            )
+        ).alias("_t"),
+    )
+    bl = F.broadcast(
+        terms.select(F.lower(F.col(term_col)).alias("_t")).distinct()
+    )
+    return (
+        toks.join(bl, "_t")
+        .groupBy(F.col("_id").alias(key))
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.countDistinct("_t").alias("n_terms"),
+            F.min("_t").alias("first_term"),
+        )
+    )

@@ -62,3 +62,74 @@ def test_tf_dot_stop_term_valve(spark):
         for r in tf_dot_pairs(df, min_dot=1, max_df=4).collect()
     }
     assert got == {(0, 1): 2}  # tf_0(cat)=1 * tf_1(cat)=2
+
+
+def test_compression_ratio_python_replay(spark):
+    import zlib
+
+    from geo_spark.operators.text import compression_ratio
+
+    texts = {
+        0: "spam spam spam " * 50,          # compresses very well
+        1: "the quick brown fox jumps",     # normal prose
+        2: "",                               # empty
+        3: "abcdefghij" * 3 + "XYZ",        # mild redundancy
+        4: "éèê unicode bytes " * 4,
+    }
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["raw_len"], r["zlib_len"], r["ratio_x1000"])
+        for r in compression_ratio(df).collect()
+    }
+    for i, t in texts.items():
+        data = t.encode("utf-8")
+        c = len(zlib.compress(data, 6))
+        want = (
+            len(data),
+            c,
+            1000 * c // len(data) if data else 0,
+        )
+        assert got[i] == want, i
+    # the spam doc compresses far better than prose
+    assert got[0][2] < got[1][2]
+
+
+def test_blocklist_hits(spark):
+    from geo_spark.operators.text import blocklist_hits
+
+    docs = spark.createDataFrame(
+        [
+            (0, "Spam and EGGS and spam"),
+            (1, "perfectly clean text"),
+            (2, "eggs eggs eggs"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    terms = spark.createDataFrame(
+        [("SPAM",), ("eggs",), ("unused",)], "term string"
+    )
+    got = {
+        r["doc_id"]: (r["n_hits"], r["n_terms"], r["first_term"])
+        for r in blocklist_hits(docs, terms).collect()
+    }
+    assert got == {0: (3, 2, "eggs"), 2: (3, 1, "eggs")}
+
+
+def test_blocklist_broadcast_plan(spark):
+    from geo_spark.operators.text import blocklist_hits
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} common") for i in range(100)], "doc_id long, text string"
+    )
+    terms = spark.createDataFrame([("common",)], "term string")
+    plan = (
+        blocklist_hits(docs, terms)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
