@@ -7129,6 +7129,73 @@ def _oracle_tfidf_topk() -> str:
     """
 
 
+_AUDIO_N = 64
+_AUDIO_MOD = 16
+
+
+def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal family's oracle certificate — by INVERSION (the
+    q_html_text pattern): every 16th event synthesizes a REAL RIFF/
+    WAVE container from a known sample formula
+    s_k = (event_id*31 + k*7) % 201 - 100, the engine walks the
+    actual container bytes back through decode_wav, and integer
+    features (energy, peak, zero crossings) come off the DECODED
+    samples.  The oracle computes the same features straight from the
+    formula — it never sees a byte — so a green row proves
+    decode(encode(x)) == x through the real parser AND the feature
+    math, relationally.  (The codec fuzz/round-trip pytest suite
+    remains the byte-level gate; this puts the plumbing under the
+    driver's oracle check too.)"""
+    import pandas as pd
+
+    from geo_spark.operators.multimodal import (
+        audio_integer_features,
+        encode_wav,
+    )
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_id") % _AUDIO_MOD == 0)
+        .select("event_id")
+    )
+
+    def synth(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            k = np.arange(_AUDIO_N, dtype=np.int64)
+            for i in pdf["event_id"].to_numpy():
+                v = ((int(i) * 31 + k * 7) % 201 - 100).astype(np.int16)
+                rows.append((int(i), bytearray(encode_wav(v, 8000))))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = ev.mapInPandas(synth, "media_id long, payload binary")
+    return audio_integer_features(media).orderBy("media_id")
+
+
+def _oracle_audio_features() -> str:
+    return f"""
+        WITH ev AS (SELECT event_id FROM events
+                    WHERE event_id % {_AUDIO_MOD} = 0),
+        ks AS (SELECT unnest(range({_AUDIO_N})) AS k),
+        s AS (SELECT event_id, k,
+                     ((event_id * 31 + k * 7) % 201) - 100 AS v
+              FROM ev, ks),
+        z AS (SELECT event_id, v,
+                     lead(v) OVER (PARTITION BY event_id ORDER BY k)
+                       AS nv
+              FROM s)
+        SELECT event_id AS media_id,
+               COUNT(*) AS n_samples,
+               CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+               CAST(MAX(abs(v)) AS BIGINT) AS max_abs,
+               CAST(SUM(CASE WHEN nv IS NOT NULL AND v * nv < 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
+        FROM z GROUP BY event_id ORDER BY media_id
+    """
+
+
 def _q_blocklist_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-level blocklist screening (text.blocklist_hits): the
     blocklist is carved deterministically out of the corpus's own
@@ -11231,6 +11298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tf_dot_pairs": _q_tf_dot_pairs,
         "q_co_travel": _q_co_travel,
         "q_blocklist_hits": _q_blocklist_hits,
+        "q_audio_features": _q_audio_features,
         "q_isochrone_tiles": _q_isochrone_tiles,
         "q_kcenter_coreset": _q_kcenter_coreset,
         "q_coreset_coverage": _q_coreset_coverage,
@@ -11405,6 +11473,7 @@ def oracle_sql() -> dict[str, str]:
         "q_tf_dot_pairs": _oracle_tf_dot_pairs(),
         "q_co_travel": _oracle_co_travel(),
         "q_blocklist_hits": _oracle_blocklist_hits(),
+        "q_audio_features": _oracle_audio_features(),
         "q_isochrone_tiles": _oracle_isochrone_tiles(),
         "q_kcenter_coreset": _oracle_kcenter_coreset(),
         "q_coreset_coverage": _oracle_coreset_coverage(),

@@ -793,3 +793,51 @@ def decode_avi_mjpeg(data: bytes, every: int = 1) -> list:
 
     walk(data[12:])
     return out
+
+
+def audio_integer_features(
+    media: DataFrame,
+    key: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """(key, n_samples, sum_sq, max_abs, zero_cross): exact INTEGER
+    audio summary per RIFF/WAVE payload — energy (sum of squared
+    samples), peak, and zero-crossing count, the loudness/silence/
+    pitch-proxy trio an audio-corpus quality gate reads.  All four
+    values are integers computed from the REAL PCM decode
+    (:func:`decode_wav`), so a relational oracle can replay them
+    exactly when the samples have a known construction — the
+    engine-portability property the float band energies of
+    :func:`audio_features` cannot offer.
+
+    Arrow-batched mapInPandas; only (key, payload) cross into Python
+    and (key, 4 ints) come back."""
+    src = media.select(key, payload_col)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                payload = getattr(r, payload_col)
+                _, s = decode_wav(payload)
+                v = s.astype(np.int64)
+                zc = int(np.sum(v[:-1] * v[1:] < 0)) if len(v) > 1 else 0
+                out.append(
+                    (
+                        getattr(r, key),
+                        int(len(v)),
+                        int(np.sum(v * v)),
+                        int(np.max(np.abs(v))) if len(v) else 0,
+                        zc,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[key, "n_samples", "sum_sq", "max_abs", "zero_cross"],
+            )
+
+    return src.mapInPandas(
+        fn,
+        f"{key} long, n_samples long, sum_sq long, max_abs long,"
+        " zero_cross long",
+    )

@@ -308,3 +308,37 @@ def test_audio_video_features_on_real_containers(spark):
             for fi, f in decode_avi_mjpeg(bytes(r["payload"]), every=4)
         }
         assert vid[mid] == want and set(want) == {0, 4, 8}
+
+
+def test_audio_integer_features_exact(spark):
+    import numpy as np
+
+    from geo_spark.operators.multimodal import (
+        audio_integer_features,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = []
+    want = {}
+    for i in range(6):
+        s = rng.integers(-500, 500, 48).astype(np.int16)
+        rows.append((i, bytearray(encode_wav(s, 8000))))
+        v = s.astype(np.int64)
+        want[i] = (
+            len(v),
+            int((v * v).sum()),
+            int(np.abs(v).max()),
+            int((v[:-1] * v[1:] < 0).sum()),
+        )
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        r["media_id"]: (
+            r["n_samples"],
+            r["sum_sq"],
+            r["max_abs"],
+            r["zero_cross"],
+        )
+        for r in audio_integer_features(df).collect()
+    }
+    assert got == want
