@@ -7196,6 +7196,122 @@ def _oracle_audio_features() -> str:
     """
 
 
+_IMG_MOD = 32
+_IMG_W = 8
+_IMG_H = 8
+
+
+def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-decode inversion certificate (q_audio_features' pattern
+    on the LOSSLESS image codecs): every 32nd event synthesizes an
+    8x8 RGB raster from the pixel formula
+    p(y,x,c) = (event_id*7 + y*13 + x*5 + c*3) % 256, containers
+    alternate BMP / PNG (PNG cycling ALL FIVE scanline filter types,
+    so the Paeth/avg/up/sub reconstruction paths are each under the
+    oracle), the engine decodes the actual bytes back through the
+    decode_image dispatcher (magic-byte dispatch + integer-mean
+    grayscale), and integer features come off the DECODED view —
+    including a position-weighted checksum sum(g * (1 + (y*8+x) % 97))
+    that catches any transposed/reordered decode, not just value
+    errors; the oracle replays the channel mean as SUM(vc) // 3.  JPEG stays out of this certificate (lossy — its
+    bounded-error round trip is pytest-gated)."""
+    import pandas as pd
+
+    from geo_spark.operators.multimodal import (
+        decode_image,
+        encode_bmp,
+        encode_png,
+    )
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_id") % _IMG_MOD == 0)
+        .select("event_id")
+    )
+
+    def run(batches):
+        import numpy as np
+
+        y, x, c = np.meshgrid(
+            np.arange(_IMG_H, dtype=np.int64),
+            np.arange(_IMG_W, dtype=np.int64),
+            np.arange(3, dtype=np.int64),
+            indexing="ij",
+        )
+        gy, gx = np.meshgrid(
+            np.arange(_IMG_H, dtype=np.int64),
+            np.arange(_IMG_W, dtype=np.int64),
+            indexing="ij",
+        )
+        wgt = 1 + (gy * _IMG_W + gx) % 97
+        for pdf in batches:
+            rows = []
+            for i in pdf["event_id"].to_numpy():
+                img = ((int(i) * 7 + y * 13 + x * 5 + c * 3) % 256).astype(
+                    np.uint8
+                )
+                if int(i) % (2 * _IMG_MOD) == 0:
+                    payload = encode_bmp(img)
+                else:
+                    payload = encode_png(
+                        img, filter_type=(int(i) // _IMG_MOD) % 5
+                    )
+                # decode_image returns the GRAYSCALE (H,W) view
+                # (integer channel mean) — the user-facing dispatch
+                dec = decode_image(payload, _IMG_W, _IMG_H).astype(np.int64)
+                rows.append(
+                    (
+                        int(i),
+                        int(dec.sum()),
+                        int(dec.max()),
+                        int((dec >= 128).sum()),
+                        int((dec * wgt).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "sum_px",
+                    "max_px",
+                    "n_bright",
+                    "checksum",
+                ],
+            )
+
+    return (
+        ev.mapInPandas(
+            run,
+            "media_id long, sum_px long, max_px long, n_bright long,"
+            " checksum long",
+        )
+        .orderBy("media_id")
+    )
+
+
+def _oracle_image_features() -> str:
+    return f"""
+        WITH ev AS (SELECT event_id FROM events
+                    WHERE event_id % {_IMG_MOD} = 0),
+        ys AS (SELECT unnest(range({_IMG_H})) AS y),
+        xs AS (SELECT unnest(range({_IMG_W})) AS x),
+        cs AS (SELECT unnest(range(3)) AS c),
+        p AS (SELECT event_id, y, x,
+                     (event_id * 7 + y * 13 + x * 5 + c * 3) % 256 AS vc
+              FROM ev, ys, xs, cs),
+        g AS (SELECT event_id, y, x, SUM(vc) // 3 AS v,
+                     1 + (y * {_IMG_W} + x) % 97 AS w
+              FROM p GROUP BY event_id, y, x)
+        SELECT event_id AS media_id,
+               CAST(SUM(v) AS BIGINT) AS sum_px,
+               CAST(MAX(v) AS BIGINT) AS max_px,
+               CAST(SUM(CASE WHEN v >= 128 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_bright,
+               CAST(SUM(v * w) AS BIGINT) AS checksum
+        FROM g GROUP BY event_id ORDER BY media_id
+    """
+
+
 def _q_blocklist_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-level blocklist screening (text.blocklist_hits): the
     blocklist is carved deterministically out of the corpus's own
@@ -11299,6 +11415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_co_travel": _q_co_travel,
         "q_blocklist_hits": _q_blocklist_hits,
         "q_audio_features": _q_audio_features,
+        "q_image_features": _q_image_features,
         "q_isochrone_tiles": _q_isochrone_tiles,
         "q_kcenter_coreset": _q_kcenter_coreset,
         "q_coreset_coverage": _q_coreset_coverage,
@@ -11474,6 +11591,7 @@ def oracle_sql() -> dict[str, str]:
         "q_co_travel": _oracle_co_travel(),
         "q_blocklist_hits": _oracle_blocklist_hits(),
         "q_audio_features": _oracle_audio_features(),
+        "q_image_features": _oracle_image_features(),
         "q_isochrone_tiles": _oracle_isochrone_tiles(),
         "q_kcenter_coreset": _oracle_kcenter_coreset(),
         "q_coreset_coverage": _oracle_coreset_coverage(),
