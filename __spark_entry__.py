@@ -7206,9 +7206,9 @@ def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the LOSSLESS image codecs): every 32nd event synthesizes an
     8x8 RGB raster from the pixel formula
     p(y,x,c) = (event_id*7 + y*13 + x*5 + c*3) % 256, containers
-    alternate BMP / PNG (PNG cycling ALL FIVE scanline filter types,
-    so the Paeth/avg/up/sub reconstruction paths are each under the
-    oracle), the engine decodes the actual bytes back through the
+    rotate BMP / PNG (cycling ALL FIVE scanline filter types, so the
+    Paeth/avg/up/sub reconstruction paths are each under the oracle)
+    / GIF (LZW + adaptive palette, exact at <= 64 colors), the engine decodes the actual bytes back through the
     decode_image dispatcher (magic-byte dispatch + integer-mean
     grayscale), and integer features come off the DECODED view —
     including a position-weighted checksum sum(g * (1 + (y*8+x) % 97))
@@ -7220,6 +7220,7 @@ def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geo_spark.operators.multimodal import (
         decode_image,
         encode_bmp,
+        encode_gif,
         encode_png,
     )
 
@@ -7250,12 +7251,16 @@ def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 img = ((int(i) * 7 + y * 13 + x * 5 + c * 3) % 256).astype(
                     np.uint8
                 )
-                if int(i) % (2 * _IMG_MOD) == 0:
+                rot = (int(i) // _IMG_MOD) % 7
+                if rot == 0:
                     payload = encode_bmp(img)
+                elif rot == 6:
+                    # 64 pixels -> <= 64 distinct colors: the GIF
+                    # adaptive palette is exact, so LZW+interlace
+                    # machinery sits under the oracle losslessly
+                    payload = encode_gif(img)
                 else:
-                    payload = encode_png(
-                        img, filter_type=(int(i) // _IMG_MOD) % 5
-                    )
+                    payload = encode_png(img, filter_type=rot - 1)
                 # decode_image returns the GRAYSCALE (H,W) view
                 # (integer channel mean) — the user-facing dispatch
                 dec = decode_image(payload, _IMG_W, _IMG_H).astype(np.int64)
