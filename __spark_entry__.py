@@ -7196,6 +7196,49 @@ def _oracle_audio_features() -> str:
     """
 
 
+def _q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured sidecar extraction — the events table's JSON
+    ``props`` column (untouched by every other query) parsed with the
+    native path extractor (get_json_object, codegen) and rolled up
+    per event type: count, missing-key count, sum/min/max of the
+    extracted integer.  The Common-Crawl shape: metadata arrives as
+    ragged JSON strings, and the extraction must stay JVM-side (a
+    json.loads UDF at 10^12 rows is the classic accidental-Python
+    cliff).  DuckDB twin uses json_extract_string — two independent
+    JSON parsers agreeing byte-for-byte."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).alias(
+                "n_missing"
+            ),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _oracle_json_props() -> str:
+    return """
+        WITH x AS (
+          SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          FROM events)
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_missing,
+               CAST(SUM(k) AS BIGINT) AS k_sum,
+               MIN(k) AS k_min, MAX(k) AS k_max
+        FROM x GROUP BY event_type ORDER BY event_type
+    """
+
+
 _IMG_MOD = 32
 _IMG_W = 8
 _IMG_H = 8
@@ -11421,6 +11464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_blocklist_hits": _q_blocklist_hits,
         "q_audio_features": _q_audio_features,
         "q_image_features": _q_image_features,
+        "q_json_props": _q_json_props,
         "q_isochrone_tiles": _q_isochrone_tiles,
         "q_kcenter_coreset": _q_kcenter_coreset,
         "q_coreset_coverage": _q_coreset_coverage,
@@ -11597,6 +11641,7 @@ def oracle_sql() -> dict[str, str]:
         "q_blocklist_hits": _oracle_blocklist_hits(),
         "q_audio_features": _oracle_audio_features(),
         "q_image_features": _oracle_image_features(),
+        "q_json_props": _oracle_json_props(),
         "q_isochrone_tiles": _oracle_isochrone_tiles(),
         "q_kcenter_coreset": _oracle_kcenter_coreset(),
         "q_coreset_coverage": _oracle_coreset_coverage(),
