@@ -7196,6 +7196,94 @@ def _oracle_audio_features() -> str:
     """
 
 
+_NOVEL_N = 16
+
+
+def _q_crawl_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl novelty certificate — snapshot diff COMPOSED
+    with content-level dedup: the docs the q_snapshot_diff fixture
+    classifies 'added' (doc_id % 7 == 0, % 5 != 0) are checked for
+    any shared 16-char shingle against the OLD snapshot's corpus; per
+    source, how many added docs are genuinely NOVEL text vs re-hosted
+    old content ("how much of the new crawl is actually new" — the
+    recrawl-budget metric).  Corpus-vs-corpus ANY-hit is a
+    distinct-shingle equi-join (both sides shuffled on the shingle —
+    the dup_spans regime, NOT the broadcast decontaminate tier, and
+    the docstring distinction matters at 100 TB).  One oracle chains
+    diff classes -> shingle join -> anti-join -> source rollup."""
+    from geo_spark.operators.dedup import shingle_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 7 != 0)
+    added = docs.where(
+        (F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 5 != 0)
+    )
+    sh = shingle_expr("text", _NOVEL_N)
+    old_sh = (
+        old.select(F.explode(sh).alias("s"))
+        .where(F.length("s") == _NOVEL_N)
+        .distinct()
+    )
+    add_sh = (
+        added.select("doc_id", F.explode(sh).alias("s"))
+        .where(F.length("s") == _NOVEL_N)
+        .distinct()
+    )
+    dup_ids = add_sh.join(old_sh, "s").select("doc_id").distinct()
+    novel = added.join(dup_ids, "doc_id", "left_anti")
+    return (
+        added.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_added"))
+        .join(
+            novel.groupBy("source").agg(
+                F.count(F.lit(1)).alias("n_novel"),
+                F.min("doc_id").alias("first_novel"),
+            ),
+            "source",
+            "left",
+        )
+        .select(
+            "source",
+            "n_added",
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+            "first_novel",
+        )
+        .orderBy("source")
+    )
+
+
+def _oracle_crawl_novelty() -> str:
+    n = _NOVEL_N
+    sh = (
+        f"UNNEST(list_transform(range(1, greatest(length(text)-{n - 1},"
+        f" 1)+1), i -> substr(text, i, {n}))) AS t(s)"
+    )
+    return f"""
+        WITH added AS (
+          SELECT doc_id, source, text FROM documents
+          WHERE doc_id % 7 = 0 AND doc_id % 5 <> 0),
+        old_sh AS MATERIALIZED (
+          SELECT DISTINCT s FROM documents, {sh}
+          WHERE doc_id % 7 <> 0 AND length(s) = {n}),
+        add_sh AS (
+          SELECT DISTINCT doc_id, s FROM added, {sh}
+          WHERE length(s) = {n}),
+        dup_ids AS (
+          SELECT DISTINCT doc_id FROM add_sh JOIN old_sh USING (s)),
+        novel AS (
+          SELECT a.* FROM added a
+          WHERE a.doc_id NOT IN (SELECT doc_id FROM dup_ids))
+        SELECT a.source, COUNT(*) AS n_added,
+               COALESCE(nv.n_novel, 0) AS n_novel, nv.first_novel
+        FROM added a
+        LEFT JOIN (
+          SELECT source, COUNT(*) AS n_novel, MIN(doc_id) AS first_novel
+          FROM novel GROUP BY source) nv USING (source)
+        GROUP BY a.source, nv.n_novel, nv.first_novel
+        ORDER BY source
+    """
+
+
 def _q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured sidecar extraction — the events table's JSON
     ``props`` column (untouched by every other query) parsed with the
@@ -11465,6 +11553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_audio_features": _q_audio_features,
         "q_image_features": _q_image_features,
         "q_json_props": _q_json_props,
+        "q_crawl_novelty": _q_crawl_novelty,
         "q_isochrone_tiles": _q_isochrone_tiles,
         "q_kcenter_coreset": _q_kcenter_coreset,
         "q_coreset_coverage": _q_coreset_coverage,
@@ -11642,6 +11731,7 @@ def oracle_sql() -> dict[str, str]:
         "q_audio_features": _oracle_audio_features(),
         "q_image_features": _oracle_image_features(),
         "q_json_props": _oracle_json_props(),
+        "q_crawl_novelty": _oracle_crawl_novelty(),
         "q_isochrone_tiles": _oracle_isochrone_tiles(),
         "q_kcenter_coreset": _oracle_kcenter_coreset(),
         "q_coreset_coverage": _oracle_coreset_coverage(),
