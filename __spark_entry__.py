@@ -7196,6 +7196,67 @@ def _oracle_audio_features() -> str:
     """
 
 
+def _q_cluster_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative selection — dedup clusters COMPOSED
+    with the keep-policy that concludes web-scale dedup: per near-dup
+    cluster (q_dedup_clusters' certified components), keep the
+    LONGEST document, ties to the smallest id (the FineWeb/CCNet
+    keep-best rule, replacing dedup_clusters' min-id placeholder
+    rep).  Output: multi-doc clusters with size, kept doc, kept
+    length, and total removed chars (the dedup savings ledger).  One
+    max-struct argmax per cluster on top of the certified components;
+    the oracle nests the full recursive-CTE component twin and
+    replays the policy as a window."""
+    from geo_spark.operators.dedup import dedup_clusters, ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=8, threshold=0.3)
+    clusters = dedup_clusters(pairs, docs=docs)
+    j = clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
+    agg = j.groupBy("rep").agg(
+        F.count(F.lit(1)).alias("size"),
+        F.max(
+            F.struct(
+                F.col("n_chars").alias("c"), (-F.col("doc_id")).alias("ni")
+            )
+        ).alias("_b"),
+        F.sum("n_chars").alias("_tot"),
+    )
+    return (
+        agg.where(F.col("size") >= 2)
+        .select(
+            F.col("rep").alias("cluster"),
+            "size",
+            (-F.col("_b.ni")).alias("keep_id"),
+            F.col("_b.c").alias("keep_chars"),
+            (F.col("_tot") - F.col("_b.c")).alias("removed_chars"),
+        )
+        .orderBy("cluster")
+    )
+
+
+def _oracle_cluster_canon() -> str:
+    inner = _oracle_dedup_clusters()
+    return f"""
+        WITH comp2 AS MATERIALIZED ({inner}),
+        j AS (
+          SELECT c.rep, d.doc_id, d.n_chars
+          FROM comp2 c JOIN documents d USING (doc_id)),
+        r AS (
+          SELECT rep, doc_id, n_chars,
+                 row_number() OVER (PARTITION BY rep
+                                    ORDER BY n_chars DESC, doc_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY rep) AS size,
+                 SUM(n_chars) OVER (PARTITION BY rep) AS tot
+          FROM j)
+        SELECT rep AS cluster, CAST(size AS BIGINT) AS size,
+               doc_id AS keep_id, n_chars AS keep_chars,
+               CAST(tot - n_chars AS BIGINT) AS removed_chars
+        FROM r WHERE rn = 1 AND size >= 2
+        ORDER BY cluster
+    """
+
+
 _NOVEL_N = 16
 
 
@@ -11554,6 +11615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_image_features": _q_image_features,
         "q_json_props": _q_json_props,
         "q_crawl_novelty": _q_crawl_novelty,
+        "q_cluster_canon": _q_cluster_canon,
         "q_isochrone_tiles": _q_isochrone_tiles,
         "q_kcenter_coreset": _q_kcenter_coreset,
         "q_coreset_coverage": _q_coreset_coverage,
@@ -11732,6 +11794,7 @@ def oracle_sql() -> dict[str, str]:
         "q_image_features": _oracle_image_features(),
         "q_json_props": _oracle_json_props(),
         "q_crawl_novelty": _oracle_crawl_novelty(),
+        "q_cluster_canon": _oracle_cluster_canon(),
         "q_isochrone_tiles": _oracle_isochrone_tiles(),
         "q_kcenter_coreset": _oracle_kcenter_coreset(),
         "q_coreset_coverage": _oracle_coreset_coverage(),
