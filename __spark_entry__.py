@@ -223,6 +223,78 @@ def _oracle_tpch_q6() -> str:
     """
 
 
+def _q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 local-supplier volume (adapted to the fixture's
+    column set): revenue per nation over customer x orders x lineitem
+    x supplier where the CUSTOMER'S nation == the SUPPLIER'S nation
+    (the non-key equality that makes Q5 the classic multi-join plan
+    test), nations restricted to one region, one order-year window.
+    Plan shape: region/nation/supplier/customer broadcast (dims),
+    orders->lineitem is the one fact-fact shuffle; decimal-exact
+    revenue per the Q1 discipline."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    dec = lambda col: F.col(col).cast("decimal(18,4)")  # noqa: E731
+    nr = F.broadcast(
+        na.join(
+            r.where(F.col("r_name") == "ASIA"),
+            na.n_regionkey == r.r_regionkey,
+        ).select("n_nationkey", "n_name")
+    )
+    rev = (
+        li.join(
+            o.where(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+            ),
+            li.l_orderkey == o.o_orderkey,
+        )
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(nr, F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        rev.groupBy("n_name")
+        .agg(
+            F.sum(
+                dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def _oracle_tpch_q5() -> str:
+    return """
+        SELECT n.n_name,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) *
+                        (CAST(1 AS DECIMAL(18,4)) -
+                         CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+                 AS revenue,
+               COUNT(*) AS n_rows
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND c.c_nationkey = s.s_nationkey
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n.n_name ORDER BY n.n_name
+    """
+
+
 # ---------------------------------------------------------------------------
 # spatial joins (covering-term equi-join + exact refine)
 # ---------------------------------------------------------------------------
@@ -11729,6 +11801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_city_hulls": _q_city_hulls,
         "q_tpch_q3": _q_tpch_q3,
         "q_tpch_q6": _q_tpch_q6,
+        "q_tpch_q5": _q_tpch_q5,
         "q_events_outside_caps": _q_events_outside_caps,
         "q_snap_dedup": _q_snap_dedup,
         "q_distance_join_counts": _q_distance_join_counts,
@@ -11907,6 +11980,7 @@ def oracle_sql() -> dict[str, str]:
         "q_top_events_per_tile": _oracle_top_events_per_tile(),
         "q_tpch_q3": _oracle_tpch_q3(),
         "q_tpch_q6": _oracle_tpch_q6(),
+        "q_tpch_q5": _oracle_tpch_q5(),
         "q_events_outside_caps": _oracle_events_outside_caps(),
         "q_snap_dedup": _oracle_snap_dedup(),
         "q_distance_join_counts": _oracle_distance_join_counts(),
