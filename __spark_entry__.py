@@ -7268,6 +7268,80 @@ def _oracle_audio_features() -> str:
     """
 
 
+def _q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge (operators/cdc.py:cdc_apply): the documents snapshot
+    plus a synthesized change stream — upserts at ts = id%7+1 for
+    id%4==0, deletes at ts = id%5+1 for id%9==0 (ids divisible by 36
+    carry BOTH, sometimes at EQUAL ts — the D-beats-U tie rule is
+    exercised, not just stated), and brand-new keys (id+100000 for
+    id%11==0).  One struct-max aggregate, no window.  The oracle
+    replays the same stream with a row_number ordered (ts DESC,
+    del DESC)."""
+    from geo_spark.operators.cdc import cdc_apply
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    u = docs.where(F.col("doc_id") % 4 == 0).select(
+        "doc_id",
+        "source",
+        (F.col("n_chars") + 1000).alias("n_chars"),
+        (F.col("doc_id") % 7 + 1).alias("ts"),
+        F.lit("U").alias("op"),
+    )
+    d = docs.where(F.col("doc_id") % 9 == 0).select(
+        "doc_id",
+        "source",
+        F.lit(0).cast("long").alias("n_chars"),
+        (F.col("doc_id") % 5 + 1).alias("ts"),
+        F.lit("D").alias("op"),
+    )
+    ins = docs.where(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        "source",
+        (F.col("n_chars") + 5).alias("n_chars"),
+        F.lit(9).alias("ts"),
+        F.lit("U").alias("op"),
+    )
+    changes = u.unionByName(d).unionByName(ins)
+    return cdc_apply(
+        docs, changes, "doc_id", ["source", "n_chars"]
+    ).orderBy("doc_id")
+
+
+def _oracle_cdc_apply() -> str:
+    return """
+        WITH b AS (
+          SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+                 CAST(0 AS BIGINT) AS ts, 0 AS del
+          FROM documents),
+        u AS (
+          SELECT doc_id, source, CAST(n_chars + 1000 AS BIGINT),
+                 CAST(doc_id % 7 + 1 AS BIGINT), 0
+          FROM documents WHERE doc_id % 4 = 0),
+        d AS (
+          SELECT doc_id, source, CAST(0 AS BIGINT),
+                 CAST(doc_id % 5 + 1 AS BIGINT), 1
+          FROM documents WHERE doc_id % 9 = 0),
+        ins AS (
+          SELECT doc_id + 100000, source, CAST(n_chars + 5 AS BIGINT),
+                 CAST(9 AS BIGINT), 0
+          FROM documents WHERE doc_id % 11 = 0),
+        allr AS (
+          SELECT * FROM b UNION ALL SELECT * FROM u
+          UNION ALL SELECT * FROM d UNION ALL SELECT * FROM ins),
+        r AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY ts DESC, del DESC, source DESC,
+                            n_chars DESC) AS rn
+          FROM allr)
+        SELECT doc_id, source, n_chars, ts AS version_ts
+        FROM r WHERE rn = 1 AND del = 0
+        ORDER BY doc_id
+    """
+
+
 def _q_cluster_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-representative selection — dedup clusters COMPOSED
     with the keep-policy that concludes web-scale dedup: per near-dup
@@ -11688,6 +11762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_json_props": _q_json_props,
         "q_crawl_novelty": _q_crawl_novelty,
         "q_cluster_canon": _q_cluster_canon,
+        "q_cdc_apply": _q_cdc_apply,
         "q_isochrone_tiles": _q_isochrone_tiles,
         "q_kcenter_coreset": _q_kcenter_coreset,
         "q_coreset_coverage": _q_coreset_coverage,
@@ -11868,6 +11943,7 @@ def oracle_sql() -> dict[str, str]:
         "q_json_props": _oracle_json_props(),
         "q_crawl_novelty": _oracle_crawl_novelty(),
         "q_cluster_canon": _oracle_cluster_canon(),
+        "q_cdc_apply": _oracle_cdc_apply(),
         "q_isochrone_tiles": _oracle_isochrone_tiles(),
         "q_kcenter_coreset": _oracle_kcenter_coreset(),
         "q_coreset_coverage": _oracle_coreset_coverage(),
