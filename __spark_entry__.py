@@ -7491,6 +7491,111 @@ def _oracle_crawl_novelty() -> str:
     """
 
 
+_DHASH_SEEDS = 128
+
+
+def _q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup by difference hash — and a cross-codec
+    agreement certificate: every 32nd event renders the 8x8 raster of
+    seed = (event_id div 32) % 128 (so ~2-3 events share each raster
+    at sf0.01, across DIFFERENT containers)
+    into a ROTATING container (BMP / 5 PNG filters / GIF), the engine
+    decodes the actual bytes, computes the 56-bit horizontal dHash
+    (bit = right neighbor brighter, packed row-major), and groups by
+    hash: identical rasters MUST collapse into one group even though
+    their bytes-on-disk are three different formats — the decoders
+    agree pixel-exactly or the group splits.  The oracle replays the
+    dHash from the pixel formula (lead() comparison + bit pack) and
+    never decodes anything.  Output: dup groups (hash, n_images,
+    min_id), n >= 2."""
+    import pandas as pd
+
+    from geo_spark.operators.multimodal import (
+        decode_image,
+        encode_bmp,
+        encode_gif,
+        encode_png,
+    )
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_id") % _IMG_MOD == 0)
+        .select("event_id")
+    )
+
+    def run(batches):
+        import numpy as np
+
+        y, x, c = np.meshgrid(
+            np.arange(_IMG_H, dtype=np.int64),
+            np.arange(_IMG_W, dtype=np.int64),
+            np.arange(3, dtype=np.int64),
+            indexing="ij",
+        )
+        for pdf in batches:
+            rows = []
+            for i in pdf["event_id"].to_numpy():
+                seed = (int(i) // _IMG_MOD) % _DHASH_SEEDS
+                img = ((seed * 7 + y * 13 + x * 5 + c * 3) % 256).astype(
+                    np.uint8
+                )
+                rot = (int(i) // _IMG_MOD) % 7
+                if rot == 0:
+                    payload = encode_bmp(img)
+                elif rot == 6:
+                    payload = encode_gif(img)
+                else:
+                    payload = encode_png(img, filter_type=rot - 1)
+                g = decode_image(payload, _IMG_W, _IMG_H).astype(np.int64)
+                bits = (g[:, 1:] > g[:, :-1]).astype(np.int64)
+                pos = np.arange(
+                    (_IMG_W - 1) * _IMG_H, dtype=np.int64
+                ).reshape(_IMG_H, _IMG_W - 1)
+                h = int((bits << pos).sum())
+                rows.append((int(i), h))
+            yield pd.DataFrame(rows, columns=["event_id", "dhash"])
+
+    hashed = ev.mapInPandas(run, "event_id long, dhash long")
+    return (
+        hashed.groupBy("dhash")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.min("event_id").alias("min_id"),
+        )
+        .where(F.col("n_images") >= 2)
+        .orderBy("dhash")
+    )
+
+
+def _oracle_image_dhash() -> str:
+    return f"""
+        WITH ev AS (SELECT event_id,
+                           (event_id // {_IMG_MOD}) % {_DHASH_SEEDS} AS seed
+                    FROM events WHERE event_id % {_IMG_MOD} = 0),
+        ys AS (SELECT unnest(range({_IMG_H})) AS y),
+        xs AS (SELECT unnest(range({_IMG_W})) AS x),
+        cs AS (SELECT unnest(range(3)) AS c),
+        p AS (SELECT event_id, seed, y, x,
+                     (seed * 7 + y * 13 + x * 5 + c * 3) % 256 AS vc
+              FROM ev, ys, xs, cs),
+        g AS (SELECT event_id, y, x, SUM(vc) // 3 AS v
+              FROM p GROUP BY event_id, y, x),
+        b AS (SELECT event_id, y, x, v,
+                     lead(v) OVER (PARTITION BY event_id, y ORDER BY x)
+                       AS nv
+              FROM g),
+        h AS (SELECT event_id,
+                     SUM(CASE WHEN nv > v THEN 1 ELSE 0 END
+                         << (y * {_IMG_W - 1} + x)) AS dhash
+              FROM b WHERE nv IS NOT NULL
+              GROUP BY event_id)
+        SELECT CAST(dhash AS BIGINT) AS dhash,
+               COUNT(*) AS n_images, MIN(event_id) AS min_id
+        FROM h GROUP BY dhash HAVING COUNT(*) >= 2
+        ORDER BY dhash
+    """
+
+
 def _q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured sidecar extraction — the events table's JSON
     ``props`` column (untouched by every other query) parsed with the
@@ -11760,6 +11865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_audio_features": _q_audio_features,
         "q_image_features": _q_image_features,
         "q_json_props": _q_json_props,
+        "q_image_dhash": _q_image_dhash,
         "q_crawl_novelty": _q_crawl_novelty,
         "q_cluster_canon": _q_cluster_canon,
         "q_cdc_apply": _q_cdc_apply,
@@ -11941,6 +12047,7 @@ def oracle_sql() -> dict[str, str]:
         "q_audio_features": _oracle_audio_features(),
         "q_image_features": _oracle_image_features(),
         "q_json_props": _oracle_json_props(),
+        "q_image_dhash": _oracle_image_dhash(),
         "q_crawl_novelty": _oracle_crawl_novelty(),
         "q_cluster_canon": _oracle_cluster_canon(),
         "q_cdc_apply": _oracle_cdc_apply(),
