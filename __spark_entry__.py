@@ -7596,6 +7596,80 @@ def _oracle_image_dhash() -> str:
     """
 
 
+_VID_MOD = 64
+_VID_EVERY = 3
+
+
+def _q_video_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video container-walk certificate — the last multimodal family
+    member put under an oracle: every 64th event synthesizes a REAL
+    MJPEG-AVI with n_frames = 4 + (id div 64) % 13 tiny frames, the
+    engine walks the actual RIFF/AVI movi list with stride sampling
+    (every 3rd frame; unsampled frames are never JPEG-decoded — the
+    scale point), and emits the sampled frame INDICES.  Indices are a
+    pure function of the container structure, independent of the
+    lossy JPEG content, so the oracle replays them from the frame-
+    count arithmetic alone: range(0, n_frames, 3) per id.  A wrong
+    chunk walk, off-by-one stride, or miscounted movi entry breaks
+    the row set."""
+    import pandas as pd
+
+    from geo_spark.operators.multimodal import (
+        encode_avi_mjpeg,
+        video_frame_sample,
+    )
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_id") % _VID_MOD == 0)
+        .select("event_id")
+    )
+
+    def synth(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["event_id"].to_numpy():
+                n = 4 + (int(i) // _VID_MOD) % 13
+                frames = [
+                    np.full((8, 8, 3), (int(i) + k) % 256, dtype=np.uint8)
+                    for k in range(n)
+                ]
+                rows.append(
+                    (
+                        int(i),
+                        "video",
+                        bytearray(encode_avi_mjpeg(frames, fps=10)),
+                        n,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "n_frames"]
+            )
+
+    media = ev.mapInPandas(
+        synth, "media_id long, kind string, payload binary, n_frames long"
+    )
+    return (
+        video_frame_sample(media, every=_VID_EVERY)
+        .select("media_id", F.col("frame_idx").cast("long").alias("frame_idx"))
+        .orderBy("media_id", "frame_idx")
+    )
+
+
+def _oracle_video_stride() -> str:
+    return f"""
+        WITH ev AS (
+          SELECT event_id AS media_id,
+                 4 + (event_id // {_VID_MOD}) % 13 AS n_frames
+          FROM events WHERE event_id % {_VID_MOD} = 0)
+        SELECT media_id, CAST(k AS BIGINT) AS frame_idx
+        FROM ev, UNNEST(range(0, n_frames, {_VID_EVERY})) AS t(k)
+        ORDER BY media_id, frame_idx
+    """
+
+
 def _q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured sidecar extraction — the events table's JSON
     ``props`` column (untouched by every other query) parsed with the
@@ -11866,6 +11940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_image_features": _q_image_features,
         "q_json_props": _q_json_props,
         "q_image_dhash": _q_image_dhash,
+        "q_video_stride": _q_video_stride,
         "q_crawl_novelty": _q_crawl_novelty,
         "q_cluster_canon": _q_cluster_canon,
         "q_cdc_apply": _q_cdc_apply,
@@ -12048,6 +12123,7 @@ def oracle_sql() -> dict[str, str]:
         "q_image_features": _oracle_image_features(),
         "q_json_props": _oracle_json_props(),
         "q_image_dhash": _oracle_image_dhash(),
+        "q_video_stride": _oracle_video_stride(),
         "q_crawl_novelty": _oracle_crawl_novelty(),
         "q_cluster_canon": _oracle_cluster_canon(),
         "q_cdc_apply": _oracle_cdc_apply(),
