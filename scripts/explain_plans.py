@@ -97,6 +97,23 @@ NOTES = {
   cell, never per event).
 - The exactly-once dedup exchange hashes only (a, b) on the refined
   result — result-set-sized, not candidate-sized.""",
+    "weighted_paths": """Properties to check:
+- Per relaxation round: ONE equi-join (edges x frontier) -> partial
+  HashAggregate (map-combined min) -> full-outer SortMergeJoin merge;
+  the round ends at a localCheckpoint scan, so round R's plan does NOT
+  re-derive rounds 1..R-1 (flat lineage — look for `Scan ExistingRDD`
+  as the incumbent side).
+- No Python nodes, no CartesianProduct, no window.""",
+    "snapshot_diff": """Properties to check:
+- Both sides project (key, fp) BEFORE the full-outer join: `ReadSchema`
+  carries two columns; the page payload never reaches the exchange.
+- With bucketed inputs the exchanges disappear entirely
+  (tests/test_bucketed_join.py pins it against the planner).""",
+    "cdc_apply": """Properties to check:
+- Union -> partial HashAggregate(max(struct)) -> Exchange -> final
+  HashAggregate: the merge is a map-combined aggregate, NOT a
+  row_number window (no `Window` node, no per-partition sort of the
+  full base).""",
 }
 
 
@@ -155,6 +172,9 @@ def main() -> None:
     plans["dbscan_pairs"] = cap(
         within_distance_pairs(ev, 0.02, key="event_id")
     )
+    plans["weighted_paths"] = cap(entry._q_weighted_paths(spark, SF))
+    plans["snapshot_diff"] = cap(entry._q_snapshot_diff(spark, SF))
+    plans["cdc_apply"] = cap(entry._q_cdc_apply(spark, SF))
 
     out = [
         "# PLANS — physical-plan evidence for the headline operators\n",
