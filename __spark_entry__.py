@@ -223,6 +223,50 @@ def _oracle_tpch_q6() -> str:
     """
 
 
+def _q_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery parity: customers whose account balance
+    exceeds their NATION's average — the classic decorrelation shape.
+    The above-average test is cross-multiplied
+    (balance * n_count > n_sum, both sides exact DECIMAL) so no
+    engine-specific division rounding enters the compared columns.
+    Spark side expresses it as the decorrelated join Catalyst would
+    produce; the oracle keeps the CORRELATED scalar subqueries and
+    lets DuckDB decorrelate — same rows either way is the parity."""
+    c = _t(spark, sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation")
+    dec = lambda col: F.col(col).cast("decimal(18,4)")  # noqa: E731
+    stats = c.groupBy("c_nationkey").agg(
+        F.sum(dec("c_acctbal")).alias("_sum"),
+        F.count(F.lit(1)).alias("_cnt"),
+    )
+    j = c.join(F.broadcast(stats), "c_nationkey").where(
+        dec("c_acctbal") * F.col("_cnt") > F.col("_sum")
+    )
+    return (
+        j.join(F.broadcast(na), j.c_nationkey == na.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_above"),
+            F.min("c_custkey").alias("min_cust"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def _oracle_above_nation_avg() -> str:
+    return """
+        SELECT n.n_name, COUNT(*) AS n_above, MIN(c.c_custkey) AS min_cust
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE CAST(c.c_acctbal AS DECIMAL(18,4)) *
+              (SELECT COUNT(*) FROM customer c2
+               WHERE c2.c_nationkey = c.c_nationkey)
+              > (SELECT SUM(CAST(c3.c_acctbal AS DECIMAL(18,4)))
+                 FROM customer c3
+                 WHERE c3.c_nationkey = c.c_nationkey)
+        GROUP BY n.n_name ORDER BY n.n_name
+    """
+
+
 def _q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 local-supplier volume (adapted to the fixture's
     column set): revenue per nation over customer x orders x lineitem
@@ -11166,6 +11210,80 @@ def _oracle_isochrone_tiles() -> str:
     """
 
 
+_DIAM_HOPS = 8
+
+
+def _q_graph_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sweep diameter estimate over the undirected core graph —
+    the classic double-BFS lower bound (sweep 1 from the smallest
+    node finds a peripheral node; sweep 2 from THERE has max depth >=
+    half the true diameter, usually equal on real graphs).  The whole
+    composition is LAZY — the second sweep's seed is a limit-1
+    DataFrame (ORDER BY dist DESC, node), not a collect, so zero
+    driver actions end to end.  Output: sweep-2 depth histogram (a
+    wrong far-node pick or any BFS labeling error reshapes it).
+    Oracle: two chained recursive CTEs with the same tie rule."""
+    from geo_spark.operators.linkgraph import seed_distances
+
+    e = _core_edges(spark, sf_dir)
+    und = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ev = _t(spark, sf_dir, "events")
+    start = ev.agg(F.min("event_id").alias("id"))
+    d1 = seed_distances(und, start, max_hops=_DIAM_HOPS)
+    far = (
+        d1.orderBy(F.desc("dist"), "node")
+        .limit(1)
+        .select(F.col("node").alias("id"))
+    )
+    d2 = seed_distances(und, far, max_hops=_DIAM_HOPS)
+    return (
+        d2.groupBy("dist")
+        .agg(F.count(F.lit(1)).alias("n_nodes"), F.min("node").alias("min_node"))
+        .orderBy("dist")
+    )
+
+
+def _oracle_graph_diameter() -> str:
+    streams = " UNION ALL ".join(
+        f"SELECT event_id AS src, {tpl.format(n='nn.n')} AS dst "
+        "FROM events, nn"
+        for tpl in _CORE_SQL_STREAMS
+    )
+    return f"""
+        WITH RECURSIVE nn AS (SELECT count(*) AS n FROM events),
+        raw AS ({streams}),
+        e AS MATERIALIZED (
+          SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM raw
+            UNION ALL SELECT dst, src FROM raw)
+          WHERE src <> dst),
+        r1 AS (
+            SELECT (SELECT min(event_id) FROM events) AS node, 0 AS dist
+            UNION
+            SELECT e.dst AS node, r1.dist + 1 AS dist
+            FROM r1 JOIN e ON e.src = r1.node
+            WHERE r1.dist < {_DIAM_HOPS}
+        ),
+        d1 AS MATERIALIZED (
+          SELECT node, min(dist) AS dist FROM r1 GROUP BY node),
+        far AS MATERIALIZED (
+          SELECT node FROM d1 ORDER BY dist DESC, node LIMIT 1),
+        r2 AS (
+            SELECT (SELECT node FROM far) AS node, 0 AS dist
+            UNION
+            SELECT e.dst AS node, r2.dist + 1 AS dist
+            FROM r2 JOIN e ON e.src = r2.node
+            WHERE r2.dist < {_DIAM_HOPS}
+        ),
+        d2 AS (SELECT node, min(dist) AS dist FROM r2 GROUP BY node)
+        SELECT CAST(dist AS BIGINT) AS dist, COUNT(*) AS n_nodes,
+               MIN(node) AS min_node
+        FROM d2 GROUP BY dist ORDER BY dist
+    """
+
+
 _COCITE_MAX_DF = 16
 _COCITE_MIN_COMMON = 2
 
@@ -11929,6 +12047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_core_rank": _q_core_rank,
         "q_weighted_paths": _q_weighted_paths,
         "q_redirect_resolve": _q_redirect_resolve,
+        "q_graph_diameter": _q_graph_diameter,
         "q_snapshot_diff": _q_snapshot_diff,
         "q_url_templates": _q_url_templates,
         "q_host_graph": _q_host_graph,
@@ -12058,6 +12177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q3": _q_tpch_q3,
         "q_tpch_q6": _q_tpch_q6,
         "q_tpch_q5": _q_tpch_q5,
+        "q_above_nation_avg": _q_above_nation_avg,
         "q_events_outside_caps": _q_events_outside_caps,
         "q_snap_dedup": _q_snap_dedup,
         "q_distance_join_counts": _q_distance_join_counts,
@@ -12112,6 +12232,7 @@ def oracle_sql() -> dict[str, str]:
         "q_core_rank": _oracle_core_rank(),
         "q_weighted_paths": _oracle_weighted_paths(),
         "q_redirect_resolve": _oracle_redirect_resolve(),
+        "q_graph_diameter": _oracle_graph_diameter(),
         "q_snapshot_diff": _oracle_snapshot_diff(),
         "q_url_templates": _oracle_url_templates(),
         "q_host_graph": _oracle_host_graph(),
@@ -12240,6 +12361,7 @@ def oracle_sql() -> dict[str, str]:
         "q_tpch_q3": _oracle_tpch_q3(),
         "q_tpch_q6": _oracle_tpch_q6(),
         "q_tpch_q5": _oracle_tpch_q5(),
+        "q_above_nation_avg": _oracle_above_nation_avg(),
         "q_events_outside_caps": _oracle_events_outside_caps(),
         "q_snap_dedup": _oracle_snap_dedup(),
         "q_distance_join_counts": _oracle_distance_join_counts(),
