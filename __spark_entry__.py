@@ -7312,6 +7312,51 @@ def _oracle_audio_features() -> str:
     """
 
 
+def _q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Borda rank fusion (sampling.rank_fusion): two incommensurable
+    per-document signals — content length (higher better) and
+    whitespace share x10000 of the text (lower better, a crude
+    repetition/formatting proxy) — fused by integer dense-rank sums
+    instead of float z-scores.  The oracle recomputes both dense
+    ranks and the sum with window functions over the same derived
+    signals."""
+    from geo_spark.operators.sampling import rank_fusion
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("len_sig"),
+        F.expr(
+            "CAST((length(text) - length(replace(text, ' ', '')))"
+            " * 10000L div greatest(length(text), 1) AS BIGINT)"
+        ).alias("space_sig"),
+    )
+    return rank_fusion(
+        sig, {"len_sig": True, "space_sig": False}
+    ).orderBy("doc_id")
+
+
+def _oracle_rank_fusion() -> str:
+    return """
+        WITH sig AS (
+          SELECT doc_id, CAST(n_chars AS BIGINT) AS len_sig,
+                 CAST((length(text) - length(replace(text, ' ', '')))
+                      * 10000 // greatest(length(text), 1) AS BIGINT)
+                   AS space_sig
+          FROM documents),
+        r AS (
+          SELECT doc_id,
+                 CAST(dense_rank() OVER (ORDER BY len_sig DESC) AS BIGINT)
+                   AS rank_len_sig,
+                 CAST(dense_rank() OVER (ORDER BY space_sig ASC) AS BIGINT)
+                   AS rank_space_sig
+          FROM sig)
+        SELECT doc_id, rank_len_sig + rank_space_sig AS fused,
+               rank_len_sig, rank_space_sig
+        FROM r ORDER BY doc_id
+    """
+
+
 def _q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC merge (operators/cdc.py:cdc_apply): the documents snapshot
     plus a synthesized change stream — upserts at ts = id%7+1 for
@@ -12063,6 +12108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_crawl_novelty": _q_crawl_novelty,
         "q_cluster_canon": _q_cluster_canon,
         "q_cdc_apply": _q_cdc_apply,
+        "q_rank_fusion": _q_rank_fusion,
         "q_isochrone_tiles": _q_isochrone_tiles,
         "q_kcenter_coreset": _q_kcenter_coreset,
         "q_coreset_coverage": _q_coreset_coverage,
@@ -12248,6 +12294,7 @@ def oracle_sql() -> dict[str, str]:
         "q_crawl_novelty": _oracle_crawl_novelty(),
         "q_cluster_canon": _oracle_cluster_canon(),
         "q_cdc_apply": _oracle_cdc_apply(),
+        "q_rank_fusion": _oracle_rank_fusion(),
         "q_isochrone_tiles": _oracle_isochrone_tiles(),
         "q_kcenter_coreset": _oracle_kcenter_coreset(),
         "q_coreset_coverage": _oracle_coreset_coverage(),

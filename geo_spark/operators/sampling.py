@@ -302,3 +302,38 @@ def pack_sequences(
         F.floor((cum - F.col(token_col)) / seq_len).cast("long").alias("start_bin"),
         F.floor((cum - 1) / seq_len).cast("long").alias("end_bin"),
     ).where(F.col(token_col) > 0)
+
+
+def rank_fusion(
+    df: DataFrame,
+    signals: dict[str, bool],
+    key: str = "doc_id",
+) -> DataFrame:
+    """(key, fused, *ranks): Borda rank fusion of quality signals —
+    combine incommensurable signals (length, LM score, repetition
+    ratio) by summing each document's DENSE RANK per signal instead
+    of z-scoring floats: rank arithmetic is integer-exact, scale-free
+    and outlier-immune, which is why curation stacks fuse ranks, not
+    values.  ``signals`` maps column -> higher_is_better; every rank
+    is dense (ties share a rank) with rank 1 = best; ``fused`` is the
+    sum (lower = better overall).
+
+    Scale note: each dense_rank is a global ORDER BY one signal —
+    a single-column sort-based window per signal, the price of exact
+    global ranks.  For 100 TB use the per-stratum variant (partition
+    the window by language/domain bucket, which is how mixture
+    pipelines apply it anyway) or pre-bucket values; exact global
+    ranking of a petabyte by k signals is k sorts and should be."""
+    out = df
+    rank_cols = []
+    for col, higher in signals.items():
+        rc = f"rank_{col}"
+        order = F.col(col).desc() if higher else F.col(col).asc()
+        out = out.withColumn(
+            rc, F.dense_rank().over(Window.orderBy(order)).cast("long")
+        )
+        rank_cols.append(rc)
+    fused = None
+    for rc in rank_cols:
+        fused = F.col(rc) if fused is None else fused + F.col(rc)
+    return out.select(key, fused.alias("fused"), *rank_cols)

@@ -121,3 +121,29 @@ def test_token_budget_bucketed_equals_naive(spark):
             ).collect()
         }
         assert got == naive, budget
+
+
+def test_rank_fusion(spark):
+    from geo_spark.operators.sampling import rank_fusion
+
+    rows = [
+        (0, 100, 5.0),   # long, bad score
+        (1, 100, 1.0),   # long, best score
+        (2, 10, 1.0),    # short, best score
+        (3, 50, 3.0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, length long, nll double")
+    got = {
+        r["doc_id"]: (r["fused"], r["rank_length"], r["rank_nll"])
+        for r in rank_fusion(
+            df, {"length": True, "nll": False}
+        ).collect()
+    }
+    # dense ranks: length 100->1 (tie), 50->2, 10->3; nll 1.0->1 (tie),
+    # 3.0->2, 5.0->3
+    assert got == {
+        0: (4, 1, 3),
+        1: (2, 1, 1),
+        2: (4, 3, 1),
+        3: (4, 2, 2),
+    }
