@@ -223,6 +223,47 @@ def _oracle_tpch_q6() -> str:
     """
 
 
+def _q_part_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part-dimension revenue rollup (TPC-H Q14's shape without the
+    ratio): lineitem x part on partkey (classic fact-dim broadcast),
+    decimal-exact discounted revenue per (p_type, ship year) — the
+    last fixture table (part) joined into the certified surface.
+    year() is extracted identically on both engines from the same
+    timestamps."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    dec = lambda col: F.col(col).cast("decimal(18,4)")  # noqa: E731
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_type", F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(
+                dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("p_type", "ship_year")
+    )
+
+
+def _oracle_part_type_revenue() -> str:
+    return """
+        SELECT p.p_type,
+               CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) *
+                        (CAST(1 AS DECIMAL(18,4)) -
+                         CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+                 AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_type, year(l.l_shipdate)
+        ORDER BY p_type, ship_year
+    """
+
+
 def _q_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated-subquery parity: customers whose account balance
     exceeds their NATION's average — the classic decorrelation shape.
@@ -12224,6 +12265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q6": _q_tpch_q6,
         "q_tpch_q5": _q_tpch_q5,
         "q_above_nation_avg": _q_above_nation_avg,
+        "q_part_type_revenue": _q_part_type_revenue,
         "q_events_outside_caps": _q_events_outside_caps,
         "q_snap_dedup": _q_snap_dedup,
         "q_distance_join_counts": _q_distance_join_counts,
@@ -12409,6 +12451,7 @@ def oracle_sql() -> dict[str, str]:
         "q_tpch_q6": _oracle_tpch_q6(),
         "q_tpch_q5": _oracle_tpch_q5(),
         "q_above_nation_avg": _oracle_above_nation_avg(),
+        "q_part_type_revenue": _oracle_part_type_revenue(),
         "q_events_outside_caps": _oracle_events_outside_caps(),
         "q_snap_dedup": _oracle_snap_dedup(),
         "q_distance_join_counts": _oracle_distance_join_counts(),
