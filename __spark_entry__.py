@@ -7800,6 +7800,125 @@ def _oracle_video_stride() -> str:
     """
 
 
+_NDUP_HAM = 3
+
+
+def _q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image NEAR-dup join — the simhash pigeonhole
+    machinery (dedup.hamming_pairs) applied to image difference
+    hashes: rasters share a seed class ((id div 32) % 128) but ODD
+    (id div 32) perturbs pixel (0,0) by +128, flipping at most one
+    dHash bit, so intra-class pairs sit at Hamming 0-1 — found via
+    the (max_hamming+1)-block equi-join, never a cartesian.  The
+    decode side rides the certified container rotation (BMP/PNG/GIF);
+    the oracle recomputes every dHash from the formula and BRUTE
+    self-joins on bit_count(xor()) <= 3 — structurally independent of
+    the pigeonhole."""
+    import pandas as pd
+
+    from geo_spark.operators.dedup import hamming_pairs
+    from geo_spark.operators.multimodal import (
+        decode_image,
+        encode_bmp,
+        encode_gif,
+        encode_png,
+    )
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_id") % _IMG_MOD == 0)
+        .select("event_id")
+    )
+
+    def run(batches):
+        import numpy as np
+
+        y, x, c = np.meshgrid(
+            np.arange(_IMG_H, dtype=np.int64),
+            np.arange(_IMG_W, dtype=np.int64),
+            np.arange(3, dtype=np.int64),
+            indexing="ij",
+        )
+        for pdf in batches:
+            rows = []
+            for i in pdf["event_id"].to_numpy():
+                grp = int(i) // _IMG_MOD
+                seed = grp % _DHASH_SEEDS
+                # seed-dependent gradient coefficients: rasters differ
+                # STRUCTURALLY across seeds (a pure value shift leaves
+                # the neighbor comparisons — hence the dHash — nearly
+                # seed-invariant and floods the join with cross-class
+                # pairs)
+                img = (
+                    (seed * 7 + y * (13 + seed % 7) + x * (5 + seed % 5)
+                     + x * y * (1 + seed % 11) + c * 3) % 256
+                ).astype(np.int64)
+                if grp % 2 == 1:
+                    img[0, 0, :] = (img[0, 0, :] + 128) % 256
+                img = img.astype(np.uint8)
+                rot = grp % 7
+                if rot == 0:
+                    payload = encode_bmp(img)
+                elif rot == 6:
+                    payload = encode_gif(img)
+                else:
+                    payload = encode_png(img, filter_type=rot - 1)
+                g = decode_image(payload, _IMG_W, _IMG_H).astype(np.int64)
+                bits = (g[:, 1:] > g[:, :-1]).astype(np.int64)
+                pos = np.arange(
+                    (_IMG_W - 1) * _IMG_H, dtype=np.int64
+                ).reshape(_IMG_H, _IMG_W - 1)
+                rows.append((int(i), int((bits << pos).sum())))
+            yield pd.DataFrame(rows, columns=["event_id", "dhash"])
+
+    hashed = ev.mapInPandas(run, "event_id long, dhash long")
+    return hamming_pairs(
+        hashed, max_hamming=_NDUP_HAM, key="event_id", hash_col="dhash"
+    ).orderBy("da", "db")
+
+
+def _oracle_image_near_dup() -> str:
+    return f"""
+        WITH ev AS (
+          SELECT event_id, (event_id // {_IMG_MOD}) % {_DHASH_SEEDS} AS seed,
+                 ((event_id // {_IMG_MOD}) % 2 = 1) AS pert
+          FROM events WHERE event_id % {_IMG_MOD} = 0),
+        ys AS (SELECT unnest(range({_IMG_H})) AS y),
+        xs AS (SELECT unnest(range({_IMG_W})) AS x),
+        cs AS (SELECT unnest(range(3)) AS c),
+        p AS (SELECT event_id, y, x,
+                     CASE WHEN pert AND y = 0 AND x = 0
+                          THEN ((seed * 7 + y * (13 + seed % 7)
+                                 + x * (5 + seed % 5)
+                                 + x * y * (1 + seed % 11) + c * 3) % 256
+                                + 128) % 256
+                          ELSE (seed * 7 + y * (13 + seed % 7)
+                                + x * (5 + seed % 5)
+                                + x * y * (1 + seed % 11) + c * 3) % 256
+                     END AS vc
+              FROM ev, ys, xs, cs),
+        g AS (SELECT event_id, y, x, SUM(vc) // 3 AS v
+              FROM p GROUP BY event_id, y, x),
+        b AS (SELECT event_id, y, x, v,
+                     lead(v) OVER (PARTITION BY event_id, y ORDER BY x)
+                       AS nv
+              FROM g),
+        h AS (SELECT event_id,
+                     SUM(CASE WHEN nv > v THEN 1 ELSE 0 END
+                         << (y * {_IMG_W - 1} + x)) AS dhash
+              FROM b WHERE nv IS NOT NULL
+              GROUP BY event_id)
+        SELECT h1.event_id AS da, h2.event_id AS db,
+               CAST(bit_count(xor(CAST(h1.dhash AS BIGINT),
+                                  CAST(h2.dhash AS BIGINT))) AS INTEGER)
+                 AS hamming
+        FROM h h1 JOIN h h2 ON h1.event_id < h2.event_id
+        WHERE bit_count(xor(CAST(h1.dhash AS BIGINT),
+                            CAST(h2.dhash AS BIGINT))) <= {_NDUP_HAM}
+        ORDER BY da, db
+    """
+
+
 def _q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured sidecar extraction — the events table's JSON
     ``props`` column (untouched by every other query) parsed with the
@@ -12145,6 +12264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_image_features": _q_image_features,
         "q_json_props": _q_json_props,
         "q_image_dhash": _q_image_dhash,
+        "q_image_near_dup": _q_image_near_dup,
         "q_video_stride": _q_video_stride,
         "q_crawl_novelty": _q_crawl_novelty,
         "q_cluster_canon": _q_cluster_canon,
@@ -12332,6 +12452,7 @@ def oracle_sql() -> dict[str, str]:
         "q_image_features": _oracle_image_features(),
         "q_json_props": _oracle_json_props(),
         "q_image_dhash": _oracle_image_dhash(),
+        "q_image_near_dup": _oracle_image_near_dup(),
         "q_video_stride": _oracle_video_stride(),
         "q_crawl_novelty": _oracle_crawl_novelty(),
         "q_cluster_canon": _oracle_cluster_canon(),

@@ -458,25 +458,29 @@ def simhash64(
     return docs.select(F.col(key), sh(F.col(text_col)).alias("simhash"))
 
 
-def simhash_pairs(
-    docs: DataFrame,
+def hamming_pairs(
+    hashed: DataFrame,
     max_hamming: int = 3,
-    n: int = 8,
     key: str = "doc_id",
-    text_col: str = "text",
+    hash_col: str = "simhash",
 ) -> DataFrame:
-    """Pairs with Hamming(simhash) <= max_hamming via the rotation/table
-    trick: split 64 bits into (max_hamming+1) blocks — any pair within
-    the radius shares at least one exact block (pigeonhole), so the
-    candidate join is an equi-join on (block_id, block_value)."""
+    """(da, db, hamming): pairs of rows whose 64-bit ``hash_col``
+    values differ in <= max_hamming bits, via the rotation/table
+    trick: split 64 bits into (max_hamming+1) blocks — any pair
+    within the radius shares at least one exact block (pigeonhole),
+    so the candidate join is an equi-join on (block_id, block_value).
+    Generic over the hash source: text simhashes (simhash_pairs) and
+    image difference hashes (perceptual near-dup) use the same join."""
     blocks = max_hamming + 1
     width = 64 // blocks
-    sh = simhash64(docs, n, key, text_col)
+    sh = hashed.select(
+        F.col(key).alias("_id"), F.col(hash_col).alias("_h")
+    )
     block_arr = F.array(
         *[
             F.struct(
                 F.lit(i).alias("blk"),
-                F.shiftrightunsigned(F.col("simhash"), i * width)
+                F.shiftrightunsigned(F.col("_h"), i * width)
                 .bitwiseAND(F.lit((1 << width) - 1))
                 .alias("bv"),
             )
@@ -484,10 +488,10 @@ def simhash_pairs(
         ]
     )
     bk = sh.select(
-        F.col(key).alias("_id"), F.col("simhash"), F.explode(block_arr).alias("bb")
-    ).select("_id", "simhash", F.col("bb.blk").alias("blk"), F.col("bb.bv").alias("bv"))
-    a = bk.select(F.col("_id").alias("da"), F.col("simhash").alias("ha"), "blk", "bv")
-    b = bk.select(F.col("_id").alias("db"), F.col("simhash").alias("hb"), "blk", "bv")
+        "_id", "_h", F.explode(block_arr).alias("bb")
+    ).select("_id", "_h", F.col("bb.blk").alias("blk"), F.col("bb.bv").alias("bv"))
+    a = bk.select(F.col("_id").alias("da"), F.col("_h").alias("ha"), "blk", "bv")
+    b = bk.select(F.col("_id").alias("db"), F.col("_h").alias("hb"), "blk", "bv")
     cands = (
         a.join(b, ["blk", "bv"])
         .where(F.col("da") < F.col("db"))
@@ -498,6 +502,23 @@ def simhash_pairs(
     return cands.withColumn("hamming", ham).where(
         F.col("hamming") <= max_hamming
     ).select("da", "db", "hamming")
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    n: int = 8,
+    key: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairs with Hamming(simhash) <= max_hamming — simhash64 feeding
+    the generic pigeonhole join (:func:`hamming_pairs`)."""
+    return hamming_pairs(
+        simhash64(docs, n, key, text_col),
+        max_hamming=max_hamming,
+        key=key,
+        hash_col="simhash",
+    )
 
 
 def dedup_clusters(
