@@ -7962,6 +7962,69 @@ def _oracle_json_props() -> str:
     """
 
 
+def _q_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-tolerant JSONL ingestion: each document serializes to
+    a JSON line (its own engine's to_json), every 13th line is
+    REPLACED by a truncated brace (the mid-write crash artifact every
+    real JSONL feed contains), and the parse quarantines instead of
+    crashing — Spark via PERMISSIVE from_json (all-null struct),
+    DuckDB via json_valid().  Output: per-lang parsed rollup plus a
+    '__corrupt__' ledger row.  Each engine round-trips its OWN
+    serialization, so the certificate is parse(serialize(x)) == x
+    plus identical quarantine counts — byte-level JSON formatting
+    (key order, spacing) is deliberately NOT compared."""
+    docs = _t(spark, sf_dir, "documents")
+    jl = F.when(F.col("doc_id") % 13 == 0, F.lit('{"broken')).otherwise(
+        F.to_json(F.struct("doc_id", "lang", "n_chars"))
+    )
+    parsed = docs.select(
+        F.from_json(
+            jl, "doc_id long, lang string, n_chars long"
+        ).alias("p")
+    )
+    good = parsed.where(F.col("p.doc_id").isNotNull()).select(
+        F.col("p.lang").alias("lang"),
+        F.col("p.n_chars").alias("n_chars"),
+    )
+    agg = good.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+    corrupt = parsed.where(F.col("p.doc_id").isNull()).agg(
+        F.lit("__corrupt__").alias("lang"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(0).cast("long").alias("sum_chars"),
+    )
+    return agg.unionByName(corrupt).orderBy("lang")
+
+
+def _oracle_jsonl_quarantine() -> str:
+    return """
+        WITH jl AS (
+          SELECT CASE WHEN doc_id % 13 = 0 THEN '{"broken'
+                      ELSE to_json(struct_pack(
+                             doc_id := doc_id, lang := lang,
+                             n_chars := n_chars))::VARCHAR
+                 END AS line
+          FROM documents),
+        parsed AS (
+          SELECT CASE WHEN json_valid(line)
+                      THEN json_extract_string(line, '$.lang') END AS lang,
+                 CASE WHEN json_valid(line)
+                      THEN CAST(json_extract_string(line, '$.n_chars')
+                                AS BIGINT) END AS n_chars,
+                 json_valid(line) AS ok
+          FROM jl)
+        SELECT lang, COUNT(*) AS n_rows,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM parsed WHERE ok GROUP BY lang
+        UNION ALL
+        SELECT '__corrupt__', COUNT(*), CAST(0 AS BIGINT)
+        FROM parsed WHERE NOT ok
+        ORDER BY lang
+    """
+
+
 _IMG_MOD = 32
 _IMG_W = 8
 _IMG_H = 8
@@ -12263,6 +12326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_audio_features": _q_audio_features,
         "q_image_features": _q_image_features,
         "q_json_props": _q_json_props,
+        "q_jsonl_quarantine": _q_jsonl_quarantine,
         "q_image_dhash": _q_image_dhash,
         "q_image_near_dup": _q_image_near_dup,
         "q_video_stride": _q_video_stride,
@@ -12451,6 +12515,7 @@ def oracle_sql() -> dict[str, str]:
         "q_audio_features": _oracle_audio_features(),
         "q_image_features": _oracle_image_features(),
         "q_json_props": _oracle_json_props(),
+        "q_jsonl_quarantine": _oracle_jsonl_quarantine(),
         "q_image_dhash": _oracle_image_dhash(),
         "q_image_near_dup": _oracle_image_near_dup(),
         "q_video_stride": _oracle_video_stride(),
