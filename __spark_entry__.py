@@ -8146,6 +8146,96 @@ def _oracle_image_features() -> str:
     """
 
 
+_AFP_SEEDS = 96
+
+
+def _q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup fingerprint join — completes the perceptual
+    dedup trio (text simhash, image dHash, audio): every 16th event
+    renders the 64-sample wave of seed = (id div 16) % 96 with
+    seed-structural coefficients into a REAL RIFF/WAVE container
+    (odd groups perturb sample 0 by +90 — flips at most one
+    fingerprint bit), the engine decodes the bytes and takes the
+    56-bit delta-sign fingerprint (bit = next sample larger, the
+    audio dHash), and dedup.hamming_pairs finds Hamming<=3 twins via
+    the pigeonhole block join.  Brute bit_count(xor) oracle replays
+    fingerprints from the sample formula, decoding nothing."""
+    import pandas as pd
+
+    from geo_spark.operators.dedup import hamming_pairs
+    from geo_spark.operators.multimodal import decode_wav, encode_wav
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_id") % _AUDIO_MOD == 0)
+        .select("event_id")
+    )
+
+    def run(batches):
+        import numpy as np
+
+        k = np.arange(57, dtype=np.int64)
+        for pdf in batches:
+            rows = []
+            for i in pdf["event_id"].to_numpy():
+                grp = int(i) // _AUDIO_MOD
+                seed = grp % _AFP_SEEDS
+                v = (
+                    (seed * 11 + k * (7 + seed % 13)
+                     + k * k * (1 + seed % 5)) % 201 - 100
+                )
+                if grp % 2 == 1:
+                    v = v.copy()
+                    v[0] = (v[0] + 190) % 201 - 100
+                s = v.astype(np.int16)
+                _, dec = decode_wav(encode_wav(s, 8000))
+                d = dec.astype(np.int64)
+                bits = (d[1:] > d[:-1]).astype(np.int64)
+                pos = np.arange(56, dtype=np.int64)
+                rows.append((int(i), int((bits << pos).sum())))
+            yield pd.DataFrame(rows, columns=["event_id", "afp"])
+
+    hashed = ev.mapInPandas(run, "event_id long, afp long")
+    return hamming_pairs(
+        hashed, max_hamming=_NDUP_HAM, key="event_id", hash_col="afp"
+    ).orderBy("da", "db")
+
+
+def _oracle_audio_near_dup() -> str:
+    return f"""
+        WITH ev AS (
+          SELECT event_id,
+                 (event_id // {_AUDIO_MOD}) % {_AFP_SEEDS} AS seed,
+                 ((event_id // {_AUDIO_MOD}) % 2 = 1) AS pert
+          FROM events WHERE event_id % {_AUDIO_MOD} = 0),
+        ks AS (SELECT unnest(range(57)) AS k),
+        s AS (SELECT event_id, k,
+                     CASE WHEN pert AND k = 0
+                          THEN ((seed * 11 + k * (7 + seed % 13)
+                                 + k * k * (1 + seed % 5)) % 201
+                                + 90) % 201 - 100
+                          ELSE (seed * 11 + k * (7 + seed % 13)
+                                + k * k * (1 + seed % 5)) % 201 - 100
+                     END AS v
+              FROM ev, ks),
+        b AS (SELECT event_id, k, v,
+                     lead(v) OVER (PARTITION BY event_id ORDER BY k)
+                       AS nv
+              FROM s),
+        h AS (SELECT event_id,
+                     SUM(CASE WHEN nv > v THEN 1 ELSE 0 END << k) AS afp
+              FROM b WHERE nv IS NOT NULL GROUP BY event_id)
+        SELECT h1.event_id AS da, h2.event_id AS db,
+               CAST(bit_count(xor(CAST(h1.afp AS BIGINT),
+                                  CAST(h2.afp AS BIGINT))) AS INTEGER)
+                 AS hamming
+        FROM h h1 JOIN h h2 ON h1.event_id < h2.event_id
+        WHERE bit_count(xor(CAST(h1.afp AS BIGINT),
+                            CAST(h2.afp AS BIGINT))) <= {_NDUP_HAM}
+        ORDER BY da, db
+    """
+
+
 def _q_blocklist_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-level blocklist screening (text.blocklist_hits): the
     blocklist is carved deterministically out of the corpus's own
@@ -12327,6 +12417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_image_features": _q_image_features,
         "q_json_props": _q_json_props,
         "q_jsonl_quarantine": _q_jsonl_quarantine,
+        "q_audio_near_dup": _q_audio_near_dup,
         "q_image_dhash": _q_image_dhash,
         "q_image_near_dup": _q_image_near_dup,
         "q_video_stride": _q_video_stride,
@@ -12516,6 +12607,7 @@ def oracle_sql() -> dict[str, str]:
         "q_image_features": _oracle_image_features(),
         "q_json_props": _oracle_json_props(),
         "q_jsonl_quarantine": _oracle_jsonl_quarantine(),
+        "q_audio_near_dup": _oracle_audio_near_dup(),
         "q_image_dhash": _oracle_image_dhash(),
         "q_image_near_dup": _oracle_image_near_dup(),
         "q_video_stride": _oracle_video_stride(),
