@@ -11358,6 +11358,80 @@ def _oracle_domain_rank() -> str:
     """
 
 
+def _q_crawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-budget prioritization — THREE certified families under
+    one oracle: the domain link-graph PageRank (q_domain_rank's
+    events-side chain), the per-domain corpus mass (documents-side
+    registered-domain page counts, q_domain_stats' construction), and
+    Borda rank fusion (q_rank_fusion's rule) — fused = dense_rank by
+    authority + dense_rank by inventory, lower = crawl first.  This
+    is the decision table a recrawl scheduler actually reads, and the
+    certificate proves the graph, webcorpus, and sampling halves
+    compose across two different source tables joined on a DERIVED
+    string key (the registered domain)."""
+    from geo_spark.operators.sampling import rank_fusion
+    from geo_spark.operators.webcorpus import (
+        host_col,
+        registered_domain_col,
+        synthetic_url_sql,
+    )
+
+    rank = _q_domain_rank(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    pages = (
+        docs.select(
+            registered_domain_col(
+                host_col(F.expr(synthetic_url_sql("doc_id")))
+            ).alias("domain")
+        )
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("pages"))
+    )
+    j = rank.join(pages, "domain", "inner").select(
+        "domain", "rank_x1e12", "pages"
+    )
+    fused = rank_fusion(
+        j, {"rank_x1e12": True, "pages": True}, key="domain"
+    )
+    return (
+        fused.join(j, "domain")
+        .select(
+            "domain",
+            "fused",
+            F.col("rank_rank_x1e12").alias("rank_authority"),
+            F.col("rank_pages").alias("rank_inventory"),
+            "rank_x1e12",
+            "pages",
+        )
+        .orderBy("domain")
+    )
+
+
+def _oracle_crawl_priority() -> str:
+    from geo_spark.operators.webcorpus import synthetic_url_sql
+
+    dom = _domain_of_url_sql(synthetic_url_sql("doc_id"))
+    return f"""
+        WITH dr AS MATERIALIZED ({_oracle_domain_rank()}),
+        ds AS (
+          SELECT {dom} AS domain, COUNT(*) AS pages
+          FROM documents GROUP BY 1),
+        j AS (
+          SELECT dr.domain, dr.rank_x1e12, ds.pages
+          FROM dr JOIN ds USING (domain)),
+        r AS (
+          SELECT domain, rank_x1e12, pages,
+                 CAST(dense_rank() OVER (ORDER BY rank_x1e12 DESC)
+                      AS BIGINT) AS rank_authority,
+                 CAST(dense_rank() OVER (ORDER BY pages DESC)
+                      AS BIGINT) AS rank_inventory
+          FROM j)
+        SELECT domain, rank_authority + rank_inventory AS fused,
+               rank_authority, rank_inventory, rank_x1e12, pages
+        FROM r ORDER BY domain
+    """
+
+
 _TMPL_MIN = 2
 # engine-portable path synthesis: calendar trap / paginated product /
 # static page / tag listing (CAST AS BIGINT coerces in both engines,
@@ -12410,6 +12484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_url_templates": _q_url_templates,
         "q_host_graph": _q_host_graph,
         "q_domain_rank": _q_domain_rank,
+        "q_crawl_priority": _q_crawl_priority,
         "q_tf_dot_pairs": _q_tf_dot_pairs,
         "q_co_travel": _q_co_travel,
         "q_blocklist_hits": _q_blocklist_hits,
@@ -12600,6 +12675,7 @@ def oracle_sql() -> dict[str, str]:
         "q_url_templates": _oracle_url_templates(),
         "q_host_graph": _oracle_host_graph(),
         "q_domain_rank": _oracle_domain_rank(),
+        "q_crawl_priority": _oracle_crawl_priority(),
         "q_tf_dot_pairs": _oracle_tf_dot_pairs(),
         "q_co_travel": _oracle_co_travel(),
         "q_blocklist_hits": _oracle_blocklist_hits(),
