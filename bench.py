@@ -53,6 +53,9 @@ HEADLINE_QUERIES = [
     "q_weighted_paths",  # delta-frontier Bellman-Ford, frontier-sized rounds
     "q_redirect_resolve",  # pointer jumping, O(log chain) self-joins
     "q_host_graph",  # domain-pair count + reciprocity self-join
+    "q_snapshot_diff",  # full-outer diff over skinny (key, fp) rows
+    "q_cdc_apply",  # struct-max merge, no window sort
+    "q_tf_dot_pairs",  # posting-list join with stop-term valve
 ]
 
 
