@@ -38,7 +38,15 @@ def cdc_apply(
     """(key, *payload, version_ts): the merged snapshot.  Base rows
     rank as upserts at version_ts = 0; change rows must carry ts > 0.
     Exactly one change per (key, ts, op) is assumed (dedupe upstream);
-    at equal ts a 'D' beats a 'U'."""
+    at equal ts a 'D' beats a 'U'.
+
+    If the uniqueness assumption is violated, duplicate (key, ts, op)
+    rows resolve deterministically but arbitrarily: the payload columns
+    sit in the struct-max as trailing tie-breakers, so the winner is
+    the row with the lexicographically greatest payload, and a NULL
+    payload field sorts LOWEST (loses to any non-null).  This is a
+    silent pick, not an error — enforce uniqueness upstream when the
+    distinction matters."""
     b = base.select(
         F.col(key).alias("_k"),
         *[F.col(c) for c in payload],

@@ -64,7 +64,12 @@ def kcenter_select(
     non-increasing sequence whose last value bounds the covering
     radius (optimal radius^2 >= r2_K / 4).  Pick 0 is the smallest id
     with r2 = 0.  ``shift`` must exceed ``max|x|`` (non-negative
-    quantized components, the cross-engine floor rule)."""
+    quantized components, the cross-engine floor rule).
+
+    ``id_col`` must be an INTEGER type: ties at equal r2 break toward
+    the smallest id via a negated-id struct max, and the result schema
+    is ``id long`` — string/UUID ids fail at analysis time (hash or
+    dense-rank them to int64 upstream)."""
     spark: SparkSession = df.sparkSession
     base = (
         df.select(

@@ -491,15 +491,23 @@ def snapshot_diff(
     narrow columns each — never of the page payloads (project the
     fingerprint BEFORE the join, which this operator enforces by
     selecting only (key, fp))."""
-    o = old.select(F.col(key).alias("_k"), F.col(fp).alias("_of"))
-    n = new.select(F.col(key).alias("_k"), F.col(fp).alias("_nf"))
+    o = old.select(
+        F.col(key).alias("_k"), F.col(fp).alias("_of"), F.lit(1).alias("_op")
+    )
+    n = new.select(
+        F.col(key).alias("_k"), F.col(fp).alias("_nf"), F.lit(1).alias("_np")
+    )
+    # Presence is decided by explicit per-side flags, NOT fingerprint
+    # nullness, so a NULL fingerprint on a present row classifies
+    # correctly; fingerprints compare null-safely (null vs null is
+    # 'unchanged', null vs non-null is 'changed').
     return (
         o.join(n, "_k", "full_outer")
         .select(
             F.col("_k").alias(key),
-            F.when(F.col("_of").isNull(), F.lit("added"))
-            .when(F.col("_nf").isNull(), F.lit("removed"))
-            .when(F.col("_of") != F.col("_nf"), F.lit("changed"))
+            F.when(F.col("_op").isNull(), F.lit("added"))
+            .when(F.col("_np").isNull(), F.lit("removed"))
+            .when(~F.col("_of").eqNullSafe(F.col("_nf")), F.lit("changed"))
             .otherwise(F.lit("unchanged"))
             .alias("status"),
         )

@@ -49,7 +49,11 @@ def stream_cdc_apply(
         batch = pd.concat(list(pdfs))
         cur = state.get if state.exists else None  # (ts, del, v)
         for r in batch.itertuples():
-            cand = (int(r.ts), 1 if r.op == "D" else 0, str(r.v))
+            # Preserve NULL payloads (a delete often carries none): the
+            # batch cdc_apply keeps them NULL, and str(None) would break
+            # the drained-stream == batch equivalence with 'None'.
+            v = None if pd.isna(r.v) else str(r.v)
+            cand = (int(r.ts), 1 if r.op == "D" else 0, v)
             if cur is None or (cand[0], cand[1]) > (cur[0], cur[1]):
                 cur = cand
         state.update(cur)

@@ -40,7 +40,11 @@ def stream_change_detect(
     src = fetches.select(
         F.col(url_col).alias("url"),
         F.col(ts_col).cast("long").alias("ts_us"),
-        F.col(fp_col).alias("fp"),
+        # State persists as STRING ('fp string'): cast here so in-batch
+        # values and cross-batch stored state share one type — a BIGINT
+        # fingerprint (e.g. xxhash64) would otherwise compare int vs str
+        # and emit 'changed' on every re-fetch after the first batch.
+        F.col(fp_col).cast("string").alias("fp"),
     )
     out_schema = "url string, ts_us long, status string"
 
@@ -62,7 +66,9 @@ def stream_change_detect(
             prev = fp
         out = batch[["url", "ts_us"]].copy()
         out["status"] = statuses
-        state.update((str(prev),))
+        # fp is cast to string upstream, so prev is already str (or
+        # None for a null fingerprint, which 'fp string' accepts).
+        state.update((prev,))
         yield out
 
     return src.groupBy("url").applyInPandasWithState(

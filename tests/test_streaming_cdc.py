@@ -72,3 +72,49 @@ def test_stream_cdc_matches_batch(spark, tmp_path):
         for r in cdc_apply(bdf, cdf, "id", ["v"]).collect()
     }
     assert got == want
+
+
+def test_null_payload_matches_batch(spark, tmp_path):
+    # NULL payloads (deletes carrying no value, upserts clearing a
+    # field) must stay NULL in stream state — str(None) would emit the
+    # literal 'None' and break drained == batch equivalence.
+    changes = [
+        (1, 1, "U", "a"),
+        (1, 2, "U", None),  # upsert clearing the value
+        (2, 1, "U", "b"),
+        (2, 2, "D", None),  # delete with no payload
+        (3, 1, "U", None),  # only ever null
+    ]
+    chg_pdf = pd.DataFrame(changes, columns=["id", "ts", "op", "v"])
+    src = str(tmp_path / "cdcnull")
+    spark.createDataFrame(
+        chg_pdf, "id long, ts long, op string, v string"
+    ).coalesce(1).write.parquet(src)
+    static = spark.read.parquet(src)
+    stream = spark.readStream.schema(static.schema).parquet(src)
+    q = (
+        stream_cdc_apply(stream)
+        .writeStream.format("memory")
+        .queryName("cdc_null")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckn"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql("SELECT * FROM cdc_null").toPandas()
+    q.stop()
+    final = {}
+    for _, r in rows.sort_values(["version_ts"]).iterrows():
+        final[r["id"]] = (r["version_ts"], r["v"], r["deleted"])
+    got = {k: (v, ts) for k, (ts, v, dele) in final.items() if not dele}
+
+    bdf = spark.createDataFrame([], "id long, v string")
+    cdf = spark.createDataFrame(changes, "id long, ts long, op string, v string")
+    want = {
+        r["id"]: (r["v"], r["version_ts"])
+        for r in cdc_apply(bdf, cdf, "id", ["v"]).collect()
+    }
+    assert got == want
+    assert got[1] == (None, 2)  # NULL preserved, not 'None'
+    assert got[3] == (None, 1)

@@ -106,3 +106,41 @@ def test_within_batch_refetch_sequence(spark, tmp_path):
     )
     q.stop()
     assert rows["status"].tolist() == ["added", "unchanged", "changed"]
+
+
+def test_bigint_fingerprint_cross_batch(spark, tmp_path):
+    # BIGINT fingerprints (e.g. xxhash64) must compare equal against
+    # the persisted string state: an unchanged re-fetch in a LATER
+    # micro-batch is 'unchanged', not 'changed' forever.
+    b1 = pd.DataFrame({"url": ["u", "w"], "ts_us": [1, 1], "fp": [12345678901234, 7]})
+    b2 = pd.DataFrame({"url": ["u", "w"], "ts_us": [2, 2], "fp": [12345678901234, 8]})
+    src = str(tmp_path / "bigfp")
+    spark.createDataFrame(b1).coalesce(1).write.parquet(src)
+    spark.createDataFrame(b2).coalesce(1).write.mode("append").parquet(src)
+    static = spark.read.parquet(src)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_change_detect(stream)
+        .writeStream.format("memory")
+        .queryName("chg_bigfp")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckb"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql("SELECT * FROM chg_bigfp").toPandas()
+    q.stop()
+    got = {
+        (r["url"], r["ts_us"]): r["status"] for _, r in rows.iterrows()
+    }
+    assert got == {
+        ("u", 1): "added",
+        ("w", 1): "added",
+        ("u", 2): "unchanged",
+        ("w", 2): "changed",
+    }

@@ -468,6 +468,30 @@ def test_snapshot_diff_statuses(spark):
     }
 
 
+def test_snapshot_diff_null_fingerprints(spark):
+    # Presence is decided by per-side flags, not fp nullness: a key in
+    # BOTH snapshots with a null fp on either side is changed (or
+    # unchanged for null-vs-null), never added/removed.
+    from geo_spark.operators.webcorpus import snapshot_diff
+
+    old = spark.createDataFrame(
+        [("a", None), ("b", "h2"), ("c", None), ("d", "h4")],
+        "url string, fp string",
+    )
+    new = spark.createDataFrame(
+        [("a", "h1"), ("b", None), ("c", None), ("e", None)],
+        "url string, fp string",
+    )
+    got = {r["url"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert got == {
+        "a": "changed",  # null -> h1
+        "b": "changed",  # h2 -> null
+        "c": "unchanged",  # null -> null
+        "d": "removed",  # present old only (null fp irrelevant)
+        "e": "added",  # present new only (null fp irrelevant)
+    }
+
+
 def test_snapshot_diff_no_payload_in_plan(spark, tmp_path):
     from geo_spark.operators.webcorpus import snapshot_diff
 
