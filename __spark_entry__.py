@@ -1182,6 +1182,173 @@ def _oracle_trail_traffic() -> str:
     """
 
 
+# ---- q_bignet_map_match: the >MAX_CLOSURE_GEOMS distributed tier ----
+# A 160x160 grid of 3-vertex polylines (25,600 > Layer.MAX_CLOSURE_GEOMS
+# = 20,000) over a 10x10-degree window: the layer CANNOT ship in task
+# closures, so map_match refines through the distributed blob-join tier
+# (spatial_join._geoms_for_join + batch-local grouping) — the
+# EdgeQuery-has-no-index-ceiling contract (s2/edge_query.go:177-763).
+_BN_G = 160  # grid side
+_BN_PITCH = 0.0625  # 10 deg / 160, exact in binary
+_BN_RADIUS_RAD = 2_000.0 / 6_371_010.0  # 2 km snap radius
+
+# Pure-double uniforms (geo_noise._U1_D/_U2_D): every op is IEEE
+# +,-,*,/ so Spark and DuckDB derive BITWISE-identical coordinates.
+_BN_LAT_SQL = (
+    "(40.0e0 + 10.0e0 * (CAST((event_id * 2654435761 + 12345) % 4294967296"
+    " AS DOUBLE) / 4294967296e0))"
+)
+_BN_LNG_SQL = (
+    "(10.0e0 * (CAST((event_id * 2246822519 + 54321) % 4294967296"
+    " AS DOUBLE) / 4294967296e0))"
+)
+
+
+def _bignet_trails():
+    """The 25,600 grid polylines: row r holds a horizontal 3-vertex
+    chain at lat 40+(r+0.5)*pitch, column c spans lng fractions
+    0.2/0.5/0.8 of cell c.  Expressions are written to match the
+    oracle's SQL op-for-op (IEEE bitwise parity)."""
+    import numpy as np
+
+    from geo_spark.kernel import cellid as ck
+    from geo_spark.kernel.regions import PolylineRegion
+
+    trails = []
+    for gid in range(_BN_G * _BN_G):
+        r, c = divmod(gid, _BN_G)
+        slat = 40.0 + (r + 0.5) * _BN_PITCH
+        lngs = np.array(
+            [
+                (c + 0.2) * _BN_PITCH,
+                (c + 0.5) * _BN_PITCH,
+                (c + 0.8) * _BN_PITCH,
+            ]
+        )
+        x, y, z = ck.latlng_to_xyz(np.full(3, slat), lngs)
+        trails.append(
+            (gid, PolylineRegion.from_vertices(np.stack([x, y, z], axis=1)))
+        )
+    return trails
+
+
+def _q_bignet_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map matching against a 25,600-polyline network — ABOVE the
+    closure ceiling, so the refine runs through the distributed
+    blob-join tier: candidate covering equi-join (shuffle; the ~500k
+    covering rows exceed the broadcast gate) + broadcast blob attach +
+    batch-local grouped argmin-segment refine + one struct-min shuffle.
+    No per-geometry keyed exchange anywhere (tests/test_plan_shapes).
+
+    The oracle replays the match with the GRID's own locality instead
+    of the engine's coverings: a segment within 2 km of a point must
+    lie in the point's 3x3 grid-cell neighborhood (min separation
+    beyond it: 1.2*pitch*cos(50deg) ~ 5.4 km columns, 1.5*pitch ~
+    10.4 km rows — both > 2 km), so 9 cells x 2 segments per point is
+    an exact candidate set."""
+    from geo_spark.functions.s2 import s2_cellid
+    from geo_spark.kernel.regions import chord2_from_angle
+    from geo_spark.operators.distance_join import build_distance_layer
+    from geo_spark.operators.mapmatch import map_match
+    from geo_spark.operators.spatial_join import Layer
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("event_id")
+        .withColumn("lat", F.expr(_BN_LAT_SQL))
+        .withColumn("lng", F.expr(_BN_LNG_SQL))
+    )
+    layer = build_distance_layer(spark, _bignet_trails(), _BN_RADIUS_RAD)
+    assert layer.regions is None and layer.n_geoms > Layer.MAX_CLOSURE_GEOMS
+    pts = ev.withColumn("cell_id", s2_cellid(F.col("lat"), F.col("lng")))
+    matched = map_match(pts, layer, _BN_RADIUS_RAD, point_key="event_id")
+    step = chord2_from_angle(_BN_RADIUS_RAD) / 16.0
+    return matched.select(
+        "event_id",
+        F.col("geom_id").alias("road_id"),
+        "seg_idx",
+        F.least(F.floor(F.col("chord2") / F.lit(step)), F.lit(15).cast("long"))
+        .cast("int")
+        .alias("dist_bucket"),
+    ).orderBy("event_id")
+
+
+def _oracle_bignet_map_match() -> str:
+    from geo_spark.kernel.regions import chord2_from_angle
+
+    limit2 = chord2_from_angle(_BN_RADIUS_RAD)
+    step = limit2 / 16.0
+    g = _BN_G
+    return f"""
+        WITH p AS (SELECT event_id, {_BN_LAT_SQL} AS lat, {_BN_LNG_SQL} AS lng
+                   FROM events),
+        pxyz AS (SELECT event_id,
+                        cos(radians(lng))*cos(radians(lat)) AS px,
+                        sin(radians(lng))*cos(radians(lat)) AS py,
+                        sin(radians(lat)) AS pz,
+                        CAST(floor((lat - 40.0e0) / 0.0625e0) AS BIGINT) AS pr,
+                        CAST(floor(lng / 0.0625e0) AS BIGINT) AS pc
+                 FROM p),
+        offs AS (SELECT a.dr, b.dc
+                 FROM (VALUES (-1),(0),(1)) a(dr), (VALUES (-1),(0),(1)) b(dc)),
+        -- the 3x3 grid neighborhood is an exact candidate set: any
+        -- segment two cells away is >= 5.4 km off, radius is 2 km
+        cc AS (SELECT q.*, q.pr + o.dr AS r, q.pc + o.dc AS c
+               FROM pxyz q, offs o
+               WHERE q.pr + o.dr BETWEEN 0 AND {g - 1}
+                 AND q.pc + o.dc BETWEEN 0 AND {g - 1}),
+        segs AS (SELECT * FROM (VALUES (CAST(0 AS BIGINT), 0.2e0, 0.5e0),
+                                       (CAST(1 AS BIGINT), 0.5e0, 0.8e0))
+                                       s(seg_idx, fa, fb)),
+        geom AS (SELECT t.event_id, t.px, t.py, t.pz,
+                        t.r * {g} + t.c AS road_id, s.seg_idx,
+                        (40.0e0 + (t.r + 0.5e0) * 0.0625e0) AS slat,
+                        ((t.c + s.fa) * 0.0625e0) AS alng,
+                        ((t.c + s.fb) * 0.0625e0) AS blng
+                 FROM cc t, segs s),
+        exyz AS (SELECT event_id, road_id, seg_idx, px, py, pz,
+                        cos(radians(alng))*cos(radians(slat)) AS ax,
+                        sin(radians(alng))*cos(radians(slat)) AS ay,
+                        sin(radians(slat)) AS az,
+                        cos(radians(blng))*cos(radians(slat)) AS bx,
+                        sin(radians(blng))*cos(radians(slat)) AS by,
+                        sin(radians(slat)) AS bz
+                 FROM geom),
+        ecross AS (SELECT *, ay*bz - az*by AS nx,
+                          az*bx - ax*bz AS ny,
+                          ax*by - ay*bx AS nz
+                   FROM exyz),
+        -- exact numpy ops of kernel.edges.point_segment_chord2
+        raw AS (SELECT event_id, road_id, seg_idx,
+                       (ay*pz - az*py)*nx + (az*px - ax*pz)*ny
+                       + (ax*py - ay*px)*nz AS d_a,
+                       (py*bz - pz*by)*nx + (pz*bx - px*bz)*ny
+                       + (px*by - py*bx)*nz AS d_b,
+                       nx*nx + ny*ny + nz*nz AS nn2,
+                       abs(px*nx + py*ny + pz*nz) AS adot,
+                       (px-ax)*(px-ax) + (py-ay)*(py-ay)
+                       + (pz-az)*(pz-az) AS da,
+                       (px-bx)*(px-bx) + (py-by)*(py-by)
+                       + (pz-bz)*(pz-bz) AS db
+                FROM ecross),
+        cand AS (SELECT event_id, road_id, seg_idx,
+                        least(CASE WHEN d_a >= 0 AND d_b >= 0 AND nn2 > 0
+                              THEN 2.0*(1.0 - sqrt(1.0
+                                   - least(adot/sqrt(nn2), 1.0)
+                                     * least(adot/sqrt(nn2), 1.0)))
+                              ELSE least(da, db) END, 4.0) AS c2
+                 FROM raw),
+        best AS (SELECT event_id, road_id, seg_idx, c2,
+                        row_number() OVER (PARTITION BY event_id
+                                           ORDER BY c2, road_id, seg_idx) AS rn
+                 FROM cand WHERE c2 <= {limit2!r})
+        SELECT event_id, road_id, seg_idx,
+               CAST(least(CAST(floor(c2 / {step!r}) AS BIGINT), 15) AS INT)
+                   AS dist_bucket
+        FROM best WHERE rn = 1 ORDER BY event_id
+    """
+
+
 _XC_JITTER_DEG = 5.0
 _XC_RADIUS_RAD = 50_000.0 / 6_371_010.0
 
@@ -12456,6 +12623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_trajectory_crossings": _q_trajectory_crossings,
         "q_trail_pair_distance": _q_trail_pair_distance,
         "q_event_map_match": _q_event_map_match,
+        "q_bignet_map_match": _q_bignet_map_match,
         "q_repetition_signals": _q_repetition_signals,
         "q_weighted_sample": _q_weighted_sample,
         "q_link_hits": _q_link_hits,
@@ -12647,6 +12815,7 @@ def oracle_sql() -> dict[str, str]:
         "q_trajectory_crossings": _oracle_trajectory_crossings(),
         "q_trail_pair_distance": _oracle_trail_pair_distance(),
         "q_event_map_match": _oracle_event_map_match(),
+        "q_bignet_map_match": _oracle_bignet_map_match(),
         "q_repetition_signals": _oracle_repetition_signals(),
         "q_weighted_sample": _oracle_weighted_sample(),
         "q_link_hits": _oracle_link_hits(),

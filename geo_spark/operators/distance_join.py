@@ -27,7 +27,9 @@ from geo_spark.operators.spatial_join import (
     COVER_SCHEMA,
     GEOM_SCHEMA,
     Layer,
+    _cached_region,
     _candidates,
+    _geoms_for_join,
 )
 
 
@@ -66,11 +68,12 @@ def build_distance_layer(
             }
         )
 
-    # Distance layers are closure-size by contract (regions ship to the
-    # refine UDF).  Below DRIVER_COVER_GEOMS the buffered covering is
-    # computed directly in the driver (identical math, minus two Spark
-    # jobs); above it the per-geometry covering cost dominates and the
-    # same function runs distributed (same split as build_layer).
+    # Below DRIVER_COVER_GEOMS the buffered covering is computed
+    # directly in the driver (identical math, minus two Spark jobs);
+    # above it the per-geometry covering cost dominates and the same
+    # function runs distributed (same split as build_layer).  The
+    # region map ships in closures only up to MAX_CLOSURE_GEOMS —
+    # bigger layers refine through the distributed blob-join tier.
     from geo_spark.operators.spatial_join import DRIVER_COVER_GEOMS
 
     if len(regions) <= DRIVER_COVER_GEOMS:
@@ -90,12 +93,19 @@ def build_distance_layer(
             r["level"] for r in covering.select("level").distinct().collect()
         )
         n_cov = covering.count()
+    region_map = (
+        {int(g): r for g, r in regions}
+        if len(regions) <= Layer.MAX_CLOSURE_GEOMS
+        else None
+    )
     return Layer(
         geoms,
         covering,
         levels,
-        {int(g): r for g, r in regions},
+        region_map,
         covering_rows=n_cov,
+        n_geoms=len(regions),
+        radius_rad=radius_rad,
     )
 
 
@@ -107,18 +117,27 @@ def distance_join(
     cell_col: str = "cell_id",
     latlng: tuple[str, str] = ("lat", "lng"),
 ) -> DataFrame:
-    """(point_key, geom_id, chord2) for points within the radius."""
-    if layer.regions is None:
-        raise ValueError("distance_join requires a closure-size layer")
+    """(point_key, geom_id, chord2) for points within the radius.
+
+    Closure-size layers (<= Layer.MAX_CLOSURE_GEOMS regions) refine
+    shuffle-free with the region map shipped in the task closure;
+    bigger layers (a real road network is millions of segments, the
+    EdgeQuery contract has no index-size ceiling —
+    s2/edge_query.go:177-763) attach the geometry blobs to the
+    candidate rows by a broadcast/AQE blob join and run the identical
+    batch-local grouped refine (see spatial_join._refine)."""
     pts = points.select(point_key, cell_col, *latlng)
     cand = _candidates(pts, layer, cell_col)
     limit2 = chord2_from_angle(radius_rad)
     regions = layer.regions
+    if regions is None:
+        cand = cand.join(_geoms_for_join(layer), "geom_id")
 
     key_type = pts.schema[point_key].dataType.simpleString()
     schema = f"{point_key} {key_type}, geom_id long, chord2 double"
 
     def fn(batches):
+        cache: dict = {}
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -131,7 +150,13 @@ def distance_join(
             d = np.full(len(pdf), np.inf)
             for gid in np.unique(gids):
                 m = gids == gid
-                d[m] = distance_chord2(regions[int(gid)], p3[m])
+                if regions is not None:
+                    region = regions[int(gid)]
+                else:
+                    region = _cached_region(
+                        cache, int(gid), pdf["blob"].iloc[int(np.argmax(m))]
+                    )
+                d[m] = distance_chord2(region, p3[m])
             keep = d <= limit2
             yield pd.DataFrame(
                 {

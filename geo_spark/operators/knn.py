@@ -624,11 +624,49 @@ def knn_regions(
     """Top-k nearest layer geometries per point by exact region distance
     (kernel/regions.distance_chord2).  Brute path for dimension-table
     layers (the reference's small-index fallback); rank ties break by
-    geom_id, matching EdgeQueryResult ordering (s2/edge_query.go:149)."""
+    geom_id, matching EdgeQueryResult ordering (s2/edge_query.go:149).
+
+    Layers above Layer.MAX_CLOSURE_GEOMS take the distributed tier:
+    the layer must be a distance layer (build_distance_layer, which
+    records its buffer radius) and the result is the exact top-k among
+    geometries WITHIN that radius — the reference's radius-bounded
+    EdgeQuery (options.DistanceLimit, s2/edge_query.go:177-230).
+    Points with fewer than k geometries in range return fewer rows.
+    Plan: covering-candidate equi-join + blob-join batch-local refine
+    (no per-geometry keyed shuffle) + one rank window per point."""
     from geo_spark.kernel.regions import distance_chord2
 
     if layer.regions is None:
-        raise ValueError("knn_regions requires a closure-size layer")
+        if layer.radius_rad is None:
+            raise ValueError(
+                "knn_regions over a >MAX_CLOSURE_GEOMS layer needs a "
+                "distance layer (build_distance_layer) whose buffer "
+                "radius bounds the search"
+            )
+        from geo_spark.operators.distance_join import distance_join
+
+        pts = points.select(point_key, *latlng).withColumn(
+            "_knn_cell", s2_cellid(F.col(latlng[0]), F.col(latlng[1]))
+        )
+        pairs = distance_join(
+            pts,
+            layer,
+            layer.radius_rad,
+            point_key,
+            cell_col="_knn_cell",
+            latlng=latlng,
+        )
+        w = Window.partitionBy(point_key).orderBy("chord2", "geom_id")
+        return (
+            pairs.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(
+                point_key,
+                "geom_id",
+                F.col("rank").cast("int").alias("rank"),
+                "chord2",
+            )
+        )
     regions = sorted(layer.regions.items())
     kk = min(k, len(regions))
 

@@ -35,7 +35,12 @@ from pyspark.sql import functions as F
 from geo_spark.kernel import cellid as ck
 from geo_spark.kernel.edges import point_to_edges_chord2_argmin
 from geo_spark.kernel.regions import PolylineRegion, chord2_from_angle
-from geo_spark.operators.spatial_join import Layer, _candidates
+from geo_spark.operators.spatial_join import (
+    Layer,
+    _cached_region,
+    _candidates,
+    _geoms_for_join,
+)
 
 
 def refine_candidates(
@@ -49,18 +54,27 @@ def refine_candidates(
     """(point_key, geom_id, seg_idx, chord2) candidate rows — the
     covering join + per-(point, polyline) argmin-segment refine, before
     the global per-point argmin.  Stateless, so it runs unchanged on a
-    streaming points DataFrame (stream-static join + mapInPandas)."""
-    if layer.regions is None:
-        raise ValueError("map_match requires a closure-size layer")
+    streaming points DataFrame (stream-static join + mapInPandas).
+
+    Layers above Layer.MAX_CLOSURE_GEOMS (real road networks are
+    millions of segments; the reference's EdgeQuery has no index-size
+    ceiling, s2/edge_query.go:177-763) refine through the distributed
+    blob-join tier: the polyline blobs ride the candidate rows
+    (broadcast join for <= BROADCAST_MAX_GEOM_ROWS geometries, AQE
+    shuffle join above), the grouping stays batch-local, and the
+    per-point argmin shuffle downstream is unchanged."""
     pts = points.select(point_key, cell_col, *latlng)
     cand = _candidates(pts, layer, cell_col)
     limit2 = chord2_from_angle(radius_rad)
     regions = layer.regions
+    if regions is None:
+        cand = cand.join(_geoms_for_join(layer), "geom_id")
 
     key_type = pts.schema[point_key].dataType.simpleString()
     schema = f"{point_key} {key_type}, geom_id long, seg_idx long, chord2 double"
 
     def fn(batches):
+        cache: dict = {}
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -74,7 +88,12 @@ def refine_candidates(
             seg = np.zeros(len(pdf), dtype=np.int64)
             for gid in np.unique(gids):
                 m = gids == gid
-                region = regions[int(gid)]
+                if regions is not None:
+                    region = regions[int(gid)]
+                else:
+                    region = _cached_region(
+                        cache, int(gid), pdf["blob"].iloc[int(np.argmax(m))]
+                    )
                 if not isinstance(region, PolylineRegion):
                     raise TypeError("map_match layers must hold PolylineRegions")
                 d[m], seg[m] = point_to_edges_chord2_argmin(p3[m], region.verts)

@@ -82,6 +82,8 @@ class Layer:
         levels: list[int],
         regions: dict[int, Region] | None = None,
         covering_rows: int | None = None,
+        n_geoms: int | None = None,
+        radius_rad: float | None = None,
     ):
         self.geoms = geoms
         self.covering = covering
@@ -90,6 +92,12 @@ class Layer:
         # Known (or conservatively estimated) covering row count; None
         # means "unknown / large" and disables the broadcast hint.
         self.covering_rows = covering_rows
+        # Geometry count (drives the blob-join broadcast hint in the
+        # distributed refine tier); None = unknown.
+        self.n_geoms = n_geoms
+        # Buffer radius for distance layers (build_distance_layer) —
+        # the distributed knn_regions tier is radius-bounded by it.
+        self.radius_rad = radius_rad
 
 
 def build_layer(
@@ -207,7 +215,14 @@ def build_layer(
             else None
         )
         n_cov = covering.count()  # persisted: count is a cache scan
-    return Layer(geoms, covering, sorted(levels), region_map, covering_rows=n_cov)
+    return Layer(
+        geoms,
+        covering,
+        sorted(levels),
+        region_map,
+        covering_rows=n_cov,
+        n_geoms=len(regions),
+    )
 
 
 def split_hot_cells(
@@ -254,7 +269,15 @@ def split_hot_cells(
         if layer.covering_rows is not None
         else None
     )
-    return Layer(layer.geoms, cov, sorted(levels), layer.regions, covering_rows=est)
+    return Layer(
+        layer.geoms,
+        cov,
+        sorted(levels),
+        layer.regions,
+        covering_rows=est,
+        n_geoms=layer.n_geoms,
+        radius_rad=layer.radius_rad,
+    )
 
 
 def hot_cell_histogram(
@@ -326,6 +349,34 @@ def _candidates(points: DataFrame, layer: Layer, cell_col: str) -> DataFrame:
 # ~30 bytes/row -> a 200k-row covering broadcasts in a few MB.
 BROADCAST_MAX_COVER_ROWS = 200_000
 
+# Geometry-blob tables broadcast up to this many rows (road-segment
+# blobs are a few hundred bytes -> tens of MB, torrent-distributed
+# once per executor); bigger layers take a shuffle equi-join on
+# geom_id and let AQE split skewed partitions at runtime.
+BROADCAST_MAX_GEOM_ROWS = 200_000
+
+# Per-task unpickled-region cache bound for the blob-refine tier: a
+# road network's working set per input split is far smaller than the
+# layer, so hits dominate; the clear() on overflow bounds memory.
+_REGION_CACHE_CAP = 8192
+
+
+def _geoms_for_join(layer: Layer) -> DataFrame:
+    g = layer.geoms
+    if layer.n_geoms is not None and layer.n_geoms <= BROADCAST_MAX_GEOM_ROWS:
+        return F.broadcast(g)
+    return g
+
+
+def _cached_region(cache: dict, gid: int, blob) -> Region:
+    r = cache.get(gid)
+    if r is None:
+        if len(cache) >= _REGION_CACHE_CAP:
+            cache.clear()
+        r = pickle.loads(bytes(blob))
+        cache[gid] = r
+    return r
+
 
 def _is_small(layer: Layer) -> bool:
     """Broadcast-hint the covering only when its row count is known and
@@ -394,39 +445,46 @@ def _refine(
     each Arrow batch is grouped by geom_id in-memory and hit with one
     vectorized predicate per geometry present.  No extra shuffle, no
     per-geometry group skew (dense-city geometries would otherwise pin
-    single tasks).  Fallback for huge layers: broadcast-join the blobs
-    and group per geometry."""
+    single tasks).  Huge layers take the same shape with the blobs
+    attached by a join instead of the closure: candidates stay in
+    their input-split partitions (broadcast blob join) or AQE splits
+    the skewed ones (shuffle blob join) — never a per-geometry keyed
+    group, so one dense-city geometry never pins one task."""
     if layer.regions is not None:
         return _refine_closure(unsure, layer.regions, point_key, cell_col, carry, latlng)
-    joined = unsure.join(F.broadcast(layer.geoms), "geom_id")
+    joined = unsure.join(_geoms_for_join(layer), "geom_id")
 
-    out_fields = [T.StructField("geom_id", T.LongType())]
-    key_field = next(f for f in unsure.schema.fields if f.name == point_key)
-    out_fields.append(key_field)
-    for c in carry:
-        out_fields.append(next(f for f in unsure.schema.fields if f.name == c))
-    schema = T.StructType(out_fields)
+    key_type = unsure.schema[point_key].dataType.simpleString()
+    carry_types = {c: unsure.schema[c].dataType.simpleString() for c in carry}
+    schema = ", ".join(
+        ["geom_id long", f"{point_key} {key_type}"]
+        + [f"{c} {t}" for c, t in carry_types.items()]
+    )
 
-    def refine_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        region = pickle.loads(pdf["blob"].iloc[0])
-        if latlng:
-            x, y, z = ck.latlng_to_xyz(
-                pdf[latlng[0]].to_numpy(np.float64),
-                pdf[latlng[1]].to_numpy(np.float64),
-            )
-            pts = np.stack([x, y, z], axis=1)
-        else:
-            cells = ck.from_signed(pdf[cell_col].to_numpy(np.int64))
-            x, y, z = ck.cellid_to_xyz(cells)
-            pts = np.stack([x, y, z], axis=1)
-            pts /= np.sqrt((pts * pts).sum(axis=1))[:, None]
-        ok = region.contains_points(pts)
-        cols = {"geom_id": pdf["geom_id"][ok], point_key: pdf[point_key][ok]}
-        for c in carry:
-            cols[c] = pdf[c][ok]
-        return pd.DataFrame(cols)
+    def fn(batches):
+        cache: dict = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pts = _points_xyz(pdf, cell_col, latlng)
+            gids = pdf["geom_id"].to_numpy(np.int64)
+            blobs = pdf["blob"]
+            keep = np.zeros(len(pdf), dtype=bool)
+            for gid in np.unique(gids):
+                m = gids == gid
+                region = _cached_region(
+                    cache, int(gid), blobs.iloc[int(np.argmax(m))]
+                )
+                keep[m] = region.contains_points(pts[m])
+            out = {
+                "geom_id": gids[keep],
+                point_key: pdf[point_key].to_numpy()[keep],
+            }
+            for c in carry:
+                out[c] = pdf[c].to_numpy()[keep]
+            yield pd.DataFrame(out)
 
-    return joined.groupBy("geom_id").applyInPandas(refine_group, schema)
+    return joined.mapInPandas(fn, schema)
 
 
 def _points_xyz(pdf: pd.DataFrame, cell_col: str, latlng) -> np.ndarray:

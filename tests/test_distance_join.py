@@ -84,6 +84,76 @@ def test_distance_zero_equals_containment(spark, pts):
     assert got == expected
 
 
+def _as_distributed(layer):
+    """Same layer, closure map dropped — forces the blob-join tier."""
+    from geo_spark.operators.spatial_join import Layer
+
+    return Layer(
+        layer.geoms,
+        layer.covering,
+        layer.levels,
+        None,
+        covering_rows=layer.covering_rows,
+        n_geoms=layer.n_geoms,
+        radius_rad=layer.radius_rad,
+    )
+
+
+def test_distance_join_distributed_tier_matches_closure(spark, pts):
+    df, lat, lng = pts
+    layer = build_distance_layer(spark, _regions(), RADIUS)
+    closure = {
+        (r["pid"], r["geom_id"], r["chord2"])
+        for r in distance_join(df, layer, RADIUS, point_key="pid").collect()
+    }
+    distributed = {
+        (r["pid"], r["geom_id"], r["chord2"])
+        for r in distance_join(
+            df, _as_distributed(layer), RADIUS, point_key="pid"
+        ).collect()
+    }
+    assert closure == distributed
+    assert len(closure) > 0
+
+
+def test_knn_regions_distributed_tier_radius_bounded(spark, pts):
+    """Distributed knn_regions == brute top-k restricted to the layer's
+    buffer radius; a non-distance layer (no radius) raises."""
+    from geo_spark.operators.knn import knn_regions
+    from geo_spark.operators.spatial_join import build_layer
+
+    df, lat, lng = pts
+    big_r = 0.5  # wide enough that most points see 2+ regions
+    dlayer = _as_distributed(build_distance_layer(spark, _regions(), big_r))
+    got = {
+        (r["pid"], r["geom_id"], r["rank"])
+        for r in knn_regions(df, dlayer, k=2, point_key="pid").collect()
+    }
+    x, y, z = ck.latlng_to_xyz(lat, lng)
+    p3 = np.stack([x, y, z], axis=1)
+    regs = sorted(_regions())
+    dmat = np.stack([distance_chord2(r, p3) for _, r in regs], axis=1)
+    gids = np.array([g for g, _ in regs])
+    limit2 = chord2_from_angle(big_r)
+    expected = set()
+    for pid in range(len(lat)):
+        cands = [
+            (dmat[pid, j], int(gids[j]))
+            for j in range(len(regs))
+            if dmat[pid, j] <= limit2
+        ]
+        cands.sort()
+        for rank, (_, gid) in enumerate(cands[:2], 1):
+            expected.add((pid, gid, rank))
+    assert got == expected
+    assert len(got) > 0
+
+    no_radius = build_layer(spark, _regions(), max_cells=8)
+    no_radius.regions = None
+    with pytest.raises(ValueError, match="distance layer"):
+        knn_regions(df, no_radius, k=2, point_key="pid")
+
+
 def test_knn_regions_matches_brute(spark, pts):
     from geo_spark.operators.knn import knn_regions
     from geo_spark.operators.spatial_join import build_layer

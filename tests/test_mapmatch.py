@@ -75,6 +75,87 @@ def test_map_match_brute_differential(spark):
         assert got[pid][2] == pytest.approx(want[pid][2], abs=0.0)
 
 
+def _as_distributed(layer):
+    """The same layer with the closure map dropped — forces the
+    distributed blob-join refine tier (what a >MAX_CLOSURE_GEOMS layer
+    gets by construction)."""
+    from geo_spark.operators.spatial_join import Layer
+
+    return Layer(
+        layer.geoms,
+        layer.covering,
+        layer.levels,
+        None,
+        covering_rows=layer.covering_rows,
+        n_geoms=layer.n_geoms,
+        radius_rad=layer.radius_rad,
+    )
+
+
+def test_map_match_distributed_tier_matches_closure(spark):
+    """Blob-join refine == closure refine, row for row (the
+    EdgeQuery-has-no-index-ceiling contract)."""
+    rng = np.random.default_rng(20260819)
+    trails = _trails_from_rng(rng, 15)
+    lat = rng.uniform(-80, 80, 300)
+    lng = rng.uniform(-180, 180, 300)
+    rows = [
+        (
+            int(i),
+            float(lat[i]),
+            float(lng[i]),
+            int(ck.to_signed(ck.cellid_from_latlng(lat[i], lng[i]))),
+        )
+        for i in range(len(lat))
+    ]
+    pts = spark.createDataFrame(rows, "pid long, lat double, lng double, cell_id long")
+    layer = build_distance_layer(spark, trails, RADIUS)
+    closure = {
+        r["pid"]: (r["geom_id"], r["seg_idx"], r["chord2"])
+        for r in map_match(pts, layer, RADIUS, point_key="pid").collect()
+    }
+    dist_layer = _as_distributed(layer)
+    distributed = {
+        r["pid"]: (r["geom_id"], r["seg_idx"], r["chord2"])
+        for r in map_match(pts, dist_layer, RADIUS, point_key="pid").collect()
+    }
+    assert closure == distributed
+    assert len(closure) > 0
+
+
+def test_map_match_distributed_plan_has_no_geom_group_exchange(spark):
+    """The distributed tier must never key a shuffle or a grouped
+    Python stage by geom_id — one dense geometry would pin one task."""
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(7)
+    trails = _trails_from_rng(rng, 8)
+    lat = rng.uniform(-80, 80, 50)
+    lng = rng.uniform(-180, 180, 50)
+    rows = [
+        (
+            int(i),
+            float(lat[i]),
+            float(lng[i]),
+            int(ck.to_signed(ck.cellid_from_latlng(lat[i], lng[i]))),
+        )
+        for i in range(len(lat))
+    ]
+    pts = spark.createDataFrame(rows, "pid long, lat double, lng double, cell_id long")
+    layer = _as_distributed(build_distance_layer(spark, trails, RADIUS))
+    plan = (
+        map_match(pts, layer, RADIUS, point_key="pid")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "FlatMapGroupsInPandas" not in plan  # no per-geometry group
+    assert "hashpartitioning(geom_id" not in plan
+    assert "MapInPandas" in plan  # the batch-local grouped refine
+    assert "BroadcastHashJoin" in plan  # blob attach is a broadcast
+
+
 def test_shared_vertex_tie_takes_lowest_segment():
     """A point whose nearest feature is an interior VERTEX of the chain
     is equidistant to both adjacent segments — the argmin must report

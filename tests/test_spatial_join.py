@@ -166,3 +166,53 @@ def test_auto_salt_layer(spark, points_df, layer):
     }
     assert after == before
     assert salted.covering_rows > layer.covering_rows
+
+
+def _as_distributed(layer):
+    from geo_spark.operators.spatial_join import Layer
+
+    return Layer(
+        layer.geoms,
+        layer.covering,
+        layer.levels,
+        None,
+        covering_rows=layer.covering_rows,
+        n_geoms=layer.n_geoms,
+        radius_rad=layer.radius_rad,
+    )
+
+
+def test_refine_fallback_matches_closure_and_is_deskewed(spark, points_df):
+    """The huge-layer refine fallback on a SKEWED fixture (one
+    near-global cap holds ~every candidate): results equal the closure
+    path, and the plan has no per-geometry keyed group — previously a
+    groupBy(geom_id).applyInPandas pinned the dense geometry to one
+    task."""
+    from geo_spark.operators.spatial_join import build_layer, spatial_join
+
+    df, lat, lng = points_df
+    # interior=False forces EVERY candidate through the refine; the
+    # 2-rad cap contains nearly all fixture points -> maximal skew.
+    regions = [
+        (1, Cap.from_center_angle(30.0, -30.0, 2.0)),
+        (2, Cap.from_center_angle(48.85, 2.35, 0.01)),
+    ]
+    layer = build_layer(spark, regions, max_cells=8, interior=False)
+    forced = _as_distributed(layer)
+
+    closure = {
+        (r["pid"], r["geom_id"])
+        for r in spatial_join(
+            df, layer, point_key="pid", latlng=("lat", "lng")
+        ).collect()
+    }
+    joined = spatial_join(df, forced, point_key="pid", latlng=("lat", "lng"))
+    got = {(r["pid"], r["geom_id"]) for r in joined.collect()}
+    assert got == closure
+    assert len(got) > 100
+
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "hashpartitioning(geom_id" not in plan
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" in plan
