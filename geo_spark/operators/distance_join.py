@@ -29,6 +29,7 @@ from geo_spark.operators.spatial_join import (
     Layer,
     _cached_region,
     _candidates,
+    _ensure_parallelism,
     _geoms_for_join,
 )
 
@@ -47,13 +48,35 @@ def build_distance_layer(
     rows = [(int(gid), pickle.dumps(r)) for gid, r in regions]
     geoms = spark.createDataFrame(rows, GEOM_SCHEMA)
     coverer = RegionCoverer(max_cells=max_cells)
+    # Polyline fast path: the buffered covering is closed-form — the
+    # cells the chain passes through at the radius level (supercover
+    # uv walk, kernel/clipping.edge_cells_at_level) plus one neighbor
+    # ring (expand_at_level).  Identical ExpandByRadius guarantee
+    # (MinWidth(radius_level) >= r, s2/cellunion.go:482-501) without
+    # the RegionCoverer priority search — ~10x cheaper per region,
+    # which is what makes >20k-segment road-network layers buildable.
+    from geo_spark.kernel import metric
+    from geo_spark.kernel.clipping import edge_cells_at_level
+    from geo_spark.kernel.regions import PolylineRegion
+
+    radius_level = metric.MIN_WIDTH.max_level(radius_rad)
 
     def cover_one(pdf: pd.DataFrame) -> pd.DataFrame:
         out = {"geom_id": [], "cell": [], "level": [], "is_interior": []}
         for gid, blob in zip(pdf["geom_id"], pdf["blob"]):
             region = pickle.loads(blob)
-            cover = coverer.covering(region)
-            buffered = cu.expand_by_radius(cover, radius_rad)
+            if isinstance(region, PolylineRegion) and len(region.verts) >= 2:
+                core: set[int] = set()
+                v = region.verts
+                for i in range(len(v) - 1):
+                    core.update(
+                        int(c)
+                        for c in edge_cells_at_level(v[i], v[i + 1], radius_level)
+                    )
+                buffered = cu.expand_at_level(sorted(core), radius_level)
+            else:
+                cover = coverer.covering(region)
+                buffered = cu.expand_by_radius(cover, radius_rad)
             for c in buffered:
                 out["geom_id"].append(gid)
                 out["cell"].append(int(ck.to_signed(np.uint64(c))))
@@ -86,13 +109,18 @@ def build_distance_layer(
         levels = sorted(cpdf["level"].unique().tolist())
         n_cov = len(cpdf)
     else:
-        covering = geoms.groupBy("geom_id").applyInPandas(
-            cover_one, COVER_SCHEMA
+        def cover_iter(batches):
+            for pdf in batches:
+                if len(pdf):
+                    yield cover_one(pdf)
+
+        covering = _ensure_parallelism(geoms).mapInPandas(
+            cover_iter, COVER_SCHEMA
         ).persist()
-        levels = sorted(
-            r["level"] for r in covering.select("level").distinct().collect()
-        )
-        n_cov = covering.count()
+        # one metadata job: level set + row count from per-level counts
+        lvl_rows = covering.groupBy("level").count().collect()
+        levels = sorted(r["level"] for r in lvl_rows)
+        n_cov = sum(r["count"] for r in lvl_rows)
     region_map = (
         {int(g): r for g, r in regions}
         if len(regions) <= Layer.MAX_CLOSURE_GEOMS
@@ -127,7 +155,7 @@ def distance_join(
     candidate rows by a broadcast/AQE blob join and run the identical
     batch-local grouped refine (see spatial_join._refine)."""
     pts = points.select(point_key, cell_col, *latlng)
-    cand = _candidates(pts, layer, cell_col)
+    cand = _ensure_parallelism(_candidates(pts, layer, cell_col))
     limit2 = chord2_from_angle(radius_rad)
     regions = layer.regions
     if regions is None:

@@ -33,12 +33,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from geo_spark.kernel import cellid as ck
-from geo_spark.kernel.edges import point_to_edges_chord2_argmin
+from geo_spark.kernel.edges import (
+    point_segment_chord2,
+    point_to_edges_chord2_argmin,
+)
 from geo_spark.kernel.regions import PolylineRegion, chord2_from_angle
 from geo_spark.operators.spatial_join import (
     Layer,
     _cached_region,
     _candidates,
+    _ensure_parallelism,
     _geoms_for_join,
 )
 
@@ -64,7 +68,7 @@ def refine_candidates(
     shuffle join above), the grouping stays batch-local, and the
     per-point argmin shuffle downstream is unchanged."""
     pts = points.select(point_key, cell_col, *latlng)
-    cand = _candidates(pts, layer, cell_col)
+    cand = _ensure_parallelism(_candidates(pts, layer, cell_col))
     limit2 = chord2_from_angle(radius_rad)
     regions = layer.regions
     if regions is None:
@@ -72,6 +76,13 @@ def refine_candidates(
 
     key_type = pts.schema[point_key].dataType.simpleString()
     schema = f"{point_key} {key_type}, geom_id long, seg_idx long, chord2 double"
+
+    # Above this many vertices the padded per-row gather would waste
+    # memory (one giant trail pads every row in the batch) — long
+    # chains take the per-geometry sweep, short road segments (the
+    # network case, where candidate rows vastly outnumber geometries)
+    # take the batch-vectorized path.
+    max_pad_verts = 64
 
     def fn(batches):
         cache: dict = {}
@@ -84,19 +95,50 @@ def refine_candidates(
             )
             p3 = np.stack([x, y, z], axis=1)
             gids = pdf["geom_id"].to_numpy(np.int64)
-            d = np.full(len(pdf), np.inf)
-            seg = np.zeros(len(pdf), dtype=np.int64)
-            for gid in np.unique(gids):
-                m = gids == gid
-                if regions is not None:
-                    region = regions[int(gid)]
-                else:
-                    region = _cached_region(
-                        cache, int(gid), pdf["blob"].iloc[int(np.argmax(m))]
-                    )
-                if not isinstance(region, PolylineRegion):
+            uniq, first, inv = np.unique(
+                gids, return_index=True, return_inverse=True
+            )
+            if regions is not None:
+                regs = [regions[int(g)] for g in uniq]
+            else:
+                blobs = pdf["blob"]
+                regs = [
+                    _cached_region(cache, int(g), blobs.iloc[int(i)])
+                    for g, i in zip(uniq, first)
+                ]
+            for rg in regs:
+                if not isinstance(rg, PolylineRegion):
                     raise TypeError("map_match layers must hold PolylineRegions")
-                d[m], seg[m] = point_to_edges_chord2_argmin(p3[m], region.verts)
+            max_v = max(len(rg.verts) for rg in regs)
+            if max_v <= max_pad_verts:
+                # ONE vectorized chord2 sweep per segment slot across
+                # the whole batch: rows gather their chain's vertices
+                # from the NaN-padded (n_uniq, max_v, 3) table; padded
+                # segments yield NaN and never win the strict-< update
+                # (so ties still take the lowest segment index, exactly
+                # like point_to_edges_chord2_argmin).
+                V = np.full((len(regs), max_v, 3), np.nan)
+                for i, rg in enumerate(regs):
+                    V[i, : len(rg.verts)] = rg.verts
+                rowv = V[inv]  # (n, max_v, 3)
+                d = np.full(len(pdf), 4.0)
+                seg = np.zeros(len(pdf), dtype=np.int64)
+                with np.errstate(invalid="ignore"):
+                    for s in range(max_v - 1):
+                        ds = point_segment_chord2(
+                            p3, rowv[:, s], rowv[:, s + 1]
+                        )
+                        m = ds < d
+                        d[m] = ds[m]
+                        seg[m] = s
+            else:
+                d = np.full(len(pdf), np.inf)
+                seg = np.zeros(len(pdf), dtype=np.int64)
+                for i, gid in enumerate(uniq):
+                    m = inv == i
+                    d[m], seg[m] = point_to_edges_chord2_argmin(
+                        p3[m], regs[i].verts
+                    )
             keep = d <= limit2
             yield pd.DataFrame(
                 {

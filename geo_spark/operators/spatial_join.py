@@ -204,17 +204,30 @@ def build_layer(
     else:
         # Hundreds+ of geometries: the covering computation itself is
         # the cost (a complex region covers in ~10-30 ms) — distribute
-        # it per geometry.  The region MAP still ships in closures when
-        # small enough (the map is the input list, not the coverings).
-        covering = geoms.groupBy("geom_id").applyInPandas(cover_one, COVER_SCHEMA)
+        # it.  mapInPandas over the blob batches, NOT a per-geometry
+        # groupBy: no shuffle, and batches of geometries amortize the
+        # Arrow/pandas per-call overhead that one-row groups pay.
+        # The region MAP still ships in closures when small enough
+        # (the map is the input list, not the coverings).
+        def cover_iter(batches):
+            for pdf in batches:
+                if len(pdf):
+                    yield cover_one(pdf)
+
+        covering = _ensure_parallelism(geoms).mapInPandas(
+            cover_iter, COVER_SCHEMA
+        )
         covering = covering.persist()
-        levels = [r["level"] for r in covering.select("level").distinct().collect()]
+        # ONE metadata job: per-level counts give the level set and the
+        # total row count together (and materialize the persist).
+        lvl_rows = covering.groupBy("level").count().collect()
+        levels = [r["level"] for r in lvl_rows]
         region_map = (
             {int(g): r for g, r in regions}
             if len(regions) <= Layer.MAX_CLOSURE_GEOMS
             else None
         )
-        n_cov = covering.count()  # persisted: count is a cache scan
+        n_cov = sum(r["count"] for r in lvl_rows)
     return Layer(
         geoms,
         covering,
@@ -368,6 +381,27 @@ def _geoms_for_join(layer: Layer) -> DataFrame:
     return g
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin a DataFrame up to the session's default parallelism
+    when its plan would otherwise run on a handful of tasks.
+
+    Why: a dimension-sized parquet input (one 2 MB file = one split)
+    collapses the whole scan -> candidate-join -> Arrow-refine pipeline
+    onto ONE core — the Python refine is the expensive stage, and it
+    inherits the scan's partitioning through the broadcast join.  At
+    production partition counts (any real table has >= thousands of
+    splits) the guard makes this a no-op, so no shuffle is added where
+    the input already parallelizes."""
+    if df.isStreaming:
+        # no .rdd on streams; micro-batch parallelism is the source's
+        return df
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 <= target:
+        return df.repartition(target)
+    return df
+
+
 def _cached_region(cache: dict, gid: int, blob) -> Region:
     r = cache.get(gid)
     if r is None:
@@ -450,6 +484,7 @@ def _refine(
     their input-split partitions (broadcast blob join) or AQE splits
     the skewed ones (shuffle blob join) — never a per-geometry keyed
     group, so one dense-city geometry never pins one task."""
+    unsure = _ensure_parallelism(unsure)
     if layer.regions is not None:
         return _refine_closure(unsure, layer.regions, point_key, cell_col, carry, latlng)
     joined = unsure.join(_geoms_for_join(layer), "geom_id")
