@@ -21,9 +21,23 @@ Scale shape:
   nodes is a 1-row aggregate cross-joined (broadcast) back in — no
   ``collect`` in the loop, so the whole K-iteration plan is lazy until
   the caller acts.
-- **Flat lineage**: each iteration's rank vector is localCheckpoint-ed;
-  round cost stays constant in K (same protocol as the ring kNN loop
-  and the connected-components pointer jumping, operators/dedup.py).
+- **Lineage-cut CADENCE, not per-round driver sync**: rank vectors are
+  localCheckpoint-ed every ``lineage_cut_every`` rounds instead of every
+  round.  Under AQE even a lazy ``localCheckpoint(eager=False)``
+  materializes every shuffle stage of the plan-so-far at CALL time
+  (AdaptiveSparkPlanExec.execute() runs the stage jobs), so per-round
+  checkpoints cost one driver sync + full materialization per round.
+  Between cuts the plan nests (the rank vector is referenced twice per
+  round: contributions + dangling mass), doubling logical-plan size per
+  uncut round — and MEASUREMENT shows AQE does NOT collapse those
+  duplicated subtrees back (self-reference dedup re-aliases them), so
+  the cadence is a genuine trade: fewer driver syncs vs 2^cadence
+  duplicated work between cuts.  The measured optimum is cadence 2 for
+  the single-vector loops (pagerank/trustrank: ~1.5x faster than
+  per-round at K=3) and cadence 1 for hits (two half-steps/round make
+  anything deeper exponential) — with one JOINT cut per boundary, never
+  one per vector.  The final round is never cut (the caller's action
+  is its materialization).
 
 The fixed iteration count is a hyperparameter (rank deltas decay
 geometrically by the damping factor); convergence-threshold loops add a
@@ -44,6 +58,7 @@ def hits(
     src: str = "src",
     dst: str = "dst",
     node_key: str = "id",
+    lineage_cut_every: int = 1,
 ) -> DataFrame:
     """HITS hubs & authorities (Kleinberg 1999) with L1 normalization:
     a_k = normalize(E^T h_{k-1}), h_k = normalize(E a_k) — the
@@ -54,7 +69,11 @@ def hits(
     free and persisted; each half-step is ONE keyed shuffle
     (join on the edge key -> groupBy sum, map-side combined) plus a
     1-row normalization aggregate broadcast back; rank vectors are
-    localCheckpoint-ed so lineage stays flat across iterations.
+    lineage-cut every ``lineage_cut_every`` rounds (module docstring) —
+    cadence 1 here (one JOINT hub+auth cut per round, still half the
+    old two-checkpoints-per-round protocol) because each round
+    references the previous vector through two half-steps: 4x plan
+    growth per uncut round, measured exponential past cadence 1.
     Returns (node_key, hub, auth); isolated nodes score 0.0."""
     n = nodes.count()
     e = (
@@ -64,10 +83,10 @@ def hits(
         .persist()
     )
     ids = nodes.select(F.col(node_key).alias("_id"))
-    hub = ids.withColumn("_h", F.lit(1.0 / n)).localCheckpoint()
-    auth = ids.withColumn("_a", F.lit(0.0)).localCheckpoint()
+    hub = ids.withColumn("_h", F.lit(1.0 / n))
+    auth = ids.withColumn("_a", F.lit(0.0))
 
-    for _ in range(iterations):
+    for _i in range(iterations):
         araw = (
             e.join(hub, F.col("_src") == F.col("_id"))
             .groupBy("_dst")
@@ -83,7 +102,6 @@ def hits(
                 "_id",
                 (F.coalesce(F.col("_ar"), F.lit(0.0)) / F.col("_t")).alias("_a"),
             )
-            .localCheckpoint()
         )
         hraw = (
             e.join(auth, F.col("_dst") == F.col("_id"))
@@ -100,8 +118,14 @@ def hits(
                 "_id",
                 (F.coalesce(F.col("_hr"), F.lit(0.0)) / F.col("_t")).alias("_h"),
             )
-            .localCheckpoint()
         )
+        if (_i + 1) % lineage_cut_every == 0 and (_i + 1) < iterations:
+            # cut ONE joined frame and re-project: hub's plan embeds
+            # auth's, so cutting them separately would materialize the
+            # chain twice (the weighted_distances merge-cut pattern)
+            both = hub.join(auth, "_id").localCheckpoint()
+            hub = both.select("_id", "_h")
+            auth = both.select("_id", "_a")
     e.unpersist()
     return (
         hub.join(auth, "_id")
@@ -122,6 +146,7 @@ def pagerank(
     dst: str = "dst",
     node_key: str = "id",
     tol: float | None = None,
+    lineage_cut_every: int = 2,
 ) -> DataFrame:
     """(node_key, rank) after ``iterations`` power steps of
     rank = (1-d)/N + d * (in-contributions + dangling_mass/N).
@@ -130,7 +155,14 @@ def pagerank(
     is rank recycling, not linking).  ``nodes`` fixes the vertex set —
     isolated nodes keep receiving the teleport share.  With ``tol``
     set, iteration stops early once the L1 rank delta falls below it
-    (costs one driver action per iteration)."""
+    (costs one driver action per iteration, and the rank vector is
+    then checkpointed every round — the delta collect materializes it
+    anyway).  Without ``tol``, lineage is cut only every
+    ``lineage_cut_every`` rounds (module docstring).  Cadence 2
+    measured fastest (200k nodes, 600k edges, local[8], K=3: 5.9-6.8s
+    vs 8.5-9.9s per-round vs 13.2s fully lazy — the rank vector is
+    referenced twice per round and the duplicated subtrees do NOT
+    collapse via exchange reuse, so deeper nesting loses)."""
     n = nodes.count()
     e = (
         edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
@@ -141,7 +173,7 @@ def pagerank(
     fused = e.join(outdeg, "_src").persist()
 
     ids = nodes.select(F.col(node_key).alias("_id"))
-    ranks = ids.withColumn("_rank", F.lit(1.0 / n)).localCheckpoint()
+    ranks = ids.withColumn("_rank", F.lit(1.0 / n))
     # the zero-outlink node set is static — compute it once; each
     # iteration then reads the dangling mass with a broadcast semi-join
     # instead of a fresh anti-join shuffle against the rank vector
@@ -149,7 +181,7 @@ def pagerank(
         outdeg, F.col("_id") == F.col("_src"), "left_anti"
     ).persist()
 
-    for _ in range(iterations):
+    for _i in range(iterations):
         contrib = (
             fused.join(ranks, F.col("_src") == F.col("_id"))
             .groupBy("_dst")
@@ -173,9 +205,9 @@ def pagerank(
                     )
                 ).alias("_rank"),
             )
-            .localCheckpoint()
         )
         if tol is not None:
+            new_ranks = new_ranks.localCheckpoint()
             delta = (
                 new_ranks.join(
                     ranks.withColumnRenamed("_rank", "_prev"), "_id"
@@ -187,6 +219,8 @@ def pagerank(
             if delta is not None and delta < tol:
                 break
         else:
+            if (_i + 1) % lineage_cut_every == 0 and (_i + 1) < iterations:
+                new_ranks = new_ranks.localCheckpoint()
             ranks = new_ranks
     fused.unpersist()
     dangling_ids.unpersist()
@@ -205,6 +239,7 @@ def trustrank(
     dst: str = "dst",
     node_key: str = "id",
     seed_key: str = "id",
+    lineage_cut_every: int = 2,
 ) -> DataFrame:
     """(node_key, trust): personalized PageRank with the teleport
     vector restricted to a vetted seed set (TrustRank, Gyongyi/
@@ -216,8 +251,9 @@ def trustrank(
 
     Same scale discipline as :func:`pagerank` — one keyed shuffle per
     iteration over the fused edge table, dangling mass as a broadcast
-    1-row aggregate, flat lineage; v rides in the node table (computed
-    once), so personalization adds NO per-iteration cost."""
+    1-row aggregate, lineage cut every ``lineage_cut_every`` rounds;
+    v rides in the node table (computed once), so personalization adds
+    NO per-iteration cost."""
     ns = seeds.count()
     e = (
         edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
@@ -239,12 +275,12 @@ def trustrank(
         )
         .persist()
     )
-    ranks = ids.select("_id", F.col("_v").alias("_rank")).localCheckpoint()
+    ranks = ids.select("_id", F.col("_v").alias("_rank"))
     dangling_ids = ids.select("_id").join(
         outdeg, F.col("_id") == F.col("_src"), "left_anti"
     ).persist()
 
-    for _ in range(iterations):
+    for _i in range(iterations):
         contrib = (
             fused.join(ranks, F.col("_src") == F.col("_id"))
             .groupBy("_dst")
@@ -268,8 +304,9 @@ def trustrank(
                     )
                 ).alias("_rank"),
             )
-            .localCheckpoint()
         )
+        if (_i + 1) % lineage_cut_every == 0 and (_i + 1) < iterations:
+            ranks = ranks.localCheckpoint()
     fused.unpersist()
     dangling_ids.unpersist()
     ids.unpersist()

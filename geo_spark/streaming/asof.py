@@ -9,7 +9,13 @@ fact's — because a backward as-of match can only ever be the newest
 dimension row at or before the probe, and probes only move forward.
 Out-of-order arrivals need watermark-delayed emission (documented
 non-goal here; batch asof_join is the replay path for late data, the
-same batch-fallback rule streaming/spacetime.py states).
+same batch-fallback rule streaming/spacetime.py states).  The
+contract is ENFORCED, not assumed: state carries the per-key
+processed-row ts high-water mark (over facts AND dims), and any row
+arriving below it raises (failing the query) instead of silently
+enriching against a stale dimension.  Within the allowed arrivals the
+stored dim still never regresses, and the equal-ts greatest-value
+tiebreak holds across batch boundaries.
 
 Within a micro-batch, arrival order is irrelevant: both sides are
 sorted by (ts, side, tiebreak) and swept with a vectorized
@@ -27,7 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-STATE_SCHEMA = "rts long, rval long"
+STATE_SCHEMA = "rts long, rval long, hw long"
 
 
 def stream_asof_enrich(
@@ -71,6 +77,39 @@ def stream_asof_enrich(
         skey: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         batch = pd.concat(list(pdfs))
+        sts = sval = hw = None
+        if state.exists:
+            sts, sval, hw = state.get
+        first_ts = int(batch["_ts"].min())
+        last_ts = int(batch["_ts"].max())
+        if hw is not None and first_ts < hw:
+            raise ValueError(
+                f"stream_asof_enrich: out-of-order row for key "
+                f"{skey[0]!r}: ts {first_ts} below the processed "
+                f"high-water mark {hw} — late data must replay through "
+                f"the batch asof_join"
+            )
+        # the stored dim enters the sweep as a VIRTUAL row: the sort
+        # below then applies the batch operator's exact ordering to it
+        # (incl. the equal-ts greatest-value tiebreak against in-batch
+        # dims — stored ts <= batch min ts, so ties are the only
+        # overlap), and the last dim in sorted order is the state to
+        # carry forward (never regresses by construction)
+        if sts is not None:
+            batch = pd.concat(
+                [
+                    pd.DataFrame(
+                        {
+                            key: [skey[0]],
+                            "_ts": [sts],
+                            "_side": [0],
+                            "_id": [None],
+                            "_val": [sval],
+                        }
+                    ),
+                    batch,
+                ]
+            )
         # total order: ts, then dims before facts, then value (so the
         # greatest tied dim value is the one carried at the probe)
         batch = batch.sort_values(
@@ -83,18 +122,14 @@ def stream_asof_enrich(
         rval[~is_dim] = np.nan
         carried_ts = pd.Series(rts).ffill()
         carried_val = pd.Series(rval).ffill()
-        if state.exists:
-            sts, sval = state.get
-            carried_ts = carried_ts.fillna(float(sts))
-            carried_val = carried_val.fillna(float(sval))
         # persist the newest dim row (state survives dim-less batches)
         if is_dim.any():
             last = np.where(is_dim)[0][-1]
-            state.update(
-                (int(batch["_ts"].iloc[last]), int(batch["_val"].iloc[last]))
-            )
-        elif state.exists:
-            state.update(tuple(state.get))
+            sts = int(batch["_ts"].iloc[last])
+            sval = int(batch["_val"].iloc[last])
+        state.update(
+            (sts, sval, last_ts if hw is None else max(hw, last_ts))
+        )
         facts_mask = ~is_dim
         out = pd.DataFrame(
             {

@@ -15,6 +15,11 @@ INSIDE a micro-batch is irrelevant because the batch is sorted before
 the sweep.  Re-fetches of one url within a batch each get a status
 against the running fingerprint, exactly as if they had arrived in
 separate batches — the property the drained-equivalence test pins.
+
+The contract is ENFORCED, not assumed: state carries the per-url ts
+high-water mark, and a fetch arriving below it raises (failing the
+query) instead of silently mis-sequencing the fingerprint chain —
+late data replays through the batch snapshot_diff.
 """
 
 from __future__ import annotations
@@ -26,7 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-STATE_SCHEMA = "fp string"
+STATE_SCHEMA = "fp string, hw long"
 
 
 def stream_change_detect(
@@ -54,7 +59,14 @@ def stream_change_detect(
         batch = pd.concat(list(pdfs)).sort_values(
             ["ts_us", "fp"], kind="mergesort"
         )
-        prev = state.get[0] if state.exists else None
+        prev, hw = state.get if state.exists else (None, None)
+        if hw is not None and int(batch["ts_us"].iloc[0]) < hw:
+            raise ValueError(
+                f"stream_change_detect: out-of-order fetch for url "
+                f"{key[0]!r}: ts {int(batch['ts_us'].iloc[0])} below the "
+                f"processed high-water mark {hw} — late data must replay "
+                f"through the batch snapshot_diff"
+            )
         statuses = []
         for fp in batch["fp"]:
             if prev is None:
@@ -68,7 +80,8 @@ def stream_change_detect(
         out["status"] = statuses
         # fp is cast to string upstream, so prev is already str (or
         # None for a null fingerprint, which 'fp string' accepts).
-        state.update((prev,))
+        new_hw = int(batch["ts_us"].iloc[-1])
+        state.update((prev, new_hw if hw is None else max(hw, new_hw)))
         yield out
 
     return src.groupBy("url").applyInPandasWithState(

@@ -7,8 +7,11 @@ tracks the per-user last zone — ONE (ts, zone) row of state per user,
 exact under the same in-order contract streaming/asof.py states
 (within a user, no event arrives with a timestamp below an already
 processed one; within a micro-batch, arrival order is irrelevant
-because the batch is sorted before the sweep).  Late data replays
-through the batch operator.
+because the batch is sorted before the sweep).  The contract is
+ENFORCED: an event arriving below the stored last-event timestamp
+raises (failing the query) instead of silently fabricating a
+crossing against the wrong previous zone — late data replays through
+the batch operator.
 """
 
 from __future__ import annotations
@@ -52,7 +55,15 @@ def stream_zone_crossings(
         zones = batch["zone"].tolist()
         prev = [None] + zones[:-1]
         if state.exists:
-            _, _, lzone = state.get
+            lts, _, lzone = state.get
+            first_ts = int(batch["ts_us"].iloc[0])
+            if first_ts < lts:
+                raise ValueError(
+                    f"stream_zone_crossings: out-of-order event for user "
+                    f"{key[0]!r}: ts {first_ts} below the processed "
+                    f"high-water mark {lts} — late data must replay "
+                    f"through the batch zone_crossings"
+                )
             prev[0] = lzone
         mask = [
             p is not None and p != z for p, z in zip(prev, zones)

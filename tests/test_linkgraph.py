@@ -517,3 +517,60 @@ def test_resolve_redirects_chain_cycle_feeder(spark):
         for r in resolve_redirects(edf, rounds=3).collect()
     }
     assert got3[20] == (27, 7, True)
+
+
+def test_pagerank_lineage_cut_cadence_bounds_construction_jobs(spark):
+    """Pin the lineage-cut-cadence contract (round-3 verdict task #4):
+    building a K-iteration plan with no cut due (final round never
+    cut) launches only the setup jobs (the node/seed-count
+    aggregates), independent of K — no per-round driver sync.  Above
+    the cadence, job count grows with the number of CUTS, each cut's
+    job cost bounded (not exponential in K)."""
+    from geo_spark.operators.linkgraph import hits, trustrank
+
+    sc = spark.sparkContext
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "id long")
+
+    probe_seq = [0]
+
+    def jobs_during(f):
+        # NOT id(f): a GC'd lambda's address is reused by the next one,
+        # colliding the job-group names and merging both runs' counts
+        probe_seq[0] += 1
+        group = f"plan-jobs-{probe_seq[0]}"
+        sc.setJobGroup(group, "plan construction probe")
+        try:
+            f()
+        finally:
+            sc.setJobGroup(None, None)
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    # no cut due (K <= cadence, or only the skipped final-round cut):
+    # constant setup-only job count, independent of K
+    for op, kw, lo, hi in [
+        (pagerank, {}, 1, 2),            # cadence 2: K=2's round-2 cut is
+        (trustrank, {"seeds": nodes.limit(2)}, 1, 2),  # final -> skipped
+        (hits, {}, 1, 1),                # cadence 1: K=1 has no mid round
+    ]:
+        j_lo = jobs_during(lambda: op(edges, nodes, iterations=lo, **kw))
+        j_hi = jobs_during(lambda: op(edges, nodes, iterations=hi, **kw))
+        assert j_hi == j_lo, (
+            f"{op.__name__}: {j_lo} jobs at K={lo} vs {j_hi} at K={hi}"
+        )
+        assert j_lo <= 3, f"{op.__name__}: {j_lo} setup jobs at K={lo}"
+
+    # above the cadence: pagerank K=4 runs one mid-loop cut (round 2),
+    # K=6 runs two (rounds 2, 4; final round never cut).  Each cut's
+    # job cost is bounded — job count is linear in cuts, not in K and
+    # not exponential in plan depth.
+    j2 = jobs_during(lambda: pagerank(edges, nodes, iterations=2))
+    j4 = jobs_during(lambda: pagerank(edges, nodes, iterations=4))
+    j6 = jobs_during(lambda: pagerank(edges, nodes, iterations=6))
+    assert j4 > j2, "expected one cut's jobs at K=4"
+    assert j4 - j2 <= 40, f"K=4 ran {j4 - j2} extra jobs — more than one cut"
+    assert j6 - j4 <= (j4 - j2) + 6, (
+        f"second cut cost {j6 - j4} jobs vs first {j4 - j2} — growing per cut"
+    )
