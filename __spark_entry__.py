@@ -590,6 +590,118 @@ def _oracle_loop_pip_join() -> str:
     """
 
 
+# Zipfian PIP fixture for q_salted_pip_join: 70% of events land in one
+# 0.05-degree patch inside loop 21 (lat 39.0..39.05, lng -75.0..-74.95)
+# — a single hot covering cell — the rest spread over the globe.  Pure
+# integer mods + ONE float division per coordinate, so DuckDB replays
+# the derivation bit-for-bit; the 0.0005 offsets keep spread points off
+# the loops' vertex lat/lng grid.
+_ZIPF_LAT_SQL = (
+    "CASE WHEN {id} % 10 < 7"
+    " THEN 39.0 + (({id} * 37) % 1000) / 20000.0"
+    " ELSE -59.9995 + (({id} * 397) % 120000) / 1000.0 END"
+)
+_ZIPF_LNG_SQL = (
+    "CASE WHEN {id} % 10 < 7"
+    " THEN -75.0 + (({id} * 61) % 1000) / 20000.0"
+    " ELSE -179.9995 + (({id} * 683) % 360000) / 1000.0 END"
+)
+
+
+def _zipf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geo_spark.functions.s2 import s2_cellid
+
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    ev = ev.selectExpr(
+        "event_id",
+        _ZIPF_LAT_SQL.format(id="event_id") + " AS lat",
+        _ZIPF_LNG_SQL.format(id="event_id") + " AS lng",
+    )
+    return ev.withColumn("cell_id", s2_cellid(F.col("lat"), F.col("lng")))
+
+
+def _q_salted_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """auto_salt_layer as a CONTRACT (round-3 verdict #10): the PIP join
+    of q_loop_pip_join run against a genuinely Zipfian point set — 70%
+    of events in one 0.05-degree patch, so one covering cell of loop 21
+    holds ~70% of all candidates.  auto_salt_layer measures the hot-cell
+    histogram against THIS distribution and splits the hot cells before
+    the join; the query RAISES if no cell tripped the skew valve (the
+    fixture must actually exercise the salted path, not just compile
+    it).  The oracle is salt-blind: the same convex-plane containment
+    SQL as q_loop_pip_join over the replayed Zipfian coordinates —
+    salting only fans out the shuffle key-space, never the result
+    (split children cover exactly the parent's leaves)."""
+    from geo_spark.kernel.pip import latlng_text_to_xyz
+    from geo_spark.kernel.regions import LoopRegion
+    from geo_spark.operators.spatial_join import (
+        auto_salt_layer,
+        build_layer,
+        spatial_join,
+    )
+
+    layer = build_layer(
+        spark,
+        [
+            (g, LoopRegion.from_vertices(latlng_text_to_xyz(t)))
+            for g, t in _PIP_LOOPS
+        ],
+        max_cells=12,
+    )
+    ev = _zipf_events(spark, sf_dir)
+    salted, hot = auto_salt_layer(ev, layer)
+    if not hot:
+        raise AssertionError(
+            "q_salted_pip_join: the Zipfian fixture tripped no hot cell — "
+            "the salted join path is not being exercised"
+        )
+    joined = spatial_join(
+        ev, salted, point_key="event_id", latlng=("lat", "lng")
+    )
+    return (
+        joined.groupBy("geom_id")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("event_id").alias("min_event"),
+        )
+        .orderBy("geom_id")
+    )
+
+
+def _oracle_salted_pip_join() -> str:
+    """Salt-blind convex-loop PIP over the replayed Zipfian fixture."""
+    import numpy as np
+
+    from geo_spark.kernel.pip import latlng_text_to_xyz
+
+    lat = _ZIPF_LAT_SQL.format(id="event_id")
+    lng = _ZIPF_LNG_SQL.format(id="event_id")
+    rows = []
+    for g, t in _PIP_LOOPS:
+        v = latlng_text_to_xyz(t)
+        for k in range(len(v)):
+            n = np.cross(v[k], v[(k + 1) % len(v)])
+            rows.append(
+                f"({g}, {float(n[0])!r}, {float(n[1])!r}, {float(n[2])!r})"
+            )
+    norms = ", ".join(rows)
+    return f"""
+        WITH pts AS (SELECT event_id, {lat} AS lat, {lng} AS lng FROM events),
+        xyz AS (SELECT event_id,
+                       cos(radians(lng))*cos(radians(lat)) AS x,
+                       sin(radians(lng))*cos(radians(lat)) AS y,
+                       sin(radians(lat)) AS z
+                FROM pts),
+        norms(geom_id, nx, ny, nz) AS (VALUES {norms}),
+        hits AS (SELECT geom_id, event_id
+                 FROM xyz, norms
+                 GROUP BY geom_id, event_id
+                 HAVING MIN(nx*x + ny*y + nz*z) > 0)
+        SELECT geom_id, COUNT(*) AS cnt, MIN(event_id) AS min_event
+        FROM hits GROUP BY geom_id ORDER BY geom_id
+    """
+
+
 def _q_trajectory_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user event trails x region boundaries — the CrossingEdgeQuery
     analog: which trajectories cross which loop boundaries, how often.
@@ -12617,6 +12729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rect_distance_buckets": _q_rect_distance_buckets,
         "q_rect_hausdorff_buckets": _q_rect_hausdorff_buckets,
         "q_loop_pip_join": _q_loop_pip_join,
+        "q_salted_pip_join": _q_salted_pip_join,
         "q_knn_cities": _q_knn_cities,
         "q_idw_grid": _q_idw_grid,
         "q_knn_ring_events": _q_knn_ring_events,
@@ -12808,6 +12921,7 @@ def oracle_sql() -> dict[str, str]:
         "q_rect_distance_buckets": _oracle_rect_distance_buckets(),
         "q_rect_hausdorff_buckets": _oracle_rect_hausdorff_buckets(),
         "q_loop_pip_join": _oracle_loop_pip_join(),
+        "q_salted_pip_join": _oracle_salted_pip_join(),
         "q_polygon_polygon_join": _oracle_polygon_polygon_join(),
         "q_knn_cities": _oracle_knn_cities(),
         "q_idw_grid": _oracle_idw_grid(),
