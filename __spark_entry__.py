@@ -7677,6 +7677,52 @@ def _oracle_rank_fusion() -> str:
     """
 
 
+def _q_stratum_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum Borda fusion (sampling.stratified_rank_fusion): the
+    q_rank_fusion signals ranked WITHIN each document source — the
+    mixture-pipeline shape (a doc competes against its own stratum;
+    strata rank in parallel, no global sort).  Oracle: the same two
+    dense ranks with PARTITION BY source."""
+    from geo_spark.operators.sampling import stratified_rank_fusion
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = docs.select(
+        "doc_id",
+        F.col("source"),
+        F.col("n_chars").cast("long").alias("len_sig"),
+        F.expr(
+            "CAST((length(text) - length(replace(text, ' ', '')))"
+            " * 10000L div greatest(length(text), 1) AS BIGINT)"
+        ).alias("space_sig"),
+    )
+    return stratified_rank_fusion(
+        sig, {"len_sig": True, "space_sig": False}, stratum_col="source"
+    ).orderBy("doc_id")
+
+
+def _oracle_stratum_rank_fusion() -> str:
+    return """
+        WITH sig AS (
+          SELECT doc_id, source, CAST(n_chars AS BIGINT) AS len_sig,
+                 CAST((length(text) - length(replace(text, ' ', '')))
+                      * 10000 // greatest(length(text), 1) AS BIGINT)
+                   AS space_sig
+          FROM documents),
+        r AS (
+          SELECT doc_id, source,
+                 CAST(dense_rank() OVER (PARTITION BY source
+                                         ORDER BY len_sig DESC) AS BIGINT)
+                   AS rank_len_sig,
+                 CAST(dense_rank() OVER (PARTITION BY source
+                                         ORDER BY space_sig ASC) AS BIGINT)
+                   AS rank_space_sig
+          FROM sig)
+        SELECT doc_id, source, rank_len_sig + rank_space_sig AS fused,
+               rank_len_sig, rank_space_sig
+        FROM r ORDER BY doc_id
+    """
+
+
 def _q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC merge (operators/cdc.py:cdc_apply): the documents snapshot
     plus a synthesized change stream — upserts at ts = id%7+1 for
@@ -12781,6 +12827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cluster_canon": _q_cluster_canon,
         "q_cdc_apply": _q_cdc_apply,
         "q_rank_fusion": _q_rank_fusion,
+        "q_stratum_rank_fusion": _q_stratum_rank_fusion,
         "q_isochrone_tiles": _q_isochrone_tiles,
         "q_kcenter_coreset": _q_kcenter_coreset,
         "q_coreset_coverage": _q_coreset_coverage,
@@ -12974,6 +13021,7 @@ def oracle_sql() -> dict[str, str]:
         "q_cluster_canon": _oracle_cluster_canon(),
         "q_cdc_apply": _oracle_cdc_apply(),
         "q_rank_fusion": _oracle_rank_fusion(),
+        "q_stratum_rank_fusion": _oracle_stratum_rank_fusion(),
         "q_isochrone_tiles": _oracle_isochrone_tiles(),
         "q_kcenter_coreset": _oracle_kcenter_coreset(),
         "q_coreset_coverage": _oracle_coreset_coverage(),

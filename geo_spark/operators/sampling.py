@@ -337,3 +337,40 @@ def rank_fusion(
     for rc in rank_cols:
         fused = F.col(rc) if fused is None else fused + F.col(rc)
     return out.select(key, fused.alias("fused"), *rank_cols)
+
+
+def stratified_rank_fusion(
+    df: DataFrame,
+    signals: dict[str, bool],
+    stratum_col: str,
+    key: str = "doc_id",
+) -> DataFrame:
+    """(key, stratum, fused, *ranks): :func:`rank_fusion` with every
+    dense rank computed WITHIN a stratum (language, domain bucket,
+    source) — the 100-TB shape the global variant's docstring points
+    to, and the semantically right one for mixture pipelines: a
+    document competes against its own stratum (ranking a Python file
+    against English prose by length is meaningless), and selection
+    quotas are per-stratum anyway (:func:`stratified_sample`).
+
+    Scale shape: each rank is one hash-partitioned sort-window per
+    signal — strata rank in parallel, no global sort, no single
+    partition ever holds more than a stratum.  Skew note: one giant
+    stratum degenerates to the global variant's cost for ITS rows
+    only; pre-split hot strata upstream if that matters."""
+    out = df
+    rank_cols = []
+    for col, higher in signals.items():
+        rc = f"rank_{col}"
+        order = F.col(col).desc() if higher else F.col(col).asc()
+        out = out.withColumn(
+            rc,
+            F.dense_rank()
+            .over(Window.partitionBy(stratum_col).orderBy(order))
+            .cast("long"),
+        )
+        rank_cols.append(rc)
+    fused = None
+    for rc in rank_cols:
+        fused = F.col(rc) if fused is None else fused + F.col(rc)
+    return out.select(key, stratum_col, fused.alias("fused"), *rank_cols)

@@ -147,3 +147,52 @@ def test_rank_fusion(spark):
         2: (4, 3, 1),
         3: (4, 2, 2),
     }
+
+
+def test_stratified_rank_fusion(spark):
+    from geo_spark.operators.sampling import (
+        rank_fusion,
+        stratified_rank_fusion,
+    )
+
+    rows = [
+        # stratum 'a': lengths 100, 10; nll 5.0, 1.0
+        (0, "a", 100, 5.0),
+        (1, "a", 10, 1.0),
+        # stratum 'b': lengths 60, 60, 20 (tie); nll 2.0, 4.0, 2.0
+        (2, "b", 60, 2.0),
+        (3, "b", 60, 4.0),
+        (4, "b", 20, 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, src string, length long, nll double"
+    )
+    got = {
+        r["doc_id"]: (r["src"], r["fused"], r["rank_length"], r["rank_nll"])
+        for r in stratified_rank_fusion(
+            df, {"length": True, "nll": False}, stratum_col="src"
+        ).collect()
+    }
+    # ranks never cross strata: doc 4 (length 20) ranks 2 in 'b', not 3
+    # globally; doc 1 (length 10) ranks 2 in 'a'
+    assert got == {
+        0: ("a", 3, 1, 2),
+        1: ("a", 3, 2, 1),
+        2: ("b", 2, 1, 1),
+        3: ("b", 3, 1, 2),
+        4: ("b", 3, 2, 1),
+    }
+
+    # single-stratum degeneration: equals the global operator
+    one = df.withColumn("src", df.src.substr(0, 0))  # all-empty stratum
+    glob = {
+        r["doc_id"]: (r["fused"], r["rank_length"], r["rank_nll"])
+        for r in rank_fusion(df, {"length": True, "nll": False}).collect()
+    }
+    strat = {
+        r["doc_id"]: (r["fused"], r["rank_length"], r["rank_nll"])
+        for r in stratified_rank_fusion(
+            one, {"length": True, "nll": False}, stratum_col="src"
+        ).collect()
+    }
+    assert strat == glob
