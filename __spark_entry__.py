@@ -10550,6 +10550,76 @@ def _q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+_SEMDEDUP_THR = 0.40  # populated sim range on the synthetic embeddings
+# (24 in-cluster pairs at sf0.01, closest sim 7.3e-4 away — 9 orders
+# above cross-engine float noise, so the pair SET is engine-stable)
+
+
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (similarity.semantic_dedup, Abbas et al. 2023):
+    k-means clusters -> in-cluster native-cosine pair join ->
+    connected components -> keep min id per component.  The oracle
+    composes the shared Lloyd CTE chain with an UNNEST'd-dim cosine
+    pair join and the recursive-CTE reachability twin — all three
+    stages re-derived relationally, none reusing engine code."""
+    from geo_spark.operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = semantic_dedup(
+        emb,
+        "vec_id",
+        "embedding",
+        threshold=_SEMDEDUP_THR,
+        kc=_KM_KC,
+        iters=_KM_ITERS,
+    )
+    return out.select(
+        "vec_id",
+        F.col("cidx").cast("long").alias("cidx"),
+        "rep",
+        "keep",
+    ).orderBy("vec_id")
+
+
+def _oracle_semantic_dedup() -> str:
+    with_block, final = _kmeans_cte(_KM_KC, _KM_ITERS)
+    with_block = with_block.replace("WITH ux", "WITH RECURSIVE ux", 1)
+    return f"""{with_block},
+        nrm AS (SELECT vec_id,
+                       sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                         AS nv
+                FROM ux GROUP BY vec_id),
+        pp AS (SELECT a.vec_id AS da, b.vec_id AS db,
+                      sum(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE))
+                        AS dot
+               FROM ux a JOIN ux b USING (dim)
+               JOIN {final} ca ON ca.vec_id = a.vec_id
+               JOIN {final} cb ON cb.vec_id = b.vec_id
+                              AND cb.cidx = ca.cidx
+               WHERE a.vec_id < b.vec_id
+               GROUP BY 1, 2),
+        prs AS (SELECT da, db FROM pp
+                JOIN nrm na ON na.vec_id = da
+                JOIN nrm nb ON nb.vec_id = db
+                WHERE dot / (na.nv * nb.nv) >= {_SEMDEDUP_THR!r}),
+        e AS (SELECT da AS u, db AS v FROM prs
+              UNION SELECT db, da FROM prs),
+        reach(u, v) AS (
+          SELECT u, v FROM e
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+        ),
+        comp AS (
+          SELECT u AS id, least(u, MIN(v)) AS rep FROM reach GROUP BY u
+        )
+        SELECT a.vec_id, CAST(a.cidx AS BIGINT) AS cidx,
+               COALESCE(c.rep, a.vec_id) AS rep,
+               (COALESCE(c.rep, a.vec_id) = a.vec_id) AS keep
+        FROM {final} a LEFT JOIN comp c ON c.id = a.vec_id
+        ORDER BY a.vec_id
+    """
+
+
 def _kmeans_cte(kc: int, iters: int) -> tuple[str, str]:
     """(with_block, final_table): the unrolled Lloyd CTE chain shared
     by every kmeans-based oracle."""
@@ -12914,6 +12984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_geo_sessions": _q_geo_sessions,
         "q_event_asof": _q_event_asof,
         "q_embed_kmeans": _q_embed_kmeans,
+        "q_semantic_dedup": _q_semantic_dedup,
         "q_cluster_balanced_sample": _q_cluster_balanced_sample,
         "q_click_conversion": _q_click_conversion,
         "q_price_range_join": _q_price_range_join,
@@ -13051,6 +13122,7 @@ def oracle_sql() -> dict[str, str]:
         "q_geo_sessions": _oracle_geo_sessions(),
         "q_event_asof": _oracle_event_asof(),
         "q_embed_kmeans": _oracle_embed_kmeans(),
+        "q_semantic_dedup": _oracle_semantic_dedup(),
         "q_cluster_balanced_sample": _oracle_cluster_balanced_sample(),
         "q_click_conversion": _oracle_click_conversion(),
         "q_price_range_join": _oracle_price_range_join(),

@@ -682,3 +682,89 @@ def hard_negatives(
             )
 
     return src.mapInPandas(fn, schema)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    kc: int = 8,
+    iters: int = 2,
+    shift: float = 1.0,
+    scale: float = 1_000_000.0,
+) -> DataFrame:
+    """(id, cidx, rep, keep): SemDeDup (Abbas et al. 2023,
+    arXiv:2303.09540) — semantic near-duplicate removal over an
+    embedding column.  K-means-cluster the embedding space, search
+    cosine near-dup pairs ONLY within a cluster (the clustering is
+    what makes the pair search tractable: expected cluster size n/k
+    turns all-pairs n^2 into ~n^2/k), resolve the pair graph into
+    components, keep the minimum id per component.
+
+    Scale shape: the in-cluster pair search is a plain cidx equi-join
+    with NATIVE cosine (zip_with dot product over precomputed norms —
+    no UDF, no Arrow hop), so AQE's skew-join split handles a hot
+    cluster; component resolution is dedup_clusters (min-label +
+    pointer jumping, O(log diameter) rounds).  k is the quadratic
+    valve — size it so n/k stays joinable; for corpora where even
+    n^2/k is too big, generate in-cluster candidates with
+    cosine_near_dup_pairs(method='lsh') per cluster instead and feed
+    the same resolution.
+
+    ``keep`` marks the component representative (singletons keep
+    themselves); downstream filters on it.  Quantization contract
+    (shift/scale) as in kmeans_embed."""
+    from geo_spark.operators.dedup import dedup_clusters
+    from geo_spark.operators.kmeans import kmeans_embed
+
+    asg = kmeans_embed(df, id_col, vec_col, kc, iters, shift, scale)
+    vecs = df.select(
+        F.col(id_col).alias("_vid"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).withColumn(
+        "_nrm",
+        F.sqrt(
+            F.aggregate(
+                F.zip_with("_v", "_v", lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        ),
+    )
+    withc = asg.select(F.col(id_col).alias("_vid"), "cidx").join(vecs, "_vid")
+    a = withc.select(
+        "cidx",
+        F.col("_vid").alias("da"),
+        F.col("_v").alias("_va"),
+        F.col("_nrm").alias("_na"),
+    )
+    b = withc.select(
+        "cidx",
+        F.col("_vid").alias("db"),
+        F.col("_v").alias("_vb"),
+        F.col("_nrm").alias("_nb"),
+    )
+    sim = F.aggregate(
+        F.zip_with("_va", "_vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    ) / (F.col("_na") * F.col("_nb"))
+    pairs = (
+        a.join(b, "cidx")
+        .where(F.col("da") < F.col("db"))
+        .withColumn("sim", sim)
+        .where(F.col("sim") >= threshold)
+        .select("da", "db")
+    )
+    comps = dedup_clusters(pairs, docs=df, key=id_col)
+    return (
+        asg.select(id_col, "cidx")
+        .join(comps, id_col)
+        .select(
+            id_col,
+            "cidx",
+            "rep",
+            (F.col("rep") == F.col(id_col)).alias("keep"),
+        )
+    )

@@ -853,3 +853,53 @@ def test_dup_spans_then_remove_round_trip(spark, docs):
         keep.append(t[p - 1 :])
         want = "".join(keep)
         assert cleaned[did] == (want, len(t) - len(want)), did
+
+
+def test_semantic_dedup_planted_groups(spark):
+    """SemDeDup end-to-end on planted duplicate groups: three tight
+    bundles of near-identical vectors plus isolated singletons —
+    every bundle collapses to its min id, singletons keep themselves,
+    and the survivor set is exactly one doc per semantic group."""
+    import numpy as np
+
+    from geo_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(7)
+    rows = []
+    vid = 0
+    bundles = []
+    for _ in range(3):  # 3 bundles of 4 near-dups each
+        base = rng.normal(size=16)
+        base /= np.linalg.norm(base)
+        ids = []
+        for _ in range(4):
+            v = base + rng.normal(scale=1e-3, size=16)
+            rows.append((vid, [float(x) for x in v]))
+            ids.append(vid)
+            vid += 1
+        bundles.append(ids)
+    singles = []
+    for _ in range(6):  # isolated vectors
+        v = rng.normal(size=16)
+        v /= np.linalg.norm(v)
+        rows.append((vid, [float(x) for x in v]))
+        singles.append(vid)
+        vid += 1
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    out = {
+        r["vec_id"]: (r["rep"], r["keep"])
+        for r in semantic_dedup(
+            df, "vec_id", "embedding", threshold=0.98, kc=4, iters=2
+        ).collect()
+    }
+    assert len(out) == len(rows)
+    for ids in bundles:
+        rep = min(ids)
+        for i in ids:
+            assert out[i] == (rep, i == rep), (i, out[i])
+    for i in singles:
+        assert out[i] == (i, True), (i, out[i])
+    kept = sorted(i for i, (_, k) in out.items() if k)
+    assert kept == sorted([min(b) for b in bundles] + singles)
