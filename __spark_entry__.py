@@ -4667,6 +4667,56 @@ def _oracle_unigram_nll() -> str:
     """
 
 
+def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (text.dsir_weights): every document
+    scored by log p_target - log p_source under joint-vocabulary
+    Laplace unigram models, target = the src1/src2 exemplar subset,
+    source = the whole corpus.  Fixed-point-per-word integer sums
+    (the unigram_nll float discipline), so the oracle matches
+    bitwise."""
+    from geo_spark.operators.text import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.where(F.col("source").isin("src1", "src2"))
+    return dsir_weights(docs, target).orderBy("doc_id")
+
+
+def _oracle_dsir_weights() -> str:
+    return """
+        WITH words AS (
+          SELECT doc_id, w
+          FROM documents,
+               UNNEST(list_filter(string_split_regex(text, ' +'),
+                                  x -> length(x) > 0)) AS t(w)),
+        twords AS (
+          SELECT w
+          FROM documents,
+               UNNEST(list_filter(string_split_regex(text, ' +'),
+                                  x -> length(x) > 0)) AS t(w)
+          WHERE source IN ('src1', 'src2')),
+        sc AS (SELECT w, count(*) AS sc FROM words GROUP BY w),
+        tc AS (SELECT w, count(*) AS tc FROM twords GROUP BY w),
+        vocab AS (
+          SELECT COALESCE(sc.w, tc.w) AS w,
+                 COALESCE(sc, 0) AS sc, COALESCE(tc, 0) AS tc
+          FROM sc FULL OUTER JOIN tc ON sc.w = tc.w),
+        tot AS (SELECT SUM(sc) AS stot, SUM(tc) AS ttot,
+                       COUNT(*) AS v FROM vocab),
+        model AS (
+          SELECT w,
+                 CAST(FLOOR(ln(CAST(tc + 1 AS DOUBLE)
+                               / CAST(ttot + v AS DOUBLE)) * 1e6)
+                      - FLOOR(ln(CAST(sc + 1 AS DOUBLE)
+                                 / CAST(stot + v AS DOUBLE)) * 1e6)
+                      AS BIGINT) AS dlp
+          FROM vocab, tot)
+        SELECT w2.doc_id, COUNT(*) AS n_words,
+               CAST(SUM(m.dlp) AS BIGINT) AS w_x1e6
+        FROM words w2 JOIN model m ON m.w = w2.w
+        GROUP BY w2.doc_id ORDER BY w2.doc_id
+    """
+
+
 def _q_trending_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Half-life-decayed per-tile trending scores
     (operators/tiling.py:decayed_tile_counts): exponential decay kept
@@ -12927,6 +12977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_budget_sample": _q_token_budget_sample,
         "q_pack_sequences": _q_pack_sequences,
         "q_unigram_nll": _q_unigram_nll,
+        "q_dsir_weights": _q_dsir_weights,
         "q_bigram_nll": _q_bigram_nll,
         "q_markov_transitions": _q_markov_transitions,
         "q_trending_tiles": _q_trending_tiles,
@@ -13146,6 +13197,7 @@ def oracle_sql() -> dict[str, str]:
         "q_token_budget_sample": _oracle_token_budget_sample(),
         "q_pack_sequences": _oracle_pack_sequences(),
         "q_unigram_nll": _oracle_unigram_nll(),
+        "q_dsir_weights": _oracle_dsir_weights(),
         "q_bigram_nll": _oracle_bigram_nll(),
         "q_markov_transitions": _oracle_markov_transitions(),
         "q_trending_tiles": _oracle_trending_tiles(),

@@ -1066,3 +1066,74 @@ def blocklist_hits(
             F.min("_t").alias("first_term"),
         )
     )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    target_text_col: str | None = None,
+) -> DataFrame:
+    """(key, n_words, w_x1e6): DSIR-shape importance weights (Xie et
+    al. 2023, arXiv:2302.03169 — Data Selection via Importance
+    Resampling): per-document log p_target(x) - log p_source(x) under
+    Laplace-smoothed unigram models, the source model estimated from
+    ``docs`` themselves and the target model from the (much smaller)
+    ``target`` exemplar corpus.  Documents scoring high look like the
+    target distribution — sample them upstream of training-mix
+    assembly (e.g. weighted_sample on exp(w), or a per-stratum top-k).
+
+    Model + portability discipline is :func:`unigram_nll`'s: both
+    models share ONE joint vocabulary (Laplace: p(w) = (c(w)+1) /
+    (tot+V), so unseen-in-target words get mass and the weight stays
+    finite); the per-word log-ratio is fixed-pointed to integers
+    (floor(ln p x 1e6) per side, subtracted) before the per-doc sum,
+    so aggregates are exact integer sums — partition-order invariant
+    and engine-portable.  Scale shape: two vocabulary-sized count
+    aggregates, one broadcast model join, one per-doc sum — the same
+    two-shuffle plan as unigram_nll; the target corpus is
+    dimension-sized by definition (it's the exemplar set)."""
+    tcol = target_text_col or text_col
+    words = docs.select(
+        F.col(key),
+        F.explode(F.split(F.col(text_col), " +")).alias("w"),
+    ).where(F.length("w") > 0)
+    twords = target.select(
+        F.explode(F.split(F.col(tcol), " +")).alias("w")
+    ).where(F.length("w") > 0)
+
+    s_cnt = words.groupBy("w").agg(F.count(F.lit(1)).alias("sc"))
+    t_cnt = twords.groupBy("w").agg(F.count(F.lit(1)).alias("tc"))
+    vocab = (
+        s_cnt.join(t_cnt, "w", "full_outer")
+        .select(
+            "w",
+            F.coalesce("sc", F.lit(0)).alias("sc"),
+            F.coalesce("tc", F.lit(0)).alias("tc"),
+        )
+    )
+    tot = vocab.agg(
+        F.sum("sc").alias("stot"),
+        F.sum("tc").alias("ttot"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    model = vocab.crossJoin(F.broadcast(tot)).select(
+        "w",
+        (
+            F.floor(
+                F.log((F.col("tc") + 1) / (F.col("ttot") + F.col("v"))) * 1e6
+            )
+            - F.floor(
+                F.log((F.col("sc") + 1) / (F.col("stot") + F.col("v"))) * 1e6
+            )
+        ).cast("long").alias("dlp_x1e6"),
+    )
+    return (
+        words.join(F.broadcast(model), "w")
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("dlp_x1e6").alias("w_x1e6"),
+        )
+    )

@@ -903,3 +903,32 @@ def test_semantic_dedup_planted_groups(spark):
         assert out[i] == (i, True), (i, out[i])
     kept = sorted(i for i, (_, k) in out.items() if k)
     assert kept == sorted([min(b) for b in bundles] + singles)
+
+
+def test_dsir_weights_orders_target_like_docs_first(spark):
+    """DSIR semantics: documents sharing the target's vocabulary get a
+    higher importance weight than documents that don't; weight scales
+    with overlap.  Also pins the Laplace joint-vocab contract: words
+    unseen in the target keep the weight finite."""
+    from geo_spark.operators.text import dsir_weights
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta alpha beta"),        # pure target vocab
+            (1, "alpha beta gamma delta"),       # half target vocab
+            (2, "gamma delta epsilon zeta"),     # no target vocab
+        ],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(100, "alpha beta alpha beta alpha")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_words"], r["w_x1e6"])
+        for r in dsir_weights(docs, target).collect()
+    }
+    assert set(got) == {0, 1, 2}
+    assert got[0][0] == 4 and got[1][0] == 4 and got[2][0] == 4
+    w0, w1, w2 = got[0][1], got[1][1], got[2][1]
+    assert w0 > w1 > w2, (w0, w1, w2)
+    assert w0 > 0 > w2, (w0, w2)  # target-like up-weighted, alien down
