@@ -4717,6 +4717,51 @@ def _oracle_dsir_weights() -> str:
     """
 
 
+def _q_dsir_topk_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition certificate: DSIR importance weights feed the
+    per-stratum selection a training-mix assembler runs — top 5 docs
+    per source by (weight desc, doc_id) over the src1/src2-target
+    model.  Chains dsir_weights -> window top-k; the oracle replays
+    both stages (model + ROW_NUMBER) from scratch."""
+    from pyspark.sql import Window
+
+    from geo_spark.operators.text import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.where(F.col("source").isin("src1", "src2"))
+    w = dsir_weights(docs, target)
+    scored = docs.select("doc_id", "source").join(w, "doc_id")
+    win = Window.partitionBy("source").orderBy(
+        F.col("w_x1e6").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(win))
+        .where(F.col("rk") <= 5)
+        .select(
+            "source",
+            F.col("rk").cast("long").alias("rk"),
+            "doc_id",
+            "w_x1e6",
+        )
+        .orderBy("source", "rk")
+    )
+
+
+def _oracle_dsir_topk_mix() -> str:
+    inner = _oracle_dsir_weights()
+    return f"""
+        WITH w AS MATERIALIZED ({inner}),
+        scored AS (
+          SELECT d.source, w.doc_id, w.w_x1e6,
+                 row_number() OVER (PARTITION BY d.source
+                                    ORDER BY w.w_x1e6 DESC, w.doc_id)
+                   AS rk
+          FROM w JOIN documents d ON d.doc_id = w.doc_id)
+        SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, w_x1e6
+        FROM scored WHERE rk <= 5 ORDER BY source, rk
+    """
+
+
 def _q_trending_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Half-life-decayed per-tile trending scores
     (operators/tiling.py:decayed_tile_counts): exponential decay kept
@@ -12978,6 +13023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_sequences": _q_pack_sequences,
         "q_unigram_nll": _q_unigram_nll,
         "q_dsir_weights": _q_dsir_weights,
+        "q_dsir_topk_mix": _q_dsir_topk_mix,
         "q_bigram_nll": _q_bigram_nll,
         "q_markov_transitions": _q_markov_transitions,
         "q_trending_tiles": _q_trending_tiles,
@@ -13198,6 +13244,7 @@ def oracle_sql() -> dict[str, str]:
         "q_pack_sequences": _oracle_pack_sequences(),
         "q_unigram_nll": _oracle_unigram_nll(),
         "q_dsir_weights": _oracle_dsir_weights(),
+        "q_dsir_topk_mix": _oracle_dsir_topk_mix(),
         "q_bigram_nll": _oracle_bigram_nll(),
         "q_markov_transitions": _oracle_markov_transitions(),
         "q_trending_tiles": _oracle_trending_tiles(),
