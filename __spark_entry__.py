@@ -8566,6 +8566,119 @@ def _oracle_image_features() -> str:
     """
 
 
+_LPC_MOD = 8
+
+
+def _q_loop_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loop/Polygon binary-codec inversion certificate (the
+    q_image_features pattern on kernel/serialization's loop encoding,
+    ref s2/loop.go:1261-1419, s2/polygon.go:1044-1216): every 8th
+    event builds a 6-vertex loop from the integer microdegree formula
+    lat_u(j) = (id*31 + j*1000003) % 120e6 - 60e6 (lng analogous);
+    even rows encode it alone (all vertices unsnapped, so the format
+    auto-choice takes the LOSSLESS path, version byte 1), odd rows
+    prepend a constant 60-vertex level-10 cell-center ring so the
+    snap-level histogram flips the choice to the COMPRESSED path
+    (version byte 4) and the six formula vertices ride behind the
+    stream as exact off-center float64s.  The engine encodes the
+    actual polygon bytes, decodes them back through decode_polygon,
+    and emits integer features off the DECODED vertices — recovered
+    microdegrees via atan2 (round-trip is exact, so rounding recovers
+    the formula integers), position-weighted so a reordered or
+    truncated decode fails — plus the observed version byte, vertex
+    count, and the depth field read back through both formats.  The
+    oracle replays the formula and never sees a byte: a green row
+    proves decode(encode(x)) == x through the real wire format."""
+    import pandas as pd
+
+    from geo_spark.kernel.serialization import decode_polygon, encode_polygon
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_id") % _LPC_MOD == 0)
+        .select("event_id")
+    )
+
+    def run(batches):
+        import numpy as np
+
+        from geo_spark.kernel import cellid as ck
+        from geo_spark.kernel.cell import Cell
+
+        # constant level-10 ring (built once per task): exact cell
+        # centers, so the snap histogram puts 60 of 66 vertices at
+        # level 10 and the polygon encoder picks the compressed path
+        ang = 2 * np.pi * np.arange(60) / 60
+        rlat = 10.0 + 5.0 * np.sin(ang)
+        rlng = 20.0 + 5.0 * np.cos(ang)
+        ring_ids = ck.parent(ck.cellid_from_latlng(rlat, rlng), 10)
+        ring = np.stack([Cell.from_id(int(c)).center() for c in ring_ids])
+
+        j = np.arange(6, dtype=np.int64)
+        for pdf in batches:
+            rows = []
+            for e in pdf["event_id"].to_numpy():
+                e = int(e)
+                latu = (e * 31 + j * 1000003) % 120000000 - 60000000
+                lngu = (e * 17 + j * 2000003) % 340000000 - 170000000
+                x, y, z = ck.latlng_to_xyz(latu / 1e6, lngu / 1e6)
+                pts = np.stack([x, y, z], axis=1)
+                pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+                rot = (e // _LPC_MOD) % 2
+                loop = pts if rot == 0 else np.vstack([ring, pts])
+                blob = encode_polygon([loop], depths=[e % 3])
+                dec = decode_polygon(blob)["loops"][0]
+                vs = dec["vertices"][-6:]
+                rl = np.rint(
+                    np.degrees(np.arctan2(vs[:, 2], np.hypot(vs[:, 0], vs[:, 1])))
+                    * 1e6
+                ).astype(np.int64)
+                rg = np.rint(
+                    np.degrees(np.arctan2(vs[:, 1], vs[:, 0])) * 1e6
+                ).astype(np.int64)
+                rows.append(
+                    (
+                        e,
+                        int(blob[0]),
+                        len(dec["vertices"]),
+                        int(dec["depth"]),
+                        int(((j + 1) * rl).sum()),
+                        int(((j + 1) * rg).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "ver", "nv", "depth", "cks_lat", "cks_lng"],
+            )
+
+    return ev.mapInPandas(
+        run,
+        "media_id long, ver long, nv long, depth long,"
+        " cks_lat long, cks_lng long",
+    ).orderBy("media_id")
+
+
+def _oracle_loop_codec() -> str:
+    return f"""
+        WITH ev AS (SELECT event_id, (event_id // {_LPC_MOD}) % 2 AS rot
+                    FROM events WHERE event_id % {_LPC_MOD} = 0),
+        js AS (SELECT unnest(range(6)) AS j),
+        v AS (SELECT event_id, rot, j,
+                     (event_id * 31 + j * 1000003) % 120000000
+                       - 60000000 AS latu,
+                     (event_id * 17 + j * 2000003) % 340000000
+                       - 170000000 AS lngu
+              FROM ev, js)
+        SELECT event_id AS media_id,
+               CAST(1 + 3 * rot AS BIGINT) AS ver,
+               CAST(6 + 60 * rot AS BIGINT) AS nv,
+               CAST(event_id % 3 AS BIGINT) AS depth,
+               CAST(SUM((j + 1) * latu) AS BIGINT) AS cks_lat,
+               CAST(SUM((j + 1) * lngu) AS BIGINT) AS cks_lng
+        FROM v GROUP BY event_id, rot ORDER BY media_id
+    """
+
+
 _AFP_SEEDS = 96
 
 
@@ -12985,6 +13098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_json_props": _q_json_props,
         "q_jsonl_quarantine": _q_jsonl_quarantine,
         "q_audio_near_dup": _q_audio_near_dup,
+        "q_loop_codec": _q_loop_codec,
         "q_image_dhash": _q_image_dhash,
         "q_image_near_dup": _q_image_near_dup,
         "q_video_stride": _q_video_stride,
@@ -13182,6 +13296,7 @@ def oracle_sql() -> dict[str, str]:
         "q_json_props": _oracle_json_props(),
         "q_jsonl_quarantine": _oracle_jsonl_quarantine(),
         "q_audio_near_dup": _oracle_audio_near_dup(),
+        "q_loop_codec": _oracle_loop_codec(),
         "q_image_dhash": _oracle_image_dhash(),
         "q_image_near_dup": _oracle_image_near_dup(),
         "q_video_stride": _oracle_video_stride(),
