@@ -56,6 +56,8 @@ HEADLINE_QUERIES = [
     "q_snapshot_diff",  # full-outer diff over skinny (key, fp) rows
     "q_cdc_apply",  # struct-max merge, no window sort
     "q_tf_dot_pairs",  # posting-list join with stop-term valve
+    "q_salted_pip_join",  # Zipfian hot-cell fixture through auto_salt_layer
+    "q_semantic_dedup",  # SemDeDup: kmeans -> in-cluster cosine -> CC
 ]
 
 
