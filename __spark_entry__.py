@@ -8679,6 +8679,130 @@ def _oracle_loop_codec() -> str:
     """
 
 
+_LRG_ITERS = 20
+_LRG_LR_DEN = 200
+_LRG_SHIFT = 12
+_LRG_K = 1 << 32
+# (feature SQL numerator template, centering offset); {g} becomes the
+# global-replace flag in DuckDB (Spark regexp_replace is global already
+# and takes no flag argument); x7 is the bias term
+_LRG_FEATURES = [
+    ("length(text) - length(replace(text, ' ', ''))", 160),
+    ("length(text) - length(regexp_replace(text, '[0-9]', ''{g}))", 0),
+    (
+        "length(text) - length(regexp_replace(lower(text), '[aeiou]', ''{g}))",
+        280,
+    ),
+    ("length(text) - length(replace(text, '.', ''))", 0),
+    ("length(text) - length(replace(text, ',', ''))", 0),
+    ("length(text) - length(regexp_replace(text, '[A-Z]', ''{g}))", 0),
+    (None, 150),  # x6 = least(length, 2000) div 2
+    (None, 0),  # x7 = bias 1000
+]
+
+
+def _q_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed quantized classifier training under the relational
+    oracle: operators/logreg.py runs 20 batch-GD passes over per-mille
+    text features of the documents table (hard-sigmoid link, every
+    quantity int64, so the optimization is bitwise deterministic), the
+    synthetic quality label is the length band L >= 300, and the query
+    emits the final per-dimension weights plus the final-pass training
+    accuracy count.  The oracle unrolls the SAME 20 iterations as
+    chained CTEs (1-row weight table cross-joined back onto the
+    cached feature projection each pass) — a green row certifies the
+    whole training loop end to end: feature quantization, the
+    offset-shift hard sigmoid, the exact integer gradient SUM, and the
+    floor-division weight update.  Scale shape: one d-column
+    partially-aggregated SUM per pass over a cached skinny projection;
+    only d longs per pass reach the driver (kmeans discipline)."""
+    from geo_spark.operators.logreg import logreg_train_quantized
+
+    docs = _t(spark, sf_dir, "documents")
+    sel = []
+    for j, (num, off) in enumerate(_LRG_FEATURES):
+        if j == 6:
+            e = f"(least(length(text), 2000) div 2) - {off}"
+        elif j == 7:
+            e = "cast(1000 as bigint)"
+        else:
+            num_sql = num.format(g="")
+            e = f"((1000 * ({num_sql})) div (length(text) + 1)) - {off}"
+        sel.append(F.expr(e).cast("long").alias(f"x{j}"))
+    feats = docs.select(
+        (F.length("text") >= 300).cast("long").alias("y"), *sel
+    )
+    w, n_correct, _n = logreg_train_quantized(
+        feats,
+        [f"x{j}" for j in range(8)],
+        "y",
+        iters=_LRG_ITERS,
+        lr_den=_LRG_LR_DEN,
+        shift=_LRG_SHIFT,
+    )
+    rows = [(j, int(w[j]), int(n_correct)) for j in range(8)]
+    return spark.createDataFrame(
+        rows, "dim long, w_final long, n_correct long"
+    ).orderBy("dim")
+
+
+def _oracle_logreg_quality() -> str:
+    c_off = _LRG_K << _LRG_SHIFT
+    xs = []
+    for j, (num, off) in enumerate(_LRG_FEATURES):
+        if j == 6:
+            xs.append(f"(LEAST(length(text), 2000) // 2) - {off} AS x{j}")
+        elif j == 7:
+            xs.append(f"CAST(1000 AS BIGINT) AS x{j}")
+        else:
+            num_sql = num.format(g=", 'g'")
+            xs.append(
+                f"((1000 * ({num_sql})) // (length(text) + 1)) - {off} AS x{j}"
+            )
+    z = " + ".join(f"x{j}*w{j}" for j in range(8))
+    p = (
+        f"GREATEST(0, LEAST(65536, 32768 + ({z} + {c_off})"
+        f"//{1 << _LRG_SHIFT} - {_LRG_K}))"
+    )
+    ctes = [
+        "feats AS MATERIALIZED (SELECT CASE WHEN length(text) >= 300 "
+        "THEN 1 ELSE 0 END AS y, " + ", ".join(xs) + " FROM documents)",
+        "w0 AS (SELECT "
+        + ", ".join(f"CAST(0 AS BIGINT) AS w{j}" for j in range(8))
+        + ")",
+    ]
+    for i in range(1, _LRG_ITERS + 1):
+        gs = ", ".join(
+            f"SUM(({p} - y*65536) * x{j}) AS g{j}" for j in range(8)
+        )
+        # MATERIALIZED is load-bearing: without it DuckDB inlines each
+        # w{i} into every consumer and the 20-deep chain re-expands
+        # the whole prefix per level (exponential plan blowup)
+        ctes.append(
+            f"g{i} AS MATERIALIZED (SELECT {gs}, COUNT(*) AS n "
+            f"FROM feats, w{i - 1})"
+        )
+        ws = ", ".join(
+            f"w{j} - g{j}//(n*{_LRG_LR_DEN}) AS w{j}" for j in range(8)
+        )
+        ctes.append(
+            f"w{i} AS MATERIALIZED (SELECT {ws} FROM w{i - 1}, g{i})"
+        )
+    ctes.append(
+        f"acc AS (SELECT SUM(CASE WHEN (CASE WHEN {z} >= 0 THEN 1 ELSE 0 "
+        f"END) = y THEN 1 ELSE 0 END) AS ok FROM feats, w{_LRG_ITERS})"
+    )
+    wcase = " ".join(f"WHEN {j} THEN w{j}" for j in range(8))
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f""" SELECT j AS dim, CASE j {wcase} END AS w_final,
+               CAST(ok AS BIGINT) AS n_correct
+        FROM (SELECT unnest(range(8)) AS j), w{_LRG_ITERS}, acc
+        ORDER BY dim"""
+    )
+
+
 _AFP_SEEDS = 96
 
 
@@ -13099,6 +13223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_jsonl_quarantine": _q_jsonl_quarantine,
         "q_audio_near_dup": _q_audio_near_dup,
         "q_loop_codec": _q_loop_codec,
+        "q_logreg_quality": _q_logreg_quality,
         "q_image_dhash": _q_image_dhash,
         "q_image_near_dup": _q_image_near_dup,
         "q_video_stride": _q_video_stride,
@@ -13297,6 +13422,7 @@ def oracle_sql() -> dict[str, str]:
         "q_jsonl_quarantine": _oracle_jsonl_quarantine(),
         "q_audio_near_dup": _oracle_audio_near_dup(),
         "q_loop_codec": _oracle_loop_codec(),
+        "q_logreg_quality": _oracle_logreg_quality(),
         "q_image_dhash": _oracle_image_dhash(),
         "q_image_near_dup": _oracle_image_near_dup(),
         "q_video_stride": _oracle_video_stride(),
