@@ -1119,32 +1119,28 @@ _MATCH_RADIUS_RAD = 100_000.0 / 6_371_010.0  # 100 km snap radius
 _MATCH_JITTER_DEG = 0.5  # user-local trail/point spread
 
 
-def _q_event_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Map matching: snap every event point to the nearest segment of
-    the nearest user trail within 100 km (ClosestEdgeQuery analog,
-    s2/edge_query.go:30-230).  Trails = first-5-event polylines of every
-    third user; coordinates are USER-LOCAL (base point per user +
-    per-event jitter, geo_noise.local_latlng_sql) so trails are road-
-    scale objects and the candidate join stays sparse — the realistic
-    AND the scale-honest fixture.  Match = buffered-covering candidates
-    + vectorized argmin-segment refine + one partial-aggregatable
-    struct-min shuffle.  The DuckDB oracle replays the exact
-    point->segment chord arithmetic and the (chord2, trail, segment)
-    lexicographic selection."""
-    import numpy as np
-
-    from geo_spark.kernel import cellid as ck
-    from geo_spark.kernel.regions import PolylineRegion, chord2_from_angle
-    from geo_spark.operators.distance_join import build_distance_layer
+def _match_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events + the USER-LOCAL jittered (lat, lng) the map-matching
+    fixtures share (base point per user + per-event jitter)."""
     from geo_spark.operators.geo_noise import local_latlng_sql
-    from geo_spark.operators.mapmatch import map_match
 
     lat_sql, lng_sql = local_latlng_sql("user_id", "event_id", _MATCH_JITTER_DEG)
-    ev = (
+    return (
         _t(spark, sf_dir, "events")
         .withColumn("lat", F.expr(lat_sql))
         .withColumn("lng", F.expr(lng_sql))
     )
+
+
+def _match_trail_layer(spark: SparkSession, ev: DataFrame):
+    """The shared trail layer: first-5-event polylines of every third
+    user over the jittered coordinates, buffered by the snap radius."""
+    import numpy as np
+
+    from geo_spark.kernel import cellid as ck
+    from geo_spark.kernel.regions import PolylineRegion
+    from geo_spark.operators.distance_join import build_distance_layer
+
     pdf = (
         ev.where(F.col("user_id") % 3 == 0)
         .select("user_id", "ts", "event_id", "lat", "lng")
@@ -1163,8 +1159,27 @@ def _q_event_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         trails.append(
             (int(uid), PolylineRegion.from_vertices(np.stack([x, y, z], axis=1)))
         )
-    layer = build_distance_layer(spark, trails, _MATCH_RADIUS_RAD)
+    return build_distance_layer(spark, trails, _MATCH_RADIUS_RAD)
+
+
+def _q_event_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map matching: snap every event point to the nearest segment of
+    the nearest user trail within 100 km (ClosestEdgeQuery analog,
+    s2/edge_query.go:30-230).  Trails = first-5-event polylines of every
+    third user; coordinates are USER-LOCAL (base point per user +
+    per-event jitter, geo_noise.local_latlng_sql) so trails are road-
+    scale objects and the candidate join stays sparse — the realistic
+    AND the scale-honest fixture.  Match = buffered-covering candidates
+    + vectorized argmin-segment refine + one partial-aggregatable
+    struct-min shuffle.  The DuckDB oracle replays the exact
+    point->segment chord arithmetic and the (chord2, trail, segment)
+    lexicographic selection."""
     from geo_spark.functions.s2 import s2_cellid
+    from geo_spark.kernel.regions import chord2_from_angle
+    from geo_spark.operators.mapmatch import map_match
+
+    ev = _match_events(spark, sf_dir)
+    layer = _match_trail_layer(spark, ev)
 
     pts = ev.withColumn("cell_id", s2_cellid(F.col("lat"), F.col("lng")))
     matched = map_match(pts, layer, _MATCH_RADIUS_RAD, point_key="event_id")
@@ -1256,6 +1271,199 @@ def _oracle_event_map_match() -> str:
                    AS dist_bucket
         FROM best WHERE rn = 1 ORDER BY event_id
     """
+
+
+_HMM_T = 6  # observations per trajectory (first-6 events per user)
+_HMM_EMSCALE = 1e10  # emission = floor(chord2 * scale), integer domain
+_HMM_SWITCH = 1_500_000  # trail-switch transition cost
+_HMM_JUMP = 50_000  # per-segment jump cost along one trail
+
+
+def _q_hmm_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-aware (HMM/Viterbi) map matching
+    (operators/mapmatch.py:hmm_map_match): each user's first-6-event
+    trajectory snaps to the trail layer as a PATH — integer emission
+    floor(chord2 * 1e10) per candidate edge, trail-switch /
+    segment-jump transition costs, min-cost Viterbi with (cost, trail,
+    segment) lexicographic tie-breaks — the Newson-Krumm shape
+    composed from the reference's ClosestEdgeQuery primitive
+    (s2/edge_query.go:30-230; the reference has per-point nearest-edge
+    only).  The DuckDB oracle replays candidates (exact chord
+    arithmetic), emissions, SIX unrolled DP steps AND the backtrace,
+    so path choice is verified state by state, not just cost."""
+    from pyspark.sql import Window
+
+    from geo_spark.functions.s2 import s2_cellid
+    from geo_spark.operators.mapmatch import hmm_map_match
+
+    ev = _match_events(spark, sf_dir)
+    layer = _match_trail_layer(spark, ev)
+    win = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pts = (
+        ev.withColumn("rk", F.row_number().over(win))
+        .where(F.col("rk") <= _HMM_T)
+        .withColumn("cell_id", s2_cellid(F.col("lat"), F.col("lng")))
+    )
+    out = hmm_map_match(
+        pts,
+        layer,
+        _MATCH_RADIUS_RAD,
+        traj_key="user_id",
+        order_col="rk",
+        point_key="event_id",
+        em_scale=_HMM_EMSCALE,
+        switch_cost=_HMM_SWITCH,
+        jump_cost=_HMM_JUMP,
+    )
+    return out.select(
+        "user_id",
+        "t",
+        F.col("geom_id").alias("trail_id"),
+        "seg_idx",
+        "total_cost",
+    ).orderBy("user_id", "t")
+
+
+def _oracle_hmm_map_match() -> str:
+    """Candidates -> emissions -> T unrolled Viterbi steps ->
+    final-state pick -> backtrace, all in one generated WITH-chain."""
+    from geo_spark.kernel.regions import chord2_from_angle
+    from geo_spark.operators.geo_noise import local_latlng_sql
+
+    lat, lng = local_latlng_sql("user_id", "event_id", _MATCH_JITTER_DEG)
+    limit2 = chord2_from_angle(_MATCH_RADIUS_RAD)
+
+    def trans(p: str, c: str) -> str:
+        return (
+            f"CASE WHEN {p}.g = {c}.g THEN {_HMM_JUMP}*abs({p}.s - {c}.s) "
+            f"ELSE {_HMM_SWITCH} END"
+        )
+
+    ctes = [
+        """ranked AS (SELECT user_id, ts, event_id,
+                             row_number() OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id) AS rk
+                      FROM events)""",
+        f"""tpts AS (SELECT user_id, rk, {lat} AS lat, {lng} AS lng
+                     FROM ranked WHERE user_id % 3 = 0 AND rk <= 5)""",
+        """txyz AS (SELECT user_id, rk,
+                           cos(radians(lng))*cos(radians(lat)) AS px,
+                           sin(radians(lng))*cos(radians(lat)) AS py,
+                           sin(radians(lat)) AS pz
+                    FROM tpts)""",
+        """ed AS (SELECT user_id, rk,
+                         LAG(px) OVER w AS ax, LAG(py) OVER w AS ay,
+                         LAG(pz) OVER w AS az,
+                         px AS bx, py AS by, pz AS bz
+                  FROM txyz WINDOW w AS (PARTITION BY user_id ORDER BY rk))""",
+        """edges AS (SELECT user_id, rk - 2 AS seg_idx,
+                            ax, ay, az, bx, by, bz,
+                            ay*bz - az*by AS nx,
+                            az*bx - ax*bz AS ny,
+                            ax*by - ay*bx AS nz
+                     FROM ed WHERE ax IS NOT NULL)""",
+        f"""tp AS (SELECT user_id AS traj, rk, {lat} AS lat, {lng} AS lng
+                   FROM ranked WHERE rk <= {_HMM_T})""",
+        """pxyz AS (SELECT traj, rk,
+                           cos(radians(lng))*cos(radians(lat)) AS px,
+                           sin(radians(lng))*cos(radians(lat)) AS py,
+                           sin(radians(lat)) AS pz
+                    FROM tp)""",
+        # exact numpy ops of kernel.edges.point_segment_chord2
+        """raw AS (SELECT q.traj, q.rk, e.user_id AS g, e.seg_idx AS s,
+                          (e.ay*q.pz - e.az*q.py)*e.nx
+                          + (e.az*q.px - e.ax*q.pz)*e.ny
+                          + (e.ax*q.py - e.ay*q.px)*e.nz AS d_a,
+                          (q.py*e.bz - q.pz*e.by)*e.nx
+                          + (q.pz*e.bx - q.px*e.bz)*e.ny
+                          + (q.px*e.by - q.py*e.bx)*e.nz AS d_b,
+                          e.nx*e.nx + e.ny*e.ny + e.nz*e.nz AS nn2,
+                          abs(q.px*e.nx + q.py*e.ny + q.pz*e.nz) AS adot,
+                          (q.px-e.ax)*(q.px-e.ax) + (q.py-e.ay)*(q.py-e.ay)
+                          + (q.pz-e.az)*(q.pz-e.az) AS da,
+                          (q.px-e.bx)*(q.px-e.bx) + (q.py-e.by)*(q.py-e.by)
+                          + (q.pz-e.bz)*(q.pz-e.bz) AS db
+                   FROM pxyz q, edges e)""",
+        """candi AS (SELECT traj, rk, g, s,
+                            least(CASE WHEN d_a >= 0 AND d_b >= 0 AND nn2 > 0
+                                  THEN 2.0*(1.0 - sqrt(1.0
+                                       - least(adot/sqrt(nn2), 1.0)
+                                         * least(adot/sqrt(nn2), 1.0)))
+                                  ELSE least(da, db) END, 4.0) AS c2
+                     FROM raw)""",
+        # state per (observation, trail) = that trail's nearest segment
+        # (the refine_candidates argmin contract: projection point per
+        # polyline, ties to the lowest segment index)
+        f"""candmin AS (SELECT traj, rk, g, s, c2 FROM (
+                SELECT traj, rk, g, s, c2,
+                       row_number() OVER (PARTITION BY traj, rk, g
+                                          ORDER BY c2, s) AS rn
+                FROM candi) WHERE rn = 1)""",
+        f"""base0 AS (SELECT traj, rk, g, s,
+                             CAST(floor(c2 * {_HMM_EMSCALE!r}) AS BIGINT) AS em
+                      FROM candmin WHERE c2 <= {limit2!r})""",
+        """tmap AS (SELECT traj, rk,
+                           CAST(dense_rank() OVER (PARTITION BY traj
+                                                   ORDER BY rk) AS BIGINT) AS t
+                    FROM (SELECT DISTINCT traj, rk FROM base0))""",
+        """base AS MATERIALIZED (SELECT b.traj, m.t, b.g, b.s, b.em
+                    FROM base0 b
+                    JOIN tmap m ON b.traj = m.traj AND b.rk = m.rk)""",
+        "v1 AS MATERIALIZED (SELECT traj, g, s, em AS cost "
+        "FROM base WHERE t = 1)",
+    ]
+    for t in range(2, _HMM_T + 1):
+        ctes.append(
+            f"""v{t} AS MATERIALIZED (
+                SELECT c.traj, c.g, c.s,
+                       c.em + MIN(pv.cost + {trans('pv', 'c')}) AS cost
+                FROM base c JOIN v{t - 1} pv ON pv.traj = c.traj
+                WHERE c.t = {t}
+                GROUP BY c.traj, c.g, c.s, c.em)"""
+        )
+    allv = " UNION ALL ".join(
+        f"SELECT traj, CAST({t} AS BIGINT) AS t, g, s, cost FROM v{t}"
+        for t in range(1, _HMM_T + 1)
+    )
+    ctes.append(f"allv AS ({allv})")
+    ctes.append("tmx AS (SELECT traj, MAX(t) AS tmax FROM base GROUP BY traj)")
+    ctes.append(
+        """last AS MATERIALIZED (SELECT traj, tmax, g, s, cost FROM (
+               SELECT a.traj, x.tmax, a.g, a.s, a.cost,
+                      row_number() OVER (PARTITION BY a.traj
+                                         ORDER BY a.cost, a.g, a.s) AS rn
+               FROM allv a JOIN tmx x ON a.traj = x.traj AND a.t = x.tmax)
+           WHERE rn = 1)"""
+    )
+    ctes.append(
+        f"ch{_HMM_T} AS (SELECT traj, g, s FROM last WHERE tmax = {_HMM_T})"
+    )
+    for t in range(_HMM_T - 1, 0, -1):
+        ctes.append(
+            f"""ch{t} AS MATERIALIZED (
+                SELECT traj, g, s FROM last WHERE tmax = {t}
+                UNION ALL
+                SELECT traj, g, s FROM (
+                  SELECT pv.traj, pv.g, pv.s,
+                         row_number() OVER (PARTITION BY pv.traj
+                             ORDER BY pv.cost + {trans('pv', 'c')},
+                                      pv.g, pv.s) AS rn
+                  FROM v{t} pv JOIN ch{t + 1} c ON pv.traj = c.traj)
+                WHERE rn = 1)"""
+        )
+    path = " UNION ALL ".join(
+        f"SELECT traj, CAST({t} AS BIGINT) AS t, g, s FROM ch{t}"
+        for t in range(1, _HMM_T + 1)
+    )
+    ctes.append(f"path AS ({path})")
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + """ SELECT p.traj AS user_id, p.t, p.g AS trail_id,
+                     p.s AS seg_idx, l.cost AS total_cost
+              FROM path p JOIN last l ON p.traj = l.traj
+              ORDER BY user_id, t"""
+    )
 
 
 def _q_trail_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -13184,6 +13392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_trajectory_crossings": _q_trajectory_crossings,
         "q_trail_pair_distance": _q_trail_pair_distance,
         "q_event_map_match": _q_event_map_match,
+        "q_hmm_map_match": _q_hmm_map_match,
         "q_bignet_map_match": _q_bignet_map_match,
         "q_repetition_signals": _q_repetition_signals,
         "q_weighted_sample": _q_weighted_sample,
@@ -13383,6 +13592,7 @@ def oracle_sql() -> dict[str, str]:
         "q_trajectory_crossings": _oracle_trajectory_crossings(),
         "q_trail_pair_distance": _oracle_trail_pair_distance(),
         "q_event_map_match": _oracle_event_map_match(),
+        "q_hmm_map_match": _oracle_hmm_map_match(),
         "q_bignet_map_match": _oracle_bignet_map_match(),
         "q_repetition_signals": _oracle_repetition_signals(),
         "q_weighted_sample": _oracle_weighted_sample(),

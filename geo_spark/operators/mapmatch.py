@@ -176,3 +176,124 @@ def map_match(
         F.col("_b.seg_idx").alias("seg_idx"),
         F.col("_b.chord2").alias("chord2"),
     )
+
+
+def hmm_map_match(
+    points: DataFrame,
+    layer: Layer,
+    radius_rad: float,
+    traj_key: str,
+    order_col: str,
+    point_key: str,
+    cell_col: str = "cell_id",
+    latlng: tuple[str, str] = ("lat", "lng"),
+    em_scale: float = 1e10,
+    switch_cost: int = 1_500_000,
+    jump_cost: int = 50_000,
+) -> DataFrame:
+    """Sequence-aware map matching: Viterbi over per-observation edge
+    candidates, the Newson-Krumm HMM shape composed from the
+    reference's ClosestEdgeQuery primitive (s2/edge_query.go:30-230 —
+    the reference itself has per-point nearest-edge only; the sequence
+    model is the composition a trajectory pipeline runs on top).
+
+    Model (deterministic, integer-quantized so an exact SQL oracle can
+    replay every step):
+      * states at observation t = every polyline within ``radius_rad``
+        of the point, represented by its nearest segment — the
+        (road, projection-point) state of the classic formulation
+        (the :func:`refine_candidates` covering join + per-trail
+        argmin);
+      * emission cost = ``floor(chord2 * em_scale)`` — monotone in
+        snap distance;
+      * transition cost = ``jump_cost * |seg - seg'|`` along the same
+        polyline, ``switch_cost`` to change polylines — the
+        route-continuity prior that keeps a noisy outlier from
+        flipping the whole trace onto a briefly-closer road (the
+        failure mode per-point snapping cannot avoid);
+      * Viterbi min-cost path per trajectory; ALL ties (forward min,
+        backtrace predecessor, final state) break lexicographically by
+        (cost, geom_id, seg_idx), so the output is bit-deterministic.
+
+    Observations with no candidate in radius are skipped and the chain
+    re-indexed (t = dense rank of surviving ``order_col`` values; the
+    emitted ``t`` is 1-based).  ``order_col`` must be unique per
+    trajectory.
+
+    Spark shape (the 100 TB plan): candidates + emissions are the
+    existing distributed covering join (broadcast / blob tiers, no
+    ceiling); the only new shuffle is ONE groupBy(traj_key)
+    applyInPandas whose groups are trajectory-sized — bounded by
+    max-trace-length x candidate density, never by layer or corpus
+    size — and the DP itself is vectorized numpy over (prev x cur)
+    state matrices per step.
+
+    Returns (traj_key, t, geom_id, seg_idx, total_cost): one row per
+    surviving observation, ``total_cost`` = the trajectory's Viterbi
+    path cost repeated on each of its rows.
+    """
+    refined = refine_candidates(
+        points, layer, radius_rad, point_key, cell_col, latlng
+    )
+    cand = refined.join(
+        points.select(point_key, traj_key, order_col), point_key
+    ).select(
+        traj_key,
+        F.col(order_col).alias("_ord"),
+        "geom_id",
+        "seg_idx",
+        F.floor(F.col("chord2") * F.lit(float(em_scale)))
+        .cast("long")
+        .alias("_em"),
+    )
+    traj_type = points.schema[traj_key].dataType.simpleString()
+    schema = (
+        f"{traj_key} {traj_type}, t long, geom_id long, seg_idx long, "
+        "total_cost long"
+    )
+    sw, jp = int(switch_cost), int(jump_cost)
+
+    def viterbi(pdf: pd.DataFrame) -> pd.DataFrame:
+        # (g, s)-sorted states per t: numpy argmin's first-occurrence
+        # rule then equals the oracle's (cost, g, s) row_number pick.
+        pdf = pdf.sort_values(
+            ["_ord", "geom_id", "seg_idx"], kind="mergesort"
+        )
+        orders = pdf["_ord"].to_numpy()
+        uniq = np.unique(orders)
+        traj = pdf[traj_key].iloc[0]
+        gs, ss, ems = (
+            pdf["geom_id"].to_numpy(np.int64),
+            pdf["seg_idx"].to_numpy(np.int64),
+            pdf["_em"].to_numpy(np.int64),
+        )
+        steps = []  # (g, s, cost, pred) per t
+        for t, o in enumerate(uniq):
+            m = orders == o
+            g, s, em = gs[m], ss[m], ems[m]
+            if t == 0:
+                steps.append((g, s, em.copy(), None))
+                continue
+            pg, ps, pc, _ = steps[-1]
+            trans = np.where(
+                pg[:, None] == g[None, :],
+                jp * np.abs(ps[:, None] - s[None, :]),
+                sw,
+            )
+            tot = pc[:, None] + trans
+            pred = tot.argmin(axis=0)
+            steps.append((g, s, em + tot.min(axis=0), pred))
+        j = int(steps[-1][2].argmin())
+        total = int(steps[-1][2][j])
+        rows = []
+        for t in range(len(steps) - 1, -1, -1):
+            g, s, _, pred = steps[t]
+            rows.append((traj, t + 1, int(g[j]), int(s[j]), total))
+            if pred is not None:
+                j = int(pred[j])
+        return pd.DataFrame(
+            rows[::-1],
+            columns=[traj_key, "t", "geom_id", "seg_idx", "total_cost"],
+        )
+
+    return cand.groupBy(traj_key).applyInPandas(viterbi, schema)
