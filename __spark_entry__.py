@@ -4970,6 +4970,88 @@ def _oracle_dsir_topk_mix() -> str:
     """
 
 
+_TOPO_NAMES = (
+    "table",
+    "spark",
+    "row",
+    "scan",
+    "window",
+    "batch",
+    "query",
+    "stream",
+    "vector",
+    "filter",
+    "group",
+    "merge",
+)
+
+
+def _q_toponym_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Toponym resolution (operators/geocode.py): every document's
+    gazetteer mentions resolve to one place each — population prior,
+    then ONE spatial-coherence re-pick against the doc's integer
+    anchor.  Gazetteer = 12 corpus words x 3 homonym entries whose
+    population / shifted-micro-degree coordinates derive from pure
+    integer arithmetic on geo_id, so the oracle replays extraction,
+    both pick stages and the floor-division anchor exactly (the
+    non-negative integer-division rule)."""
+    from geo_spark.operators.geocode import toponym_resolve
+
+    n = len(_TOPO_NAMES)
+    gz = spark.range(3 * n).select(
+        F.col("id").alias("geo_id"),
+        F.element_at(
+            F.array(*[F.lit(s) for s in _TOPO_NAMES]),
+            F.expr("CAST(id div 3 AS INT) + 1"),
+        ).alias("name"),
+        ((F.col("id") * 48271) % 999983 + 1).alias("population"),
+        ((F.col("id") * 2654435761) % 180000001).alias("lat_u"),
+        ((F.col("id") * 1103515245) % 360000001).alias("lng_u"),
+    )
+    docs = _t(spark, sf_dir, "documents")
+    return toponym_resolve(docs, gz).orderBy("doc_id", "name")
+
+
+def _oracle_toponym_resolve() -> str:
+    names = ", ".join(f"'{s}'" for s in _TOPO_NAMES)
+    return f"""
+        WITH gz AS (
+          SELECT i AS geo_id,
+                 ([{names}])[CAST(i // 3 AS INT) + 1] AS name,
+                 (i * 48271) % 999983 + 1 AS population,
+                 (i * 2654435761) % 180000001 AS lat_u,
+                 (i * 1103515245) % 360000001 AS lng_u
+          FROM (SELECT unnest(range({3 * len(_TOPO_NAMES)})) AS i)),
+        words AS (SELECT doc_id, w AS name FROM (
+            SELECT doc_id, unnest(string_split_regex(text, ' +')) AS w
+            FROM documents) WHERE w != ''),
+        cand AS (SELECT doc_id, name, COUNT(*) AS n_mentions
+                 FROM words JOIN (SELECT DISTINCT name FROM gz) USING (name)
+                 GROUP BY doc_id, name),
+        ent AS (SELECT c.doc_id, c.name, c.n_mentions, g.geo_id,
+                       g.population, g.lat_u, g.lng_u
+                FROM cand c JOIN gz g USING (name)),
+        s1 AS (SELECT * FROM (
+                 SELECT e.*, row_number() OVER (PARTITION BY doc_id, name
+                            ORDER BY population DESC, geo_id) AS rn
+                 FROM ent e) WHERE rn = 1),
+        anchor AS (SELECT doc_id, SUM(lat_u) // COUNT(*) AS alat,
+                          SUM(lng_u) // COUNT(*) AS alng
+                   FROM s1 GROUP BY doc_id),
+        s2 AS (SELECT * FROM (
+                 SELECT e.doc_id, e.name, e.n_mentions, e.geo_id,
+                        e.lat_u, e.lng_u,
+                        row_number() OVER (PARTITION BY e.doc_id, e.name
+                          ORDER BY (e.lat_u - a.alat)*(e.lat_u - a.alat)
+                                 + (e.lng_u - a.alng)*(e.lng_u - a.alng),
+                                   e.population DESC, e.geo_id) AS rn
+                 FROM ent e JOIN anchor a USING (doc_id)) WHERE rn = 1)
+        SELECT doc_id, name, CAST(n_mentions AS BIGINT) AS n_mentions,
+               geo_id, lat_u, lng_u
+        FROM s2 ORDER BY doc_id, name
+    """
+
+
 def _q_trending_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Half-life-decayed per-tile trending scores
     (operators/tiling.py:decayed_tile_counts): exponential decay kept
@@ -13393,6 +13475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_trail_pair_distance": _q_trail_pair_distance,
         "q_event_map_match": _q_event_map_match,
         "q_hmm_map_match": _q_hmm_map_match,
+        "q_toponym_resolve": _q_toponym_resolve,
         "q_bignet_map_match": _q_bignet_map_match,
         "q_repetition_signals": _q_repetition_signals,
         "q_weighted_sample": _q_weighted_sample,
@@ -13593,6 +13676,7 @@ def oracle_sql() -> dict[str, str]:
         "q_trail_pair_distance": _oracle_trail_pair_distance(),
         "q_event_map_match": _oracle_event_map_match(),
         "q_hmm_map_match": _oracle_hmm_map_match(),
+        "q_toponym_resolve": _oracle_toponym_resolve(),
         "q_bignet_map_match": _oracle_bignet_map_match(),
         "q_repetition_signals": _oracle_repetition_signals(),
         "q_weighted_sample": _oracle_weighted_sample(),
