@@ -5052,6 +5052,65 @@ def _oracle_toponym_resolve() -> str:
     """
 
 
+_ZL_ZOOM = 6
+_ZL_PARTS = 8
+
+
+def _q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth Z-order write layout (operators/layout.py): events
+    take the Morton key of their zoom-6 web-mercator tile
+    (functions/webgrid.py:quadkey_code_col — the same curve the S2
+    cell-id layout path uses, chosen here because the oracle replays
+    the full key byte-exactly) and split into 8 balanced partitions by
+    the exclusive-prefix rule (before * P) div total.  The result is
+    the per-partition data-skipping manifest: disjoint [min_key,
+    max_key] ranges + row/key counts — the layout stats a resumable
+    spatial writer checkpoints per partition.  The oracle re-derives
+    key -> histogram -> exclusive prefix -> pid -> manifest from
+    scratch."""
+    from geo_spark.functions.webgrid import mercator_xy_cols, quadkey_code_col
+    from geo_spark.operators.geo_noise import with_geo_noise
+    from geo_spark.operators.layout import equidepth_layout, layout_manifest
+
+    ev = with_geo_noise(_t(spark, sf_dir, "events"), "event_id")
+    x, y = mercator_xy_cols(F.col("lat"), F.col("lng"), _ZL_ZOOM)
+    keyed = ev.select(
+        "event_id", quadkey_code_col(x, y).alias("zkey")
+    )
+    assigned = equidepth_layout(keyed, "zkey", _ZL_PARTS)
+    return layout_manifest(assigned, "zkey").orderBy("part_id")
+
+
+def _oracle_zorder_layout() -> str:
+    from geo_spark.functions.webgrid import mercator_xy_sql, zorder_key_sql
+    from geo_spark.operators.geo_noise import LAT_SQL, LNG_SQL
+
+    lat = LAT_SQL.format(id="event_id")
+    lng = LNG_SQL.format(id="event_id")
+    x, y = mercator_xy_sql("lat", "lng", _ZL_ZOOM)
+    zk = zorder_key_sql("tx", "ty", _ZL_ZOOM)
+    return f"""
+        WITH pts AS (SELECT event_id, {lat} AS lat, {lng} AS lng
+                     FROM events),
+        t AS (SELECT {x} AS tx, {y} AS ty FROM pts),
+        k AS (SELECT {zk} AS zkey FROM t),
+        hist AS (SELECT zkey, COUNT(*) AS cnt FROM k GROUP BY zkey),
+        tot AS (SELECT SUM(cnt) AS n FROM hist),
+        cum AS (SELECT zkey, cnt,
+                       COALESCE(SUM(cnt) OVER (ORDER BY zkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS bef
+                FROM hist),
+        pid AS (SELECT zkey, cnt,
+                       (bef * {_ZL_PARTS}) // n AS part_id
+                FROM cum, tot)
+        SELECT part_id, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               MIN(zkey) AS min_key, MAX(zkey) AS max_key
+        FROM pid GROUP BY part_id ORDER BY part_id
+    """
+
+
 def _q_trending_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Half-life-decayed per-tile trending scores
     (operators/tiling.py:decayed_tile_counts): exponential decay kept
@@ -13476,6 +13535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_event_map_match": _q_event_map_match,
         "q_hmm_map_match": _q_hmm_map_match,
         "q_toponym_resolve": _q_toponym_resolve,
+        "q_zorder_layout": _q_zorder_layout,
         "q_bignet_map_match": _q_bignet_map_match,
         "q_repetition_signals": _q_repetition_signals,
         "q_weighted_sample": _q_weighted_sample,
@@ -13677,6 +13737,7 @@ def oracle_sql() -> dict[str, str]:
         "q_event_map_match": _oracle_event_map_match(),
         "q_hmm_map_match": _oracle_hmm_map_match(),
         "q_toponym_resolve": _oracle_toponym_resolve(),
+        "q_zorder_layout": _oracle_zorder_layout(),
         "q_bignet_map_match": _oracle_bignet_map_match(),
         "q_repetition_signals": _oracle_repetition_signals(),
         "q_weighted_sample": _oracle_weighted_sample(),

@@ -212,6 +212,17 @@ def mercator_xy_sql(lat: str, lng: str, zoom: int) -> tuple[str, str]:
     return x, y
 
 
+def zorder_key_sql(x: str, y: str, zoom: int) -> str:
+    """Morton/Z-order integer SQL expr from tile-coordinate exprs —
+    the arithmetic twin of :func:`quadkey_code_col` (y bits above x
+    bits per pair), portable Spark/DuckDB."""
+    terms = []
+    for b in range(zoom):
+        terms.append(f"(((({x}) >> {b}) & 1) << {2 * b})")
+        terms.append(f"(((({y}) >> {b}) & 1) << {2 * b + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
 def quadkey_sql_text(x: str, y: str, zoom: int) -> str:
     """Quadkey string SQL expr from tile-coordinate exprs (digit =
     2*y_bit + x_bit, MSB-first), portable Spark/DuckDB."""
