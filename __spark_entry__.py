@@ -7527,6 +7527,51 @@ def _oracle_bigram_nll() -> str:
     """
 
 
+def _q_kneser_ney_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram NLL per document
+    (operators/text.py:kneser_ney_nll): absolute discount D = 3/4,
+    continuation-count backoff — exact BIGINT numerator/denominator,
+    one float ln fixed-pointed per bigram type.  The oracle rebuilds
+    bigram, successor, predecessor and type counts from scratch and
+    replays the same rational."""
+    from geo_spark.operators.text import kneser_ney_nll
+
+    return kneser_ney_nll(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def _oracle_kneser_ney_nll() -> str:
+    return """
+        WITH arrs AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, ' +'),
+                             x -> length(x) > 0) AS arr
+          FROM documents),
+        toks AS (SELECT doc_id, generate_subscripts(arr, 1) AS pos,
+                        unnest(arr) AS w
+                 FROM arrs),
+        pairs AS (SELECT doc_id, w,
+                         lag(w) OVER (PARTITION BY doc_id
+                                      ORDER BY pos) AS p
+                  FROM toks),
+        bg AS (SELECT p, w, count(*) AS c FROM pairs
+               WHERE p IS NOT NULL GROUP BY p, w),
+        pv AS (SELECT p, sum(c) AS cp, count(*) AS fwd FROM bg GROUP BY p),
+        bwd AS (SELECT w, count(*) AS bwd FROM bg GROUP BY w),
+        nbt AS (SELECT count(*) AS nb FROM bg),
+        lp AS (SELECT bg.p, bg.w,
+                      CAST(FLOOR(ln(
+                          CAST(GREATEST(4*bg.c - 3, 0) * nbt.nb
+                               + 3 * pv.fwd * bwd.bwd AS DOUBLE)
+                          / CAST(4 * pv.cp * nbt.nb AS DOUBLE))
+                          * 1e6) AS BIGINT) AS lp
+               FROM bg JOIN pv USING (p) JOIN bwd USING (w), nbt)
+        SELECT pr.doc_id, COUNT(*) AS n_bigrams,
+               CAST(-SUM(lp.lp) AS BIGINT) AS nll_x1e6
+        FROM pairs pr JOIN lp ON lp.p = pr.p AND lp.w = pr.w
+        GROUP BY pr.doc_id ORDER BY pr.doc_id
+    """
+
+
 def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language concat-and-chunk packing into 2048-token bins:
     each document's token span and bin range in the shard stream."""
@@ -13536,6 +13581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hmm_map_match": _q_hmm_map_match,
         "q_toponym_resolve": _q_toponym_resolve,
         "q_zorder_layout": _q_zorder_layout,
+        "q_kneser_ney_nll": _q_kneser_ney_nll,
         "q_bignet_map_match": _q_bignet_map_match,
         "q_repetition_signals": _q_repetition_signals,
         "q_weighted_sample": _q_weighted_sample,
@@ -13738,6 +13784,7 @@ def oracle_sql() -> dict[str, str]:
         "q_hmm_map_match": _oracle_hmm_map_match(),
         "q_toponym_resolve": _oracle_toponym_resolve(),
         "q_zorder_layout": _oracle_zorder_layout(),
+        "q_kneser_ney_nll": _oracle_kneser_ney_nll(),
         "q_bignet_map_match": _oracle_bignet_map_match(),
         "q_repetition_signals": _oracle_repetition_signals(),
         "q_weighted_sample": _oracle_weighted_sample(),

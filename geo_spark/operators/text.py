@@ -637,6 +637,86 @@ def bigram_nll(
     )
 
 
+def kneser_ney_nll(
+    docs: DataFrame, key: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(key, n_bigrams, nll_x1e6): per-document bigram NLL under
+    interpolated Kneser-Ney smoothing with absolute discount D = 3/4 —
+    the smoothing real LM-quality filters (CCNet/KenLM) use, where the
+    backoff weight of a word is its CONTINUATION count (how many
+    distinct predecessors it follows), not its raw frequency.  Raw
+    frequency over-scores words that are common only inside one frozen
+    phrase; continuation counts fix exactly that, which is why KN
+    separates boilerplate from fluent text better than Laplace
+    (:func:`bigram_nll`).
+
+    Exact-rational discipline: with D = 3/4,
+
+        p(w|p) = (max(4c(p,w) - 3, 0) * NB + 3 * fwd(p) * bwd(w))
+                 / (4 * c(p) * NB)
+
+    where fwd(p) = distinct successors of p, bwd(w) = distinct
+    predecessors of w, NB = distinct bigram types.  Numerator and
+    denominator are exact BIGINTs; only the final ln(num/den) is
+    float, fixed-pointed per bigram TYPE (floor x 1e6) before the
+    per-doc integer sum — partition-order invariant and bit-replayable
+    in SQL.  (4 * c(p) * NB can overflow int64 only past ~1e9 x 1e9
+    count scales; widen to DECIMAL if a corpus ever gets there.)
+
+    Scale shape: identical to :func:`bigram_nll` — in-row zipped pair
+    arrays (no window over the corpus), two map-combined count
+    shuffles, vocabulary-sized broadcast model tables.  Every observed
+    bigram has c >= 1 so num >= NB > 0: no zero-probability terms."""
+    tk = F.filter(
+        F.split(F.col(text_col), " +"), lambda x: F.length(x) > 0
+    )
+    toks = docs.select(F.col(key), tk.alias("_tk"))
+    npairs = F.greatest(F.size("_tk") - 1, F.lit(0))
+    zipped = F.arrays_zip(
+        F.slice("_tk", 1, npairs).alias("p"),
+        F.expr("slice(_tk, 2, greatest(size(_tk) - 1, 0))").alias("w"),
+    )
+    pairs = toks.select(
+        F.col(key), F.explode(zipped).alias("_pr")
+    ).select(F.col(key), F.col("_pr.p").alias("p"), F.col("_pr.w").alias("w"))
+    bg = pairs.groupBy("p", "w").agg(F.count(F.lit(1)).alias("c"))
+    pv = bg.groupBy("p").agg(
+        F.sum("c").alias("cp"), F.count(F.lit(1)).alias("fwd")
+    )
+    bwd = bg.groupBy("w").agg(F.count(F.lit(1)).alias("bwd"))
+    nb = bg.agg(F.count(F.lit(1)).alias("nb"))
+    lp = (
+        bg.join(pv, "p")
+        .join(bwd, "w")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "p",
+            "w",
+            F.floor(
+                F.log(
+                    (
+                        F.greatest(4 * F.col("c") - 3, F.lit(0))
+                        * F.col("nb")
+                        + 3 * F.col("fwd") * F.col("bwd")
+                    ).cast("double")
+                    / (4 * F.col("cp") * F.col("nb")).cast("double")
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("lp"),
+        )
+    )
+    return (
+        pairs.join(F.broadcast(lp), ["p", "w"])
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (-F.sum("lp")).alias("nll_x1e6"),
+        )
+    )
+
+
 def bpe_train(
     docs: DataFrame,
     n_merges: int = 10,
