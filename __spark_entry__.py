@@ -4997,8 +4997,17 @@ def _q_toponym_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-negative integer-division rule)."""
     from geo_spark.operators.geocode import toponym_resolve
 
+    docs = _t(spark, sf_dir, "documents")
+    return toponym_resolve(docs, _topo_gazetteer(spark)).orderBy(
+        "doc_id", "name"
+    )
+
+
+def _topo_gazetteer(spark: SparkSession) -> DataFrame:
+    """12 corpus words x 3 homonym entries; population and shifted
+    micro-degree coordinates are pure integer arithmetic on geo_id."""
     n = len(_TOPO_NAMES)
-    gz = spark.range(3 * n).select(
+    return spark.range(3 * n).select(
         F.col("id").alias("geo_id"),
         F.element_at(
             F.array(*[F.lit(s) for s in _TOPO_NAMES]),
@@ -5008,8 +5017,6 @@ def _q_toponym_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("id") * 2654435761) % 180000001).alias("lat_u"),
         ((F.col("id") * 1103515245) % 360000001).alias("lng_u"),
     )
-    docs = _t(spark, sf_dir, "documents")
-    return toponym_resolve(docs, gz).orderBy("doc_id", "name")
 
 
 def _oracle_toponym_resolve() -> str:
@@ -5049,6 +5056,60 @@ def _oracle_toponym_resolve() -> str:
         SELECT doc_id, name, CAST(n_mentions AS BIGINT) AS n_mentions,
                geo_id, lat_u, lng_u
         FROM s2 ORDER BY doc_id, name
+    """
+
+
+_TOPO_ZOOM = 4
+
+
+def _q_toponym_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition certificate across the webtext and tiling families:
+    toponym resolution (population prior + coherence re-pick) feeds
+    the north-star tile assignment — each resolved (doc, place)
+    mention lands on its zoom-4 Bing quadkey, rolled up to per-tile
+    mention totals and exact distinct documents.  ONE chained oracle
+    (the geocoder oracle nested MATERIALIZED) replays extraction,
+    both disambiguation stages, the shifted-micro-degree ->
+    degrees -> mercator -> quadkey chain and the rollup end to end."""
+    from geo_spark.functions.webgrid import mercator_xy_cols, quadkey_col
+    from geo_spark.operators.geocode import toponym_resolve
+
+    docs = _t(spark, sf_dir, "documents")
+    res = toponym_resolve(docs, _topo_gazetteer(spark))
+    lat = F.col("lat_u") / F.lit(1e6) - F.lit(90.0)
+    lng = F.col("lng_u") / F.lit(1e6) - F.lit(180.0)
+    x, y = mercator_xy_cols(lat, lng, _TOPO_ZOOM)
+    return (
+        res.select(
+            quadkey_col(x, y, _TOPO_ZOOM).alias("qk"),
+            "doc_id",
+            "n_mentions",
+        )
+        .groupBy("qk")
+        .agg(
+            F.sum("n_mentions").alias("n_mentions"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy("qk")
+    )
+
+
+def _oracle_toponym_tile_rollup() -> str:
+    from geo_spark.functions.webgrid import mercator_xy_sql, quadkey_sql_text
+
+    x, y = mercator_xy_sql("lat", "lng", _TOPO_ZOOM)
+    qk = quadkey_sql_text("tx", "ty", _TOPO_ZOOM)
+    return f"""
+        WITH topo AS MATERIALIZED ({_oracle_toponym_resolve()}),
+        ll AS (SELECT doc_id, n_mentions,
+                      lat_u / 1000000e0 - 90e0 AS lat,
+                      lng_u / 1000000e0 - 180e0 AS lng
+               FROM topo),
+        t AS (SELECT doc_id, n_mentions, {x} AS tx, {y} AS ty FROM ll),
+        q AS (SELECT doc_id, n_mentions, {qk} AS qk FROM t)
+        SELECT qk, CAST(SUM(n_mentions) AS BIGINT) AS n_mentions,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM q GROUP BY qk ORDER BY qk
     """
 
 
@@ -13582,6 +13643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_toponym_resolve": _q_toponym_resolve,
         "q_zorder_layout": _q_zorder_layout,
         "q_kneser_ney_nll": _q_kneser_ney_nll,
+        "q_toponym_tile_rollup": _q_toponym_tile_rollup,
         "q_bignet_map_match": _q_bignet_map_match,
         "q_repetition_signals": _q_repetition_signals,
         "q_weighted_sample": _q_weighted_sample,
@@ -13785,6 +13847,7 @@ def oracle_sql() -> dict[str, str]:
         "q_toponym_resolve": _oracle_toponym_resolve(),
         "q_zorder_layout": _oracle_zorder_layout(),
         "q_kneser_ney_nll": _oracle_kneser_ney_nll(),
+        "q_toponym_tile_rollup": _oracle_toponym_tile_rollup(),
         "q_bignet_map_match": _oracle_bignet_map_match(),
         "q_repetition_signals": _oracle_repetition_signals(),
         "q_weighted_sample": _oracle_weighted_sample(),

@@ -58,6 +58,10 @@ HEADLINE_QUERIES = [
     "q_tf_dot_pairs",  # posting-list join with stop-term valve
     "q_salted_pip_join",  # Zipfian hot-cell fixture through auto_salt_layer
     "q_semantic_dedup",  # SemDeDup: kmeans -> in-cluster cosine -> CC
+    "q_hmm_map_match",  # Viterbi trace snap: trajectory-sized DP groups
+    "q_zorder_layout",  # equi-depth curve layout + skipping manifest
+    "q_toponym_resolve",  # gazetteer geocoding, two broadcast stages
+    "q_kneser_ney_nll",  # KN-smoothed bigram LM scoring
 ]
 
 
