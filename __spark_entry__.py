@@ -7633,6 +7633,77 @@ def _oracle_kneser_ney_nll() -> str:
     """
 
 
+def _q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 corpus collocations by fixed-point PMI with a count
+    floor (operators/text.py:pmi_collocations); full lexicographic
+    order (pmi DESC, p, w) makes the limit cut exact, so the oracle
+    replays counts -> margins -> PMI -> ORDER BY -> LIMIT."""
+    from geo_spark.operators.text import pmi_collocations
+
+    return pmi_collocations(_t(spark, sf_dir, "documents"), k=15, min_count=5)
+
+
+def _oracle_pmi_collocations() -> str:
+    return """
+        WITH arrs AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, ' +'),
+                             x -> length(x) > 0) AS arr
+          FROM documents),
+        toks AS (SELECT doc_id, generate_subscripts(arr, 1) AS pos,
+                        unnest(arr) AS w
+                 FROM arrs),
+        prs AS (SELECT doc_id, w,
+                       lag(w) OVER (PARTITION BY doc_id
+                                    ORDER BY pos) AS p
+                FROM toks),
+        bg AS (SELECT p, w, count(*) AS c FROM prs
+               WHERE p IS NOT NULL GROUP BY p, w),
+        tot AS (SELECT SUM(c) AS t FROM bg),
+        l AS (SELECT p, SUM(c) AS cl FROM bg GROUP BY p),
+        r AS (SELECT w, SUM(c) AS cr FROM bg GROUP BY w),
+        s AS (SELECT bg.p, bg.w, bg.c,
+                     CAST(FLOOR(ln(CAST(bg.c * tot.t AS DOUBLE)
+                                   / CAST(l.cl * r.cr AS DOUBLE))
+                                * 1e6) AS BIGINT) AS pmi_x1e6
+              FROM bg JOIN l USING (p) JOIN r USING (w), tot
+              WHERE bg.c >= 5)
+        SELECT p, w, CAST(c AS BIGINT) AS c, pmi_x1e6
+        FROM s ORDER BY pmi_x1e6 DESC, p, w LIMIT 15
+    """
+
+
+def _q_doc_geo_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Locality classification certificate: toponym resolution feeds
+    per-document geographic dispersion (operators/geocode.py:
+    toponym_spread) — exact BIGINT sum of squared deviations from the
+    floor-division mean, one aggregation pass, no mean rejoin.  The
+    oracle nests the full geocoder replay and expands the same
+    sum-of-squares identity."""
+    from geo_spark.operators.geocode import toponym_resolve, toponym_spread
+
+    docs = _t(spark, sf_dir, "documents")
+    res = toponym_resolve(docs, _topo_gazetteer(spark))
+    return toponym_spread(res).orderBy("doc_id")
+
+
+def _oracle_doc_geo_spread() -> str:
+    return f"""
+        WITH topo AS MATERIALIZED ({_oracle_toponym_resolve()}),
+        agg AS (SELECT doc_id, COUNT(*) AS n_places,
+                       SUM(lat_u) AS sa, SUM(lat_u*lat_u) AS sa2,
+                       SUM(lng_u) AS so, SUM(lng_u*lng_u) AS so2
+                FROM topo GROUP BY doc_id),
+        m AS (SELECT doc_id, n_places, sa, sa2, so, so2,
+                     sa // n_places AS ma, so // n_places AS mo
+              FROM agg WHERE n_places >= 2)
+        SELECT doc_id, CAST(n_places AS BIGINT) AS n_places,
+               CAST(sa2 - 2*ma*sa + n_places*ma*ma
+                    + so2 - 2*mo*so + n_places*mo*mo AS BIGINT) AS sse
+        FROM m ORDER BY doc_id
+    """
+
+
 def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language concat-and-chunk packing into 2048-token bins:
     each document's token span and bin range in the shard stream."""
@@ -13644,6 +13715,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_zorder_layout": _q_zorder_layout,
         "q_kneser_ney_nll": _q_kneser_ney_nll,
         "q_toponym_tile_rollup": _q_toponym_tile_rollup,
+        "q_pmi_collocations": _q_pmi_collocations,
+        "q_doc_geo_spread": _q_doc_geo_spread,
         "q_bignet_map_match": _q_bignet_map_match,
         "q_repetition_signals": _q_repetition_signals,
         "q_weighted_sample": _q_weighted_sample,
@@ -13848,6 +13921,8 @@ def oracle_sql() -> dict[str, str]:
         "q_zorder_layout": _oracle_zorder_layout(),
         "q_kneser_ney_nll": _oracle_kneser_ney_nll(),
         "q_toponym_tile_rollup": _oracle_toponym_tile_rollup(),
+        "q_pmi_collocations": _oracle_pmi_collocations(),
+        "q_doc_geo_spread": _oracle_doc_geo_spread(),
         "q_bignet_map_match": _oracle_bignet_map_match(),
         "q_repetition_signals": _oracle_repetition_signals(),
         "q_weighted_sample": _oracle_weighted_sample(),

@@ -151,3 +151,46 @@ def toponym_resolve(
         F.col("_b.la").alias("lat_u"),
         F.col("_b.lo").alias("lng_u"),
     )
+
+
+def toponym_spread(
+    resolved: DataFrame,
+    key: str = "doc_id",
+    lat_col: str = "lat_u",
+    lng_col: str = "lng_u",
+) -> DataFrame:
+    """(key, n_places, sse): the geographic dispersion of a document's
+    resolved places — the exact integer sum of squared deviations of
+    the pick coordinates from the document's floor-division mean
+    (sse = 0 for a perfectly local document; continent-spanning news
+    roundups score orders of magnitude higher).  The classic use is
+    locality classification ('is this page ABOUT one place?') before
+    tile attribution.
+
+    Exactness: with m = sum div n (the same non-negative integer mean
+    the resolver's anchor uses), sse expands to
+    sum(x^2) - 2*m*sum(x) + n*m^2 per axis — ONE aggregation pass, no
+    mean rejoin, every term BIGINT.  Only documents with >= 2 resolved
+    places emit a row (a single place has no dispersion)."""
+    la, lo = F.col(lat_col), F.col(lng_col)
+    agg = resolved.groupBy(key).agg(
+        F.count("*").alias("n_places"),
+        F.sum(la).alias("_sa"),
+        F.sum(la * la).alias("_sa2"),
+        F.sum(lo).alias("_so"),
+        F.sum(lo * lo).alias("_so2"),
+    )
+    ma = F.expr("_sa div n_places")
+    mo = F.expr("_so div n_places")
+    return agg.where(F.col("n_places") >= 2).select(
+        key,
+        "n_places",
+        (
+            F.col("_sa2")
+            - 2 * ma * F.col("_sa")
+            + F.col("n_places") * ma * ma
+            + F.col("_so2")
+            - 2 * mo * F.col("_so")
+            + F.col("n_places") * mo * mo
+        ).alias("sse"),
+    )

@@ -570,6 +570,32 @@ def inverted_index(
     )
 
 
+def _bigram_pairs(
+    docs: DataFrame, key: str, text_col: str
+) -> DataFrame:
+    """(key, p, w): one row per in-document bigram token.
+
+    Built with TWO whole-array slices zipped, never per-element
+    element_at(tk, i): higher-order-function lambdas run interpreted
+    without common-subexpression elimination, so indexing the tk
+    EXPRESSION inside the lambda re-ran split+filter once per element
+    — O(tokens^2) string work per document (11.5s at sf0.1 in the
+    bench suite; the zip shape measures 0.83s there, bounded by its
+    two token-table shuffles)."""
+    tk = F.filter(
+        F.split(F.col(text_col), " +"), lambda x: F.length(x) > 0
+    )
+    toks = docs.select(F.col(key), tk.alias("_tk"))
+    npairs = F.greatest(F.size("_tk") - 1, F.lit(0))
+    zipped = F.arrays_zip(
+        F.slice("_tk", 1, npairs).alias("p"),
+        F.expr("slice(_tk, 2, greatest(size(_tk) - 1, 0))").alias("w"),
+    )
+    return toks.select(
+        F.col(key), F.explode(zipped).alias("_pr")
+    ).select(F.col(key), F.col("_pr.p").alias("p"), F.col("_pr.w").alias("w"))
+
+
 def bigram_nll(
     docs: DataFrame, key: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -580,30 +606,16 @@ def bigram_nll(
     unigram distribution but not the transitions).
 
     Same scale/portability discipline as unigram_nll: bigram pairs come
-    from an in-row array transform (no window, no self-join), counts
-    are two map-side-combined shuffles, the log term is fixed-pointed
-    per bigram TYPE before the per-doc integer sum (partition-order
-    invariant), and the model tables are vocabulary-sized broadcasts.
-    Documents with <2 tokens emit no row."""
-    # Build the bigram array with TWO whole-array slices zipped, never
-    # per-element element_at(tk, i): higher-order-function lambdas run
-    # interpreted without common-subexpression elimination, so indexing
-    # the tk EXPRESSION inside the lambda re-ran split+filter once per
-    # element — O(tokens^2) string work per document (11.5s at sf0.1 in
-    # the bench suite; the zip shape measures 0.83s there, bounded by
-    # its two token-table shuffles).
+    from an in-row array transform (no window, no self-join, see
+    :func:`_bigram_pairs`), counts are two map-side-combined shuffles,
+    the log term is fixed-pointed per bigram TYPE before the per-doc
+    integer sum (partition-order invariant), and the model tables are
+    vocabulary-sized broadcasts.  Documents with <2 tokens emit no
+    row."""
     tk = F.filter(
         F.split(F.col(text_col), " +"), lambda x: F.length(x) > 0
     )
-    toks = docs.select(F.col(key), tk.alias("_tk"))
-    npairs = F.greatest(F.size("_tk") - 1, F.lit(0))
-    zipped = F.arrays_zip(
-        F.slice("_tk", 1, npairs).alias("p"),
-        F.expr("slice(_tk, 2, greatest(size(_tk) - 1, 0))").alias("w"),
-    )
-    pairs = toks.select(
-        F.col(key), F.explode(zipped).alias("_pr")
-    ).select(F.col(key), F.col("_pr.p").alias("p"), F.col("_pr.w").alias("w"))
+    pairs = _bigram_pairs(docs, key, text_col)
     bg = pairs.groupBy("p", "w").agg(F.count(F.lit(1)).alias("c"))
     pv = bg.groupBy("p").agg(F.sum("c").alias("cp"))
     vocab = (
@@ -667,18 +679,7 @@ def kneser_ney_nll(
     arrays (no window over the corpus), two map-combined count
     shuffles, vocabulary-sized broadcast model tables.  Every observed
     bigram has c >= 1 so num >= NB > 0: no zero-probability terms."""
-    tk = F.filter(
-        F.split(F.col(text_col), " +"), lambda x: F.length(x) > 0
-    )
-    toks = docs.select(F.col(key), tk.alias("_tk"))
-    npairs = F.greatest(F.size("_tk") - 1, F.lit(0))
-    zipped = F.arrays_zip(
-        F.slice("_tk", 1, npairs).alias("p"),
-        F.expr("slice(_tk, 2, greatest(size(_tk) - 1, 0))").alias("w"),
-    )
-    pairs = toks.select(
-        F.col(key), F.explode(zipped).alias("_pr")
-    ).select(F.col(key), F.col("_pr.p").alias("p"), F.col("_pr.w").alias("w"))
+    pairs = _bigram_pairs(docs, key, text_col)
     bg = pairs.groupBy("p", "w").agg(F.count(F.lit(1)).alias("c"))
     pv = bg.groupBy("p").agg(
         F.sum("c").alias("cp"), F.count(F.lit(1)).alias("fwd")
@@ -715,6 +716,52 @@ def kneser_ney_nll(
             (-F.sum("lp")).alias("nll_x1e6"),
         )
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    k: int = 10,
+    min_count: int = 5,
+    key: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(p, w, c, pmi_x1e6): the corpus's top-``k`` collocations by
+    pointwise mutual information pmi = ln(c(p,w) * T / (c(p,.) *
+    c(.,w))), T = total bigram tokens, with a ``min_count`` floor (raw
+    PMI without a floor surfaces hapaxes) — the phrase-mining pass a
+    tokenizer/quality pipeline runs to find multi-word units.
+
+    Determinism: fixed-point pmi per bigram type, full lexicographic
+    order (pmi DESC, p, w) before the limit, so the cut is exact.
+    Scale: one corpus pair shuffle + margin-table joins; the top-k is
+    TakeOrdered (per-partition heads, no global sort shuffle).  c * T
+    is BIGINT — widen to DECIMAL past ~1e9 x 1e9 token scales."""
+    pairs = _bigram_pairs(docs, key, text_col)
+    bg = pairs.groupBy("p", "w").agg(F.count(F.lit(1)).alias("c"))
+    tot = bg.agg(F.sum("c").alias("t"))
+    left = bg.groupBy("p").agg(F.sum("c").alias("cl"))
+    right = bg.groupBy("w").agg(F.sum("c").alias("cr"))
+    scored = (
+        bg.where(F.col("c") >= min_count)
+        .join(left, "p")
+        .join(right, "w")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "p",
+            "w",
+            "c",
+            F.floor(
+                F.log(
+                    (F.col("c") * F.col("t")).cast("double")
+                    / (F.col("cl") * F.col("cr")).cast("double")
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("pmi_x1e6"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi_x1e6"), "p", "w").limit(k)
 
 
 def bpe_train(

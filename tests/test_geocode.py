@@ -95,3 +95,22 @@ def test_resolve_coordinates_ride_the_pick(spark):
            toponym_resolve(docs, _gazetteer(spark)).collect()}
     assert got["paris"] == _u(48.85, 2.35)
     assert got["lyon"] == _u(45.76, 4.84)
+
+
+def test_toponym_spread_hand_values(spark):
+    from geo_spark.operators.geocode import toponym_spread
+
+    rows = [
+        (1, "a", 100, 200),
+        (1, "b", 104, 210),
+        (1, "c", 96, 190),
+        (2, "d", 7, 9),  # single place: no row
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, name string, lat_u long, lng_u long"
+    )
+    got = {r["doc_id"]: (r["n_places"], r["sse"]) for r in
+           toponym_spread(df).collect()}
+    # doc 1: mean lat = 300 div 3 = 100, mean lng = 600 div 3 = 200
+    sse = (0 + 16 + 16) + (0 + 100 + 100)
+    assert got == {1: (3, sse)}

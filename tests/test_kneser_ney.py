@@ -82,3 +82,23 @@ def test_kn_continuation_counts_beat_raw_frequency(spark):
     lap = {r["doc_id"]: r["nll_x1e6"] for r in bigram_nll(df).collect()}
     assert kn[i_frozen] > kn[i_free]  # continuation counts discriminate
     assert lap[i_frozen] == lap[i_free]  # raw-count smoothing cannot
+
+
+def test_pmi_collocations_surface_frozen_phrase(spark):
+    from geo_spark.operators.text import pmi_collocations
+
+    corpus = ["san francisco is big"] * 6 + [
+        "the cat is small",
+        "a dog is big",
+        "the dog is small",
+        "a cat is big",
+        "rare gem",  # c = 1 < min_count: excluded despite perfect PMI
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(corpus)), "doc_id long, text string"
+    )
+    got = pmi_collocations(df, k=3, min_count=5).collect()
+    assert (got[0]["p"], got[0]["w"]) == ("san", "francisco")
+    assert all((r["p"], r["w"]) != ("rare", "gem") for r in got)
+    pmis = [r["pmi_x1e6"] for r in got]
+    assert pmis == sorted(pmis, reverse=True)
