@@ -5113,6 +5113,147 @@ def _oracle_toponym_tile_rollup() -> str:
     """
 
 
+_RSP_M = 7  # resampled points per chain
+_RSP_NV = 5  # vertices per fixture chain
+
+
+def _rsp_vert_exprs() -> tuple[str, str, str]:
+    """Pure-double (a, b, c) cube coordinates from event_id — NO trig
+    anywhere, so normalize + resample stay bit-replayable."""
+    from geo_spark.operators.geo_noise import _U1_D, _U2_D, _U3
+
+    a = f"(2.0e0 * {_U1_D.format(id='event_id')} - 1.0e0)"
+    b = f"(2.0e0 * {_U2_D.format(id='event_id')} - 1.0e0)"
+    c = f"(2.0e0 * {_U3.format(id='event_id')} - 1.0e0)"
+    return a, b, c
+
+
+def _q_resample_polylines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chord-fraction polyline resampling (operators/resample.py):
+    200 five-vertex chains built from pure-double unit-sphere vertices
+    (cube streams + normalize — no trig, so EVERY output coordinate is
+    bit-replayable) emit 7 points each at equal chord-length
+    fractions.  The oracle replays vertex synthesis, the left-fold
+    cumulative lengths, segment locate, alpha clamp, lerp and the
+    final normalization in the documented op order — raw doubles
+    compared exactly, the reference Interpolate contract
+    (s2/polyline.go) under the relational gate."""
+    from geo_spark.operators.resample import resample_polylines
+
+    a, b, c = _rsp_vert_exprs()
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(
+            (F.col("event_id") < 8 * 200)
+            & (F.col("event_id") % 8 < _RSP_NV)
+        )
+        .select(
+            F.expr("event_id div 8").alias("trail"),
+            (F.col("event_id") % 8).alias("seq"),
+            F.expr(a).alias("_a"),
+            F.expr(b).alias("_b"),
+            F.expr(c).alias("_c"),
+        )
+    )
+    nrm = F.sqrt(
+        (F.col("_a") * F.col("_a") + F.col("_b") * F.col("_b"))
+        + F.col("_c") * F.col("_c")
+    )
+    verts = ev.select(
+        "trail",
+        "seq",
+        (F.col("_a") / nrm).alias("x"),
+        (F.col("_b") / nrm).alias("y"),
+        (F.col("_c") / nrm).alias("z"),
+    )
+    return resample_polylines(verts, _RSP_M, key="trail").orderBy(
+        "trail", "j"
+    )
+
+
+def _oracle_resample_polylines() -> str:
+    a, b, c = _rsp_vert_exprs()
+    nv, m = _RSP_NV, _RSP_M
+    piv = ", ".join(
+        f"MAX(CASE WHEN seq = {i} THEN {ax} END) AS {ax}{i}"
+        for i in range(nv)
+        for ax in ("x", "y", "z")
+    )
+    lens = ", ".join(
+        f"sqrt(((x{i + 1}-x{i})*(x{i + 1}-x{i})"
+        f" + (y{i + 1}-y{i})*(y{i + 1}-y{i}))"
+        f" + (z{i + 1}-z{i})*(z{i + 1}-z{i})) AS l{i}"
+        for i in range(nv - 1)
+    )
+    # left-fold cumulative sums, numpy cumsum association
+    cums = []
+    acc = "l0"
+    cums.append(f"{acc} AS c1")
+    for i in range(1, nv - 1):
+        acc = f"({acc} + l{i})"
+        cums.append(f"{acc} AS c{i + 1}")
+    locate = (
+        "CASE "
+        + " ".join(
+            f"WHEN c{s + 1} >= t THEN {s}" for s in range(nv - 2)
+        )
+        + f" ELSE {nv - 2} END"
+    )
+    pick = lambda pre: (  # noqa: E731
+        "CASE s "
+        + " ".join(f"WHEN {i} THEN {pre}{i}" for i in range(nv - 1))
+        + f" ELSE {pre}{nv - 1} END"
+    )
+    pick1 = lambda pre: (  # noqa: E731
+        "CASE s "
+        + " ".join(f"WHEN {i} THEN {pre}{i + 1}" for i in range(nv - 1))
+        + " END"
+    )
+    cum_at = (
+        "CASE s WHEN 0 THEN 0.0e0 "
+        + " ".join(f"WHEN {i} THEN c{i}" for i in range(1, nv - 1))
+        + f" ELSE c{nv - 2} END"
+    )
+    len_at = (
+        "CASE s "
+        + " ".join(f"WHEN {i} THEN l{i}" for i in range(nv - 2))
+        + f" ELSE l{nv - 2} END"
+    )
+    return f"""
+        WITH vsrc AS (SELECT event_id // 8 AS trail,
+                             event_id % 8 AS seq,
+                             {a} AS va, {b} AS vb, {c} AS vc
+                      FROM events
+                      WHERE event_id < 1600 AND event_id % 8 < {nv}),
+        vx AS (SELECT trail, seq, va/n AS x, vb/n AS y, vc/n AS z
+               FROM (SELECT *, sqrt((va*va + vb*vb) + vc*vc) AS n
+                     FROM vsrc)),
+        pv AS (SELECT trail, {piv} FROM vx GROUP BY trail),
+        sg AS (SELECT *, {lens} FROM pv),
+        cm AS (SELECT *, {', '.join(cums)} FROM sg),
+        tj AS (SELECT cm.*, j, (j * c{nv - 1}) / {m - 1} AS t
+               FROM cm, (SELECT unnest(range({m})) AS j)),
+        loc AS (SELECT *, {locate} AS s FROM tj),
+        al AS (SELECT *,
+                      CASE WHEN {len_at} > 0.0e0
+                           THEN LEAST((t - ({cum_at})) / ({len_at}),
+                                      1.0e0)
+                           ELSE 0.0e0 END AS alpha
+               FROM loc),
+        lp AS (SELECT trail, j, s,
+                      ({pick('x')}) + alpha * (({pick1('x')}) - ({pick('x')})) AS px,
+                      ({pick('y')}) + alpha * (({pick1('y')}) - ({pick('y')})) AS py,
+                      ({pick('z')}) + alpha * (({pick1('z')}) - ({pick('z')})) AS pz
+               FROM al),
+        nr AS (SELECT trail, j, s,
+                      sqrt((px*px + py*py) + pz*pz) AS nn, px, py, pz
+               FROM lp)
+        SELECT trail, CAST(j AS BIGINT) AS j, CAST(s AS BIGINT) AS seg,
+               px/nn AS x, py/nn AS y, pz/nn AS z
+        FROM nr ORDER BY trail, j
+    """
+
+
 _ZL_ZOOM = 6
 _ZL_PARTS = 8
 
@@ -13717,6 +13858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_toponym_tile_rollup": _q_toponym_tile_rollup,
         "q_pmi_collocations": _q_pmi_collocations,
         "q_doc_geo_spread": _q_doc_geo_spread,
+        "q_resample_polylines": _q_resample_polylines,
         "q_bignet_map_match": _q_bignet_map_match,
         "q_repetition_signals": _q_repetition_signals,
         "q_weighted_sample": _q_weighted_sample,
@@ -13923,6 +14065,7 @@ def oracle_sql() -> dict[str, str]:
         "q_toponym_tile_rollup": _oracle_toponym_tile_rollup(),
         "q_pmi_collocations": _oracle_pmi_collocations(),
         "q_doc_geo_spread": _oracle_doc_geo_spread(),
+        "q_resample_polylines": _oracle_resample_polylines(),
         "q_bignet_map_match": _oracle_bignet_map_match(),
         "q_repetition_signals": _oracle_repetition_signals(),
         "q_weighted_sample": _oracle_weighted_sample(),
