@@ -11672,6 +11672,37 @@ def _oracle_embed_kmeans() -> str:
         FROM {final} ORDER BY vec_id"""
 
 
+def _q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic +-1 Johnson-Lindenstrauss sketch of every
+    embedding (operators/similarity.py:random_projection): 8 integer
+    projections per vector from an inline (dimension, component) sign
+    hash — no projection matrix anywhere.  The oracle replays
+    quantize -> sign stream -> conditional sums exactly."""
+    from geo_spark.operators.similarity import random_projection
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return random_projection(emb, out_dim=8).orderBy("vec_id", "d")
+
+
+def _oracle_random_projection() -> str:
+    sign_case = (
+        "CASE WHEN ((i * 1000003 + (d * 7919 + 1)) * 2654435761)"
+        " % 4294967296 < 2147483648 THEN qv ELSE -qv END"
+    )
+    return f"""
+        WITH ux AS (SELECT vec_id, unnest(embedding) AS x,
+                           generate_subscripts(embedding, 1) - 1 AS i
+                    FROM embeddings),
+        q AS (SELECT vec_id, i,
+                     CAST(FLOOR((CAST(x AS DOUBLE) + 1.0e0) * 1000000e0)
+                          AS BIGINT) AS qv
+              FROM ux)
+        SELECT vec_id, d, CAST(SUM({sign_case}) AS BIGINT) AS proj
+        FROM q, (SELECT unnest(range(8)) AS d)
+        GROUP BY vec_id, d ORDER BY vec_id, d
+    """
+
+
 _KCENTER_K = 8
 
 
@@ -13859,6 +13890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pmi_collocations": _q_pmi_collocations,
         "q_doc_geo_spread": _q_doc_geo_spread,
         "q_resample_polylines": _q_resample_polylines,
+        "q_random_projection": _q_random_projection,
         "q_bignet_map_match": _q_bignet_map_match,
         "q_repetition_signals": _q_repetition_signals,
         "q_weighted_sample": _q_weighted_sample,
@@ -14066,6 +14098,7 @@ def oracle_sql() -> dict[str, str]:
         "q_pmi_collocations": _oracle_pmi_collocations(),
         "q_doc_geo_spread": _oracle_doc_geo_spread(),
         "q_resample_polylines": _oracle_resample_polylines(),
+        "q_random_projection": _oracle_random_projection(),
         "q_bignet_map_match": _oracle_bignet_map_match(),
         "q_repetition_signals": _oracle_repetition_signals(),
         "q_weighted_sample": _oracle_weighted_sample(),

@@ -768,3 +768,53 @@ def semantic_dedup(
             (F.col("rep") == F.col(id_col)).alias("keep"),
         )
     )
+
+
+def random_projection(
+    emb: DataFrame,
+    out_dim: int = 8,
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+    shift: float = 1.0,
+    scale: float = 1_000_000.0,
+    seed: int = 1,
+) -> DataFrame:
+    """(key, d, proj): a deterministic +-1 Johnson-Lindenstrauss sketch
+    of the quantized embedding — proj_d = sum_i s(d, i) * q_i with the
+    sign drawn from an inline integer hash of (dimension, component),
+    so NO projection matrix is materialized or broadcast at all.  The
+    cheap pre-ANN dimension cut: pairwise distances survive within
+    (1 +- eps) w.h.p. for out_dim = O(ln n / eps^2) (sign/Achlioptas
+    projections satisfy the JL lemma like gaussians do).
+
+    Exactness: components quantize to BIGINT (floor((x + shift) *
+    scale), the repo-wide embedding contract) and each projection is an
+    integer sum, so the SQL oracle replays every value bit-for-bit.
+
+    Scale shape: ONE partial-aggregatable groupBy(key) computing all
+    ``out_dim`` conditional sums in a single pass over the exploded
+    components — no cross join, no matrix, shuffle rows = n x out_dim
+    after map-side combine."""
+    from geo_spark.operators.kmeans import _quantize_vec
+
+    ex = emb.select(
+        F.col(key),
+        F.posexplode(_quantize_vec(vec_col, shift, scale)).alias("i", "q"),
+    )
+
+    def sign(d: int):
+        mix = (
+            (F.col("i") * 1000003 + F.lit(d * 7919 + int(seed)))
+            * 2654435761
+        ) % 4294967296
+        return F.when(mix < 2147483648, F.lit(1)).otherwise(F.lit(-1))
+
+    wide = ex.groupBy(key).agg(
+        *[F.sum(sign(d) * F.col("q")).alias(f"_p{d}") for d in range(out_dim)]
+    )
+    stack = ", ".join(
+        f"CAST({d} AS BIGINT), _p{d}" for d in range(out_dim)
+    )
+    return wide.select(
+        key, F.expr(f"stack({out_dim}, {stack}) AS (d, proj)")
+    )

@@ -259,3 +259,35 @@ def test_flood_fill_covering_matches_coverer_leaves():
         c for c in grown if cap.may_intersect_cell(Cell.from_id(c))
     )
     assert brute == cells
+
+
+def test_random_projection_jl_property(spark):
+    """JL sanity: with 32 sign projections, squared pairwise distances
+    of well-separated cluster centers are preserved within a loose
+    constant (deterministic fixture; sqrt(2/k) relative noise), and projections are exact integers
+    replayable from the documented sign hash."""
+    import numpy as np
+    from geo_spark.operators.similarity import random_projection
+
+    rng = np.random.default_rng(20260820)
+    base = rng.uniform(-0.9, 0.9, (4, 64))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    k = 64
+    got = random_projection(df, out_dim=k).collect()
+    P = np.zeros((4, k))
+    for r in got:
+        P[r["vec_id"], r["d"]] = r["proj"]
+    # exact replay of one projection value
+    q = np.floor((np.asarray(base[0], np.float32).astype(np.float64) + 1.0)
+                 * 1e6).astype(np.int64)
+    sign = np.where(((np.arange(64) * 1000003 + (0 * 7919 + 1))
+                     * 2654435761) % 4294967296 < 2147483648, 1, -1)
+    assert int((sign * q).sum()) == int(P[0, 0])
+    # distance preservation within a loose constant (E[|Px-Py|^2] = k|x-y|^2)
+    Q = np.floor((base + 1.0) * 1e6)
+    for a in range(4):
+        for b in range(a + 1, 4):
+            orig = ((Q[a] - Q[b]) ** 2).sum() * k
+            proj = ((P[a] - P[b]) ** 2).sum()
+            assert 0.25 * orig < proj < 3.0 * orig, (a, b)
