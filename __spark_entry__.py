@@ -7845,6 +7845,64 @@ def _oracle_doc_geo_spread() -> str:
     """
 
 
+def _q_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum assembly certificate: Kneser-Ney LM scores order
+    each language's documents easy -> hard, ntile(4) cuts the
+    curriculum stages, and the rollup reports per (lang, stage) doc
+    counts and exact per-bigram score ranges.  Chains kneser_ney_nll
+    -> integer per-token score (div on non-negative) -> per-stratum
+    ntile — the per-language sort is the curriculum CONTRACT (strata
+    are language-bounded, not corpus-bounded).  ONE oracle nests the
+    full KN replay MATERIALIZED and re-runs scoring, ntile and the
+    rollup."""
+    from pyspark.sql import Window
+
+    from geo_spark.operators.text import kneser_ney_nll
+
+    docs = _t(spark, sf_dir, "documents")
+    kn = kneser_ney_nll(docs)
+    scored = (
+        docs.select("doc_id", "lang")
+        .join(kn, "doc_id")
+        .withColumn("per_tok", F.expr("nll_x1e6 div n_bigrams"))
+    )
+    win = Window.partitionBy("lang").orderBy("per_tok", "doc_id")
+    return (
+        scored.withColumn("stage", F.ntile(4).over(win))
+        .groupBy("lang", "stage")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("per_tok").alias("min_score"),
+            F.max("per_tok").alias("max_score"),
+        )
+        .select(
+            "lang",
+            F.col("stage").cast("long").alias("stage"),
+            "n_docs",
+            "min_score",
+            "max_score",
+        )
+        .orderBy("lang", "stage")
+    )
+
+
+def _oracle_curriculum_buckets() -> str:
+    return f"""
+        WITH kn AS MATERIALIZED ({_oracle_kneser_ney_nll()}),
+        scored AS (SELECT d.lang, kn.doc_id,
+                          kn.nll_x1e6 // kn.n_bigrams AS per_tok
+                   FROM kn JOIN documents d USING (doc_id)),
+        st AS (SELECT lang, per_tok,
+                      ntile(4) OVER (PARTITION BY lang
+                                     ORDER BY per_tok, doc_id) AS stage
+               FROM scored)
+        SELECT lang, CAST(stage AS BIGINT) AS stage,
+               COUNT(*) AS n_docs,
+               MIN(per_tok) AS min_score, MAX(per_tok) AS max_score
+        FROM st GROUP BY lang, stage ORDER BY lang, stage
+    """
+
+
 def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language concat-and-chunk packing into 2048-token bins:
     each document's token span and bin range in the shard stream."""
@@ -13891,6 +13949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_geo_spread": _q_doc_geo_spread,
         "q_resample_polylines": _q_resample_polylines,
         "q_random_projection": _q_random_projection,
+        "q_curriculum_buckets": _q_curriculum_buckets,
         "q_bignet_map_match": _q_bignet_map_match,
         "q_repetition_signals": _q_repetition_signals,
         "q_weighted_sample": _q_weighted_sample,
@@ -14099,6 +14158,7 @@ def oracle_sql() -> dict[str, str]:
         "q_doc_geo_spread": _oracle_doc_geo_spread(),
         "q_resample_polylines": _oracle_resample_polylines(),
         "q_random_projection": _oracle_random_projection(),
+        "q_curriculum_buckets": _oracle_curriculum_buckets(),
         "q_bignet_map_match": _oracle_bignet_map_match(),
         "q_repetition_signals": _oracle_repetition_signals(),
         "q_weighted_sample": _oracle_weighted_sample(),
