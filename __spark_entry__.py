@@ -13917,6 +13917,126 @@ def _oracle_bloom_semi_orders() -> str:
     """
 
 
+_HOTSPOT_ZOOM = 4  # 16x16 mercator lattice; sf0.01's 10k events ~ 39/tile
+
+
+def _q_tile_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis-Ord Gi* hot-spot z-scores over the zoom-4 mercator tile
+    lattice of the events (operators/hotspots.py): occupied-tile counts
+    -> 9-offset explode + self equi-join neighbor sums (x wraps mod 16,
+    y clamps) -> z from EXACT BIGINT moments through the shared
+    GI_Z_SQL double tree.  All native SQL — no UDF, no corpus-sized
+    shuffle after the first tile groupBy.  The oracle re-derives tiles,
+    neighbors and moments from scratch in DuckDB (its own offsets
+    VALUES table + self-join); only the final scalar combine text is
+    shared, the LAT_SQL convention.  Bucketed at 1e-3 belt-and-braces
+    (inputs to the combine are exact integers, so both engines feed
+    identical doubles through one expression tree)."""
+    from geo_spark.operators.geo_noise import with_geo_noise
+    from geo_spark.operators.hotspots import gi_star, tile_counts
+
+    ev = with_geo_noise(_t(spark, sf_dir, "events"), "event_id")
+    tiles = tile_counts(ev, _HOTSPOT_ZOOM)
+    return (
+        gi_star(tiles, _HOTSPOT_ZOOM)
+        .select(
+            "x",
+            "y",
+            "v",
+            "sumw",
+            "sumwx",
+            F.expr("CAST(FLOOR(z * 1000.0) AS BIGINT)").alias("z_bucket"),
+        )
+        .orderBy("x", "y")
+    )
+
+
+def _oracle_tile_hotspots() -> str:
+    from geo_spark.functions.webgrid import mercator_xy_sql
+    from geo_spark.operators.geo_noise import LAT_SQL, LNG_SQL
+    from geo_spark.operators.hotspots import GI_Z_SQL
+
+    lat = LAT_SQL.format(id="event_id")
+    lng = LNG_SQL.format(id="event_id")
+    xs, ys = mercator_xy_sql("lat", "lng", _HOTSPOT_ZOOM)
+    n_tiles = 1 << _HOTSPOT_ZOOM
+    offs = ", ".join(
+        f"({dx}, {dy})" for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    )
+    z = GI_Z_SQL.format(n="n", s1="s1", s2="s2", sumw="sumw", sumwx="sumwx")
+    return f"""
+        WITH pts AS (SELECT event_id, {lat} AS lat, {lng} AS lng FROM events),
+        t AS (SELECT {xs} AS x, {ys} AS y, COUNT(*) AS v
+              FROM pts GROUP BY 1, 2),
+        off(dx, dy) AS (VALUES {offs}),
+        nb AS (SELECT a.x, a.y, COUNT(*) AS sumw,
+                      CAST(SUM(b.v) AS BIGINT) AS sumwx
+               FROM t a, off o, t b
+               WHERE b.x = (a.x + o.dx + {n_tiles}) % {n_tiles}
+                 AND b.y = a.y + o.dy
+                 AND a.y + o.dy BETWEEN 0 AND {n_tiles - 1}
+               GROUP BY a.x, a.y),
+        m AS (SELECT COUNT(*) AS n, SUM(v) AS s1, SUM(v * v) AS s2 FROM t)
+        SELECT t.x, t.y, t.v, nb.sumw, nb.sumwx,
+               CAST(FLOOR({z} * 1000.0) AS BIGINT) AS z_bucket
+        FROM t JOIN nb ON t.x = nb.x AND t.y = nb.y, m
+        ORDER BY t.x, t.y
+    """
+
+
+def _q_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Moran's I spatial autocorrelation of per-tile event
+    counts on the zoom-4 lattice (operators/hotspots.py:morans_i):
+    queen weights minus self, the cross-product decomposed into exact
+    BIGINT pair sums (P, Q, W) so the one-row double combine is a
+    fixed tree shared with the oracle (MORAN_I_SQL); DuckDB re-derives
+    tiles, pairs and moments independently."""
+    from geo_spark.operators.geo_noise import with_geo_noise
+    from geo_spark.operators.hotspots import morans_i, tile_counts
+
+    ev = with_geo_noise(_t(spark, sf_dir, "events"), "event_id")
+    tiles = tile_counts(ev, _HOTSPOT_ZOOM)
+    return morans_i(tiles, _HOTSPOT_ZOOM).select(
+        "n",
+        "w",
+        F.expr("CAST(FLOOR(i * 1000000.0) AS BIGINT)").alias("i_bucket"),
+    )
+
+
+def _oracle_morans_i() -> str:
+    from geo_spark.functions.webgrid import mercator_xy_sql
+    from geo_spark.operators.geo_noise import LAT_SQL, LNG_SQL
+    from geo_spark.operators.hotspots import MORAN_I_SQL
+
+    lat = LAT_SQL.format(id="event_id")
+    lng = LNG_SQL.format(id="event_id")
+    xs, ys = mercator_xy_sql("lat", "lng", _HOTSPOT_ZOOM)
+    n_tiles = 1 << _HOTSPOT_ZOOM
+    offs = ", ".join(
+        f"({dx}, {dy})"
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+        if (dx, dy) != (0, 0)
+    )
+    i = MORAN_I_SQL.format(n="n", w="w", p="p", q="q", s1="s1", s2="s2")
+    return f"""
+        WITH pts AS (SELECT event_id, {lat} AS lat, {lng} AS lng FROM events),
+        t AS (SELECT {xs} AS x, {ys} AS y, COUNT(*) AS v
+              FROM pts GROUP BY 1, 2),
+        off(dx, dy) AS (VALUES {offs}),
+        pr AS (SELECT a.v AS vi, b.v AS vj
+               FROM t a, off o, t b
+               WHERE b.x = (a.x + o.dx + {n_tiles}) % {n_tiles}
+                 AND b.y = a.y + o.dy
+                 AND a.y + o.dy BETWEEN 0 AND {n_tiles - 1}),
+        pm AS (SELECT COUNT(*) AS w, CAST(SUM(vi * vj) AS BIGINT) AS p,
+                      CAST(SUM(vi + vj) AS BIGINT) AS q FROM pr),
+        m AS (SELECT COUNT(*) AS n, SUM(v) AS s1, SUM(v * v) AS s2 FROM t)
+        SELECT n, w, CAST(FLOOR({i} * 1000000.0) AS BIGINT) AS i_bucket
+        FROM m, pm
+    """
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: spatial tile-count pipeline over events at sf0.001."""
     return _q_s2_tile_faceij_l8(spark, SF_DEFAULT)
@@ -13925,6 +14045,8 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_s2_tile_faceij_l8": _q_s2_tile_faceij_l8,
+        "q_tile_hotspots": _q_tile_hotspots,
+        "q_morans_i": _q_morans_i,
         "q_tpch_q1": _q_tpch_q1,
         "q_doc_stats_by_lang": _q_doc_stats_by_lang,
         "q_orders_join_agg": _q_orders_join_agg,
@@ -14133,6 +14255,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "q_s2_tile_faceij_l8": _oracle_s2_tile_faceij_l8(),
+        "q_tile_hotspots": _oracle_tile_hotspots(),
+        "q_morans_i": _oracle_morans_i(),
         "q_tpch_q1": _oracle_tpch_q1(),
         "q_doc_stats_by_lang": _oracle_doc_stats_by_lang(),
         "q_orders_join_agg": _oracle_orders_join_agg(),
