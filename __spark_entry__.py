@@ -14037,6 +14037,121 @@ def _oracle_morans_i() -> str:
     """
 
 
+def _stay_fixture_sql() -> dict[str, str]:
+    """Deterministic dwell/move ping synthesis from event_id — pure
+    BIGINT hash arithmetic + one final double divide, identical in
+    Spark SQL and DuckDB (the geo_noise discipline).  50 trajectories x
+    200 steps; every even 10-step phase dwells (±200 µdeg jitter ≈
+    22 m), every odd phase hops 3° per ping (≈333 km) — margins vs the
+    50 km break radius are 3+ orders of magnitude on both sides, so no
+    trig-ulp segmentation flip is possible."""
+    user = "(event_id % 50)"
+    step = "CAST(FLOOR(event_id / 50.0) AS BIGINT)"
+    a = f"CAST(FLOOR({step} / 10.0) AS BIGINT)"
+    seed = f"({user} * 1000 + {a})"
+    h1 = f"(({seed} * 2654435761 + 12345) % 4294967296)"
+    h2 = f"(({seed} * 2246822519 + 54321) % 4294967296)"
+    h3 = "((event_id * 1539316589 + 98765) % 4294967296)"
+    move = f"(CASE WHEN {a} % 2 = 1 THEN ({step} % 10) * 3000000 ELSE 0 END)"
+    ulat = f"(({h1} % 120000000) - 60000000 + ({h3} % 400) - 200 + {move})"
+    ulng = f"(({h2} % 340000000) - 170000000 + ({h3} % 300) - 150)"
+    return {
+        "traj": user,
+        "ts": f"({step} * 60)",
+        "lat": f"({ulat} / 1000000.0)",
+        "lng": f"({ulng} / 1000000.0)",
+    }
+
+
+def _q_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stay-point (dwell) detection (operators/staypoints.py) over 50
+    synthetic trajectories: gaps-and-islands segmentation in ONE
+    trajectory-keyed window pass (chord² to previous ping vs a 50 km
+    break radius), exact-BIGINT centroid sums.  The oracle replays the
+    full chain in DuckDB — its own LAG window, its own running
+    break-sum, its own group filter — from the same integer ping
+    synthesis; every output column is either an exact integer or the
+    shared fixed double tree over exact integers."""
+    from geo_spark.operators.staypoints import stay_points
+
+    fx = _stay_fixture_sql()
+    pings = _t(spark, sf_dir, "events").select(
+        F.expr(fx["traj"]).alias("traj_id"),
+        F.expr(fx["ts"]).alias("ts_s"),
+        F.expr(fx["lat"]).alias("lat"),
+        F.expr(fx["lng"]).alias("lng"),
+    )
+    return (
+        stay_points(
+            pings, radius_m=50_000.0, min_dwell_s=300, min_pings=5
+        )
+        .orderBy("traj", "seg")
+    )
+
+
+def _oracle_stay_points() -> str:
+    import math
+
+    from geo_spark.operators.staypoints import (
+        EARTH_RADIUS_M,
+        STAY_CENTROID_SQL,
+    )
+
+    fx = _stay_fixture_sql()
+    chord = 2.0 * math.sin(min(50_000.0 / EARTH_RADIUS_M, math.pi) / 2.0)
+    th = format(chord * chord, ".17e")
+    clat = STAY_CENTROID_SQL.format(s="slat", n="n_pings")
+    clng = STAY_CENTROID_SQL.format(s="slng", n="n_pings")
+    return f"""
+        WITH pings AS (
+          SELECT {fx["traj"]} AS traj, {fx["ts"]} AS ts,
+                 {fx["lat"]} AS lat, {fx["lng"]} AS lng
+          FROM events
+        ),
+        xyz AS (
+          SELECT traj, ts,
+                 CAST(round(lat * 1e6) AS BIGINT) AS ulat,
+                 CAST(round(lng * 1e6) AS BIGINT) AS ulng,
+                 cos(radians(lng))*cos(radians(lat)) AS px,
+                 sin(radians(lng))*cos(radians(lat)) AS py,
+                 sin(radians(lat)) AS pz
+          FROM pings
+        ),
+        lagged AS (
+          SELECT *, LAG(px) OVER w AS lx, LAG(py) OVER w AS ly,
+                 LAG(pz) OVER w AS lz
+          FROM xyz WINDOW w AS (PARTITION BY traj ORDER BY ts)
+        ),
+        flagged AS (
+          SELECT traj, ts, ulat, ulng,
+                 CASE WHEN lx IS NULL
+                        OR (px-lx)*(px-lx) + (py-ly)*(py-ly)
+                           + (pz-lz)*(pz-lz) > {th}
+                      THEN 1 ELSE 0 END AS brk
+          FROM lagged
+        ),
+        segd AS (
+          SELECT traj, ts, ulat, ulng,
+                 SUM(brk) OVER (PARTITION BY traj ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS seg
+          FROM flagged
+        ),
+        grp AS (
+          SELECT traj, seg, COUNT(*) AS n_pings,
+                 MIN(ts) AS t_start, MAX(ts) AS t_end,
+                 CAST(SUM(ulat) AS BIGINT) AS slat,
+                 CAST(SUM(ulng) AS BIGINT) AS slng
+          FROM segd GROUP BY traj, seg
+        )
+        SELECT traj, seg, n_pings, t_start, t_end,
+               t_end - t_start AS dwell_s,
+               {clat} AS lat, {clng} AS lng
+        FROM grp
+        WHERE n_pings >= 5 AND t_end - t_start >= 300
+        ORDER BY traj, seg
+    """
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: spatial tile-count pipeline over events at sf0.001."""
     return _q_s2_tile_faceij_l8(spark, SF_DEFAULT)
@@ -14047,6 +14162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_s2_tile_faceij_l8": _q_s2_tile_faceij_l8,
         "q_tile_hotspots": _q_tile_hotspots,
         "q_morans_i": _q_morans_i,
+        "q_stay_points": _q_stay_points,
         "q_tpch_q1": _q_tpch_q1,
         "q_doc_stats_by_lang": _q_doc_stats_by_lang,
         "q_orders_join_agg": _q_orders_join_agg,
@@ -14257,6 +14373,7 @@ def oracle_sql() -> dict[str, str]:
         "q_s2_tile_faceij_l8": _oracle_s2_tile_faceij_l8(),
         "q_tile_hotspots": _oracle_tile_hotspots(),
         "q_morans_i": _oracle_morans_i(),
+        "q_stay_points": _oracle_stay_points(),
         "q_tpch_q1": _oracle_tpch_q1(),
         "q_doc_stats_by_lang": _oracle_doc_stats_by_lang(),
         "q_orders_join_agg": _oracle_orders_join_agg(),
