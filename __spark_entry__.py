@@ -702,6 +702,99 @@ def _oracle_salted_pip_join() -> str:
     """
 
 
+def _q_validate_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed loop validation (FindValidationError / FindSelf-
+    Intersection, s2/loop.go Validate + s2/shapeutil edge-pair
+    crossings): one loop per user from their first 12 events, per-edge
+    cell banding + robust-crossing refine counts non-adjacent interior
+    crossings.  The DuckDB oracle rebuilds every loop edge with a
+    modular wrap join and applies the literal SimpleCrossing sign
+    pattern to each non-adjacent pair."""
+    from pyspark.sql import Window
+
+    from geo_spark.operators.geo_noise import with_geo_noise
+    from geo_spark.operators.validate import validate_loops
+
+    ev = with_geo_noise(
+        _t(spark, sf_dir, "events").select("user_id", "ts", "event_id"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    loops = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 12)
+        .groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("rn", "lat", "lng"))
+            ).alias("vs")
+        )
+        .where(F.size("vs") >= 4)
+        .select(
+            F.col("user_id").alias("geom_id"),
+            F.transform("vs", lambda s: s["lat"]).alias("lats"),
+            F.transform("vs", lambda s: s["lng"]).alias("lngs"),
+        )
+    )
+    return (
+        validate_loops(loops, level=4)
+        .select(
+            F.col("geom_id").alias("user_id"), "n_cross_pairs", "is_valid"
+        )
+        .orderBy("user_id")
+    )
+
+
+def _oracle_validate_loops() -> str:
+    from geo_spark.operators.geo_noise import LAT_SQL, LNG_SQL
+
+    lat = LAT_SQL.format(id="event_id")
+    lng = LNG_SQL.format(id="event_id")
+    return f"""
+        WITH pts AS (SELECT user_id, ts, event_id, {lat} AS lat, {lng} AS lng
+                     FROM events),
+        r AS (SELECT user_id, lat, lng,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) - 1 AS i
+              FROM pts),
+        k AS (SELECT * FROM r WHERE i < 12),
+        v AS (SELECT user_id, i,
+                     COUNT(*) OVER (PARTITION BY user_id) AS n,
+                     cos(radians(lng))*cos(radians(lat)) AS px,
+                     sin(radians(lng))*cos(radians(lat)) AS py,
+                     sin(radians(lat)) AS pz
+              FROM k),
+        e AS (SELECT a.user_id, a.i AS ei, a.n,
+                     a.px AS ax, a.py AS ay, a.pz AS az,
+                     b.px AS bx, b.py AS by, b.pz AS bz,
+                     a.py*b.pz - a.pz*b.py AS nx,
+                     a.pz*b.px - a.px*b.pz AS ny,
+                     a.px*b.py - a.py*b.px AS nz
+              FROM v a JOIN v b
+                ON a.user_id = b.user_id AND b.i = (a.i + 1) % a.n
+              WHERE a.n >= 4),
+        x AS (SELECT e1.user_id
+              FROM e e1 JOIN e e2
+                ON e1.user_id = e2.user_id
+               AND e2.ei > e1.ei + 1
+               AND NOT (e1.ei = 0 AND e2.ei = e1.n - 1)
+              WHERE (-(e1.nx*e2.ax + e1.ny*e2.ay + e1.nz*e2.az))
+                    * (e1.nx*e2.bx + e1.ny*e2.by + e1.nz*e2.bz) > 0
+                AND (-(e1.nx*e2.ax + e1.ny*e2.ay + e1.nz*e2.az))
+                    * (-(e2.nx*e1.bx + e2.ny*e1.by + e2.nz*e1.bz)) > 0
+                AND (-(e1.nx*e2.ax + e1.ny*e2.ay + e1.nz*e2.az))
+                    * (e2.nx*e1.ax + e2.ny*e1.ay + e2.nz*e1.az) > 0),
+        h AS (SELECT user_id, COUNT(*) AS c FROM x GROUP BY user_id),
+        u AS (SELECT user_id, COUNT(*) AS n FROM k GROUP BY user_id
+              HAVING COUNT(*) >= 4)
+        SELECT u.user_id,
+               CAST(COALESCE(h.c, 0) AS BIGINT) AS n_cross_pairs,
+               COALESCE(h.c, 0) = 0 AS is_valid
+        FROM u LEFT JOIN h ON u.user_id = h.user_id
+        ORDER BY u.user_id
+    """
+
+
 def _q_trajectory_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user event trails x region boundaries — the CrossingEdgeQuery
     analog: which trajectories cross which loop boundaries, how often.
@@ -14176,6 +14269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_idw_grid": _q_idw_grid,
         "q_knn_ring_events": _q_knn_ring_events,
         "q_trajectory_crossings": _q_trajectory_crossings,
+        "q_validate_loops": _q_validate_loops,
         "q_trail_pair_distance": _q_trail_pair_distance,
         "q_event_map_match": _q_event_map_match,
         "q_hmm_map_match": _q_hmm_map_match,
@@ -14388,6 +14482,7 @@ def oracle_sql() -> dict[str, str]:
         "q_idw_grid": _oracle_idw_grid(),
         "q_knn_ring_events": _oracle_knn_ring_events(),
         "q_trajectory_crossings": _oracle_trajectory_crossings(),
+        "q_validate_loops": _oracle_validate_loops(),
         "q_trail_pair_distance": _oracle_trail_pair_distance(),
         "q_event_map_match": _oracle_event_map_match(),
         "q_hmm_map_match": _oracle_hmm_map_match(),
