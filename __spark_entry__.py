@@ -2461,6 +2461,89 @@ def _oracle_snap_dedup() -> str:
     """
 
 
+def _q_snap_e6_sites(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IntLatLng snapper proper (kernel/builder.snap_latlng_e,
+    s2/builder_snapper.go:355-505 documented E-coordinate semantics,
+    rounding half away from zero per s2/util.go:21) at two exponents:
+    per-event integer E6 coordinates plus the occupancy of the event's
+    E0 (1-degree) site.  Coordinates come from the pure-double degree
+    streams so the DuckDB oracle replays the scale+round chain
+    bit-exactly (floor discipline, PLANS.md float-discipline note)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from geo_spark.kernel.builder import snap_latlng_e
+    from geo_spark.operators.geo_noise import LAT_D_SQL, LNG_D_SQL
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr(LAT_D_SQL.format(id="event_id")).alias("lat"),
+        F.expr(LNG_D_SQL.format(id="event_id")).alias("lng"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ilat0", T.LongType()),
+            T.StructField("ilng0", T.LongType()),
+            T.StructField("ilat6", T.LongType()),
+            T.StructField("ilng6", T.LongType()),
+        ]
+    )
+
+    def fn(batches):
+        import numpy as np
+
+        for pdf in batches:
+            lat = pdf["lat"].to_numpy(np.float64)
+            lng = pdf["lng"].to_numpy(np.float64)
+            ila6, iln6 = snap_latlng_e(lat, lng, 6)
+            ila0, iln0 = snap_latlng_e(lat, lng, 0)
+            yield pd.DataFrame(
+                {
+                    "event_id": pdf["event_id"].to_numpy(np.int64),
+                    "ilat0": ila0,
+                    "ilng0": iln0,
+                    "ilat6": ila6,
+                    "ilng6": iln6,
+                }
+            )
+
+    snapped = ev.mapInPandas(fn, schema)
+    occ = snapped.groupBy("ilat0", "ilng0").agg(
+        F.count(F.lit(1)).alias("n_at_site")
+    )
+    return (
+        snapped.join(occ, ["ilat0", "ilng0"])
+        .select("event_id", "ilat0", "ilng0", "ilat6", "ilng6", "n_at_site")
+        .orderBy("event_id")
+    )
+
+
+def _oracle_snap_e6_sites() -> str:
+    from geo_spark.operators.geo_noise import LAT_D_SQL, LNG_D_SQL
+
+    lat = LAT_D_SQL.format(id="event_id")
+    lng = LNG_D_SQL.format(id="event_id")
+
+    def rnd(v: str) -> str:
+        return (
+            f"CASE WHEN ({v}) >= 0 THEN CAST(FLOOR(({v}) + 0.5e0) AS BIGINT)"
+            f" ELSE -CAST(FLOOR(-({v}) + 0.5e0) AS BIGINT) END"
+        )
+
+    return f"""
+        WITH s AS (SELECT event_id,
+                          {rnd(lat)} AS ilat0,
+                          {rnd(lng)} AS ilng0,
+                          {rnd(f"({lat}) * 1000000e0")} AS ilat6,
+                          {rnd(f"({lng}) * 1000000e0")} AS ilng6
+                   FROM events)
+        SELECT event_id, ilat0, ilng0, ilat6, ilng6,
+               COUNT(*) OVER (PARTITION BY ilat0, ilng0) AS n_at_site
+        FROM s ORDER BY event_id
+    """
+
+
 def _q_interval_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-way interval overlap profile (the s2intersect sweep shape,
     s2/s2intersect/s2intersect.go:91-296) over deterministic integer
@@ -14451,6 +14534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_part_type_revenue": _q_part_type_revenue,
         "q_events_outside_caps": _q_events_outside_caps,
         "q_snap_dedup": _q_snap_dedup,
+        "q_snap_e6_sites": _q_snap_e6_sites,
         "q_distance_join_counts": _q_distance_join_counts,
         "q_polygon_polygon_join": _q_polygon_polygon_join,
         "q_polyline_simplify": _q_polyline_simplify,
@@ -14663,6 +14747,7 @@ def oracle_sql() -> dict[str, str]:
         "q_part_type_revenue": _oracle_part_type_revenue(),
         "q_events_outside_caps": _oracle_events_outside_caps(),
         "q_snap_dedup": _oracle_snap_dedup(),
+        "q_snap_e6_sites": _oracle_snap_e6_sites(),
         "q_distance_join_counts": _oracle_distance_join_counts(),
         "q_city_hulls": _oracle_city_hulls(),
         "q_polyline_simplify": _oracle_polyline_simplify(),

@@ -60,6 +60,10 @@ _U2_D = (
 )
 SINLAT_SQL = f"(2.0e0 * {_U1_D} - 1.0e0)"
 LNG_D_SQL = f"(360.0e0 * {_U2_D} - 180.0e0)"
+# Uniform-in-degrees latitude (NOT uniform on the sphere — a fixture
+# stream for lattice/rounding contracts where the compared values must
+# be bit-identical across engines; same pure +,-,*,/ discipline).
+LAT_D_SQL = f"(180.0e0 * {_U1_D} - 90.0e0)"
 
 
 def with_time_noise(df: DataFrame, id_col: str) -> DataFrame:
