@@ -2544,6 +2544,86 @@ def _oracle_snap_e6_sites() -> str:
     """
 
 
+def _q_mercator_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical-Mercator projection (kernel/projections.MercatorProjection,
+    s2/projections.go:146-230) per event plus its zoom-4 Web-Mercator
+    tile: y = 0.5*ln((1+sin)/(1-sin)) from the pure-arithmetic SINLAT
+    stream (no trig before the single ln), x = radians(lng).  Both
+    engines replay the identical chain; the only transcendental in the
+    compared path is one ln/radians pair (1-ulp class, 1e-6 floors flip
+    with probability ~1e-9/row — the measured float-discipline rule)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from geo_spark.kernel.projections import MercatorProjection
+    from geo_spark.operators.geo_noise import LNG_D_SQL, SINLAT_SQL
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            F.expr(SINLAT_SQL.format(id="event_id")).alias("s"),
+            F.expr(LNG_D_SQL.format(id="event_id")).alias("lngd"),
+        )
+        .where(F.col("s").between(-0.999999, 0.999999))
+    )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("xm6", T.LongType()),
+            T.StructField("ym6", T.LongType()),
+            T.StructField("tx", T.LongType()),
+            T.StructField("ty", T.LongType()),
+        ]
+    )
+
+    def fn(batches):
+        import numpy as np
+
+        merc = MercatorProjection(np.pi)  # from_radians = 1: raw x/y
+        for pdf in batches:
+            s = pdf["s"].to_numpy(np.float64)
+            lngd = pdf["lngd"].to_numpy(np.float64)
+            x, y = merc.project_sinlat(s, np.radians(lngd))
+            tx = np.clip(np.floor((x / np.pi + 1.0) * 8.0), 0, 15)
+            ty = np.clip(np.floor((1.0 - y / np.pi) * 8.0), 0, 15)
+            yield pd.DataFrame(
+                {
+                    "event_id": pdf["event_id"].to_numpy(np.int64),
+                    "xm6": np.floor(x * 1e6).astype(np.int64),
+                    "ym6": np.floor(y * 1e6).astype(np.int64),
+                    "tx": tx.astype(np.int64),
+                    "ty": ty.astype(np.int64),
+                }
+            )
+
+    return ev.mapInPandas(fn, schema).orderBy("event_id")
+
+
+def _oracle_mercator_tiles() -> str:
+    from geo_spark.operators.geo_noise import LNG_D_SQL, SINLAT_SQL
+
+    s = SINLAT_SQL.format(id="event_id")
+    lng = LNG_D_SQL.format(id="event_id")
+    return f"""
+        WITH src AS (SELECT event_id, {s} AS s, {lng} AS lngd
+                     FROM events
+                     WHERE {s} BETWEEN -0.999999e0 AND 0.999999e0),
+             m AS (SELECT event_id,
+                          radians(lngd) AS x,
+                          0.5e0 * ln((1.0e0 + s) / (1.0e0 - s)) AS y
+                   FROM src)
+        SELECT event_id,
+               CAST(FLOOR(x * 1000000e0) AS BIGINT) AS xm6,
+               CAST(FLOOR(y * 1000000e0) AS BIGINT) AS ym6,
+               CAST(LEAST(GREATEST(FLOOR((x / pi() + 1.0e0) * 8.0e0),
+                                   0e0), 15e0) AS BIGINT) AS tx,
+               CAST(LEAST(GREATEST(FLOOR((1.0e0 - y / pi()) * 8.0e0),
+                                   0e0), 15e0) AS BIGINT) AS ty
+        FROM m ORDER BY event_id
+    """
+
+
 def _q_interval_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-way interval overlap profile (the s2intersect sweep shape,
     s2/s2intersect/s2intersect.go:91-296) over deterministic integer
@@ -14535,6 +14615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_outside_caps": _q_events_outside_caps,
         "q_snap_dedup": _q_snap_dedup,
         "q_snap_e6_sites": _q_snap_e6_sites,
+        "q_mercator_tiles": _q_mercator_tiles,
         "q_distance_join_counts": _q_distance_join_counts,
         "q_polygon_polygon_join": _q_polygon_polygon_join,
         "q_polyline_simplify": _q_polyline_simplify,
@@ -14748,6 +14829,7 @@ def oracle_sql() -> dict[str, str]:
         "q_events_outside_caps": _oracle_events_outside_caps(),
         "q_snap_dedup": _oracle_snap_dedup(),
         "q_snap_e6_sites": _oracle_snap_e6_sites(),
+        "q_mercator_tiles": _oracle_mercator_tiles(),
         "q_distance_join_counts": _oracle_distance_join_counts(),
         "q_city_hulls": _oracle_city_hulls(),
         "q_polyline_simplify": _oracle_polyline_simplify(),

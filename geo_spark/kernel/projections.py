@@ -1,0 +1,159 @@
+"""Map projections: Plate Carree and spherical (Web) Mercator.
+
+Reference: s2/projections.go (PlateCarreeProjection :95-145,
+MercatorProjection :146-230, wrapDestination :232-247).  Vectorized
+numpy over radian lat/lng arrays; the Mercator "y" uses the
+0.5*log((1+sin)/(1-sin)) form (more accurate near zero than
+log(tan()), per the reference comment at s2/projections.go:190) and
+the inverse uses asin((k-1)/(k+1)) with the documented +-inf -> +-pi/2
+guard (s2/projections.go:199-210).
+
+Poles project to y = +-inf under Mercator (by design, matching the
+reference); callers tessellating Mercator edges must clip poles first
+(s2/projections.go:158-161 warning).
+
+One deliberate difference: the reference's coordinate wrapping uses
+IEEE-754 remainder (math.Remainder, round-half-to-even quotient); the
+vectorized form here is ``x - rint(x/w)*w`` which agrees everywhere
+except when ``x/w`` sits exactly halfway between integers AND the
+division itself rounded — unreachable for the finite coordinate
+streams these kernels serve.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "PlateCarreeProjection",
+    "MercatorProjection",
+    "interpolate_xy",
+    "wrap_destination",
+]
+
+
+def _ieee_remainder(x: np.ndarray, w: float) -> np.ndarray:
+    # np.rint rounds half to even, matching math.Remainder's quotient
+    # rounding (see module docstring for the edge-case caveat).
+    return x - np.rint(x / w) * w
+
+
+class PlateCarreeProjection:
+    """x = lng, y = lat, scaled so lng spans [-x_scale, x_scale]
+    (s2/projections.go:95-145)."""
+
+    def __init__(self, x_scale: float = 180.0):
+        self.x_scale = float(x_scale)
+        self.x_wrap = 2.0 * self.x_scale
+        self.to_radians = np.pi / self.x_scale
+        self.from_radians = self.x_scale / np.pi
+
+    def project(
+        self, lat_rad: np.ndarray, lng_rad: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        lat = np.asarray(lat_rad, dtype=np.float64)
+        lng = np.asarray(lng_rad, dtype=np.float64)
+        return self.from_radians * lng, self.from_radians * lat
+
+    def unproject(
+        self, x: np.ndarray, y: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(lat_rad, lng_rad); x wraps, lat clamps to +-pi/2
+        (s2/projections.go:122-130)."""
+        x = np.asarray(x, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        lng = self.to_radians * _ieee_remainder(x, self.x_wrap)
+        lat = np.clip(self.to_radians * y, -0.5 * np.pi, 0.5 * np.pi)
+        return lat, lng
+
+    def wrap_distance(self) -> tuple[float, float]:
+        return self.x_wrap, 0.0
+
+
+class MercatorProjection:
+    """Spherical Mercator: x = lng over [-max_lng, max_lng], y =
+    0.5*log((1+sin lat)/(1-sin lat)) scaled equally; poles at y =
+    +-inf (s2/projections.go:146-230).  max_lng = 180 with WGS84
+    coordinates is the "Web Mercator" of online map tiling."""
+
+    def __init__(self, max_lng: float = 180.0):
+        self.max_lng = float(max_lng)
+        self.x_wrap = 2.0 * self.max_lng
+        self.to_radians = np.pi / self.max_lng
+        self.from_radians = self.max_lng / np.pi
+
+    def project(
+        self, lat_rad: np.ndarray, lng_rad: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        return self.project_sinlat(
+            np.sin(np.asarray(lat_rad, dtype=np.float64)), lng_rad
+        )
+
+    def project_sinlat(
+        self, sin_lat: np.ndarray, lng_rad: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Same, but from sin(lat) directly — lets pure-arithmetic
+        fixture streams (SINLAT_SQL) skip the trig call entirely, so a
+        SQL oracle can replay the whole chain with ln() alone."""
+        s = np.asarray(sin_lat, dtype=np.float64)
+        lng = np.asarray(lng_rad, dtype=np.float64)
+        with np.errstate(divide="ignore"):
+            y = 0.5 * np.log((1.0 + s) / (1.0 - s))
+        return self.from_radians * lng, self.from_radians * y
+
+    def unproject(
+        self, x: np.ndarray, y: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(lat_rad, lng_rad) (s2/projections.go:197-210)."""
+        x = np.asarray(x, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        lng = self.to_radians * _ieee_remainder(x, self.x_wrap)
+        with np.errstate(over="ignore", invalid="ignore"):
+            k = np.exp(2.0 * self.to_radians * y)
+            ratio = np.where(np.isinf(k), 1.0, (k - 1.0) / (k + 1.0))
+        lat = np.arcsin(np.clip(ratio, -1.0, 1.0))
+        return lat, lng
+
+    def wrap_distance(self) -> tuple[float, float]:
+        return self.x_wrap, 0.0
+
+
+def interpolate_xy(
+    f: float,
+    ax: np.ndarray,
+    ay: np.ndarray,
+    bx: np.ndarray,
+    by: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """a*(1-f) + b*f per axis — exact at f=0 and f=1
+    (s2/projections.go:131-135,211-214: both projections interpolate
+    linearly in projected space)."""
+    ax = np.asarray(ax, dtype=np.float64)
+    ay = np.asarray(ay, dtype=np.float64)
+    bx = np.asarray(bx, dtype=np.float64)
+    by = np.asarray(by, dtype=np.float64)
+    return ax * (1.0 - f) + bx * f, ay * (1.0 - f) + by * f
+
+
+def wrap_destination(
+    ax: np.ndarray,
+    ay: np.ndarray,
+    bx: np.ndarray,
+    by: np.ndarray,
+    wrap_x: float,
+    wrap_y: float = 0.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Wrap b per axis so the edge a->b is the short way around
+    (s2/projections.go:232-247): b moves by a multiple of the wrap
+    distance only when |b - a| exceeds half of it."""
+    ax = np.asarray(ax, dtype=np.float64)
+    ay = np.asarray(ay, dtype=np.float64)
+    x = np.asarray(bx, dtype=np.float64).copy()
+    y = np.asarray(by, dtype=np.float64).copy()
+    if wrap_x > 0:
+        far = np.abs(x - ax) > 0.5 * wrap_x
+        x = np.where(far, ax + _ieee_remainder(x - ax, wrap_x), x)
+    if wrap_y > 0:
+        far = np.abs(y - ay) > 0.5 * wrap_y
+        y = np.where(far, ay + _ieee_remainder(y - ay, wrap_y), y)
+    return x, y
