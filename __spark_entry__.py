@@ -2876,6 +2876,50 @@ def _oracle_decontaminate() -> str:
     """
 
 
+def _q_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination fraction (operators/dedup.py:contamination_score):
+    per-document share of distinct 16-char shingles found in the probe
+    set (doc_id % 50 == 0), as the exact integer micro-fraction
+    (n_hit*1e6) div n_shingles.  The threshold-policy metric on top of
+    the ANY-hit decontaminate semi-join; probe shingles broadcast,
+    corpus never shuffled."""
+    from geo_spark.operators.dedup import contamination_score
+
+    docs = _t(spark, sf_dir, "documents")
+    probes = docs.where(F.col("doc_id") % 50 == 0)
+    return contamination_score(docs, probes, n=16).orderBy("doc_id")
+
+
+def _oracle_contamination_score() -> str:
+    return """
+        WITH pr AS (
+          SELECT DISTINCT s
+          FROM documents,
+               UNNEST(list_transform(
+                   range(1, greatest(length(text)-15, 1)+1),
+                   i -> substr(text, i, 16))) AS t(s)
+          WHERE doc_id % 50 = 0 AND length(s) = 16
+        ),
+        d AS (
+          SELECT DISTINCT doc_id, s
+          FROM documents,
+               UNNEST(list_transform(
+                   range(1, greatest(length(text)-15, 1)+1),
+                   i -> substr(text, i, 16))) AS t(s)
+          WHERE length(s) = 16
+        ),
+        agg AS (
+          SELECT doc_id,
+                 count(*) AS n_shingles,
+                 count(*) FILTER (WHERE s IN (SELECT s FROM pr)) AS n_hit
+          FROM d GROUP BY doc_id
+        )
+        SELECT doc_id, n_shingles, n_hit,
+               (n_hit * 1000000) // n_shingles AS frac_e6
+        FROM agg ORDER BY doc_id
+    """
+
+
 def _q_top_events_per_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window top-k: 3 highest-value events per level-4 face/quadtree
     tile (ties by event_id)."""
@@ -14605,6 +14649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tile_user_kmv": _q_tile_user_kmv,
         "q_tile_value_median": _q_tile_value_median,
         "q_decontaminate": _q_decontaminate,
+        "q_contamination_score": _q_contamination_score,
         "q_top_events_per_tile": _q_top_events_per_tile,
         "q_city_hulls": _q_city_hulls,
         "q_tpch_q3": _q_tpch_q3,
@@ -14820,6 +14865,7 @@ def oracle_sql() -> dict[str, str]:
         "q_tile_user_kmv": _oracle_tile_user_kmv(),
         "q_tile_value_median": _oracle_tile_value_median(),
         "q_decontaminate": _oracle_decontaminate(),
+        "q_contamination_score": _oracle_contamination_score(),
         "q_top_events_per_tile": _oracle_top_events_per_tile(),
         "q_tpch_q3": _oracle_tpch_q3(),
         "q_tpch_q6": _oracle_tpch_q6(),

@@ -312,6 +312,57 @@ def decontaminate(
     )
 
 
+def contamination_score(
+    docs: DataFrame,
+    probes: DataFrame,
+    n: int = 16,
+    key: str = "doc_id",
+    text_col: str = "text",
+    probe_text: str = "text",
+) -> DataFrame:
+    """(key, n_shingles, n_hit, frac_e6): per-document contamination
+    fraction — the share of the document's DISTINCT n-char shingles
+    that appear anywhere in the eval/probe set.  This is the overlap
+    *metric* behind n-gram decontamination reports (threshold policies
+    like "drop if >X% of n-grams overlap an eval set"); the
+    membership-only ANY-hit variant is :func:`decontaminate`.
+
+    ``frac_e6`` = (n_hit * 1_000_000) div n_shingles as an exact
+    integer (both operands non-negative, so Spark ``div`` == DuckDB
+    ``//`` — the cross-engine rule).  Documents shorter than ``n``
+    contribute their whole text as the single shingle ``shingle_expr``
+    yields, same as every other shingle operator here.
+
+    Scale shape: the probe shingle set is dimension-sized (eval sets)
+    and broadcast; the corpus side is one scan + per-doc distinct
+    (partial-aggregatable) + broadcast hash join — the corpus text is
+    never shuffled and there is no pair blowup."""
+    p = (
+        probes.select(F.explode(shingle_expr(probe_text, n)).alias("s"))
+        .where(F.length("s") == n)
+        .distinct()
+    )
+    # shingle_expr is already array_distinct per doc — no extra shuffle
+    d = docs.select(
+        F.col(key), F.explode(shingle_expr(text_col, n)).alias("s")
+    ).where(F.length("s") == n)
+    tot = d.groupBy(key).agg(F.count(F.lit(1)).alias("n_shingles"))
+    hit = (
+        d.join(F.broadcast(p), "s")
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        tot.join(hit, key, "left")
+        .withColumn("n_hit", F.coalesce(F.col("n_hit"), F.lit(0)))
+        .withColumn(
+            "frac_e6",
+            F.expr("(n_hit * 1000000) div n_shingles"),
+        )
+        .select(key, "n_shingles", "n_hit", "frac_e6")
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     n: int = 8,

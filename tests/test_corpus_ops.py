@@ -932,3 +932,57 @@ def test_dsir_weights_orders_target_like_docs_first(spark):
     w0, w1, w2 = got[0][1], got[1][1], got[2][1]
     assert w0 > w1 > w2, (w0, w1, w2)
     assert w0 > 0 > w2, (w0, w2)  # target-like up-weighted, alien down
+
+
+def test_contamination_score_fractions(spark):
+    """frac_e6 is the exact integer micro-fraction of a doc's distinct
+    shingles found in the probe set: full containment -> 1_000_000,
+    disjoint -> 0, and a doc shorter than n (single sub-n shingle) is
+    excluded entirely."""
+    from geo_spark.operators.dedup import contamination_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "abcdefgh"),   # shingles of eval doc exactly
+            (2, "abcdwxyz"),   # partial overlap
+            (3, "qrstuvzz"),   # disjoint
+            (4, "ab"),         # shorter than n=4 -> no length-4 shingle
+        ],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame(
+        [(100, "abcdefgh")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_hit"], r["frac_e6"])
+        for r in contamination_score(docs, probes, n=4).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    # doc 1: 5 distinct 4-shingles, all in probe
+    assert got[1] == (5, 5, 1_000_000)
+    # doc 2: shingles abcd,bcdw,cdwx,dwxy,wxyz -> only abcd hits
+    assert got[2] == (5, 1, 200_000)
+    assert got[3] == (5, 0, 0)
+
+
+def test_contamination_score_matches_python_oracle(spark, docs):
+    """Differential vs a scalar python replay on real documents."""
+    from geo_spark.operators.dedup import contamination_score
+
+    probes = docs.where(F.col("doc_id") % 7 == 0)
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_hit"], r["frac_e6"])
+        for r in contamination_score(docs, probes, n=12).collect()
+    }
+    rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+    pset = set()
+    for did, t in rows:
+        if did % 7 == 0:
+            pset |= {s for s in _py_shingles(t, 12) if len(s) == 12}
+    for did, t in rows:
+        sh = {s for s in _py_shingles(t, 12) if len(s) == 12}
+        if not sh:
+            assert did not in got
+            continue
+        hit = len(sh & pset)
+        assert got[did] == (len(sh), hit, hit * 1_000_000 // len(sh)), did
