@@ -10431,6 +10431,54 @@ def _oracle_minhash_lsh_pairs() -> str:
     """
 
 
+def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup (operators/dedup.py:incremental_minhash_pairs):
+    docs with doc_id % 10 == 3 play a new crawl batch probing the LSH
+    index persisted for the REST of the corpus (minhash_index) — no
+    corpus-text rescan.  Contract: identical to full-corpus LSH pairs
+    restricted to pairs touching the batch, so the oracle is the exact
+    string-shingle Jaccard over all pairs with that filter — hash-green
+    certifies banding recall, the index/batch split, and rerank
+    exactness at once."""
+    from geo_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.where(F.col("doc_id") % 10 == 3)
+    corpus = docs.where(F.col("doc_id") % 10 != 3)
+    buckets, sets = minhash_index(corpus, n=8)
+    return incremental_minhash_pairs(
+        buckets, sets, batch, n=8, threshold=0.3
+    ).orderBy("da", "db")
+
+
+def _oracle_incremental_dedup() -> str:
+    return """
+        WITH sh AS (
+          SELECT DISTINCT doc_id, s
+          FROM documents,
+               UNNEST(list_transform(range(1, greatest(length(text)-7, 1)+1),
+                                     i -> substr(text, i, 8))) AS t(s)
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT da, db,
+               CAST(shared AS DOUBLE)/(sa.n + sb.n - shared) AS jaccard
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = da
+        JOIN sizes sb ON sb.doc_id = db
+        WHERE CAST(shared AS DOUBLE)/(sa.n + sb.n - shared) >= 0.3
+          AND (da % 10 = 3 OR db % 10 = 3)
+        ORDER BY da, db
+    """
+
+
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming<=3 pairs, oracle-checked end to end: the DuckDB
     twin re-derives the 64-bit signatures bit-for-bit (FNV-1a over
@@ -14560,6 +14608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pq_ann": _q_pq_ann,
         "q_embed_near_dup": _q_embed_near_dup,
         "q_minhash_lsh_pairs": _q_minhash_lsh_pairs,
+        "q_incremental_dedup": _q_incremental_dedup,
         "q_simhash_pairs": _q_simhash_pairs,
         "q_dedup_clusters": _q_dedup_clusters,
         "q_stratified_sample": _q_stratified_sample,
@@ -14769,6 +14818,7 @@ def oracle_sql() -> dict[str, str]:
         "q_bpe_tokenize": _oracle_bpe_tokenize(),
         "q_nb_lang": _oracle_nb_lang(),
         "q_minhash_lsh_pairs": _oracle_minhash_lsh_pairs(),
+        "q_incremental_dedup": _oracle_incremental_dedup(),
         "q_simhash_pairs": _oracle_simhash_pairs(),
         "q_hex_tile_counts": _oracle_hex_tile_counts(),
         "q_geohash_rollup": _oracle_geohash_rollup(),

@@ -387,6 +387,51 @@ def minhash_signatures(
     return docs.select(F.col(key), sig(F.col(text_col)).alias("sig"))
 
 
+def _fused_sig_sets(
+    docs: DataFrame, n: int, num_hashes: int, key: str, text_col: str
+) -> DataFrame:
+    """(key, sig array<long>, sh array<long>) in ONE text pass: the
+    MinHash signature and the exact shingle-hash set per doc."""
+    seeds = _splitmix64(np.arange(1, num_hashes + 1, dtype=np.uint64))
+    src = docs.select(key, text_col)
+    ktype = src.schema[key].dataType.simpleString()
+
+    def fused(batches):
+        for pdf in batches:
+            sigs_out, shs_out = [], []
+            for t in pdf[text_col]:
+                h = _shingle_hashes(t or "", n)  # (S,) distinct
+                m = _splitmix64(h[:, None] ^ seeds[None, :]).min(axis=0)
+                sigs_out.append(m.view(np.int64).tolist())
+                shs_out.append(h.view(np.int64).tolist())
+            yield pd.DataFrame(
+                {key: pdf[key], "sig": sigs_out, "sh": shs_out}
+            )
+
+    return src.mapInPandas(
+        fused, f"{key} {ktype}, sig array<long>, sh array<long>"
+    )
+
+
+def _band_buckets(
+    sigs: DataFrame, bands: int, rows: int, key: str
+) -> DataFrame:
+    """(_id, band, bh): one bucket row per (doc, band) — the LSH index
+    rows that equi-join candidates together."""
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.hash(F.slice(F.col("sig"), b * rows + 1, rows)).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sigs.select(
+        F.col(key).alias("_id"), F.explode(band_arr).alias("bb")
+    ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     n: int = 8,
@@ -406,38 +451,9 @@ def minhash_lsh_pairs(
     once for signatures and once per side of the rerank set join — and
     at 100 TB the text scan IS the cost."""
     rows = num_hashes // bands
-    seeds = _splitmix64(np.arange(1, num_hashes + 1, dtype=np.uint64))
-    src = docs.select(key, text_col)
-    ktype = src.schema[key].dataType.simpleString()
-
-    def fused(batches):
-        for pdf in batches:
-            sigs_out, shs_out = [], []
-            for t in pdf[text_col]:
-                h = _shingle_hashes(t or "", n)  # (S,) distinct
-                m = _splitmix64(h[:, None] ^ seeds[None, :]).min(axis=0)
-                sigs_out.append(m.view(np.int64).tolist())
-                shs_out.append(h.view(np.int64).tolist())
-            yield pd.DataFrame(
-                {key: pdf[key], "sig": sigs_out, "sh": shs_out}
-            )
-
-    base = src.mapInPandas(
-        fused, f"{key} {ktype}, sig array<long>, sh array<long>"
-    ).persist()
+    base = _fused_sig_sets(docs, n, num_hashes, key, text_col).persist()
     sigs = base.select(key, "sig")
-    band_arr = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.hash(F.slice(F.col("sig"), b * rows + 1, rows)).alias("bh"),
-            )
-            for b in range(bands)
-        ]
-    )
-    buckets = sigs.select(F.col(key).alias("_id"), F.explode(band_arr).alias("bb")).select(
-        "_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
-    )
+    buckets = _band_buckets(sigs, bands, rows, key)
     a = buckets.select(F.col("_id").alias("da"), "band", "bh")
     b = buckets.select(F.col("_id").alias("db"), "band", "bh")
     cands = (
@@ -449,27 +465,119 @@ def minhash_lsh_pairs(
     # Exact rerank on the candidate set only — cost is O(candidates),
     # not all-pairs: join each side's shingle-hash set in and intersect
     # per pair in one Arrow batch.
-    sets = base.select(key, "sh")
+    return _exact_jaccard_rerank(cands, base.select(key, "sh"), key, threshold)
+
+
+@F.pandas_udf(T.DoubleType())
+def _jac_udf(sa: pd.Series, sb: pd.Series) -> pd.Series:
+    out = np.empty(len(sa))
+    for i, (x, y) in enumerate(zip(sa, sb)):
+        xa = np.asarray(x, dtype=np.int64)
+        ya = np.asarray(y, dtype=np.int64)
+        inter = len(np.intersect1d(xa, ya, assume_unique=True))
+        out[i] = inter / (len(xa) + len(ya) - inter)
+    return pd.Series(out)
+
+
+def _exact_jaccard_rerank(
+    cands: DataFrame, sets: DataFrame, key: str, threshold: float
+) -> DataFrame:
+    """(da, db, jaccard >= threshold): exact shingle-set Jaccard over
+    the candidate pairs, sets joined in per side."""
     cands = (
-        cands.join(sets.withColumnRenamed(key, "da").withColumnRenamed("sh", "_sa"), "da")
-        .join(sets.withColumnRenamed(key, "db").withColumnRenamed("sh", "_sb"), "db")
+        cands.join(
+            sets.withColumnRenamed(key, "da").withColumnRenamed("sh", "_sa"),
+            "da",
+        ).join(
+            sets.withColumnRenamed(key, "db").withColumnRenamed("sh", "_sb"),
+            "db",
+        )
     )
-
-    @F.pandas_udf(T.DoubleType())
-    def jac(sa: pd.Series, sb: pd.Series) -> pd.Series:
-        out = np.empty(len(sa))
-        for i, (x, y) in enumerate(zip(sa, sb)):
-            xa = np.asarray(x, dtype=np.int64)
-            ya = np.asarray(y, dtype=np.int64)
-            inter = len(np.intersect1d(xa, ya, assume_unique=True))
-            out[i] = inter / (len(xa) + len(ya) - inter)
-        return pd.Series(out)
-
     return (
-        cands.withColumn("jaccard", jac(F.col("_sa"), F.col("_sb")))
+        cands.withColumn("jaccard", _jac_udf(F.col("_sa"), F.col("_sb")))
         .where(F.col("jaccard") >= threshold)
         .select("da", "db", "jaccard")
     )
+
+
+def minhash_index(
+    docs: DataFrame,
+    n: int = 8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    key: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """The persisted LSH index of a corpus snapshot, built in ONE text
+    pass: ``(buckets, sets)`` where buckets = (key, band, bh) — the
+    equi-join rows — and sets = (key, sh array<long>) — the exact
+    shingle-hash sets for rerank.
+
+    Write both as Parquet (buckets bucketed/sorted by (band, bh)); a
+    later crawl batch then near-dups against the whole corpus via
+    :func:`incremental_minhash_pairs` WITHOUT rescanning corpus text —
+    the incremental pattern that makes continuous dedup affordable at
+    100 TB (the index is ~1-2% the size of the text)."""
+    rows = num_hashes // bands
+    base = _fused_sig_sets(docs, n, num_hashes, key, text_col)
+    buckets = _band_buckets(
+        base.select(key, "sig"), bands, rows, key
+    ).withColumnRenamed("_id", key)
+    return buckets, base.select(key, "sh")
+
+
+def incremental_minhash_pairs(
+    index_buckets: DataFrame,
+    index_sets: DataFrame,
+    new_docs: DataFrame,
+    n: int = 8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.3,
+    key: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(da, db, jaccard): near-dup pairs TOUCHING a new crawl batch —
+    new-vs-indexed plus new-vs-new — probing a persisted
+    :func:`minhash_index` so the indexed corpus text is never re-read.
+    Semantics: exactly ``minhash_lsh_pairs(indexed ∪ new)`` filtered to
+    pairs with at least one new doc (``q_incremental_dedup`` certifies
+    this equality against the exact-Jaccard oracle).  Keys must be
+    unique across index and batch; (da, db) is canonical (da < db).
+
+    Scale shape: the batch text is scanned once (fused sig + shingle
+    sets); candidates come from the batch's band buckets equi-joined
+    against (index ∪ batch) buckets — a scan of the bucket table (16
+    longs per indexed doc, not its text).  Rerank first cuts the sets
+    table to candidate ids with a broadcast semi-join (candidate ids
+    are batch-bounded), so only candidate shingle sets shuffle."""
+    rows = num_hashes // bands
+    nb = _fused_sig_sets(new_docs, n, num_hashes, key, text_col).persist()
+    nbuck = _band_buckets(nb.select(key, "sig"), bands, rows, key)
+    all_buck = index_buckets.select(
+        F.col(key).alias("_id"), "band", "bh"
+    ).unionByName(nbuck)
+    cands = (
+        nbuck.select(F.col("_id").alias("na"), "band", "bh")
+        .join(
+            all_buck.select(F.col("_id").alias("ob"), "band", "bh"),
+            ["band", "bh"],
+        )
+        .where(F.col("na") != F.col("ob"))
+        .select(
+            F.least("na", "ob").alias("da"),
+            F.greatest("na", "ob").alias("db"),
+        )
+        .distinct()
+    )
+    sets_all = index_sets.select(key, "sh").unionByName(nb.select(key, "sh"))
+    needed = (
+        cands.select(F.col("da").alias(key))
+        .unionByName(cands.select(F.col("db").alias(key)))
+        .distinct()
+    )
+    sets_small = sets_all.join(F.broadcast(needed), key)
+    return _exact_jaccard_rerank(cands, sets_small, key, threshold)
 
 
 def shingle_hash_sets(

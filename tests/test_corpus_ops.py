@@ -986,3 +986,57 @@ def test_contamination_score_matches_python_oracle(spark, docs):
             continue
         hit = len(sh & pset)
         assert got[did] == (len(sh), hit, hit * 1_000_000 // len(sh)), did
+
+
+def test_incremental_minhash_equals_full_filtered(spark, docs):
+    """incremental_minhash_pairs over a persisted index must equal the
+    full-corpus LSH pairs restricted to pairs touching the batch."""
+    from geo_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_index,
+        minhash_lsh_pairs,
+    )
+
+    batch = docs.where(F.col("doc_id") % 5 == 2)
+    corpus = docs.where(F.col("doc_id") % 5 != 2)
+    buckets, sets = minhash_index(corpus, n=8)
+    inc = {
+        (r["da"], r["db"], round(r["jaccard"], 12))
+        for r in incremental_minhash_pairs(
+            buckets, sets, batch, n=8, threshold=0.3
+        ).collect()
+    }
+    full = {
+        (r["da"], r["db"], round(r["jaccard"], 12))
+        for r in minhash_lsh_pairs(docs, n=8, threshold=0.3).collect()
+        if r["da"] % 5 == 2 or r["db"] % 5 == 2
+    }
+    assert inc == full and len(inc) > 0
+
+
+def test_incremental_minhash_new_vs_new_and_old(spark):
+    """Both pair kinds surface: a batch doc near-dup of an indexed doc
+    AND of another batch doc; indexed-vs-indexed pairs never leak."""
+    from geo_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_index,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, base + " twin"), (3, "completely different words")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, base + "!"), (11, base + "!!")],
+        "doc_id long, text string",
+    )
+    buckets, sets = minhash_index(corpus, n=8)
+    pairs = {
+        (r["da"], r["db"])
+        for r in incremental_minhash_pairs(
+            buckets, sets, batch, n=8, threshold=0.3
+        ).collect()
+    }
+    assert (1, 10) in pairs and (10, 11) in pairs
+    assert (1, 2) not in pairs  # indexed-vs-indexed excluded
