@@ -553,6 +553,193 @@ def _q_loop_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BUFFER_R = 0.03  # buffer radius (rad)
+_BUFFER_EF = 0.005  # buffer arc error fraction
+_BUFFER_MARGIN = 0.001  # uncertainty annulus excluded from the contract
+_BUFFER_STEP = 0.08  # fixture densification step (rad) before buffering
+
+
+def _densify_loop(v: "np.ndarray", max_step: float) -> "np.ndarray":
+    """Subdivide each geodesic edge so no piece exceeds max_step rad —
+    normalized chord interpolation stays on the great circle, so the
+    boundary curve (and the oracle's distance to it) is unchanged."""
+    import numpy as np
+
+    out = []
+    m = len(v)
+    for i in range(m):
+        a, b = v[i], v[(i + 1) % m]
+        theta = float(np.arccos(np.clip(a @ b, -1.0, 1.0)))
+        k = max(1, int(np.ceil(theta / max_step)))
+        for j in range(k):
+            t = j / k
+            p = (1.0 - t) * a + t * b
+            out.append(p / np.sqrt(p @ p))
+    return np.asarray(out)
+
+
+def _q_buffer_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BufferOperation inversion certificate (kernel/buffer.buffer_loop,
+    s2/buffer_operation.go:41-338): events PIP-joined against the
+    BUFFERED _PIP_LOOPS must match the distance predicate "inside the
+    original loop OR within chord-dist R of its boundary", outside an
+    excluded annulus |d - R| <= margin that absorbs the documented
+    tessellation error (arc sagitta R*ef + geodesic-vs-small-circle
+    sag after 0.08-rad densification, both << margin).  The buffered
+    layer goes through the REAL covering join (build_layer +
+    spatial_join); the margin filter and the oracle replay the same
+    point-to-segment chord2 chain as q_trail_pair_distance."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from geo_spark.kernel.buffer import buffer_loop
+    from geo_spark.kernel.edges import point_to_edges_chord2
+    from geo_spark.kernel.pip import latlng_text_to_xyz
+    from geo_spark.kernel.regions import LoopRegion, chord2_from_angle
+    from geo_spark.operators.spatial_join import build_layer, spatial_join
+    import numpy as np
+
+    loops = [(g, latlng_text_to_xyz(t)) for g, t in _PIP_LOOPS]
+    blayer = build_layer(
+        spark,
+        [
+            (
+                g,
+                LoopRegion.from_vertices(
+                    buffer_loop(
+                        _densify_loop(v, _BUFFER_STEP), _BUFFER_R, _BUFFER_EF
+                    )
+                ),
+            )
+            for g, v in loops
+        ],
+        max_cells=12,
+    )
+    ev = _events_with_cells(spark, sf_dir)
+    hits = (
+        spatial_join(ev, blayer, point_key="event_id", latlng=("lat", "lng"))
+        .select("event_id", "geom_id")
+        .withColumn("_hit", F.lit(1))
+    )
+
+    lo = chord2_from_angle(_BUFFER_R - _BUFFER_MARGIN)
+    hi = chord2_from_angle(_BUFFER_R + _BUFFER_MARGIN)
+    norms = {
+        g: np.stack(
+            [np.cross(v[k], v[(k + 1) % len(v)]) for k in range(len(v))]
+        )
+        for g, v in loops
+    }
+    chains = {g: np.vstack([v, v[:1]]) for g, v in loops}
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("geom_id", T.LongType()),
+        ]
+    )
+
+    def kept_pairs(batches):
+        from geo_spark.kernel.cellid import latlng_to_xyz
+
+        for pdf in batches:
+            x, y, z = latlng_to_xyz(
+                pdf["lat"].to_numpy(np.float64),
+                pdf["lng"].to_numpy(np.float64),
+            )
+            pts = np.stack([x, y, z], axis=1)
+            ids = pdf["event_id"].to_numpy(np.int64)
+            for g, _v in loops:
+                inside_orig = (pts @ norms[g].T).min(axis=1) > 0
+                c2 = point_to_edges_chord2(pts, chains[g])
+                keep = inside_orig | (c2 < lo) | (c2 > hi)
+                yield pd.DataFrame(
+                    {
+                        "event_id": ids[keep],
+                        "geom_id": np.full(int(keep.sum()), g, np.int64),
+                    }
+                )
+
+    pairs = ev.select("event_id", "lat", "lng").mapInPandas(kept_pairs, schema)
+    return (
+        pairs.join(hits, ["event_id", "geom_id"], "left")
+        .select(
+            "event_id",
+            "geom_id",
+            F.coalesce(F.col("_hit") == 1, F.lit(False)).alias("inside"),
+        )
+        .orderBy("event_id", "geom_id")
+    )
+
+
+def _oracle_buffer_pip() -> str:
+    import numpy as np
+
+    from geo_spark.kernel.pip import latlng_text_to_xyz
+    from geo_spark.kernel.regions import chord2_from_angle
+    from geo_spark.operators.geo_noise import LAT_SQL, LNG_SQL
+
+    lat = LAT_SQL.format(id="event_id")
+    lng = LNG_SQL.format(id="event_id")
+    thr = chord2_from_angle(_BUFFER_R)
+    lo = chord2_from_angle(_BUFFER_R - _BUFFER_MARGIN)
+    hi = chord2_from_angle(_BUFFER_R + _BUFFER_MARGIN)
+    nrows, erows = [], []
+    for g, t in _PIP_LOOPS:
+        v = latlng_text_to_xyz(t)
+        for k in range(len(v)):
+            a, b = v[k], v[(k + 1) % len(v)]
+            n = np.cross(a, b)
+            nrows.append(
+                f"({g}, {float(n[0])!r}, {float(n[1])!r}, {float(n[2])!r})"
+            )
+            erows.append(
+                f"({g}, {float(a[0])!r}, {float(a[1])!r}, {float(a[2])!r},"
+                f" {float(b[0])!r}, {float(b[1])!r}, {float(b[2])!r},"
+                f" {float(n[0])!r}, {float(n[1])!r}, {float(n[2])!r})"
+            )
+    return f"""
+        WITH pts AS (SELECT event_id, {lat} AS lat, {lng} AS lng FROM events),
+        xyz AS (SELECT event_id,
+                       cos(radians(lng))*cos(radians(lat)) AS px,
+                       sin(radians(lng))*cos(radians(lat)) AS py,
+                       sin(radians(lat)) AS pz
+                FROM pts),
+        norms(geom_id, nx, ny, nz) AS (VALUES {", ".join(nrows)}),
+        edges(geom_id, ax, ay, az, bx, by, bz, nx, ny, nz)
+            AS (VALUES {", ".join(erows)}),
+        io AS (SELECT geom_id, event_id,
+                      MIN(nx*px + ny*py + nz*pz) > 0 AS inside_orig
+               FROM xyz, norms GROUP BY geom_id, event_id),
+        vs AS (
+            SELECT e.geom_id, v.event_id,
+                   CASE WHEN ((e.ay*v.pz - e.az*v.py)*e.nx
+                              + (e.az*v.px - e.ax*v.pz)*e.ny
+                              + (e.ax*v.py - e.ay*v.px)*e.nz) >= 0
+                         AND ((v.py*e.bz - v.pz*e.by)*e.nx
+                              + (v.pz*e.bx - v.px*e.bz)*e.ny
+                              + (v.px*e.by - v.py*e.bx)*e.nz) >= 0
+                        THEN 2.0 * (1.0 - sqrt(greatest(0.0,
+                             1.0 - power(abs(v.px*e.nx + v.py*e.ny + v.pz*e.nz)
+                                         / sqrt(e.nx*e.nx + e.ny*e.ny + e.nz*e.nz),
+                                         2))))
+                        ELSE least(
+                             (v.px-e.ax)*(v.px-e.ax) + (v.py-e.ay)*(v.py-e.ay)
+                             + (v.pz-e.az)*(v.pz-e.az),
+                             (v.px-e.bx)*(v.px-e.bx) + (v.py-e.by)*(v.py-e.by)
+                             + (v.pz-e.bz)*(v.pz-e.bz))
+                   END AS c2
+            FROM xyz v, edges e),
+        mind AS (SELECT geom_id, event_id, MIN(least(c2, 4.0)) AS min_c2
+                 FROM vs GROUP BY geom_id, event_id)
+        SELECT m.event_id, m.geom_id,
+               (io.inside_orig OR m.min_c2 <= {thr!r}) AS inside
+        FROM mind m
+        JOIN io ON io.geom_id = m.geom_id AND io.event_id = m.event_id
+        WHERE io.inside_orig OR m.min_c2 < {lo!r} OR m.min_c2 > {hi!r}
+        ORDER BY m.event_id, m.geom_id
+    """
+
+
 def _oracle_loop_pip_join() -> str:
     """Convex-loop PIP in ANSI SQL: a point is inside iff it lies on the
     positive side of every edge plane (normals a_k x a_{k+1} precomputed
@@ -14519,6 +14706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rect_distance_buckets": _q_rect_distance_buckets,
         "q_rect_hausdorff_buckets": _q_rect_hausdorff_buckets,
         "q_loop_pip_join": _q_loop_pip_join,
+        "q_buffer_pip": _q_buffer_pip,
         "q_salted_pip_join": _q_salted_pip_join,
         "q_knn_cities": _q_knn_cities,
         "q_idw_grid": _q_idw_grid,
@@ -14735,6 +14923,7 @@ def oracle_sql() -> dict[str, str]:
         "q_rect_distance_buckets": _oracle_rect_distance_buckets(),
         "q_rect_hausdorff_buckets": _oracle_rect_hausdorff_buckets(),
         "q_loop_pip_join": _oracle_loop_pip_join(),
+        "q_buffer_pip": _oracle_buffer_pip(),
         "q_salted_pip_join": _oracle_salted_pip_join(),
         "q_polygon_polygon_join": _oracle_polygon_polygon_join(),
         "q_knn_cities": _oracle_knn_cities(),

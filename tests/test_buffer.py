@@ -142,3 +142,36 @@ class TestConcaveCleanup:
         rings = buffer_loop_rings(sq, math.radians(2), error_fraction=0.005)
         assert len(rings) == 1
         assert np.array_equal(rings[0], buffer_loop(sq, math.radians(2), 0.005))
+
+
+def test_buffered_pip_loops_within_contract_margin():
+    """The q_buffer_pip margin claim, checked directly: every point of
+    the buffered boundary (vertices AND edge midpoints) lies within
+    [R - margin, R + margin] of the original loop boundary."""
+    import numpy as np
+
+    from __spark_entry__ import (
+        _BUFFER_EF,
+        _BUFFER_MARGIN,
+        _BUFFER_R,
+        _BUFFER_STEP,
+        _PIP_LOOPS,
+        _densify_loop,
+    )
+    from geo_spark.kernel.buffer import buffer_loop
+    from geo_spark.kernel.edges import point_to_edges_chord2
+    from geo_spark.kernel.pip import latlng_text_to_xyz
+    from geo_spark.kernel.regions import chord2_from_angle
+
+    lo = chord2_from_angle(_BUFFER_R - _BUFFER_MARGIN)
+    hi = chord2_from_angle(_BUFFER_R + _BUFFER_MARGIN)
+    for _g, t in _PIP_LOOPS:
+        v = latlng_text_to_xyz(t)
+        chain = np.vstack([v, v[:1]])
+        bv = buffer_loop(_densify_loop(v, _BUFFER_STEP), _BUFFER_R, _BUFFER_EF)
+        mids = bv + np.roll(bv, -1, axis=0)
+        mids /= np.linalg.norm(mids, axis=1, keepdims=True)
+        probes = np.vstack([bv, mids])
+        c2 = point_to_edges_chord2(probes, chain)
+        assert c2.min() >= lo, (c2.min(), lo)
+        assert c2.max() <= hi, (c2.max(), hi)
