@@ -12277,6 +12277,40 @@ def _q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_projection(emb, out_dim=8).orderBy("vec_id", "d")
 
 
+def _q_text_sign_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-side JL featurizer (operators/text.py:text_sign_projection):
+    every document's bag of words -> 8 exact BIGINT sign-projection
+    sums, tid = lexicographic vocabulary rank, signs from the two-round
+    integer mix.  The oracle replays tokenize -> tf -> vocab rank ->
+    mix -> conditional sums bit-for-bit."""
+    from geo_spark.operators.text import text_sign_projection
+
+    return text_sign_projection(
+        _t(spark, sf_dir, "documents"), out_dim=8
+    ).orderBy("doc_id", "d")
+
+
+def _oracle_text_sign_projection() -> str:
+    sign_case = (
+        "CASE WHEN ((tid * 2654435761 + (d * 7919 + 1)) % 4294967296)"
+        " * 48271 % 4294967296 < 2147483648 THEN w ELSE -w END"
+    )
+    return f"""
+        WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                      FROM documents),
+        t AS (SELECT doc_id, term, COUNT(*) AS w
+              FROM toks WHERE len(term) > 0 GROUP BY 1, 2),
+        v AS (SELECT term,
+                     CAST(row_number() OVER (ORDER BY term) AS BIGINT) AS tid
+              FROM (SELECT DISTINCT term FROM t)),
+        f AS (SELECT t.doc_id, t.w, v.tid FROM t JOIN v USING (term)),
+        dims AS (SELECT unnest(range(8)) AS d)
+        SELECT doc_id, CAST(d AS BIGINT) AS d,
+               CAST(SUM({sign_case}) AS BIGINT) AS proj
+        FROM f, dims GROUP BY doc_id, d ORDER BY doc_id, d
+    """
+
+
 def _oracle_random_projection() -> str:
     sign_case = (
         "CASE WHEN ((i * 1000003 + (d * 7919 + 1)) * 2654435761)"
@@ -14724,6 +14758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_geo_spread": _q_doc_geo_spread,
         "q_resample_polylines": _q_resample_polylines,
         "q_random_projection": _q_random_projection,
+        "q_text_sign_projection": _q_text_sign_projection,
         "q_curriculum_buckets": _q_curriculum_buckets,
         "q_bignet_map_match": _q_bignet_map_match,
         "q_repetition_signals": _q_repetition_signals,
@@ -14942,6 +14977,7 @@ def oracle_sql() -> dict[str, str]:
         "q_doc_geo_spread": _oracle_doc_geo_spread(),
         "q_resample_polylines": _oracle_resample_polylines(),
         "q_random_projection": _oracle_random_projection(),
+        "q_text_sign_projection": _oracle_text_sign_projection(),
         "q_curriculum_buckets": _oracle_curriculum_buckets(),
         "q_bignet_map_match": _oracle_bignet_map_match(),
         "q_repetition_signals": _oracle_repetition_signals(),

@@ -1264,3 +1264,56 @@ def dsir_weights(
             F.sum("dlp_x1e6").alias("w_x1e6"),
         )
     )
+
+
+def text_sign_projection(
+    docs: DataFrame,
+    out_dim: int = 8,
+    key: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 1,
+) -> DataFrame:
+    """(key, d, proj): a dense +-1 sign-projection sketch of the sparse
+    token-count vector — the text-side Johnson-Lindenstrauss featurizer
+    (the embedding-side twin is similarity.random_projection).  Each
+    document's bag of words maps to ``out_dim`` exact BIGINT sums
+    proj_d = sum_terms tf(term) * s(d, tid), with the sign drawn from a
+    two-round integer mix of (term rank, dimension) — no projection
+    matrix, no floats, SQL-replayable bit-for-bit.
+
+    tid is the term's 1-based rank in the lexicographic vocabulary.
+    The rank window runs over the VOCABULARY (Zipf-bounded, the same
+    state-is-a-vocabulary-table discipline as BPE training), never the
+    corpus; the mix stays inside int64 for vocabularies up to ~3e9
+    terms.  Scale shape: one token shuffle for tf, one vocab-sized
+    sort, one broadcast-joinable rank attach, one partial-aggregatable
+    groupBy(key) computing all out_dim sums."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(key), F.explode(F.split(F.col(text_col), " ", -1)).alias("term")
+    ).where(F.length("term") > 0)
+    tf = toks.groupBy(key, "term").agg(F.count(F.lit(1)).alias("w"))
+    vocab = (
+        tf.select("term")
+        .distinct()
+        .withColumn(
+            "tid", F.row_number().over(Window.orderBy("term")).cast("long")
+        )
+    )
+    feats = tf.join(vocab, "term")
+
+    def sign(d: int):
+        m1 = (
+            F.col("tid") * 2654435761 + F.lit(d * 7919 + int(seed))
+        ) % 4294967296
+        m2 = (m1 * 48271) % 4294967296
+        return F.when(m2 < 2147483648, F.lit(1)).otherwise(F.lit(-1))
+
+    wide = feats.groupBy(key).agg(
+        *[F.sum(sign(d) * F.col("w")).alias(f"_p{d}") for d in range(out_dim)]
+    )
+    stack = ", ".join(f"CAST({d} AS BIGINT), _p{d}" for d in range(out_dim))
+    return wide.select(
+        key, F.expr(f"stack({out_dim}, {stack}) AS (d, proj)")
+    )

@@ -1040,3 +1040,29 @@ def test_incremental_minhash_new_vs_new_and_old(spark):
     }
     assert (1, 10) in pairs and (10, 11) in pairs
     assert (1, 2) not in pairs  # indexed-vs-indexed excluded
+
+
+def test_text_sign_projection_separation(spark):
+    """Deterministic JL sanity: identical bags project identically;
+    a near-identical pair lands far closer than a disjoint pair."""
+    from geo_spark.operators.text import text_sign_projection
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),                      # identical bag
+            (3, base + "iota"),             # one extra token
+            (4, "completely different tokens q w e r t y u i o p " * 4),
+        ],
+        "doc_id long, text string",
+    )
+    out = text_sign_projection(docs, out_dim=32).collect()
+    vecs = {}
+    for r in out:
+        vecs.setdefault(r["doc_id"], {})[r["d"]] = r["proj"]
+    v = {k: [vecs[k][d] for d in range(32)] for k in vecs}
+    assert v[1] == v[2]
+    d_near = sum((a - b) ** 2 for a, b in zip(v[1], v[3]))
+    d_far = sum((a - b) ** 2 for a, b in zip(v[1], v[4]))
+    assert 0 < d_near < d_far / 10, (d_near, d_far)
