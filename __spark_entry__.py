@@ -12212,20 +12212,31 @@ def _oracle_semantic_dedup() -> str:
     """
 
 
-def _kmeans_cte(kc: int, iters: int) -> tuple[str, str]:
+def _kmeans_cte(
+    kc: int,
+    iters: int,
+    q_block: str | None = None,
+    id_src: str = "embeddings",
+) -> tuple[str, str]:
     """(with_block, final_table): the unrolled Lloyd CTE chain shared
-    by every kmeans-based oracle."""
-    parts = [
-        f"""
+    by every kmeans-based oracle.  ``q_block`` overrides the leading
+    CTEs that produce the quantized long form ``q(vec_id, dim, qv)``
+    (default: the embeddings-table quantizer); ``id_src`` is the table
+    expression enumerating one row per clustered id for the seed
+    pick."""
+    default_q = """
         WITH ux AS (SELECT vec_id, unnest(embedding) AS x,
                            generate_subscripts(embedding, 1) AS dim
                     FROM embeddings),
         q AS (SELECT vec_id, dim,
                      CAST(FLOOR((CAST(x AS DOUBLE) + 1.0e0) * 1000000e0)
                           AS BIGINT) AS qv
-              FROM ux),
+              FROM ux)"""
+    parts = [
+        q_block if q_block is not None else default_q,
+        f""",
         seeds0 AS (SELECT vec_id, md5(CAST(vec_id AS VARCHAR)) AS m
-                   FROM embeddings ORDER BY m, vec_id LIMIT {kc}),
+                   FROM {id_src} ORDER BY m, vec_id LIMIT {kc}),
         seeds AS (SELECT vec_id,
                          row_number() OVER (ORDER BY m, vec_id) - 1
                            AS cidx
@@ -12309,6 +12320,73 @@ def _oracle_text_sign_projection() -> str:
                CAST(SUM({sign_case}) AS BIGINT) AS proj
         FROM f, dims GROUP BY doc_id, d ORDER BY doc_id, d
     """
+
+
+_TOPIC_KC = 5
+_TOPIC_ITERS = 2
+_TOPIC_SHIFT = 1000.0  # > max |projection| (docs cap at ~100 tokens)
+
+
+def _q_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition certificate — the corpus topic-bucketing arc:
+    documents -> text_sign_projection (exact 8-dim integer JL vectors
+    from bags of words) -> deterministic Lloyd k-means
+    (operators/kmeans.py) -> per-document cluster assignment with the
+    exact integer distance.  The oracle nests the full projection
+    replay as the quantized source of the shared unrolled-Lloyd CTE
+    chain (_kmeans_cte) — tokenizer to centroid floor-division, one
+    relational program."""
+    from geo_spark.operators.kmeans import kmeans_embed
+    from geo_spark.operators.text import text_sign_projection
+
+    proj = text_sign_projection(_t(spark, sf_dir, "documents"), out_dim=8)
+    vecs = proj.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "proj"))),
+            lambda s: s["proj"].cast("double"),
+        ).alias("embedding")
+    )
+    return kmeans_embed(
+        vecs,
+        "doc_id",
+        "embedding",
+        kc=_TOPIC_KC,
+        iters=_TOPIC_ITERS,
+        shift=_TOPIC_SHIFT,
+        scale=1.0,
+    ).orderBy("doc_id")
+
+
+def _oracle_topic_clusters() -> str:
+    sign_case = (
+        "CASE WHEN ((tid * 2654435761 + (d * 7919 + 1)) % 4294967296)"
+        " * 48271 % 4294967296 < 2147483648 THEN w ELSE -w END"
+    )
+    q_block = f"""
+        WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                      FROM documents),
+        t AS (SELECT doc_id, term, COUNT(*) AS w
+              FROM toks WHERE len(term) > 0 GROUP BY 1, 2),
+        v AS (SELECT term,
+                     CAST(row_number() OVER (ORDER BY term) AS BIGINT) AS tid
+              FROM (SELECT DISTINCT term FROM t)),
+        f AS (SELECT t.doc_id, t.w, v.tid FROM t JOIN v USING (term)),
+        dims AS (SELECT unnest(range(8)) AS d),
+        p AS (SELECT doc_id, d, CAST(SUM({sign_case}) AS BIGINT) AS proj
+              FROM f, dims GROUP BY doc_id, d),
+        q AS (SELECT doc_id AS vec_id, d + 1 AS dim,
+                     proj + {int(_TOPIC_SHIFT)} AS qv
+              FROM p)"""
+    with_block, final = _kmeans_cte(
+        _TOPIC_KC,
+        _TOPIC_ITERS,
+        q_block=q_block,
+        id_src="(SELECT DISTINCT vec_id FROM q) ids",
+    )
+    return f"""{with_block}
+        SELECT vec_id AS doc_id, CAST(cidx AS BIGINT) AS cidx,
+               CAST(dist AS BIGINT) AS dist
+        FROM {final} ORDER BY doc_id"""
 
 
 def _oracle_random_projection() -> str:
@@ -14759,6 +14837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_resample_polylines": _q_resample_polylines,
         "q_random_projection": _q_random_projection,
         "q_text_sign_projection": _q_text_sign_projection,
+        "q_topic_clusters": _q_topic_clusters,
         "q_curriculum_buckets": _q_curriculum_buckets,
         "q_bignet_map_match": _q_bignet_map_match,
         "q_repetition_signals": _q_repetition_signals,
@@ -14978,6 +15057,7 @@ def oracle_sql() -> dict[str, str]:
         "q_resample_polylines": _oracle_resample_polylines(),
         "q_random_projection": _oracle_random_projection(),
         "q_text_sign_projection": _oracle_text_sign_projection(),
+        "q_topic_clusters": _oracle_topic_clusters(),
         "q_curriculum_buckets": _oracle_curriculum_buckets(),
         "q_bignet_map_match": _oracle_bignet_map_match(),
         "q_repetition_signals": _oracle_repetition_signals(),
