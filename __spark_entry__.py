@@ -2811,6 +2811,118 @@ def _oracle_mercator_tiles() -> str:
     """
 
 
+def _q_rhumb_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loxodrome legs (kernel/projections.rhumb_distance_bearing): per
+    user, consecutive events pair up by event_id order and get the
+    constant-bearing distance + initial bearing — the straight line in
+    Mercator space.  Coordinates come from the pure-arithmetic degree
+    streams (LAT_D/LNG_D, poles excluded at |lat| <= 89.9 so ln never
+    sees 0); the compared floors sit on raw sin/ln/atan2 chains over
+    bit-identical inputs (the measured 1-ulp class)."""
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    from geo_spark.kernel.projections import rhumb_distance_bearing
+    from geo_spark.operators.geo_noise import LAT_D_SQL, LNG_D_SQL
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            F.expr(LAT_D_SQL.format(id="event_id")).alias("lat"),
+            F.expr(LNG_D_SQL.format(id="event_id")).alias("lng"),
+        )
+        .where(F.abs(F.col("lat")) <= 89.9)
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    pairs = (
+        ev.withColumn("next_event", F.lead("event_id").over(w))
+        .withColumn("lat2", F.lead("lat").over(w))
+        .withColumn("lng2", F.lead("lng").over(w))
+        .where(F.col("next_event").isNotNull())
+    )
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("next_event", T.LongType()),
+            T.StructField("dist_u6", T.LongType()),
+            T.StructField("brg_u4", T.LongType()),
+        ]
+    )
+
+    def fn(batches):
+        import numpy as np
+
+        for pdf in batches:
+            dist, brg = rhumb_distance_bearing(
+                pdf["lat"].to_numpy(np.float64),
+                pdf["lng"].to_numpy(np.float64),
+                pdf["lat2"].to_numpy(np.float64),
+                pdf["lng2"].to_numpy(np.float64),
+            )
+            yield pd.DataFrame(
+                {
+                    "user_id": pdf["user_id"].to_numpy(np.int64),
+                    "event_id": pdf["event_id"].to_numpy(np.int64),
+                    "next_event": pdf["next_event"].to_numpy(np.int64),
+                    "dist_u6": np.floor(dist * 1e6).astype(np.int64),
+                    "brg_u4": np.floor(brg * 1e4).astype(np.int64),
+                }
+            )
+
+    return (
+        pairs.select("user_id", "event_id", "next_event", "lat", "lng", "lat2", "lng2")
+        .mapInPandas(fn, schema)
+        .orderBy("event_id")
+    )
+
+
+def _oracle_rhumb_segments() -> str:
+    from geo_spark.operators.geo_noise import LAT_D_SQL, LNG_D_SQL
+
+    lat = LAT_D_SQL.format(id="event_id")
+    lng = LNG_D_SQL.format(id="event_id")
+    return f"""
+        WITH src AS (SELECT event_id, user_id,
+                            {lat} AS lat, {lng} AS lng
+                     FROM events
+                     WHERE abs({lat}) <= 89.9e0),
+        p AS (SELECT event_id, user_id, lat, lng,
+                     lead(event_id) OVER w AS next_event,
+                     lead(lat) OVER w AS lat2,
+                     lead(lng) OVER w AS lng2
+              FROM src
+              WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+        m AS (SELECT user_id, event_id, next_event,
+                     radians(lat) AS phi1, radians(lat2) AS phi2,
+                     radians(lng) AS lam1, radians(lng2) AS lam2
+              FROM p WHERE next_event IS NOT NULL),
+        c AS (SELECT user_id, event_id, next_event,
+                     phi2 - phi1 AS dphi,
+                     0.5e0 * ln((1.0e0 + sin(phi2)) / (1.0e0 - sin(phi2)))
+                       - 0.5e0 * ln((1.0e0 + sin(phi1)) / (1.0e0 - sin(phi1)))
+                       AS dpsi,
+                     (lam2 - lam1)
+                       - floor((lam2 - lam1) / (2e0 * pi()) + 0.5e0)
+                         * (2e0 * pi()) AS dlam,
+                     cos(phi1) AS cphi1
+              FROM m),
+        r AS (SELECT user_id, event_id, next_event,
+                     CASE WHEN abs(dpsi) > 1e-12 THEN dphi / dpsi
+                          ELSE cphi1 END AS q,
+                     dphi, dpsi, dlam
+              FROM c)
+        SELECT user_id, event_id, next_event,
+               CAST(FLOOR(sqrt(dphi*dphi + q*q*dlam*dlam) * 1000000e0)
+                    AS BIGINT) AS dist_u6,
+               CAST(FLOOR(atan2(dlam, dpsi) * 10000e0) AS BIGINT) AS brg_u4
+        FROM r ORDER BY event_id
+    """
+
+
 def _q_interval_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-way interval overlap profile (the s2intersect sweep shape,
     s2/s2intersect/s2intersect.go:91-296) over deterministic integer
@@ -15012,6 +15124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_snap_dedup": _q_snap_dedup,
         "q_snap_e6_sites": _q_snap_e6_sites,
         "q_mercator_tiles": _q_mercator_tiles,
+        "q_rhumb_segments": _q_rhumb_segments,
         "q_distance_join_counts": _q_distance_join_counts,
         "q_polygon_polygon_join": _q_polygon_polygon_join,
         "q_polyline_simplify": _q_polyline_simplify,
@@ -15231,6 +15344,7 @@ def oracle_sql() -> dict[str, str]:
         "q_snap_dedup": _oracle_snap_dedup(),
         "q_snap_e6_sites": _oracle_snap_e6_sites(),
         "q_mercator_tiles": _oracle_mercator_tiles(),
+        "q_rhumb_segments": _oracle_rhumb_segments(),
         "q_distance_join_counts": _oracle_distance_join_counts(),
         "q_city_hulls": _oracle_city_hulls(),
         "q_polyline_simplify": _oracle_polyline_simplify(),

@@ -118,6 +118,42 @@ class MercatorProjection:
         return self.x_wrap, 0.0
 
 
+def rhumb_distance_bearing(
+    lat1_deg: np.ndarray,
+    lng1_deg: np.ndarray,
+    lat2_deg: np.ndarray,
+    lng2_deg: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(dist_rad, bearing_rad): loxodrome (constant-bearing) distance
+    and initial bearing — the straight line in Mercator space
+    (MercatorProjection semantics; a navigation op the reference's
+    geodesic family does not carry).
+
+    dist = sqrt(dphi^2 + q^2 * dlam^2) with the Mercator stretch
+    q = dphi / dpsi (cos(phi1) in the dphi->0 limit), dlam wrapped the
+    short way; bearing = atan2(dlam, dpsi).  The wrap uses the
+    floor-form ``d - floor(d/2pi + 0.5)*2pi`` so a SQL twin replays it
+    with identical rounding (floor is exact in both engines; the
+    rint-based wrap in wrap_destination differs only exactly at
+    half-turn ties)."""
+    phi1 = np.radians(np.asarray(lat1_deg, dtype=np.float64))
+    phi2 = np.radians(np.asarray(lat2_deg, dtype=np.float64))
+    lam1 = np.radians(np.asarray(lng1_deg, dtype=np.float64))
+    lam2 = np.radians(np.asarray(lng2_deg, dtype=np.float64))
+    dphi = phi2 - phi1
+    with np.errstate(divide="ignore", invalid="ignore"):
+        psi1 = 0.5 * np.log((1.0 + np.sin(phi1)) / (1.0 - np.sin(phi1)))
+        psi2 = 0.5 * np.log((1.0 + np.sin(phi2)) / (1.0 - np.sin(phi2)))
+    dpsi = psi2 - psi1
+    q = np.where(np.abs(dpsi) > 1e-12, dphi / np.where(dpsi == 0, 1.0, dpsi),
+                 np.cos(phi1))
+    d = lam2 - lam1
+    dlam = d - np.floor(d / (2.0 * np.pi) + 0.5) * (2.0 * np.pi)
+    dist = np.sqrt(dphi * dphi + q * q * dlam * dlam)
+    bearing = np.arctan2(dlam, dpsi)
+    return dist, bearing
+
+
 def interpolate_xy(
     f: float,
     ax: np.ndarray,

@@ -141,3 +141,50 @@ def test_mercator_tessellation_via_projection():
     )
     assert la[0] == np.float64(a_lat) or abs(la[0] - a_lat) < 1e-12
     assert abs(la[-1] - b_lat) < 1e-12 and abs(ln[-1] - b_lng) < 1e-12
+
+
+def test_rhumb_distance_analytic_cases():
+    from geo_spark.kernel.projections import rhumb_distance_bearing
+
+    # meridian: dist = dphi, bearing 0 (north)
+    d, b = rhumb_distance_bearing(
+        np.array([10.0]), np.array([20.0]), np.array([30.0]), np.array([20.0])
+    )
+    assert abs(d[0] - math.radians(20.0)) < 1e-12 and abs(b[0]) < 1e-12
+    # equator: dist = dlam, bearing pi/2 (east)
+    d, b = rhumb_distance_bearing(
+        np.array([0.0]), np.array([10.0]), np.array([0.0]), np.array([50.0])
+    )
+    assert abs(d[0] - math.radians(40.0)) < 1e-12
+    assert abs(b[0] - HALF_PI) < 1e-12
+    # constant latitude: dist = dlam * cos(lat) (parallel sailing)
+    d, b = rhumb_distance_bearing(
+        np.array([60.0]), np.array([0.0]), np.array([60.0]), np.array([10.0])
+    )
+    assert abs(d[0] - math.radians(10.0) * math.cos(math.radians(60.0))) < 1e-12
+    assert abs(b[0] - HALF_PI) < 1e-9
+    # antimeridian wrap goes the short way (westward, negative bearing)
+    d, b = rhumb_distance_bearing(
+        np.array([0.0]), np.array([-175.0]), np.array([0.0]), np.array([175.0])
+    )
+    assert abs(d[0] - math.radians(10.0)) < 1e-12 and b[0] < 0
+
+
+def test_rhumb_at_least_great_circle():
+    from geo_spark.kernel.projections import rhumb_distance_bearing
+
+    rng = np.random.default_rng(9)
+    lat1 = rng.uniform(-80, 80, 2000)
+    lat2 = rng.uniform(-80, 80, 2000)
+    lng1 = rng.uniform(-180, 180, 2000)
+    lng2 = rng.uniform(-180, 180, 2000)
+    d, _ = rhumb_distance_bearing(lat1, lng1, lat2, lng2)
+    # great-circle via haversine
+    p1, p2 = np.radians(lat1), np.radians(lat2)
+    dl = np.radians(lng2 - lng1)
+    h = (
+        np.sin((p2 - p1) / 2) ** 2
+        + np.cos(p1) * np.cos(p2) * np.sin(dl / 2) ** 2
+    )
+    gc = 2 * np.arcsin(np.sqrt(h))
+    assert (d >= gc - 1e-9).all()
