@@ -62,6 +62,9 @@ HEADLINE_QUERIES = [
     "q_zorder_layout",  # equi-depth curve layout + skipping manifest
     "q_toponym_resolve",  # gazetteer geocoding, two broadcast stages
     "q_kneser_ney_nll",  # KN-smoothed bigram LM scoring
+    "q_incremental_dedup",  # new-batch probe of a persisted LSH index
+    "q_topic_clusters",  # text -> JL sign vectors -> Lloyd k-means chain
+    "q_mercator_tiles",  # Mercator projection + zoom-4 tile assignment
 ]
 
 

@@ -398,3 +398,42 @@ def test_session9_graph_ops_python_free_no_cartesian(spark):
         assert "BroadcastNestedLoopJoin" not in plan
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+def test_text_sign_projection_stays_jvm_side(spark):
+    """The JL featurizer must be pure codegen: no Python nodes, no
+    cartesian — one token shuffle, one vocab window, one broadcast
+    rank attach, one final groupBy."""
+    from geo_spark.operators.text import text_sign_projection
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{i % 3} shared") for i in range(50)],
+        "doc_id long, text string",
+    )
+    plan = _plan_of(text_sign_projection(docs, out_dim=8))
+    assert "CartesianProduct" not in plan
+    for node in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert node not in plan, node
+
+
+def test_incremental_minhash_has_no_cartesian_and_bounded_rerank(spark):
+    """Delta dedup: candidates come from the band equi-join (never a
+    cross product) and the rerank set cut is a broadcast join."""
+    from geo_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"document body number {i} with shared boilerplate text")
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    buckets, sets = minhash_index(docs.where("doc_id < 30"), n=8)
+    out = incremental_minhash_pairs(
+        buckets, sets, docs.where("doc_id >= 30"), n=8, threshold=0.3
+    )
+    plan = _plan_of(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # the needed-ids semi cut
