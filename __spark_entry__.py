@@ -3219,6 +3219,46 @@ def _oracle_contamination_score() -> str:
     """
 
 
+def _q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus Zipf diagnostics (operators/text.py:zipf_slope): per
+    language, the log-log slope of the top-100 token frequencies with
+    both regressors quantized to 1e-6 BIGINTs before summation — the
+    five sums are exact integers, so the slope is bit-stable and the
+    oracle replays count -> rank -> quantize -> least squares."""
+    from geo_spark.operators.text import zipf_slope
+
+    return zipf_slope(
+        _t(spark, sf_dir, "documents"), group_col="lang", top_k=100
+    ).orderBy("lang")
+
+
+def _oracle_zipf_slope() -> str:
+    return """
+        WITH toks AS (SELECT lang AS g, unnest(string_split(text, ' ')) AS term
+                      FROM documents),
+        freq AS (SELECT g, term, COUNT(*) AS f
+                 FROM toks WHERE len(term) > 0 GROUP BY 1, 2),
+        top AS (SELECT g, f,
+                       row_number() OVER (PARTITION BY g
+                                          ORDER BY f DESC, term) AS r
+                FROM freq QUALIFY r <= 100),
+        q AS (SELECT g, f,
+                     CAST(FLOOR(ln(CAST(r AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+                     CAST(FLOOR(ln(CAST(f AS DOUBLE)) * 1e6) AS BIGINT) AS y
+              FROM top),
+        agg AS (SELECT g, COUNT(*) AS k, SUM(x) AS sx, SUM(y) AS sy,
+                       SUM(x*y) AS sxy, SUM(x*x) AS sxx
+                FROM q GROUP BY g),
+        tot AS (SELECT g, COUNT(*) AS n_types, SUM(f) AS n_tokens
+                FROM freq GROUP BY g)
+        SELECT a.g AS lang, t.n_types, t.n_tokens,
+               CAST(FLOOR(CAST(a.k * a.sxy - a.sx * a.sy AS DOUBLE)
+                          / CAST(a.k * a.sxx - a.sx * a.sx AS DOUBLE)
+                          * 10000e0) AS BIGINT) AS slope_u4
+        FROM agg a JOIN tot t USING (g) ORDER BY lang
+    """
+
+
 def _q_top_events_per_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window top-k: 3 highest-value events per level-4 face/quadtree
     tile (ties by event_id)."""
@@ -15113,6 +15153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tile_value_median": _q_tile_value_median,
         "q_decontaminate": _q_decontaminate,
         "q_contamination_score": _q_contamination_score,
+        "q_zipf_slope": _q_zipf_slope,
         "q_top_events_per_tile": _q_top_events_per_tile,
         "q_city_hulls": _q_city_hulls,
         "q_tpch_q3": _q_tpch_q3,
@@ -15334,6 +15375,7 @@ def oracle_sql() -> dict[str, str]:
         "q_tile_value_median": _oracle_tile_value_median(),
         "q_decontaminate": _oracle_decontaminate(),
         "q_contamination_score": _oracle_contamination_score(),
+        "q_zipf_slope": _oracle_zipf_slope(),
         "q_top_events_per_tile": _oracle_top_events_per_tile(),
         "q_tpch_q3": _oracle_tpch_q3(),
         "q_tpch_q6": _oracle_tpch_q6(),

@@ -1317,3 +1317,79 @@ def text_sign_projection(
     return wide.select(
         key, F.expr(f"stack({out_dim}, {stack}) AS (d, proj)")
     )
+
+
+def zipf_slope(
+    docs: DataFrame,
+    group_col: str = "lang",
+    top_k: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """(group, n_types, n_tokens, slope_u4): the Zipf log-log slope of
+    the top-``top_k`` token frequencies per group — the corpus-health
+    diagnostic (natural language sits near -1; log-uniform synthetic or
+    boilerplate-flooded corpora drift far off).
+
+    Least squares of ln(freq) on ln(rank) over the top-k types, with
+    BOTH regressors quantized to 1e-6 BIGINTs *before* any sum — float
+    summation order never matters, so the slope is bit-stable across
+    engines; the single closing division is one exact-rounded IEEE op.
+    Intermediate magnitudes stay < 2^63 for top_k up to ~10^4.
+
+    Scale shape: one token shuffle for counts, a per-group top-k
+    window over the type table (vocabulary-sized, Zipf-bounded), then
+    a five-sum aggregate per group."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(group_col).alias("g"),
+        F.explode(F.split(F.col(text_col), " ", -1)).alias("term"),
+    ).where(F.length("term") > 0)
+    freq = toks.groupBy("g", "term").agg(F.count(F.lit(1)).alias("f"))
+    w = Window.partitionBy("g").orderBy(F.desc("f"), F.asc("term"))
+    top = freq.withColumn("r", F.row_number().over(w)).where(
+        F.col("r") <= top_k
+    )
+    q = top.select(
+        "g",
+        "f",
+        F.floor(F.log(F.col("r").cast("double")) * 1e6)
+        .cast("long")
+        .alias("x"),
+        F.floor(F.log(F.col("f").cast("double")) * 1e6)
+        .cast("long")
+        .alias("y"),
+    )
+    agg = q.groupBy("g").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("f").alias("n_top_tokens"),
+    )
+    tot = freq.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("f").alias("n_tokens"),
+    )
+    return (
+        agg.join(tot, "g")
+        .select(
+            F.col("g").alias(group_col),
+            "n_types",
+            "n_tokens",
+            F.floor(
+                (
+                    (
+                        F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")
+                    ).cast("double")
+                    / (
+                        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+                    ).cast("double")
+                )
+                * 1e4
+            )
+            .cast("long")
+            .alias("slope_u4"),
+        )
+    )

@@ -1066,3 +1066,24 @@ def test_text_sign_projection_separation(spark):
     d_near = sum((a - b) ** 2 for a, b in zip(v[1], v[3]))
     d_far = sum((a - b) ** 2 for a, b in zip(v[1], v[4]))
     assert 0 < d_near < d_far / 10, (d_near, d_far)
+
+
+def test_zipf_slope_signatures(spark):
+    """A Zipf-distributed corpus fits slope ~ -1; a uniform-frequency
+    corpus fits slope ~ 0."""
+    from geo_spark.operators.text import zipf_slope
+
+    zipf_tokens = []
+    for r in range(1, 41):
+        zipf_tokens += [f"w{r:03d}"] * max(1, round(4000 / r))
+    uni_tokens = [f"u{r:03d}" for r in range(1, 41)] * 100
+    docs = spark.createDataFrame(
+        [(1, "zipf", " ".join(zipf_tokens)), (2, "unif", " ".join(uni_tokens))],
+        "doc_id long, lang string, text string",
+    )
+    got = {
+        r["lang"]: r["slope_u4"]
+        for r in zipf_slope(docs, group_col="lang", top_k=40).collect()
+    }
+    assert -10500 < got["zipf"] < -9500, got
+    assert abs(got["unif"]) < 200, got
