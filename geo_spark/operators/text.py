@@ -1281,25 +1281,49 @@ def text_sign_projection(
     two-round integer mix of (term rank, dimension) — no projection
     matrix, no floats, SQL-replayable bit-for-bit.
 
-    tid is the term's 1-based rank in the lexicographic vocabulary.
-    The rank window runs over the VOCABULARY (Zipf-bounded, the same
-    state-is-a-vocabulary-table discipline as BPE training), never the
-    corpus; the mix stays inside int64 for vocabularies up to ~3e9
-    terms.  Scale shape: one token shuffle for tf, one vocab-sized
-    sort, one broadcast-joinable rank attach, one partial-aggregatable
-    groupBy(key) computing all out_dim sums."""
+    tid is the term's 1-based rank in the lexicographic vocabulary,
+    computed DISTRIBUTED: a 2-char-prefix bucket partitions the
+    in-bucket rank window (prefix order can never contradict term
+    order, so bucket-offset + in-bucket rank == global rank), and the
+    only global window runs over the BUCKET table (alphabet^2-bounded
+    — the equidepth_layout prefix-histogram discipline), never the
+    vocabulary in one task.  The mix stays inside int64 for
+    vocabularies up to ~3e9 terms.  Scale shape: one token shuffle for
+    tf, bucket-bounded rank windows, one bucket-offset broadcast, one
+    partial-aggregatable groupBy(key) computing all out_dim sums."""
     from pyspark.sql import Window
 
     toks = docs.select(
         F.col(key), F.explode(F.split(F.col(text_col), " ", -1)).alias("term")
     ).where(F.length("term") > 0)
     tf = toks.groupBy(key, "term").agg(F.count(F.lit(1)).alias("w"))
-    vocab = (
+    vterms = (
         tf.select("term")
         .distinct()
+        .withColumn("_b", F.substring("term", 1, 2))
+    )
+    rin = vterms.withColumn(
+        "_rin",
+        F.row_number().over(Window.partitionBy("_b").orderBy("term")),
+    )
+    boff = (
+        vterms.groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("_nb"))
         .withColumn(
-            "tid", F.row_number().over(Window.orderBy("term")).cast("long")
+            "_off",
+            F.coalesce(
+                F.sum("_nb").over(
+                    Window.orderBy("_b").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
         )
+        .select("_b", "_off")
+    )
+    vocab = rin.join(F.broadcast(boff), "_b").select(
+        "term", (F.col("_off") + F.col("_rin")).cast("long").alias("tid")
     )
     feats = tf.join(vocab, "term")
 
