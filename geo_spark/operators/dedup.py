@@ -517,9 +517,13 @@ def minhash_index(
     later crawl batch then near-dups against the whole corpus via
     :func:`incremental_minhash_pairs` WITHOUT rescanning corpus text —
     the incremental pattern that makes continuous dedup affordable at
-    100 TB (the index is ~1-2% the size of the text)."""
+    100 TB (the index is ~1-2% the size of the text).
+
+    The fused pass is persisted so composing buckets+sets in one job
+    (as the contract query does) still scans and signs the text ONCE;
+    a production pipeline unpersists after writing both tables."""
     rows = num_hashes // bands
-    base = _fused_sig_sets(docs, n, num_hashes, key, text_col)
+    base = _fused_sig_sets(docs, n, num_hashes, key, text_col).persist()
     buckets = _band_buckets(
         base.select(key, "sig"), bands, rows, key
     ).withColumnRenamed("_id", key)
