@@ -172,3 +172,25 @@ def test_bound_contains_all_contained_points():
             lat = np.arctan2(p[2], np.hypot(p[0], p[1]))
             lng = np.arctan2(p[1], p[0])
             assert bound.contains_latlng(lat, lng), name
+
+
+def test_empty_and_full_loop_sentinels():
+    """The reference's one-vertex sentinel loops (s2/loop.go:113-121):
+    a single vertex near the north pole is the EMPTY loop, near the
+    south pole the FULL loop — our origin/parity machinery yields the
+    same semantics without special-casing."""
+    import numpy as np
+
+    from geo_spark.kernel.regions import LoopRegion
+
+    rng = np.random.default_rng(3)
+    v = rng.normal(size=(200, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+
+    empty = LoopRegion.from_vertices(np.array([[0.0, 0.0, 1.0]]))
+    assert not empty.contains_points(v).any()
+    assert empty.bound.lat.lo > empty.bound.lat.hi  # empty rect
+
+    full = LoopRegion.from_vertices(np.array([[0.0, 0.0, -1.0]]))
+    assert full.contains_points(v).all()
+    assert full.bound.is_full()
