@@ -2695,12 +2695,17 @@ def _q_snap_e6_sites(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
+    from pyspark.sql import Window
+
+    # one snapping pass: the occupancy is a window count, not a
+    # rejoin (the groupBy+join alternative recomputes the Arrow pass
+    # for each branch) — same shape as the oracle's COUNT(*) OVER
     snapped = ev.mapInPandas(fn, schema)
-    occ = snapped.groupBy("ilat0", "ilng0").agg(
-        F.count(F.lit(1)).alias("n_at_site")
-    )
     return (
-        snapped.join(occ, ["ilat0", "ilng0"])
+        snapped.withColumn(
+            "n_at_site",
+            F.count(F.lit(1)).over(Window.partitionBy("ilat0", "ilng0")),
+        )
         .select("event_id", "ilat0", "ilng0", "ilat6", "ilng6", "n_at_site")
         .orderBy("event_id")
     )
@@ -3255,7 +3260,8 @@ def _oracle_zipf_slope() -> str:
                CAST(FLOOR(CAST(a.k * a.sxy - a.sx * a.sy AS DOUBLE)
                           / CAST(a.k * a.sxx - a.sx * a.sx AS DOUBLE)
                           * 10000e0) AS BIGINT) AS slope_u4
-        FROM agg a JOIN tot t USING (g) ORDER BY lang
+        FROM agg a JOIN tot t USING (g)
+        WHERE a.k >= 2 ORDER BY lang
     """
 
 

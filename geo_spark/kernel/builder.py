@@ -179,34 +179,6 @@ def min_edge_vertex_separation_e(exponent: int) -> float:
     )
 
 
-def _peel_spike_keys(keys: np.ndarray) -> np.ndarray:
-    """Index-returning variant of the dedup+peel pipeline for arbitrary
-    comparable site keys: returns the indices (into ``keys``) of the
-    surviving sites, in ring order."""
-    idx = np.arange(len(keys))
-    # consecutive dedup
-    if len(keys):
-        keep = keys != np.roll(keys, 1)
-        if not keep.any():
-            idx = idx[:1]
-        else:
-            idx = idx[keep]
-    while len(idx) >= 3:
-        k = keys[idx]
-        spike = np.roll(k, 1) == np.roll(k, -1)
-        if not spike.any():
-            break
-        tip = int(np.argmax(spike))
-        idx = np.delete(idx, tip)
-        k = keys[idx]
-        keep = k != np.roll(k, 1)
-        if not keep.any():
-            idx = idx[:1]
-        else:
-            idx = idx[keep]
-    return idx
-
-
 def snap_rings_e(
     rings: list[np.ndarray], exponent: int = 7
 ) -> list[np.ndarray]:
@@ -221,12 +193,16 @@ def snap_rings_e(
         lat, lng = ck.xyz_to_latlng(verts[:, 0], verts[:, 1], verts[:, 2])
         ila, iln = snap_latlng_e(lat, lng, exponent)
         # exact pair key: |values| < 1.8e12 << 2^53, complex equality
-        # compares both components exactly
+        # compares both components exactly — and _peel_spikes (the
+        # shared cell-id pipeline) is elementwise, so it runs verbatim
+        # on complex keys; the components recover exactly afterwards
         keys = ila.astype(np.float64) + 1j * iln.astype(np.float64)
-        idx = _peel_spike_keys(keys)
-        if len(idx) < 3:
+        kept = _peel_spikes(keys)
+        if len(kept) < 3:
             continue
-        sla, sln = unsnap_latlng_e(ila[idx], iln[idx], exponent)
+        sla, sln = unsnap_latlng_e(
+            kept.real.astype(np.int64), kept.imag.astype(np.int64), exponent
+        )
         x, y, z = ck.latlng_to_xyz(sla, sln)
         out.append(np.stack([x, y, z], axis=1))
     return out

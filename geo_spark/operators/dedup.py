@@ -330,8 +330,9 @@ def contamination_score(
     ``frac_e6`` = (n_hit * 1_000_000) div n_shingles as an exact
     integer (both operands non-negative, so Spark ``div`` == DuckDB
     ``//`` — the cross-engine rule).  Documents shorter than ``n``
-    contribute their whole text as the single shingle ``shingle_expr``
-    yields, same as every other shingle operator here.
+    have no length-``n`` shingle and are ABSENT from the output (an
+    absent row means "no scorable content", not "clean" — callers
+    gating on the score must left-join and decide a policy for them).
 
     Scale shape: the probe shingle set is dimension-sized (eval sets)
     and broadcast; the corpus side is one scan + per-doc distinct
@@ -388,13 +389,23 @@ def minhash_signatures(
 
 
 def _fused_sig_sets(
-    docs: DataFrame, n: int, num_hashes: int, key: str, text_col: str
+    docs: DataFrame,
+    n: int,
+    num_hashes: int,
+    key: str,
+    text_col: str,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(key, sig array<long>, sh array<long>) in ONE text pass: the
-    MinHash signature and the exact shingle-hash set per doc."""
+    """(key, *extra_cols, sig array<long>, sh array<long>) in ONE text
+    pass: the MinHash signature and the exact shingle-hash set per doc.
+    ``extra_cols`` ride through untouched (the streaming twin carries
+    its event-time column this way, so batch and stream share ONE
+    shingling/seeding implementation that cannot desync)."""
     seeds = _splitmix64(np.arange(1, num_hashes + 1, dtype=np.uint64))
-    src = docs.select(key, text_col)
-    ktype = src.schema[key].dataType.simpleString()
+    src = docs.select(key, *extra_cols, text_col)
+    types = {
+        f.name: f.dataType.simpleString() for f in src.schema.fields
+    }
 
     def fused(batches):
         for pdf in batches:
@@ -404,21 +415,26 @@ def _fused_sig_sets(
                 m = _splitmix64(h[:, None] ^ seeds[None, :]).min(axis=0)
                 sigs_out.append(m.view(np.int64).tolist())
                 shs_out.append(h.view(np.int64).tolist())
-            yield pd.DataFrame(
-                {key: pdf[key], "sig": sigs_out, "sh": shs_out}
-            )
+            out = {key: pdf[key]}
+            for c in extra_cols:
+                out[c] = pdf[c]
+            out["sig"] = sigs_out
+            out["sh"] = shs_out
+            yield pd.DataFrame(out)
 
-    return src.mapInPandas(
-        fused, f"{key} {ktype}, sig array<long>, sh array<long>"
+    schema = ", ".join(
+        [f"{key} {types[key]}"]
+        + [f"{c} {types[c]}" for c in extra_cols]
+        + ["sig array<long>", "sh array<long>"]
     )
+    return src.mapInPandas(fused, schema)
 
 
-def _band_buckets(
-    sigs: DataFrame, bands: int, rows: int, key: str
-) -> DataFrame:
-    """(_id, band, bh): one bucket row per (doc, band) — the LSH index
-    rows that equi-join candidates together."""
-    band_arr = F.array(
+def _band_bucket_expr(bands: int, rows: int):
+    """The per-row array of (band, bh) structs — F.hash over fixed sig
+    slices; band/stream candidate joins MUST share this expression
+    bit-for-bit or the equi-join silently matches nothing."""
+    return F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
@@ -427,8 +443,16 @@ def _band_buckets(
             for b in range(bands)
         ]
     )
+
+
+def _band_buckets(
+    sigs: DataFrame, bands: int, rows: int, key: str
+) -> DataFrame:
+    """(_id, band, bh): one bucket row per (doc, band) — the LSH index
+    rows that equi-join candidates together."""
     return sigs.select(
-        F.col(key).alias("_id"), F.explode(band_arr).alias("bb")
+        F.col(key).alias("_id"),
+        F.explode(_band_bucket_expr(bands, rows)).alias("bb"),
     ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
 
 

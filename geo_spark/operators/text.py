@@ -1358,13 +1358,21 @@ def zipf_slope(
     BOTH regressors quantized to 1e-6 BIGINTs *before* any sum — float
     summation order never matters, so the slope is bit-stable across
     engines; the single closing division is one exact-rounded IEEE op.
-    Intermediate magnitudes stay < 2^63 for top_k up to ~10^4.
+    ``top_k`` is capped at 500: beyond that the closing products
+    k*sxx / sx*sx leave int64 (Spark would wrap silently while a
+    HUGEINT engine stays exact — a guaranteed divergence), so the cap
+    raises instead.  Groups with fewer than 2 ranked types are dropped
+    (no regression line exists; the SQL twin must filter k >= 2 too).
 
     Scale shape: one token shuffle for counts, a per-group top-k
     window over the type table (vocabulary-sized, Zipf-bounded), then
     a five-sum aggregate per group."""
     from pyspark.sql import Window
 
+    if top_k > 500:
+        raise ValueError(
+            f"top_k={top_k} overflows the int64 closing products; max 500"
+        )
     toks = docs.select(
         F.col(group_col).alias("g"),
         F.explode(F.split(F.col(text_col), " ", -1)).alias("term"),
@@ -1390,14 +1398,14 @@ def zipf_slope(
         F.sum("y").alias("sy"),
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum("f").alias("n_top_tokens"),
     )
     tot = freq.groupBy("g").agg(
         F.count(F.lit(1)).alias("n_types"),
         F.sum("f").alias("n_tokens"),
     )
     return (
-        agg.join(tot, "g")
+        agg.where(F.col("k") >= 2)
+        .join(tot, "g")
         .select(
             F.col("g").alias(group_col),
             "n_types",

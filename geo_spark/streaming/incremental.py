@@ -22,17 +22,14 @@ pairs) is asserted in tests/test_streaming_incremental.py.
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from geo_spark.operators.dedup import (
+    _band_bucket_expr,
+    _fused_sig_sets,
     _jac_udf,
-    _shingle_hashes,
-    _splitmix64,
 )
-
-import numpy as np
 
 
 def stream_incremental_dedup(
@@ -52,58 +49,32 @@ def stream_incremental_dedup(
     n-gram Jaccard against an indexed doc reaches ``threshold``.
 
     Plan: one stateless Arrow pass fuses signature + shingle set per
-    streamed doc (the text never crosses again); band buckets explode
-    and equi-join the STATIC bucket table (stream-static inner join,
-    no state); band collisions dedup via dropDuplicatesWithinWatermark
-    on the pair key BEFORE the rerank so each candidate pair pays the
-    exact-Jaccard cost once; the static sets table joins in only for
-    candidate old ids."""
+    streamed doc via the SAME ``_fused_sig_sets``/``_band_bucket_expr``
+    the batch operator and the persisted index use — one shingling/
+    seeding/banding implementation, so the stream-static equi-join
+    cannot silently desync from the index.  Band buckets equi-join the
+    STATIC bucket table (no state); band collisions dedup via
+    dropDuplicatesWithinWatermark on the pair key BEFORE the rerank so
+    each candidate pair pays the exact-Jaccard cost once; the static
+    sets table joins in only for candidate old ids.
+
+    Cost note: the streamed doc's shingle set rides the band explode
+    (``bands``x duplication in the candidate shuffle) — bounded by the
+    micro-batch size, never the corpus; the dedup's state store keys
+    on (new_id, old_id) + event time only, not the carried set."""
     rows = num_hashes // bands
-    seeds = _splitmix64(np.arange(1, num_hashes + 1, dtype=np.uint64))
-    ktype = new_docs.schema[key].dataType.simpleString()
-    src = new_docs.select(key, text_col, ts_col)
-
-    def fused(batches):
-        for pdf in batches:
-            sigs_out, shs_out = [], []
-            for t in pdf[text_col]:
-                h = _shingle_hashes(t or "", n)
-                m = _splitmix64(h[:, None] ^ seeds[None, :]).min(axis=0)
-                sigs_out.append(m.view(np.int64).tolist())
-                shs_out.append(h.view(np.int64).tolist())
-            yield pd.DataFrame(
-                {
-                    key: pdf[key],
-                    ts_col: pdf[ts_col],
-                    "sig": sigs_out,
-                    "_sa": shs_out,
-                }
-            )
-
-    base = src.mapInPandas(
-        fused,
-        f"{key} {ktype}, {ts_col} timestamp, sig array<long>,"
-        " _sa array<long>",
-    ).withWatermark(ts_col, watermark)
-
-    # same banding as operators.dedup._band_buckets, but with the ts
-    # and shingle-set payload carried through the explode
-    band_arr = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.hash(F.slice(F.col("sig"), b * rows + 1, rows)).alias(
-                    "bh"
-                ),
-            )
-            for b in range(bands)
-        ]
+    base = (
+        _fused_sig_sets(
+            new_docs, n, num_hashes, key, text_col, extra_cols=(ts_col,)
+        )
+        .withColumnRenamed("sh", "_sa")
+        .withWatermark(ts_col, watermark)
     )
     nbuck = base.select(
         F.col(key).alias("new_id"),
         F.col(ts_col).alias("ts"),
         "_sa",
-        F.explode(band_arr).alias("bb"),
+        F.explode(_band_bucket_expr(bands, rows)).alias("bb"),
     ).select(
         "new_id",
         "ts",
