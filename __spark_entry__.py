@@ -3265,6 +3265,57 @@ def _oracle_zipf_slope() -> str:
     """
 
 
+def _q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth curve + Heaps exponent per language
+    (operators/text.py:heaps_law): V(N) at 10 document-prefix
+    checkpoints via first-occurrence ranks (no per-checkpoint rescan),
+    beta from the quantize-before-sum regression.  The oracle replays
+    rank -> first-rank -> checkpoint joins -> fit."""
+    from geo_spark.operators.text import heaps_law
+
+    return heaps_law(
+        _t(spark, sf_dir, "documents"), group_col="lang", checkpoints=10
+    ).orderBy("lang", "checkpoint")
+
+
+def _oracle_heaps_law() -> str:
+    return """
+        WITH ranked AS (SELECT lang AS g, doc_id, text,
+                               row_number() OVER (PARTITION BY lang
+                                                  ORDER BY doc_id) AS rn
+                        FROM documents),
+        toks AS (SELECT g, rn, unnest(string_split(text, ' ')) AS term
+                 FROM ranked),
+        tok2 AS (SELECT g, rn, term FROM toks WHERE len(term) > 0),
+        fst AS (SELECT g, term, MIN(rn) AS fr FROM tok2 GROUP BY 1, 2),
+        per_doc AS (SELECT g, rn, COUNT(*) AS tok FROM tok2 GROUP BY 1, 2),
+        nd AS (SELECT g, MAX(rn) AS ndt FROM ranked GROUP BY g),
+        cps AS (SELECT DISTINCT g, (c * ndt) // 10 AS cut
+                FROM nd, (SELECT unnest(range(1, 11)) AS c)
+                WHERE (c * ndt) // 10 >= 1),
+        v AS (SELECT c.g, c.cut, COUNT(*) AS n_types
+              FROM cps c JOIN fst f ON f.g = c.g AND f.fr <= c.cut
+              GROUP BY 1, 2),
+        ntok AS (SELECT c.g, c.cut, SUM(p.tok) AS n_tokens
+                 FROM cps c JOIN per_doc p ON p.g = c.g AND p.rn <= c.cut
+                 GROUP BY 1, 2),
+        q AS (SELECT v.g, v.cut, v.n_types, ntok.n_tokens,
+                     CAST(FLOOR(ln(CAST(ntok.n_tokens AS DOUBLE)) * 1e6)
+                          AS BIGINT) AS x,
+                     CAST(FLOOR(ln(CAST(v.n_types AS DOUBLE)) * 1e6)
+                          AS BIGINT) AS y
+              FROM v JOIN ntok ON v.g = ntok.g AND v.cut = ntok.cut),
+        fit AS (SELECT g, COUNT(*) AS k, SUM(x) AS sx, SUM(y) AS sy,
+                       SUM(x*y) AS sxy, SUM(x*x) AS sxx
+                FROM q GROUP BY g HAVING COUNT(*) >= 2)
+        SELECT q.g AS lang, q.cut AS checkpoint, q.n_tokens, q.n_types,
+               CAST(FLOOR(CAST(f.k * f.sxy - f.sx * f.sy AS DOUBLE)
+                          / CAST(f.k * f.sxx - f.sx * f.sx AS DOUBLE)
+                          * 10000e0) AS BIGINT) AS beta_u4
+        FROM q JOIN fit f USING (g) ORDER BY lang, checkpoint
+    """
+
+
 def _q_top_events_per_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window top-k: 3 highest-value events per level-4 face/quadtree
     tile (ties by event_id)."""
@@ -15160,6 +15211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_decontaminate": _q_decontaminate,
         "q_contamination_score": _q_contamination_score,
         "q_zipf_slope": _q_zipf_slope,
+        "q_heaps_law": _q_heaps_law,
         "q_top_events_per_tile": _q_top_events_per_tile,
         "q_city_hulls": _q_city_hulls,
         "q_tpch_q3": _q_tpch_q3,
@@ -15382,6 +15434,7 @@ def oracle_sql() -> dict[str, str]:
         "q_decontaminate": _oracle_decontaminate(),
         "q_contamination_score": _oracle_contamination_score(),
         "q_zipf_slope": _oracle_zipf_slope(),
+        "q_heaps_law": _oracle_heaps_law(),
         "q_top_events_per_tile": _oracle_top_events_per_tile(),
         "q_tpch_q3": _oracle_tpch_q3(),
         "q_tpch_q6": _oracle_tpch_q6(),

@@ -1425,3 +1425,117 @@ def zipf_slope(
             .alias("slope_u4"),
         )
     )
+
+
+def heaps_law(
+    docs: DataFrame,
+    group_col: str = "lang",
+    checkpoints: int = 10,
+    key: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(group, checkpoint, n_docs, n_tokens, n_types, beta_u4): the
+    vocabulary-growth curve V(N) sampled at ``checkpoints`` document-
+    count prefixes per group (docs ordered by ``key``), plus the
+    Heaps-law exponent beta from ln V on ln N least squares over the
+    checkpoints (natural text sits near 0.4-0.8; a closed vocabulary
+    saturates toward 0).
+
+    The curve needs no per-checkpoint rescan: each term contributes at
+    its FIRST-occurrence document rank, so V at a checkpoint is a
+    count of first-ranks <= cutoff and N is a sum of token counts with
+    rank <= cutoff — two skinny aggregates joined to a checkpoint
+    table ``checkpoints`` rows long.  The regression reuses the
+    quantize-before-sum rule (ln values -> 1e-6 BIGINTs), so beta is
+    bit-stable; the per-group doc rank window is the only corpus-sized
+    window (rank by the natural unique key — WindowGroupLimit does not
+    apply, but the partition is a group's doc list, the same bound as
+    every per-group sessionization window here)."""
+    from pyspark.sql import Window
+
+    if checkpoints < 2 or checkpoints > 100:
+        raise ValueError("checkpoints must be in [2, 100]")
+    ranked = docs.select(
+        F.col(group_col).alias("g"), F.col(key).alias("_k"), text_col
+    ).withColumn(
+        "rn", F.row_number().over(Window.partitionBy("g").orderBy("_k"))
+    )
+    toks = ranked.select(
+        "g",
+        "rn",
+        F.explode(F.split(F.col(text_col), " ", -1)).alias("term"),
+    ).where(F.length("term") > 0)
+    # per (group, term): first-occurrence rank; per (group, rank): tokens
+    first = toks.groupBy("g", "term").agg(F.min("rn").alias("fr"))
+    per_doc = toks.groupBy("g", "rn").agg(F.count(F.lit(1)).alias("tok"))
+    nd = ranked.groupBy("g").agg(F.max("rn").alias("n_docs_total"))
+    cps = nd.select(
+        "g",
+        "n_docs_total",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, {checkpoints}),"
+                f" c -> CAST(c * n_docs_total AS BIGINT) div {checkpoints})"
+            )
+        ).alias("cut"),
+    ).where(F.col("cut") >= 1).distinct()
+    v = (
+        cps.join(first, "g")
+        .where(F.col("fr") <= F.col("cut"))
+        .groupBy("g", "cut")
+        .agg(F.count(F.lit(1)).alias("n_types"))
+    )
+    ntok = (
+        cps.join(per_doc, "g")
+        .where(F.col("rn") <= F.col("cut"))
+        .groupBy("g", "cut")
+        .agg(F.sum("tok").alias("n_tokens"))
+    )
+    curve = v.join(ntok, ["g", "cut"])
+    q = curve.select(
+        "g",
+        "cut",
+        "n_types",
+        "n_tokens",
+        F.floor(F.log(F.col("n_tokens").cast("double")) * 1e6)
+        .cast("long")
+        .alias("x"),
+        F.floor(F.log(F.col("n_types").cast("double")) * 1e6)
+        .cast("long")
+        .alias("y"),
+    )
+    fit = (
+        q.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+        .where(F.col("k") >= 2)
+        .select(
+            "g",
+            F.floor(
+                (
+                    (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                    .cast("double")
+                    / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                    .cast("double")
+                )
+                * 1e4
+            )
+            .cast("long")
+            .alias("beta_u4"),
+        )
+    )
+    return (
+        q.join(fit, "g")
+        .select(
+            F.col("g").alias(group_col),
+            F.col("cut").alias("checkpoint"),
+            "n_tokens",
+            "n_types",
+            "beta_u4",
+        )
+    )

@@ -1087,3 +1087,33 @@ def test_zipf_slope_signatures(spark):
     }
     assert -10500 < got["zipf"] < -9500, got
     assert abs(got["unif"]) < 200, got
+
+
+def test_heaps_law_signatures(spark):
+    """Open vocabulary (every doc new tokens) fits beta near 1; a
+    closed vocabulary (same tokens every doc) saturates to beta 0."""
+    from geo_spark.operators.text import heaps_law
+
+    open_docs = [
+        (i, "open", " ".join(f"t{i}_{j}" for j in range(20)))
+        for i in range(20)
+    ]
+    closed_docs = [
+        (100 + i, "closed", " ".join(f"c{j}" for j in range(20)))
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(
+        open_docs + closed_docs, "doc_id long, lang string, text string"
+    )
+    out = heaps_law(docs, group_col="lang", checkpoints=5).collect()
+    beta = {r["lang"]: r["beta_u4"] for r in out}
+    assert 9000 <= beta["open"] <= 10500, beta
+    assert beta["closed"] == 0, beta
+    # curve is monotone in both coordinates
+    for g in ("open", "closed"):
+        pts = sorted(
+            (r["checkpoint"], r["n_tokens"], r["n_types"])
+            for r in out
+            if r["lang"] == g
+        )
+        assert all(a[1] <= b[1] and a[2] <= b[2] for a, b in zip(pts, pts[1:]))
