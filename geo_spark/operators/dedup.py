@@ -1176,3 +1176,30 @@ def remove_spans(
             .alias("n_removed"),
         )
     )
+
+
+def fold_into_index(
+    index_buckets: DataFrame,
+    index_sets: DataFrame,
+    new_docs: DataFrame,
+    n: int = 8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    key: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """(buckets', sets'): the index after absorbing a probed batch —
+    the step that closes the incremental loop (probe with
+    :func:`incremental_minhash_pairs`, act on the pairs, then fold the
+    survivors in so the NEXT batch sees them).  Plain unions of the
+    batch's one-pass signature tables with the existing index; fold
+    then re-probe is exactly equivalent to indexing the concatenated
+    corpus (pinned in tests)."""
+    nb, ns = minhash_index(
+        new_docs, n=n, num_hashes=num_hashes, bands=bands,
+        key=key, text_col=text_col,
+    )
+    return (
+        index_buckets.unionByName(nb),
+        index_sets.unionByName(ns),
+    )

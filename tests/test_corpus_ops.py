@@ -1117,3 +1117,30 @@ def test_heaps_law_signatures(spark):
             if r["lang"] == g
         )
         assert all(a[1] <= b[1] and a[2] <= b[2] for a, b in zip(pts, pts[1:]))
+
+
+def test_fold_into_index_equals_recomputation(spark, docs):
+    """Index induction: fold batch1 into the corpus index, probe
+    batch2 — identical pairs to probing batch2 against an index built
+    from scratch over corpus+batch1."""
+    from geo_spark.operators.dedup import (
+        fold_into_index,
+        incremental_minhash_pairs,
+        minhash_index,
+    )
+
+    corpus = docs.where(F.col("doc_id") % 5 > 1)
+    b1 = docs.where(F.col("doc_id") % 5 == 0)
+    b2 = docs.where(F.col("doc_id") % 5 == 1)
+    buckets, sets = minhash_index(corpus, n=8)
+    fb, fs = fold_into_index(buckets, sets, b1, n=8)
+    got = {
+        (r["da"], r["db"], round(r["jaccard"], 12))
+        for r in incremental_minhash_pairs(fb, fs, b2, n=8, threshold=0.3).collect()
+    }
+    rb, rs = minhash_index(docs.where(F.col("doc_id") % 5 != 1), n=8)
+    want = {
+        (r["da"], r["db"], round(r["jaccard"], 12))
+        for r in incremental_minhash_pairs(rb, rs, b2, n=8, threshold=0.3).collect()
+    }
+    assert got == want and len(got) > 0
