@@ -2885,6 +2885,32 @@ def _q_rhumb_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rhumb_trails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed aggregate over the loxodrome kernel: per user, the
+    number of legs and total rhumb path length (sum of the exact
+    integer micro-radian legs of q_rhumb_segments).  Certifies the
+    kernel under a partial-aggregatable rollup; the oracle nests the
+    full per-leg replay."""
+    df = _q_rhumb_segments(spark, sf_dir)
+    return (
+        df.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_legs"),
+            F.sum("dist_u6").alias("path_u6"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def _oracle_rhumb_trails() -> str:
+    inner = _oracle_rhumb_segments()
+    return f"""
+        WITH legs AS MATERIALIZED ({inner})
+        SELECT user_id, COUNT(*) AS n_legs, SUM(dist_u6) AS path_u6
+        FROM legs GROUP BY user_id ORDER BY user_id
+    """
+
+
 def _oracle_rhumb_segments() -> str:
     from geo_spark.operators.geo_noise import LAT_D_SQL, LNG_D_SQL
 
@@ -15224,6 +15250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_snap_e6_sites": _q_snap_e6_sites,
         "q_mercator_tiles": _q_mercator_tiles,
         "q_rhumb_segments": _q_rhumb_segments,
+        "q_rhumb_trails": _q_rhumb_trails,
         "q_distance_join_counts": _q_distance_join_counts,
         "q_polygon_polygon_join": _q_polygon_polygon_join,
         "q_polyline_simplify": _q_polyline_simplify,
@@ -15446,6 +15473,7 @@ def oracle_sql() -> dict[str, str]:
         "q_snap_e6_sites": _oracle_snap_e6_sites(),
         "q_mercator_tiles": _oracle_mercator_tiles(),
         "q_rhumb_segments": _oracle_rhumb_segments(),
+        "q_rhumb_trails": _oracle_rhumb_trails(),
         "q_distance_join_counts": _oracle_distance_join_counts(),
         "q_city_hulls": _oracle_city_hulls(),
         "q_polyline_simplify": _oracle_polyline_simplify(),
