@@ -118,6 +118,86 @@ class MercatorProjection:
         return self.x_wrap, 0.0
 
 
+def tessellate_projected_in(
+    projection,
+    a_xyz: np.ndarray,
+    b_xyz: np.ndarray,
+    tolerance_rad: float,
+    max_depth: int = 30,
+) -> np.ndarray:
+    """Projection-parameterized AppendProjected
+    (s2/edge_tessellator.go:187-240 generalized beyond the plate
+    carree special case in kernel/edges.py): (k, 2) projected vertices
+    whose straight segments stay within ``tolerance_rad`` of the
+    geodesic a->b under ``projection`` (PlateCarreeProjection or
+    MercatorProjection).  The b endpoint is wrapped the short way in x
+    first (WrapDestination semantics).  Mercator callers must clip
+    pole-adjacent edges beforehand (s2/projections.go:158-161
+    warning — poles project to infinite y)."""
+    import math
+
+    def _latlng(p):
+        return (
+            math.atan2(p[2], math.hypot(p[0], p[1])),
+            math.atan2(p[1], p[0]),
+        )
+
+    def _xyz(lat, lng):
+        cl = math.cos(lat)
+        return np.array(
+            [cl * math.cos(lng), cl * math.sin(lng), math.sin(lat)]
+        )
+
+    a3 = np.asarray(a_xyz, dtype=np.float64)
+    b3 = np.asarray(b_xyz, dtype=np.float64)
+    la, lna = _latlng(a3)
+    lb, lnb = _latlng(b3)
+    ax, ay = projection.project(np.array([la]), np.array([lna]))
+    bx, by = projection.project(np.array([lb]), np.array([lnb]))
+    wrap_x, wrap_y = projection.wrap_distance()
+    bxw, byw = wrap_destination(ax, ay, bx, by, wrap_x, wrap_y)
+    tol_chord2 = (2.0 * math.sin(tolerance_rad / 2.0)) ** 2
+    out = [(float(ax[0]), float(ay[0]))]
+
+    def _proj_near(p3, near_x, near_y):
+        """Project p3, wrapped toward an already-emitted neighbor."""
+        pl, pg = _latlng(p3)
+        x, y = projection.project(np.array([pl]), np.array([pg]))
+        x, y = wrap_destination(
+            np.array([near_x]), np.array([near_y]), x, y, wrap_x, wrap_y
+        )
+        return float(x[0]), float(y[0])
+
+    def rec(p3, px, py, q3, qx, qy, depth):
+        # split at the GEODESIC midpoint (vertices stay on the
+        # geodesic, as AppendProjected emits projections of geodesic
+        # points); accept when the unprojected midpoint of the
+        # projected segment sits within tolerance of it
+        gm = p3 + q3
+        gm = gm / math.sqrt(gm @ gm)
+        mx, my = 0.5 * (px + qx), 0.5 * (py + qy)
+        ml, mg = projection.unproject(np.array([mx]), np.array([my]))
+        pm = _xyz(float(ml[0]), float(mg[0]))
+        err2 = float(((gm - pm) ** 2).sum())
+        if depth >= max_depth or err2 <= tol_chord2:
+            out.append((float(qx), float(qy)))
+            return
+        gx, gy = _proj_near(gm, px, py)
+        rec(p3, px, py, gm, gx, gy, depth + 1)
+        rec(gm, gx, gy, q3, qx, qy, depth + 1)
+
+    rec(
+        a3,
+        float(ax[0]),
+        float(ay[0]),
+        b3,
+        float(bxw[0]),
+        float(byw[0]),
+        0,
+    )
+    return np.array(out)
+
+
 def rhumb_distance_bearing(
     lat1_deg: np.ndarray,
     lng1_deg: np.ndarray,

@@ -188,3 +188,78 @@ def test_rhumb_at_least_great_circle():
     )
     gc = 2 * np.arcsin(np.sqrt(h))
     assert (d >= gc - 1e-9).all()
+
+
+def test_generic_tessellator_plate_carree_matches_edges_kernel():
+    """tessellate_projected_in(PlateCarree) reproduces the specialized
+    plate-carree tessellator in kernel/edges.py on the same edge."""
+    from geo_spark.kernel.edges import tessellate_projected
+    from geo_spark.kernel.projections import (
+        PlateCarreeProjection,
+        tessellate_projected_in,
+    )
+
+    def xyz(lat, lng):
+        la, ln = math.radians(lat), math.radians(lng)
+        return np.array(
+            [
+                math.cos(la) * math.cos(ln),
+                math.cos(la) * math.sin(ln),
+                math.sin(la),
+            ]
+        )
+
+    a, b = xyz(10.0, -60.0), xyz(55.0, 70.0)
+    tol = 1e-3
+    want = tessellate_projected(a, b, tol)
+    got_xy = tessellate_projected_in(PlateCarreeProjection(1.0), a, b, tol)
+    assert len(got_xy) == len(want)
+    p = PlateCarreeProjection(1.0)
+    la, ln = p.unproject(got_xy[:, 0], got_xy[:, 1])
+    got3 = np.stack(
+        [np.cos(la) * np.cos(ln), np.cos(la) * np.sin(ln), np.sin(la)],
+        axis=1,
+    )
+    np.testing.assert_allclose(got3, want, atol=1e-9)
+
+
+def test_generic_tessellator_mercator_midpoint_criterion():
+    """Every emitted Mercator segment satisfies the tessellation
+    criterion: the unprojected segment midpoint sits within tolerance
+    of the geodesic midpoint of its endpoints."""
+    from geo_spark.kernel.projections import (
+        MercatorProjection,
+        tessellate_projected_in,
+    )
+
+    def xyz(lat, lng):
+        la, ln = math.radians(lat), math.radians(lng)
+        return np.array(
+            [
+                math.cos(la) * math.cos(ln),
+                math.cos(la) * math.sin(ln),
+                math.sin(la),
+            ]
+        )
+
+    m = MercatorProjection(math.pi)
+    tol = 5e-4
+    a, b = xyz(-35.0, 150.0), xyz(40.0, -120.0)  # crosses the antimeridian
+    chain = tessellate_projected_in(m, a, b, tol)
+    assert len(chain) >= 3
+    # endpoint wrap went the short way: |dx| < pi
+    assert abs(chain[-1, 0] - chain[0, 0]) < math.pi
+    tol_chord2 = (2 * math.sin(tol / 2)) ** 2
+    for (px, py), (qx, qy) in zip(chain, chain[1:]):
+        pl, pg = m.unproject(np.array([px]), np.array([py]))
+        ql, qg = m.unproject(np.array([qx]), np.array([qy]))
+        p3, q3 = xyz(math.degrees(pl[0]), math.degrees(pg[0])), xyz(
+            math.degrees(ql[0]), math.degrees(qg[0])
+        )
+        gm = p3 + q3
+        gm /= np.linalg.norm(gm)
+        ml, mg = m.unproject(
+            np.array([(px + qx) / 2]), np.array([(py + qy) / 2])
+        )
+        pm = xyz(math.degrees(ml[0]), math.degrees(mg[0]))
+        assert ((gm - pm) ** 2).sum() <= tol_chord2 * 1.0000001
