@@ -59,10 +59,15 @@ def kmeans_embed(
     ``max|x|`` so quantized components are non-negative (keeps
     floor-division identical across engines)."""
     spark: SparkSession = df.sparkSession
+    # persist: the quantized base is re-read by the seed pick, the
+    # centroid build, and every iteration's assignment + update — for
+    # a composed input (e.g. the text-featurizer chain feeding
+    # q_topic_clusters) each re-read would replay the whole upstream
+    # pipeline
     base = df.select(
         F.col(id_col).alias("_id"),
         _quantize_vec(vec_col, shift, scale).alias("_q"),
-    )
+    ).persist()
     seeds = (
         base.select("_id", F.md5(F.col("_id").cast("string")).alias("_m"))
         .orderBy("_m", "_id")
