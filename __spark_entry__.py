@@ -77,6 +77,99 @@ def _q_s2_tile_faceij_l8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cell_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-neighbor arithmetic under a relational oracle: per event,
+    the 4 edge neighbors (kernel/cellid.py:edge_neighbors — the real
+    wrap-capable code path) of its level-8 cell, decoded back to
+    (face, ti, tj), restricted to cells strictly interior to their
+    face grid so plain +-1 ij arithmetic is the ground truth.  The
+    cross-face wrap cases keep their byte-exact pytest goldens
+    (test suite: manual neighbor sets at face boundaries); this query
+    certifies the bulk arithmetic relationally."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from geo_spark.kernel import cellid as ck
+    from geo_spark.operators.geo_noise import with_geo_noise
+
+    ev = with_geo_noise(_t(spark, sf_dir, "events"), "event_id").select(
+        "event_id", "lat", "lng"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("dir", T.LongType()),
+            T.StructField("n_face", T.LongType()),
+            T.StructField("n_ti", T.LongType()),
+            T.StructField("n_tj", T.LongType()),
+        ]
+    )
+
+    def fn(batches):
+        import numpy as np
+
+        for pdf in batches:
+            ids = ck.cellid_from_latlng(
+                pdf["lat"].to_numpy(np.float64),
+                pdf["lng"].to_numpy(np.float64),
+            )
+            p8 = ck.parent(ids, 8)
+            _f, i, j, _o = ck.face_ij_orientation(p8)
+            ti = (i >> 22).astype(np.int64)
+            tj = (j >> 22).astype(np.int64)
+            keep = (ti > 0) & (ti < 255) & (tj > 0) & (tj < 255)
+            eids = pdf["event_id"].to_numpy(np.int64)[keep]
+            nb = ck.edge_neighbors(p8[keep])  # (m, 4): down,right,up,left
+            frames = []
+            for d in range(4):
+                nf, ni, nj, _ = ck.face_ij_orientation(nb[:, d])
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "event_id": eids,
+                            "dir": np.full(len(eids), d, np.int64),
+                            "n_face": nf.astype(np.int64),
+                            "n_ti": (ni >> 22).astype(np.int64),
+                            "n_tj": (nj >> 22).astype(np.int64),
+                        }
+                    )
+                )
+            yield pd.concat(frames) if frames else pd.DataFrame(
+                columns=["event_id", "dir", "n_face", "n_ti", "n_tj"]
+            )
+
+    return ev.mapInPandas(fn, schema).orderBy("event_id", "dir")
+
+
+def _oracle_cell_neighbors() -> str:
+    from geo_spark.operators.geo_noise import (
+        LAT_SQL,
+        LNG_SQL,
+        duckdb_face_ij_query,
+    )
+
+    lat = LAT_SQL.format(id="event_id")
+    lng = LNG_SQL.format(id="event_id")
+    src = f"SELECT event_id, {lat} AS lat, {lng} AS lng FROM events"
+    fij = duckdb_face_ij_query(src)
+    return f"""
+        WITH home AS (
+          SELECT event_id, face, i // 4194304 AS ti, j // 4194304 AS tj
+          FROM ({fij})
+        ),
+        interior AS (
+          SELECT * FROM home
+          WHERE ti > 0 AND ti < 255 AND tj > 0 AND tj < 255
+        ),
+        dirs(dir, di, dj) AS (VALUES (0, 0, -1), (1, 1, 0),
+                                     (2, 0, 1), (3, -1, 0))
+        SELECT event_id, CAST(dir AS BIGINT) AS dir,
+               CAST(face AS BIGINT) AS n_face,
+               ti + di AS n_ti, tj + dj AS n_tj
+        FROM interior, dirs ORDER BY event_id, dir
+    """
+
+
 def _oracle_s2_tile_faceij_l8() -> str:
     from geo_spark.operators.geo_noise import LAT_SQL, LNG_SQL, duckdb_face_ij_query
 
@@ -15042,6 +15135,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_s2_tile_faceij_l8": _q_s2_tile_faceij_l8,
+        "q_cell_neighbors": _q_cell_neighbors,
         "q_tile_hotspots": _q_tile_hotspots,
         "q_morans_i": _q_morans_i,
         "q_stay_points": _q_stay_points,
@@ -15265,6 +15359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "q_s2_tile_faceij_l8": _oracle_s2_tile_faceij_l8(),
+        "q_cell_neighbors": _oracle_cell_neighbors(),
         "q_tile_hotspots": _oracle_tile_hotspots(),
         "q_morans_i": _oracle_morans_i(),
         "q_stay_points": _oracle_stay_points(),
