@@ -141,6 +141,99 @@ def _q_cell_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.mapInPandas(fn, schema).orderBy("event_id", "dir")
 
 
+def _q_vertex_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vertex-neighbor arithmetic under a relational oracle
+    (kernel/cellid.py:vertex_neighbors, s2/cellid.go:230-263): per
+    event, the 4 level-8 cells around the vertex closest to its leaf
+    cell, decoded to (face, ti, tj); interior-cell restriction as in
+    q_cell_neighbors, so the closest-vertex selection ((i & half)
+    bit tests) and the +-1 tile offsets are the SQL ground truth."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from geo_spark.kernel import cellid as ck
+    from geo_spark.operators.geo_noise import with_geo_noise
+
+    ev = with_geo_noise(_t(spark, sf_dir, "events"), "event_id").select(
+        "event_id", "lat", "lng"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("vid", T.LongType()),
+            T.StructField("n_face", T.LongType()),
+            T.StructField("n_ti", T.LongType()),
+            T.StructField("n_tj", T.LongType()),
+        ]
+    )
+
+    def fn(batches):
+        import numpy as np
+
+        for pdf in batches:
+            ids = ck.cellid_from_latlng(
+                pdf["lat"].to_numpy(np.float64),
+                pdf["lng"].to_numpy(np.float64),
+            )
+            _f, i, j, _o = ck.face_ij_orientation(ids)
+            ti = (i >> 22).astype(np.int64)
+            tj = (j >> 22).astype(np.int64)
+            keep = (ti > 0) & (ti < 255) & (tj > 0) & (tj < 255)
+            eids = pdf["event_id"].to_numpy(np.int64)[keep]
+            nbrs = ck.vertex_neighbors(ids[keep], 8)
+            rows = []
+            for eid, arr in zip(eids, nbrs):
+                nf, ni, nj, _ = ck.face_ij_orientation(arr)
+                for v in range(len(arr)):
+                    rows.append(
+                        (
+                            int(eid),
+                            v,
+                            int(nf[v]),
+                            int(ni[v]) >> 22,
+                            int(nj[v]) >> 22,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["event_id", "vid", "n_face", "n_ti", "n_tj"]
+            )
+
+    return ev.mapInPandas(fn, schema).orderBy("event_id", "vid")
+
+
+def _oracle_vertex_neighbors() -> str:
+    from geo_spark.operators.geo_noise import (
+        LAT_SQL,
+        LNG_SQL,
+        duckdb_face_ij_query,
+    )
+
+    lat = LAT_SQL.format(id="event_id")
+    lng = LNG_SQL.format(id="event_id")
+    src = f"SELECT event_id, {lat} AS lat, {lng} AS lng FROM events"
+    fij = duckdb_face_ij_query(src)
+    return f"""
+        WITH home AS (
+          SELECT event_id, face,
+                 i // 4194304 AS ti, j // 4194304 AS tj,
+                 CASE WHEN (i & 2097152) != 0 THEN 1 ELSE -1 END AS di,
+                 CASE WHEN (j & 2097152) != 0 THEN 1 ELSE -1 END AS dj
+          FROM ({fij})
+        ),
+        interior AS (
+          SELECT * FROM home
+          WHERE ti > 0 AND ti < 255 AND tj > 0 AND tj < 255
+        ),
+        v(vid, use_i, use_j) AS (VALUES (0, 0, 0), (1, 1, 0),
+                                        (2, 0, 1), (3, 1, 1))
+        SELECT event_id, CAST(vid AS BIGINT) AS vid,
+               CAST(face AS BIGINT) AS n_face,
+               ti + use_i * di AS n_ti,
+               tj + use_j * dj AS n_tj
+        FROM interior, v ORDER BY event_id, vid
+    """
+
+
 def _oracle_cell_neighbors() -> str:
     from geo_spark.operators.geo_noise import (
         LAT_SQL,
@@ -15136,6 +15229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_s2_tile_faceij_l8": _q_s2_tile_faceij_l8,
         "q_cell_neighbors": _q_cell_neighbors,
+        "q_vertex_neighbors": _q_vertex_neighbors,
         "q_tile_hotspots": _q_tile_hotspots,
         "q_morans_i": _q_morans_i,
         "q_stay_points": _q_stay_points,
@@ -15360,6 +15454,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q_s2_tile_faceij_l8": _oracle_s2_tile_faceij_l8(),
         "q_cell_neighbors": _oracle_cell_neighbors(),
+        "q_vertex_neighbors": _oracle_vertex_neighbors(),
         "q_tile_hotspots": _oracle_tile_hotspots(),
         "q_morans_i": _oracle_morans_i(),
         "q_stay_points": _oracle_stay_points(),
