@@ -134,9 +134,7 @@ def _q_cell_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
                         }
                     )
                 )
-            yield pd.concat(frames) if frames else pd.DataFrame(
-                columns=["event_id", "dir", "n_face", "n_ti", "n_tj"]
-            )
+            yield pd.concat(frames)
 
     return ev.mapInPandas(fn, schema).orderBy("event_id", "dir")
 
@@ -180,23 +178,29 @@ def _q_vertex_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             tj = (j >> 22).astype(np.int64)
             keep = (ti > 0) & (ti < 255) & (tj > 0) & (tj < 255)
             eids = pdf["event_id"].to_numpy(np.int64)[keep]
+            # interior cells always have isame & jsame, so every row
+            # yields exactly 4 neighbors -> vectorizable (m, 4)
             nbrs = ck.vertex_neighbors(ids[keep], 8)
-            rows = []
-            for eid, arr in zip(eids, nbrs):
-                nf, ni, nj, _ = ck.face_ij_orientation(arr)
-                for v in range(len(arr)):
-                    rows.append(
-                        (
-                            int(eid),
-                            v,
-                            int(nf[v]),
-                            int(ni[v]) >> 22,
-                            int(nj[v]) >> 22,
-                        )
-                    )
-            yield pd.DataFrame(
-                rows, columns=["event_id", "vid", "n_face", "n_ti", "n_tj"]
+            mat = (
+                np.stack(nbrs)
+                if len(nbrs)
+                else np.empty((0, 4), np.uint64)
             )
+            frames = []
+            for v in range(4):
+                nf, ni, nj, _ = ck.face_ij_orientation(mat[:, v])
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "event_id": eids,
+                            "vid": np.full(len(eids), v, np.int64),
+                            "n_face": nf.astype(np.int64),
+                            "n_ti": (ni >> 22).astype(np.int64),
+                            "n_tj": (nj >> 22).astype(np.int64),
+                        }
+                    )
+                )
+            yield pd.concat(frames)
 
     return ev.mapInPandas(fn, schema).orderBy("event_id", "vid")
 
@@ -3469,8 +3473,10 @@ def _oracle_zipf_slope() -> str:
         tot AS (SELECT g, COUNT(*) AS n_types, SUM(f) AS n_tokens
                 FROM freq GROUP BY g)
         SELECT a.g AS lang, t.n_types, t.n_tokens,
-               CAST(FLOOR(CAST(a.k * a.sxy - a.sx * a.sy AS DOUBLE)
-                          / CAST(a.k * a.sxx - a.sx * a.sx AS DOUBLE)
+               CAST(FLOOR((CAST(a.k AS DOUBLE) * CAST(a.sxy AS DOUBLE)
+                           - CAST(a.sx AS DOUBLE) * CAST(a.sy AS DOUBLE))
+                          / (CAST(a.k AS DOUBLE) * CAST(a.sxx AS DOUBLE)
+                             - CAST(a.sx AS DOUBLE) * CAST(a.sx AS DOUBLE))
                           * 10000e0) AS BIGINT) AS slope_u4
         FROM agg a JOIN tot t USING (g)
         WHERE a.k >= 2 ORDER BY lang
@@ -3519,10 +3525,13 @@ def _oracle_heaps_law() -> str:
               FROM v JOIN ntok ON v.g = ntok.g AND v.cut = ntok.cut),
         fit AS (SELECT g, COUNT(*) AS k, SUM(x) AS sx, SUM(y) AS sy,
                        SUM(x*y) AS sxy, SUM(x*x) AS sxx
-                FROM q GROUP BY g HAVING COUNT(*) >= 2)
+                FROM q GROUP BY g
+                HAVING COUNT(*) >= 2 AND COUNT(DISTINCT x) >= 2)
         SELECT q.g AS lang, q.cut AS checkpoint, q.n_tokens, q.n_types,
-               CAST(FLOOR(CAST(f.k * f.sxy - f.sx * f.sy AS DOUBLE)
-                          / CAST(f.k * f.sxx - f.sx * f.sx AS DOUBLE)
+               CAST(FLOOR((CAST(f.k AS DOUBLE) * CAST(f.sxy AS DOUBLE)
+                           - CAST(f.sx AS DOUBLE) * CAST(f.sy AS DOUBLE))
+                          / (CAST(f.k AS DOUBLE) * CAST(f.sxx AS DOUBLE)
+                             - CAST(f.sx AS DOUBLE) * CAST(f.sx AS DOUBLE))
                           * 10000e0) AS BIGINT) AS beta_u4
         FROM q JOIN fit f USING (g) ORDER BY lang, checkpoint
     """

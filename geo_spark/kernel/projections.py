@@ -29,6 +29,8 @@ __all__ = [
     "MercatorProjection",
     "interpolate_xy",
     "wrap_destination",
+    "tessellate_projected_in",
+    "rhumb_distance_bearing",
 ]
 
 

@@ -63,7 +63,10 @@ def kmeans_embed(
     # centroid build, and every iteration's assignment + update — for
     # a composed input (e.g. the text-featurizer chain feeding
     # q_topic_clusters) each re-read would replay the whole upstream
-    # pipeline
+    # pipeline.  The cached blocks live until the session drops them:
+    # long-lived apps re-clustering repeatedly should
+    # spark.catalog.clearCache() (or unpersist via the catalog)
+    # between calls, the same lifetime contract as minhash_index
     base = df.select(
         F.col(id_col).alias("_id"),
         _quantize_vec(vec_col, shift, scale).alias("_q"),

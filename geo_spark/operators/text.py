@@ -1358,11 +1358,14 @@ def zipf_slope(
     BOTH regressors quantized to 1e-6 BIGINTs *before* any sum — float
     summation order never matters, so the slope is bit-stable across
     engines; the single closing division is one exact-rounded IEEE op.
-    ``top_k`` is capped at 500: beyond that the closing products
-    k*sxx / sx*sx leave int64 (Spark would wrap silently while a
-    HUGEINT engine stays exact — a guaranteed divergence), so the cap
-    raises instead.  Groups with fewer than 2 ranked types are dropped
-    (no regression line exists; the SQL twin must filter k >= 2 too).
+    The five SUMS are exact int64 (``top_k`` capped at 500 keeps
+    every sum term bounded even at 10^12-token groups); the closing
+    covariance products are computed in DOUBLE on both engines —
+    identical exact-rounded IEEE ops on identical sums, never an
+    int64 product that Spark would wrap silently while a HUGEINT
+    engine keeps exact.  Groups with fewer than 2 ranked types are
+    dropped (no regression line exists; the SQL twin filters k >= 2
+    too).
 
     Scale shape: one token shuffle for counts, a per-group top-k
     window over the type table (vocabulary-sized, Zipf-bounded), then
@@ -1413,11 +1416,13 @@ def zipf_slope(
             F.floor(
                 (
                     (
-                        F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")
-                    ).cast("double")
+                        F.col("k").cast("double") * F.col("sxy").cast("double")
+                        - F.col("sx").cast("double") * F.col("sy").cast("double")
+                    )
                     / (
-                        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
-                    ).cast("double")
+                        F.col("k").cast("double") * F.col("sxx").cast("double")
+                        - F.col("sx").cast("double") * F.col("sx").cast("double")
+                    )
                 )
                 * 1e4
             )
@@ -1446,8 +1451,12 @@ def heaps_law(
     count of first-ranks <= cutoff and N is a sum of token counts with
     rank <= cutoff — two skinny aggregates joined to a checkpoint
     table ``checkpoints`` rows long.  The regression reuses the
-    quantize-before-sum rule (ln values -> 1e-6 BIGINTs), so beta is
-    bit-stable; the per-group doc rank window is the only corpus-sized
+    quantize-before-sum rule (ln values -> 1e-6 BIGINTs; closing
+    covariance products in DOUBLE on both engines, same as
+    zipf_slope, so no int64 product can wrap); groups whose kept
+    checkpoints share one x (all-equal token counts — an empty tail)
+    are dropped rather than dividing 0/0.  The per-group doc rank
+    window is the only corpus-sized
     window (rank by the natural unique key — WindowGroupLimit does not
     apply, but the partition is a group's doc list, the same bound as
     every per-group sessionization window here)."""
@@ -1475,7 +1484,8 @@ def heaps_law(
         F.explode(
             F.expr(
                 f"transform(sequence(1, {checkpoints}),"
-                f" c -> CAST(c * n_docs_total AS BIGINT) div {checkpoints})"
+                f" c -> (CAST(c AS BIGINT) * CAST(n_docs_total AS BIGINT))"
+                f" div {checkpoints})"
             )
         ).alias("cut"),
     ).where(F.col("cut") >= 1).distinct()
@@ -1508,20 +1518,27 @@ def heaps_law(
         q.groupBy("g")
         .agg(
             F.count(F.lit(1)).alias("k"),
+            F.countDistinct("x").alias("kx"),
             F.sum("x").alias("sx"),
             F.sum("y").alias("sy"),
             F.sum(F.col("x") * F.col("y")).alias("sxy"),
             F.sum(F.col("x") * F.col("x")).alias("sxx"),
         )
-        .where(F.col("k") >= 2)
+        # kx >= 2 also guards the 0/0 slope of an all-equal-x curve
+        # (empty tail documents): integer-exact variance-positivity
+        .where((F.col("k") >= 2) & (F.col("kx") >= 2))
         .select(
             "g",
             F.floor(
                 (
-                    (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"))
-                    .cast("double")
-                    / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx"))
-                    .cast("double")
+                    (
+                        F.col("k").cast("double") * F.col("sxy").cast("double")
+                        - F.col("sx").cast("double") * F.col("sy").cast("double")
+                    )
+                    / (
+                        F.col("k").cast("double") * F.col("sxx").cast("double")
+                        - F.col("sx").cast("double") * F.col("sx").cast("double")
+                    )
                 )
                 * 1e4
             )

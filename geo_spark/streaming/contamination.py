@@ -35,31 +35,33 @@ def stream_contamination_score(
     """(key, n_shingles, n_hit, frac_e6) per scorable streamed doc,
     identical to the batch :func:`~geo_spark.operators.dedup.
     contamination_score`."""
+    def _shingles(t: str) -> set[str]:
+        # shingle_expr's SQL idiom: a too-short text yields one sub-n
+        # shingle which the length filter then drops
+        sh = {t[i : i + n] for i in range(max(len(t) - n + 1, 1))}
+        return {s for s in sh if len(s) == n}
+
     pset: set[str] = set()
     for r in probes.select(probe_text).collect():
-        t = r[probe_text] or ""
-        pset.update(
-            t[i : i + n] for i in range(max(len(t) - n + 1, 1))
-        )
-    pset = {s for s in pset if len(s) == n}
+        pset |= _shingles(r[probe_text] or "")
+    # sc.broadcast so the multi-MB eval shingle set ships once per
+    # executor, not inside every task's pickled closure on every
+    # micro-batch
+    bc = docs.sparkSession.sparkContext.broadcast(pset)
     key_type = docs.schema[key].dataType.simpleString()
     schema = (
         f"{key} {key_type}, n_shingles long, n_hit long, frac_e6 long"
     )
 
     def fn(batches):
+        probe_set = bc.value
         for pdf in batches:
             out = []
             for k, t in zip(pdf[key], pdf[text_col]):
-                t = t or ""
-                sh = {
-                    t[i : i + n]
-                    for i in range(max(len(t) - n + 1, 1))
-                }
-                sh = {s for s in sh if len(s) == n}
+                sh = _shingles(t or "")
                 if not sh:
                     continue
-                hit = len(sh & pset)
+                hit = len(sh & probe_set)
                 out.append((k, len(sh), hit, hit * 1_000_000 // len(sh)))
             yield pd.DataFrame(
                 out, columns=[key, "n_shingles", "n_hit", "frac_e6"]
