@@ -114,6 +114,24 @@ NOTES = {
   HashAggregate: the merge is a map-combined aggregate, NOT a
   row_number window (no `Window` node, no per-partition sort of the
   full base).""",
+    "text_sign_projection": """Properties to check:
+- ZERO Python nodes: tokenize/tf/rank/mix/sums are all codegen; the
+  vocabulary rank is bucket-windowed (Window partitioned by the
+  2-char prefix) with the bucket-offset attach a BroadcastHashJoin —
+  no vocabulary-sized single-partition Window, no CartesianProduct.
+- Final groupBy is partial-aggregated (HashAggregate x2).""",
+    "incremental_dedup": """Properties to check:
+- Candidates come from an equi-join on (band, bh) — no
+  CartesianProduct, no BroadcastNestedLoopJoin anywhere.
+- The rerank set cut is a BroadcastHashJoin against the candidate-id
+  list; only candidate shingle sets flow into the pair join.
+- Exactly the fused-signature Arrow passes touch text (MapInPandas),
+  once per side.""",
+    "mercator_tiles": """Properties to check:
+- scan -> ONE MapInPandas (projection kernel) -> sort: no join, no
+  aggregate, no second Python hop; the filter on the pure-arithmetic
+  sinlat stream sits below the Arrow node (evaluated in codegen
+  before rows cross to Python).""",
 }
 
 
@@ -175,6 +193,11 @@ def main() -> None:
     plans["weighted_paths"] = cap(entry._q_weighted_paths(spark, SF))
     plans["snapshot_diff"] = cap(entry._q_snapshot_diff(spark, SF))
     plans["cdc_apply"] = cap(entry._q_cdc_apply(spark, SF))
+    plans["text_sign_projection"] = cap(
+        entry._q_text_sign_projection(spark, SF)
+    )
+    plans["incremental_dedup"] = cap(entry._q_incremental_dedup(spark, SF))
+    plans["mercator_tiles"] = cap(entry._q_mercator_tiles(spark, SF))
 
     out = [
         "# PLANS — physical-plan evidence for the headline operators\n",
