@@ -11984,6 +11984,73 @@ def _oracle_tile_focal_mean() -> str:
     """
 
 
+_SLOPE_ZOOM = 6
+
+
+def _q_tile_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster-algebra terrain gradient (Horn's method,
+    operators/tiling.tile_slope_aspect) over the zoom-6 web-mercator
+    grid with the per-tile event count as the cell value: per occupied
+    tile the exact BIGINT Sobel differences (gx, gy), the squared
+    gradient magnitude and the 45-degree aspect octant.  One full-data
+    shuffle (tile counts), then a bounded 8x scatter of the tile table
+    re-summed per target — all native SQL.  The DuckDB twin re-derives
+    tiles, counts and the full stencil from first principles with its
+    own weighted offsets cross join and octant CASE."""
+    from geo_spark.operators.geo_noise import with_geo_noise
+    from geo_spark.operators.tiling import tile_slope_aspect
+
+    ev = with_geo_noise(_t(spark, sf_dir, "events"), "event_id")
+    return tile_slope_aspect(ev, _SLOPE_ZOOM).orderBy("tx", "ty")
+
+
+def _oracle_tile_slope() -> str:
+    from geo_spark.functions.webgrid import mercator_xy_sql
+    from geo_spark.operators.geo_noise import LAT_SQL, LNG_SQL
+
+    zoom = _SLOPE_ZOOM
+    n = 1 << zoom
+    lat = LAT_SQL.format(id="event_id")
+    lng = LNG_SQL.format(id="event_id")
+    x, y = mercator_xy_sql("lat", "lng", zoom)
+    offs = ", ".join(
+        f"({dx},{dy},{(-dx) * (2 - abs(dy))},{(-dy) * (2 - abs(dx))})"
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+        if not (dx == 0 and dy == 0)
+    )
+    return f"""
+        WITH pts AS (SELECT {lat} AS lat, {lng} AS lng FROM events),
+        tiles AS (SELECT {x} AS tx, {y} AS ty FROM pts),
+        base AS (SELECT tx, ty, COUNT(*) AS cnt FROM tiles GROUP BY tx, ty),
+        offs(dx, dy, wx, wy) AS (VALUES {offs}),
+        contrib AS (
+          SELECT ((b.tx + o.dx) + {n}) % {n} AS nx, b.ty + o.dy AS ny,
+                 SUM(b.cnt * o.wx) AS gx, SUM(b.cnt * o.wy) AS gy
+          FROM base b CROSS JOIN offs o
+          WHERE b.ty + o.dy >= 0 AND b.ty + o.dy < {n}
+          GROUP BY 1, 2),
+        g AS (SELECT b.tx, b.ty,
+                     CAST(COALESCE(c.gx, 0) AS BIGINT) AS gx,
+                     CAST(COALESCE(c.gy, 0) AS BIGINT) AS gy
+              FROM base b LEFT JOIN contrib c
+                ON c.nx = b.tx AND c.ny = b.ty)
+        SELECT tx, ty, gx, gy, gx*gx + gy*gy AS slope2,
+               CAST(CASE
+                 WHEN gx = 0 AND gy = 0 THEN -1
+                 WHEN gy >= 0 AND gx > 0 AND gx > gy THEN 0
+                 WHEN gy > 0 AND gx > 0 AND gx <= gy THEN 1
+                 WHEN gy > 0 AND gx <= 0 AND gy > -gx THEN 2
+                 WHEN gy > 0 AND gx < 0 AND -gx >= gy THEN 3
+                 WHEN gy = 0 AND gx < 0 THEN 4
+                 WHEN gy < 0 AND gx < 0 AND -gx > -gy THEN 4
+                 WHEN gy < 0 AND gx < 0 AND -gx <= -gy THEN 5
+                 WHEN gy < 0 AND gx >= 0 AND -gy > gx THEN 6
+                 ELSE 7 END AS BIGINT) AS octant
+        FROM g ORDER BY tx, ty
+    """
+
+
 def _dissolve_fixtures():
     """Per hot city: a chain of 3 overlapping convex discs (each
     overlaps the next; the union is one blob) plus one detached disc —
@@ -15414,6 +15481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_price_range_join": _q_price_range_join,
         "q_segment_overlap_kmv": _q_segment_overlap_kmv,
         "q_tile_focal_mean": _q_tile_focal_mean,
+        "q_tile_slope": _q_tile_slope,
         "q_tile_kde": _q_tile_kde,
         "q_reverse_geocode": _q_reverse_geocode,
         "q_zone_transitions": _q_zone_transitions,
@@ -15581,6 +15649,7 @@ def oracle_sql() -> dict[str, str]:
         "q_price_range_join": _oracle_price_range_join(),
         "q_segment_overlap_kmv": _oracle_segment_overlap_kmv(),
         "q_tile_focal_mean": _oracle_tile_focal_mean(),
+        "q_tile_slope": _oracle_tile_slope(),
         "q_tile_kde": _oracle_tile_kde(),
         "q_reverse_geocode": _oracle_reverse_geocode(),
         "q_zone_transitions": _oracle_zone_transitions(),

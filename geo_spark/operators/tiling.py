@@ -667,3 +667,114 @@ def contour_segments(
             (F.col("by") * 2 + F.col("_s.y2")).alias("y2"),
         )
     )
+
+
+def tile_slope_aspect(
+    df: DataFrame,
+    zoom: int,
+    latlng: tuple[str, str] = ("lat", "lng"),
+) -> DataFrame:
+    """Raster-algebra terrain gradient (Horn's method) over the
+    web-mercator tile grid: treat the per-tile event count as the cell
+    value Z and compute, for every OCCUPIED tile, the 3x3 Sobel/Horn
+    finite differences
+
+        gx = (Z[E] row, weights 1/2/1) - (Z[W] row, weights 1/2/1)
+        gy = (Z[S] row, weights 1/2/1) - (Z[N] row, weights 1/2/1)
+
+    (y grows southward on the mercator grid), plus ``slope2`` =
+    gx^2 + gy^2 (the squared gradient magnitude — the slope ranking
+    key without any transcendental) and the 45-degree ``octant`` of
+    the gradient direction (0 = east .. 7, -1 for a flat cell).
+    Absent neighbors count 0; x wraps across the antimeridian; y
+    clamps at the grid edge (off-grid offsets are dropped).
+
+    Everything is exact BIGINT arithmetic on counts — distributed
+    summation order cannot perturb any output — and the whole plan is
+    native SQL (codegen): raw rows collapse to occupied tiles first
+    (the only full-data shuffle, map-side combined), each occupied
+    tile then SCATTERS its count to its 8 neighbors with the Horn
+    weight it carries in THEIR stencil (a bounded 8x explode of the
+    tile table, never of the input), and one second hash aggregate
+    re-sums per target.  The gather-side alternative (8 self-joins)
+    shuffles the tile table 8 times; the scatter form pays one.
+
+    The same shape runs a real DEM at 100 TB: swap the count aggregate
+    for any per-tile measure (SUM of a value column) and the stencil
+    is unchanged.
+    """
+    from geo_spark.functions.webgrid import mercator_xy_cols
+
+    n = 1 << zoom
+    x, y = mercator_xy_cols(F.col(latlng[0]), F.col(latlng[1]), zoom)
+    base = (
+        df.select(x.alias("tx"), y.alias("ty"))
+        .groupBy("tx", "ty")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # Source tile at relative (rx, ry) = (-dx, -dy) from the target it
+    # scatters to carries Horn weights wx = rx*(2-|ry|), wy = ry*(2-|rx|).
+    offsets = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(dx).alias("dx"),
+                    F.lit(dy).alias("dy"),
+                    F.lit((-dx) * (2 - abs(dy))).alias("wx"),
+                    F.lit((-dy) * (2 - abs(dx))).alias("wy"),
+                )
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+                if not (dx == 0 and dy == 0)
+            ]
+        )
+    )
+    contrib = (
+        base.select("tx", "ty", "cnt", offsets.alias("o"))
+        .select(
+            (((F.col("tx") + F.col("o.dx")) + n) % n).alias("nx"),
+            (F.col("ty") + F.col("o.dy")).alias("ny"),
+            (F.col("cnt") * F.col("o.wx")).alias("cx"),
+            (F.col("cnt") * F.col("o.wy")).alias("cy"),
+        )
+        .where((F.col("ny") >= 0) & (F.col("ny") < n))
+        .groupBy("nx", "ny")
+        .agg(F.sum("cx").alias("gx"), F.sum("cy").alias("gy"))
+    )
+    out = (
+        base.select("tx", "ty")
+        .join(
+            contrib.select(
+                F.col("nx").alias("tx"), F.col("ny").alias("ty"), "gx", "gy"
+            ),
+            ["tx", "ty"],
+            "left",
+        )
+        .select(
+            "tx",
+            "ty",
+            F.coalesce(F.col("gx"), F.lit(0)).cast("long").alias("gx"),
+            F.coalesce(F.col("gy"), F.lit(0)).cast("long").alias("gy"),
+        )
+    )
+    a, b = F.col("gx"), F.col("gy")
+    octant = (
+        F.when((a == 0) & (b == 0), F.lit(-1))
+        .when((b >= 0) & (a > 0) & (a > b), F.lit(0))
+        .when((b > 0) & (a > 0) & (a <= b), F.lit(1))
+        .when((b > 0) & (a <= 0) & (b > -a), F.lit(2))
+        .when((b > 0) & (a < 0) & (-a >= b), F.lit(3))
+        .when((b == 0) & (a < 0), F.lit(4))
+        .when((b < 0) & (a < 0) & (-a > -b), F.lit(4))
+        .when((b < 0) & (a < 0) & (-a <= -b), F.lit(5))
+        .when((b < 0) & (a >= 0) & (-b > a), F.lit(6))
+        .otherwise(F.lit(7))
+    )
+    return out.select(
+        "tx",
+        "ty",
+        "gx",
+        "gy",
+        (a * a + b * b).alias("slope2"),
+        octant.cast("long").alias("octant"),
+    )
