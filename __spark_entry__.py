@@ -2148,7 +2148,7 @@ def _q_trail_crossing_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     jitter — sparse, multi-component crossing structure; the global-
     noise trails collapse into one blob) cross pairwise via the
     `crossed` flag of the pair-distance join; connected components
-    resolve with the same min-label + pointer-jumping operator that
+    resolve with the same large-star/small-star operator that
     concludes web-scale dedup (operators/dedup.dedup_clusters); each
     component reports its min-id representative and size.  ONE oracle:
     shared trail/crossing CTE prefix + recursive-CTE reachability."""
@@ -5626,7 +5626,7 @@ def _oracle_release_manifest() -> str:
 
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster resolution over the exact-Jaccard pair graph:
-    connected components by min-label propagation + pointer jumping;
+    connected components by large-star/small-star rounds;
     every document gets its cluster representative (singletons map to
     themselves).  The DuckDB twin computes the same components with a
     recursive transitive-closure CTE."""
@@ -8138,7 +8138,7 @@ def _q_contour_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
     segments chain into CLOSED loops (every endpoint is shared by
     exactly two segments — the parity invariant tested in
     test_webgrid), so connected components over the endpoint graph
-    (operators/dedup.py:dedup_clusters — min-label + pointer jumping)
+    (operators/dedup.py:dedup_clusters — large-star/small-star rounds)
     yield the isoline census: one row per closed contour with its
     vertex count.  Oracle = the contour replay chained into a
     recursive-CTE transitive closure."""
@@ -8863,7 +8863,7 @@ def _q_geo_stratified_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     get deterministic coordinates, a covering-term PIP join assigns each
     to a convex region (_PIP_LOOPS), the exact n-gram Jaccard pair graph
     is scoped to co-located pairs, near-dup clusters resolve by
-    distributed min-label propagation + pointer jumping (composite
+    distributed large-star/small-star rounds (composite
     region*B+doc node ids keep components region-local in ONE global
     resolution pass), and each region keeps a 5-doc quota of cluster
     representatives by deterministic md5 order.
@@ -11453,8 +11453,8 @@ _DBSCAN_MIN_PTS = 3
 def _q_geo_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DBSCAN over the event points (operators/clustering.py:geo_dbscan):
     eps-pairs from the banded cell equi-join, core points by degree,
-    clusters = connected components of the core-core graph (min-label
-    propagation + pointer jumping), border points attached to their
+    clusters = connected components of the core-core graph (large-star/
+    small-star rounds), border points attached to their
     minimum-rep core neighbor, noise omitted.  eps = 0.02 rad keeps the
     random geometric graph below percolation, so the fixture has many
     small clusters plus border/noise points — every branch of the
@@ -12048,6 +12048,88 @@ def _oracle_tile_slope() -> str:
                  WHEN gy < 0 AND gx >= 0 AND -gy > gx THEN 6
                  ELSE 7 END AS BIGINT) AS octant
         FROM g ORDER BY tx, ty
+    """
+
+
+_TNW_N = 1500  # events in the network fixture (bounds the oracle's closure)
+
+
+def _q_trail_network(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trail-network topology (operators/network.py): consecutive event
+    pairs per user become segments, endpoints snap to integer-degree
+    E0 sites (kernel/builder.snap_latlng_e semantics, native codegen),
+    segments between distinct sites aggregate to a weighted undirected
+    junction graph, and connected components (the shared large-star/
+    small-star routine) roll up to (rep, n_junctions, n_edges,
+    n_segments).  Coordinates come from the pure-double degree streams
+    so the DuckDB twin replays snap + site keys bit-exactly and
+    resolves components with a recursive transitive closure."""
+    from geo_spark.operators.geo_noise import LAT_D_SQL, LNG_D_SQL
+    from geo_spark.operators.network import (
+        network_components,
+        trail_network_edges,
+    )
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_id") < _TNW_N)
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.expr(LAT_D_SQL.format(id="event_id")).alias("lat"),
+            F.expr(LNG_D_SQL.format(id="event_id")).alias("lng"),
+        )
+    )
+    edges = trail_network_edges(
+        ev, order_cols=("ts", "event_id"), exponent=0
+    )
+    return network_components(edges).orderBy("rep")
+
+
+def _oracle_trail_network() -> str:
+    from geo_spark.operators.geo_noise import LAT_D_SQL, LNG_D_SQL
+
+    lat = LAT_D_SQL.format(id="event_id")
+    lng = LNG_D_SQL.format(id="event_id")
+
+    def rnd(v: str) -> str:
+        return (
+            f"CASE WHEN ({v}) >= 0 THEN CAST(FLOOR(({v}) + 0.5e0) AS BIGINT)"
+            f" ELSE -CAST(FLOOR(-({v}) + 0.5e0) AS BIGINT) END"
+        )
+
+    return f"""
+        WITH RECURSIVE
+        pts AS (SELECT user_id, ts, event_id,
+                       ({rnd(lat)} + 90) * 361 + ({rnd(lng)} + 180) AS site
+                FROM events WHERE event_id < {_TNW_N}),
+        seg AS (SELECT site AS a,
+                       LEAD(site) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS b
+                FROM pts),
+        ed AS (SELECT LEAST(a, b) AS u, GREATEST(a, b) AS v,
+                      COUNT(*) AS n_segments
+               FROM seg WHERE b IS NOT NULL AND a <> b
+               GROUP BY 1, 2),
+        e AS (SELECT u, v FROM ed UNION SELECT v, u FROM ed),
+        reach(u, v) AS (
+          SELECT u, v FROM e
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+        ),
+        lbl AS (SELECT u AS id, LEAST(u, MIN(v)) AS rep
+                FROM reach GROUP BY u),
+        junc AS (SELECT rep, COUNT(*) AS n_junctions FROM lbl GROUP BY rep),
+        per_edge AS (SELECT l.rep, COUNT(*) AS n_edges,
+                            SUM(ed.n_segments) AS n_segments
+                     FROM ed JOIN lbl l ON l.id = ed.u
+                     GROUP BY l.rep)
+        SELECT j.rep, j.n_junctions,
+               CAST(p.n_edges AS BIGINT) AS n_edges,
+               CAST(p.n_segments AS BIGINT) AS n_segments
+        FROM junc j JOIN per_edge p ON p.rep = j.rep
+        ORDER BY j.rep
     """
 
 
@@ -15482,6 +15564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_segment_overlap_kmv": _q_segment_overlap_kmv,
         "q_tile_focal_mean": _q_tile_focal_mean,
         "q_tile_slope": _q_tile_slope,
+        "q_trail_network": _q_trail_network,
         "q_tile_kde": _q_tile_kde,
         "q_reverse_geocode": _q_reverse_geocode,
         "q_zone_transitions": _q_zone_transitions,
@@ -15650,6 +15733,7 @@ def oracle_sql() -> dict[str, str]:
         "q_segment_overlap_kmv": _oracle_segment_overlap_kmv(),
         "q_tile_focal_mean": _oracle_tile_focal_mean(),
         "q_tile_slope": _oracle_tile_slope(),
+        "q_trail_network": _oracle_trail_network(),
         "q_tile_kde": _oracle_tile_kde(),
         "q_reverse_geocode": _oracle_reverse_geocode(),
         "q_zone_transitions": _oracle_zone_transitions(),

@@ -28,7 +28,7 @@ Scale shape (100 TB):
   probes = 9-neighborhood via the DISTINCT-cell adjacency broadcast,
   chord^2 refine in pure codegen.  No theta join, no Python per pair.
 - degrees / core flags are one groupBy over the pair set;
-- components run min-label propagation + pointer jumping (O(log d)
+- components run large-star/small-star rounds (O(log^2 n) bound,
   rounds, dedup_clusters) — no driver-side graph;
 - border attachment is one more equi-join + min-groupBy.
 """

@@ -23,7 +23,7 @@ The web-corpus dedup ladder, cheapest-first:
 - :func:`winnow_fingerprints` / :func:`fuzzy_pairs` — MOSS winnowing
   and q-gram-blocked edit-distance linkage.
 - :func:`dedup_clusters` — pair graph -> connected components
-  (min-label + pointer jumping); :func:`decontaminate` — eval-set
+  (large-star/small-star rounds); :func:`decontaminate` — eval-set
   leakage removal via broadcast shingle semi-join.
 
 Hashes are deterministic splitmix64 over shingle bytes (no Python
@@ -712,84 +712,135 @@ def dedup_clusters(
     pairs: DataFrame,
     docs: DataFrame | None = None,
     key: str = "doc_id",
-    max_iter: int = 20,
+    max_iter: int = 50,
 ) -> DataFrame:
     """Resolve near-dup pairs into clusters: connected components over
     the pair graph, representative = min id per component — the step
     that concludes web-scale dedup (keep one doc per cluster).
 
-    Distributed shape: alternating min-label propagation + pointer
-    jumping (l <- l(l)), so convergence is O(log diameter) shuffle
-    rounds, each a plain equi-join + min-groupBy (AQE-sized; no
-    driver-side graph).  Dup clusters in web corpora are shallow
-    (near-cliques from a shared template), so 3-4 rounds is typical;
-    ``max_iter`` bounds adversarial chains.  Each round cuts lineage
-    with ``localCheckpoint`` — the pointer jump references the stepped
-    table TWICE, so without truncation the *logical plan* grows ~3x per
-    round (persist caches data but keeps the analyzed tree), which
-    OOMs the driver once the upstream pair plan is itself large (e.g.
+    Distributed shape: alternating **large-star / small-star** rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond" —
+    the two-phase scheme with an O(log^2 n) round bound): each round
+    rewrites the bounded undirected edge table with two groupBy-min +
+    equi-join passes, converging when the edge set reaches its
+    star-forest fixpoint (every node directly attached to its
+    component minimum).  Web dedup clusters (shallow near-cliques
+    from a shared template) converge in 2-3 rounds; crucially the
+    bound also holds on HIGH-DIAMETER graphs — the round-4
+    trail-network fixture (a 168-junction path-shaped component)
+    converges in 6 rounds where the previous min-label +
+    pointer-jumping scheme needed 31 one-hop rounds and, capped at
+    20, silently returned a SPLIT component (pinned in
+    tests/test_network.py::test_components_high_diameter).
+    Non-convergence inside ``max_iter`` now raises instead of
+    mislabeling.  Each round cuts lineage with ``localCheckpoint``
+    (the star passes reference the edge table twice — without
+    truncation the logical plan grows multiplicatively per round and
+    OOMs the driver once the upstream pair plan is itself large, e.g.
     the banded spatial join feeding geo_dbscan).
 
     Returns (key, rep).  With ``docs`` given, singleton documents (in
     no pair) appear with rep = self.
     """
-    e = pairs.select(F.col("da").alias("u"), F.col("db").alias("v"))
-    edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
-    # materialize + truncate the (possibly huge) upstream pair plan once
-    edges = edges.localCheckpoint()
-    labels = (
-        edges.select(F.col("u").alias("id"))
+    e0 = pairs.select(F.col("da").alias("u"), F.col("db").alias("v")).where(
+        F.col("da") != F.col("db")
+    )
+    # canonical undirected edges (u < v); materialize + truncate the
+    # (possibly huge) upstream pair plan once
+    edges = (
+        e0.select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
         .distinct()
-        .withColumn("lbl", F.col("id"))
         .localCheckpoint()
     )
+    nodes = (
+        edges.select(F.col("u").alias("id"))
+        .union(edges.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_edges = edges.count()
+    converged = n_edges == 0
     for _ in range(max_iter):
-        nbr = (
-            edges.join(
-                labels.select(F.col("id").alias("v"), F.col("lbl").alias("vlbl")), "v"
-            )
-            .groupBy("u")
-            .agg(F.min("vlbl").alias("nlbl"))
+        if converged:
+            break
+        sym = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        stepped = (
-            labels.join(nbr.select(F.col("u").alias("id"), "nlbl"), "id", "left")
-            .select(
-                "id",
-                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias(
-                    "lbl"
-                ),
-            )
+        # large-star: m(u) = min(N(u) + {u}); attach every LARGER
+        # neighbor v > u to m(u).  m <= u < v, so (m, v) is canonical
+        # and never a self loop.
+        lm = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("_mv"))
+            .select("u", F.least(F.col("_mv"), F.col("u")).alias("m"))
         )
-        # pointer jump: l <- l(l) (labels are ids, so look them up)
-        jumped = (
-            stepped.join(
-                stepped.select(
-                    F.col("id").alias("lbl"), F.col("lbl").alias("lbl2")
-                ),
-                "lbl",
-                "left",
-            )
-            .select("id", F.coalesce(F.col("lbl2"), F.col("lbl")).alias("lbl"))
+        ls = (
+            sym.join(lm, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("m").alias("u"), F.col("v").alias("v"))
+            .distinct()
             .localCheckpoint()
         )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
+        # small-star: per node v, m = min of its SMALLER neighbors
+        # (canonical edges put them in the u column); attach each
+        # smaller neighbor and v itself to m.  m < v and m <= u, with
+        # equality only at the self loop, which is dropped.
+        sm = ls.groupBy("v").agg(F.min("u").alias("m"))
+        new_edges = (
+            ls.join(sm, "v")
+            .select(F.col("m").alias("a"), F.col("u").alias("b"))
+            .union(sm.select(F.col("m").alias("a"), F.col("v").alias("b")))
+            .where(F.col("a") != F.col("b"))
+            .select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .distinct()
+            .localCheckpoint()
         )
-        labels.unpersist()
-        labels = jumped
-        if changed == 0:
-            break
-    out = labels.select(F.col("id").alias(key), F.col("lbl").alias("rep"))
+        # fixpoint test on distinct canonical sets: equal counts plus
+        # empty new-minus-old  <=>  set equality
+        n_new = new_edges.count()
+        if n_new == n_edges:
+            diff = (
+                new_edges.join(edges, ["u", "v"], "left_anti")
+                .limit(1)
+                .count()
+            )
+            converged = diff == 0
+        edges = new_edges
+        n_edges = n_new
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters: no star-forest fixpoint within {max_iter} "
+            "rounds — raise max_iter (the large/small-star bound is "
+            "O(log^2 n) rounds, so this indicates a pathological input)"
+        )
+    # final state is a star forest: centers = component minima sit in
+    # the u column, so least(id, min neighbor) is the representative
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    labels = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("_mv"))
+        .select(
+            F.col("u").alias("id"),
+            F.least(F.col("_mv"), F.col("u")).alias("rep"),
+        )
+    )
+    out = (
+        nodes.join(labels, "id", "left")
+        .select(
+            F.col("id").alias(key),
+            F.coalesce(F.col("rep"), F.col("id")).alias("rep"),
+        )
+    )
     if docs is not None:
         out = (
             docs.select(key)
             .join(out, key, "left")
             .select(key, F.coalesce(F.col("rep"), F.col(key)).alias("rep"))
         )
-    edges.unpersist()
     return out
 
 

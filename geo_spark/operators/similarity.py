@@ -705,8 +705,8 @@ def semantic_dedup(
     Scale shape: the in-cluster pair search is a plain cidx equi-join
     with NATIVE cosine (zip_with dot product over precomputed norms —
     no UDF, no Arrow hop), so AQE's skew-join split handles a hot
-    cluster; component resolution is dedup_clusters (min-label +
-    pointer jumping, O(log diameter) rounds).  k is the quadratic
+    cluster; component resolution is dedup_clusters (large-star/
+    small-star rounds, O(log^2 n) bound).  k is the quadratic
     valve — size it so n/k stays joinable; for corpora where even
     n^2/k is too big, generate in-cluster candidates with
     cosine_near_dup_pairs(method='lsh') per cluster instead and feed
