@@ -12133,6 +12133,198 @@ def _oracle_trail_network() -> str:
     """
 
 
+def _clip_loops():
+    """Four convex CCW 8-gon loops (computed ONCE in driver Python;
+    both engines consume the identical doubles — the operator through
+    the Layer closure, the oracle as %.17e literals, so no trig sits
+    in the compared chain).  Convexity is asserted so the oracle's
+    all-edges-positive PIP rule is exact."""
+    import math
+
+    import numpy as np
+
+    from geo_spark.sources.layers import regular_loop_vertices
+
+    specs = [
+        (0.0, 0.0, 50.0),
+        (30.0, 100.0, 25.0),
+        (-40.0, -60.0, 35.0),
+        (60.0, 170.0, 15.0),
+    ]
+    out = []
+    for gid, (la, ln, rdeg) in enumerate(specs):
+        v = regular_loop_vertices(la, ln, math.radians(rdeg), 8)
+        d = np.roll(v, -1, axis=0)
+        ne = np.cross(v, d)
+        dots = ne @ v.T  # edge i x vertex j; incident vertices give ~0
+        assert (dots > -1e-12).all(), f"loop {gid} not convex CCW"
+        out.append((gid, v))
+    return out
+
+
+def _q_region_route_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clip-length join (operators/cliplen.py): chord length of each
+    trail INSIDE each region — the fused clip+measure overlay ("road
+    length per admin area").  200 five-vertex trails from the
+    pure-double cube streams x 4 convex literal loops; candidates via
+    the covering-term equi-join, refine = SimpleCrossing sign pattern
+    + chord-plane crossing parameters + parity accumulation, every
+    term floor-quantized to exact BIGINTs.  The DuckDB twin replays
+    vertex synthesis, segment/edge normals, the triple-sign crossing
+    pattern, t = dac/(dac-dbc), the parity windows and the per-term
+    quantization bit for bit (everything IEEE +,-,*,/,sqrt on
+    identical inputs)."""
+    import numpy as np
+
+    from geo_spark.kernel.regions import LoopRegion, PolylineRegion
+    from geo_spark.operators.cliplen import clip_length_join
+    from geo_spark.operators.spatial_join import build_layer
+
+    a_expr, b_expr, c_expr = _rsp_vert_exprs()
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(
+            (F.col("event_id") < 1600) & (F.col("event_id") % 8 < _RSP_NV)
+        )
+        .select(
+            F.expr("event_id div 8").alias("trail"),
+            (F.col("event_id") % 8).alias("seq"),
+            F.expr(a_expr).alias("_a"),
+            F.expr(b_expr).alias("_b"),
+            F.expr(c_expr).alias("_c"),
+        )
+    )
+    nrm = F.sqrt(
+        (F.col("_a") * F.col("_a") + F.col("_b") * F.col("_b"))
+        + F.col("_c") * F.col("_c")
+    )
+    pdf = (
+        ev.select(
+            "trail",
+            "seq",
+            (F.col("_a") / nrm).alias("x"),
+            (F.col("_b") / nrm).alias("y"),
+            (F.col("_c") / nrm).alias("z"),
+        )
+        .toPandas()
+        .sort_values(["trail", "seq"])
+    )
+    trails = [
+        (int(tid), PolylineRegion.from_vertices(g[["x", "y", "z"]].to_numpy(np.float64)))
+        for tid, g in pdf.groupby("trail")
+    ]
+    loops = [(gid, LoopRegion.from_vertices(v)) for gid, v in _clip_loops()]
+    a_layer = build_layer(spark, trails, max_cells=8, interior=False)
+    b_layer = build_layer(spark, loops, max_cells=12)
+    return (
+        clip_length_join(a_layer, b_layer)
+        .select(
+            F.col("aid").alias("trail"),
+            F.col("bid").alias("geom_id"),
+            "n_crossings",
+            "inside_q",
+        )
+        .orderBy("trail", "geom_id")
+    )
+
+
+def _oracle_region_route_length() -> str:
+    import numpy as np
+
+    a, b, c = _rsp_vert_exprs()
+    nv = _RSP_NV
+    q = "1000000000000e0"
+    edge_rows = []
+    for gid, v in _clip_loops():
+        d = np.roll(v, -1, axis=0)
+        for i in range(v.shape[0]):
+            coords = ", ".join(f"{x:.17e}" for x in (*v[i], *d[i]))
+            edge_rows.append(f"({gid}, {i}, {coords})")
+    values = ",\n          ".join(edge_rows)
+    return f"""
+        WITH vsrc AS (SELECT event_id // 8 AS trail, event_id % 8 AS seq,
+                             {a} AS va, {b} AS vb, {c} AS vc
+                      FROM events
+                      WHERE event_id < 1600 AND event_id % 8 < {nv}),
+        vx AS (SELECT trail, seq, va/n AS x, vb/n AS y, vc/n AS z
+               FROM (SELECT *, sqrt((va*va + vb*vb) + vc*vc) AS n
+                     FROM vsrc)),
+        sg AS (SELECT p.trail, p.seq AS s,
+                      p.x AS ax, p.y AS ay, p.z AS az,
+                      q2.x AS bx, q2.y AS by, q2.z AS bz,
+                      p.y*q2.z - p.z*q2.y AS nsx,
+                      p.z*q2.x - p.x*q2.z AS nsy,
+                      p.x*q2.y - p.y*q2.x AS nsz,
+                      sqrt(((q2.x-p.x)*(q2.x-p.x) + (q2.y-p.y)*(q2.y-p.y))
+                           + (q2.z-p.z)*(q2.z-p.z)) AS seglen
+               FROM vx p JOIN vx q2
+                 ON q2.trail = p.trail AND q2.seq = p.seq + 1),
+        le(gid, ei, cx, cy, cz, ddx, ddy, ddz) AS (VALUES
+          {values}),
+        led AS (SELECT *, cy*ddz - cz*ddy AS nex,
+                          cz*ddx - cx*ddz AS ney,
+                          cx*ddy - cy*ddx AS nez FROM le),
+        pip AS (SELECT v.trail, l.gid,
+                       MIN(CASE WHEN (l.nex*v.x + l.ney*v.y) + l.nez*v.z > 0e0
+                                THEN 1 ELSE 0 END) AS ins0
+                FROM (SELECT trail, x, y, z FROM vx WHERE seq = 0) v
+                CROSS JOIN led l GROUP BY 1, 2),
+        xr0 AS (SELECT s.trail, s.s, l.gid, s.seglen,
+                       -((s.nsx*l.cx + s.nsy*l.cy) + s.nsz*l.cz) AS acb,
+                       (s.nsx*l.ddx + s.nsy*l.ddy) + s.nsz*l.ddz AS bda,
+                       (l.nex*s.ax + l.ney*s.ay) + l.nez*s.az AS dac,
+                       (l.nex*s.bx + l.ney*s.by) + l.nez*s.bz AS dbc
+                FROM sg s CROSS JOIN led l),
+        xr AS (SELECT trail, s, gid, seglen, dac/(dac - dbc) AS t
+               FROM xr0
+               WHERE acb*bda > 0e0 AND acb*(-dbc) > 0e0
+                 AND acb*dac > 0e0),
+        xc AS (SELECT trail, gid, s, COUNT(*) AS m FROM xr GROUP BY 1, 2, 3),
+        prs AS (SELECT t.trail, g.gid
+                FROM (SELECT DISTINCT trail FROM vx) t
+                CROSS JOIN (SELECT DISTINCT gid FROM le) g),
+        segx AS (SELECT p.trail, p.gid, s.s, s.seglen, COALESCE(xc.m, 0) AS m
+                 FROM prs p JOIN sg s ON s.trail = p.trail
+                 LEFT JOIN xc ON xc.trail = p.trail AND xc.gid = p.gid
+                             AND xc.s = s.s),
+        par AS (SELECT *, COALESCE(SUM(m) OVER (
+                            PARTITION BY trail, gid ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS bef
+                FROM segx),
+        insd AS (SELECT par.trail, par.gid, par.s, par.seglen, par.m,
+                        (pip.ins0 + par.bef) % 2 AS i0
+                 FROM par JOIN pip ON pip.trail = par.trail
+                                  AND pip.gid = par.gid),
+        endt AS (SELECT trail, gid,
+                        CAST(FLOOR(seglen * {q}) AS BIGINT) AS qq
+                 FROM insd WHERE (i0 + m) % 2 = 1),
+        xrt AS (SELECT trail, gid, s, t, seglen,
+                       ROW_NUMBER() OVER (PARTITION BY trail, gid, s
+                                          ORDER BY t) AS rn
+                FROM xr),
+        xq AS (SELECT x.trail, x.gid,
+                      CAST(FLOOR(((CASE WHEN (i.i0 + x.rn - 1) % 2 = 1
+                                        THEN 1.0e0 ELSE -1.0e0 END * x.t)
+                                  * x.seglen) * {q}) AS BIGINT) AS qq
+               FROM xrt x JOIN insd i
+                 ON i.trail = x.trail AND i.gid = x.gid AND i.s = x.s),
+        allq AS (SELECT trail, gid, qq FROM endt
+                 UNION ALL SELECT trail, gid, qq FROM xq),
+        tot AS (SELECT trail, gid, SUM(qq) AS inside_q
+                FROM allq GROUP BY 1, 2),
+        cnt AS (SELECT trail, gid, SUM(m) AS n_crossings
+                FROM insd GROUP BY 1, 2)
+        SELECT c.trail, c.gid AS geom_id,
+               CAST(c.n_crossings AS BIGINT) AS n_crossings,
+               CAST(COALESCE(t.inside_q, 0) AS BIGINT) AS inside_q
+        FROM cnt c LEFT JOIN tot t
+          ON t.trail = c.trail AND t.gid = c.gid
+        WHERE c.n_crossings > 0 OR COALESCE(t.inside_q, 0) <> 0
+        ORDER BY c.trail, geom_id
+    """
+
+
 def _dissolve_fixtures():
     """Per hot city: a chain of 3 overlapping convex discs (each
     overlaps the next; the union is one blob) plus one detached disc —
@@ -15565,6 +15757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tile_focal_mean": _q_tile_focal_mean,
         "q_tile_slope": _q_tile_slope,
         "q_trail_network": _q_trail_network,
+        "q_region_route_length": _q_region_route_length,
         "q_tile_kde": _q_tile_kde,
         "q_reverse_geocode": _q_reverse_geocode,
         "q_zone_transitions": _q_zone_transitions,
@@ -15734,6 +15927,7 @@ def oracle_sql() -> dict[str, str]:
         "q_tile_focal_mean": _oracle_tile_focal_mean(),
         "q_tile_slope": _oracle_tile_slope(),
         "q_trail_network": _oracle_trail_network(),
+        "q_region_route_length": _oracle_region_route_length(),
         "q_tile_kde": _oracle_tile_kde(),
         "q_reverse_geocode": _oracle_reverse_geocode(),
         "q_zone_transitions": _oracle_zone_transitions(),

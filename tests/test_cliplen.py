@@ -1,0 +1,174 @@
+"""clip_chord_length / clip_length_join: polyline-inside-region measure."""
+
+import math
+
+import numpy as np
+import pytest
+
+from geo_spark.kernel.regions import LoopRegion, PolylineRegion
+from geo_spark.operators.cliplen import (
+    DEFAULT_QUANTUM,
+    clip_chord_length,
+    clip_length_join,
+)
+from geo_spark.sources.layers import regular_loop_vertices
+
+
+def _ll(lat, lng):
+    phi, th = math.radians(lat), math.radians(lng)
+    return np.array(
+        [math.cos(th) * math.cos(phi), math.sin(th) * math.cos(phi), math.sin(phi)]
+    )
+
+
+def _chord(p, q):
+    d = q - p
+    return math.sqrt((d[0] * d[0] + d[1] * d[1]) + d[2] * d[2])
+
+
+def test_straight_through_cap():
+    """Equatorial trail through a 5-degree cap centered on its path:
+    inside chord length ~ the cap's diameter chord."""
+    loop = LoopRegion.from_vertices(
+        regular_loop_vertices(0.0, 0.0, math.radians(5.0), 64)
+    )
+    # slightly tilted so the trail is not in the loop's symmetry plane
+    verts = np.stack([_ll(0.17, -30.0), _ll(-0.11, 30.0)])
+    n_cross, q = clip_chord_length(verts, loop)
+    assert n_cross == 2
+    # both crossings sit near lng ~ +-5 degrees.  The measure is
+    # chord-PARAMETER length: radially projecting the +-5-degree arc
+    # span onto the +-30-degree chord gives
+    # dt * |AB| = cos(30)*tan(5)/sin(30) analytically.
+    want = (
+        math.cos(math.radians(30.0))
+        * math.tan(math.radians(5.0))
+        / math.sin(math.radians(30.0))
+    )
+    got = q / DEFAULT_QUANTUM
+    assert abs(got - want) < 0.02 * want
+
+
+def test_fully_inside_and_outside():
+    loop = LoopRegion.from_vertices(
+        regular_loop_vertices(10.0, 10.0, math.radians(20.0), 32)
+    )
+    inside = np.stack([_ll(8.0, 8.0), _ll(12.0, 11.0), _ll(9.0, 13.0)])
+    n, q = clip_chord_length(inside, loop)
+    assert n == 0
+    want = sum(
+        math.floor(_chord(inside[i], inside[i + 1]) * DEFAULT_QUANTUM)
+        for i in range(2)
+    )
+    assert q == want
+    outside = np.stack([_ll(-40.0, 0.0), _ll(-45.0, 5.0)])
+    assert clip_chord_length(outside, loop) == (0, 0)
+
+
+def test_parity_differential_against_pip():
+    """For random trails x loops, the parity-derived insideness of every
+    chord sub-interval must match the robust PIP of the interval's
+    midpoint arc point."""
+    rng = np.random.default_rng(20260821)
+    loops = [
+        LoopRegion.from_vertices(
+            regular_loop_vertices(
+                float(rng.uniform(-60, 60)),
+                float(rng.uniform(-180, 180)),
+                math.radians(float(rng.uniform(8, 50))),
+                12,
+            )
+        )
+        for _ in range(6)
+    ]
+    for _ in range(40):
+        v = rng.normal(size=(4, 3))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        for loop in loops:
+            n_cross, q = clip_chord_length(v, loop)
+            # re-derive inside length by sampling: for each segment,
+            # find crossings t, then check PIP at interval midpoints
+            a, b = v[:-1], v[1:]
+            c, d = loop.verts, np.roll(loop.verts, -1, axis=0)
+            inside = bool(loop.contains_point(v[0]))
+            total = 0.0
+            cnt = 0
+            for s in range(3):
+                ns = np.cross(a[s], b[s])
+                ne = np.cross(c, d)
+                acb = -(ns @ c.T)
+                bda = ns @ d.T
+                dac = ne @ a[s]
+                dbc = ne @ b[s]
+                hit = (acb * bda > 0) & (acb * (-dbc) > 0) & (acb * dac > 0)
+                ts = np.sort(dac[hit] / (dac[hit] - dbc[hit]))
+                seglen = float(np.linalg.norm(b[s] - a[s]))
+                cuts = [0.0] + [float(t) for t in ts] + [1.0]
+                cur = inside
+                for i in range(len(cuts) - 1):
+                    mid = 0.5 * (cuts[i] + cuts[i + 1])
+                    p = a[s] + mid * (b[s] - a[s])
+                    p = p / np.linalg.norm(p)
+                    assert loop.contains_point(p) == cur
+                    if cur:
+                        total += (cuts[i + 1] - cuts[i]) * seglen
+                    if i < len(cuts) - 2:  # flip only AT a crossing
+                        cur = not cur
+                cnt += len(ts)
+                inside = cur
+            assert cnt == n_cross
+            assert abs(q / DEFAULT_QUANTUM - total) < 1e-9 * max(1.0, total)
+
+
+def test_join_matches_kernel(spark):
+    from geo_spark.operators.spatial_join import build_layer
+
+    rng = np.random.default_rng(7)
+    trails = []
+    for gid in range(30):
+        v = rng.normal(size=(5, 3))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        trails.append((gid, PolylineRegion.from_vertices(v)))
+    loops = [
+        (
+            gid,
+            LoopRegion.from_vertices(
+                regular_loop_vertices(
+                    float(rng.uniform(-50, 50)),
+                    float(rng.uniform(-180, 180)),
+                    math.radians(float(rng.uniform(10, 45))),
+                    10,
+                )
+            ),
+        )
+        for gid in range(4)
+    ]
+    a = build_layer(spark, trails, max_cells=8, interior=False)
+    b = build_layer(spark, loops, max_cells=12)
+    got = {
+        (r["aid"], r["bid"]): (r["n_crossings"], r["inside_q"])
+        for r in clip_length_join(a, b).collect()
+    }
+    want = {}
+    for aid, tr in trails:
+        for bid, lp in loops:
+            n, q = clip_chord_length(tr.verts, lp)
+            if n or q:
+                want[(aid, bid)] = (n, q)
+    assert got == want
+
+
+def test_join_rejects_swapped_layers(spark):
+    from geo_spark.operators.spatial_join import build_layer
+
+    loops = [
+        (
+            0,
+            LoopRegion.from_vertices(
+                regular_loop_vertices(0.0, 0.0, math.radians(30.0), 8)
+            ),
+        )
+    ]
+    b = build_layer(spark, loops, max_cells=8)
+    with pytest.raises(Exception):
+        clip_length_join(b, b).collect()
