@@ -754,11 +754,12 @@ def dedup_clusters(
         .distinct()
         .localCheckpoint()
     )
+    # nodes derive from the checkpointed edge table — short plan, no
+    # extra materialization needed
     nodes = (
         edges.select(F.col("u").alias("id"))
         .union(edges.select(F.col("v").alias("id")))
         .distinct()
-        .localCheckpoint()
     )
     n_edges = edges.count()
     converged = n_edges == 0
@@ -776,12 +777,14 @@ def dedup_clusters(
             .agg(F.min("v").alias("_mv"))
             .select("u", F.least(F.col("_mv"), F.col("u")).alias("m"))
         )
+        # lazy: the round's one materialization is new_edges below (ls
+        # is referenced twice, but both consumers sit in the same
+        # checkpointed plan, so the recompute is one in-memory pass)
         ls = (
             sym.join(lm, "u")
             .where(F.col("v") > F.col("u"))
             .select(F.col("m").alias("u"), F.col("v").alias("v"))
             .distinct()
-            .localCheckpoint()
         )
         # small-star: per node v, m = min of its SMALLER neighbors
         # (canonical edges put them in the u column); attach each
