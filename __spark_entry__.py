@@ -6030,6 +6030,74 @@ def _oracle_toponym_tile_rollup() -> str:
     """
 
 
+def _q_source_geo_focus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE geographic focus — the full webtext->geo editorial
+    profile: every document's resolved toponym mentions land on their
+    zoom-4 quadkey, roll up per (source, tile), and each source
+    reports its tile spread plus the concentration of its single
+    hottest tile as an exact micro-fraction ((top * 1e6) div total,
+    the non-negative integer-division rule).  A news site covering
+    one metro area scores ~1e6; a global aggregator scores low.  ONE
+    chained oracle nests the full geocoder replay MATERIALIZED, then
+    re-derives tiles, the per-tile rollup and the division."""
+    from geo_spark.functions.webgrid import mercator_xy_cols, quadkey_col
+    from geo_spark.operators.geocode import toponym_resolve
+
+    docs = _t(spark, sf_dir, "documents")
+    res = toponym_resolve(docs, _topo_gazetteer(spark)).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    lat = F.col("lat_u") / F.lit(1e6) - F.lit(90.0)
+    lng = F.col("lng_u") / F.lit(1e6) - F.lit(180.0)
+    x, y = mercator_xy_cols(lat, lng, _TOPO_ZOOM)
+    per_tile = (
+        res.select(
+            "source", quadkey_col(x, y, _TOPO_ZOOM).alias("qk"), "n_mentions"
+        )
+        .groupBy("source", "qk")
+        .agg(F.sum("n_mentions").alias("m"))
+    )
+    return (
+        per_tile.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tiles"),
+            F.sum("m").alias("n_mentions"),
+            F.max("m").alias("_top"),
+        )
+        .select(
+            "source",
+            "n_tiles",
+            "n_mentions",
+            F.expr("(_top * 1000000) div n_mentions").alias("top_share_u"),
+        )
+        .orderBy("source")
+    )
+
+
+def _oracle_source_geo_focus() -> str:
+    from geo_spark.functions.webgrid import mercator_xy_sql, quadkey_sql_text
+
+    x, y = mercator_xy_sql("lat", "lng", _TOPO_ZOOM)
+    qk = quadkey_sql_text("tx", "ty", _TOPO_ZOOM)
+    return f"""
+        WITH topo AS MATERIALIZED ({_oracle_toponym_resolve()}),
+        src AS (SELECT t.doc_id, d.source, t.n_mentions,
+                       t.lat_u / 1000000e0 - 90e0 AS lat,
+                       t.lng_u / 1000000e0 - 180e0 AS lng
+                FROM topo t JOIN documents d ON d.doc_id = t.doc_id),
+        tl AS (SELECT source, n_mentions, {x} AS tx, {y} AS ty FROM src),
+        q AS (SELECT source, n_mentions, {qk} AS qk FROM tl),
+        pt AS (SELECT source, qk, SUM(n_mentions) AS m
+               FROM q GROUP BY source, qk),
+        agg AS (SELECT source, COUNT(*) AS n_tiles, SUM(m) AS n_mentions,
+                       MAX(m) AS top FROM pt GROUP BY source)
+        SELECT source, CAST(n_tiles AS BIGINT) AS n_tiles,
+               CAST(n_mentions AS BIGINT) AS n_mentions,
+               CAST((top * 1000000) // n_mentions AS BIGINT) AS top_share_u
+        FROM agg ORDER BY source
+    """
+
+
 _RSP_M = 7  # resampled points per chain
 _RSP_NV = 5  # vertices per fixture chain
 
@@ -15758,6 +15826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tile_slope": _q_tile_slope,
         "q_trail_network": _q_trail_network,
         "q_region_route_length": _q_region_route_length,
+        "q_source_geo_focus": _q_source_geo_focus,
         "q_tile_kde": _q_tile_kde,
         "q_reverse_geocode": _q_reverse_geocode,
         "q_zone_transitions": _q_zone_transitions,
@@ -15928,6 +15997,7 @@ def oracle_sql() -> dict[str, str]:
         "q_tile_slope": _oracle_tile_slope(),
         "q_trail_network": _oracle_trail_network(),
         "q_region_route_length": _oracle_region_route_length(),
+        "q_source_geo_focus": _oracle_source_geo_focus(),
         "q_tile_kde": _oracle_tile_kde(),
         "q_reverse_geocode": _oracle_reverse_geocode(),
         "q_zone_transitions": _oracle_zone_transitions(),
