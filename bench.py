@@ -65,6 +65,9 @@ HEADLINE_QUERIES = [
     "q_incremental_dedup",  # new-batch probe of a persisted LSH index
     "q_topic_clusters",  # text -> JL sign vectors -> Lloyd k-means chain
     "q_mercator_tiles",  # Mercator projection + zoom-4 tile assignment
+    "q_tile_slope",  # Horn-stencil gradient, scatter-form raster algebra
+    "q_trail_network",  # snap -> junction graph -> large/small-star CC
+    "q_region_route_length",  # covering-join clip+measure overlay
 ]
 
 

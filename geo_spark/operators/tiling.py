@@ -701,7 +701,10 @@ def tile_slope_aspect(
 
     The same shape runs a real DEM at 100 TB: swap the count aggregate
     for any per-tile measure (SUM of a value column) and the stencil
-    is unchanged.
+    is unchanged.  int64 headroom: |gx| <= 8 * max cell value, so
+    ``slope2`` stays exact up to ~3.8e8 per-tile counts — beyond that
+    (hotter tiles than any zoom>=6 grid sees at 10^12 rows) deepen the
+    zoom or pre-scale the cell value.
     """
     from geo_spark.functions.webgrid import mercator_xy_cols
 

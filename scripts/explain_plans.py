@@ -132,6 +132,25 @@ NOTES = {
   aggregate, no second Python hop; the filter on the pure-arithmetic
   sinlat stream sits below the Arrow node (evaluated in codegen
   before rows cross to Python).""",
+    "tile_slope": """Properties to check:
+- ZERO Python nodes: snapping, Horn weights and the octant CASE are
+  all codegen.
+- TWO partial/final HashAggregate pairs: raw rows collapse to occupied
+  tiles FIRST (the only full-data shuffle), then the 8x weighted
+  scatter explode multiplies only the bounded tile table and re-sums.
+- The occupied left-join is tile-table-sized on both sides.""",
+    "trail_network_edges": """Properties to check:
+- ZERO Python nodes: round-half-away snapping and site keys are
+  codegen CASE + FLOOR.
+- ONE Exchange hashpartitioning(user) for the LEAD window (per-user
+  state = one trajectory), then partial/final HashAggregate on the
+  (u, v) edge key — the shuffle carries long pairs only.""",
+    "clip_length_join": """Properties to check:
+- Candidates are a hash EQUI-join on covering (channel, cell) terms
+  between two dimension-sized covering tables — no CartesianProduct,
+  no BroadcastNestedLoopJoin.
+- ONE MapInPandas refine on candidate pairs; geometries ride the
+  closure, segments never become rows.""",
 }
 
 
@@ -198,6 +217,22 @@ def main() -> None:
     )
     plans["incremental_dedup"] = cap(entry._q_incremental_dedup(spark, SF))
     plans["mercator_tiles"] = cap(entry._q_mercator_tiles(spark, SF))
+    plans["tile_slope"] = cap(entry._q_tile_slope(spark, SF))
+
+    from geo_spark.operators.network import trail_network_edges
+    from geo_spark.operators.geo_noise import LAT_D_SQL, LNG_D_SQL
+
+    nev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "user_id", "ts", "event_id",
+        F.expr(LAT_D_SQL.format(id="event_id")).alias("lat"),
+        F.expr(LNG_D_SQL.format(id="event_id")).alias("lng"),
+    )
+    plans["trail_network_edges"] = cap(
+        trail_network_edges(nev, order_cols=("ts", "event_id"))
+    )
+    plans["clip_length_join"] = cap(
+        entry._q_region_route_length(spark, SF)
+    )
 
     out = [
         "# PLANS — physical-plan evidence for the headline operators\n",

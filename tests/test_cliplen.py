@@ -172,3 +172,27 @@ def test_join_rejects_swapped_layers(spark):
     b = build_layer(spark, loops, max_cells=8)
     with pytest.raises(Exception):
         clip_length_join(b, b).collect()
+
+
+def test_join_plan_shape(spark):
+    """Candidates are a hash equi-join on covering terms; one Arrow
+    refine; no cartesian anywhere."""
+    from geo_spark.operators.spatial_join import build_layer
+
+    rng = np.random.default_rng(3)
+    v = rng.normal(size=(4, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    a = build_layer(
+        spark, [(0, PolylineRegion.from_vertices(v))], max_cells=8, interior=False
+    )
+    b = build_layer(
+        spark,
+        [(0, LoopRegion.from_vertices(regular_loop_vertices(0, 0, 0.5, 8)))],
+        max_cells=8,
+    )
+    plan = (
+        clip_length_join(a, b)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("MapInPandas") == 1
