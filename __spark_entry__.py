@@ -6030,6 +6030,63 @@ def _oracle_toponym_tile_rollup() -> str:
     """
 
 
+_TS_ZOOM = 4
+
+
+def _q_tile_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile Theil-Sen robust trend of daily event counts
+    (operators/tiling.tile_theil_sen): median of all pairwise
+    day-slopes in exact milli-units via the non-negative
+    integer-division rule, lower-median rank pick.  The DuckDB twin
+    re-derives tiles, daily counts, every pairwise slope and the rank
+    median from first principles."""
+    from geo_spark.operators.geo_noise import with_geo_noise, with_time_noise
+    from geo_spark.operators.tiling import tile_theil_sen
+
+    ev = with_time_noise(
+        with_geo_noise(_t(spark, sf_dir, "events"), "event_id"), "event_id"
+    )
+    return tile_theil_sen(ev, _TS_ZOOM).orderBy("qk")
+
+
+def _oracle_tile_trend() -> str:
+    from geo_spark.functions.webgrid import mercator_xy_sql, quadkey_sql_text
+    from geo_spark.operators.geo_noise import LAT_SQL, LNG_SQL, TS_US_SQL
+
+    lat = LAT_SQL.format(id="event_id")
+    lng = LNG_SQL.format(id="event_id")
+    ts = TS_US_SQL.format(id="event_id")
+    x, y = mercator_xy_sql("lat", "lng", _TS_ZOOM)
+    qk = quadkey_sql_text("tx", "ty", _TS_ZOOM)
+    k = 10**9
+    return f"""
+        WITH pts AS (SELECT {lat} AS lat, {lng} AS lng,
+                            ({ts}) // 86400000000 AS day
+                     FROM events),
+        t AS (SELECT day, {x} AS tx, {y} AS ty FROM pts),
+        q AS (SELECT day, {qk} AS qk FROM t),
+        daily AS (SELECT qk, day, COUNT(*) AS cnt FROM q GROUP BY qk, day),
+        pr AS (SELECT a.qk,
+                      ((b.cnt - a.cnt) * 1000 + {k} * (b.day - a.day))
+                        // (b.day - a.day) - {k} AS slope_mu
+               FROM daily a JOIN daily b
+                 ON b.qk = a.qk AND b.day > a.day),
+        rk AS (SELECT qk, slope_mu,
+                      ROW_NUMBER() OVER (PARTITION BY qk
+                                         ORDER BY slope_mu) AS rn,
+                      COUNT(*) OVER (PARTITION BY qk) AS n
+               FROM pr),
+        med AS (SELECT qk, n AS n_pairs, slope_mu FROM rk
+                WHERE rn = (n + 1) // 2),
+        dd AS (SELECT qk, COUNT(*) AS n_days FROM daily GROUP BY qk)
+        SELECT d.qk, CAST(d.n_days AS BIGINT) AS n_days,
+               CAST(m.n_pairs AS BIGINT) AS n_pairs,
+               CAST(m.slope_mu AS BIGINT) AS slope_mu
+        FROM dd d JOIN med m ON m.qk = d.qk
+        ORDER BY d.qk
+    """
+
+
 def _q_source_geo_focus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-SOURCE geographic focus — the full webtext->geo editorial
     profile: every document's resolved toponym mentions land on their
@@ -15827,6 +15884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_trail_network": _q_trail_network,
         "q_region_route_length": _q_region_route_length,
         "q_source_geo_focus": _q_source_geo_focus,
+        "q_tile_trend": _q_tile_trend,
         "q_tile_kde": _q_tile_kde,
         "q_reverse_geocode": _q_reverse_geocode,
         "q_zone_transitions": _q_zone_transitions,
@@ -15998,6 +16056,7 @@ def oracle_sql() -> dict[str, str]:
         "q_trail_network": _oracle_trail_network(),
         "q_region_route_length": _oracle_region_route_length(),
         "q_source_geo_focus": _oracle_source_geo_focus(),
+        "q_tile_trend": _oracle_tile_trend(),
         "q_tile_kde": _oracle_tile_kde(),
         "q_reverse_geocode": _oracle_reverse_geocode(),
         "q_zone_transitions": _oracle_zone_transitions(),

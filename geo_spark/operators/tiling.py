@@ -781,3 +781,74 @@ def tile_slope_aspect(
         (a * a + b * b).alias("slope2"),
         octant.cast("long").alias("octant"),
     )
+
+
+def tile_theil_sen(
+    events: DataFrame,
+    zoom: int = 4,
+    ts_us_col: str = "ts_us",
+    latlng: tuple[str, str] = ("lat", "lng"),
+    k_shift: int = 10**9,
+) -> DataFrame:
+    """(qk, n_days, n_pairs, slope_mu): per-tile Theil-Sen robust trend
+    of daily event counts — the median of all pairwise day-slopes, the
+    breakdown-point-0.29 alternative to least squares that one bot
+    spike cannot drag (the estimator monitoring dashboards actually
+    want on crawl traffic).
+
+    Exactness discipline: each pairwise slope quantizes to milli-units
+    through the non-negative integer-division rule —
+    ``((dc*1000 + K*dd) div dd) - K`` with dd > 0, which floors
+    identically in Spark (`div` truncates toward zero) and DuckDB
+    (`//` floors) because the shifted numerator is non-negative while
+    ``|dc|*1000 <= K*dd`` (K = 1e9 covers per-tile-day counts to ~1e6
+    per day of gap; raise ``k_shift`` for hotter tiles).  The median is
+    the exact LOWER median: the BIGINT at rank (n+1) div 2 of the
+    per-tile slope sort — position ties share a value, so the pick is
+    deterministic.
+
+    Scale shape: the only full-data shuffle is the (tile, day) count
+    (map-side combined).  The pairwise self-join explodes the BOUNDED
+    daily table — pairs per tile = d(d-1)/2 for d observed days (a
+    monitoring horizon, ~30-90), never event-sized — and the median
+    window partitions that bounded pair set by tile.  Tiles with one
+    observed day have no slope and are excluded."""
+    from geo_spark.functions.webgrid import quadkey_from_latlng
+
+    la, ln = latlng
+    qk = quadkey_from_latlng(F.col(la), F.col(ln), zoom)
+    day = F.expr(f"{ts_us_col} div 86400000000")
+    daily = (
+        events.select(qk.alias("qk"), day.alias("day"))
+        .groupBy("qk", "day")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    a = daily.select(
+        "qk", F.col("day").alias("d1"), F.col("cnt").alias("c1")
+    )
+    b = daily.select(
+        "qk", F.col("day").alias("d2"), F.col("cnt").alias("c2")
+    )
+    pairs = a.join(b, "qk").where(F.col("d2") > F.col("d1"))
+    slope = pairs.select(
+        "qk",
+        F.expr(
+            f"(((c2 - c1) * 1000 + {k_shift} * (d2 - d1)) div (d2 - d1))"
+            f" - {k_shift}"
+        ).alias("slope_mu"),
+    )
+    w = Window.partitionBy("qk").orderBy("slope_mu")
+    med = (
+        slope.select(
+            "qk",
+            "slope_mu",
+            F.row_number().over(w).alias("_rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("qk")).alias("_n"),
+        )
+        .where(F.col("_rn") == F.expr("(_n + 1) div 2"))
+        .select("qk", F.col("_n").alias("n_pairs"), "slope_mu")
+    )
+    days = daily.groupBy("qk").agg(F.count(F.lit(1)).alias("n_days"))
+    return days.join(med, "qk").select(
+        "qk", "n_days", "n_pairs", "slope_mu"
+    )
