@@ -148,3 +148,46 @@ def test_components_mixed_shapes(spark):
     lbl = {r["id"]: r["rep"] for r in dedup_clusters(pairs, docs=docs, key="id").collect()}
     assert lbl == {10: 10, 11: 10, 12: 10, 13: 10,
                    100: 100, 101: 100, 102: 100, 103: 100, 999: 999}
+
+
+def test_components_randomized_differential(spark):
+    """Seeded random graphs (mixed density incl. near-critical) vs a
+    union-find ground truth — full labeling equality, not just counts."""
+    import random
+
+    from geo_spark.operators.dedup import dedup_clusters
+
+    rng = random.Random(20260821)
+    for trial in range(6):
+        n = rng.choice([20, 60, 120])
+        m = rng.choice([n // 2, n, 2 * n])
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        touched = set()
+        for a, b in edges:
+            touched.add(a)
+            touched.add(b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {x: find(x) for x in sorted(touched)}
+        # min-relabel: rep must be the component MIN, which union-find
+        # by-min merging already guarantees here
+        pairs = spark.createDataFrame(edges, "da long, db long")
+        got = {
+            r["id"]: r["rep"]
+            for r in dedup_clusters(pairs, key="id").collect()
+        }
+        assert got == want, f"trial {trial}"
