@@ -12353,19 +12353,29 @@ def _q_region_route_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_region_route_length() -> str:
+def _cliplen_edge_values(regions) -> str:
+    """regions: [(gid, [ring_verts...])] -> SQL VALUES rows with a ring
+    column; every coordinate as a %.17e literal (exact double round
+    trip; e-notation parses as DOUBLE in both engines)."""
     import numpy as np
 
+    edge_rows = []
+    for gid, rings in regions:
+        for ri, v in enumerate(rings):
+            d = np.roll(v, -1, axis=0)
+            for i in range(v.shape[0]):
+                coords = ", ".join(f"{x:.17e}" for x in (*v[i], *d[i]))
+                edge_rows.append(f"({gid}, {ri}, {i}, {coords})")
+    return ",\n          ".join(edge_rows)
+
+
+def _oracle_cliplen(values: str) -> str:
+    """Shared clip-length replay: per-ring convex PIP XOR-folded (the
+    even-odd multi-ring rule, identical to the single-loop case when
+    every gid has one ring), pooled ring edges for crossings."""
     a, b, c = _rsp_vert_exprs()
     nv = _RSP_NV
     q = "1000000000000e0"
-    edge_rows = []
-    for gid, v in _clip_loops():
-        d = np.roll(v, -1, axis=0)
-        for i in range(v.shape[0]):
-            coords = ", ".join(f"{x:.17e}" for x in (*v[i], *d[i]))
-            edge_rows.append(f"({gid}, {i}, {coords})")
-    values = ",\n          ".join(edge_rows)
     return f"""
         WITH vsrc AS (SELECT event_id // 8 AS trail, event_id % 8 AS seq,
                              {a} AS va, {b} AS vb, {c} AS vc
@@ -12384,16 +12394,18 @@ def _oracle_region_route_length() -> str:
                            + (q2.z-p.z)*(q2.z-p.z)) AS seglen
                FROM vx p JOIN vx q2
                  ON q2.trail = p.trail AND q2.seq = p.seq + 1),
-        le(gid, ei, cx, cy, cz, ddx, ddy, ddz) AS (VALUES
+        le(gid, ring, ei, cx, cy, cz, ddx, ddy, ddz) AS (VALUES
           {values}),
         led AS (SELECT *, cy*ddz - cz*ddy AS nex,
                           cz*ddx - cx*ddz AS ney,
                           cx*ddy - cy*ddx AS nez FROM le),
-        pip AS (SELECT v.trail, l.gid,
-                       MIN(CASE WHEN (l.nex*v.x + l.ney*v.y) + l.nez*v.z > 0e0
-                                THEN 1 ELSE 0 END) AS ins0
-                FROM (SELECT trail, x, y, z FROM vx WHERE seq = 0) v
-                CROSS JOIN led l GROUP BY 1, 2),
+        pip0 AS (SELECT v.trail, l.gid, l.ring,
+                        MIN(CASE WHEN (l.nex*v.x + l.ney*v.y) + l.nez*v.z > 0e0
+                                 THEN 1 ELSE 0 END) AS ins
+                 FROM (SELECT trail, x, y, z FROM vx WHERE seq = 0) v
+                 CROSS JOIN led l GROUP BY 1, 2, 3),
+        pip AS (SELECT trail, gid, SUM(ins) % 2 AS ins0
+                FROM pip0 GROUP BY 1, 2),
         xr0 AS (SELECT s.trail, s.s, l.gid, s.seglen,
                        -((s.nsx*l.cx + s.nsy*l.cy) + s.nsz*l.cz) AS acb,
                        (s.nsx*l.ddx + s.nsy*l.ddy) + s.nsz*l.ddz AS bda,
@@ -12448,6 +12460,109 @@ def _oracle_region_route_length() -> str:
         WHERE c.n_crossings > 0 OR COALESCE(t.inside_q, 0) <> 0
         ORDER BY c.trail, geom_id
     """
+
+
+def _oracle_region_route_length() -> str:
+    return _oracle_cliplen(
+        _cliplen_edge_values([(gid, [v]) for gid, v in _clip_loops()])
+    )
+
+
+def _donut_regions():
+    """Two multi-ring even-odd regions: a donut (18-degree hole inside
+    a 45-degree outer ring) and a symmetric-difference pair of
+    overlapping rings.  Rings convex CCW (asserted) so the oracle's
+    per-ring all-edges-positive rule is exact; ring orientation is
+    irrelevant to the operator (parity PIP)."""
+    import math
+
+    import numpy as np
+
+    from geo_spark.sources.layers import regular_loop_vertices
+
+    specs = [
+        [(10.0, 20.0, 45.0), (12.0, 22.0, 18.0)],
+        [(-30.0, -120.0, 20.0), (-35.0, -100.0, 10.0)],
+    ]
+    out = []
+    for gid, rings in enumerate(specs):
+        vs = []
+        for la, ln, rdeg in rings:
+            v = regular_loop_vertices(la, ln, math.radians(rdeg), 8)
+            d = np.roll(v, -1, axis=0)
+            ne = np.cross(v, d)
+            assert ((ne @ v.T) > -1e-12).all(), f"ring not convex CCW"
+            vs.append(v)
+        out.append((gid, vs))
+    return out
+
+
+def _q_donut_route_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clip_length_join over MULTI-RING even-odd regions — a donut
+    (hole excluded from the measure) and a symmetric-difference ring
+    pair: the same 200 cube-stream trails, crossings pooled over all
+    ring edges, membership = XOR of ring parities.  Same bit-exact
+    oracle discipline as q_region_route_length through the shared
+    replay builder (per-ring convex PIP folded with SUM % 2)."""
+    import numpy as np
+
+    from geo_spark.kernel.regions import PolygonRegion, PolylineRegion
+    from geo_spark.operators.cliplen import clip_length_join
+    from geo_spark.operators.spatial_join import build_layer
+
+    a_expr, b_expr, c_expr = _rsp_vert_exprs()
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(
+            (F.col("event_id") < 1600) & (F.col("event_id") % 8 < _RSP_NV)
+        )
+        .select(
+            F.expr("event_id div 8").alias("trail"),
+            (F.col("event_id") % 8).alias("seq"),
+            F.expr(a_expr).alias("_a"),
+            F.expr(b_expr).alias("_b"),
+            F.expr(c_expr).alias("_c"),
+        )
+    )
+    nrm = F.sqrt(
+        (F.col("_a") * F.col("_a") + F.col("_b") * F.col("_b"))
+        + F.col("_c") * F.col("_c")
+    )
+    pdf = (
+        ev.select(
+            "trail",
+            "seq",
+            (F.col("_a") / nrm).alias("x"),
+            (F.col("_b") / nrm).alias("y"),
+            (F.col("_c") / nrm).alias("z"),
+        )
+        .toPandas()
+        .sort_values(["trail", "seq"])
+    )
+    trails = [
+        (int(tid), PolylineRegion.from_vertices(g[["x", "y", "z"]].to_numpy(np.float64)))
+        for tid, g in pdf.groupby("trail")
+    ]
+    regions = [
+        (gid, PolygonRegion.from_loops(rings))
+        for gid, rings in _donut_regions()
+    ]
+    a_layer = build_layer(spark, trails, max_cells=8, interior=False)
+    b_layer = build_layer(spark, regions, max_cells=12)
+    return (
+        clip_length_join(a_layer, b_layer)
+        .select(
+            F.col("aid").alias("trail"),
+            F.col("bid").alias("geom_id"),
+            "n_crossings",
+            "inside_q",
+        )
+        .orderBy("trail", "geom_id")
+    )
+
+
+def _oracle_donut_route_length() -> str:
+    return _oracle_cliplen(_cliplen_edge_values(_donut_regions()))
 
 
 def _dissolve_fixtures():
@@ -15883,6 +15998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tile_slope": _q_tile_slope,
         "q_trail_network": _q_trail_network,
         "q_region_route_length": _q_region_route_length,
+        "q_donut_route_length": _q_donut_route_length,
         "q_source_geo_focus": _q_source_geo_focus,
         "q_tile_trend": _q_tile_trend,
         "q_tile_kde": _q_tile_kde,
@@ -16055,6 +16171,7 @@ def oracle_sql() -> dict[str, str]:
         "q_tile_slope": _oracle_tile_slope(),
         "q_trail_network": _oracle_trail_network(),
         "q_region_route_length": _oracle_region_route_length(),
+        "q_donut_route_length": _oracle_donut_route_length(),
         "q_source_geo_focus": _oracle_source_geo_focus(),
         "q_tile_trend": _oracle_tile_trend(),
         "q_tile_kde": _oracle_tile_kde(),

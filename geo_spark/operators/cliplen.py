@@ -49,19 +49,34 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from geo_spark.kernel.regions import LoopRegion, PolylineRegion
+from geo_spark.kernel.regions import LoopRegion, PolygonRegion, PolylineRegion
 from geo_spark.operators.geom_join import _pair_candidates
 from geo_spark.operators.spatial_join import Layer
 
 DEFAULT_QUANTUM = 1.0e12
 
 
+def _rings_of(region) -> list[np.ndarray]:
+    if isinstance(region, LoopRegion):
+        return [region.verts]
+    if isinstance(region, PolygonRegion):
+        return [lp.verts for lp in region.loops]
+    raise TypeError(
+        f"clip region must be Loop/PolygonRegion, got {type(region).__name__}"
+    )
+
+
 def clip_chord_length(
     verts: np.ndarray,
-    loop: LoopRegion,
+    loop: LoopRegion | PolygonRegion,
     quantum: float = DEFAULT_QUANTUM,
 ) -> tuple[int, int]:
-    """(n_crossings, inside_q) for one trail against one loop.
+    """(n_crossings, inside_q) for one trail against one region — a
+    single loop or a multi-ring polygon (holes via XOR parity,
+    s2/polygon.go:591-613): membership at the chain start comes from
+    the region's even-odd PIP and ANY ring-boundary crossing flips it,
+    so the identical parity accumulation covers both cases with the
+    ring edges simply pooled.
 
     Pure-numpy kernel; every float expression mirrors the relational
     replay's association order (left-to-right dots, t = dac/(dac-dbc),
@@ -70,9 +85,9 @@ def clip_chord_length(
     """
     a = verts[:-1]
     b = verts[1:]
-    lv = loop.verts
-    c = lv
-    d = np.roll(lv, -1, axis=0)
+    rings = _rings_of(loop)
+    c = np.vstack(rings)
+    d = np.vstack([np.roll(rv, -1, axis=0) for rv in rings])
     # segment normals Ns = A x B, edge normals Ne = C x D
     nsx = a[:, 1] * b[:, 2] - a[:, 2] * b[:, 1]
     nsy = a[:, 2] * b[:, 0] - a[:, 0] * b[:, 2]
@@ -139,9 +154,9 @@ def clip_length_join(
                     raise TypeError(
                         f"clip side a must be polylines, got {type(tr).__name__}"
                     )
-                if not isinstance(lp, LoopRegion):
+                if not isinstance(lp, (LoopRegion, PolygonRegion)):
                     raise TypeError(
-                        f"clip side b must be loops, got {type(lp).__name__}"
+                        f"clip side b must be loops/polygons, got {type(lp).__name__}"
                     )
                 n_cross, q = clip_chord_length(tr.verts, lp, quantum)
                 if n_cross or q:

@@ -196,3 +196,78 @@ def test_join_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("MapInPandas") == 1
+
+
+def test_donut_transection():
+    """Trail through a donut (outer 20-degree ring, 7-degree hole):
+    4 crossings; inside chord-parameter length = 2*cos(40)*(tan20-tan7)
+    analytically (two symmetric annulus spans on a +-40-degree chord)."""
+    from geo_spark.kernel.regions import PolygonRegion
+
+    donut = PolygonRegion.from_loops(
+        [
+            regular_loop_vertices(0.0, 0.0, math.radians(20.0), 64),
+            regular_loop_vertices(0.0, 0.0, math.radians(7.0), 64),
+        ]
+    )
+    verts = np.stack([_ll(0.13, -40.0), _ll(-0.09, 40.0)])
+    n_cross, q = clip_chord_length(verts, donut)
+    assert n_cross == 4
+    want = 2.0 * math.cos(math.radians(40.0)) * (
+        math.tan(math.radians(20.0)) - math.tan(math.radians(7.0))
+    )
+    got = q / DEFAULT_QUANTUM
+    assert abs(got - want) < 0.02 * want
+    # a trail INSIDE the hole is outside the region
+    hole_pt = np.stack([_ll(0.5, -2.0), _ll(-0.5, 2.0)])
+    n2, q2 = clip_chord_length(hole_pt, donut)
+    assert n2 == 0 and q2 == 0
+
+
+def test_donut_parity_differential():
+    """The multi-ring parity accumulation agrees with the region's
+    even-odd PIP sampled at every chord sub-interval midpoint."""
+    from geo_spark.kernel.regions import PolygonRegion
+
+    rng = np.random.default_rng(11)
+    donut = PolygonRegion.from_loops(
+        [
+            regular_loop_vertices(15.0, 30.0, math.radians(40.0), 12),
+            regular_loop_vertices(17.0, 33.0, math.radians(15.0), 10),
+        ]
+    )
+    c = np.vstack([lp.verts for lp in donut.loops])
+    d = np.vstack([np.roll(lp.verts, -1, axis=0) for lp in donut.loops])
+    for _ in range(25):
+        v = rng.normal(size=(4, 3))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        n_cross, q = clip_chord_length(v, donut)
+        a, b = v[:-1], v[1:]
+        inside = bool(donut.contains_point(v[0]))
+        total = 0.0
+        cnt = 0
+        for s in range(3):
+            ns = np.cross(a[s], b[s])
+            ne = np.cross(c, d)
+            acb = -(ns @ c.T)
+            bda = ns @ d.T
+            dac = ne @ a[s]
+            dbc = ne @ b[s]
+            hit = (acb * bda > 0) & (acb * (-dbc) > 0) & (acb * dac > 0)
+            ts = np.sort(dac[hit] / (dac[hit] - dbc[hit]))
+            seglen = float(np.linalg.norm(b[s] - a[s]))
+            cuts = [0.0] + [float(t) for t in ts] + [1.0]
+            cur = inside
+            for i in range(len(cuts) - 1):
+                mid = 0.5 * (cuts[i] + cuts[i + 1])
+                p = a[s] + mid * (b[s] - a[s])
+                p = p / np.linalg.norm(p)
+                assert donut.contains_point(p) == cur
+                if cur:
+                    total += (cuts[i + 1] - cuts[i]) * seglen
+                if i < len(cuts) - 2:
+                    cur = not cur
+            cnt += len(ts)
+            inside = cur
+        assert cnt == n_cross
+        assert abs(q / DEFAULT_QUANTUM - total) < 1e-9 * max(1.0, total)
