@@ -271,3 +271,21 @@ def test_donut_parity_differential():
             inside = cur
         assert cnt == n_cross
         assert abs(q / DEFAULT_QUANTUM - total) < 1e-9 * max(1.0, total)
+
+
+def test_polar_cap_transection():
+    """Trail over the north pole through a polar cap: 2 crossings, and
+    the full RectBounder/PIP polar machinery agrees with the parity
+    accumulation (the cap's rect bound spans all longitudes)."""
+    loop = LoopRegion.from_vertices(
+        regular_loop_vertices(90.0, 0.0, math.radians(10.0), 48)
+    )
+    verts = np.stack([_ll(70.0, 3.0), _ll(70.0, -177.0)])  # over the pole
+    n_cross, q = clip_chord_length(verts, loop)
+    assert n_cross == 2
+    assert q > 0
+    # both endpoints outside, midpoint (near the pole) inside
+    mid = verts[0] + 0.5 * (verts[1] - verts[0])
+    mid = mid / np.linalg.norm(mid)
+    assert loop.contains_point(mid)
+    assert not loop.contains_point(verts[0])
