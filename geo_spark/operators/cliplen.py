@@ -127,6 +127,17 @@ def clip_chord_length(
     return n_cross, total_q
 
 
+def _check_types(tr, lp) -> None:
+    if not isinstance(tr, PolylineRegion):
+        raise TypeError(
+            f"clip side a must be polylines, got {type(tr).__name__}"
+        )
+    if not isinstance(lp, (LoopRegion, PolygonRegion)):
+        raise TypeError(
+            f"clip side b must be loops/polygons, got {type(lp).__name__}"
+        )
+
+
 def clip_length_join(
     a: Layer,
     b: Layer,
@@ -135,39 +146,70 @@ def clip_length_join(
     """(aid, bid, n_crossings, inside_q) for every candidate pair with
     a nonzero overlap; non-candidates are provably disjoint (coverings
     are conservative) and pairs refining to zero are dropped, so the
-    output is exactly the overlapping pairs."""
-    if a.regions is None or b.regions is None:
-        raise ValueError("clip_length_join requires closure-size layers")
-    cands = _pair_candidates(a, b)
-    a_regions = a.regions
-    b_regions = b.regions
+    output is exactly the overlapping pairs.
 
-    def fn(batches):
+    Tiers: with a closure-size trail layer the refine is a
+    shuffle-free mapInPandas over candidate pairs.  A corpus-sized
+    trail side (``a.regions is None``, > Layer.MAX_CLOSURE_GEOMS)
+    takes the BLOB-JOIN tier instead — candidate pairs equi-join the
+    trail blob table on aid and the same per-pair kernel runs
+    batch-locally with an LRU-ish unpickle cache (the
+    spatial_join._refine fallback pattern; no per-geometry keyed
+    shuffle, no geometry ever grouped to one task).  The REGION side
+    stays a closure dimension table — admin/zone layers are
+    thousands, not billions."""
+    if b.regions is None:
+        raise ValueError(
+            "clip_length_join: region side must be a closure-size "
+            "dimension layer (<= Layer.MAX_CLOSURE_GEOMS geometries)"
+        )
+    cands = _pair_candidates(a, b)
+    b_regions = b.regions
+    out_schema = "aid long, bid long, n_crossings long, inside_q long"
+    cols = ["aid", "bid", "n_crossings", "inside_q"]
+    dtypes = {c: "int64" for c in cols}
+
+    if a.regions is not None:
+        a_regions = a.regions
+
+        def fn(batches):
+            for pdf in batches:
+                rows = []
+                for aid, bid in zip(
+                    pdf["aid"].to_numpy(), pdf["bid"].to_numpy()
+                ):
+                    tr = a_regions[int(aid)]
+                    lp = b_regions[int(bid)]
+                    _check_types(tr, lp)
+                    n_cross, q = clip_chord_length(tr.verts, lp, quantum)
+                    if n_cross or q:
+                        rows.append((int(aid), int(bid), n_cross, q))
+                yield pd.DataFrame(rows, columns=cols).astype(dtypes)
+
+        return cands.mapInPandas(fn, out_schema)
+
+    # distributed tier: trail geometries ride the rows, not the closure
+    from pyspark.sql import functions as F
+
+    from geo_spark.operators.spatial_join import _cached_region
+
+    joined = cands.join(
+        a.geoms.select(F.col("geom_id").alias("aid"), "blob"), "aid"
+    )
+
+    def fn_blob(batches):
+        cache: dict = {}
         for pdf in batches:
             rows = []
-            for aid, bid in zip(
-                pdf["aid"].to_numpy(), pdf["bid"].to_numpy()
+            for aid, bid, blob in zip(
+                pdf["aid"].to_numpy(), pdf["bid"].to_numpy(), pdf["blob"]
             ):
-                tr = a_regions[int(aid)]
+                tr = _cached_region(cache, int(aid), blob)
                 lp = b_regions[int(bid)]
-                if not isinstance(tr, PolylineRegion):
-                    raise TypeError(
-                        f"clip side a must be polylines, got {type(tr).__name__}"
-                    )
-                if not isinstance(lp, (LoopRegion, PolygonRegion)):
-                    raise TypeError(
-                        f"clip side b must be loops/polygons, got {type(lp).__name__}"
-                    )
+                _check_types(tr, lp)
                 n_cross, q = clip_chord_length(tr.verts, lp, quantum)
                 if n_cross or q:
                     rows.append((int(aid), int(bid), n_cross, q))
-            yield pd.DataFrame(
-                rows,
-                columns=["aid", "bid", "n_crossings", "inside_q"],
-            ).astype(
-                {"aid": "int64", "bid": "int64", "n_crossings": "int64", "inside_q": "int64"}
-            )
+            yield pd.DataFrame(rows, columns=cols).astype(dtypes)
 
-    return cands.mapInPandas(
-        fn, "aid long, bid long, n_crossings long, inside_q long"
-    )
+    return joined.mapInPandas(fn_blob, out_schema)

@@ -289,3 +289,61 @@ def test_polar_cap_transection():
     mid = mid / np.linalg.norm(mid)
     assert loop.contains_point(mid)
     assert not loop.contains_point(verts[0])
+
+
+def test_blob_tier_equals_closure_tier(spark):
+    """Forcing the trail layer above the closure ceiling must route
+    through the blob-join tier and produce identical results."""
+    from geo_spark.operators import spatial_join as sj
+    from geo_spark.operators.spatial_join import build_layer
+
+    rng = np.random.default_rng(23)
+    trails = []
+    for gid in range(12):
+        v = rng.normal(size=(5, 3))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        trails.append((gid, PolylineRegion.from_vertices(v)))
+    loops = [
+        (
+            0,
+            LoopRegion.from_vertices(
+                regular_loop_vertices(20.0, 50.0, math.radians(40.0), 10)
+            ),
+        ),
+        (
+            1,
+            LoopRegion.from_vertices(
+                regular_loop_vertices(-10.0, -120.0, math.radians(30.0), 10)
+            ),
+        ),
+    ]
+    b = build_layer(spark, loops, max_cells=12)
+    a_closure = build_layer(spark, trails, max_cells=8, interior=False)
+    # same layer above the closure ceiling: regions dropped, blobs kept
+    a_blob = sj.Layer(
+        a_closure.geoms,
+        a_closure.covering,
+        a_closure.levels,
+        None,
+        covering_rows=a_closure.covering_rows,
+        n_geoms=a_closure.n_geoms,
+    )
+    assert a_blob.regions is None  # -> blob tier
+    want = {
+        (r["aid"], r["bid"]): (r["n_crossings"], r["inside_q"])
+        for r in clip_length_join(a_closure, b).collect()
+    }
+    got = {
+        (r["aid"], r["bid"]): (r["n_crossings"], r["inside_q"])
+        for r in clip_length_join(a_blob, b).collect()
+    }
+    assert got == want and len(got) > 0
+    # plan: candidate-blob equi-join, still no cartesian
+    plan = (
+        clip_length_join(a_blob, b)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
