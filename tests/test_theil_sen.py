@@ -69,3 +69,21 @@ def test_plan_is_native(spark):
     )
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_randomized_differential(spark):
+    """Seeded random tile/day/count tables vs the pure-python
+    reference — full (n_days, n_pairs, median) equality per tile."""
+    rng = np.random.default_rng(20260821)
+    tiles = {}
+    centers = [(5.0, 5.0), (50.0, 120.0), (-45.0, -60.0), (70.0, 179.0)]
+    for la, ln in centers:
+        nd = int(rng.integers(2, 9))
+        days = sorted(rng.choice(40, size=nd, replace=False).tolist())
+        tiles[(la, ln)] = {int(d): int(rng.integers(1, 30)) for d in days}
+    got = {
+        r["qk"]: (r["n_days"], r["n_pairs"], r["slope_mu"])
+        for r in tile_theil_sen(_mk(spark, tiles), ZOOM).collect()
+    }
+    want = sorted(_ref(d) for d in tiles.values())
+    assert sorted(got.values()) == want
