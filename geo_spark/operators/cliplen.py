@@ -66,6 +66,81 @@ def _rings_of(region) -> list[np.ndarray]:
     )
 
 
+def _segment_crossings(verts: np.ndarray, rings: list) -> tuple:
+    """Shared crossing machinery: per segment, the sorted chord-plane
+    crossing parameters against the pooled ring edges (SimpleCrossing
+    sign pattern).  Returns (a, b, per_seg_ts)."""
+    a = verts[:-1]
+    b = verts[1:]
+    c = np.vstack(rings)
+    d = np.vstack([np.roll(rv, -1, axis=0) for rv in rings])
+    nsx = a[:, 1] * b[:, 2] - a[:, 2] * b[:, 1]
+    nsy = a[:, 2] * b[:, 0] - a[:, 0] * b[:, 2]
+    nsz = a[:, 0] * b[:, 1] - a[:, 1] * b[:, 0]
+    nex = c[:, 1] * d[:, 2] - c[:, 2] * d[:, 1]
+    ney = c[:, 2] * d[:, 0] - c[:, 0] * d[:, 2]
+    nez = c[:, 0] * d[:, 1] - c[:, 1] * d[:, 0]
+    acb = -((nsx[:, None] * c[:, 0] + nsy[:, None] * c[:, 1]) + nsz[:, None] * c[:, 2])
+    bda = (nsx[:, None] * d[:, 0] + nsy[:, None] * d[:, 1]) + nsz[:, None] * d[:, 2]
+    dac = (nex[None, :] * a[:, 0:1] + ney[None, :] * a[:, 1:2]) + nez[None, :] * a[:, 2:3]
+    dbc = (nex[None, :] * b[:, 0:1] + ney[None, :] * b[:, 1:2]) + nez[None, :] * b[:, 2:3]
+    crossing = (acb * bda > 0) & (acb * (-dbc) > 0) & (acb * dac > 0)
+    per_seg = []
+    for s in range(a.shape[0]):
+        hits = np.where(crossing[s])[0]
+        if hits.size:
+            per_seg.append(np.sort(dac[s, hits] / (dac[s, hits] - dbc[s, hits])))
+        else:
+            per_seg.append(np.empty(0))
+    return a, b, per_seg
+
+
+def _arc_angle(p: np.ndarray, q: np.ndarray) -> float:
+    """Stable angle between unit-ish vectors (atan2 of cross/dot)."""
+    cr = np.cross(p, q)
+    return float(
+        math.atan2(math.sqrt(float(cr @ cr)), float(p @ q))
+    )
+
+
+def clip_arc_length(
+    verts: np.ndarray,
+    loop: LoopRegion | PolygonRegion,
+) -> tuple[int, float]:
+    """(n_crossings, inside_rad): GEODESIC arc length (radians — the
+    reference Polyline.Length units, s2/polyline.go) of the trail
+    portions inside the region.  Same crossing/parity machinery as the
+    chord measure; each inside chord sub-interval [t_i, t_j] maps to
+    the arc between the radial projections of its endpoints and
+    contributes angle(P(t_i), P(t_j)).  Sub-arc angles are additive
+    along a great-circle segment, so the inside/outside split is
+    exact up to float rounding (no SQL twin — atan2 is outside the
+    replayable-op set; pytest certifies via dense-PIP integration
+    differentials instead, tests/test_cliplen.py)."""
+    rings = _rings_of(loop)
+    a, b, per_seg = _segment_crossings(verts, rings)
+    inside = bool(loop.contains_point(verts[0]))
+    total = 0.0
+    n_cross = 0
+    for s in range(a.shape[0]):
+        ts = per_seg[s]
+        cuts = [0.0] + [float(t) for t in ts] + [1.0]
+        cur = inside
+        for i in range(len(cuts) - 1):
+            if cur:
+                p = a[s] + cuts[i] * (b[s] - a[s])
+                q = a[s] + cuts[i + 1] * (b[s] - a[s])
+                p = p / np.linalg.norm(p)
+                q = q / np.linalg.norm(q)
+                total += _arc_angle(p, q)
+            if i < len(cuts) - 2:
+                cur = not cur
+        n_cross += len(ts)
+        # cur ends on the last interval's state = segment-end insideness
+        inside = cur
+    return n_cross, total
+
+
 def clip_chord_length(
     verts: np.ndarray,
     loop: LoopRegion | PolygonRegion,
@@ -83,25 +158,8 @@ def clip_chord_length(
     ((coef*t)*seglen)*quantum) so the two engines agree bitwise on
     bit-identical inputs.
     """
-    a = verts[:-1]
-    b = verts[1:]
     rings = _rings_of(loop)
-    c = np.vstack(rings)
-    d = np.vstack([np.roll(rv, -1, axis=0) for rv in rings])
-    # segment normals Ns = A x B, edge normals Ne = C x D
-    nsx = a[:, 1] * b[:, 2] - a[:, 2] * b[:, 1]
-    nsy = a[:, 2] * b[:, 0] - a[:, 0] * b[:, 2]
-    nsz = a[:, 0] * b[:, 1] - a[:, 1] * b[:, 0]
-    nex = c[:, 1] * d[:, 2] - c[:, 2] * d[:, 1]
-    ney = c[:, 2] * d[:, 0] - c[:, 0] * d[:, 2]
-    nez = c[:, 0] * d[:, 1] - c[:, 1] * d[:, 0]
-    # SimpleCrossing sign pattern (S x E)
-    acb = -((nsx[:, None] * c[:, 0] + nsy[:, None] * c[:, 1]) + nsz[:, None] * c[:, 2])
-    bda = (nsx[:, None] * d[:, 0] + nsy[:, None] * d[:, 1]) + nsz[:, None] * d[:, 2]
-    dac = (nex[None, :] * a[:, 0:1] + ney[None, :] * a[:, 1:2]) + nez[None, :] * a[:, 2:3]
-    dbc = (nex[None, :] * b[:, 0:1] + ney[None, :] * b[:, 1:2]) + nez[None, :] * b[:, 2:3]
-    cbd = -dbc
-    crossing = (acb * bda > 0) & (acb * cbd > 0) & (acb * dac > 0)
+    a, b, per_seg = _segment_crossings(verts, rings)
     dx = b[:, 0] - a[:, 0]
     dy = b[:, 1] - a[:, 1]
     dz = b[:, 2] - a[:, 2]
@@ -111,15 +169,13 @@ def clip_chord_length(
     n_cross = 0
     before = 0
     for s in range(a.shape[0]):
-        hits = np.where(crossing[s])[0]
-        m = int(hits.size)
+        ts = per_seg[s]
+        m = int(ts.size)
         sl = float(seglen[s])
         i0 = (inside0 + before) % 2
-        if m:
-            ts = np.sort(dac[s, hits] / (dac[s, hits] - dbc[s, hits]))
-            for rn in range(1, m + 1):
-                coef = 1.0 if (i0 + rn - 1) % 2 == 1 else -1.0
-                total_q += math.floor(((coef * float(ts[rn - 1])) * sl) * quantum)
+        for rn in range(1, m + 1):
+            coef = 1.0 if (i0 + rn - 1) % 2 == 1 else -1.0
+            total_q += math.floor(((coef * float(ts[rn - 1])) * sl) * quantum)
         if (i0 + m) % 2 == 1:
             total_q += math.floor(sl * quantum)
         n_cross += m
@@ -142,6 +198,7 @@ def clip_length_join(
     a: Layer,
     b: Layer,
     quantum: float = DEFAULT_QUANTUM,
+    measure: str = "chord",
 ) -> DataFrame:
     """(aid, bid, n_crossings, inside_q) for every candidate pair with
     a nonzero overlap; non-candidates are provably disjoint (coverings
@@ -163,11 +220,24 @@ def clip_length_join(
             "clip_length_join: region side must be a closure-size "
             "dimension layer (<= Layer.MAX_CLOSURE_GEOMS geometries)"
         )
+    if measure not in ("chord", "arc"):
+        raise ValueError(f"measure must be 'chord' or 'arc', got {measure!r}")
     cands = _pair_candidates(a, b)
     b_regions = b.regions
-    out_schema = "aid long, bid long, n_crossings long, inside_q long"
-    cols = ["aid", "bid", "n_crossings", "inside_q"]
-    dtypes = {c: "int64" for c in cols}
+    if measure == "chord":
+        out_schema = "aid long, bid long, n_crossings long, inside_q long"
+        cols = ["aid", "bid", "n_crossings", "inside_q"]
+        dtypes = {"aid": "int64", "bid": "int64", "n_crossings": "int64",
+                  "inside_q": "int64"}
+
+        def kern(verts, lp):
+            return clip_chord_length(verts, lp, quantum)
+    else:
+        out_schema = "aid long, bid long, n_crossings long, inside_rad double"
+        cols = ["aid", "bid", "n_crossings", "inside_rad"]
+        dtypes = {"aid": "int64", "bid": "int64", "n_crossings": "int64",
+                  "inside_rad": "float64"}
+        kern = clip_arc_length
 
     if a.regions is not None:
         a_regions = a.regions
@@ -181,7 +251,7 @@ def clip_length_join(
                     tr = a_regions[int(aid)]
                     lp = b_regions[int(bid)]
                     _check_types(tr, lp)
-                    n_cross, q = clip_chord_length(tr.verts, lp, quantum)
+                    n_cross, q = kern(tr.verts, lp)
                     if n_cross or q:
                         rows.append((int(aid), int(bid), n_cross, q))
                 yield pd.DataFrame(rows, columns=cols).astype(dtypes)
@@ -207,7 +277,7 @@ def clip_length_join(
                 tr = _cached_region(cache, int(aid), blob)
                 lp = b_regions[int(bid)]
                 _check_types(tr, lp)
-                n_cross, q = clip_chord_length(tr.verts, lp, quantum)
+                n_cross, q = kern(tr.verts, lp)
                 if n_cross or q:
                     rows.append((int(aid), int(bid), n_cross, q))
             yield pd.DataFrame(rows, columns=cols).astype(dtypes)

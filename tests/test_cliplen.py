@@ -347,3 +347,93 @@ def test_blob_tier_equals_closure_tier(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_arc_length_analytic_cases():
+    """Arc measure reports the intuitive geodesic spans: ~2*5 degrees
+    through the cap, ~2*(20-7) degrees through the donut annulus."""
+    from geo_spark.operators.cliplen import clip_arc_length
+
+    cap = LoopRegion.from_vertices(
+        regular_loop_vertices(0.0, 0.0, math.radians(5.0), 64)
+    )
+    verts = np.stack([_ll(0.17, -30.0), _ll(-0.11, 30.0)])
+    n, rad = clip_arc_length(verts, cap)
+    assert n == 2
+    assert abs(rad - 2 * math.radians(5.0)) < 0.02 * rad
+
+    from geo_spark.kernel.regions import PolygonRegion
+
+    donut = PolygonRegion.from_loops(
+        [
+            regular_loop_vertices(0.0, 0.0, math.radians(20.0), 64),
+            regular_loop_vertices(0.0, 0.0, math.radians(7.0), 64),
+        ]
+    )
+    verts = np.stack([_ll(0.13, -40.0), _ll(-0.09, 40.0)])
+    n, rad = clip_arc_length(verts, donut)
+    assert n == 4
+    want = 2 * (math.radians(20.0) - math.radians(7.0))
+    assert abs(rad - want) < 0.02 * want
+
+
+def test_arc_complement_conservation():
+    """inside(loop) + inside(reversed loop) == total trail arc length:
+    a reversed loop is the exact complement region, crossings are
+    orientation-independent, so the two arc measures partition every
+    segment."""
+    from geo_spark.operators.cliplen import _arc_angle, clip_arc_length
+
+    rng = np.random.default_rng(5)
+    for _ in range(15):
+        v = rng.normal(size=(5, 3))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        loop = LoopRegion.from_vertices(
+            regular_loop_vertices(
+                float(rng.uniform(-60, 60)),
+                float(rng.uniform(-180, 180)),
+                math.radians(float(rng.uniform(10, 50))),
+                12,
+            )
+        )
+        comp = LoopRegion.from_vertices(loop.verts[::-1].copy())
+        n1, r1 = clip_arc_length(v, loop)
+        n2, r2 = clip_arc_length(v, comp)
+        total = sum(_arc_angle(v[i], v[i + 1]) for i in range(4))
+        assert n1 == n2
+        assert abs((r1 + r2) - total) < 1e-9
+
+
+def test_arc_join_mode(spark):
+    from geo_spark.operators.cliplen import clip_arc_length
+    from geo_spark.operators.spatial_join import build_layer
+
+    rng = np.random.default_rng(9)
+    trails = []
+    for gid in range(10):
+        v = rng.normal(size=(4, 3))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        trails.append((gid, PolylineRegion.from_vertices(v)))
+    loops = [
+        (
+            0,
+            LoopRegion.from_vertices(
+                regular_loop_vertices(5.0, 5.0, math.radians(45.0), 10)
+            ),
+        )
+    ]
+    a = build_layer(spark, trails, max_cells=8, interior=False)
+    b = build_layer(spark, loops, max_cells=12)
+    got = {
+        (r["aid"], r["bid"]): (r["n_crossings"], r["inside_rad"])
+        for r in clip_length_join(a, b, measure="arc").collect()
+    }
+    want = {}
+    for gid, tr in trails:
+        n, rad = clip_arc_length(tr.verts, loops[0][1])
+        if n or rad:
+            want[(gid, 0)] = (n, rad)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) < 1e-12
