@@ -6087,6 +6087,91 @@ def _oracle_tile_trend() -> str:
     """
 
 
+def _q_tile_trend_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sen's slope with its rank-based confidence band per tile
+    (operators/tiling.tile_theil_sen_band; Sen 1968 / Gilbert 1987
+    rule under exact-integer floors): pairwise milli-slopes, lower
+    median, and the (lo, hi) rank pair at C = floor(z*sqrt(W/18))
+    computed via an engine-portable integer sqrt (float sqrt + one-
+    step fix-up).  The DuckDB twin re-derives tiles, daily counts,
+    every slope, the Kendall radicand, the isqrt fix-up, and both
+    band ranks from first principles."""
+    from geo_spark.operators.geo_noise import with_geo_noise, with_time_noise
+    from geo_spark.operators.tiling import tile_theil_sen_band
+
+    ev = with_time_noise(
+        with_geo_noise(_t(spark, sf_dir, "events"), "event_id"), "event_id"
+    )
+    return tile_theil_sen_band(ev, _TS_ZOOM).orderBy("qk")
+
+
+def _oracle_tile_trend_band() -> str:
+    from geo_spark.functions.webgrid import mercator_xy_sql, quadkey_sql_text
+    from geo_spark.operators.geo_noise import LAT_SQL, LNG_SQL, TS_US_SQL
+
+    lat = LAT_SQL.format(id="event_id")
+    lng = LNG_SQL.format(id="event_id")
+    ts = TS_US_SQL.format(id="event_id")
+    x, y = mercator_xy_sql("lat", "lng", _TS_ZOOM)
+    qk = quadkey_sql_text("tx", "ty", _TS_ZOOM)
+    k = 10**9
+    z2_18 = 18 * 1960 * 1960
+    return f"""
+        WITH pts AS (SELECT {lat} AS lat, {lng} AS lng,
+                            ({ts}) // 86400000000 AS day
+                     FROM events),
+        t AS (SELECT day, {x} AS tx, {y} AS ty FROM pts),
+        q AS (SELECT day, {qk} AS qk FROM t),
+        daily AS (SELECT qk, day, COUNT(*) AS cnt FROM q GROUP BY qk, day),
+        pr AS (SELECT a.qk,
+                      ((b.cnt - a.cnt) * 1000 + {k} * (b.day - a.day))
+                        // (b.day - a.day) - {k} AS slope_mu
+               FROM daily a JOIN daily b
+                 ON b.qk = a.qk AND b.day > a.day),
+        rk AS (SELECT qk, slope_mu,
+                      ROW_NUMBER() OVER (PARTITION BY qk
+                                         ORDER BY slope_mu) AS rn
+               FROM pr),
+        dd AS (SELECT qk, CAST(COUNT(*) AS BIGINT) AS n_days
+               FROM daily GROUP BY qk HAVING COUNT(*) >= 2),
+        m0 AS (SELECT qk, n_days,
+                      n_days * (n_days - 1) // 2 AS n_pairs,
+                      {z2_18} * n_days * (n_days - 1)
+                        * (2 * n_days + 5) AS x
+               FROM dd),
+        m1 AS (SELECT *, CAST(FLOOR(SQRT(CAST(x AS DOUBLE))) AS BIGINT)
+                         AS s0
+               FROM m0),
+        m2 AS (SELECT qk, n_days, n_pairs,
+                      CASE WHEN (s0 + 1) * (s0 + 1) <= x THEN s0 + 1
+                           WHEN s0 * s0 > x THEN s0 - 1
+                           ELSE s0 END AS s1
+               FROM m1),
+        meta AS (SELECT qk, n_days, n_pairs,
+                        s1 // 18 // 1000 AS c_alpha,
+                        GREATEST(1, (n_pairs - s1 // 18 // 1000) // 2)
+                          AS rlo,
+                        LEAST(n_pairs,
+                              (n_pairs + s1 // 18 // 1000) // 2 + 1)
+                          AS rhi,
+                        (n_pairs + 1) // 2 AS rmed
+                 FROM m2)
+        SELECT m.qk,
+               CAST(m.n_days AS BIGINT) AS n_days,
+               CAST(m.n_pairs AS BIGINT) AS n_pairs,
+               CAST(m.c_alpha AS BIGINT) AS c_alpha,
+               CAST(MAX(CASE WHEN r.rn = m.rlo THEN r.slope_mu END)
+                    AS BIGINT) AS lo_mu,
+               CAST(MAX(CASE WHEN r.rn = m.rmed THEN r.slope_mu END)
+                    AS BIGINT) AS slope_mu,
+               CAST(MAX(CASE WHEN r.rn = m.rhi THEN r.slope_mu END)
+                    AS BIGINT) AS hi_mu
+        FROM meta m JOIN rk r ON r.qk = m.qk
+        GROUP BY m.qk, m.n_days, m.n_pairs, m.c_alpha
+        ORDER BY m.qk
+    """
+
+
 def _q_source_geo_focus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-SOURCE geographic focus — the full webtext->geo editorial
     profile: every document's resolved toponym mentions land on their
@@ -6346,7 +6431,7 @@ def _oracle_zorder_layout() -> str:
                            AND 1 PRECEDING), 0) AS bef
                 FROM hist),
         pid AS (SELECT zkey, cnt,
-                       (bef * {_ZL_PARTS}) // n AS part_id
+                       CAST((bef * {_ZL_PARTS}) // n AS BIGINT) AS part_id
                 FROM cum, tot)
         SELECT part_id, CAST(SUM(cnt) AS BIGINT) AS n_rows,
                CAST(COUNT(*) AS BIGINT) AS n_keys,
@@ -8055,7 +8140,7 @@ def _oracle_tile_flood() -> str:
 _MORAN_Z = 6
 
 
-def _q_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_tile_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global Moran's I spatial autocorrelation
     (operators/tiling.py:morans_i) over per-tile event counts at
     mercator z=6 with queen weights — the one-number answer to "is
@@ -8077,7 +8162,7 @@ def _q_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
     return morans_i(occ, _MORAN_Z)
 
 
-def _oracle_morans_i() -> str:
+def _oracle_tile_morans_i() -> str:
     from geo_spark.functions.webgrid import mercator_xy_sql
     from geo_spark.operators.geo_noise import LAT_SQL, LNG_SQL
 
@@ -8603,7 +8688,7 @@ def _oracle_funnel_trigrams() -> str:
     """
 
 
-def _q_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_grid_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid-based stay-point extraction
     (operators/sessionize.py:stay_points): per-user maximal same-tile
     runs with dwell >= 6h.  Oracle replays tile digits + lag/run-sum
@@ -8619,7 +8704,7 @@ def _q_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "stay_idx")
 
 
-def _oracle_stay_points() -> str:
+def _oracle_grid_stay_points() -> str:
     from geo_spark.functions.webgrid import mercator_xy_sql, quadkey_sql_text
     from geo_spark.operators.geo_noise import LAT_SQL, LNG_SQL, TS_US_SQL
 
@@ -15801,7 +15886,7 @@ def _oracle_stay_points() -> str:
                  CAST(SUM(ulng) AS BIGINT) AS slng
           FROM segd GROUP BY traj, seg
         )
-        SELECT traj, seg, n_pings, t_start, t_end,
+        SELECT traj, CAST(seg AS BIGINT) AS seg, n_pings, t_start, t_end,
                t_end - t_start AS dwell_s,
                {clat} AS lat, {clng} AS lng
         FROM grp
@@ -15936,13 +16021,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_markov_transitions": _q_markov_transitions,
         "q_trending_tiles": _q_trending_tiles,
         "q_tile_anomalies": _q_tile_anomalies,
-        "q_stay_points": _q_stay_points,
+        "q_grid_stay_points": _q_grid_stay_points,
         "q_pca_projections": _q_pca_projections,
         "q_pca_second": _q_pca_second,
         "q_pca_outliers": _q_pca_outliers,
         "q_geofence_crossings": _q_geofence_crossings,
         "q_tile_flood": _q_tile_flood,
-        "q_morans_i": _q_morans_i,
+        "q_tile_morans_i": _q_tile_morans_i,
         "q_local_morans": _q_local_morans,
         "q_type_colocation": _q_type_colocation,
         "q_tile_contours": _q_tile_contours,
@@ -16001,6 +16086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_donut_route_length": _q_donut_route_length,
         "q_source_geo_focus": _q_source_geo_focus,
         "q_tile_trend": _q_tile_trend,
+        "q_tile_trend_band": _q_tile_trend_band,
         "q_tile_kde": _q_tile_kde,
         "q_reverse_geocode": _q_reverse_geocode,
         "q_zone_transitions": _q_zone_transitions,
@@ -16174,6 +16260,7 @@ def oracle_sql() -> dict[str, str]:
         "q_donut_route_length": _oracle_donut_route_length(),
         "q_source_geo_focus": _oracle_source_geo_focus(),
         "q_tile_trend": _oracle_tile_trend(),
+        "q_tile_trend_band": _oracle_tile_trend_band(),
         "q_tile_kde": _oracle_tile_kde(),
         "q_reverse_geocode": _oracle_reverse_geocode(),
         "q_zone_transitions": _oracle_zone_transitions(),
@@ -16198,13 +16285,13 @@ def oracle_sql() -> dict[str, str]:
         "q_markov_transitions": _oracle_markov_transitions(),
         "q_trending_tiles": _oracle_trending_tiles(),
         "q_tile_anomalies": _oracle_tile_anomalies(),
-        "q_stay_points": _oracle_stay_points(),
+        "q_grid_stay_points": _oracle_grid_stay_points(),
         "q_pca_projections": _oracle_pca_projections(),
         "q_pca_second": _oracle_pca_second(),
         "q_pca_outliers": _oracle_pca_outliers(),
         "q_geofence_crossings": _oracle_geofence_crossings(),
         "q_tile_flood": _oracle_tile_flood(),
-        "q_morans_i": _oracle_morans_i(),
+        "q_tile_morans_i": _oracle_tile_morans_i(),
         "q_local_morans": _oracle_local_morans(),
         "q_type_colocation": _oracle_type_colocation(),
         "q_tile_contours": _oracle_tile_contours(),

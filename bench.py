@@ -71,6 +71,24 @@ HEADLINE_QUERIES = [
 ]
 
 
+def throttle_probe(n: int = 4096) -> float:
+    """Canonical VM-health probe (VERDICT r4 task 4): one float64
+    ``n x n`` matmul, timed after a small warm-up.  On this sandbox a
+    healthy window reads ~0.5-0.8 s; >1.5 s means the shared VM is
+    throttled and wall-clock numbers from that window are suspect
+    (BASELINE.md §5).  Emitted in the bench JSON as ``probe_s`` so
+    BENCH_r{N}.json is interpretable without PLANS.md."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((512, 512))
+    w @ w  # warm BLAS / fault code pages
+    a = rng.standard_normal((n, n))
+    t0 = time.monotonic()
+    a @ a
+    return round(time.monotonic() - t0, 3)
+
+
 def bench_session(cpus: int, master: str | None = None):
     """Bench session: task sizing scaled to the small fixture so the
     parallelism profile matches the 100 TB deployment (there, default
@@ -265,7 +283,9 @@ def main() -> None:
 
     spark = bench_session(cpus)
 
+    probes: dict[str, float] = {"start": throttle_probe()}
     timings: dict[str, float] = {}
+    raw_runs: dict[str, list] = {}
     pages_path = materialize_pages(spark, n_pages, cpus)
 
     # Warm-up: Python-worker imports + JIT are per-deployment costs, not
@@ -284,6 +304,7 @@ def main() -> None:
     dt = min(flagship_runs)
     timings["pages_pipeline"] = round(dt, 3)
     pages_per_sec = round(n_pages / dt, 1)
+    probes["post_flagship"] = throttle_probe()
 
     t0 = time.monotonic()
     layer = build_city_layer(spark)
@@ -337,6 +358,7 @@ def main() -> None:
     # first executions).
     for name in HEADLINE_QUERIES:
         best = None
+        runs = []
         for attempt in range(2):
             t0 = time.monotonic()
             if name == "q_knn_ring_events":
@@ -345,12 +367,15 @@ def main() -> None:
             else:
                 queries[name](spark, sf_dir).count()
             dt = time.monotonic() - t0
+            runs.append(round(dt, 3))
             if best is None or dt < best:
                 best = dt
                 if name == "q_knn_ring_events":
                     ring_stats = stats
         timings[name] = round(best, 3)
+        raw_runs[name] = runs
 
+    probes["end"] = throttle_probe()
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -369,6 +394,11 @@ def main() -> None:
                 "knn_tier": knn_tier,
                 "knn_ring_rounds": ring_stats,
                 "cpus": cpus,
+                # VM-health attribution (VERDICT r4 task 4): matmul probe
+                # at start / after flagship / at end.  Healthy ~0.5-0.8s;
+                # >1.5s = throttled window, wall-clock numbers suspect.
+                "probe_s": probes,
+                "query_runs": raw_runs,
             }
         )
     )

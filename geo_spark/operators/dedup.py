@@ -708,6 +708,25 @@ def simhash_pairs(
     )
 
 
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Best-effort release of a RETIRED ``localCheckpoint``'s storage
+    blocks (ADVICE r4: each large/small-star round checkpoints a new
+    edge table, and without an explicit release every prior round's
+    blocks stay persisted until session end — up to ``max_iter`` copies
+    of the edge table pressuring executor storage).  ``DataFrame
+    .unpersist`` cannot do it (the data hangs off the internal
+    checkpointed RDD, not the cache manager), so this reaches the
+    ``LogicalRDD``'s RDD directly; guarded no-op when ``df`` is not a
+    plain checkpoint scan.  Only ever call on a table no consumer will
+    touch again — a freed localCheckpoint cannot be recomputed."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def dedup_clusters(
     pairs: DataFrame,
     docs: DataFrame | None = None,
@@ -740,27 +759,28 @@ def dedup_clusters(
     the banded spatial join feeding geo_dbscan).
 
     Returns (key, rep).  With ``docs`` given, singleton documents (in
-    no pair) appear with rep = self.
+    no pair) appear with rep = self.  A doc whose only pair is a
+    SELF-pair (da == db) is a node too and labels rep = self even
+    without ``docs`` (ADVICE r4: the da != db edge filter must not
+    drop it from the node set).
     """
-    e0 = pairs.select(F.col("da").alias("u"), F.col("db").alias("v")).where(
-        F.col("da") != F.col("db")
-    )
-    # canonical undirected edges (u < v); materialize + truncate the
-    # (possibly huge) upstream pair plan once
-    edges = (
-        e0.select(
-            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+    # canonical (u <= v) distinct pairs, SELF-pairs retained; one
+    # materialization truncates the (possibly huge) upstream pair plan,
+    # and both the node set and the edge set derive from it
+    base = (
+        pairs.select(
+            F.least("da", "db").alias("u"), F.greatest("da", "db").alias("v")
         )
         .distinct()
         .localCheckpoint()
     )
-    # nodes derive from the checkpointed edge table — short plan, no
-    # extra materialization needed
+    # nodes from the UNFILTERED ids so self-paired docs stay labeled
     nodes = (
-        edges.select(F.col("u").alias("id"))
-        .union(edges.select(F.col("v").alias("id")))
+        base.select(F.col("u").alias("id"))
+        .union(base.select(F.col("v").alias("id")))
         .distinct()
     )
+    edges = base.where(F.col("u") != F.col("v"))
     n_edges = edges.count()
     converged = n_edges == 0
     for _ in range(max_iter):
@@ -810,6 +830,12 @@ def dedup_clusters(
                 .count()
             )
             converged = diff == 0
+        # the old round's checkpoint has no remaining consumer (the
+        # fixpoint diff above was its last read) — release its blocks
+        # before the next round allocates more (round 1 holds a lazy
+        # filter over ``base``, where the guard no-ops; ``base`` itself
+        # must stay alive for ``nodes`` below)
+        _free_local_checkpoint(edges)
         edges = new_edges
         n_edges = n_new
     if not converged:

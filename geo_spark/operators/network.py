@@ -33,8 +33,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# MAX_EXP = 7 is the largest exponent whose packed site key fits int64:
+# max |key| = (180*10^e) * (360*10^e + 1) + 360*10^e  ->  ~6.5e18 at e=7,
+# ~6.5e20 at e=8 (past int64 max 9.22e18).  In non-ANSI Spark the long
+# arithmetic would wrap SILENTLY at e>=8, colliding site keys and
+# corrupting the junction graph, so the bound is a hard ValueError.
 MIN_EXP = 0
-MAX_EXP = 10
+MAX_EXP = 7
 
 
 def snap_site_cols(
@@ -44,7 +49,10 @@ def snap_site_cols(
     of kernel/builder.snap_latlng_e (round half away from zero),
     codegen-inlined so snapping never leaves the JVM."""
     if not MIN_EXP <= exponent <= MAX_EXP:
-        raise ValueError(f"exponent {exponent} out of [0, 10]")
+        raise ValueError(
+            f"exponent {exponent} out of [{MIN_EXP}, {MAX_EXP}] "
+            "(site keys overflow int64 beyond E7)"
+        )
     s = float(10**exponent)
 
     def rnd(v: Column) -> Column:
@@ -62,7 +70,13 @@ def site_key_col(ilat: Column, ilng: Column, exponent: int = 0) -> Column:
     """One BIGINT per site: (ilat + 90s) * (360s + 1) + (ilng + 180s)
     — collision-free over the valid E-coordinate ranges (lng in
     (-180, 180]; a wrapped -180 and 180 are distinct sites by design,
-    callers normalizing the antimeridian do so upstream)."""
+    callers normalizing the antimeridian do so upstream).  Injective
+    only while the key fits int64, i.e. exponent <= MAX_EXP=7."""
+    if not MIN_EXP <= exponent <= MAX_EXP:
+        raise ValueError(
+            f"exponent {exponent} out of [{MIN_EXP}, {MAX_EXP}] "
+            "(site keys overflow int64 beyond E7)"
+        )
     s = 10**exponent
     return (ilat + 90 * s) * (360 * s + 1) + (ilng + 180 * s)
 

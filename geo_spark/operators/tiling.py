@@ -852,3 +852,153 @@ def tile_theil_sen(
     return days.join(med, "qk").select(
         "qk", "n_days", "n_pairs", "slope_mu"
     )
+
+
+def tile_daily_counts(
+    events: DataFrame,
+    zoom: int = 4,
+    ts_us_col: str = "ts_us",
+    latlng: tuple[str, str] = ("lat", "lng"),
+) -> DataFrame:
+    """(qk, day, cnt): the per-tile daily count table every trend
+    estimator above consumes — factored out so the batch Theil-Sen
+    operators and the streaming twin (streaming/trend.py) share ONE
+    tiling + counting code path.  One map-side-combined shuffle."""
+    from geo_spark.functions.webgrid import quadkey_from_latlng
+
+    la, ln = latlng
+    qk = quadkey_from_latlng(F.col(la), F.col(ln), zoom)
+    day = F.expr(f"{ts_us_col} div 86400000000")
+    return (
+        events.select(qk.alias("qk"), day.alias("day"))
+        .groupBy("qk", "day")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def trend_band_from_daily(
+    daily: DataFrame,
+    k_shift: int = 10**9,
+    z_mu: int = 1960,
+) -> DataFrame:
+    """(qk, n_days, n_pairs, c_alpha, lo_mu, slope_mu, hi_mu): Sen's
+    slope with its rank-based confidence band (Sen 1968; Gilbert 1987
+    §16.4.1) over a (qk, day, cnt) daily table — every quantity an
+    exact BIGINT, replayable bit-for-bit on any engine.
+
+    Spec (all divisions floor over NON-NEGATIVE operands, so Spark
+    ``div`` and DuckDB ``//`` agree):
+
+    - slopes: the d(d-1)/2 pairwise milli-slopes of
+      :func:`tile_theil_sen` (same shifted-division rule, same
+      ``k_shift``); ``slope_mu`` is the exact lower median.
+    - Kendall variance without the /18 rounding: W = d(d-1)(2d+5),
+      so Var(S) = W/18 stays exact under the root:
+      ``C = isqrt(18 * z_mu^2 * W) div 18 div 1000``
+      == floor((z_mu/1000) * sqrt(W/18)) exactly, where isqrt is a
+      float sqrt with a +/-1 integer fix-up (exact while the radicand
+      < ~2^63, i.e. horizons to ~10 years of days at z_mu <= 3000 —
+      document horizons beyond that before raising them).
+    - band ranks over the ascending slope multiset (ties share a
+      value, so rank -> value is deterministic):
+      ``lo = s[max(1, (N - C) div 2)]``,
+      ``hi = s[min(N, (N + C) div 2 + 1)]`` (Gilbert's M1/M2+1 rule
+      under integer floors; the clamps absorb the small-N case where
+      C >= N and the band collapses to the extremes).
+
+    z_mu is the normal quantile in milli-units (1960 ~ 95%, 1645 ~
+    90%, 2576 ~ 99%).  Scale shape is the base estimator's: the pair
+    explosion is over the BOUNDED daily table; the per-tile meta
+    (d, N, C, ranks) is tile-sized and broadcast onto the ranked
+    slopes."""
+    a = daily.select(
+        "qk", F.col("day").alias("d1"), F.col("cnt").alias("c1")
+    )
+    b = daily.select(
+        "qk", F.col("day").alias("d2"), F.col("cnt").alias("c2")
+    )
+    pairs = a.join(b, "qk").where(F.col("d2") > F.col("d1"))
+    slope = pairs.select(
+        "qk",
+        F.expr(
+            f"(((c2 - c1) * 1000 + {k_shift} * (d2 - d1)) div (d2 - d1))"
+            f" - {k_shift}"
+        ).alias("slope_mu"),
+    )
+    z2_18 = 18 * z_mu * z_mu
+    meta = (
+        daily.groupBy("qk")
+        .agg(F.count(F.lit(1)).alias("n_days"))
+        .where(F.col("n_days") >= 2)
+        .selectExpr(
+            "qk",
+            "n_days",
+            "n_days * (n_days - 1) div 2 AS n_pairs",
+            f"{z2_18} * n_days * (n_days - 1) * (2 * n_days + 5) AS x",
+        )
+        .selectExpr(
+            "*", "CAST(FLOOR(SQRT(CAST(x AS DOUBLE))) AS BIGINT) AS s0"
+        )
+        .selectExpr(
+            "qk",
+            "n_days",
+            "n_pairs",
+            "CASE WHEN (s0 + 1) * (s0 + 1) <= x THEN s0 + 1 "
+            "     WHEN s0 * s0 > x THEN s0 - 1 ELSE s0 END AS s1",
+        )
+        .selectExpr(
+            "qk", "n_days", "n_pairs", "s1 div 18 div 1000 AS c_alpha"
+        )
+        .selectExpr(
+            "qk",
+            "n_days",
+            "n_pairs",
+            "c_alpha",
+            "greatest(1, (n_pairs - c_alpha) div 2) AS rlo",
+            "least(n_pairs, (n_pairs + c_alpha) div 2 + 1) AS rhi",
+            "(n_pairs + 1) div 2 AS rmed",
+        )
+    )
+    w = Window.partitionBy("qk").orderBy("slope_mu")
+    ranked = slope.select(
+        "qk", "slope_mu", F.row_number().over(w).alias("_rn")
+    )
+    return (
+        ranked.join(F.broadcast(meta), "qk")
+        .groupBy("qk")
+        .agg(
+            F.first("n_days").alias("n_days"),
+            F.first("n_pairs").alias("n_pairs"),
+            F.first("c_alpha").alias("c_alpha"),
+            F.max(
+                F.when(F.col("_rn") == F.col("rlo"), F.col("slope_mu"))
+            ).alias("lo_mu"),
+            F.max(
+                F.when(F.col("_rn") == F.col("rmed"), F.col("slope_mu"))
+            ).alias("slope_mu"),
+            F.max(
+                F.when(F.col("_rn") == F.col("rhi"), F.col("slope_mu"))
+            ).alias("hi_mu"),
+        )
+        .select(
+            "qk", "n_days", "n_pairs", "c_alpha", "lo_mu", "slope_mu", "hi_mu"
+        )
+    )
+
+
+def tile_theil_sen_band(
+    events: DataFrame,
+    zoom: int = 4,
+    ts_us_col: str = "ts_us",
+    latlng: tuple[str, str] = ("lat", "lng"),
+    k_shift: int = 10**9,
+    z_mu: int = 1960,
+) -> DataFrame:
+    """Batch entry: events -> daily counts -> Sen slope + confidence
+    band (see :func:`trend_band_from_daily` for the exact-integer
+    spec; :func:`tile_theil_sen` returns the point estimate alone)."""
+    return trend_band_from_daily(
+        tile_daily_counts(events, zoom, ts_us_col, latlng),
+        k_shift=k_shift,
+        z_mu=z_mu,
+    )

@@ -44,6 +44,26 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _dtype_kind(s: pd.Series) -> str:
+    """Coarse dtype class used by the driver's type-sensitive hash.
+
+    DuckDB HUGEINT window sums / integer division come back to pandas as
+    float64 or object while Spark emits int64 — equal values, different
+    hash.  Any int-vs-float / int-vs-object divergence is therefore a
+    gate failure even when values compare equal (VERDICT r4 items 1-2).
+    """
+    dt = s.dtype
+    if str(dt).startswith("datetime"):
+        return "datetime"
+    if pd.api.types.is_bool_dtype(dt):
+        return "bool"
+    if pd.api.types.is_integer_dtype(dt):
+        return "int"
+    if pd.api.types.is_float_dtype(dt):
+        return "float"
+    return "object"
+
+
 def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> bool:
     ok = True
     if len(spark_df) != len(oracle_df):
@@ -53,6 +73,14 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> bool:
     if sc != oc:
         print(f"  [{name}] SCHEMA mismatch: spark={sc} oracle={oc}")
         return False
+    for c in sc:
+        sk, okind = _dtype_kind(spark_df[c]), _dtype_kind(oracle_df[c])
+        if sk != okind and len(spark_df):
+            print(
+                f"  [{name}] DTYPE mismatch in column {c}: "
+                f"spark={spark_df[c].dtype}({sk}) oracle={oracle_df[c].dtype}({okind})"
+            )
+            ok = False
     if not ok:
         return False
     a, b = normalize(spark_df), normalize(oracle_df)

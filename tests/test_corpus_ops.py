@@ -340,6 +340,38 @@ class TestDedupClusters:
         assert all(r["rep"] == 0 for r in got)
         assert len(got) == n + 1
 
+    def test_self_pairs_survive_without_docs(self, spark):
+        """ADVICE r4: a doc whose ONLY pair is reflexive (da == db)
+        must still appear with rep = self when docs=None — the edge
+        filter may drop the self-loop but not the node."""
+        from geo_spark.operators.dedup import dedup_clusters
+
+        pdf = spark.createDataFrame(
+            [(7, 7), (1, 2), (2, 2)], "da long, db long"
+        )
+        got = {r["doc_id"]: r["rep"] for r in dedup_clusters(pdf).collect()}
+        assert got == {7: 7, 1: 1, 2: 1}
+
+    def test_retired_round_checkpoints_released(self, spark):
+        """ADVICE r4: each star round's localCheckpoint must be freed
+        once the next round materializes — after a multi-round run the
+        persistent-RDD count stays bounded (base + final edges), not
+        one per round."""
+        from geo_spark.operators.dedup import dedup_clusters
+
+        jsc = spark.sparkContext._jsc.sc()
+        before = jsc.getPersistentRDDs().size()
+        n = 300  # high-diameter path: several large/small-star rounds
+        pdf = spark.createDataFrame(
+            [(i, i + 1) for i in range(n)], "da long, db long"
+        )
+        got = dedup_clusters(pdf).collect()
+        assert all(r["rep"] == 0 for r in got) and len(got) == n + 1
+        after = jsc.getPersistentRDDs().size()
+        # base + final round's edge table may remain; prior rounds must
+        # not accumulate (the path graph needs >= 4 rounds)
+        assert after - before <= 2, f"leaked checkpoints: {after - before}"
+
 
 def test_unigram_nll_properties(spark):
     """Common words score lower than rare ones; totals consistent."""

@@ -102,6 +102,65 @@ def test_site_key_is_injective():
     assert min(seen) == 0
 
 
+def test_site_key_fits_int64_at_boundary_exponent():
+    """ADVICE r4 (medium): at the boundary exponent MAX_EXP the extreme
+    corner keys must stay within int64 (non-ANSI Spark would wrap
+    silently, colliding sites); one exponent higher must be rejected
+    by both snap_site_cols and site_key_col."""
+    import pytest
+
+    from geo_spark.operators.network import MAX_EXP, site_key_col
+
+    s = 10**MAX_EXP
+    corners = [
+        (ilat, ilng)
+        for ilat in (-90 * s, 90 * s)
+        for ilng in (-180 * s, 180 * s)
+    ]
+    keys = [(a + 90 * s) * (360 * s + 1) + (b + 180 * s) for a, b in corners]
+    assert all(0 <= k <= 2**63 - 1 for k in keys)
+    assert len(set(keys)) == len(keys)
+    # e = MAX_EXP + 1 overflows int64: the guard must refuse it
+    s2 = 10 ** (MAX_EXP + 1)
+    overflow = (90 * s2 + 90 * s2) * (360 * s2 + 1) + 360 * s2
+    assert overflow > 2**63 - 1
+    with pytest.raises(ValueError):
+        snap_site_cols(F.col("lat"), F.col("lng"), MAX_EXP + 1)
+    with pytest.raises(ValueError):
+        site_key_col(F.col("a"), F.col("b"), MAX_EXP + 1)
+
+
+def test_site_key_boundary_exponent_injective_in_spark(spark):
+    """End-to-end injectivity at e=MAX_EXP inside Spark's long
+    arithmetic: distinct extreme sites must get distinct keys and
+    round-trip exactly (no silent wrap)."""
+    from geo_spark.operators.network import MAX_EXP, site_key_col
+
+    s = 10**MAX_EXP
+    pts = [
+        (-90.0, -180.0),
+        (-90.0, 180.0),
+        (90.0, -180.0),
+        (90.0, 180.0),
+        (89.9999999, 179.9999999),
+        (0.0, 0.0),
+    ]
+    df = spark.createDataFrame(pts, "lat double, lng double")
+    ila, iln = snap_site_cols(F.col("lat"), F.col("lng"), MAX_EXP)
+    got = sorted(
+        r[0]
+        for r in df.select(
+            site_key_col(ila, iln, MAX_EXP).alias("k")
+        ).collect()
+    )
+    expect = sorted(
+        (round(a * s) + 90 * s) * (360 * s + 1) + (round(b * s) + 180 * s)
+        for a, b in pts
+    )
+    assert got == expect
+    assert len(set(got)) == len(pts)
+
+
 def test_snap_plan_is_native(spark):
     df = spark.createDataFrame(
         [(1, 1, 0.1, 0.2)], "user_id long, ts long, lat double, lng double"

@@ -87,3 +87,112 @@ def test_randomized_differential(spark):
     }
     want = sorted(_ref(d) for d in tiles.values())
     assert sorted(got.values()) == want
+
+
+def _ref_band(days: dict, z_mu: int = 1960):
+    """Pure-python replay of trend_band_from_daily's exact spec."""
+    import math
+
+    ds = sorted(days)
+    k = 10**9
+    slopes = []
+    for i in range(len(ds)):
+        for j in range(i + 1, len(ds)):
+            dd = ds[j] - ds[i]
+            dc = days[ds[j]] - days[ds[i]]
+            slopes.append((dc * 1000 + k * dd) // dd - k)
+    slopes.sort()
+    d, n = len(ds), len(slopes)
+    w = d * (d - 1) * (2 * d + 5)
+    c = math.isqrt(18 * z_mu * z_mu * w) // 18 // 1000
+    rlo = max(1, (n - c) // 2)
+    rhi = min(n, (n + c) // 2 + 1)
+    return (
+        d,
+        n,
+        c,
+        slopes[rlo - 1],
+        slopes[(n + 1) // 2 - 1],
+        slopes[rhi - 1],
+    )
+
+
+def test_band_matches_python_reference(spark):
+    from geo_spark.operators.tiling import tile_theil_sen_band
+
+    tiles = {
+        (10.0, 10.0): {0: 5, 1: 7, 2: 9, 3: 11, 4: 500},
+        (40.0, -100.0): {0: 20, 2: 14, 5: 8, 7: 30, 9: 1},
+        (-30.0, 60.0): {1: 3},  # single day -> excluded
+        # NB (-60, -150), not (0, 0): at zoom 2 the (0, 0) tile is the
+        # same quadkey as (-30, 60) and the fixtures would merge
+        (-60.0, -150.0): {0: 1, 10: 4},  # N=1: band collapses to the slope
+    }
+    got = {
+        r["qk"]: (
+            r["n_days"],
+            r["n_pairs"],
+            r["c_alpha"],
+            r["lo_mu"],
+            r["slope_mu"],
+            r["hi_mu"],
+        )
+        for r in tile_theil_sen_band(_mk(spark, tiles), ZOOM).collect()
+    }
+    assert len(got) == 3
+    wants = sorted(
+        _ref_band(days)
+        for (la, ln), days in tiles.items()
+        if len(days) >= 2
+    )
+    assert sorted(got.values()) == wants
+    # the band brackets the point estimate everywhere
+    for d, n, c, lo, med, hi in got.values():
+        assert lo <= med <= hi
+
+
+def test_band_isqrt_fixup_is_exact():
+    """The SQL isqrt (float sqrt + one-step integer fix-up) must equal
+    math.isqrt on every radicand the operator can produce near
+    perfect squares and at scale — sweep d (days) over 2..2000 plus
+    the 10-year horizon, at the three documented z levels."""
+    import math
+
+    for z_mu in (1645, 1960, 2576):
+        for d in list(range(2, 2001)) + [3650]:
+            x = 18 * z_mu * z_mu * d * (d - 1) * (2 * d + 5)
+            s0 = int(math.floor(math.sqrt(float(x))))
+            if (s0 + 1) * (s0 + 1) <= x:
+                s0 += 1
+            elif s0 * s0 > x:
+                s0 -= 1
+            assert s0 == math.isqrt(x), (z_mu, d)
+
+
+def test_band_widens_with_confidence(spark):
+    from geo_spark.operators.tiling import tile_theil_sen_band
+
+    tiles = {(10.0, 10.0): {i: 3 * i + (i % 4) for i in range(12)}}
+    ev = _mk(spark, tiles)
+    bands = {}
+    for z in (1645, 1960, 2576):
+        [r] = tile_theil_sen_band(ev, ZOOM, z_mu=z).collect()
+        bands[z] = (r["lo_mu"], r["hi_mu"], r["c_alpha"])
+    assert bands[1645][2] <= bands[1960][2] <= bands[2576][2]
+    assert bands[1645][0] >= bands[1960][0] >= bands[2576][0]
+    assert bands[1645][1] <= bands[1960][1] <= bands[2576][1]
+
+
+def test_band_plan_is_native_and_broadcast(spark):
+    from geo_spark.operators.tiling import tile_theil_sen_band
+
+    df = _mk(spark, {(0.0, 0.0): {0: 1, 1: 2, 2: 4}})
+    plan = (
+        tile_theil_sen_band(df, ZOOM)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
