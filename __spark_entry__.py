@@ -6172,6 +6172,81 @@ def _oracle_tile_trend_band() -> str:
     """
 
 
+def _q_tile_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test per tile
+    (operators/tiling.tile_mann_kendall): pair-sign statistic S over
+    day-ordered daily counts, tie-corrected Kendall variance kept
+    integral under the root, the portable isqrt rule for
+    C = floor(z*sigma), and the continuity-corrected integer decision
+    S-1 > C.  The DuckDB twin re-derives tiles, daily counts, the
+    pair signs, the tie term, the radicand, the isqrt fix-up, and
+    the decision from first principles."""
+    from geo_spark.operators.geo_noise import with_geo_noise, with_time_noise
+    from geo_spark.operators.tiling import tile_mann_kendall
+
+    ev = with_time_noise(
+        with_geo_noise(_t(spark, sf_dir, "events"), "event_id"), "event_id"
+    )
+    return tile_mann_kendall(ev, _TS_ZOOM).orderBy("qk")
+
+
+def _oracle_tile_mann_kendall() -> str:
+    from geo_spark.functions.webgrid import mercator_xy_sql, quadkey_sql_text
+    from geo_spark.operators.geo_noise import LAT_SQL, LNG_SQL, TS_US_SQL
+
+    lat = LAT_SQL.format(id="event_id")
+    lng = LNG_SQL.format(id="event_id")
+    ts = TS_US_SQL.format(id="event_id")
+    x, y = mercator_xy_sql("lat", "lng", _TS_ZOOM)
+    qk = quadkey_sql_text("tx", "ty", _TS_ZOOM)
+    z2_18 = 18 * 1960 * 1960
+    return f"""
+        WITH pts AS (SELECT {lat} AS lat, {lng} AS lng,
+                            ({ts}) // 86400000000 AS day
+                     FROM events),
+        t AS (SELECT day, {x} AS tx, {y} AS ty FROM pts),
+        q AS (SELECT day, {qk} AS qk FROM t),
+        daily AS (SELECT qk, day, COUNT(*) AS cnt FROM q GROUP BY qk, day),
+        s AS (SELECT a.qk,
+                     CAST(SUM(CASE WHEN b.cnt > a.cnt THEN 1
+                                   WHEN b.cnt < a.cnt THEN -1
+                                   ELSE 0 END) AS BIGINT) AS s_stat
+              FROM daily a JOIN daily b
+                ON b.qk = a.qk AND b.day > a.day
+              GROUP BY a.qk),
+        tg AS (SELECT qk, cnt, COUNT(*) AS tt
+               FROM daily GROUP BY qk, cnt),
+        ties AS (SELECT qk,
+                        CAST(SUM(tt * (tt - 1) * (2 * tt + 5)) AS BIGINT)
+                          AS tie_term
+                 FROM tg GROUP BY qk),
+        dd AS (SELECT qk, CAST(COUNT(*) AS BIGINT) AS n_days
+               FROM daily GROUP BY qk HAVING COUNT(*) >= 2),
+        m0 AS (SELECT d.qk, d.n_days,
+                      {z2_18} * (d.n_days * (d.n_days - 1)
+                                 * (2 * d.n_days + 5) - ti.tie_term) AS x
+               FROM dd d JOIN ties ti ON ti.qk = d.qk),
+        m1 AS (SELECT *, CAST(FLOOR(SQRT(CAST(x AS DOUBLE))) AS BIGINT)
+                         AS s0
+               FROM m0),
+        m2 AS (SELECT qk, n_days,
+                      CASE WHEN (s0 + 1) * (s0 + 1) <= x THEN s0 + 1
+                           WHEN s0 * s0 > x THEN s0 - 1
+                           ELSE s0 END AS s1
+               FROM m1),
+        meta AS (SELECT qk, n_days, s1 // 18 // 1000 AS c_alpha FROM m2)
+        SELECT m.qk, m.n_days, s.s_stat,
+               CAST(m.c_alpha AS BIGINT) AS c_alpha,
+               CAST(CASE WHEN s.s_stat > 0 AND s.s_stat - 1 > m.c_alpha
+                           THEN 1
+                         WHEN s.s_stat < 0 AND -s.s_stat - 1 > m.c_alpha
+                           THEN -1
+                         ELSE 0 END AS BIGINT) AS trend
+        FROM meta m JOIN s ON s.qk = m.qk
+        ORDER BY m.qk
+    """
+
+
 def _q_source_geo_focus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-SOURCE geographic focus — the full webtext->geo editorial
     profile: every document's resolved toponym mentions land on their
@@ -16087,6 +16162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_source_geo_focus": _q_source_geo_focus,
         "q_tile_trend": _q_tile_trend,
         "q_tile_trend_band": _q_tile_trend_band,
+        "q_tile_mann_kendall": _q_tile_mann_kendall,
         "q_tile_kde": _q_tile_kde,
         "q_reverse_geocode": _q_reverse_geocode,
         "q_zone_transitions": _q_zone_transitions,
@@ -16261,6 +16337,7 @@ def oracle_sql() -> dict[str, str]:
         "q_source_geo_focus": _oracle_source_geo_focus(),
         "q_tile_trend": _oracle_tile_trend(),
         "q_tile_trend_band": _oracle_tile_trend_band(),
+        "q_tile_mann_kendall": _oracle_tile_mann_kendall(),
         "q_tile_kde": _oracle_tile_kde(),
         "q_reverse_geocode": _oracle_reverse_geocode(),
         "q_zone_transitions": _oracle_zone_transitions(),

@@ -1002,3 +1002,105 @@ def tile_theil_sen_band(
         k_shift=k_shift,
         z_mu=z_mu,
     )
+
+
+def tile_mann_kendall(
+    events: DataFrame,
+    zoom: int = 4,
+    ts_us_col: str = "ts_us",
+    latlng: tuple[str, str] = ("lat", "lng"),
+    z_mu: int = 1960,
+) -> DataFrame:
+    """(qk, n_days, s_stat, c_alpha, trend): the Mann-Kendall trend
+    TEST per tile — the significance companion to
+    :func:`tile_theil_sen_band` (same daily table, same portable
+    integer-sqrt machinery), answering "is this tile's traffic
+    trending at all?" before the Sen slope says by how much.
+
+    Exact-integer spec (engine-replayable bit-for-bit):
+
+    - S = sum over day-ordered pairs of sign(cnt_j - cnt_i) — a plain
+      BIGINT pair sum.
+    - tie-corrected Kendall variance kept integral under the root:
+      W = n(n-1)(2n+5) - sum_g t_g(t_g-1)(2t_g+5) over count-tie
+      groups g, so Var(S) = W/18 exactly;
+      ``C = isqrt(18 * z_mu^2 * W) div 18 div 1000`` (the
+      :func:`trend_band_from_daily` isqrt rule).
+    - continuity-corrected decision, exact because S and C are
+      integers and C = floor(z*sigma):  trend = +1 iff S > 0 and
+      S - 1 > C;  -1 iff S < 0 and -S - 1 > C;  else 0
+      (S-1 > z*sigma  <=>  S-1 > floor(z*sigma) for integer S-1).
+
+    Scale shape: the pair sum is the band's bounded daily self-join
+    reduced to one aggregate; the tie term is a second tiny groupBy
+    over the daily table.  Tiles with one observed day are excluded.
+    """
+    daily = tile_daily_counts(events, zoom, ts_us_col, latlng)
+    a = daily.select(
+        "qk", F.col("day").alias("d1"), F.col("cnt").alias("c1")
+    )
+    b = daily.select(
+        "qk", F.col("day").alias("d2"), F.col("cnt").alias("c2")
+    )
+    s = (
+        a.join(b, "qk")
+        .where(F.col("d2") > F.col("d1"))
+        .groupBy("qk")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN c2 > c1 THEN 1 WHEN c2 < c1 THEN -1 "
+                    "ELSE 0 END"
+                )
+            ).alias("s_stat")
+        )
+    )
+    ties = (
+        daily.groupBy("qk", "cnt")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("qk")
+        .agg(
+            F.sum(
+                F.expr("t * (t - 1) * (2 * t + 5)")
+            ).alias("tie_term"),
+            F.count(F.lit(1)).alias("_groups"),
+        )
+        .drop("_groups")
+    )
+    z2_18 = 18 * z_mu * z_mu
+    meta = (
+        daily.groupBy("qk")
+        .agg(F.count(F.lit(1)).alias("n_days"))
+        .where(F.col("n_days") >= 2)
+        .join(ties, "qk")
+        .selectExpr(
+            "qk",
+            "n_days",
+            "n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS w",
+        )
+        .selectExpr("qk", "n_days", f"{z2_18} * w AS x")
+        .selectExpr(
+            "*", "CAST(FLOOR(SQRT(CAST(x AS DOUBLE))) AS BIGINT) AS s0"
+        )
+        .selectExpr(
+            "qk",
+            "n_days",
+            "CASE WHEN (s0 + 1) * (s0 + 1) <= x THEN s0 + 1 "
+            "     WHEN s0 * s0 > x THEN s0 - 1 ELSE s0 END AS s1",
+        )
+        .selectExpr(
+            "qk", "n_days", "s1 div 18 div 1000 AS c_alpha"
+        )
+    )
+    return (
+        meta.join(s, "qk")
+        .selectExpr(
+            "qk",
+            "n_days",
+            "s_stat",
+            "c_alpha",
+            "CAST(CASE WHEN s_stat > 0 AND s_stat - 1 > c_alpha THEN 1 "
+            "          WHEN s_stat < 0 AND -s_stat - 1 > c_alpha THEN -1 "
+            "          ELSE 0 END AS BIGINT) AS trend",
+        )
+    )

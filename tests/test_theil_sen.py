@@ -196,3 +196,95 @@ def test_band_plan_is_native_and_broadcast(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def _ref_mk(days: dict, z_mu: int = 1960):
+    """Pure-python replay of tile_mann_kendall's exact spec."""
+    import math
+    from collections import Counter
+
+    ds = sorted(days)
+    n = len(ds)
+    s = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            d = days[ds[j]] - days[ds[i]]
+            s += (d > 0) - (d < 0)
+    tie = sum(
+        t * (t - 1) * (2 * t + 5)
+        for t in Counter(days.values()).values()
+    )
+    w = n * (n - 1) * (2 * n + 5) - tie
+    c = math.isqrt(18 * z_mu * z_mu * w) // 18 // 1000
+    if s > 0 and s - 1 > c:
+        trend = 1
+    elif s < 0 and -s - 1 > c:
+        trend = -1
+    else:
+        trend = 0
+    return (n, s, c, trend)
+
+
+def test_mann_kendall_matches_python_reference(spark):
+    from geo_spark.operators.tiling import tile_mann_kendall
+
+    tiles = {
+        # strongly increasing, n=10: significant at 95%
+        (10.0, 10.0): {i: 2 * i + 1 for i in range(10)},
+        # strongly decreasing
+        (40.0, -100.0): {i: 40 - 3 * i for i in range(10)},
+        # short noisy series: S small -> not significant
+        (-60.0, -150.0): {0: 5, 1: 3, 2: 6, 3: 4},
+        # all-tied counts: W = 0, S = 0 -> no trend (zero-variance path)
+        (70.0, 100.0): {0: 7, 1: 7, 2: 7, 3: 7, 4: 7},
+        (-30.0, 60.0): {1: 3},  # single day -> excluded
+    }
+    got = {
+        r["qk"]: (r["n_days"], r["s_stat"], r["c_alpha"], r["trend"])
+        for r in tile_mann_kendall(_mk(spark, tiles), ZOOM).collect()
+    }
+    assert len(got) == 4
+    wants = sorted(
+        _ref_mk(days) for days in tiles.values() if len(days) >= 2
+    )
+    assert sorted(got.values()) == wants
+    # the planted trends come out: one +1, one -1, two 0
+    trends = sorted(t for _, _, _, t in got.values())
+    assert trends == [-1, 0, 0, 1]
+
+
+def test_mann_kendall_randomized_differential(spark):
+    import numpy as np
+
+    from geo_spark.operators.tiling import tile_mann_kendall
+
+    rng = np.random.default_rng(20260822)
+    centers = [(5.0, 5.0), (50.0, 120.0), (-45.0, -60.0), (70.0, 179.0)]
+    tiles = {}
+    for la, ln in centers:
+        ds = sorted(
+            rng.choice(60, size=int(rng.integers(2, 25)), replace=False)
+        )
+        tiles[(la, ln)] = {
+            int(d): int(rng.integers(1, 12)) for d in ds
+        }
+    got = {
+        r["qk"]: (r["n_days"], r["s_stat"], r["c_alpha"], r["trend"])
+        for r in tile_mann_kendall(_mk(spark, tiles), ZOOM).collect()
+    }
+    wants = sorted(_ref_mk(days) for days in tiles.values())
+    assert sorted(got.values()) == wants
+
+
+def test_mann_kendall_plan_is_native(spark):
+    from geo_spark.operators.tiling import tile_mann_kendall
+
+    df = _mk(spark, {(0.0, 0.0): {0: 1, 1: 2, 2: 4}})
+    plan = (
+        tile_mann_kendall(df, ZOOM)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
