@@ -3096,7 +3096,8 @@ def _oracle_rhumb_trails() -> str:
     inner = _oracle_rhumb_segments()
     return f"""
         WITH legs AS MATERIALIZED ({inner})
-        SELECT user_id, COUNT(*) AS n_legs, SUM(dist_u6) AS path_u6
+        SELECT user_id, COUNT(*) AS n_legs,
+               CAST(SUM(dist_u6) AS BIGINT) AS path_u6
         FROM legs GROUP BY user_id ORDER BY user_id
     """
 
@@ -3470,7 +3471,8 @@ def _oracle_zipf_slope() -> str:
         agg AS (SELECT g, COUNT(*) AS k, SUM(x) AS sx, SUM(y) AS sy,
                        SUM(x*y) AS sxy, SUM(x*x) AS sxx
                 FROM q GROUP BY g),
-        tot AS (SELECT g, COUNT(*) AS n_types, SUM(f) AS n_tokens
+        tot AS (SELECT g, COUNT(*) AS n_types,
+                       CAST(SUM(f) AS BIGINT) AS n_tokens
                 FROM freq GROUP BY g)
         SELECT a.g AS lang, t.n_types, t.n_tokens,
                CAST(FLOOR((CAST(a.k AS DOUBLE) * CAST(a.sxy AS DOUBLE)
@@ -3514,7 +3516,8 @@ def _oracle_heaps_law() -> str:
         v AS (SELECT c.g, c.cut, COUNT(*) AS n_types
               FROM cps c JOIN fst f ON f.g = c.g AND f.fr <= c.cut
               GROUP BY 1, 2),
-        ntok AS (SELECT c.g, c.cut, SUM(p.tok) AS n_tokens
+        ntok AS (SELECT c.g, c.cut,
+                        CAST(SUM(p.tok) AS BIGINT) AS n_tokens
                  FROM cps c JOIN per_doc p ON p.g = c.g AND p.rn <= c.cut
                  GROUP BY 1, 2),
         q AS (SELECT v.g, v.cut, v.n_types, ntok.n_tokens,
@@ -5016,7 +5019,7 @@ def _oracle_domain_stats() -> str:
           FROM parts
         )
         SELECT domain, COUNT(*) AS pages, COUNT(DISTINCT host) AS hosts,
-               SUM(n_chars) AS total_chars
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM d GROUP BY domain ORDER BY domain
     """
 
@@ -10723,7 +10726,7 @@ def _oracle_logreg_quality() -> str:
     return (
         "WITH "
         + ", ".join(ctes)
-        + f""" SELECT j AS dim, CASE j {wcase} END AS w_final,
+        + f""" SELECT j AS dim, CAST(CASE j {wcase} END AS BIGINT) AS w_final,
                CAST(ok AS BIGINT) AS n_correct
         FROM (SELECT unnest(range(8)) AS j), w{_LRG_ITERS}, acc
         ORDER BY dim"""
@@ -14679,11 +14682,17 @@ def _q_crawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rank = _q_domain_rank(spark, sf_dir)
     docs = _t(spark, sf_dir, "documents")
+    # Janino guard (input prep, not engine work): the synthetic-url
+    # CASE chain stacked inside the groupBy key blows the 64 KB
+    # generated-method limit and silently drops the agg to interpreted
+    # execution — materialize the fixture urls first so the agg stage
+    # compiles (production reads a real url column here)
+    urls = docs.select(
+        F.expr(synthetic_url_sql("doc_id")).alias("url")
+    ).localCheckpoint()
     pages = (
-        docs.select(
-            registered_domain_col(
-                host_col(F.expr(synthetic_url_sql("doc_id")))
-            ).alias("domain")
+        urls.select(
+            registered_domain_col(host_col(F.col("url"))).alias("domain")
         )
         .groupBy("domain")
         .agg(F.count(F.lit(1)).alias("pages"))

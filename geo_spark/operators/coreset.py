@@ -38,6 +38,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from geo_spark.plans.checkpoints import free_local_checkpoint
+
 from geo_spark.operators.kmeans import _quantize_vec
 
 
@@ -89,8 +91,12 @@ def kcenter_select(
     best = base.where(F.col("_id") != F.lit(picks[0][1])).select(
         "_id", "_q", _sqdist_to_literal(F.col("_q"), center).alias("_b")
     )
+    prev_ck = None
     for s in range(1, k):
         best = best.localCheckpoint()
+        # the previous round's cut was fully drained into this one
+        free_local_checkpoint(prev_ck)
+        prev_ck = best
         top = best.agg(
             F.max(
                 F.struct(

@@ -38,6 +38,10 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from geo_spark.plans.checkpoints import (
+    free_local_checkpoint as _free_local_checkpoint,
+)
+
 GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
 
@@ -706,25 +710,6 @@ def simhash_pairs(
         key=key,
         hash_col="simhash",
     )
-
-
-def _free_local_checkpoint(df: DataFrame) -> None:
-    """Best-effort release of a RETIRED ``localCheckpoint``'s storage
-    blocks (ADVICE r4: each large/small-star round checkpoints a new
-    edge table, and without an explicit release every prior round's
-    blocks stay persisted until session end — up to ``max_iter`` copies
-    of the edge table pressuring executor storage).  ``DataFrame
-    .unpersist`` cannot do it (the data hangs off the internal
-    checkpointed RDD, not the cache manager), so this reaches the
-    ``LogicalRDD``'s RDD directly; guarded no-op when ``df`` is not a
-    plain checkpoint scan.  Only ever call on a table no consumer will
-    touch again — a freed localCheckpoint cannot be recomputed."""
-    try:
-        plan = df._jdf.queryExecution().analyzed()
-        if plan.getClass().getSimpleName() == "LogicalRDD":
-            plan.rdd().unpersist(False)
-    except Exception:
-        pass
 
 
 def dedup_clusters(

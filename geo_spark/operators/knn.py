@@ -26,6 +26,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from geo_spark.plans.checkpoints import free_local_checkpoint
 from pyspark.sql import types as T
 
 import numpy as np
@@ -504,6 +506,12 @@ def _knn_ring(
     prev_ring: DataFrame | None = None
     active_best: DataFrame | None = None
     done_parts: list[DataFrame] = []
+    # retirement bookkeeping: the previous round's active_best
+    # checkpoint can be freed once the new one materializes, UNLESS a
+    # done_part captured it (those lazy plans are read in the final
+    # union); ring checkpoints retire two generations back.
+    retirable_ab: DataFrame | None = None
+    stale_ring: DataFrame | None = None
     min_width = metric.MIN_WIDTH.value(level)
     # frontier size is tracked arithmetically (it only shrinks by the
     # done-key subtraction) so the loop never re-counts it: one driver
@@ -532,6 +540,8 @@ def _knn_ring(
             .drop("rank")
             .localCheckpoint()  # eager: materializes + truncates lineage
         )
+        free_local_checkpoint(retirable_ab)
+        retirable_ab = active_best
 
         # Termination: a point is done once it has k results and the k-th
         # distance is within the unseen-ring lower bound hop*MinWidth(level)
@@ -553,6 +563,7 @@ def _knn_ring(
             # (no checkpoint barrier); the next round's window job or the
             # final union computes them exactly once where needed.
             done_parts.append(active_best.join(done_keys, point_key, "semi"))
+            retirable_ab = None  # captured by the done_part just appended
             active_best = active_best.join(done_keys, point_key, "left_anti")
             frontier = frontier.join(done_keys, point_key, "left_anti")
             n_front -= n_done
@@ -596,6 +607,11 @@ def _knn_ring(
             .join(seen, ["pcell", "rcell"], "left_anti")
             .localCheckpoint()
         )
+        # the ring two hops back was last read in `seen` while nxt
+        # materialized (no-op when cell-dropping wrapped it in a lazy
+        # semi-join — best effort by design)
+        free_local_checkpoint(stale_ring)
+        stale_ring = prev_ring
         prev_ring, ring = ring, nxt
         if stats is not None:
             stats.append({"round": r, "sec": round(_time.time() - _t0, 3)})

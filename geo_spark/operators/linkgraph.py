@@ -50,6 +50,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from geo_spark.plans.checkpoints import free_local_checkpoint
+
 
 def hits(
     edges: DataFrame,
@@ -85,6 +87,7 @@ def hits(
     ids = nodes.select(F.col(node_key).alias("_id"))
     hub = ids.withColumn("_h", F.lit(1.0 / n))
     auth = ids.withColumn("_a", F.lit(0.0))
+    prev_cut = None
 
     for _i in range(iterations):
         araw = (
@@ -124,6 +127,10 @@ def hits(
             # auth's, so cutting them separately would materialize the
             # chain twice (the weighted_distances merge-cut pattern)
             both = hub.join(auth, "_id").localCheckpoint()
+            # the cut before last has no consumer once this one is
+            # materialized — release its executor blocks
+            free_local_checkpoint(prev_cut)
+            prev_cut = both
             hub = both.select("_id", "_h")
             auth = both.select("_id", "_a")
     e.unpersist()
@@ -180,6 +187,7 @@ def pagerank(
     dangling_ids = ids.join(
         outdeg, F.col("_id") == F.col("_src"), "left_anti"
     ).persist()
+    prev_cut = None
 
     for _i in range(iterations):
         contrib = (
@@ -215,12 +223,18 @@ def pagerank(
                 .agg(F.sum(F.abs(F.col("_rank") - F.col("_prev"))))
                 .collect()[0][0]
             )
+            # the delta read above was the old cut's last consumer
+            free_local_checkpoint(ranks)
             ranks = new_ranks
             if delta is not None and delta < tol:
                 break
         else:
             if (_i + 1) % lineage_cut_every == 0 and (_i + 1) < iterations:
                 new_ranks = new_ranks.localCheckpoint()
+                # the previous cut's last consumer was the plan just
+                # materialized into new_ranks
+                free_local_checkpoint(prev_cut)
+                prev_cut = new_ranks
             ranks = new_ranks
     fused.unpersist()
     dangling_ids.unpersist()
@@ -279,6 +293,7 @@ def trustrank(
     dangling_ids = ids.select("_id").join(
         outdeg, F.col("_id") == F.col("_src"), "left_anti"
     ).persist()
+    prev_cut = None
 
     for _i in range(iterations):
         contrib = (
@@ -307,6 +322,8 @@ def trustrank(
         )
         if (_i + 1) % lineage_cut_every == 0 and (_i + 1) < iterations:
             ranks = ranks.localCheckpoint()
+            free_local_checkpoint(prev_cut)
+            prev_cut = ranks
     fused.unpersist()
     dangling_ids.unpersist()
     ids.unpersist()
@@ -415,6 +432,7 @@ def seed_distances(
         .localCheckpoint()
     )
     frontier = dist
+    prev_frontier = None
     for h in range(1, max_hops + 1):
         reached = (
             e.join(frontier, F.col("_src") == F.col("_n"))
@@ -425,7 +443,14 @@ def seed_distances(
         new = reached.join(
             dist.select("_n"), "_n", "left_anti"
         ).localCheckpoint()
+        old_dist = dist
         dist = dist.unionByName(new).localCheckpoint()
+        # old dist's rows are inside the new union cut; the previous
+        # frontier was last read while materializing `new` above.  At
+        # h=1 they are the same seed table — the double free is a no-op.
+        free_local_checkpoint(old_dist)
+        free_local_checkpoint(prev_frontier)
+        prev_frontier = new
         frontier = new
     e.unpersist()
     return dist.select(F.col("_n").alias("node"), F.col("_d").alias("dist"))
@@ -470,6 +495,7 @@ def label_propagation(
     base = nodes.select(F.col(node_key).alias("_n")).distinct()
     labels = base.withColumn("_l", F.col("_n")).localCheckpoint()
     for _ in range(iterations):
+        prev_labels = labels
         nb = und.join(
             labels.select(F.col("_n").alias("_d"), "_l"), "_d"
         ).select(F.col("_s").alias("_n"), "_l")
@@ -488,6 +514,7 @@ def label_propagation(
             .select("_n", F.coalesce("_new", "_l").alias("_l"))
             .localCheckpoint()
         )
+        free_local_checkpoint(prev_labels)
     und.unpersist()
     return labels.select(
         F.col("_n").alias(node_key), F.col("_l").alias("label")
@@ -548,6 +575,7 @@ def kcore(
             .localCheckpoint()
         )
         n_edges = nxt.count()
+        free_local_checkpoint(cur)
         cur = nxt
         if n_edges == prev_edges:
             break
@@ -661,6 +689,7 @@ def weighted_distances(
         .localCheckpoint()
     )
     frontier = dist
+    prev_merged = None
     for _ in range(rounds):
         cand = (
             e.join(frontier, F.col("_src") == F.col("_n"))
@@ -679,6 +708,11 @@ def weighted_distances(
             ).alias("_d2"),
             "_d",
         ).localCheckpoint()
+        # prior round's merge (and, at round 1, the seed cut wrapped in
+        # dist's projection: a lazy plan the guard skips) has no
+        # consumer once this merge materialized
+        free_local_checkpoint(prev_merged)
+        prev_merged = merged
         dist = merged.select("_n", F.col("_d2").alias("_d"))
         frontier = merged.where(
             F.col("_d").isNull() | (F.col("_d2") < F.col("_d"))
@@ -748,6 +782,7 @@ def resolve_redirects(
             F.col("_p").alias("_p2"),
             F.col("_h").alias("_h2"),
         )
+        prev_ptr = ptr
         ptr = (
             ptr.join(nxt, "_p")
             .select(
@@ -757,6 +792,7 @@ def resolve_redirects(
             )
             .localCheckpoint()
         )
+        free_local_checkpoint(prev_ptr)
     out = ptr.join(
         f.select(F.col("_n").alias("_p"), F.lit(False).alias("_t")),
         "_p",

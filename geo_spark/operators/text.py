@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from geo_spark.plans.checkpoints import free_local_checkpoint
+
 # Tiny per-language stopword markers for the n-gram language heuristic.
 # Counting ' the ' occurrences via the length/replace trick is exact and
 # portable; real language-ID would use a trained model — the *operator
@@ -839,6 +841,7 @@ def bpe_train(
             "_consumed",
             F.coalesce(F.lag("_sel").over(w_word), F.lit(False)),
         )
+        prev_tokens = tokens
         tokens = (
             staged.where(~F.col("_consumed"))
             .select(
@@ -851,6 +854,7 @@ def bpe_train(
             )
             .localCheckpoint()
         )
+        free_local_checkpoint(prev_tokens)
     return spark.createDataFrame(
         out,
         "step long, left_tok string, right_tok string, "
@@ -917,6 +921,7 @@ def bpe_token_counts(
             "_consumed",
             F.coalesce(F.lag("_sel").over(w_word), F.lit(False)),
         )
+        prev_tokens = tokens
         tokens = (
             staged.where(~F.col("_consumed"))
             .select(
@@ -929,6 +934,7 @@ def bpe_token_counts(
             )
             .localCheckpoint()
         )
+        free_local_checkpoint(prev_tokens)
     per_word = tokens.groupBy("w").agg(
         F.count(F.lit(1)).alias("_ntok")
     )
