@@ -447,7 +447,10 @@ def seed_distances(
         dist = dist.unionByName(new).localCheckpoint()
         # old dist's rows are inside the new union cut; the previous
         # frontier was last read while materializing `new` above.  At
-        # h=1 they are the same seed table — the double free is a no-op.
+        # h=1 prev_frontier is still None and old_dist IS the seed
+        # checkpoint `frontier` currently aliases — freeing it here is
+        # safe only because `frontier` is reassigned to `new` below
+        # before any further read.
         free_local_checkpoint(old_dist)
         free_local_checkpoint(prev_frontier)
         prev_frontier = new

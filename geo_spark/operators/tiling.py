@@ -783,6 +783,79 @@ def tile_slope_aspect(
     )
 
 
+def tile_daily_counts(
+    events: DataFrame,
+    zoom: int = 4,
+    ts_us_col: str = "ts_us",
+    latlng: tuple[str, str] = ("lat", "lng"),
+) -> DataFrame:
+    """(qk, day, cnt): the per-tile daily count table every trend
+    estimator below consumes — ONE tiling + counting code path shared
+    by tile_theil_sen, the confidence band, Mann-Kendall, and the
+    streaming twin (streaming/trend.py).  One map-side-combined
+    shuffle."""
+    from geo_spark.functions.webgrid import quadkey_from_latlng
+
+    la, ln = latlng
+    qk = quadkey_from_latlng(F.col(la), F.col(ln), zoom)
+    day = F.expr(f"{ts_us_col} div 86400000000")
+    return (
+        events.select(qk.alias("qk"), day.alias("day"))
+        .groupBy("qk", "day")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _daily_pairs(daily: DataFrame) -> DataFrame:
+    """(qk, d1, c1, d2, c2), d2 > d1: the day-ordered pair self-join of
+    the bounded daily table — the shared substrate of every pairwise
+    trend statistic (slopes, signs).  Pairs per tile = d(d-1)/2 for d
+    observed days, never event-sized."""
+    a = daily.select(
+        "qk", F.col("day").alias("d1"), F.col("cnt").alias("c1")
+    )
+    b = daily.select(
+        "qk", F.col("day").alias("d2"), F.col("cnt").alias("c2")
+    )
+    return a.join(b, "qk").where(F.col("d2") > F.col("d1"))
+
+
+def _daily_pair_slopes(daily: DataFrame, k_shift: int) -> DataFrame:
+    """(qk, slope_mu): each pair's milli-slope under the non-negative
+    integer-division rule (see tile_theil_sen's exactness docstring)."""
+    return _daily_pairs(daily).select(
+        "qk",
+        F.expr(
+            f"(((c2 - c1) * 1000 + {k_shift} * (d2 - d1)) div (d2 - d1))"
+            f" - {k_shift}"
+        ).alias("slope_mu"),
+    )
+
+
+def _with_c_alpha(df: DataFrame, w_sql: str, z_mu: int) -> DataFrame:
+    """Append ``c_alpha`` = floor((z_mu/1000) * sqrt(W/18)) where the
+    SQL expression ``w_sql`` computes the (integral) Kendall radicand
+    W — exactly, via ``isqrt(18 * z_mu^2 * W) div 18 div 1000`` with a
+    portable integer sqrt (float sqrt + one-step fix-up; proven ==
+    math.isqrt over the operator horizon in test_theil_sen).  The ONE
+    copy of the chain shared by the Sen band and Mann-Kendall."""
+    z2_18 = 18 * z_mu * z_mu
+    cols = list(df.columns)
+    return (
+        df.selectExpr("*", f"{z2_18} * ({w_sql}) AS _x")
+        .selectExpr(
+            "*", "CAST(FLOOR(SQRT(CAST(_x AS DOUBLE))) AS BIGINT) AS _s0"
+        )
+        .selectExpr(
+            *cols,
+            "_x",
+            "CASE WHEN (_s0 + 1) * (_s0 + 1) <= _x THEN _s0 + 1 "
+            "     WHEN _s0 * _s0 > _x THEN _s0 - 1 ELSE _s0 END AS _s1",
+        )
+        .selectExpr(*cols, "_s1 div 18 div 1000 AS c_alpha")
+    )
+
+
 def tile_theil_sen(
     events: DataFrame,
     zoom: int = 4,
@@ -813,30 +886,8 @@ def tile_theil_sen(
     monitoring horizon, ~30-90), never event-sized — and the median
     window partitions that bounded pair set by tile.  Tiles with one
     observed day have no slope and are excluded."""
-    from geo_spark.functions.webgrid import quadkey_from_latlng
-
-    la, ln = latlng
-    qk = quadkey_from_latlng(F.col(la), F.col(ln), zoom)
-    day = F.expr(f"{ts_us_col} div 86400000000")
-    daily = (
-        events.select(qk.alias("qk"), day.alias("day"))
-        .groupBy("qk", "day")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    a = daily.select(
-        "qk", F.col("day").alias("d1"), F.col("cnt").alias("c1")
-    )
-    b = daily.select(
-        "qk", F.col("day").alias("d2"), F.col("cnt").alias("c2")
-    )
-    pairs = a.join(b, "qk").where(F.col("d2") > F.col("d1"))
-    slope = pairs.select(
-        "qk",
-        F.expr(
-            f"(((c2 - c1) * 1000 + {k_shift} * (d2 - d1)) div (d2 - d1))"
-            f" - {k_shift}"
-        ).alias("slope_mu"),
-    )
+    daily = tile_daily_counts(events, zoom, ts_us_col, latlng)
+    slope = _daily_pair_slopes(daily, k_shift)
     w = Window.partitionBy("qk").orderBy("slope_mu")
     med = (
         slope.select(
@@ -851,28 +902,6 @@ def tile_theil_sen(
     days = daily.groupBy("qk").agg(F.count(F.lit(1)).alias("n_days"))
     return days.join(med, "qk").select(
         "qk", "n_days", "n_pairs", "slope_mu"
-    )
-
-
-def tile_daily_counts(
-    events: DataFrame,
-    zoom: int = 4,
-    ts_us_col: str = "ts_us",
-    latlng: tuple[str, str] = ("lat", "lng"),
-) -> DataFrame:
-    """(qk, day, cnt): the per-tile daily count table every trend
-    estimator above consumes — factored out so the batch Theil-Sen
-    operators and the streaming twin (streaming/trend.py) share ONE
-    tiling + counting code path.  One map-side-combined shuffle."""
-    from geo_spark.functions.webgrid import quadkey_from_latlng
-
-    la, ln = latlng
-    qk = quadkey_from_latlng(F.col(la), F.col(ln), zoom)
-    day = F.expr(f"{ts_us_col} div 86400000000")
-    return (
-        events.select(qk.alias("qk"), day.alias("day"))
-        .groupBy("qk", "day")
-        .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
 
@@ -911,53 +940,24 @@ def trend_band_from_daily(
     explosion is over the BOUNDED daily table; the per-tile meta
     (d, N, C, ranks) is tile-sized and broadcast onto the ranked
     slopes."""
-    a = daily.select(
-        "qk", F.col("day").alias("d1"), F.col("cnt").alias("c1")
-    )
-    b = daily.select(
-        "qk", F.col("day").alias("d2"), F.col("cnt").alias("c2")
-    )
-    pairs = a.join(b, "qk").where(F.col("d2") > F.col("d1"))
-    slope = pairs.select(
-        "qk",
-        F.expr(
-            f"(((c2 - c1) * 1000 + {k_shift} * (d2 - d1)) div (d2 - d1))"
-            f" - {k_shift}"
-        ).alias("slope_mu"),
-    )
-    z2_18 = 18 * z_mu * z_mu
-    meta = (
+    slope = _daily_pair_slopes(daily, k_shift)
+    meta = _with_c_alpha(
         daily.groupBy("qk")
         .agg(F.count(F.lit(1)).alias("n_days"))
         .where(F.col("n_days") >= 2)
         .selectExpr(
-            "qk",
-            "n_days",
-            "n_days * (n_days - 1) div 2 AS n_pairs",
-            f"{z2_18} * n_days * (n_days - 1) * (2 * n_days + 5) AS x",
-        )
-        .selectExpr(
-            "*", "CAST(FLOOR(SQRT(CAST(x AS DOUBLE))) AS BIGINT) AS s0"
-        )
-        .selectExpr(
-            "qk",
-            "n_days",
-            "n_pairs",
-            "CASE WHEN (s0 + 1) * (s0 + 1) <= x THEN s0 + 1 "
-            "     WHEN s0 * s0 > x THEN s0 - 1 ELSE s0 END AS s1",
-        )
-        .selectExpr(
-            "qk", "n_days", "n_pairs", "s1 div 18 div 1000 AS c_alpha"
-        )
-        .selectExpr(
-            "qk",
-            "n_days",
-            "n_pairs",
-            "c_alpha",
-            "greatest(1, (n_pairs - c_alpha) div 2) AS rlo",
-            "least(n_pairs, (n_pairs + c_alpha) div 2 + 1) AS rhi",
-            "(n_pairs + 1) div 2 AS rmed",
-        )
+            "qk", "n_days", "n_days * (n_days - 1) div 2 AS n_pairs"
+        ),
+        "n_days * (n_days - 1) * (2 * n_days + 5)",
+        z_mu,
+    ).selectExpr(
+        "qk",
+        "n_days",
+        "n_pairs",
+        "c_alpha",
+        "greatest(1, (n_pairs - c_alpha) div 2) AS rlo",
+        "least(n_pairs, (n_pairs + c_alpha) div 2 + 1) AS rhi",
+        "(n_pairs + 1) div 2 AS rmed",
     )
     w = Window.partitionBy("qk").orderBy("slope_mu")
     ranked = slope.select(
@@ -1036,15 +1036,8 @@ def tile_mann_kendall(
     over the daily table.  Tiles with one observed day are excluded.
     """
     daily = tile_daily_counts(events, zoom, ts_us_col, latlng)
-    a = daily.select(
-        "qk", F.col("day").alias("d1"), F.col("cnt").alias("c1")
-    )
-    b = daily.select(
-        "qk", F.col("day").alias("d2"), F.col("cnt").alias("c2")
-    )
     s = (
-        a.join(b, "qk")
-        .where(F.col("d2") > F.col("d1"))
+        _daily_pairs(daily)
         .groupBy("qk")
         .agg(
             F.sum(
@@ -1059,39 +1052,16 @@ def tile_mann_kendall(
         daily.groupBy("qk", "cnt")
         .agg(F.count(F.lit(1)).alias("t"))
         .groupBy("qk")
-        .agg(
-            F.sum(
-                F.expr("t * (t - 1) * (2 * t + 5)")
-            ).alias("tie_term"),
-            F.count(F.lit(1)).alias("_groups"),
-        )
-        .drop("_groups")
+        .agg(F.sum(F.expr("t * (t - 1) * (2 * t + 5)")).alias("tie_term"))
     )
-    z2_18 = 18 * z_mu * z_mu
-    meta = (
+    meta = _with_c_alpha(
         daily.groupBy("qk")
         .agg(F.count(F.lit(1)).alias("n_days"))
         .where(F.col("n_days") >= 2)
-        .join(ties, "qk")
-        .selectExpr(
-            "qk",
-            "n_days",
-            "n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS w",
-        )
-        .selectExpr("qk", "n_days", f"{z2_18} * w AS x")
-        .selectExpr(
-            "*", "CAST(FLOOR(SQRT(CAST(x AS DOUBLE))) AS BIGINT) AS s0"
-        )
-        .selectExpr(
-            "qk",
-            "n_days",
-            "CASE WHEN (s0 + 1) * (s0 + 1) <= x THEN s0 + 1 "
-            "     WHEN s0 * s0 > x THEN s0 - 1 ELSE s0 END AS s1",
-        )
-        .selectExpr(
-            "qk", "n_days", "s1 div 18 div 1000 AS c_alpha"
-        )
-    )
+        .join(ties, "qk"),
+        "n_days * (n_days - 1) * (2 * n_days + 5) - tie_term",
+        z_mu,
+    ).select("qk", "n_days", "c_alpha")
     return (
         meta.join(s, "qk")
         .selectExpr(

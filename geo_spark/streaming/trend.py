@@ -42,27 +42,40 @@ def stream_tile_daily_counts(
     event_time_col: str | None = None,
     watermark: str = "48 hours",
 ) -> DataFrame:
-    """(qk, day, cnt) streaming aggregate over an event stream — the
-    identical quadkey + epoch-day expressions as the batch
-    ``tile_daily_counts``, as a native streaming groupBy.
+    """(qk, day, cnt) streaming aggregate over an event stream.
 
-    With ``event_time_col`` (a timestamp column) the aggregate carries
-    a watermark so Spark can retire per-(tile, day) state for days
-    older than the horizon — the bounded-state mode a continuous
-    deployment runs.  Without it (the availableNow drain/backfill
-    mode the tests use) state is bounded by tiles x observed days,
-    which is the finisher's input size anyway."""
+    Two modes:
+
+    - drain/backfill (``event_time_col=None``, what the tests use):
+      delegates VERBATIM to the batch :func:`tile_daily_counts` — one
+      code path, so drained==batch holds by construction; state is
+      bounded by tiles x observed days (the finisher's input size).
+    - continuous (``event_time_col`` = a timestamp column): the day
+      key DERIVES FROM the watermarked column via a 1-day event-time
+      ``window``, which is what actually lets Spark retire per-
+      (tile, day) state past the horizon — a watermark on a column
+      the grouping keys don't contain would never evict anything (and
+      append-mode sinks would reject the query outright).  The two
+      modes agree when ``event_time_col`` is UTC and ``ts_us_col`` is
+      its epoch-microseconds (``day`` = the same UTC epoch-day
+      either way); that equivalence is pinned in
+      test_streaming_trend.py."""
     from geo_spark.functions.webgrid import quadkey_from_latlng
 
+    if event_time_col is None:
+        return tile_daily_counts(events, zoom, ts_us_col, latlng)
     la, ln = latlng
     qk = quadkey_from_latlng(F.col(la), F.col(ln), zoom)
-    day = F.expr(f"{ts_us_col} div 86400000000")
-    if event_time_col is not None:
-        src = events.withWatermark(event_time_col, watermark)
-    else:
-        src = events
     return (
-        src.select(qk.alias("qk"), day.alias("day"))
-        .groupBy("qk", "day")
+        events.withWatermark(event_time_col, watermark)
+        .groupBy(
+            F.window(event_time_col, "1 day").alias("_win"),
+            qk.alias("qk"),
+        )
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "qk",
+            F.expr("unix_timestamp(_win.start) div 86400").alias("day"),
+            "cnt",
+        )
     )

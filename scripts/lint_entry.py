@@ -17,6 +17,7 @@ Exit 0 = clean, 1 = violations printed.
 from __future__ import annotations
 
 import ast
+import os
 import sys
 from collections import Counter
 
@@ -57,7 +58,11 @@ def lint_file(path: str) -> list[str]:
 
 
 def main() -> int:
-    paths = sys.argv[1:] or ["/root/repo/__spark_entry__.py"]
+    default = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "__spark_entry__.py",
+    )
+    paths = sys.argv[1:] or [default]
     errors: list[str] = []
     for p in paths:
         errors.extend(lint_file(p))

@@ -99,21 +99,51 @@ def test_band_over_drained_equals_batch(spark, tmp_path):
     pd.testing.assert_frame_equal(got, want)
 
 
-def test_watermarked_plan_has_event_time_state(spark):
-    """The continuous-deployment mode: with an event-time column the
-    streaming aggregate must carry a watermark (bounded state)."""
+def test_watermarked_mode_evicts_state_and_matches_batch(spark, tmp_path):
+    """The continuous-deployment mode must be REAL bounded state: the
+    day key derives from the watermarked event-time window, so (a) an
+    append-mode sink accepts the query (a watermark the grouping keys
+    don't contain is rejected at analysis time — the pre-review bug),
+    and (b) the flushed windows equal the batch daily counts exactly
+    (UTC-epoch-day agreement between the two modes)."""
     import pyspark.sql.functions as F
 
-    src = (
-        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
-        .select(
-            F.lit(1.0).alias("lat"),
-            F.lit(2.0).alias("lng"),
-            (F.unix_timestamp("timestamp") * 1_000_000).alias("ts_us"),
-            F.col("timestamp").alias("ev_time"),
-        )
+    ev = _events()
+    src_dir = str(tmp_path / "wm_events")
+    schema = "lat double, lng double, ts_us long"
+    spark.createDataFrame(ev, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src_dir)
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(src_dir)
+        .withColumn("ev_time", F.expr("timestamp_micros(ts_us)"))
     )
     out = stream_tile_daily_counts(
-        src, ZOOM, event_time_col="ev_time", watermark="1 hour"
+        stream, ZOOM, event_time_col="ev_time", watermark="1 hour"
     )
-    assert "watermark" in out._jdf.queryExecution().analyzed().toString().lower()
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wm_trend")
+        .outputMode("append")  # only legal with a true watermarked window agg
+        .option("checkpointLocation", str(tmp_path / "wm_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("SELECT * FROM wm_trend").toPandas()
+    q.stop()
+    # append mode flushes every window whose end <= max event time - 1h:
+    # the fixture's last day stays open, everything earlier must match
+    # the batch daily table exactly
+    static = spark.createDataFrame(ev, schema)
+    want = tile_daily_counts(static, ZOOM).toPandas()
+    wm_us = int(ev["ts_us"].max()) - 3_600_000_000  # max event - 1h
+    want = want[(want["day"] + 1) * DAY <= wm_us]
+    got = got.sort_values(["qk", "day"]).reset_index(drop=True)
+    want = want.sort_values(["qk", "day"]).reset_index(drop=True)
+    assert len(got) == len(want) and len(want) > 0
+    pd.testing.assert_frame_equal(
+        got.astype({"day": "int64", "cnt": "int64"}),
+        want.astype({"day": "int64", "cnt": "int64"}),
+    )
