@@ -15811,6 +15811,118 @@ def _oracle_tile_hotspots() -> str:
     """
 
 
+def _q_emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Space-time emerging-hotspot classification
+    (operators/hotspots.emerging_hotspots): per-DAY Gi* z per tile
+    (day-sliced neighbor sums + day-sliced moments through the shared
+    GI_Z_SQL tree), Mann-Kendall over each tile's z series (raw
+    doubles — bit-identical across engines because the z tree's
+    inputs are exact integers), the portable-isqrt C, and the
+    documented first-match CASE (intensifying / waning / persistent /
+    former / emerging / none).  The DuckDB twin re-derives the whole
+    chain: tiles/day, offsets, moments, z, NULL filter, pair signs,
+    tie groups on exact z equality, the radicand, the fix-up, the
+    decision, arg_max-latest hotness, and the CASE."""
+    from geo_spark.operators.geo_noise import with_geo_noise, with_time_noise
+    from geo_spark.operators.hotspots import emerging_hotspots
+
+    ev = with_time_noise(
+        with_geo_noise(_t(spark, sf_dir, "events"), "event_id"), "event_id"
+    )
+    return emerging_hotspots(ev, _HOTSPOT_ZOOM).orderBy("x", "y")
+
+
+def _oracle_emerging_hotspots() -> str:
+    from geo_spark.functions.webgrid import mercator_xy_sql
+    from geo_spark.operators.geo_noise import LAT_SQL, LNG_SQL, TS_US_SQL
+    from geo_spark.operators.hotspots import GI_Z_SQL
+
+    lat = LAT_SQL.format(id="event_id")
+    lng = LNG_SQL.format(id="event_id")
+    ts = TS_US_SQL.format(id="event_id")
+    xs, ys = mercator_xy_sql("lat", "lng", _HOTSPOT_ZOOM)
+    n_tiles = 1 << _HOTSPOT_ZOOM
+    offs = ", ".join(
+        f"({dx}, {dy})" for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    )
+    z = GI_Z_SQL.format(n="n", s1="s1", s2="s2", sumw="sumw", sumwx="sumwx")
+    z2_18 = 18 * 1960 * 1960
+    return f"""
+        WITH pts AS (SELECT event_id, {lat} AS lat, {lng} AS lng,
+                            ({ts}) // 86400000000 AS day
+                     FROM events),
+        t AS (SELECT {xs} AS x, {ys} AS y, day, COUNT(*) AS v
+              FROM pts GROUP BY 1, 2, 3),
+        off(dx, dy) AS (VALUES {offs}),
+        nb AS (SELECT a.x, a.y, a.day, COUNT(*) AS sumw,
+                      CAST(SUM(b.v) AS BIGINT) AS sumwx
+               FROM t a, off o, t b
+               WHERE b.day = a.day
+                 AND b.x = (a.x + o.dx + {n_tiles}) % {n_tiles}
+                 AND b.y = a.y + o.dy
+                 AND a.y + o.dy BETWEEN 0 AND {n_tiles - 1}
+               GROUP BY 1, 2, 3),
+        m AS (SELECT day, COUNT(*) AS n, SUM(v) AS s1, SUM(v * v) AS s2
+              FROM t GROUP BY day),
+        gz0 AS (SELECT t.x, t.y, t.day, {z} AS z
+                FROM t JOIN nb ON nb.x = t.x AND nb.y = t.y
+                               AND nb.day = t.day
+                       JOIN m ON m.day = t.day),
+        gz AS (SELECT * FROM gz0 WHERE z IS NOT NULL),
+        s AS (SELECT a.x, a.y,
+                     CAST(SUM(CASE WHEN b.z > a.z THEN 1
+                                   WHEN b.z < a.z THEN -1
+                                   ELSE 0 END) AS BIGINT) AS s_stat
+              FROM gz a JOIN gz b
+                ON b.x = a.x AND b.y = a.y AND b.day > a.day
+              GROUP BY 1, 2),
+        tg AS (SELECT x, y, z, COUNT(*) AS tt FROM gz GROUP BY 1, 2, 3),
+        ties AS (SELECT x, y,
+                        CAST(SUM(tt * (tt - 1) * (2 * tt + 5)) AS BIGINT)
+                          AS tie_term
+                 FROM tg GROUP BY 1, 2),
+        hotness AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n_days,
+                           CAST(SUM(CASE WHEN z > 1.96e0 THEN 1
+                                         ELSE 0 END) AS BIGINT) AS n_hot,
+                           arg_max(z, day) AS last_z
+                    FROM gz GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        m0 AS (SELECT h.x, h.y, h.n_days, h.n_hot, h.last_z,
+                      {z2_18} * (h.n_days * (h.n_days - 1)
+                                 * (2 * h.n_days + 5) - ti.tie_term) AS rx
+               FROM hotness h JOIN ties ti
+                 ON ti.x = h.x AND ti.y = h.y),
+        m1 AS (SELECT *, CAST(FLOOR(SQRT(CAST(rx AS DOUBLE))) AS BIGINT)
+                         AS s0
+               FROM m0),
+        m2 AS (SELECT x, y, n_days, n_hot, last_z,
+                      CASE WHEN (s0 + 1) * (s0 + 1) <= rx THEN s0 + 1
+                           WHEN s0 * s0 > rx THEN s0 - 1
+                           ELSE s0 END AS s1f
+               FROM m1),
+        meta AS (SELECT x, y, n_days, n_hot, last_z,
+                        s1f // 18 // 1000 AS c_alpha
+                 FROM m2),
+        dec AS (SELECT mm.x, mm.y, mm.n_days, s.s_stat,
+                       CAST(mm.c_alpha AS BIGINT) AS c_alpha,
+                       CAST(CASE WHEN s.s_stat > 0
+                                   AND s.s_stat - 1 > mm.c_alpha THEN 1
+                                 WHEN s.s_stat < 0
+                                   AND -s.s_stat - 1 > mm.c_alpha THEN -1
+                                 ELSE 0 END AS BIGINT) AS trend,
+                       mm.n_hot,
+                       mm.last_z > 1.96e0 AS hot_now
+                FROM meta mm JOIN s ON s.x = mm.x AND s.y = mm.y)
+        SELECT x, y, n_days, s_stat, c_alpha, trend, n_hot, hot_now,
+               CASE WHEN hot_now AND trend = 1 THEN 'intensifying'
+                    WHEN hot_now AND trend = -1 THEN 'waning'
+                    WHEN hot_now THEN 'persistent'
+                    WHEN n_hot > 0 THEN 'former'
+                    WHEN trend = 1 THEN 'emerging'
+                    ELSE 'none' END AS class
+        FROM dec ORDER BY x, y
+    """
+
+
 def _q_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global Moran's I spatial autocorrelation of per-tile event
     counts on the zoom-4 lattice (operators/hotspots.py:morans_i):
@@ -15990,6 +16102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cell_neighbors": _q_cell_neighbors,
         "q_vertex_neighbors": _q_vertex_neighbors,
         "q_tile_hotspots": _q_tile_hotspots,
+        "q_emerging_hotspots": _q_emerging_hotspots,
         "q_morans_i": _q_morans_i,
         "q_stay_points": _q_stay_points,
         "q_tpch_q1": _q_tpch_q1,
@@ -16223,6 +16336,7 @@ def oracle_sql() -> dict[str, str]:
         "q_cell_neighbors": _oracle_cell_neighbors(),
         "q_vertex_neighbors": _oracle_vertex_neighbors(),
         "q_tile_hotspots": _oracle_tile_hotspots(),
+        "q_emerging_hotspots": _oracle_emerging_hotspots(),
         "q_morans_i": _oracle_morans_i(),
         "q_stay_points": _oracle_stay_points(),
         "q_tpch_q1": _oracle_tpch_q1(),

@@ -832,7 +832,7 @@ def _daily_pair_slopes(daily: DataFrame, k_shift: int) -> DataFrame:
     )
 
 
-def _with_c_alpha(df: DataFrame, w_sql: str, z_mu: int) -> DataFrame:
+def with_kendall_c_alpha(df: DataFrame, w_sql: str, z_mu: int) -> DataFrame:
     """Append ``c_alpha`` = floor((z_mu/1000) * sqrt(W/18)) where the
     SQL expression ``w_sql`` computes the (integral) Kendall radicand
     W — exactly, via ``isqrt(18 * z_mu^2 * W) div 18 div 1000`` with a
@@ -941,7 +941,7 @@ def trend_band_from_daily(
     (d, N, C, ranks) is tile-sized and broadcast onto the ranked
     slopes."""
     slope = _daily_pair_slopes(daily, k_shift)
-    meta = _with_c_alpha(
+    meta = with_kendall_c_alpha(
         daily.groupBy("qk")
         .agg(F.count(F.lit(1)).alias("n_days"))
         .where(F.col("n_days") >= 2)
@@ -1054,7 +1054,7 @@ def tile_mann_kendall(
         .groupBy("qk")
         .agg(F.sum(F.expr("t * (t - 1) * (2 * t + 5)")).alias("tie_term"))
     )
-    meta = _with_c_alpha(
+    meta = with_kendall_c_alpha(
         daily.groupBy("qk")
         .agg(F.count(F.lit(1)).alias("n_days"))
         .where(F.col("n_days") >= 2)
