@@ -11093,6 +11093,96 @@ def _oracle_doc_quality() -> str:
     """
 
 
+def _q_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality drift monitor
+    (operators/text.quality_drift_by_source): exact alpha-micro
+    quality per doc, exact per-(source, day) mean, then the shared
+    trend machinery — Mann-Kendall decision + Sen milli-slope median
+    — over each source's daily quality series; degrading = trend -1.
+    Days synthesize from the doc_id time-noise stream (the events
+    convention applied to documents).  The DuckDB twin re-derives the
+    full chain from first principles."""
+    from geo_spark.operators.geo_noise import with_time_noise
+    from geo_spark.operators.text import quality_drift_by_source
+
+    docs = with_time_noise(_t(spark, sf_dir, "documents"), "doc_id")
+    docs = docs.withColumn("day", F.expr("ts_us div 86400000000"))
+    return quality_drift_by_source(docs).orderBy("source")
+
+
+def _oracle_quality_drift() -> str:
+    from geo_spark.operators.geo_noise import TS_US_SQL
+
+    ts = TS_US_SQL.format(id="doc_id")
+    z2_18 = 18 * 1960 * 1960
+    k = 10**9
+    return f"""
+        WITH d0 AS (
+          SELECT source,
+                 ({ts}) // 86400000000 AS day,
+                 (1000000 * (length(text) - length(regexp_replace(
+                      text, '[A-Za-z]', '', 'g')))) // length(text) AS qu
+          FROM documents WHERE length(text) > 0),
+        daily AS (SELECT source AS qk, day,
+                         SUM(qu) // COUNT(*) AS cnt
+                  FROM d0 GROUP BY 1, 2),
+        s AS (SELECT a.qk,
+                     CAST(SUM(CASE WHEN b.cnt > a.cnt THEN 1
+                                   WHEN b.cnt < a.cnt THEN -1
+                                   ELSE 0 END) AS BIGINT) AS s_stat
+              FROM daily a JOIN daily b
+                ON b.qk = a.qk AND b.day > a.day
+              GROUP BY 1),
+        tg AS (SELECT qk, cnt, COUNT(*) AS tt FROM daily GROUP BY 1, 2),
+        ties AS (SELECT qk,
+                        CAST(SUM(tt * (tt - 1) * (2 * tt + 5)) AS BIGINT)
+                          AS tie_term
+                 FROM tg GROUP BY 1),
+        dd AS (SELECT qk, CAST(COUNT(*) AS BIGINT) AS n_days
+               FROM daily GROUP BY 1 HAVING COUNT(*) >= 2),
+        m0 AS (SELECT d.qk, d.n_days,
+                      {z2_18} * (d.n_days * (d.n_days - 1)
+                                 * (2 * d.n_days + 5) - ti.tie_term) AS rx
+               FROM dd d JOIN ties ti ON ti.qk = d.qk),
+        m1 AS (SELECT *, CAST(FLOOR(SQRT(CAST(rx AS DOUBLE))) AS BIGINT)
+                         AS s0
+               FROM m0),
+        m2 AS (SELECT qk, n_days,
+                      CASE WHEN (s0 + 1) * (s0 + 1) <= rx THEN s0 + 1
+                           WHEN s0 * s0 > rx THEN s0 - 1
+                           ELSE s0 END AS s1f
+               FROM m1),
+        meta AS (SELECT qk, n_days, s1f // 18 // 1000 AS c_alpha FROM m2),
+        pr AS (SELECT a.qk,
+                      ((b.cnt - a.cnt) * 1000 + {k} * (b.day - a.day))
+                        // (b.day - a.day) - {k} AS slope_mu
+               FROM daily a JOIN daily b
+                 ON b.qk = a.qk AND b.day > a.day),
+        rk AS (SELECT qk, slope_mu,
+                      ROW_NUMBER() OVER (PARTITION BY qk
+                                         ORDER BY slope_mu) AS rn,
+                      COUNT(*) OVER (PARTITION BY qk) AS nn
+               FROM pr),
+        med AS (SELECT qk, CAST(slope_mu AS BIGINT) AS slope_mu
+                FROM rk WHERE rn = (nn + 1) // 2)
+        SELECT m.qk AS source, m.n_days, s.s_stat,
+               CAST(m.c_alpha AS BIGINT) AS c_alpha,
+               CAST(CASE WHEN s.s_stat > 0
+                           AND s.s_stat - 1 > m.c_alpha THEN 1
+                         WHEN s.s_stat < 0
+                           AND -s.s_stat - 1 > m.c_alpha THEN -1
+                         ELSE 0 END AS BIGINT) AS trend,
+               med.slope_mu,
+               (CASE WHEN s.s_stat < 0
+                       AND -s.s_stat - 1 > m.c_alpha THEN 1
+                     ELSE 0 END) = 1 AS degrading
+        FROM meta m
+        JOIN s ON s.qk = m.qk
+        JOIN med ON med.qk = m.qk
+        ORDER BY source
+    """
+
+
 def _q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geo_spark.operators.text import with_lang_guess
 
@@ -16198,6 +16288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_tokenize": _q_bpe_tokenize,
         "q_nb_lang": _q_nb_lang,
         "q_doc_quality": _q_doc_quality,
+        "q_quality_drift": _q_quality_drift,
         "q_line_dedup": _q_line_dedup,
         "q_lang_guess": _q_lang_guess,
         "q_cosine_topk": _q_cosine_topk,
@@ -16527,6 +16618,7 @@ def oracle_sql() -> dict[str, str]:
         "q_corpus_pipeline": _oracle_corpus_pipeline(),
         "q_geo_stratified_dedup": _oracle_geo_stratified_dedup(),
         "q_doc_quality": _oracle_doc_quality(),
+        "q_quality_drift": _oracle_quality_drift(),
         "q_line_dedup": _oracle_line_dedup(),
         "q_lang_guess": _oracle_lang_guess(),
         "q_cosine_topk": _oracle_cosine_topk(),

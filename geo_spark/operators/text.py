@@ -1562,3 +1562,82 @@ def heaps_law(
             "beta_u4",
         )
     )
+
+
+def quality_drift_by_source(
+    docs: DataFrame,
+    day_col: str = "day",
+    source_col: str = "source",
+    text_col: str = "text",
+    z_mu: int = 1960,
+    k_shift: int = 10**9,
+) -> DataFrame:
+    """(source, n_days, s_stat, c_alpha, trend, slope_mu, degrading):
+    per-SOURCE document-quality drift — the spam-onset / template-rot
+    monitor a continuous-crawl pipeline runs on every refresh: a
+    source whose mean quality trends down is flagged before its
+    documents flood the training mix.
+
+    Quality per doc is the exact alpha-ratio in micro-units —
+    ``q_u = (1e6 * n_alpha) div n_chars`` with n_alpha counted by
+    regexp strip (both engines replace ALL matches; zero-length docs
+    drop) — then per (source, day) the exact mean ``sum(q_u) div
+    count``, and the keyed daily series feeds the shared trend
+    machinery verbatim: the Mann-Kendall decision
+    (operators/tiling.mann_kendall_from_daily — S, tie-corrected
+    variance, portable isqrt, continuity-corrected integer decision)
+    plus the Sen milli-slope median (the tile_theil_sen rank rule) in
+    quality-micro-units per day.  ``degrading`` = (trend == -1).
+
+    Scale shape: one corpus pass computes q_u natively (regexp +
+    integer div inside codegen, no Python), one map-side-combined
+    shuffle to (source, day), and everything after runs on the
+    bounded sources x days table.  Sources with one observed day are
+    excluded (no trend defined).
+    """
+    from pyspark.sql import Window
+
+    from geo_spark.operators.tiling import (
+        _daily_pair_slopes,
+        mann_kendall_from_daily,
+    )
+
+    q_u = (
+        f"(1000000 * (length({text_col}) - length(regexp_replace("
+        f"{text_col}, '[A-Za-z]', '')))) div length({text_col})"
+    )
+    daily = (
+        docs.where(F.length(F.col(text_col)) > 0)
+        .selectExpr(
+            f"{source_col} AS qk", f"{day_col} AS day", f"{q_u} AS _qu"
+        )
+        .groupBy("qk", "day")
+        .agg(
+            F.expr("sum(_qu) div count(1)").alias("cnt")
+        )
+    )
+    mk = mann_kendall_from_daily(daily, z_mu)
+    w = Window.partitionBy("qk").orderBy("slope_mu")
+    med = (
+        _daily_pair_slopes(daily, k_shift)
+        .select(
+            "qk",
+            "slope_mu",
+            F.row_number().over(w).alias("_rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("qk")).alias("_n"),
+        )
+        .where(F.col("_rn") == F.expr("(_n + 1) div 2"))
+        .select("qk", "slope_mu")
+    )
+    return (
+        mk.join(med, "qk")
+        .select(
+            F.col("qk").alias("source"),
+            "n_days",
+            "s_stat",
+            "c_alpha",
+            "trend",
+            "slope_mu",
+            (F.col("trend") == -1).alias("degrading"),
+        )
+    )

@@ -1035,7 +1035,18 @@ def tile_mann_kendall(
     reduced to one aggregate; the tie term is a second tiny groupBy
     over the daily table.  Tiles with one observed day are excluded.
     """
-    daily = tile_daily_counts(events, zoom, ts_us_col, latlng)
+    return mann_kendall_from_daily(
+        tile_daily_counts(events, zoom, ts_us_col, latlng), z_mu
+    )
+
+
+def mann_kendall_from_daily(daily: DataFrame, z_mu: int = 1960) -> DataFrame:
+    """The Mann-Kendall finisher over ANY (qk, day, cnt) daily table —
+    the generic half of :func:`tile_mann_kendall` (see its docstring
+    for the exact-integer spec), reused wherever a keyed integer
+    series needs a trend decision (tile traffic, per-source quality
+    drift, ...).  ``qk`` is just the series key; rename the caller's
+    key/value columns to (qk, day, cnt) before calling."""
     s = (
         _daily_pairs(daily)
         .groupBy("qk")
