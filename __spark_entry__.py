@@ -6250,6 +6250,60 @@ def _oracle_tile_mann_kendall() -> str:
     """
 
 
+def _q_tile_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer changepoint per tile
+    (operators/tiling.tile_changepoint): the at-most-one-change CUSUM
+    argmax over each tile's daily series with every quantity a BIGINT
+    (stat_k = |n*P_k - k*T|, ties to the earliest day).  The DuckDB
+    twin re-derives tiles, daily counts, prefix sums, the scaled
+    statistic, and the tie-broken argmax via a rank window."""
+    from geo_spark.operators.geo_noise import with_geo_noise, with_time_noise
+    from geo_spark.operators.tiling import tile_changepoint
+
+    ev = with_time_noise(
+        with_geo_noise(_t(spark, sf_dir, "events"), "event_id"), "event_id"
+    )
+    return tile_changepoint(ev, _TS_ZOOM).orderBy("qk")
+
+
+def _oracle_tile_changepoint() -> str:
+    from geo_spark.functions.webgrid import mercator_xy_sql, quadkey_sql_text
+    from geo_spark.operators.geo_noise import LAT_SQL, LNG_SQL, TS_US_SQL
+
+    lat = LAT_SQL.format(id="event_id")
+    lng = LNG_SQL.format(id="event_id")
+    ts = TS_US_SQL.format(id="event_id")
+    x, y = mercator_xy_sql("lat", "lng", _TS_ZOOM)
+    qk = quadkey_sql_text("tx", "ty", _TS_ZOOM)
+    return f"""
+        WITH pts AS (SELECT {lat} AS lat, {lng} AS lng,
+                            ({ts}) // 86400000000 AS day
+                     FROM events),
+        t AS (SELECT day, {x} AS tx, {y} AS ty FROM pts),
+        q AS (SELECT day, {qk} AS qk FROM t),
+        daily AS (SELECT qk, day, COUNT(*) AS cnt FROM q GROUP BY qk, day),
+        pre AS (SELECT qk, day,
+                       ROW_NUMBER() OVER (PARTITION BY qk ORDER BY day)
+                         AS k,
+                       SUM(cnt) OVER (PARTITION BY qk ORDER BY day
+                                      ROWS UNBOUNDED PRECEDING) AS p,
+                       COUNT(*) OVER (PARTITION BY qk) AS n,
+                       SUM(cnt) OVER (PARTITION BY qk) AS tt
+                FROM daily),
+        st AS (SELECT qk, day, n, tt,
+                      ABS(n * p - k * tt) AS stat
+               FROM pre WHERE n >= 2 AND k < n),
+        rk AS (SELECT qk, day, n, tt, stat,
+                      ROW_NUMBER() OVER (PARTITION BY qk
+                                         ORDER BY stat DESC, day ASC)
+                        AS rn
+               FROM st)
+        SELECT qk, CAST(n AS BIGINT) AS n_days, CAST(tt AS BIGINT) AS total,
+               CAST(day AS BIGINT) AS cp_day, CAST(stat AS BIGINT) AS cp_stat
+        FROM rk WHERE rn = 1 ORDER BY qk
+    """
+
+
 def _q_source_geo_focus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-SOURCE geographic focus — the full webtext->geo editorial
     profile: every document's resolved toponym mentions land on their
@@ -16376,6 +16430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tile_trend": _q_tile_trend,
         "q_tile_trend_band": _q_tile_trend_band,
         "q_tile_mann_kendall": _q_tile_mann_kendall,
+        "q_tile_changepoint": _q_tile_changepoint,
         "q_tile_kde": _q_tile_kde,
         "q_reverse_geocode": _q_reverse_geocode,
         "q_zone_transitions": _q_zone_transitions,
@@ -16552,6 +16607,7 @@ def oracle_sql() -> dict[str, str]:
         "q_tile_trend": _oracle_tile_trend(),
         "q_tile_trend_band": _oracle_tile_trend_band(),
         "q_tile_mann_kendall": _oracle_tile_mann_kendall(),
+        "q_tile_changepoint": _oracle_tile_changepoint(),
         "q_tile_kde": _oracle_tile_kde(),
         "q_reverse_geocode": _oracle_reverse_geocode(),
         "q_zone_transitions": _oracle_zone_transitions(),

@@ -1085,3 +1085,81 @@ def mann_kendall_from_daily(daily: DataFrame, z_mu: int = 1960) -> DataFrame:
             "          ELSE 0 END AS BIGINT) AS trend",
         )
     )
+
+
+def changepoint_from_daily(daily: DataFrame) -> DataFrame:
+    """(qk, n_days, total, cp_day, cp_stat): the single most likely
+    level-shift day per series — the classic at-most-one-changepoint
+    CUSUM statistic made EXACT-INTEGER: with the series x_1..x_n in
+    day order, prefix sums P_k and total T, the scaled statistic
+
+        stat_k = | n * P_k - k * T |     (k = 1..n-1)
+
+    is n times the usual |P_k - (k/n)T| deviation, so the argmax is
+    identical and every quantity stays a BIGINT (no mean, no
+    division).  ``cp_day`` is the LAST day of the left segment at the
+    maximizing k; ties break to the EARLIEST such day (deterministic
+    on any engine).  A flat series scores 0 at every k (cp_stat = 0,
+    cp_day = first day).  Series with n < 2 are excluded.
+
+    Scale shape: one rank/prefix window over the bounded daily table
+    partitioned by series key, one struct-max argmax per key — no
+    joins at all after the daily aggregate.
+    """
+    w = Window.partitionBy("qk").orderBy("day")
+    wall = Window.partitionBy("qk")
+    pre = (
+        daily.select(
+            "qk",
+            "day",
+            F.row_number().over(w).alias("_k"),
+            F.sum("cnt")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("_p"),
+        )
+        .withColumn("_n", F.count(F.lit(1)).over(wall))
+        .withColumn("_t", F.max(F.col("_p")).over(wall))
+        .where((F.col("_n") >= 2) & (F.col("_k") < F.col("_n")))
+        .selectExpr(
+            "qk",
+            "day",
+            "_n",
+            "_t",
+            "abs(_n * _p - _k * _t) AS _stat",
+        )
+    )
+    return (
+        pre.groupBy("qk")
+        .agg(
+            F.first("_n").alias("n_days"),
+            F.first("_t").alias("total"),
+            F.max(
+                F.struct(
+                    F.col("_stat").alias("s"),
+                    (-F.col("day")).alias("nd"),
+                )
+            ).alias("_b"),
+        )
+        .select(
+            "qk",
+            "n_days",
+            "total",
+            (-F.col("_b.nd")).alias("cp_day"),
+            F.col("_b.s").alias("cp_stat"),
+        )
+    )
+
+
+def tile_changepoint(
+    events: DataFrame,
+    zoom: int = 4,
+    ts_us_col: str = "ts_us",
+    latlng: tuple[str, str] = ("lat", "lng"),
+) -> DataFrame:
+    """Batch entry: events -> daily tile counts -> exact-integer
+    changepoint statistic per tile (see :func:`changepoint_from_daily`
+    for the spec) — "when did this tile's traffic regime shift?",
+    the companion question to the trend family's "is it drifting?"."""
+    return changepoint_from_daily(
+        tile_daily_counts(events, zoom, ts_us_col, latlng)
+    )

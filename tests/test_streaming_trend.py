@@ -147,3 +147,31 @@ def test_watermarked_mode_evicts_state_and_matches_batch(spark, tmp_path):
         got.astype({"day": "int64", "cnt": "int64"}),
         want.astype({"day": "int64", "cnt": "int64"}),
     )
+
+
+def test_changepoint_over_drained_equals_batch(spark, tmp_path):
+    """The changepoint finisher is a deterministic function of the
+    same streamed daily table the trend family consumes — pin the
+    full chain: drained counts -> changepoint == batch operator."""
+    from geo_spark.operators.tiling import (
+        changepoint_from_daily,
+        tile_changepoint,
+    )
+
+    ev = _events()
+    static, drained = _drain_daily(
+        spark, tmp_path, [ev.iloc[:50], ev.iloc[50:]]
+    )
+    got = (
+        changepoint_from_daily(drained)
+        .toPandas()
+        .sort_values("qk")
+        .reset_index(drop=True)
+    )
+    want = (
+        tile_changepoint(static, ZOOM)
+        .toPandas()
+        .sort_values("qk")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)

@@ -288,3 +288,83 @@ def test_mann_kendall_plan_is_native(spark):
     )
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def _ref_cp(days: dict):
+    """Pure-python replay of changepoint_from_daily's exact spec."""
+    ds = sorted(days)
+    n = len(ds)
+    t = sum(days[d] for d in ds)
+    best = None
+    p = 0
+    for k, d in enumerate(ds[:-1], start=1):
+        p += days[d]
+        stat = abs(n * p - k * t)
+        key = (stat, -d)
+        if best is None or key > best:
+            best = key
+    return (n, t, -best[1], best[0])
+
+
+def test_changepoint_matches_python_reference(spark):
+    from geo_spark.operators.tiling import tile_changepoint
+
+    tiles = {
+        # clean level shift at day 4->5
+        (10.0, 10.0): {d: (3 if d < 5 else 30) for d in range(10)},
+        # flat series: stat 0, cp at first day
+        (40.0, -100.0): {d: 7 for d in range(6)},
+        # gappy with a dip
+        (-60.0, -150.0): {0: 50, 3: 48, 7: 5, 9: 6, 15: 4},
+        (-30.0, 60.0): {1: 3},  # single day -> excluded
+    }
+    got = {
+        r["qk"]: (r["n_days"], r["total"], r["cp_day"], r["cp_stat"])
+        for r in tile_changepoint(_mk(spark, tiles), ZOOM).collect()
+    }
+    assert len(got) == 3
+    wants = sorted(
+        _ref_cp(days) for days in tiles.values() if len(days) >= 2
+    )
+    assert sorted(got.values()) == wants
+    # the planted shift is found at day 4 (last day of the low regime)
+    shift = _ref_cp(tiles[(10.0, 10.0)])
+    assert shift[2] == 4
+    flat = _ref_cp(tiles[(40.0, -100.0)])
+    assert flat[3] == 0 and flat[2] == 0
+
+
+def test_changepoint_randomized_differential(spark):
+    import numpy as np
+
+    from geo_spark.operators.tiling import tile_changepoint
+
+    rng = np.random.default_rng(20260823)
+    centers = [(5.0, 5.0), (50.0, 120.0), (-45.0, -60.0), (70.0, 179.0)]
+    tiles = {}
+    for la, ln in centers:
+        ds = sorted(
+            rng.choice(50, size=int(rng.integers(2, 20)), replace=False)
+        )
+        tiles[(la, ln)] = {int(d): int(rng.integers(1, 40)) for d in ds}
+    got = {
+        r["qk"]: (r["n_days"], r["total"], r["cp_day"], r["cp_stat"])
+        for r in tile_changepoint(_mk(spark, tiles), ZOOM).collect()
+    }
+    wants = sorted(_ref_cp(days) for days in tiles.values())
+    assert sorted(got.values()) == wants
+
+
+def test_changepoint_plan_is_native_no_join(spark):
+    from geo_spark.operators.tiling import tile_changepoint
+
+    df = _mk(spark, {(0.0, 0.0): {0: 1, 1: 9, 2: 9}})
+    plan = (
+        tile_changepoint(df, ZOOM)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan  # windows + argmax only after the daily agg
