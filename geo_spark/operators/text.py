@@ -1564,6 +1564,34 @@ def heaps_law(
     )
 
 
+def source_quality_daily(
+    docs: DataFrame,
+    day_col: str = "day",
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """(qk, day, cnt): per-(source, day) EXACT mean alpha-micro quality
+    — ``q_u = (1e6 * n_alpha) div n_chars`` per doc (regexp strip,
+    zero-length docs drop), ``cnt = sum(q_u) div count``.  The ONE
+    quality-series builder shared by the batch drift monitor and its
+    streaming twin (streaming/trend.stream_source_quality_daily): sum
+    and count are incrementally-maintainable aggregates, and the
+    integer division is a post-aggregation projection, so the same
+    plan runs batch or streaming unchanged."""
+    q_u = (
+        f"(1000000 * (length({text_col}) - length(regexp_replace("
+        f"{text_col}, '[A-Za-z]', '')))) div length({text_col})"
+    )
+    return (
+        docs.where(F.length(F.col(text_col)) > 0)
+        .selectExpr(
+            f"{source_col} AS qk", f"{day_col} AS day", f"{q_u} AS _qu"
+        )
+        .groupBy("qk", "day")
+        .agg(F.expr("sum(_qu) div count(1)").alias("cnt"))
+    )
+
+
 def quality_drift_by_source(
     docs: DataFrame,
     day_col: str = "day",
@@ -1602,20 +1630,7 @@ def quality_drift_by_source(
         mann_kendall_from_daily,
     )
 
-    q_u = (
-        f"(1000000 * (length({text_col}) - length(regexp_replace("
-        f"{text_col}, '[A-Za-z]', '')))) div length({text_col})"
-    )
-    daily = (
-        docs.where(F.length(F.col(text_col)) > 0)
-        .selectExpr(
-            f"{source_col} AS qk", f"{day_col} AS day", f"{q_u} AS _qu"
-        )
-        .groupBy("qk", "day")
-        .agg(
-            F.expr("sum(_qu) div count(1)").alias("cnt")
-        )
-    )
+    daily = source_quality_daily(docs, day_col, source_col, text_col)
     mk = mann_kendall_from_daily(daily, z_mu)
     w = Window.partitionBy("qk").orderBy("slope_mu")
     med = (

@@ -79,3 +79,53 @@ def stream_tile_daily_counts(
             "cnt",
         )
     )
+
+
+def stream_source_quality_daily(
+    docs: DataFrame,
+    day_col: str = "day",
+    source_col: str = "source",
+    text_col: str = "text",
+    event_time_col: str | None = None,
+    watermark: str = "48 hours",
+) -> DataFrame:
+    """(qk, day, cnt) streaming per-(source, day) mean quality — the
+    20th batch==stream pair, the incremental half of the quality-drift
+    monitor (operators/text.quality_drift_by_source).
+
+    Same two-mode contract as :func:`stream_tile_daily_counts`:
+
+    - drain/backfill (``event_time_col=None``): delegates VERBATIM to
+      the batch ``source_quality_daily`` — sum and count are
+      incrementally-maintainable and the integer division is a post-
+      aggregation projection, so the identical plan runs streaming.
+    - continuous: the day derives from a 1-day event-time window of
+      the watermarked column (real state retirement; the two modes
+      agree when ``event_time_col`` is UTC and ``day_col`` is its
+      epoch-day).
+    """
+    from geo_spark.operators.text import source_quality_daily
+
+    if event_time_col is None:
+        return source_quality_daily(docs, day_col, source_col, text_col)
+    q_u = (
+        f"(1000000 * (length({text_col}) - length(regexp_replace("
+        f"{text_col}, '[A-Za-z]', '')))) div length({text_col})"
+    )
+    return (
+        docs.where(F.length(F.col(text_col)) > 0)
+        .withWatermark(event_time_col, watermark)
+        .groupBy(
+            F.window(event_time_col, "1 day").alias("_win"),
+            F.col(source_col).alias("qk"),
+        )
+        .agg(
+            F.expr(f"sum({q_u})").alias("_s"),
+            F.count(F.lit(1)).alias("_c"),
+        )
+        .select(
+            "qk",
+            F.expr("unix_timestamp(_win.start) div 86400").alias("day"),
+            F.expr("_s div _c").alias("cnt"),
+        )
+    )

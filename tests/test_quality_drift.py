@@ -104,3 +104,122 @@ def test_quality_drift_plan_is_native(spark):
     )
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def _doc_rows():
+    rows = []
+    i = 0
+    for d in range(5):
+        for s, na, no in [
+            ("alpha", 60 - 9 * d, 40 + 9 * d),
+            ("beta", 30 + 6 * d, 70 - 6 * d),
+        ]:
+            for k in (0, 1, 2):
+                rows.append((i, "a" * (na + k) + "1" * no, s, d))
+                i += 1
+    return rows
+
+
+def test_stream_quality_daily_drained_equals_batch(spark, tmp_path):
+    """20th batch==stream pair: drained per-(source, day) mean quality
+    equals the batch builder exactly (same plan, by construction)."""
+    import pandas as pd
+
+    from geo_spark.operators.text import source_quality_daily
+    from geo_spark.streaming.trend import stream_source_quality_daily
+
+    schema = "doc_id long, text string, source string, day long"
+    rows = _doc_rows()
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows[:14], schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    spark.createDataFrame(rows[14:], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    static = spark.read.parquet(src)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_source_quality_daily(stream)
+        .writeStream.format("memory")
+        .queryName("qd_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "qd_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = (
+        spark.sql("SELECT * FROM qd_stream")
+        .toPandas()
+        .sort_values(["qk", "day"])
+        .reset_index(drop=True)
+    )
+    q.stop()
+    want = (
+        source_quality_daily(static)
+        .toPandas()
+        .sort_values(["qk", "day"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"day": "int64", "cnt": "int64"}),
+        want.astype({"day": "int64", "cnt": "int64"}),
+    )
+
+
+def test_stream_quality_daily_watermarked_append(spark, tmp_path):
+    """Continuous mode: windowed watermark aggregation accepted by an
+    append sink; flushed windows equal the batch builder on the days
+    the watermark has passed."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from geo_spark.operators.text import source_quality_daily
+    from geo_spark.streaming.trend import stream_source_quality_daily
+
+    DAY_US = 86_400_000_000
+    schema = "doc_id long, text string, source string, day long"
+    rows = _doc_rows()
+    src = str(tmp_path / "wm_docs")
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    static = spark.read.parquet(src)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .parquet(src)
+        .withColumn(
+            "ev_time",
+            F.expr(f"timestamp_micros(day * {DAY_US} + doc_id)"),
+        )
+    )
+    out = stream_source_quality_daily(
+        stream, event_time_col="ev_time", watermark="1 hour"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("qd_wm")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "qd_wm_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("SELECT * FROM qd_wm").toPandas()
+    q.stop()
+    max_ev = max(d * DAY_US + i for i, _, _, d in rows)
+    wm = max_ev - 3_600_000_000
+    want = source_quality_daily(static).toPandas()
+    want = want[(want["day"] + 1) * DAY_US <= wm]
+    got = got.sort_values(["qk", "day"]).reset_index(drop=True)
+    want = want.sort_values(["qk", "day"]).reset_index(drop=True)
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(
+        got.astype({"day": "int64", "cnt": "int64"}),
+        want.astype({"day": "int64", "cnt": "int64"}),
+    )
