@@ -68,6 +68,10 @@ HEADLINE_QUERIES = [
     "q_tile_slope",  # Horn-stencil gradient, scatter-form raster algebra
     "q_trail_network",  # snap -> junction graph -> large/small-star CC
     "q_region_route_length",  # covering-join clip+measure overlay
+    "q_tile_trend_band",  # Sen slope + rank confidence band, portable isqrt
+    "q_tile_changepoint",  # exact-integer CUSUM argmax, windows only
+    "q_emerging_hotspots",  # per-day Gi* x Mann-Kendall classification
+    "q_quality_drift",  # per-source quality trend monitor
 ]
 
 
