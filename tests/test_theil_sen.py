@@ -368,3 +368,66 @@ def test_changepoint_plan_is_native_no_join(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "Join" not in plan  # windows + argmax only after the daily agg
+
+
+def test_changepoint_shift_invariance(spark):
+    """stat_k = |n*P_k - k*T| is EXACTLY invariant under adding a
+    constant to every day's count (P_k gains k*c, T gains n*c, the
+    two cancel) — so cp_day and cp_stat must not move."""
+    from geo_spark.operators.tiling import tile_changepoint
+
+    base = {0: 3, 2: 9, 5: 4, 6: 30, 9: 28}
+    shifted = {d: v + 17 for d, v in base.items()}
+    [r0] = tile_changepoint(
+        _mk(spark, {(10.0, 10.0): base}), ZOOM
+    ).collect()
+    [r1] = tile_changepoint(
+        _mk(spark, {(10.0, 10.0): shifted}), ZOOM
+    ).collect()
+    assert (r0["cp_day"], r0["cp_stat"]) == (r1["cp_day"], r1["cp_stat"])
+    assert r1["total"] == r0["total"] + 17 * len(base)
+
+
+def test_mann_kendall_monotone_invariance(spark):
+    """S, the tie structure, C, and the decision depend only on the
+    ORDER of the values — any strictly increasing transform of the
+    counts leaves all four unchanged exactly."""
+    from geo_spark.operators.tiling import tile_mann_kendall
+
+    base = {0: 3, 1: 9, 3: 4, 5: 9, 8: 30, 11: 2}
+    mono = {d: v * v * 7 + 5 for d, v in base.items()}  # strictly incr on >=0
+    [r0] = tile_mann_kendall(
+        _mk(spark, {(10.0, 10.0): base}), ZOOM
+    ).collect()
+    [r1] = tile_mann_kendall(
+        _mk(spark, {(10.0, 10.0): mono}), ZOOM
+    ).collect()
+    assert (r0["s_stat"], r0["c_alpha"], r0["trend"]) == (
+        r1["s_stat"],
+        r1["c_alpha"],
+        r1["trend"],
+    )
+
+
+def test_band_linear_trend_equivariance(spark):
+    """Adding an exact linear trend a*day to every count shifts EVERY
+    pairwise milli-slope by exactly a*1000 (the shifted-division rule
+    is exact for integer a: dc' = dc + a*dd), so the median and both
+    band endpoints translate by a*1000 while c_alpha and n_pairs are
+    untouched."""
+    from geo_spark.operators.tiling import tile_theil_sen_band
+
+    a = 6
+    base = {0: 40, 2: 35, 3: 41, 7: 36, 9: 44}
+    trended = {d: v + a * d for d, v in base.items()}
+    [r0] = tile_theil_sen_band(
+        _mk(spark, {(10.0, 10.0): base}), ZOOM
+    ).collect()
+    [r1] = tile_theil_sen_band(
+        _mk(spark, {(10.0, 10.0): trended}), ZOOM
+    ).collect()
+    assert r1["n_pairs"] == r0["n_pairs"]
+    assert r1["c_alpha"] == r0["c_alpha"]
+    assert r1["lo_mu"] == r0["lo_mu"] + a * 1000
+    assert r1["slope_mu"] == r0["slope_mu"] + a * 1000
+    assert r1["hi_mu"] == r0["hi_mu"] + a * 1000
